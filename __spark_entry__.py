@@ -1,38 +1,253 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query key.
+
+DSL-covered operators are expressed as JSON-DSL dicts compiled through
+``query_planner_optimizer_spark.dsl.compiler`` (the Spark engine) while
+their oracles are generated from the *same dicts* by
+``dsl.assembler`` in the duckdb dialect — one source of truth, the same
+engine-vs-baseline differential scheme the reference used (SURVEY.md §5).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from query_planner_optimizer_spark.catalog import Catalog
+from query_planner_optimizer_spark.dsl.assembler import assemble_sql
+from query_planner_optimizer_spark.dsl.compiler import compile_query
+
+#: sf dir whose parquet footers type the oracle's literals (driver runs
+#: the oracle at sf0.01; schemas are identical across sf).
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+# --------------------------------------------------------------------------
+# JSON-DSL query corpus: the reference's operator inventory (SURVEY.md §2)
+# exercised over the driver's testdata tables, including every edge case
+# the reference mishandles (FIXTURES.md §3.3).
+# --------------------------------------------------------------------------
+DSL_QUERIES: dict[str, dict] = {
+    # §2.2 projection + filters
+    "dsl_filter_eq": {
+        "select": ["event_id", "event_type", "value"],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "eq", "val": "click"}],
+    },
+    "dsl_filter_neq": {
+        "select": ["event_id", "event_type", "user_id"],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "neq", "val": "view"}],
+    },
+    "dsl_filter_in": {
+        "select": ["event_id", "event_type"],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "in",
+                   "val": ["click", "purchase", "signup"]}],
+    },
+    "dsl_filter_between": {
+        "select": ["event_id", "value"],
+        "from": "events",
+        "where": [{"col": "value", "op": "between", "val": [10, 50]}],
+    },
+    "dsl_filter_range_ops": {
+        # lt/lte/gt/gte — baseline-only in the reference (assembler.py:28-30)
+        "select": ["event_id", "value", "user_id"],
+        "from": "events",
+        "where": [
+            {"col": "value", "op": "gt", "val": 5},
+            {"col": "value", "op": "lte", "val": 95.5},
+            {"col": "user_id", "op": "gte", "val": 10},
+            {"col": "event_id", "op": "lt", "val": 5000},
+        ],
+    },
+    # §2.3 aggregations
+    "dsl_groupby_sum": {
+        "select": ["event_type", {"SUM": "value", "as": "sum_value", "round": 6}],
+        "from": "events",
+        "group_by": ["event_type"],
+    },
+    "dsl_groupby_avg": {
+        "select": ["event_type", {"AVG": "value", "as": "avg_value", "round": 6}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": [{"col": "avg_value", "dir": "desc"},
+                     {"col": "event_type", "dir": "asc"}],
+    },
+    "dsl_groupby_count_star": {
+        "select": ["event_type", {"COUNT": "*", "as": "cnt"}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": [{"col": "cnt", "dir": "desc"},
+                     {"col": "event_type", "dir": "asc"}],
+    },
+    "dsl_count_col": {
+        "select": ["l_returnflag", {"COUNT": "l_quantity", "as": "cnt_q"},
+                   {"COUNT": "*", "as": "cnt_all"}],
+        "from": "lineitem",
+        "group_by": ["l_returnflag"],
+    },
+    "dsl_ungrouped_agg": {
+        # unsupported in the reference's scan path (query_engine.py:494-502)
+        "select": [{"SUM": "value", "as": "sum_value", "round": 6},
+                   {"COUNT": "*", "as": "cnt"},
+                   {"AVG": "value", "as": "avg_value", "round": 6}],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "eq", "val": "purchase"}],
+    },
+    # §2.4 sort / limit / top-k
+    "dsl_multikey_orderby": {
+        # reference bug: sequential single-key sorts (query_engine.py:508-524)
+        "select": ["l_returnflag", "l_linestatus",
+                   {"SUM": "l_quantity", "as": "sum_qty"}],
+        "from": "lineitem",
+        "group_by": ["l_returnflag", "l_linestatus"],
+        "order_by": [{"col": "l_returnflag", "dir": "asc"},
+                     {"col": "sum_qty", "dir": "desc"}],
+    },
+    "dsl_topk_limit": {
+        "select": ["o_orderkey", "o_totalprice"],
+        "from": "orders",
+        "order_by": [{"col": "o_totalprice", "dir": "desc"},
+                     {"col": "o_orderkey", "dir": "asc"}],
+        "limit": 100,
+    },
+    # §1.2 derived time columns (day/week/hour/minute)
+    "dsl_daily_rollup": {
+        "select": ["day", {"SUM": "value", "as": "sum_value", "round": 6}],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "eq", "val": "click"}],
+        "group_by": ["day"],
+    },
+    "dsl_weekly_rollup": {
+        "select": ["week", {"COUNT": "*", "as": "cnt"}],
+        "from": "events",
+        "group_by": ["week"],
+    },
+    "dsl_hourly_day_between": {
+        "select": ["hour", {"AVG": "value", "as": "avg_value", "round": 6}],
+        "from": "events",
+        "where": [{"col": "day", "op": "between",
+                   "val": ["2024-01-03", "2024-01-05"]}],
+        "group_by": ["hour"],
+    },
+    "dsl_minute_rollup": {
+        # minute is a STRING; lexicographic sort == chronological here
+        "select": ["minute", {"SUM": "value", "as": "sum_value", "round": 6}],
+        "from": "events",
+        "where": [{"col": "day", "op": "eq", "val": "2024-01-02"}],
+        "group_by": ["minute"],
+        "order_by": [{"col": "minute", "dir": "asc"}],
+    },
+    "dsl_day_in_coercion": {
+        # `in` on a date column — reference skips coercion (query_engine.py:448-449)
+        "select": ["day", {"COUNT": "*", "as": "cnt"}],
+        "from": "events",
+        "where": [{"col": "day", "op": "in",
+                   "val": ["2024-01-02", "2024-01-04", "2024-01-07"]}],
+        "group_by": ["day"],
+    },
+    # flagship: TPC-H Q1-shaped pricing summary
+    "dsl_pricing_summary": {
+        "select": [
+            "l_returnflag", "l_linestatus",
+            {"SUM": "l_quantity", "as": "sum_qty", "round": 4},
+            {"SUM": "l_extendedprice", "as": "sum_base_price", "round": 4},
+            {"AVG": "l_discount", "as": "avg_disc", "round": 6},
+            {"COUNT": "*", "as": "count_order"},
+        ],
+        "from": "lineitem",
+        "where": [{"col": "l_shipdate", "op": "lte", "val": "1998-09-02 00:00:00"}],
+        "group_by": ["l_returnflag", "l_linestatus"],
+        "order_by": [{"col": "l_returnflag", "dir": "asc"},
+                     {"col": "l_linestatus", "dir": "asc"}],
+    },
+}
+
+
+_ARROW_TO_SPARK = {
+    "string": T.StringType(),
+    "large_string": T.StringType(),
+    "date32": T.DateType(),
+    "date64": T.DateType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "int8": T.IntegerType(),
+    "int16": T.IntegerType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "bool": T.BooleanType(),
+}
+
+#: Types of the catalog's derived time columns (catalog.augment_time_columns).
+_DERIVED_TYPES = {
+    "ts_dt": T.TimestampType(),
+    "day": T.DateType(),
+    "week": T.DateType(),
+    "hour": T.TimestampType(),
+    "minute": T.StringType(),
+}
+
+
+def _static_type_map(table: str) -> dict[str, T.DataType]:
+    """Augmented-table type map from the parquet footer — no SparkSession
+    needed, so ``oracle_sql()`` stays session-free as the driver expects."""
+    schema = pq.read_schema(os.path.join(ORACLE_SF_DIR, f"{table}.parquet"))
+    out: dict[str, T.DataType] = {}
+    has_ts = False
+    for f in schema:
+        if isinstance(f.type, pa.TimestampType):
+            out[f.name] = T.TimestampType()
+            if f.name == "ts":
+                has_ts = True
+        else:
+            out[f.name] = _ARROW_TO_SPARK.get(str(f.type), T.StringType())
+        if f.name == "ts" and str(f.type) in ("int64", "int32"):
+            has_ts = True
+    if has_ts:
+        out.update(_DERIVED_TYPES)
+    return out
+
+
+def _dsl_callable(q: dict) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return compile_query(q, Catalog(spark, sf_dir, register_views=False))
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
+    cat = Catalog(spark, "/root/testdata/sf0.001", register_views=False)
+    return compile_query(DSL_QUERIES["dsl_pricing_summary"], cat)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _dsl_callable(q) for name, q in DSL_QUERIES.items()
+    }
+    from query_planner_optimizer_spark.operators import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out.update(entry_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, q in DSL_QUERIES.items():
+        table = q.get("from", "events")
+        out[name] = assemble_sql(
+            q, _static_type_map(table), dialect="duckdb", ts_is_millis=False
+        )
+    from query_planner_optimizer_spark.operators import entry_oracles
+
+    out.update(entry_oracles())
+    return out

@@ -1,0 +1,175 @@
+"""Table catalog: parquet dirs → (augmented) DataFrames + temp views.
+
+The reference hard-codes a single virtual table ``events`` backed by a
+hive-partitioned parquet layout (reference ``query_engine.py:385-425``,
+``claude.md:105-107``). Here the catalog resolves **any** table name from a
+data directory (one ``<name>.parquet`` file/dir each, per TESTDATA.md) and
+augments event-like tables with the reference's derived time columns
+(reference ``prepare_optimized.py:58-65``):
+
+    day    = to_date(ts)                       (date)
+    week   = to_date(date_trunc('week', ts))   (date, Monday start)
+    hour   = date_trunc('hour', ts)            (timestamp)
+    minute = date_format(ts, 'yyyy-MM-dd HH:mm')  (STRING — lexicographic
+             sort == chronological sort for this format; the reference
+             stores minute as a string too, ``prepare_optimized.py:64``)
+
+``ts`` may be epoch-milliseconds (the reference's raw schema,
+``prepare_optimized.py:424-434``) or a native timestamp (the driver's
+testdata): both normalize to a ``ts_dt`` timestamp first.
+
+Scale note: augmentation is pure column projection — no shuffle, no UDFs;
+it fuses into the parquet scan under whole-stage codegen, and filters on
+derived columns still push down to the scan as expressions on ``ts``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Tables shipped in the driver's testdata dirs (TESTDATA.md).
+KNOWN_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Derived time columns added to any table carrying a `ts` column.
+DERIVED_TIME_COLUMNS = ("ts_dt", "day", "week", "hour", "minute")
+
+
+def augment_time_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Add ts_dt/day/week/hour/minute derived from ``ts_col`` (UTC)."""
+    if ts_col not in df.columns:
+        return df
+    ts_type = df.schema[ts_col].dataType
+    if isinstance(ts_type, (T.LongType, T.IntegerType)):
+        ts_dt = F.timestamp_millis(F.col(ts_col))
+    elif isinstance(ts_type, T.TimestampType):
+        ts_dt = F.col(ts_col)
+    else:
+        return df
+    return (
+        df.withColumn("ts_dt", ts_dt)
+        .withColumn("day", F.to_date("ts_dt"))
+        .withColumn("week", F.to_date(F.date_trunc("week", F.col("ts_dt"))))
+        .withColumn("hour", F.date_trunc("hour", F.col("ts_dt")))
+        .withColumn("minute", F.date_format("ts_dt", "yyyy-MM-dd HH:mm"))
+    )
+
+
+def duckdb_time_cte(table: str, ts_col: str = "ts", ts_is_millis: bool = False) -> str:
+    """DuckDB SQL snippet reproducing :func:`augment_time_columns`.
+
+    Used to build oracle SQL over the raw parquet views so the oracle
+    sees the same augmented schema the Spark side queries.
+    """
+    base = f"to_timestamp({ts_col} / 1000.0)" if ts_is_millis else ts_col
+    return (
+        f"SELECT *, {base} AS ts_dt, CAST({base} AS DATE) AS day, "
+        f"CAST(date_trunc('week', {base}) AS DATE) AS week, "
+        f"date_trunc('hour', {base}) AS hour, "
+        f"strftime({base}, '%Y-%m-%d %H:%M') AS minute "
+        f"FROM {table}"
+    )
+
+
+def _nano_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (from the footer).
+
+    Spark has no nanosecond timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` these arrive as
+    epoch-nanos longs, which we convert back to timestamps (µs
+    precision) — integer division, no float round-trip.
+    """
+    probe = path
+    if os.path.isdir(path):
+        inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not inner:
+            return []
+        probe = inner[0]
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+    ]
+
+
+def _restore_nano_timestamps(df: DataFrame, nano_cols: list[str]) -> DataFrame:
+    for c in nano_cols:
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+class Catalog:
+    """Resolves table names to augmented DataFrames for the DSL compiler.
+
+    Replaces the reference's QueryEngine constructor + partition loader
+    (reference ``query_engine.py:21-31,385-425``): Spark's parquet source
+    already does partition discovery, partition pruning, column pruning
+    and predicate pushdown, so the catalog only maps name → DataFrame.
+    """
+
+    def __init__(self, spark: SparkSession, data_dir: str, register_views: bool = True):
+        self.spark = spark
+        self.data_dir = data_dir
+        self._cache: dict[str, DataFrame] = {}
+        self.register_views = register_views
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.data_dir, f"{name}.parquet")
+
+    def available_tables(self) -> list[str]:
+        found = []
+        for name in KNOWN_TABLES:
+            if os.path.exists(self.table_path(name)):
+                found.append(name)
+        return found
+
+    def table(self, name: str) -> DataFrame:
+        """Load (and cache the plan of) an augmented table."""
+        if name in self._cache:
+            return self._cache[name]
+        path = self.table_path(name)
+        if not os.path.exists(path):
+            # Fall back to an already-registered view (e.g. prepared tables).
+            if self.spark.catalog.tableExists(name):
+                df = self.spark.table(name)
+                self._cache[name] = df
+                return df
+            raise KeyError(f"unknown table {name!r}: no {path} and no registered view")
+        df = self.spark.read.parquet(path)
+        df = _restore_nano_timestamps(df, _nano_timestamp_columns(path))
+        df = augment_time_columns(df)
+        if self.register_views:
+            df.createOrReplaceTempView(name)
+        self._cache[name] = df
+        return df
+
+    def spark_type_map(self, name: str) -> dict[str, T.DataType]:
+        return {f.name: f.dataType for f in self.table(name).schema.fields}
+
+    def register_all(self) -> list[str]:
+        names = self.available_tables()
+        for name in names:
+            self.table(name)
+        return names

@@ -1,0 +1,179 @@
+"""JSON query DSL → SQL text, for Spark SQL and for the DuckDB oracle.
+
+Twin of :mod:`.compiler`, mirroring the reference's baseline assembler
+(reference ``baseline/assembler.py:6-59``) with two deliberate upgrades:
+
+- **typed literals** — the reference single-quotes every value, even
+  numerics (``baseline/assembler.py:25-33``), relying on DuckDB implicit
+  casts; here literals are typed from the table schema (numbers bare,
+  dates as ``DATE '...'``) so Spark's ANSI mode and pushdown both work;
+- **dialects** — ``spark`` (backtick identifiers, runs via ``spark.sql``
+  over the catalog's augmented temp views) and ``duckdb`` (double-quote
+  identifiers; derived time columns day/week/hour/minute are inlined as
+  a CTE over the raw table, since the oracle only has raw parquet views).
+
+Keeping both paths (DSL→DataFrame and DSL→SQL→engine) reproduces the
+reference's engine-vs-baseline differential testing scheme (SURVEY.md §5)
+inside this repo: every fixture asserts compiler ≡ spark-sql ≡ duckdb.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import types as T
+
+from query_planner_optimizer_spark.catalog import DERIVED_TIME_COLUMNS, duckdb_time_cte
+from query_planner_optimizer_spark.dsl.compiler import (
+    AGG_FUNCS,
+    QueryError,
+    _is_agg_term,
+    _parse_agg_term,
+)
+
+_OP_SQL = {"eq": "=", "neq": "<>", "lt": "<", "lte": "<=", "gt": ">", "gte": ">="}
+
+
+def _quote_ident(name: str, dialect: str) -> str:
+    if dialect == "duckdb":
+        return '"' + name.replace('"', '""') + '"'
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _ident(name: str, dialect: str) -> str:
+    # Quote only when necessary (parens/spaces from aggregate aliases).
+    if name.replace("_", "a").isalnum() and not name[0].isdigit():
+        return name
+    return _quote_ident(name, dialect)
+
+
+def _literal(val: Any, dtype: T.DataType | None, dialect: str) -> str:
+    if val is None:
+        return "NULL"
+    if isinstance(val, bool):
+        return "TRUE" if val else "FALSE"
+    if isinstance(val, (int, float)):
+        return repr(val)
+    if isinstance(val, str):
+        escaped = val.replace("'", "''")
+        if isinstance(dtype, T.DateType):
+            return f"DATE '{escaped}'"
+        if isinstance(dtype, T.TimestampType):
+            return f"TIMESTAMP '{escaped}'"
+        return f"'{escaped}'"
+    raise QueryError(f"unsupported literal: {val!r}")
+
+
+def _condition_sql(cond: dict, type_map: dict[str, T.DataType], dialect: str) -> str:
+    col_name = cond.get("col")
+    op = cond.get("op")
+    if col_name not in type_map:
+        raise QueryError(f"unknown filter column: {cond!r}")
+    dtype = type_map[col_name]
+    ident = _ident(col_name, dialect)
+    val = cond.get("val")
+    if op in _OP_SQL:
+        return f"{ident} {_OP_SQL[op]} {_literal(val, dtype, dialect)}"
+    if op in ("in", "not_in"):
+        items = ", ".join(_literal(v, dtype, dialect) for v in val)
+        neg = "NOT " if op == "not_in" else ""
+        return f"{ident} {neg}IN ({items})"
+    if op == "between":
+        lo, hi = val
+        return (
+            f"{ident} BETWEEN {_literal(lo, dtype, dialect)}"
+            f" AND {_literal(hi, dtype, dialect)}"
+        )
+    if op == "is_null":
+        return f"{ident} IS NULL"
+    if op == "is_not_null":
+        return f"{ident} IS NOT NULL"
+    if op == "like":
+        return f"{ident} LIKE {_literal(val, None, dialect)}"
+    raise QueryError(f"unknown filter op: {cond!r}")
+
+
+def _agg_sql(term: dict, dialect: str) -> str:
+    fname, col, out_name, round_to = _parse_agg_term(term)
+    target = "*" if col == "*" else _ident(col, dialect)
+    if fname == "COUNT" and col == "*":
+        expr = "COUNT(*)"
+    else:
+        expr = f"{fname}({target})"
+    if round_to is not None:
+        expr = f"ROUND({expr}, {round_to})"
+    return f"{expr} AS {_quote_ident(out_name, dialect)}"
+
+
+def assemble_sql(
+    q: dict,
+    type_map: dict[str, T.DataType],
+    dialect: str = "spark",
+    ts_is_millis: bool = False,
+) -> str:
+    """Render a DSL dict as a SQL string for the given dialect.
+
+    ``type_map`` is the augmented table schema (``Catalog.spark_type_map``)
+    used for typed literals. For duckdb, derived time columns are
+    materialized via a CTE over the raw view when the query touches them.
+    """
+    if dialect not in ("spark", "duckdb"):
+        raise QueryError(f"unknown dialect {dialect!r}")
+    table = q.get("from", "events")
+
+    select_terms = []
+    out_names = []
+    for term in q.get("select") or []:
+        if _is_agg_term(term):
+            select_terms.append(_agg_sql(term, dialect))
+            out_names.append(_parse_agg_term(term)[2])
+        else:
+            select_terms.append(_ident(term, dialect))
+            out_names.append(term)
+    if not select_terms:
+        raise QueryError("query has no select list")
+
+    referenced = set()
+    for term in q.get("select") or []:
+        referenced.add(_parse_agg_term(term)[1] if _is_agg_term(term) else term)
+    for cond in q.get("where") or []:
+        referenced.add(cond.get("col"))
+    referenced.update(q.get("group_by") or [])
+
+    from_clause = table
+    if dialect == "duckdb" and referenced & set(DERIVED_TIME_COLUMNS):
+        from_clause = f"({duckdb_time_cte(table, ts_is_millis=ts_is_millis)}) AS {table}"
+
+    sql = f"SELECT {', '.join(select_terms)} FROM {from_clause}"
+
+    conds = q.get("where") or []
+    if conds:
+        sql += " WHERE " + " AND ".join(
+            _condition_sql(c, type_map, dialect) for c in conds
+        )
+
+    group_by = q.get("group_by") or []
+    if group_by:
+        sql += " GROUP BY " + ", ".join(_ident(c, dialect) for c in group_by)
+
+    order_by = q.get("order_by") or []
+    if order_by:
+        parts = []
+        for spec in order_by:
+            if isinstance(spec, str):
+                name, direction = spec, "ASC"
+            else:
+                name, direction = spec.get("col"), (spec.get("dir") or "asc").upper()
+            # Resolve aggregate-alias spellings ("AVG(total_price)") to
+            # the output name, case-insensitively (reference
+            # ``query_engine.py:506-524``).
+            resolved = next(
+                (n for n in out_names if n == name),
+                next((n for n in out_names if n.lower() == name.lower()), name),
+            )
+            parts.append(f"{_quote_ident(resolved, dialect)} {direction}")
+        sql += " ORDER BY " + ", ".join(parts)
+
+    if q.get("limit") is not None:
+        sql += f" LIMIT {int(q['limit'])}"
+    return sql

@@ -1,0 +1,367 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four strategies, each a standard large-corpus dedup technique the
+reference engine lacks (SURVEY.md §7 step 8), all shuffle-aware:
+
+- **exact**: hash-groupBy on sha2(text) — shuffles 32-byte digests, not
+  document bodies; one shuffle total.
+- **n-gram Jaccard**: exact pairwise similarity via an inverted-index
+  self-join on word n-gram shingles (shuffle key = shingle), never a
+  cross join. This is the exact baseline the approximate methods are
+  verified against.
+- **MinHash + LSH**: k minhashes per doc from xxhash64 seeds, banded into
+  b buckets; candidate pairs from an equi-join on (band, band-signature);
+  candidates verified with exact Jaccard. At 100 TB this is the scale
+  path: cost is O(docs·k) + bucket-join, versus the inverted-index join
+  whose hot shingles skew.
+- **SimHash**: 64-bit signature from per-token hash bit-votes; candidate
+  pairs from equality on any of 4 16-bit chunks (hamming ≤ 3 guaranteed
+  caught by pigeonhole when chunks are rotated... we use chunk-equality
+  banding as the standard heuristic), verified with exact hamming
+  distance via bit_count(xor).
+
+Exact and Jaccard have DuckDB oracles (identical math both sides:
+Jaccard = |A∩B| / (|A|+|B|-|A∩B|), one double division — bit-identical).
+MinHash/SimHash depend on engine-specific hash functions (xxhash64), so
+their driver entries are rows-only checked; their *semantics* are
+verified in tests against the exact-Jaccard/hamming oracles (no false
+positives after verification, recall measured).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_NGRAM = 3
+DEFAULT_JACCARD_THRESHOLD = 0.5
+MINHASH_K = 32
+MINHASH_BANDS = 8  # 8 bands x 4 rows
+SIMHASH_HAMMING_MAX = 8
+
+
+def _shingles(text_col: str, n: int) -> Column:
+    """Distinct word n-gram shingles; docs shorter than n words get one
+    whole-doc shingle."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    size = F.size(toks)
+    if n <= 1:
+        return F.array_distinct(toks)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: one surviving id per distinct content.
+
+    Returns (content_hash, keep_id, dup_count). Groups on sha2-256 of
+    the text so the shuffle carries digests instead of full documents —
+    at 100 TB the text column never crosses the wire.
+    """
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = DEFAULT_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via inverted-index self-join.
+
+    Plan shape: explode shingles → self equi-join on shingle (shuffle
+    key = shingle, so no cross join) → count common shingles per pair →
+    join per-doc set sizes → Jaccard filter. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Scale: hot (near-stopword) shingles create join skew; AQE skew-join
+    splits them at runtime. For corpus-scale dedup prefer
+    :func:`minhash_lsh_pairs` and verify its candidates with this metric.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """k-permutation MinHash signatures: sig[i] = min over shingles of
+    xxhash64(seed_i, shingle). One explode + one groupBy with k mins —
+    a single shuffle of (doc_id, k longs)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("sh")
+    )
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = DEFAULT_JACCARD_THRESHOLD,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, optionally verified by exact Jaccard.
+
+    Bands the k-long signature into ``bands`` groups of k/bands rows;
+    docs colliding on any whole band become candidates (equi-join on
+    (band_id, band_signature) — the classic LSH bucket join; shuffle
+    key is the 2-tuple, never a cross join). With k=32, b=8, r=4 the
+    S-curve threshold is (1/8)^(1/4) ≈ 0.59 Jaccard.
+    """
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band_arrays = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
+                ).alias("bsig"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_arrays).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    if not verify:
+        return cand
+    # Candidate-proportional exact verification: intersect shingle sets
+    # only for candidate pairs (work ∝ |candidates|·shingles, NOT the
+    # full inverted-index self-join — that's the whole point of LSH).
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64; each bit votes +1/-1; the
+    signature's bit i is 1 iff the vote sum is positive.
+
+    Expressed as explode → per-bit conditional sums → bit assembly, all
+    built-in integer ops (one shuffle of (doc_id, 64 ints))."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_HAMMING_MAX,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates collide on any of four
+    16-bit signature chunks (banding), verified by exact hamming
+    distance bit_count(a XOR b) <= max_hamming."""
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
+        "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver entries
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+def entry_queries() -> dict[str, Callable]:
+    return {
+        "dedup_exact": q_exact_dedup,
+        "dedup_ngram_jaccard": q_jaccard_pairs,
+        "dedup_minhash_lsh": q_minhash_lsh,  # rows-only (engine-specific hashes)
+        "dedup_simhash": q_simhash,  # rows-only (engine-specific hashes)
+    }
+
+
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_SQL_SHINGLES = f"""
+    CASE WHEN len({_SQL_TOKS}) >= {DEFAULT_NGRAM} THEN
+        list_distinct(list_transform(range(1, len({_SQL_TOKS}) - {DEFAULT_NGRAM - 2}),
+                      i -> array_to_string(({_SQL_TOKS})[i:i+{DEFAULT_NGRAM - 1}], ' ')))
+    ELSE [array_to_string({_SQL_TOKS}, ' ')] END
+"""
+
+
+def entry_oracles() -> dict[str, str]:
+    exact = """
+        SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_count
+        FROM documents GROUP BY sha256(text)
+    """
+    jaccard = f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE), 6)
+                   AS jaccard
+        FROM common
+        JOIN sizes sa ON common.doc_a = sa.doc_id
+        JOIN sizes sb ON common.doc_b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
+    """
+    return {"dedup_exact": exact, "dedup_ngram_jaccard": jaccard}

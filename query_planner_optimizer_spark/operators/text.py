@@ -1,0 +1,231 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline primitives the reference engine lacks (SURVEY.md
+§7 step 8): token counting, quality scoring, language ID, document
+fingerprinting. All are pure built-in-function column expressions — they
+run JVM-side under whole-stage codegen with no UDFs, no shuffles beyond
+what the caller adds, and fuse into the parquet scan. At 100 TB these
+are embarrassingly parallel map-only jobs.
+
+Every operator has an exactly-equivalent DuckDB SQL oracle (both engines
+share md5 / regex / string semantics for the constructs used here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword sets for the n-gram/stopword language-ID
+#: heuristic. Deterministic and shared verbatim with the SQL oracle.
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "in", "to", "is"),
+    "fr": ("le", "la", "de", "et", "un", "est", "les"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es": ("el", "la", "de", "y", "un", "es", "que"),
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def _tokens(text_col: str = "text") -> Column:
+    """Non-empty whitespace tokens (lowercased)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword count upper bound
+    (tokens split further at letter/digit boundaries ≈ ceil(chars/4))."""
+    toks = _tokens(text_col)
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        # crude byte-pair-ish proxy: 1 token per 4 chars, at least one
+        # per whitespace token — deterministic, SQL-expressible.
+        "n_subword_est",
+        F.greatest(
+            F.size(toks), F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("long")
+        ),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristic.
+
+    score = 0.4 * min(n_tokens/100, 1)
+          + 0.3 * (1 - punct_ratio)
+          + 0.3 * min(stopword_ratio * 5, 1)
+    """
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    stop_list = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_list, x)))
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    score = (
+        F.lit(0.4) * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK chars → zh, else argmax stopword hits
+    (ties broken by fixed language order en,fr,de,es)."""
+    toks = _tokens(text_col)
+    cjk = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[一-鿿]"), 0))
+    def contains(arr):
+        return lambda x: F.array_contains(arr, x)
+
+    hit_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hit_cols.append(F.size(F.filter(toks, contains(arr))).alias(lang))
+    hits = F.struct(*hit_cols)
+    best = F.lit("en")
+    best_n = hits["en"]
+    for lang in ("fr", "de", "es"):  # strict > keeps earlier langs on ties
+        best = F.when(hits[lang] > best_n, F.lit(lang)).otherwise(best)
+        best_n = F.when(hits[lang] > best_n, hits[lang]).otherwise(best_n)
+    return df.withColumn(
+        "lang_pred", F.when(cjk > 0, F.lit("zh")).otherwise(best)
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 of whitespace-normalized text, plus a
+    winnowing-style min-hash over word 5-gram windows (min md5 — the
+    lexicographic min of hex digests, identical across engines)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    windows = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(4)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
+        "min_window_hash", F.array_min(windows)
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver entries (queries + DuckDB oracles)
+# --------------------------------------------------------------------------
+
+def _sql_tokens(text_col: str = "text") -> str:
+    return (
+        f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
+    )
+
+
+def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_token_count(_load_documents(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_subword_est"
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality_score(_load_documents(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_lang_id(_load_documents(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprint(_load_documents(spark, sf_dir)).select(
+        "doc_id", "fingerprint", "min_window_hash"
+    )
+
+
+def entry_queries() -> dict[str, Callable]:
+    return {
+        "text_token_count": q_token_count,
+        "text_quality_score": q_quality_score,
+        "text_lang_id": q_lang_id,
+        "text_fingerprint": q_fingerprint,
+    }
+
+
+def entry_oracles() -> dict[str, str]:
+    toks = _sql_tokens()
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    lang_hits = {
+        lang: (
+            f"len(list_filter({toks}, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in words)
+            + "], x)))"
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    token_count = f"""
+        SELECT doc_id,
+               len({toks}) AS n_tokens,
+               greatest(len({toks}), CAST(ceil(length(text) / 4.0) AS BIGINT))
+                   AS n_subword_est
+        FROM documents
+    """
+    quality = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({toks}) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '{PUNCT_CLASS.replace("'", "''")}', '', 'g'))
+                       AS punct,
+                   len(list_filter({toks}, x -> list_contains([{en}], x))) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+               ROUND(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+               ROUND(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                     + 0.3 * (1.0 - CAST(punct AS DOUBLE) / greatest(n_chars, 1))
+                     + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 5.0, 1.0), 6)
+                   AS quality_score
+        FROM base
+    """
+    # Sequential-argmax semantics matching with_lang_id exactly: a later
+    # language wins only when strictly greater than the running max.
+    lang_case = (
+        "CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh' "
+        f"WHEN {lang_hits['es']} > greatest({lang_hits['en']}, {lang_hits['fr']}, {lang_hits['de']}) THEN 'es' "
+        f"WHEN {lang_hits['de']} > greatest({lang_hits['en']}, {lang_hits['fr']}) THEN 'de' "
+        f"WHEN {lang_hits['fr']} > {lang_hits['en']} THEN 'fr' "
+        "ELSE 'en' END"
+    )
+    lang_id = f"SELECT doc_id, {lang_case} AS lang_pred FROM documents"
+    fingerprint = f"""
+        WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents)
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+               CASE WHEN len(toks) >= 5 THEN
+                   list_min(list_transform(range(1, len(toks) - 3),
+                            i -> md5(array_to_string(toks[i:i+4], ' '))))
+               ELSE md5(array_to_string(toks, ' ')) END AS min_window_hash
+        FROM t
+    """
+    return {
+        "text_token_count": token_count,
+        "text_quality_score": quality,
+        "text_lang_id": lang_id,
+        "text_fingerprint": fingerprint,
+    }

@@ -1,0 +1,184 @@
+"""Differential tests: DSL compiler vs DuckDB oracle on the driver testdata.
+
+Covers the full operator inventory of SURVEY.md §2 (filters, aggregates,
+ordering, limit, derived time columns) including the edge cases the
+reference mishandles (FIXTURES.md §3.3).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from query_planner_optimizer_spark.dsl.assembler import assemble_sql
+from query_planner_optimizer_spark.dsl.compiler import QueryError, compile_query
+
+from .conftest import assert_matches_duckdb
+
+# Each fixture: (name, DSL query dict). The DuckDB oracle SQL is derived
+# from the same dict via the assembler — one source of truth.
+QUERIES = [
+    ("filter_eq", {
+        "select": ["event_id", "event_type", "value"],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "eq", "val": "click"}],
+    }),
+    ("filter_neq_in", {
+        "select": ["event_id", "event_type"],
+        "from": "events",
+        "where": [
+            {"col": "event_type", "op": "neq", "val": "view"},
+            {"col": "event_type", "op": "in", "val": ["click", "purchase", "signup"]},
+        ],
+    }),
+    ("filter_between_numeric", {
+        "select": ["event_id", "value"],
+        "from": "events",
+        "where": [{"col": "value", "op": "between", "val": [10, 50]}],
+    }),
+    ("filter_range_ops", {
+        "select": ["event_id", "value"],
+        "from": "events",
+        "where": [
+            {"col": "value", "op": "gt", "val": 5},
+            {"col": "value", "op": "lte", "val": 95.5},
+            {"col": "user_id", "op": "gte", "val": 10},
+            {"col": "event_id", "op": "lt", "val": 900},
+        ],
+    }),
+    ("groupby_sum", {
+        "select": ["event_type", {"SUM": "value", "round": 6}],
+        "from": "events",
+        "group_by": ["event_type"],
+    }),
+    ("groupby_avg_order_desc", {
+        "select": ["event_type", {"AVG": "value", "round": 6}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": [{"col": "AVG(value)", "dir": "desc"}],
+    }),
+    ("groupby_count_star", {
+        "select": ["event_type", {"COUNT": "*"}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": [{"col": "count(*)", "dir": "desc"}],
+    }),
+    ("count_col_vs_star", {
+        "select": ["l_returnflag", {"COUNT": "l_quantity", "as": "cnt_q"},
+                   {"COUNT": "*", "as": "cnt_all"}],
+        "from": "lineitem",
+        "group_by": ["l_returnflag"],
+    }),
+    ("ungrouped_agg", {
+        "select": [{"SUM": "value", "round": 6}, {"COUNT": "*"}, {"AVG": "value", "round": 6}],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "eq", "val": "purchase"}],
+    }),
+    ("multikey_orderby", {
+        "select": ["l_returnflag", "l_linestatus", {"SUM": "l_quantity", "as": "sum_qty"}],
+        "from": "lineitem",
+        "group_by": ["l_returnflag", "l_linestatus"],
+        "order_by": [
+            {"col": "l_returnflag", "dir": "asc"},
+            {"col": "sum_qty", "dir": "desc"},
+        ],
+    }),
+    ("orderby_limit_topk", {
+        "select": ["o_orderkey", "o_totalprice"],
+        "from": "orders",
+        "order_by": [{"col": "o_totalprice", "dir": "desc"},
+                     {"col": "o_orderkey", "dir": "asc"}],
+        "limit": 25,
+    }),
+    ("derived_day", {
+        "select": ["day", {"SUM": "value", "round": 6}],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "eq", "val": "click"}],
+        "group_by": ["day"],
+    }),
+    ("derived_week", {
+        "select": ["week", {"COUNT": "*"}],
+        "from": "events",
+        "group_by": ["week"],
+    }),
+    ("derived_hour_filter_day_between", {
+        "select": ["hour", {"AVG": "value", "round": 6}],
+        "from": "events",
+        "where": [{"col": "day", "op": "between",
+                   "val": ["2024-01-03", "2024-01-05"]}],
+        "group_by": ["hour"],
+    }),
+    ("derived_minute_string_sort", {
+        "select": ["minute", {"SUM": "value", "round": 6}],
+        "from": "events",
+        "where": [{"col": "day", "op": "eq", "val": "2024-01-02"}],
+        "group_by": ["minute"],
+        "order_by": [{"col": "minute", "dir": "asc"}],
+    }),
+    ("day_in_coercion", {
+        # The reference forgets date coercion for `in` (query_engine.py:448-449).
+        "select": ["day", {"COUNT": "*"}],
+        "from": "events",
+        "where": [{"col": "day", "op": "in",
+                   "val": ["2024-01-02", "2024-01-04", "2024-01-07"]}],
+        "group_by": ["day"],
+    }),
+    ("tpch_like_pricing_summary", {
+        "select": [
+            "l_returnflag", "l_linestatus",
+            {"SUM": "l_quantity", "as": "sum_qty"},
+            {"SUM": "l_extendedprice", "as": "sum_base_price", "round": 4},
+            {"AVG": "l_discount", "as": "avg_disc", "round": 6},
+            {"COUNT": "*", "as": "count_order"},
+        ],
+        "from": "lineitem",
+        "where": [{"col": "l_shipdate", "op": "lte", "val": "1998-09-02 00:00:00"}],
+        "group_by": ["l_returnflag", "l_linestatus"],
+        "order_by": [{"col": "l_returnflag", "dir": "asc"},
+                     {"col": "l_linestatus", "dir": "asc"}],
+    }),
+]
+
+
+@pytest.mark.parametrize("name,q", QUERIES, ids=[n for n, _ in QUERIES])
+def test_dsl_matches_duckdb(name, q, catalog, ddb):
+    df = compile_query(q, catalog)
+    sql = assemble_sql(q, catalog.spark_type_map(q.get("from", "events")),
+                       dialect="duckdb")
+    assert_matches_duckdb(df, ddb, sql, ordered=bool(q.get("order_by")))
+
+
+@pytest.mark.parametrize("name,q", QUERIES, ids=[n for n, _ in QUERIES])
+def test_dsl_matches_spark_sql(name, q, catalog, spark):
+    """Internal cross-check: DataFrame path ≡ spark.sql path (the
+    reference's engine-vs-baseline scheme, run within Spark itself)."""
+    import pandas as pd
+
+    from .conftest import normalize
+
+    df = compile_query(q, catalog)
+    sql = assemble_sql(q, catalog.spark_type_map(q.get("from", "events")),
+                       dialect="spark")
+    via_sql = spark.sql(sql)
+    g, w = normalize(df.toPandas()), normalize(via_sql.toPandas())
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_unknown_column_raises(catalog):
+    with pytest.raises(QueryError):
+        compile_query({"select": ["nope"], "from": "events"}, catalog)
+
+
+def test_mixed_select_without_groupby_raises(catalog):
+    with pytest.raises(QueryError):
+        compile_query(
+            {"select": ["event_type", {"SUM": "value"}], "from": "events"}, catalog
+        )
+
+
+def test_select_not_in_groupby_raises(catalog):
+    with pytest.raises(QueryError):
+        compile_query(
+            {"select": ["event_type", {"SUM": "value"}], "from": "events",
+             "group_by": ["user_id"]},
+            catalog,
+        )
