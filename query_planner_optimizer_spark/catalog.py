@@ -63,13 +63,21 @@ def augment_time_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         ts_dt = F.col(ts_col)
     else:
         return df
-    return (
-        df.withColumn("ts_dt", ts_dt)
-        .withColumn("day", F.to_date("ts_dt"))
-        .withColumn("week", F.to_date(F.date_trunc("week", F.col("ts_dt"))))
-        .withColumn("hour", F.date_trunc("hour", F.col("ts_dt")))
-        .withColumn("minute", F.date_format("ts_dt", "yyyy-MM-dd HH:mm"))
-    )
+    # Never overwrite a column that already exists — on a prepared
+    # (hive-partitioned) table, `day` is a partition column and
+    # replacing it with an expression would defeat partition pruning.
+    if "ts_dt" not in df.columns:
+        df = df.withColumn("ts_dt", ts_dt)
+    derived = {
+        "day": F.to_date("ts_dt"),
+        "week": F.to_date(F.date_trunc("week", F.col("ts_dt"))),
+        "hour": F.date_trunc("hour", F.col("ts_dt")),
+        "minute": F.date_format("ts_dt", "yyyy-MM-dd HH:mm"),
+    }
+    for name, expr in derived.items():
+        if name not in df.columns:
+            df = df.withColumn(name, expr)
+    return df
 
 
 def duckdb_time_cte(table: str, ts_col: str = "ts", ts_is_millis: bool = False) -> str:
@@ -129,13 +137,24 @@ class Catalog:
     and predicate pushdown, so the catalog only maps name → DataFrame.
     """
 
-    def __init__(self, spark: SparkSession, data_dir: str, register_views: bool = True):
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str,
+        register_views: bool = True,
+        overrides: dict[str, str] | None = None,
+    ):
+        """``overrides``: table name → explicit parquet path (e.g. the
+        prepare phase's hive-partitioned ``partitioned/`` dir)."""
         self.spark = spark
         self.data_dir = data_dir
         self._cache: dict[str, DataFrame] = {}
         self.register_views = register_views
+        self.overrides = dict(overrides or {})
 
     def table_path(self, name: str) -> str:
+        if name in self.overrides:
+            return self.overrides[name]
         return os.path.join(self.data_dir, f"{name}.parquet")
 
     def available_tables(self) -> list[str]:

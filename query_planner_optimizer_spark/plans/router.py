@@ -1,0 +1,175 @@
+"""Materialized-aggregate (rollup) router with strict subsumption.
+
+The reference pattern-matches 5 exact query shapes onto pre-computed
+aggregates (reference ``query_engine.py:73-108,143-232``) — and gets it
+wrong in two documented ways (SURVEY.md §4 hazards): extra WHERE filters
+are silently dropped by patterns 2/5, and pattern 1 ignores ORDER BY.
+
+This router replaces shape-matching with a general **subsumption proof**
+against the rollup's grain; a query routes to a rollup iff:
+
+- every referenced plain column (select / where / group_by / order_by on
+  non-aggregates) is a grouping key of the rollup;
+- every aggregate is derivable from the rollup's measures:
+  SUM(c) → sum(sum_c), COUNT(*) → sum(n_rows), COUNT(c) → sum(count_c),
+  AVG(c) → sum(sum_c)/sum(count_c) (sum+count stored, never averages —
+  re-aggregating an average is wrong, which is why the reference stores
+  both, ``prepare.py:190-195``);
+- MIN/MAX never route (not losslessly re-aggregable from these grains).
+
+If several rollups qualify, the one with the fewest rows (coarsest
+grain ⇒ fewest grouping keys) wins. Otherwise the caller falls back to
+the base-table scan — a wrong-rollup route is impossible by
+construction, not by enumerating shapes.
+
+Scale: this is a logical-plan-level rewrite (the same altitude as the
+reference's router); the rollups are typically 10^3-10^6 rows where the
+base table is 10^9-10^12, so a routed query touches megabytes instead
+of terabytes. A Catalyst-rule variant would be idiomatic but adds no
+pruning beyond this, since routing happens before the plan is built.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_planner_optimizer_spark.dsl import compiler as C
+
+
+class RollupRouter:
+    def __init__(self, spark: SparkSession, aggregates_dir: str,
+                 rollup_keys: dict[str, list[str]] | None = None):
+        """``rollup_keys``: name → grouping keys; defaults to
+        ``prepare.ROLLUPS``. Rollup measures are discovered from the
+        parquet schema (sum_*/count_*/n_rows columns)."""
+        from query_planner_optimizer_spark.prepare import ROLLUPS
+
+        self.spark = spark
+        self.dir = aggregates_dir
+        self.keys = rollup_keys or {
+            name: spec["keys"] for name, spec in ROLLUPS.items()
+        }
+        self._frames: dict[str, DataFrame] = {}
+        self.routed = 0
+        self.fallbacks = 0
+
+    def _frame(self, name: str) -> DataFrame:
+        if name not in self._frames:
+            df = self.spark.read.parquet(os.path.join(self.dir, f"{name}.parquet"))
+            self._frames[name] = df
+        return self._frames[name]
+
+    def _available(self) -> list[str]:
+        return [
+            n for n in self.keys
+            if os.path.exists(os.path.join(self.dir, f"{n}.parquet"))
+        ]
+
+    # -- subsumption ------------------------------------------------------
+
+    def _plain_columns(self, q: dict) -> set[str]:
+        cols: set[str] = set()
+        for term in q.get("select") or []:
+            if not isinstance(term, dict):
+                cols.add(term)
+        for cond in q.get("where") or []:
+            cols.add(cond.get("col"))
+        cols.update(q.get("group_by") or [])
+        return cols
+
+    def _agg_terms(self, q: dict):
+        return [C._parse_agg_term(t) for t in (q.get("select") or [])
+                if isinstance(t, dict)]
+
+    def _measure(self, fname: str, col: str, schema_cols: set[str]) -> Column | None:
+        if fname == "COUNT" and col == "*":
+            return F.sum("n_rows")
+        if fname == "SUM" and f"sum_{col}" in schema_cols:
+            return F.sum(f"sum_{col}")
+        if fname == "COUNT" and f"count_{col}" in schema_cols:
+            return F.sum(f"count_{col}")
+        if (fname == "AVG" and f"sum_{col}" in schema_cols
+                and f"count_{col}" in schema_cols):
+            # NULL (not error/NaN) when no non-null inputs — AVG semantics
+            # under ANSI mode's divide-by-zero checks.
+            cnt = F.sum(f"count_{col}")
+            return F.when(cnt > 0, F.sum(f"sum_{col}") / cnt)
+        return None
+
+    def route(self, q: dict) -> DataFrame | None:
+        """Rewrite ``q`` onto a qualifying rollup, or return None."""
+        if (q.get("from", "events")) != "events":
+            return None
+        agg_terms = self._agg_terms(q)
+        if not agg_terms:
+            return None  # plain row-level select can't come from a rollup
+        plain = self._plain_columns(q)
+
+        candidates = []
+        for name in self._available():
+            keys = set(self.keys[name])
+            if not plain <= keys:
+                continue
+            schema_cols = set(self._frame(name).columns)
+            measures = {}
+            ok = True
+            for fname, col, out_name, round_to in agg_terms:
+                m = self._measure(fname, col, schema_cols)
+                if m is None:
+                    ok = False
+                    break
+                if round_to is not None:
+                    m = F.round(m, round_to)
+                measures[out_name] = m
+            if ok:
+                candidates.append((len(self.keys[name]), name, measures))
+        if not candidates:
+            self.fallbacks += 1
+            return None
+        _, name, measures = min(candidates)
+
+        df = self._frame(name)
+        # Filters apply on rollup grouping keys — legal because every
+        # filtered column is part of the rollup grain (subsumption),
+        # unlike the reference's silent drop (query_engine.py:166-232).
+        conds = q.get("where") or []
+        if conds:
+            combined = None
+            for cond in conds:
+                c = C._filter_condition(df, cond)
+                combined = c if combined is None else (combined & c)
+            df = df.filter(combined)
+
+        group_by = q.get("group_by") or []
+        agg_exprs = [m.alias(n) for n, m in measures.items()]
+        if group_by:
+            df = df.groupBy(*group_by).agg(*agg_exprs)
+            names = []
+            agg_iter = iter(measures.keys())
+            for term in q.get("select") or []:
+                names.append(next(agg_iter) if isinstance(term, dict) else term)
+            df = df.select(*names)
+            out_columns = names
+        else:
+            df = df.agg(*agg_exprs)
+            out_columns = list(measures.keys())
+
+        order_by = q.get("order_by") or []
+        if order_by:
+            sort_cols = []
+            for spec in order_by:
+                if isinstance(spec, str):
+                    nm, direction = spec, "asc"
+                else:
+                    nm, direction = spec.get("col"), (spec.get("dir") or "asc").lower()
+                resolved = C._resolve_order_col(nm, out_columns)
+                col = F.col(resolved)
+                sort_cols.append(col.desc() if direction == "desc" else col)
+            df = df.orderBy(*sort_cols)
+        if q.get("limit") is not None:
+            df = df.limit(int(q["limit"]))
+        self.routed += 1
+        return df

@@ -1,0 +1,151 @@
+"""Prepare-phase ETL: raw event CSVs → partitioned parquet + rollups.
+
+One distributed Spark job replacing all three reference prepare scripts
+(``prepare.py`` / ``prepare_optimized.py`` / ``prepare_ultra_fast.py``,
+~1,280 LoC of multiprocessing-pool + temp-dir + merge machinery,
+SURVEY.md §3 entry point 2):
+
+1. read CSVs with the declared schema (``sources.events_csv``);
+2. derive ts_dt/day/week/hour/minute (``catalog.augment_time_columns``,
+   same definitions as reference ``prepare_optimized.py:58-65``);
+3. write hive-partitioned parquet ``type=<t>/day=<d>`` with zstd — the
+   exact layout the reference builds by hand (``prepare.py:126-144``),
+   which Spark then partition-prunes automatically at query time;
+4. build the five summary rollups (reference ``prepare.py:148-244``)
+   as plain groupBy jobs — AVG-bearing rollups store **sum+count** so
+   re-aggregation stays correct (as reference ``prepare.py:190-195``);
+5. write a key/value stats table (reference ``prepare.py:246-269``).
+
+Scale notes: the partitioned write shuffles on (type, day) via
+``repartition`` so each partition dir is written by one task (avoids
+the tiny-files explosion of per-task hive writes); rollups are
+map-side-combined aggregations; at 100 TB you'd additionally bucket the
+base table by a join/group key, but the reference workload groups by
+low-cardinality keys where hash agg + AQE suffice.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_planner_optimizer_spark.catalog import augment_time_columns
+from query_planner_optimizer_spark.sources.events_csv import read_events_csv
+
+#: The five summary rollups (reference prepare.py:148-244; README.md:268-274).
+#: Grain chosen so every pattern the reference's router serves
+#: (query_engine.py:143-232) is answerable by re-aggregation.
+ROLLUPS: dict[str, dict] = {
+    # pattern 1: daily revenue (impressions)
+    "agg_day_type": {
+        "keys": ["day", "type"],
+        "aggs": {"bid_price": ["sum", "count"], "total_price": ["sum", "count"]},
+    },
+    # pattern 2: publisher x day x country revenue
+    "agg_publisher_day_country": {
+        "keys": ["publisher_id", "day", "country", "type"],
+        "aggs": {"bid_price": ["sum", "count"]},
+    },
+    # pattern 3: country purchase stats
+    "agg_country_type": {
+        "keys": ["country", "type"],
+        "aggs": {"bid_price": ["sum", "count"], "total_price": ["sum", "count"]},
+    },
+    # pattern 4: advertiser x type counts
+    "agg_advertiser_type": {
+        "keys": ["advertiser_id", "type"],
+        "aggs": {},
+    },
+    # pattern 5: minute revenue
+    "agg_minute_day_type": {
+        "keys": ["minute", "day", "type"],
+        "aggs": {"bid_price": ["sum", "count"]},
+    },
+}
+
+
+def rollup_frame(events: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
+    """groupBy rollup storing sum+count per measure (+ row count).
+
+    sum/count re-aggregate losslessly; AVG is derived as sum/count at
+    query time — never store averages in a partial aggregate
+    (reference got this right: prepare.py:190-195).
+    """
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, funcs in aggs.items():
+        if "sum" in funcs:
+            exprs.append(F.sum(col).alias(f"sum_{col}"))
+        if "count" in funcs:
+            exprs.append(F.count(col).alias(f"count_{col}"))
+    return events.groupBy(*keys).agg(*exprs)
+
+
+@dataclass
+class PrepareResult:
+    partitioned_dir: str
+    aggregates_dir: str
+    rollups: list[str] = field(default_factory=list)
+
+
+def prepare(
+    spark: SparkSession,
+    data: str | DataFrame,
+    out_dir: str,
+    partition_cols: tuple[str, str] = ("type", "day"),
+    build_rollups: bool = True,
+) -> PrepareResult:
+    """Run the full prepare pipeline.
+
+    ``data`` is a CSV glob/path (reference layout) or an existing
+    DataFrame with the raw event schema.
+    """
+    if isinstance(data, str):
+        raw = read_events_csv(spark, data)
+    else:
+        raw = data
+    events = augment_time_columns(raw)
+
+    part_dir = os.path.join(out_dir, "partitioned")
+    agg_dir = os.path.join(out_dir, "aggregates")
+
+    # One shuffle keyed on the partition columns → one file per (type,
+    # day) dir instead of numPartitions files per dir.
+    (
+        events.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(part_dir)
+    )
+
+    written = []
+    if build_rollups:
+        # Re-read the partitioned copy: rollup scans then read zstd
+        # parquet (column-pruned), not the raw CSV again.
+        prepared = augment_time_columns(spark.read.parquet(part_dir))
+        for name, spec in ROLLUPS.items():
+            keys = [k for k in spec["keys"] if k in prepared.columns]
+            rollup_frame(prepared, keys, spec["aggs"]).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(agg_dir, f"{name}.parquet"))
+            written.append(name)
+
+        # stats.parquet: key/value dataset stats (reference prepare.py:246-269)
+        stats = events.agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.countDistinct("auction_id").alias("n_auctions"),
+            F.min("day").cast("string").alias("min_day"),
+            F.max("day").cast("string").alias("max_day"),
+        )
+        kv = stats.selectExpr(
+            "stack(4, 'total_rows', CAST(total_rows AS STRING), "
+            "'n_auctions', CAST(n_auctions AS STRING), "
+            "'min_day', min_day, 'max_day', max_day) AS (key, value)"
+        )
+        kv.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(agg_dir, "stats.parquet")
+        )
+
+    return PrepareResult(part_dir, agg_dir, written)

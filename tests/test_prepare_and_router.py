@@ -1,0 +1,201 @@
+"""End-to-end prepare→query tests on the reference's ad-event data shape.
+
+Generates a deterministic synthetic events CSV (the reference's raw
+schema, FIXTURES.md §1), runs the prepare ETL, then executes the
+reference's five benchmark queries (FIXTURES.md §3.1) through THREE
+paths — base-scan compiler, rollup router, DuckDB-over-CSV oracle —
+and asserts all agree. Also proves the router's subsumption logic
+rejects the reference's silent-wrong-answer cases (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import csv
+import random
+
+import pandas as pd
+import pytest
+
+from query_planner_optimizer_spark.catalog import Catalog
+from query_planner_optimizer_spark.dsl.assembler import assemble_sql
+from query_planner_optimizer_spark.dsl.compiler import compile_query
+from query_planner_optimizer_spark.plans.router import RollupRouter
+from query_planner_optimizer_spark.prepare import prepare
+from query_planner_optimizer_spark.runner import QueryRunner
+
+from .conftest import normalize
+
+N_EVENTS = 20_000
+COUNTRIES = ["US", "JP", "DE", "IN", "BR", "FR"]
+TYPES = ["serve", "impression", "click", "purchase"]
+
+
+def _gen_events_csv(path: str) -> None:
+    rng = random.Random(42)
+    base_ts = 1704067200000  # 2024-01-01T00:00:00Z in millis
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["ts", "type", "auction_id", "advertiser_id", "publisher_id",
+                    "bid_price", "user_id", "total_price", "country"])
+        for i in range(N_EVENTS):
+            ts = base_ts + rng.randrange(0, 21 * 24 * 3600 * 1000)  # 3 weeks
+            etype = rng.choices(TYPES, weights=[4, 3, 2, 1])[0]
+            bid = round(rng.uniform(0.01, 2.0), 4) if etype == "impression" else ""
+            total = round(rng.uniform(1, 300), 2) if etype == "purchase" else "null"
+            country = rng.choice(COUNTRIES)
+            w.writerow([ts, etype, f"a{i % 3000:05d}", rng.randrange(1, 20),
+                        rng.randrange(1, 50), bid, rng.randrange(1, 5000),
+                        total, country])
+
+
+BENCHMARK_QUERIES = [
+    # 1. daily revenue
+    {"select": ["day", {"SUM": "bid_price", "round": 6}], "from": "events",
+     "where": [{"col": "type", "op": "eq", "val": "impression"}],
+     "group_by": ["day"]},
+    # 2. publisher revenue, JP, date range
+    {"select": ["publisher_id", {"SUM": "bid_price", "round": 6}], "from": "events",
+     "where": [{"col": "type", "op": "eq", "val": "impression"},
+               {"col": "country", "op": "eq", "val": "JP"},
+               {"col": "day", "op": "between", "val": ["2024-01-05", "2024-01-08"]}],
+     "group_by": ["publisher_id"]},
+    # 3. avg purchase by country
+    {"select": ["country", {"AVG": "total_price", "round": 6}], "from": "events",
+     "where": [{"col": "type", "op": "eq", "val": "purchase"}],
+     "group_by": ["country"],
+     "order_by": [{"col": "AVG(total_price)", "dir": "desc"}]},
+    # 4. advertiser x type counts
+    {"select": ["advertiser_id", "type", {"COUNT": "*"}], "from": "events",
+     "group_by": ["advertiser_id", "type"],
+     "order_by": [{"col": "COUNT(*)", "dir": "desc"},
+                  {"col": "advertiser_id", "dir": "asc"},
+                  {"col": "type", "dir": "asc"}]},
+    # 5. minute revenue on one day
+    {"select": ["minute", {"SUM": "bid_price", "round": 6}], "from": "events",
+     "where": [{"col": "type", "op": "eq", "val": "impression"},
+               {"col": "day", "op": "eq", "val": "2024-01-02"}],
+     "group_by": ["minute"],
+     "order_by": [{"col": "minute", "dir": "asc"}]},
+]
+
+
+@pytest.fixture(scope="module")
+def prepared(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("adevents")
+    csv_path = str(root / "events_part_0.csv")
+    _gen_events_csv(csv_path)
+    out = str(root / "optimized")
+    res = prepare(spark, csv_path, out)
+    cat = Catalog(spark, str(root), register_views=False,
+                  overrides={"events": res.partitioned_dir})
+    return {"csv": csv_path, "res": res, "catalog": cat}
+
+
+@pytest.fixture(scope="module")
+def ddb_csv(prepared):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"""
+        CREATE VIEW events AS
+        SELECT CAST(ts AS BIGINT) AS ts, type, auction_id,
+               CAST(advertiser_id AS INT) AS advertiser_id,
+               CAST(publisher_id AS INT) AS publisher_id,
+               CAST(bid_price AS DOUBLE) AS bid_price,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(total_price AS DOUBLE) AS total_price, country
+        FROM read_csv('{prepared["csv"]}', header=true, nullstr=['', 'null'],
+                      types={{'ts': 'VARCHAR'}})
+    """)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("qi", range(len(BENCHMARK_QUERIES)))
+def test_benchmark_query_three_ways(qi, spark, prepared, ddb_csv):
+    q = BENCHMARK_QUERIES[qi]
+    cat = prepared["catalog"]
+    type_map = cat.spark_type_map("events")
+
+    # Oracle over the raw CSV view; the assembler's duckdb dialect
+    # derives day/week/hour/minute from epoch-millis ts in a CTE.
+    oracle_sql = assemble_sql(q, type_map, dialect="duckdb", ts_is_millis=True)
+    want = ddb_csv.execute(oracle_sql).fetchdf()
+
+    scan = compile_query(q, cat).toPandas()
+    router = RollupRouter(spark, prepared["res"].aggregates_dir)
+    routed_df = router.route(q)
+    assert routed_df is not None, f"benchmark q{qi + 1} should route to a rollup"
+    routed = routed_df.toPandas()
+
+    for got, label in ((scan, "scan"), (routed, "router")):
+        assert set(got.columns) == set(want.columns), (label, got.columns)
+        pd.testing.assert_frame_equal(
+            normalize(got), normalize(want), check_dtype=False,
+            check_exact=False, rtol=1e-6,
+        )
+
+
+def test_router_rejects_extra_filter(spark, prepared):
+    """Minute-revenue + country filter must NOT route to the minute
+    rollup (country not in its grain) — the reference silently dropped
+    the filter (query_engine.py:216-232,304-325)."""
+    router = RollupRouter(spark, prepared["res"].aggregates_dir)
+    q = {"select": ["minute", {"SUM": "bid_price"}], "from": "events",
+         "where": [{"col": "type", "op": "eq", "val": "impression"},
+                   {"col": "day", "op": "eq", "val": "2024-01-02"},
+                   {"col": "country", "op": "eq", "val": "US"}],
+         "group_by": ["minute"]}
+    assert router.route(q) is None
+
+
+def test_router_rejects_min_max(spark, prepared):
+    router = RollupRouter(spark, prepared["res"].aggregates_dir)
+    q = {"select": ["day", {"MIN": "bid_price"}], "from": "events",
+         "where": [{"col": "type", "op": "eq", "val": "impression"}],
+         "group_by": ["day"]}
+    assert router.route(q) is None
+
+
+def test_router_rejects_row_level_select(spark, prepared):
+    router = RollupRouter(spark, prepared["res"].aggregates_dir)
+    q = {"select": ["day", "country"], "from": "events"}
+    assert router.route(q) is None
+
+
+def test_runner_end_to_end_with_cache(spark, prepared, tmp_path):
+    runner = QueryRunner(spark, prepared["catalog"],
+                         aggregates_dir=prepared["res"].aggregates_dir)
+    out = str(tmp_path / "results")
+    report = runner.run(BENCHMARK_QUERIES, out_dir=out)
+    assert all(r.error is None for r in report.runs)
+    assert all(r.routed for r in report.runs)
+    # cached second run
+    report2 = runner.run(BENCHMARK_QUERIES)
+    assert all(r.cached for r in report2.runs)
+    assert report2.total_seconds < report.total_seconds
+    # CSV artifacts exist with headers
+    with open(f"{out}/q1.csv") as f:
+        header = f.readline().strip().split(",")
+    assert header[0] == "day"
+
+
+def test_runner_isolates_errors(spark, prepared):
+    runner = QueryRunner(spark, prepared["catalog"])
+    report = runner.run([{"select": ["nope"], "from": "events"},
+                         BENCHMARK_QUERIES[0]])
+    assert report.runs[0].error is not None
+    assert report.runs[1].error is None and len(report.runs[1].rows) > 0
+
+
+def test_prepared_layout_is_hive_partitioned(prepared):
+    import glob
+    import os
+
+    part = prepared["res"].partitioned_dir
+    type_dirs = sorted(
+        os.path.basename(p) for p in glob.glob(f"{part}/type=*")
+    )
+    assert type_dirs == ["type=click", "type=impression", "type=purchase",
+                         "type=serve"]
+    assert glob.glob(f"{part}/type=impression/day=*/*.parquet")
