@@ -11,21 +11,27 @@ from __future__ import annotations
 from collections.abc import Callable
 
 
+def _modules():
+    from query_planner_optimizer_spark.operators import (
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
+    from query_planner_optimizer_spark.streaming import windows
+
+    return (dedup, similarity, text, multimodal, windows)
+
+
 def entry_queries() -> dict[str, Callable]:
     out: dict[str, Callable] = {}
-    from query_planner_optimizer_spark.operators import dedup, similarity, text
-
-    out.update(dedup.entry_queries())
-    out.update(similarity.entry_queries())
-    out.update(text.entry_queries())
+    for mod in _modules():
+        out.update(mod.entry_queries())
     return out
 
 
 def entry_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    from query_planner_optimizer_spark.operators import dedup, similarity, text
-
-    out.update(dedup.entry_oracles())
-    out.update(similarity.entry_oracles())
-    out.update(text.entry_oracles())
+    for mod in _modules():
+        out.update(mod.entry_oracles())
     return out

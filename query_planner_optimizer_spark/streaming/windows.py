@@ -1,0 +1,182 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY.md §2.5) — this module is
+part of the beyond-reference pipeline layer. Design rule: every
+transformation is written against a plain DataFrame so the SAME function
+serves batch (testdata parquet) and streaming (``readStream`` +
+watermark) — the batch twin is what the DuckDB oracle checks, the
+streaming path is exercised with ``trigger(availableNow=True)`` in tests.
+
+- :func:`hourly_rollup` — tumbling event-time window aggregation
+  (watermarked in streaming mode for late-data state eviction).
+- :func:`sessionize` — per-user session windows with an inactivity gap
+  (built-in ``session_window``; state eviction via the same watermark).
+
+Scale: windowed/session aggregation shuffles on (key, window); state
+store size is bounded by the watermark horizon. At 100 TB/day you'd
+also set ``spark.sql.streaming.statefulOperator.*`` sizing and an RnD
+RocksDB state store — noted here, not configurable knobs of this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Driver testdata events schema (TESTDATA.md) — needed explicitly for
+#: readStream (streaming sources don't infer schemas).
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(dir_path)
+    )
+
+
+def hourly_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time rollup: (window_start, event_type) →
+    count + sum(value). Pass ``watermark`` in streaming mode."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key session windows with an inactivity gap: a session closes
+    when no event arrives for ``gap``. Returns one row per session:
+    (user_id, session_start, session_end, n_events, sum_value)."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_hourly_rollup(
+    spark: SparkSession,
+    dir_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The streaming composition: file stream → watermark → rollup.
+    Callers attach ``writeStream`` (tests use a memory sink with
+    ``availableNow`` so the run is finite and deterministic)."""
+    return hourly_rollup(
+        read_events_stream(spark, dir_path), window=window, watermark=watermark
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver entries — batch twins with DuckDB oracles. The streaming path
+# over the same functions is covered in tests/test_streaming.py (custom
+# stateful ops are the documented non-SQL-expressible case; these
+# rollups ARE SQL-expressible, so they get full oracles).
+# --------------------------------------------------------------------------
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return hourly_rollup(events)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return sessionize(events)
+
+
+def entry_queries():
+    return {
+        "stream_hourly_rollup": q_hourly_rollup,
+        "stream_sessionize": q_sessionize,
+    }
+
+
+def entry_oracles() -> dict[str, str]:
+    hourly = """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+    # Gaps-and-islands sessionization — identical semantics to
+    # session_window(gap=30min): a session breaks when the inter-event
+    # gap is strictly greater than the gap duration... Spark closes a
+    # session at ts + gap (exclusive), i.e. an event exactly `gap`
+    # later still EXTENDS the session, so the break condition is >=.
+    sessions = """
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts >= prev_ts + INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ordered
+        ),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM numbered GROUP BY user_id, session_id
+    """
+    return {"stream_hourly_rollup": hourly, "stream_sessionize": sessions}

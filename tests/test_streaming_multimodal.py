@@ -1,0 +1,109 @@
+"""Streaming (availableNow ≡ batch twin ≡ DuckDB oracle) and multimodal
+plumbing tests."""
+
+from __future__ import annotations
+
+
+
+import pandas as pd
+import pytest
+
+from query_planner_optimizer_spark.operators import multimodal
+from query_planner_optimizer_spark.streaming import windows
+
+from .conftest import SF_DIR, assert_matches_duckdb, normalize
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    # File-source streams need a directory of *prepared* parquet (the
+    # raw testdata stores TIMESTAMP(NANOS), which the declared stream
+    # schema can't read) — stage it through the Catalog's restore path.
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    events = Catalog(spark, SF_DIR, register_views=False).table("events")
+    events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_hourly_rollup_matches_oracle(spark, ddb):
+    df = windows.q_hourly_rollup(spark, SF_DIR)
+    assert_matches_duckdb(df, ddb, windows.entry_oracles()["stream_hourly_rollup"])
+
+
+def test_sessionize_matches_oracle(spark, ddb):
+    df = windows.q_sessionize(spark, SF_DIR)
+    assert_matches_duckdb(df, ddb, windows.entry_oracles()["stream_sessionize"])
+
+
+def test_streaming_rollup_equals_batch(spark, events_stream_dir):
+    """Run the SAME rollup through Structured Streaming (availableNow →
+    memory sink) and through batch; results must be identical once the
+    stream is fully consumed."""
+    stream_df = windows.streaming_hourly_rollup(spark, events_stream_dir)
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("hourly_rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hourly_rollup_test").toPandas()
+
+    batch = windows.hourly_rollup(
+        spark.read.parquet(events_stream_dir)
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(batch), check_dtype=False
+    )
+
+
+def test_streaming_sessionize_runs(spark, events_stream_dir):
+    stream = windows.sessionize(
+        windows.read_events_stream(spark, events_stream_dir),
+        watermark="1 hour",
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions_test").toPandas()
+    batch = windows.sessionize(spark.read.parquet(events_stream_dir)).toPandas()
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(batch), check_dtype=False
+    )
+
+
+def test_multimodal_features_match_oracle(spark, ddb):
+    df = multimodal.q_media_features(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, multimodal.entry_oracles()["multimodal_features"]
+    )
+
+
+def test_multimodal_media_table_shape(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    media = multimodal.to_media_table(
+        docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "text"
+    )
+    row = media.limit(1).collect()[0]
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.meta.n_bytes == len(row.payload)
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media("image", b"\x89PNG")
