@@ -155,6 +155,39 @@ DSL_QUERIES: dict[str, dict] = {
                    "val": ["2024-01-02", "2024-01-04", "2024-01-07"]}],
         "group_by": ["day"],
     },
+    # joins — additive DSL extension (reference excludes joins,
+    # claude.md:141; Spark-native: dims broadcast, fact never shuffles)
+    "dsl_join_revenue_by_nation": {
+        "select": ["n_name", {"SUM": "o_totalprice", "as": "revenue", "round": 4},
+                   {"COUNT": "*", "as": "n_orders"}],
+        "from": "orders",
+        "join": [
+            {"table": "customer", "on": [["o_custkey", "c_custkey"]],
+             "hint": "broadcast"},
+            {"table": "nation", "on": [["c_nationkey", "n_nationkey"]],
+             "hint": "broadcast"},
+        ],
+        "group_by": ["n_name"],
+        "order_by": [{"col": "revenue", "dir": "desc"}],
+    },
+    "dsl_join_brand_pricing": {
+        "select": ["p_brand", {"AVG": "l_extendedprice", "as": "avg_price",
+                               "round": 6},
+                   {"SUM": "l_quantity", "as": "sum_qty", "round": 4}],
+        "from": "lineitem",
+        "join": [{"table": "part", "on": [["l_partkey", "p_partkey"]],
+                  "hint": "broadcast"}],
+        "where": [{"col": "l_discount", "op": "between", "val": [0.02, 0.08]}],
+        "group_by": ["p_brand"],
+        "order_by": [{"col": "p_brand", "dir": "asc"}],
+    },
+    "dsl_join_semi_orders_with_lineitems": {
+        "select": ["o_orderstatus", {"COUNT": "*", "as": "n_orders"}],
+        "from": "orders",
+        "join": [{"table": "lineitem", "on": [["o_orderkey", "l_orderkey"]],
+                  "type": "semi"}],
+        "group_by": ["o_orderstatus"],
+    },
     # flagship: TPC-H Q1-shaped pricing summary
     "dsl_pricing_summary": {
         "select": [
@@ -243,9 +276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, q in DSL_QUERIES.items():
-        table = q.get("from", "events")
+        type_map = _static_type_map(q.get("from", "events"))
+        for jspec in q.get("join") or []:
+            type_map.update(_static_type_map(jspec["table"]))
         out[name] = assemble_sql(
-            q, _static_type_map(table), dialect="duckdb", ts_is_millis=False
+            q, type_map, dialect="duckdb", ts_is_millis=False
         )
     from query_planner_optimizer_spark.operators import entry_oracles
 

@@ -144,6 +144,26 @@ def assemble_sql(
     if dialect == "duckdb" and referenced & set(DERIVED_TIME_COLUMNS):
         from_clause = f"({duckdb_time_cte(table, ts_is_millis=ts_is_millis)}) AS {table}"
 
+    _JOIN_KW = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "right": "RIGHT JOIN",
+        "semi": "SEMI JOIN" if dialect == "duckdb" else "LEFT SEMI JOIN",
+        "anti": "ANTI JOIN" if dialect == "duckdb" else "LEFT ANTI JOIN",
+    }
+    for jspec in q.get("join") or []:
+        jt = jspec.get("table")
+        kw = _JOIN_KW.get(jspec.get("type", "inner"))
+        if kw is None:
+            raise QueryError(f"unknown join type: {jspec!r}")
+        conds = []
+        for pair in jspec.get("on") or []:
+            lcol, rcol = (pair, pair) if isinstance(pair, str) else pair
+            conds.append(f"{_ident(lcol, dialect)} = {jt}.{_ident(rcol, dialect)}")
+        if not conds:
+            raise QueryError(f"join needs 'on' pairs: {jspec!r}")
+        from_clause += f" {kw} {jt} ON " + " AND ".join(conds)
+
     sql = f"SELECT {', '.join(select_terms)} FROM {from_clause}"
 
     conds = q.get("where") or []

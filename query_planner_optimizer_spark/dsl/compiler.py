@@ -176,6 +176,38 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     table = q.get("from", "events")
     df = catalog.table(table)
 
+    # JOIN — additive extension beyond the reference DSL (the spec
+    # excludes joins, ``claude.md:141``; Spark supplies them natively).
+    # Each spec: {"table": t, "on": [[left, right], ...],
+    #             "type": inner|left|right|semi|anti,
+    #             "hint": broadcast (optional)}.
+    for jspec in q.get("join") or []:
+        jt = jspec.get("table")
+        right = catalog.table(jt)
+        jtype = {"inner": "inner", "left": "left", "right": "right",
+                 "semi": "left_semi", "anti": "left_anti"}.get(
+                     jspec.get("type", "inner"))
+        if jtype is None:
+            raise QueryError(f"unknown join type: {jspec!r}")
+        pairs = jspec.get("on") or []
+        if not pairs:
+            raise QueryError(f"join needs 'on' pairs: {jspec!r}")
+        cond = None
+        for pair in pairs:
+            lcol, rcol = (pair, pair) if isinstance(pair, str) else pair
+            if lcol not in df.columns:
+                raise QueryError(f"join column {lcol!r} not in left side")
+            if rcol not in right.columns:
+                raise QueryError(f"join column {rcol!r} not in {jt!r}")
+            c = df[lcol] == right[rcol]
+            cond = c if cond is None else (cond & c)
+        # Broadcast the build side when asked — dimension tables always
+        # want this (no shuffle of the fact side at any scale); unhinted
+        # joins rely on the autoBroadcastJoinThreshold + AQE.
+        if jspec.get("hint") == "broadcast":
+            right = F.broadcast(right)
+        df = df.join(right, cond, jtype)
+
     # WHERE — AND-combined (the DSL has no OR/NOT, ``claude.md:122-124``).
     conds = q.get("where") or []
     if conds:

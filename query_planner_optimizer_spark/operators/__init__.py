@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 def _modules():
     from query_planner_optimizer_spark.operators import (
+        analytics,
         dedup,
         multimodal,
         similarity,
@@ -20,7 +21,7 @@ def _modules():
     )
     from query_planner_optimizer_spark.streaming import windows
 
-    return (dedup, similarity, text, multimodal, windows)
+    return (dedup, similarity, text, multimodal, windows, analytics)
 
 
 def entry_queries() -> dict[str, Callable]:

@@ -1,0 +1,95 @@
+"""Join DSL extension + analytics operator tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from query_planner_optimizer_spark.dsl.assembler import assemble_sql
+from query_planner_optimizer_spark.dsl.compiler import QueryError, compile_query
+
+from .conftest import assert_matches_duckdb
+
+JOIN_QUERIES = [
+    ("inner_broadcast_chain", {
+        "select": ["n_name", {"SUM": "o_totalprice", "as": "revenue", "round": 4}],
+        "from": "orders",
+        "join": [
+            {"table": "customer", "on": [["o_custkey", "c_custkey"]],
+             "hint": "broadcast"},
+            {"table": "nation", "on": [["c_nationkey", "n_nationkey"]],
+             "hint": "broadcast"},
+        ],
+        "group_by": ["n_name"],
+        "order_by": [{"col": "revenue", "dir": "desc"}],
+    }),
+    ("left_join", {
+        "select": ["c_mktsegment", {"COUNT": "o_orderkey", "as": "n_orders"},
+                   {"COUNT": "*", "as": "n_rows"}],
+        "from": "customer",
+        "join": [{"table": "orders", "on": [["c_custkey", "o_custkey"]],
+                  "type": "left"}],
+        "group_by": ["c_mktsegment"],
+    }),
+    ("semi_join", {
+        "select": ["o_orderstatus", {"COUNT": "*", "as": "n"}],
+        "from": "orders",
+        "join": [{"table": "lineitem", "on": [["o_orderkey", "l_orderkey"]],
+                  "type": "semi"}],
+        "group_by": ["o_orderstatus"],
+    }),
+    ("anti_join", {
+        "select": [{"COUNT": "*", "as": "n_customers_without_orders"}],
+        "from": "customer",
+        "join": [{"table": "orders", "on": [["c_custkey", "o_custkey"]],
+                  "type": "anti"}],
+    }),
+    ("join_with_where_and_derived", {
+        "select": ["p_brand", {"AVG": "l_extendedprice", "as": "avg_price",
+                               "round": 6}],
+        "from": "lineitem",
+        "join": [{"table": "part", "on": [["l_partkey", "p_partkey"]],
+                  "hint": "broadcast"}],
+        "where": [{"col": "l_discount", "op": "gt", "val": 0.03},
+                  {"col": "p_size", "op": "lte", "val": 30}],
+        "group_by": ["p_brand"],
+    }),
+]
+
+
+def _merged_type_map(q, catalog):
+    tm = catalog.spark_type_map(q.get("from", "events"))
+    for j in q.get("join") or []:
+        tm.update(catalog.spark_type_map(j["table"]))
+    return tm
+
+
+@pytest.mark.parametrize("name,q", JOIN_QUERIES, ids=[n for n, _ in JOIN_QUERIES])
+def test_join_dsl_matches_duckdb(name, q, catalog, ddb):
+    df = compile_query(q, catalog)
+    sql = assemble_sql(q, _merged_type_map(q, catalog), dialect="duckdb")
+    assert_matches_duckdb(df, ddb, sql, ordered=bool(q.get("order_by")))
+
+
+def test_broadcast_hint_takes_effect(catalog):
+    q = JOIN_QUERIES[0][1]
+    plan = compile_query(q, catalog)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_unknown_column_raises(catalog):
+    with pytest.raises(QueryError):
+        compile_query(
+            {"select": ["n_name"], "from": "orders",
+             "join": [{"table": "nation", "on": [["nope", "n_nationkey"]]}]},
+            catalog,
+        )
+
+
+def test_join_without_on_raises(catalog):
+    with pytest.raises(QueryError):
+        compile_query(
+            {"select": ["n_name"], "from": "orders",
+             "join": [{"table": "nation"}]},
+            catalog,
+        )
