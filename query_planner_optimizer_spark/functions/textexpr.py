@@ -1,0 +1,33 @@
+"""Shared text column expressions (pure built-in functions — JVM-side,
+whole-stage-codegen friendly; no UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text_col: str | Column = "text", lowercase: bool = True) -> Column:
+    """Non-empty whitespace tokens."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+
+
+def word_shingles(text_col: str | Column, n: int) -> Column:
+    """Distinct word n-gram shingles; a doc shorter than n words yields
+    one whole-doc shingle (so no document silently drops out of
+    similarity joins)."""
+    toks = tokens(text_col)
+    size = F.size(toks)
+    if n <= 1:
+        return F.array_distinct(toks)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)

@@ -35,6 +35,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from query_planner_optimizer_spark.functions.textexpr import tokens, word_shingles
+
 DEFAULT_NGRAM = 3
 DEFAULT_JACCARD_THRESHOLD = 0.5
 MINHASH_K = 32
@@ -43,20 +45,7 @@ SIMHASH_HAMMING_MAX = 8
 
 
 def _shingles(text_col: str, n: int) -> Column:
-    """Distinct word n-gram shingles; docs shorter than n words get one
-    whole-doc shingle."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
-    size = F.size(toks)
-    if n <= 1:
-        return F.array_distinct(toks)
-    grams = F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return F.array_distinct(grams)
+    return word_shingles(F.col(text_col), n)
 
 
 def exact_dedup(
@@ -227,14 +216,7 @@ def simhash_signatures(
     built-in integer ops (one shuffle of (doc_id, 64 ints))."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda x: x != F.lit(""),
-                )
-            )
-        ).alias("tok"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )
     h = F.xxhash64(F.col("tok"))
     votes = [

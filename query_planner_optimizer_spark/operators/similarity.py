@@ -25,23 +25,16 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from query_planner_optimizer_spark.functions.vector import as_double_array, dot
+
 DEFAULT_K = 10
 DEFAULT_NUM_QUERIES = 20
 LSH_PLANES = 6
 LSH_TABLES = 8
 
 
-def _as_double(col) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a, b) -> Column:
-    """Sequential left fold — deterministic summation order."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+_as_double = as_double_array
+_dot = dot
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

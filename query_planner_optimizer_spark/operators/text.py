@@ -18,6 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from query_planner_optimizer_spark.functions.textexpr import tokens
+
 #: Tiny per-language stopword sets for the n-gram/stopword language-ID
 #: heuristic. Deterministic and shared verbatim with the SQL oracle.
 LANG_STOPWORDS = {
@@ -32,9 +34,7 @@ PUNCT_CLASS = r"[.,!?;:]"
 
 def _tokens(text_col: str = "text") -> Column:
     """Non-empty whitespace tokens (lowercased)."""
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
-    )
+    return tokens(text_col)
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
