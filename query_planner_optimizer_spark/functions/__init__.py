@@ -1,4 +1,5 @@
 from query_planner_optimizer_spark.functions.textexpr import (  # noqa: F401
+    shingles_from_tokens,
     tokens,
     word_shingles,
 )

@@ -15,14 +15,23 @@ def tokens(text_col: str | Column = "text", lowercase: bool = True) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
 
 
-def word_shingles(text_col: str | Column, n: int) -> Column:
-    """Distinct word n-gram shingles; a doc shorter than n words yields
-    one whole-doc shingle (so no document silently drops out of
-    similarity joins)."""
-    toks = tokens(text_col)
-    size = F.size(toks)
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token array
+    column; a doc shorter than n words yields one whole-doc shingle (so
+    no document silently drops out of similarity joins).
+
+    ``toks`` must be an attribute (a projected column), not a nested
+    expression: higher-order functions evaluate interpreted (no codegen
+    / no common-subexpression elimination), so a token expression nested
+    inside the ``transform`` lambda would re-tokenize the document once
+    PER SHINGLE — O(tokens²) per document. Callers project tokens first
+    (the projection survives optimization because the column is
+    referenced multiple times here, which CollapseProject refuses to
+    inline for non-cheap expressions).
+    """
     if n <= 1:
         return F.array_distinct(toks)
+    size = F.size(toks)
     grams = F.when(
         size >= n,
         F.transform(
@@ -31,3 +40,10 @@ def word_shingles(text_col: str | Column, n: int) -> Column:
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return F.array_distinct(grams)
+
+
+def word_shingles(text_col: str | Column, n: int) -> Column:
+    """Single-expression shingles (convenience; see
+    :func:`shingles_from_tokens` for the fast two-step form used in the
+    dedup hot paths)."""
+    return shingles_from_tokens(tokens(text_col), n)

@@ -35,7 +35,11 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from query_planner_optimizer_spark.functions.textexpr import tokens, word_shingles
+from query_planner_optimizer_spark.functions.textexpr import (
+    shingles_from_tokens,
+    tokens,
+    word_shingles,
+)
 
 DEFAULT_NGRAM = 3
 DEFAULT_JACCARD_THRESHOLD = 0.5
@@ -46,6 +50,18 @@ SIMHASH_HAMMING_MAX = 8
 
 def _shingles(text_col: str, n: int) -> Column:
     return word_shingles(F.col(text_col), n)
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) exploded rows via the two-step projection —
+    tokens materialized below the Generate so tokenization runs once
+    per document, not once per shingle (see shingles_from_tokens)."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return toked.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("sh")
+    )
 
 
 def exact_dedup(
@@ -85,9 +101,7 @@ def jaccard_pairs(
     splits them at runtime. For corpus-scale dedup prefer
     :func:`minhash_lsh_pairs` and verify its candidates with this metric.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("sh")
-    )
+    sh = _shingle_rows(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -120,9 +134,7 @@ def minhash_signatures(
     """k-permutation MinHash signatures: sig[i] = min over shingles of
     xxhash64(seed_i, shingle). One explode + one groupBy with k mins —
     a single shuffle of (doc_id, k longs)."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("sh")
-    )
+    sh = _shingle_rows(df, id_col, text_col, n)
     mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
@@ -137,6 +149,7 @@ def minhash_lsh_pairs(
     bands: int = MINHASH_BANDS,
     threshold: float = DEFAULT_JACCARD_THRESHOLD,
     verify: bool = True,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, optionally verified by exact Jaccard.
 
@@ -147,7 +160,19 @@ def minhash_lsh_pairs(
     S-curve threshold is (1/8)^(1/4) ≈ 0.59 Jaccard.
     """
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    # The exploded shingle set feeds signature computation AND (when
+    # verifying) size + intersection counts — persist it once instead of
+    # re-tokenizing the corpus 4x. Size is O(corpus tokens); at extreme
+    # scale pass persist_shingles=False and let lineage recompute.
+    sh = _shingle_rows(df, id_col, text_col, n)
+    if persist_shingles and verify:
+        sh = sh.persist()
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+    )
     band_arrays = F.array(
         *[
             F.struct(
@@ -180,9 +205,6 @@ def minhash_lsh_pairs(
     # Candidate-proportional exact verification: intersect shingle sets
     # only for candidate pairs (work ∝ |candidates|·shingles, NOT the
     # full inverted-index self-join — that's the whole point of LSH).
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("sh")
-    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -58,7 +58,8 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
           + 0.3 * (1 - punct_ratio)
           + 0.3 * min(stopword_ratio * 5, 1)
     """
-    toks = _tokens(text_col)
+    df = df.select("*", _tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
     punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
@@ -76,13 +77,15 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("punct_ratio", F.round(punct_ratio, 6))
         .withColumn("stopword_ratio", F.round(stop_ratio, 6))
         .withColumn("quality_score", F.round(score, 6))
+        .drop("__toks")
     )
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: CJK chars → zh, else argmax stopword hits
     (ties broken by fixed language order en,fr,de,es)."""
-    toks = _tokens(text_col)
+    df = df.select("*", _tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     cjk = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[一-鿿]"), 0))
     def contains(arr):
         return lambda x: F.array_contains(arr, x)
@@ -99,15 +102,22 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         best_n = F.when(hits[lang] > best_n, hits[lang]).otherwise(best_n)
     return df.withColumn(
         "lang_pred", F.when(cjk > 0, F.lit("zh")).otherwise(best)
-    )
+    ).drop("__toks")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of whitespace-normalized text, plus a
     winnowing-style min-hash over word 5-gram windows (min md5 — the
-    lexicographic min of hex digests, identical across engines)."""
+    lexicographic min of hex digests, identical across engines).
+
+    Tokens are materialized in a lower projection: the window lambda
+    would otherwise re-tokenize per window — O(tokens²) per doc (see
+    functions.textexpr.shingles_from_tokens). CollapseProject keeps the
+    projection because ``__toks`` is referenced 3×.
+    """
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    toks = _tokens(text_col)
+    staged = df.select("*", _tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     windows = F.when(
         n >= 5,
@@ -116,8 +126,10 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
         ),
     ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
-    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
-        "min_window_hash", F.array_min(windows)
+    return (
+        staged.withColumn("fingerprint", F.md5(norm))
+        .withColumn("min_window_hash", F.array_min(windows))
+        .drop("__toks")
     )
 
 

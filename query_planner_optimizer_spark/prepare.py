@@ -83,6 +83,40 @@ def rollup_frame(events: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
     return events.groupBy(*keys).agg(*exprs)
 
 
+#: Rollup grains for the driver testdata's events table (ts/event_type/
+#: value) — lets bench.py reproduce the reference's post-prepare query
+#: timings (BASELINE.md measures queries against pre-built aggregates).
+DRIVER_EVENTS_ROLLUPS: dict[str, dict] = {
+    "agg_day_etype": {
+        "keys": ["day", "event_type"],
+        "aggs": {"value": ["sum", "count"]},
+    },
+    "agg_week_etype": {
+        "keys": ["week", "event_type"],
+        "aggs": {"value": ["sum", "count"]},
+    },
+    "agg_minute_day_etype": {
+        "keys": ["minute", "day", "event_type"],
+        "aggs": {"value": ["sum", "count"]},
+    },
+}
+
+
+def build_rollups(
+    events: DataFrame, agg_dir: str, rollups: dict[str, dict] | None = None
+) -> list[str]:
+    """Materialize rollup tables for :class:`plans.router.RollupRouter`."""
+    rollups = rollups or ROLLUPS
+    written = []
+    for name, spec in rollups.items():
+        keys = [k for k in spec["keys"] if k in events.columns]
+        rollup_frame(events, keys, spec["aggs"]).write.mode("overwrite").parquet(
+            os.path.join(agg_dir, f"{name}.parquet")
+        )
+        written.append(name)
+    return written
+
+
 @dataclass
 class PrepareResult:
     partitioned_dir: str
@@ -95,7 +129,7 @@ def prepare(
     data: str | DataFrame,
     out_dir: str,
     partition_cols: tuple[str, str] = ("type", "day"),
-    build_rollups: bool = True,
+    with_rollups: bool = True,
 ) -> PrepareResult:
     """Run the full prepare pipeline.
 
@@ -121,16 +155,11 @@ def prepare(
     )
 
     written = []
-    if build_rollups:
+    if with_rollups:
         # Re-read the partitioned copy: rollup scans then read zstd
         # parquet (column-pruned), not the raw CSV again.
         prepared = augment_time_columns(spark.read.parquet(part_dir))
-        for name, spec in ROLLUPS.items():
-            keys = [k for k in spec["keys"] if k in prepared.columns]
-            rollup_frame(prepared, keys, spec["aggs"]).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(agg_dir, f"{name}.parquet"))
-            written.append(name)
+        written = build_rollups(prepared, agg_dir, ROLLUPS)
 
         # stats.parquet: key/value dataset stats (reference prepare.py:246-269)
         stats = events.agg(
