@@ -52,6 +52,26 @@ KNOWN_TABLES = (
 DERIVED_TIME_COLUMNS = ("ts_dt", "day", "week", "hour", "minute")
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW input ahead of a CPU-heavy map
+    stage (tokenization, shingling, vector math).
+
+    Spark sizes scan partitions by bytes (``files.maxPartitionBytes``),
+    which is right for I/O-bound plans but leaves a small-but-expensive
+    input (one parquet file of long documents) on a single core while 31
+    idle. Only widens — an input already at/above the target (the normal
+    case on a real cluster, where the table is many files) passes through
+    untouched, so this is a local-small-file fix, not a standing shuffle
+    at 100 TB.
+    """
+    from query_planner_optimizer_spark.session import default_parallelism
+
+    target = min_partitions or default_parallelism()
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def augment_time_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Add ts_dt/day/week/hour/minute derived from ``ts_col`` (UTC)."""
     if ts_col not in df.columns:

@@ -9,11 +9,13 @@ reference engine lacks (SURVEY.md §7 step 8), all shuffle-aware:
   self-join on word n-gram shingles (shuffle key = shingle), never a
   cross join. This is the exact baseline the approximate methods are
   verified against.
-- **MinHash + LSH**: k minhashes per doc from xxhash64 seeds, banded into
-  b buckets; candidate pairs from an equi-join on (band, band-signature);
-  candidates verified with exact Jaccard. At 100 TB this is the scale
-  path: cost is O(docs·k) + bucket-join, versus the inverted-index join
-  whose hot shingles skew.
+- **MinHash + LSH**: per-doc shingle-hash arrays computed map-side (no
+  explode, no shuffle of corpus text); k minhashes via seeded xxhash64
+  over the 8-byte shingle hashes; banded into b buckets; candidate pairs
+  from an equi-join on (band, band-hash); candidates verified with exact
+  Jaccard via array_intersect. At 100 TB this is the scale path: the
+  only shuffled rows are (doc_id, band keys) and candidate pairs —
+  versus the inverted-index join whose hot shingles skew.
 - **SimHash**: 64-bit signature from per-token hash bit-votes; candidate
   pairs from equality on any of 4 16-bit chunks (hamming ≤ 3 guaranteed
   caught by pigeonhole when chunks are rotated... we use chunk-equality
@@ -124,6 +126,45 @@ def jaccard_pairs(
     )
 
 
+def _doc_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, hs: array<long>) — distinct shingle hashes per document,
+    computed entirely map-side (tokenize → shingle → xxhash64 per
+    element, all array expressions over the scan; no explode, no
+    shuffle). At 100 TB this is the load-bearing shape: the corpus text
+    never leaves its input partition — everything downstream (signatures,
+    banding, verification) works on arrays of longs.
+
+    Two projection steps materialize ``__toks`` then ``__sh`` as
+    attributes so higher-order lambdas never re-evaluate tokenization
+    per element (see shingles_from_tokens)."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    shingled = toked.select(
+        "doc_id", shingles_from_tokens(F.col("__toks"), n).alias("__sh")
+    )
+    return shingled.select(
+        "doc_id", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("hs")
+    )
+
+
+def _minhash_sig(hs: Column, k: int) -> Column:
+    """k-permutation MinHash over a shingle-hash array: sig[i] = min over
+    shingles of xxhash64(i, shingle_hash). Hashing the 8-byte shingle
+    hash (not the shingle string) k times keeps the per-element cost
+    constant in document size."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hs, lambda h, i=i: F.xxhash64(F.lit(i), h))
+            ).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -131,13 +172,9 @@ def minhash_signatures(
     n: int = DEFAULT_NGRAM,
     k: int = MINHASH_K,
 ) -> DataFrame:
-    """k-permutation MinHash signatures: sig[i] = min over shingles of
-    xxhash64(seed_i, shingle). One explode + one groupBy with k mins —
-    a single shuffle of (doc_id, k longs)."""
-    sh = _shingle_rows(df, id_col, text_col, n)
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
-    agg = sh.groupBy("doc_id").agg(*mins)
-    return agg.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+    """k-permutation MinHash signatures, zero-shuffle (map-side only)."""
+    ds = _doc_shingle_hashes(df, id_col, text_col, n)
+    return ds.select("doc_id", _minhash_sig(F.col("hs"), k).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -160,25 +197,23 @@ def minhash_lsh_pairs(
     S-curve threshold is (1/8)^(1/4) ≈ 0.59 Jaccard.
     """
     r = k // bands
-    # The exploded shingle set feeds signature computation AND (when
-    # verifying) size + intersection counts — persist it once instead of
-    # re-tokenizing the corpus 4x. Size is O(corpus tokens); at extreme
-    # scale pass persist_shingles=False and let lineage recompute.
-    sh = _shingle_rows(df, id_col, text_col, n)
+    # The per-doc shingle-hash arrays feed signature computation AND
+    # (when verifying) the intersection counts — persist once instead of
+    # re-tokenizing the corpus. Footprint is (doc_id, array<long>), far
+    # smaller than the corpus text; at extreme scale pass
+    # persist_shingles=False and let lineage recompute.
+    ds = _doc_shingle_hashes(df, id_col, text_col, n)
     if persist_shingles and verify:
-        sh = sh.persist()
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
-    sig = (
-        sh.groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
-    )
+        ds = ds.persist()
+    sig = ds.select("doc_id", _minhash_sig(F.col("hs"), k).alias("sig"))
+    # Band key = one long hash of the band's r signature values (cheaper
+    # to shuffle/compare than a concatenated string key).
     band_arrays = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.concat_ws(
-                    ",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
+                F.xxhash64(
+                    *[F.col("sig")[bi * r + j] for j in range(r)]
                 ).alias("bsig"),
             )
             for bi in range(bands)
@@ -202,26 +237,21 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # Candidate-proportional exact verification: intersect shingle sets
-    # only for candidate pairs (work ∝ |candidates|·shingles, NOT the
-    # full inverted-index self-join — that's the whole point of LSH).
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    common = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("common").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("common")
+    # Candidate-proportional exact verification: two hash-joins attach
+    # the shingle-hash arrays, then array_intersect counts the overlap —
+    # work ∝ |candidates|·shingles, never the full inverted-index
+    # self-join (that's the whole point of LSH). Jaccard over 64-bit
+    # shingle hashes equals Jaccard over shingle strings up to hash
+    # collisions (~2^-64 per pair).
+    da = ds.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    db = ds.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    jac = common.cast("double") / (
+        F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - common
     ).cast("double")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -307,7 +337,11 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from query_planner_optimizer_spark.catalog import spread
+
+    # CPU-bound tokenization/shingling: spread the (often single-file)
+    # local input across cores before the map stage.
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,7 +103,9 @@ def extract_features(
 # --------------------------------------------------------------------------
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from query_planner_optimizer_spark.catalog import spread
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     media = to_media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "text")
     return extract_features(media)
 

@@ -174,7 +174,11 @@ def lsh_topk(
 # --------------------------------------------------------------------------
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from query_planner_optimizer_spark.catalog import spread
+
+    # CPU-bound vector math: spread the (often single-file) local input
+    # across cores before scoring.
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -144,7 +144,11 @@ def _sql_tokens(text_col: str = "text") -> str:
 
 
 def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from query_planner_optimizer_spark.catalog import spread
+
+    # CPU-bound text expressions: spread the (often single-file) local
+    # input across cores before the map stage.
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
