@@ -96,6 +96,89 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+#: Fixed fake frame stride: frame i = payload[i*FRAME_SIZE:(i+1)*FRAME_SIZE];
+#: frame count = n_bytes // FRAME_SIZE + 1 (consistent with _fake_frames).
+FRAME_SIZE = 100
+
+FRAME_SCHEMA = "media_id bigint, kind string, frame_idx int, frame_bytes binary"
+
+RESIZED_SCHEMA = (
+    "media_id bigint, kind string, frame_idx int, frame_n_bytes int, "
+    "frame_sha256 string, width int, height int, resized_n_bytes int, "
+    "resized_sha256 string"
+)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 2, frame_size: int = FRAME_SIZE
+) -> DataFrame:
+    """Frame sampling: one output row per ``every_n``-th frame — the
+    per-row fan-out stage of a video pipeline, expressed as mapInPandas
+    yielding multiple rows per input row (no explode of a materialized
+    frame array; frames are cut lazily inside the batch, so executor
+    memory holds one Arrow batch of payloads plus its sampled frames).
+
+    A real decoder would seek keyframes; the STUB cuts fixed
+    ``frame_size``-byte windows (deterministic, oracle-reproducible).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                "media_id": [], "kind": [], "frame_idx": [], "frame_bytes": []
+            }
+            for mid, kind, payload in zip(
+                batch["media_id"], batch["kind"], batch["payload"]
+            ):
+                data = bytes(payload)
+                n_frames = len(data) // frame_size + 1
+                for fi in range(0, n_frames, every_n):
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["frame_idx"].append(fi)
+                    out["frame_bytes"].append(
+                        data[fi * frame_size:(fi + 1) * frame_size]
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_frames(
+    frames: DataFrame, width: int = 16, height: int = 16
+) -> DataFrame:
+    """Resize stage over sampled frames. A real implementation would
+    decode + interpolate pixels; the STUB "resizes" by truncating the
+    frame to width*height bytes (deterministic). Emits digests + sizes
+    instead of raw bytes so downstream compares are engine-portable.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            fb = batch["frame_bytes"].map(bytes)
+            rb = fb.map(lambda b: b[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "kind": batch["kind"],
+                    "frame_idx": batch["frame_idx"].astype("int32"),
+                    "frame_n_bytes": fb.map(len).astype("int32"),
+                    "frame_sha256": fb.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "width": pd.Series([width] * len(batch)).astype("int32"),
+                    "height": pd.Series([height] * len(batch)).astype("int32"),
+                    "resized_n_bytes": rb.map(len).astype("int32"),
+                    "resized_sha256": rb.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                }
+            )
+
+    return frames.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # Driver entry: documents.text encoded as binary payloads → features.
 # Oracle-checkable because the fake decoder is deterministic arithmetic
@@ -110,8 +193,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+def q_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import spread
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    media = to_media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "text")
+    return resize_frames(sample_frames(media))
+
+
 def entry_queries():
-    return {"multimodal_features": q_media_features}
+    return {
+        "multimodal_features": q_media_features,
+        "multimodal_frame_pipeline": q_frame_pipeline,
+    }
 
 
 def entry_oracles() -> dict[str, str]:
@@ -123,4 +217,34 @@ def entry_oracles() -> dict[str, str]:
                TRUE AS feature_ok
         FROM documents
     """
-    return {"multimodal_features": sql}
+    # Valid because the driver corpus text is pure ASCII (byte slicing ==
+    # char slicing; verified octet_length(encode(text)) == length(text)).
+    frames = f"""
+        WITH m AS (
+            SELECT doc_id AS media_id, text,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        ),
+        f AS (
+            SELECT media_id, 'text' AS kind,
+                   CAST(unnest(range(0, nb // {FRAME_SIZE} + 1, 2)) AS INTEGER)
+                       AS frame_idx,
+                   text, nb
+            FROM m
+        ),
+        cut AS (
+            SELECT media_id, kind, frame_idx,
+                   substr(text, frame_idx * {FRAME_SIZE} + 1, {FRAME_SIZE})
+                       AS fb
+            FROM f
+        )
+        SELECT media_id, kind, frame_idx,
+               CAST(octet_length(encode(fb)) AS INTEGER) AS frame_n_bytes,
+               sha256(fb) AS frame_sha256,
+               CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+               CAST(octet_length(encode(substr(fb, 1, 256))) AS INTEGER)
+                   AS resized_n_bytes,
+               sha256(substr(fb, 1, 256)) AS resized_sha256
+        FROM cut
+    """
+    return {"multimodal_features": sql, "multimodal_frame_pipeline": frames}

@@ -10,6 +10,12 @@
   key, multi-probe over P tables) → exact rerank within candidates.
   The 100 TB path: the full corpus is scanned once to sketch, then
   scoring touches only bucket collisions.
+- :func:`embedding_neardup_pairs` — cosine near-duplicate pairs
+  (sim >= threshold): exact N² self-join baseline, or hyperplane-LSH
+  candidates + exact verification for scale.
+- :func:`ivf_topk` — IVF approximate top-k: coarse k-means cells built
+  with Lloyd rounds as DataFrame jobs, queries probe the nprobe nearest
+  cells, exact rerank inside probed cells.
 
 Math is done in double on both engines (arrays cast element-wise), with
 sequential left-to-right folds, so Spark and the DuckDB oracle
@@ -169,6 +175,190 @@ def lsh_topk(
     )
 
 
+NEARDUP_THRESHOLD = 0.4
+NEARDUP_PLANES = 4
+NEARDUP_TABLES = 12
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = NEARDUP_THRESHOLD,
+    use_lsh: bool = False,
+    planes: int = NEARDUP_PLANES,
+    tables: int = NEARDUP_TABLES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    ``sim >= threshold`` and id_a < id_b.
+
+    Two plans:
+
+    - exact (default): normalized self-join scoring all N²/2 pairs —
+      the correctness baseline (DuckDB-oracle-checkable), quadratic by
+      construction.
+    - ``use_lsh=True``: random-hyperplane sketch (fewer planes + more
+      tables than the top-k sketch — tuned for recall at moderate
+      thresholds, P(collide) = (1-θ/π)^planes per table); candidates
+      share a bucket in any table, then exact cosine verifies. The
+      100 TB path: shuffle carries (id, bucket) rows and candidate
+      pairs, never the N² cross product.
+    """
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm"
+    )
+    if not use_lsh:
+        a = base.select(F.col("id").alias("id_a"), F.col("_vec").alias("va"),
+                        F.col("_norm").alias("na"))
+        b = base.select(F.col("id").alias("id_b"), F.col("_vec").alias("vb"),
+                        F.col("_norm").alias("nb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        hp = _hyperplanes(dim, planes, tables)
+
+        def bucket(t: int) -> Column:
+            bits = []
+            for p_idx in range(planes):
+                plane = F.array(*[F.lit(x) for x in hp[t][p_idx]])
+                bits.append(
+                    F.when(_dot(F.col("_vec"), plane) >= 0, F.lit(1))
+                    .otherwise(F.lit(0)) * F.lit(1 << p_idx)
+                )
+            acc = bits[0]
+            for bb in bits[1:]:
+                acc = acc + bb
+            return acc
+
+        buckets = F.array(
+            *[F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bkt"))
+              for t in range(tables)]
+        )
+        sk = base.select(
+            "id", "_vec", "_norm", F.explode(buckets).alias("b")
+        ).select("id", "_vec", "_norm",
+                 F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt"))
+        a, b = sk.alias("a"), sk.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bkt") == F.col("b.bkt"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"), F.col("a._vec").alias("va"),
+                F.col("a._norm").alias("na"),
+                F.col("b.id").alias("id_b"), F.col("b._vec").alias("vb"),
+                F.col("b._norm").alias("nb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+IVF_ITERS = 2
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = DEFAULT_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means cells +
+    per-query probing of the ``nprobe`` nearest cells.
+
+    Index build = ``iters`` Lloyd rounds run as DataFrame jobs: assign
+    each vector to its max-cosine centroid (map-only against broadcast
+    centroid literals), recompute centroids with one groupBy over
+    (cell, 64 dimension avgs). Only the nlist×dim centroid matrix ever
+    reaches the driver (same driver/executor split as Spark ML KMeans).
+    Search: queries explode to their ``nprobe`` best cells, equi-join
+    corpus on cell, exact rerank, per-query window top-k. With
+    ``nprobe == nlist`` this degenerates to exact brute force (tested
+    invariant); recall < 1 otherwise is the accepted trade.
+    """
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm"
+    ).persist()
+
+    seed_rows = base.orderBy("id").limit(nlist).collect()
+    centroids = [list(r["_vec"]) for r in seed_rows]
+
+    def cell_expr(cents: list[list[float]]) -> Column:
+        """argmax-cosine cell id against broadcast centroid literals.
+        array_max over (sim, cell) structs — struct ordering compares
+        sim first; ties break toward the higher cell id, deterministic
+        either way."""
+        entries = []
+        for ci, c in enumerate(cents):
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            plane = F.array(*[F.lit(x) for x in c])
+            sim = _dot(F.col("_vec"), plane) / (F.col("_norm") * F.lit(cn))
+            entries.append(F.struct(sim.alias("s"), F.lit(ci).alias("c")))
+        return F.array_max(F.array(*entries)).getField("c")
+
+    for _ in range(iters):
+        assigned = base.withColumn("cell", cell_expr(centroids))
+        dims = [
+            F.avg(F.element_at(F.col("_vec"), i + 1)).alias(f"d{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("cell").agg(*dims).collect()
+        for r in rows:
+            centroids[r["cell"]] = [r[f"d{i}"] for i in range(dim)]
+
+    corpus = base.withColumn("cell", cell_expr(centroids))
+
+    def probe_expr(cents: list[list[float]]) -> Column:
+        """Top-nprobe cells by cosine, best-first."""
+        entries = []
+        for ci, c in enumerate(cents):
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            plane = F.array(*[F.lit(x) for x in c])
+            sim = _dot(F.col("_vec"), plane) / (F.col("_norm") * F.lit(cn))
+            entries.append(F.struct(sim.alias("s"), F.lit(ci).alias("c")))
+        ordered = F.reverse(F.array_sort(F.array(*entries)))
+        return F.transform(
+            F.slice(ordered, 1, nprobe), lambda e: e.getField("c")
+        )
+
+    probes = (
+        base.filter(F.col("id") < num_queries)
+        .select(F.col("id").alias("qid"), F.col("_vec").alias("q_vec"),
+                F.col("_norm").alias("q_norm"),
+                F.explode(probe_expr(centroids)).alias("cell"))
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("qid") != F.col("id"))
+        .withColumn(
+            "sim",
+            _dot(F.col("q_vec"), F.col("_vec")) / (F.col("q_norm") * F.col("_norm")),
+        )
+        .select("qid", F.col("id").alias("nid"), "sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -189,10 +379,25 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_emb(spark, sf_dir))
 
 
+def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
+def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(_emb(spark, sf_dir), use_lsh=True)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(_emb(spark, sf_dir))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_topk": q_lsh_topk,  # rows-only (approximate recall)
+        "dedup_embedding_cosine": q_neardup_exact,
+        "dedup_embedding_cosine_lsh": q_neardup_lsh,  # rows-only (approx)
+        "sim_ivf_topk": q_ivf_topk,  # rows-only (approximate recall)
     }
 
 
@@ -215,4 +420,15 @@ def entry_oracles() -> dict[str, str]:
             FROM scored
         ) WHERE rank <= {DEFAULT_K}
     """
-    return {"sim_cosine_topk": cosine}
+    neardup = f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+              >= {NEARDUP_THRESHOLD}
+    """
+    return {"sim_cosine_topk": cosine, "dedup_embedding_cosine": neardup}

@@ -105,3 +105,39 @@ def test_minhash_signature_shape(docs):
     sig = dedup.minhash_signatures(docs).limit(5).collect()
     for r in sig:
         assert len(r.sig) == dedup.MINHASH_K
+
+
+def test_embedding_neardup_exact_matches_oracle(emb, ddb):
+    assert_matches_duckdb(
+        similarity.embedding_neardup_pairs(emb), ddb,
+        similarity.entry_oracles()["dedup_embedding_cosine"],
+    )
+
+
+def test_embedding_neardup_lsh_subset_and_recall(emb):
+    """LSH-verified near-dup pairs ⊆ exact pairs (verification removes
+    all false bucket collisions) with usable recall."""
+    exact = {(r.id_a, r.id_b) for r in
+             similarity.embedding_neardup_pairs(emb).collect()}
+    approx = {(r.id_a, r.id_b) for r in
+              similarity.embedding_neardup_pairs(emb, use_lsh=True).collect()}
+    assert approx <= exact
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.6, f"neardup lsh recall too low: {recall}"
+
+
+def test_ivf_full_probe_equals_brute_force(emb):
+    """Probing every cell must reproduce exact top-k bit-for-bit —
+    the IVF partition is then just a routing detail."""
+    full = {tuple(r) for r in
+            similarity.ivf_topk(emb, nprobe=similarity.IVF_NLIST).collect()}
+    exact = {tuple(r) for r in similarity.cosine_topk(emb).collect()}
+    assert full == exact
+
+
+def test_ivf_topk_recall_vs_exact(emb):
+    approx = {(r.qid, r.nid) for r in similarity.ivf_topk(emb).collect()}
+    exact = {(r.qid, r.nid) for r in similarity.cosine_topk(emb).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"ivf recall@10 too low: {recall}"

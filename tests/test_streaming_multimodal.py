@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from query_planner_optimizer_spark.operators import multimodal
 from query_planner_optimizer_spark.streaming import windows
@@ -107,3 +108,26 @@ def test_multimodal_media_table_shape(spark):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media("image", b"\x89PNG")
+
+
+def test_multimodal_frame_pipeline_matches_oracle(spark, ddb):
+    """sample_frames (every-2nd fake frame) → resize_frames (truncate to
+    16x16 bytes) ≡ DuckDB substr arithmetic over the ASCII corpus."""
+    df = multimodal.q_frame_pipeline(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, multimodal.entry_oracles()["multimodal_frame_pipeline"]
+    )
+
+
+def test_sample_frames_fanout_counts(spark):
+    """Every doc emits ceil(n_frames / 2) rows; frame 0 always present."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    media = multimodal.to_media_table(
+        docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "text"
+    )
+    frames = multimodal.sample_frames(media).groupBy("media_id").count()
+    sizes = {r["media_id"]: r["count"] for r in frames.collect()}
+    for row in docs.select("doc_id", F.octet_length(F.col("text")).alias("nb")).collect():
+        n_frames = row["nb"] // multimodal.FRAME_SIZE + 1
+        expect = (n_frames + 1) // 2
+        assert sizes[row["doc_id"]] == expect
