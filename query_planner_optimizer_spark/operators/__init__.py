@@ -19,9 +19,9 @@ def _modules():
         similarity,
         text,
     )
-    from query_planner_optimizer_spark.streaming import windows
+    from query_planner_optimizer_spark.streaming import stateful, windows
 
-    return (dedup, similarity, text, multimodal, windows, analytics)
+    return (dedup, similarity, text, multimodal, windows, stateful, analytics)
 
 
 def entry_queries() -> dict[str, Callable]:

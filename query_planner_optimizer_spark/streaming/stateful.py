@@ -1,0 +1,183 @@
+"""Custom stateful streaming operator: ordered funnel detection.
+
+The one streaming shape built-in windowed aggregation genuinely cannot
+express (SURVEY.md §2.5 notes the reference's funnel hint at
+``claude.md:62`` is never exercised): match an ORDERED stage sequence
+per key — here view → click → purchase, each stage strictly after the
+previous match — with state carried across micro-batches.
+
+Greedy-minimum semantics (deterministic, oracle-expressible): stage 1
+matches at the earliest qualifying event; stage k at the earliest event
+of its type strictly later than the stage k-1 match. Greedy matching is
+complete: a funnel completes under greedy iff any ordered chain exists.
+
+Two physical forms over one shared per-user walk:
+
+- :func:`funnel_batch` — ``groupBy(user).applyInPandas``: Arrow-batched
+  per-key walk over the full history. The DuckDB oracle is the chained
+  min-join SQL in :func:`entry_oracles`.
+- :func:`funnel_stream` — ``applyInPandasWithState``: the same walk
+  resumed from a (stage, match-timestamps) state tuple each
+  micro-batch; emits a snapshot per updated key per batch. Tests prove
+  availableNow streaming snapshots converge to the batch result.
+
+Scale: both forms shuffle once on the key; state per key is four
+scalars, so the state store stays tiny regardless of event volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Default funnel over the driver's events table (TESTDATA.md types).
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, stages_completed int, view_ts timestamp, "
+    "click_ts timestamp, purchase_ts timestamp"
+)
+
+#: Streaming state: stage index + per-stage match epoch-micros (-1 = unset).
+STATE_SCHEMA = "completed int, t1 long, t2 long, t3 long"
+
+_UNSET = -1
+
+
+def _walk(
+    events: pd.DataFrame,
+    stages: tuple[str, ...],
+    completed: int,
+    match_us: list[int],
+) -> tuple[int, list[int]]:
+    """Advance the funnel over a batch of one user's events (any order —
+    sorted here). ``match_us`` holds epoch-microsecond timestamps of the
+    matched stages (_UNSET when unmatched)."""
+    if len(events) == 0 or completed >= len(stages):
+        return completed, match_us
+    ordered = events.sort_values("ts")
+    ts_us = ordered["ts"].astype("int64") // 1000  # ns -> us
+    types = ordered["event_type"]
+    for t_us, etype in zip(ts_us, types):
+        if completed >= len(stages):
+            break
+        if etype != stages[completed]:
+            continue
+        last = match_us[completed - 1] if completed > 0 else None
+        if last is None or t_us > last:
+            match_us[completed] = int(t_us)
+            completed += 1
+    return completed, match_us
+
+
+def _snapshot(user_id: Any, completed: int, match_us: list[int]) -> pd.DataFrame:
+    cols: dict[str, Any] = {"user_id": [user_id], "stages_completed": [completed]}
+    for name, us in zip(("view_ts", "click_ts", "purchase_ts"), match_us):
+        cols[name] = [pd.Timestamp(us, unit="us") if us != _UNSET else pd.NaT]
+    return pd.DataFrame(cols)
+
+
+def funnel_batch(
+    events: DataFrame,
+    stages: tuple[str, ...] = FUNNEL_STAGES,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Batch funnel: one row per user with stage progress + match times."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        completed, match_us = _walk(pdf, stages, 0, [_UNSET] * len(stages))
+        return _snapshot(pdf[key_col].iloc[0], completed, match_us)
+
+    return (
+        events.select(key_col, "ts", "event_type")
+        .groupBy(key_col)
+        .applyInPandas(run, schema=OUTPUT_SCHEMA)
+    )
+
+
+def funnel_stream(
+    events: DataFrame,
+    stages: tuple[str, ...] = FUNNEL_STAGES,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming funnel via applyInPandasWithState: emits the post-batch
+    snapshot for every key that received events in the micro-batch. The
+    LAST snapshot per key equals :func:`funnel_batch` over the same data
+    (snapshots are monotone: a matched stage timestamp never changes)."""
+
+    def run(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            completed, *match_us = state.get
+            match_us = list(match_us)
+        else:
+            completed, match_us = 0, [_UNSET] * len(stages)
+        for pdf in pdfs:
+            completed, match_us = _walk(pdf, stages, completed, match_us)
+        state.update((completed, *match_us))
+        yield _snapshot(key[0], completed, match_us)
+
+    return (
+        events.select(key_col, "ts", "event_type")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            run,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver entry — the batch twin, with the chained min-join SQL oracle.
+# --------------------------------------------------------------------------
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return funnel_batch(events)
+
+
+def entry_queries():
+    return {"stream_funnel": q_funnel}
+
+
+def entry_oracles() -> dict[str, str]:
+    v, c, p = FUNNEL_STAGES
+    funnel = f"""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = '{v}' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = '{c}' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = '{p}' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS stages_completed,
+               t1 AS view_ts, t2 AS click_ts, t3 AS purchase_ts
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    """
+    return {"stream_funnel": funnel}

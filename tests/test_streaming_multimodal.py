@@ -131,3 +131,76 @@ def test_sample_frames_fanout_counts(spark):
         n_frames = row["nb"] // multimodal.FRAME_SIZE + 1
         expect = (n_frames + 1) // 2
         assert sizes[row["doc_id"]] == expect
+
+
+def test_funnel_batch_matches_oracle(spark, ddb):
+    from query_planner_optimizer_spark.streaming import stateful
+
+    df = stateful.q_funnel(spark, SF_DIR)
+    assert_matches_duckdb(df, ddb, stateful.entry_oracles()["stream_funnel"])
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir_timeordered(spark, tmp_path_factory):
+    """Four parquet files covering CONTIGUOUS time ranges, written in
+    chronological order — a replayed stream. (Round-robin files would
+    feed the stateful funnel out of event-time order, which no real
+    event stream does within a key.)"""
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    d = str(tmp_path_factory.mktemp("events_stream_ordered"))
+    events = Catalog(spark, SF_DIR, register_views=False).table("events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ts_us = F.unix_micros(F.col("ts"))
+    cuts = events.select(
+        F.percentile_approx(ts_us, [0.25, 0.5, 0.75], 10000).alias("q")
+    ).collect()[0]["q"]
+    lo = [None, *cuts]
+    hi = [*cuts, None]
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        part = events
+        if a is not None:
+            part = part.filter(ts_us > a)
+        if b is not None:
+            part = part.filter(ts_us <= b)
+        part.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_streaming_funnel_state_across_batches(spark, events_stream_dir_timeordered):
+    """applyInPandasWithState funnel: one file per micro-batch forces the
+    per-user state to survive across batches; the last snapshot per user
+    must equal the batch walk over the full history."""
+    from query_planner_optimizer_spark.streaming import stateful
+
+    src = (
+        spark.readStream.schema(windows.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir_timeordered)
+    )
+    stream = stateful.funnel_stream(src)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM funnel_test").toPandas()
+    # More emitted snapshots than users proves multi-batch re-emission.
+    n_users = got["user_id"].nunique()
+    assert len(got) > n_users
+    final = (
+        got.sort_values(["user_id", "stages_completed"])
+        .drop_duplicates("user_id", keep="last")
+        .reset_index(drop=True)
+    )
+    batch = stateful.funnel_batch(
+        spark.read.parquet(events_stream_dir_timeordered)
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        normalize(final), normalize(batch), check_dtype=False
+    )
