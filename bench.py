@@ -47,6 +47,8 @@ OPERATOR_HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "stream_sessionize",
+    "stream_funnel",
+    "multimodal_frame_pipeline",
 ]
 
 
@@ -63,6 +65,12 @@ def main() -> None:
     spark = get_spark(app_name="qpo-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()  # JVM warmup
+    # Warm the Python workers (Arrow lanes) on every core so pandas-UDF
+    # queries measure the operator, not one-time worker spin-up — on a
+    # long-lived cluster executors are warm.
+    spark.range(32 * 1024).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     # ---- prepare phase (untimed in per-query numbers, reported) ----
     t0 = time.perf_counter()

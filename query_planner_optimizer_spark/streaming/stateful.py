@@ -48,29 +48,36 @@ STATE_SCHEMA = "completed int, t1 long, t2 long, t3 long"
 _UNSET = -1
 
 
+def _ts_us(ts: pd.Series) -> pd.Series:
+    """Timestamps → epoch microseconds (Spark timestamp precision)."""
+    return ts.astype("datetime64[ns]").astype("int64") // 1000
+
+
 def _walk(
     events: pd.DataFrame,
     stages: tuple[str, ...],
     completed: int,
     match_us: list[int],
 ) -> tuple[int, list[int]]:
-    """Advance the funnel over a batch of one user's events (any order —
-    sorted here). ``match_us`` holds epoch-microsecond timestamps of the
-    matched stages (_UNSET when unmatched)."""
+    """Advance one user's funnel over a batch of events. Vectorized per
+    STAGE, not per event: the greedy match for stage k is simply the
+    minimum qualifying timestamp (> stage k-1's match), so each stage is
+    one boolean mask + min. ``match_us`` holds epoch-microsecond match
+    times (_UNSET when unmatched)."""
     if len(events) == 0 or completed >= len(stages):
         return completed, match_us
-    ordered = events.sort_values("ts")
-    ts_us = ordered["ts"].astype("int64") // 1000  # ns -> us
-    types = ordered["event_type"]
-    for t_us, etype in zip(ts_us, types):
-        if completed >= len(stages):
+    ts_us = _ts_us(events["ts"])
+    types = events["event_type"]
+    last = match_us[completed - 1] if completed > 0 else None
+    for k in range(completed, len(stages)):
+        mask = types == stages[k]
+        if last is not None:
+            mask &= ts_us > last
+        if not mask.any():
             break
-        if etype != stages[completed]:
-            continue
-        last = match_us[completed - 1] if completed > 0 else None
-        if last is None or t_us > last:
-            match_us[completed] = int(t_us)
-            completed += 1
+        last = int(ts_us[mask].min())
+        match_us[k] = last
+        completed = k + 1
     return completed, match_us
 
 
@@ -86,16 +93,52 @@ def funnel_batch(
     stages: tuple[str, ...] = FUNNEL_STAGES,
     key_col: str = "user_id",
 ) -> DataFrame:
-    """Batch funnel: one row per user with stage progress + match times."""
+    """Batch funnel: one row per user with stage progress + match times.
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        completed, match_us = _walk(pdf, stages, 0, [_UNSET] * len(stages))
-        return _snapshot(pdf[key_col].iloc[0], completed, match_us)
+    Physical shape: ONE shuffle (repartition by key) then mapInPandas,
+    with the whole partition's users chained in vectorized pandas
+    (stage k = one groupby-min over qualifying events) — not one Arrow
+    round-trip per user, which dominates wall time at high key
+    cardinality. Executor memory holds one partition of (key, ts, type)
+    triples, sized by the partition count upstream."""
+
+    ts_names = ("view_ts", "click_ts", "purchase_ts")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        work = pd.DataFrame(
+            {
+                "k": pdf[key_col],
+                "t": _ts_us(pdf["ts"]),
+                "e": pdf["event_type"],
+            }
+        )
+        out = pd.DataFrame(
+            {"user_id": work["k"].unique()}
+        ).set_index("user_id")
+        last: pd.Series | None = None
+        for name, stage in zip(ts_names, stages):
+            sel = work[work["e"] == stage]
+            if last is not None:
+                prior = sel["k"].map(last)
+                sel = sel[sel["t"] > prior]  # NaN prior → False → drop
+            mins = sel.groupby("k")["t"].min()
+            out[name] = out.index.map(mins)
+            last = mins
+        out["stages_completed"] = out[list(ts_names)].notna().sum(axis=1)
+        res = out.reset_index()
+        res["stages_completed"] = res["stages_completed"].astype("int32")
+        for name in ts_names:
+            res[name] = pd.to_datetime(res[name], unit="us")
+        yield res[["user_id", "stages_completed", *ts_names]]
 
     return (
         events.select(key_col, "ts", "event_type")
-        .groupBy(key_col)
-        .applyInPandas(run, schema=OUTPUT_SCHEMA)
+        .withColumnRenamed(key_col, "user_id")
+        .repartition("user_id")
+        .mapInPandas(run, schema=OUTPUT_SCHEMA)
     )
 
 
