@@ -76,11 +76,18 @@ def main() -> None:
     t0 = time.perf_counter()
     cat = Catalog(spark, SF_DIR, register_views=False)
     agg_dir = os.path.join(tempfile.mkdtemp(prefix="qpo_bench_"), "aggregates")
-    build_rollups(cat.table("events"), agg_dir, DRIVER_EVENTS_ROLLUPS)
+    build_rollups(
+        cat.table("events"),
+        agg_dir,
+        DRIVER_EVENTS_ROLLUPS,
+        tables={"lineitem": cat.table("lineitem")},
+    )
     prepare_sec = round(time.perf_counter() - t0, 4)
 
     runner = QueryRunner(spark, cat, aggregates_dir=agg_dir, use_cache=False)
-    runner.router.keys = {n: s["keys"] for n, s in DRIVER_EVENTS_ROLLUPS.items()}
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+
+    runner.router = RollupRouter(spark, agg_dir, DRIVER_EVENTS_ROLLUPS)
 
     from __spark_entry__ import DSL_QUERIES
 

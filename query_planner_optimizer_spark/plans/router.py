@@ -41,17 +41,24 @@ from query_planner_optimizer_spark.dsl import compiler as C
 
 class RollupRouter:
     def __init__(self, spark: SparkSession, aggregates_dir: str,
-                 rollup_keys: dict[str, list[str]] | None = None):
-        """``rollup_keys``: name → grouping keys; defaults to
-        ``prepare.ROLLUPS``. Rollup measures are discovered from the
-        parquet schema (sum_*/count_*/n_rows columns)."""
+                 rollup_keys: dict[str, list[str] | dict] | None = None):
+        """``rollup_keys``: name → grouping-key list, or a full spec dict
+        ``{"keys": [...], "table": "<source table>"}`` (table defaults to
+        ``events``); defaults to ``prepare.ROLLUPS``. Rollup measures are
+        discovered from the parquet schema (sum_*/count_*/n_rows)."""
         from query_planner_optimizer_spark.prepare import ROLLUPS
 
         self.spark = spark
         self.dir = aggregates_dir
-        self.keys = rollup_keys or {
-            name: spec["keys"] for name, spec in ROLLUPS.items()
-        }
+        self.keys: dict[str, list[str]] = {}
+        self.tables: dict[str, str] = {}
+        for name, spec in (rollup_keys or ROLLUPS).items():
+            if isinstance(spec, dict):
+                self.keys[name] = list(spec["keys"])
+                self.tables[name] = spec.get("table", "events")
+            else:
+                self.keys[name] = list(spec)
+                self.tables[name] = "events"
         self._frames: dict[str, DataFrame] = {}
         self.routed = 0
         self.fallbacks = 0
@@ -101,8 +108,7 @@ class RollupRouter:
 
     def route(self, q: dict) -> DataFrame | None:
         """Rewrite ``q`` onto a qualifying rollup, or return None."""
-        if (q.get("from", "events")) != "events":
-            return None
+        qtable = q.get("from", "events")
         agg_terms = self._agg_terms(q)
         if not agg_terms:
             return None  # plain row-level select can't come from a rollup
@@ -110,6 +116,8 @@ class RollupRouter:
 
         candidates = []
         for name in self._available():
+            if self.tables.get(name, "events") != qtable:
+                continue
             keys = set(self.keys[name])
             if not plain <= keys:
                 continue

@@ -99,18 +99,45 @@ DRIVER_EVENTS_ROLLUPS: dict[str, dict] = {
         "keys": ["minute", "day", "event_type"],
         "aggs": {"value": ["sum", "count"]},
     },
+    # Pricing-summary grain over lineitem: the shipdate filter column is
+    # part of the grain, so date-ranged pricing queries re-aggregate the
+    # rollup instead of scanning the fact table (reference pattern-2
+    # shape, query_engine.py:243-280, done with subsumption proofs).
+    "agg_lineitem_pricing": {
+        "table": "lineitem",
+        "keys": ["l_returnflag", "l_linestatus", "l_shipdate"],
+        "aggs": {
+            "l_quantity": ["sum", "count"],
+            "l_extendedprice": ["sum", "count"],
+            "l_discount": ["sum", "count"],
+        },
+    },
 }
 
 
 def build_rollups(
-    events: DataFrame, agg_dir: str, rollups: dict[str, dict] | None = None
+    events: DataFrame,
+    agg_dir: str,
+    rollups: dict[str, dict] | None = None,
+    tables: dict[str, DataFrame] | None = None,
 ) -> list[str]:
-    """Materialize rollup tables for :class:`plans.router.RollupRouter`."""
+    """Materialize rollup tables for :class:`plans.router.RollupRouter`.
+
+    ``events`` sources specs without a ``table`` field; specs naming
+    another table resolve through ``tables`` and are skipped (not
+    mis-built) when it isn't provided."""
     rollups = rollups or ROLLUPS
     written = []
     for name, spec in rollups.items():
-        keys = [k for k in spec["keys"] if k in events.columns]
-        rollup_frame(events, keys, spec["aggs"]).write.mode("overwrite").parquet(
+        t = spec.get("table", "events")
+        if t == "events":
+            src = events
+        elif tables and t in tables:
+            src = tables[t]
+        else:
+            continue
+        keys = [k for k in spec["keys"] if k in src.columns]
+        rollup_frame(src, keys, spec["aggs"]).write.mode("overwrite").parquet(
             os.path.join(agg_dir, f"{name}.parquet")
         )
         written.append(name)

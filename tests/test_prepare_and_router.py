@@ -199,3 +199,40 @@ def test_prepared_layout_is_hive_partitioned(prepared):
     assert type_dirs == ["type=click", "type=impression", "type=purchase",
                          "type=serve"]
     assert glob.glob(f"{part}/type=impression/day=*/*.parquet")
+
+
+def test_router_lineitem_pricing_rollup(spark, catalog, tmp_path):
+    """A table-scoped rollup (lineitem pricing grain) routes the pricing
+    summary and re-aggregates to exactly the scan result; queries on
+    other tables never touch it."""
+    from query_planner_optimizer_spark.dsl.compiler import compile_query
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import (
+        DRIVER_EVENTS_ROLLUPS,
+        build_rollups,
+    )
+    from __spark_entry__ import DSL_QUERIES
+
+    agg_dir = str(tmp_path / "aggs")
+    written = build_rollups(
+        catalog.table("events"),
+        agg_dir,
+        DRIVER_EVENTS_ROLLUPS,
+        tables={"lineitem": catalog.table("lineitem")},
+    )
+    assert "agg_lineitem_pricing" in written
+    router = RollupRouter(spark, agg_dir, DRIVER_EVENTS_ROLLUPS)
+
+    q = DSL_QUERIES["dsl_pricing_summary"]
+    routed = router.route(q)
+    assert routed is not None and router.routed == 1
+    direct = compile_query(q, catalog)
+    assert [r.asDict() for r in routed.collect()] == [
+        r.asDict() for r in direct.collect()
+    ]
+
+    # Same shape against events must NOT use the lineitem rollup.
+    q_events = DSL_QUERIES["dsl_groupby_sum"]
+    r2 = router.route(q_events)
+    if r2 is not None:
+        assert router.tables["agg_lineitem_pricing"] == "lineitem"
