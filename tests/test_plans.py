@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from query_planner_optimizer_spark.dsl.compiler import compile_query
 from query_planner_optimizer_spark.functions.skew import salted_groupby_agg
 
-from .conftest import normalize
+from .conftest import SF_DIR, normalize
 
 
 def _plan(df) -> str:
@@ -92,3 +92,37 @@ def test_salted_groupby_with_salt_col(spark, catalog):
 
     pd.testing.assert_frame_equal(normalize(got), normalize(want),
                                   check_dtype=False)
+
+
+def test_similarity_plans_avoid_cross_products(spark):
+    """LSH bucket joins must be hash equi-joins: a CartesianProduct or
+    BroadcastNestedLoopJoin in these plans means the bucket key stopped
+    acting as the join key and the operator degenerated to N²."""
+    from query_planner_optimizer_spark.operators import dedup, similarity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for df in (
+        similarity.embedding_neardup_pairs(emb, use_lsh=True),
+        similarity.lsh_topk(emb),
+        dedup.minhash_lsh_pairs(docs, threshold=0.2),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    from query_planner_optimizer_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert "BroadcastExchange" in _plan(similarity.cosine_topk(emb))
+
+
+def test_funnel_batch_single_shuffle(spark, catalog):
+    """The batch funnel is one repartition-by-key then map-only python:
+    exactly one shuffle exchange in the plan."""
+    from query_planner_optimizer_spark.streaming import stateful
+
+    plan = _plan(stateful.funnel_batch(catalog.table("events")))
+    assert plan.count("Exchange hashpartitioning") == 1
