@@ -17,11 +17,15 @@ def _modules():
         dedup,
         multimodal,
         similarity,
+        temporal,
         text,
     )
     from query_planner_optimizer_spark.streaming import stateful, windows
 
-    return (dedup, similarity, text, multimodal, windows, stateful, analytics)
+    return (
+        dedup, similarity, text, multimodal, windows, stateful, analytics,
+        temporal,
+    )
 
 
 def entry_queries() -> dict[str, Callable]:

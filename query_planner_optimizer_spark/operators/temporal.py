@@ -1,0 +1,194 @@
+"""Temporal joins: as-of and range joins — operators Spark's join
+syntax lacks (no ASOF keyword), expressed as compositions of built-in
+DataFrame ops so Catalyst still plans the shuffles.
+
+- :func:`asof_join` — for each left row, the single right row with the
+  greatest right.ts <= left.ts (``backward``; ``forward`` mirrors with
+  the smallest right.ts >= left.ts) within the same key. Implemented as
+  the union/carry-forward trick: tag both sides, sort each key's rows by
+  (ts, side), and carry the latest right values forward with
+  ``last(..., ignorenulls)`` over an unbounded-preceding window. ONE
+  shuffle on the key — never a per-row range probe, never a cross join.
+  This is the standard distributed as-of shape (the merge in
+  pandas.merge_asof, done with a window instead of a sorted walk).
+- :func:`range_join` — inequality-band join (left.ts within
+  [right.start, right.end)) bucketized to an equi-join on coarse time
+  buckets + residual filter, so the planner gets a hash join key
+  instead of a BroadcastNestedLoopJoin over the raw inequality.
+
+DuckDB has native ``ASOF JOIN`` — the driver oracle uses it, giving an
+independent implementation to hash-match against.
+
+Tie/duplicate discipline: if several right rows share (key, ts) the
+match would be ambiguous; callers dedupe the right side first (the
+driver entry keeps the max event_id per (user, ts), mirrored in the
+oracle SQL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    direction: str = "backward",
+    suffix: str = "matched",
+) -> DataFrame:
+    """As-of join: attach the temporally nearest right row per left row.
+
+    ``backward``: greatest right ts <= left ts. ``forward``: smallest
+    right ts >= left ts. Output = every left column plus
+    ``{suffix}_ts`` and ``{suffix}_<col>`` for each value column
+    (NULL when no qualifying right row exists).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+
+    left_cols = left.columns
+    lhs = left.select(
+        *left_cols,
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__r_ts"),
+    )
+    rhs = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(ts_col).alias("__r_ts"),
+    )
+    # Missing left-only columns on the right side become NULLs.
+    for c in left_cols:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    rhs = rhs.select(*lhs.columns)
+    both = lhs.unionByName(rhs)
+
+    # Sort order: backward scans time ascending with right rows first at
+    # equal ts (so a right row at exactly left.ts matches — <=);
+    # forward scans descending with right rows first (>=). last() with
+    # ignorenulls then carries the nearest right row onto each left row.
+    if direction == "backward":
+        order = [F.col(ts_col).asc(), F.col("__is_left").asc()]
+    else:
+        order = [F.col(ts_col).desc(), F.col("__is_left").asc()]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        *left_cols,
+        F.col("__is_left"),
+        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{suffix}_ts"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{suffix}_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_unit: str = "hour",
+) -> DataFrame:
+    """Band join: left rows whose ``ts`` falls in a right row's
+    [start, end) interval, same key. Both sides bucketize to coarse time
+    buckets (the right side explodes once per overlapped bucket) and
+    hash-join on (key, bucket) before the exact residual filter — the
+    planner never sees a raw inequality join, so no nested-loop
+    fallback. Pick ``bucket_unit`` near the typical interval length:
+    fan-out is ceil(interval/bucket)+1 rows per right interval.
+    """
+    step = F.expr(f"INTERVAL 1 {bucket_unit}")
+    lb = left.withColumn("__bkt", F.date_trunc(bucket_unit, F.col(ts_col)))
+    rb = right.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket_unit, F.col(start_col)),
+                F.date_trunc(bucket_unit, F.col(end_col)),
+                step,
+            )
+        ),
+    )
+    joined = lb.join(rb, [on, "__bkt"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("__bkt")
+
+
+# --------------------------------------------------------------------------
+# Driver entry: attach the most recent prior click to every purchase.
+# --------------------------------------------------------------------------
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # One click per (user, ts): keep the max event_id (tie discipline
+    # mirrored in the oracle).
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts", value_cols=("value",)
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("value", 6).alias("purchase_value"),
+        "matched_ts",
+        F.round("matched_value", 6).alias("click_value"),
+    )
+
+
+def entry_queries() -> dict[str, Callable]:
+    return {"temporal_asof_join": q_asof_purchase_click}
+
+
+def entry_oracles() -> dict[str, str]:
+    asof = """
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT event_id, user_id, ts, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+            ) WHERE rn = 1
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               ROUND(p.value, 6) AS purchase_value,
+               c.ts AS matched_ts,
+               ROUND(c.value, 6) AS click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    """
+    return {"temporal_asof_join": asof}

@@ -1,0 +1,81 @@
+"""Temporal join tests: as-of (vs DuckDB's native ASOF JOIN — an
+independent implementation) and the bucketized range join (vs a plain
+inequality join on the same inputs)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from query_planner_optimizer_spark.operators import temporal
+
+from .conftest import SF_DIR, assert_matches_duckdb, normalize
+
+
+def test_asof_backward_matches_duckdb_asof(spark, ddb):
+    df = temporal.q_asof_purchase_click(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, temporal.entry_oracles()["temporal_asof_join"]
+    )
+
+
+def test_asof_forward_semantics(spark, catalog):
+    """Forward direction: smallest right ts >= left ts; verified against
+    a window-free groupBy-min construction."""
+    events = catalog.table("events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    ).groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    got = temporal.asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        value_cols=("value",), direction="forward",
+    ).toPandas()
+    # Oracle: min click ts >= purchase ts per purchase, via a join+min.
+    p, c = purchases.alias("p"), clicks.alias("c")
+    want = (
+        p.join(c, (F.col("p.user_id") == F.col("c.user_id"))
+               & (F.col("c.ts") >= F.col("p.ts")), "left")
+        .groupBy("p.event_id", "p.user_id", "p.ts")
+        .agg(F.min(F.col("c.ts")).alias("matched_ts"))
+        .toPandas()
+    )
+    g = got[["event_id", "matched_ts"]].sort_values("event_id").reset_index(drop=True)
+    w = want[["event_id", "matched_ts"]].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_range_join_equals_inequality_join(spark, catalog):
+    """Bucketized range join ≡ the raw inequality join it replaces."""
+    events = catalog.table("events")
+    left = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 90 minutes")).alias("end"),
+        )
+    )
+    got = temporal.range_join(
+        left, right, on="user_id", ts_col="ts"
+    ).select("event_id", "start").toPandas()
+    want = (
+        left.join(right, "user_id")
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")))
+        .select("event_id", "start")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want), check_dtype=False
+    )
+    # And the physical plan is a hash join, not a nested loop.
+    plan = temporal.range_join(
+        left, right, on="user_id", ts_col="ts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
