@@ -59,6 +59,48 @@ def lag_delta_seconds(
     )
 
 
+def distinct_count(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Exact DISTINCT aggregate (absent from the reference DSL,
+    SURVEY.md §2.3) alongside the approximate HLL sketch — the scale
+    path at 100 TB, where exact distinct is a two-shuffle expand and
+    the sketch is a single mergeable pass."""
+    return df.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(value_col)).alias("n_distinct"),
+        F.approx_count_distinct(F.col(value_col), 0.01).alias("n_approx"),
+    )
+
+
+def group_quantiles(
+    df: DataFrame, group_cols: list[str], value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both linear interpolation). At 100 TB use
+    ``percentile_approx`` (mergeable t-digest-style sketch) — tested
+    against this exact form for error bounds."""
+    pct = F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs]))
+    agg = df.groupBy(*group_cols).agg(pct.alias("__p"))
+    outs = [
+        F.round(F.col("__p")[i], 6).alias(f"p{int(q * 100)}")
+        for i, q in enumerate(qs)
+    ]
+    return agg.select(*group_cols, *outs)
+
+
+def rollup_counts(
+    df: DataFrame, cols: list[str], value_col: str
+) -> DataFrame:
+    """GROUP BY ROLLUP over ``cols`` (hierarchical subtotals + grand
+    total) — grouping sets are absent from the reference
+    (SURVEY.md §2.3) but native in both Spark and the oracle."""
+    return df.rollup(*cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(value_col), 6).alias("sum_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -84,11 +126,42 @@ def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    # The approx column is engine-specific (HLL++ vs DuckDB's sketch) —
+    # exact column is the oracle-checked surface, approx is bounds-tested
+    # in pytest; the driver entry exposes only the exact column.
+    return distinct_count(events, ["event_type"], "user_id").select(
+        "event_type", "n_distinct"
+    )
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return group_quantiles(events, ["event_type"], "value")
+
+
+def q_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    # Subtotal rows carry NULL grouping keys; emit 'ALL' sentinels so
+    # the result is string-typed on both engines (date-vs-NaT encodings
+    # of NULL differ between Spark and DuckDB result frames).
+    return rollup_counts(events, ["day", "event_type"], "value").select(
+        F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        "n_rows",
+        "sum_value",
+    )
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "analytics_topn_per_group": q_topn_orders,
         "analytics_running_sum": q_running_sum,
         "analytics_lag_delta": q_lag_delta,
+        "analytics_distinct_users": q_distinct_users,
+        "analytics_quantiles": q_value_quantiles,
+        "analytics_rollup_counts": q_rollup_day_type,
     }
 
 
@@ -115,8 +188,32 @@ def entry_oracles() -> dict[str, str]:
                           ORDER BY ts, event_id)) AS delta_us
         FROM events
     """
+    distinct = """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY event_type
+    """
+    quantiles = """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """
+    rollup = """
+        SELECT COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+               COALESCE(event_type, 'ALL') AS event_type,
+               n_rows, sum_value
+        FROM (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   COUNT(*) AS n_rows, ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+        )
+    """
     return {
         "analytics_topn_per_group": topn,
         "analytics_running_sum": run_sum,
         "analytics_lag_delta": lag_d,
+        "analytics_distinct_users": distinct,
+        "analytics_quantiles": quantiles,
+        "analytics_rollup_counts": rollup,
     }

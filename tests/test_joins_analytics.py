@@ -93,3 +93,27 @@ def test_join_without_on_raises(catalog):
              "join": [{"table": "nation"}]},
             catalog,
         )
+
+
+def test_approx_distinct_within_rsd(spark, catalog):
+    """HLL++ sketch (the 100 TB path) stays within ~3x its declared 1%
+    relative standard deviation of the exact distinct count."""
+    from query_planner_optimizer_spark.operators.analytics import distinct_count
+
+    rows = distinct_count(
+        catalog.table("events"), ["event_type"], "user_id"
+    ).collect()
+    for r in rows:
+        assert abs(r.n_approx - r.n_distinct) <= max(3, 0.03 * r.n_distinct), r
+
+
+def test_percentile_approx_tracks_exact(spark, catalog):
+    from pyspark.sql import functions as F
+
+    events = catalog.table("events")
+    got = events.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("exact"),
+        F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(10000)).alias("approx"),
+    ).collect()
+    for r in got:
+        assert abs(r.approx - r.exact) <= 0.05 * max(1.0, abs(r.exact)), r
