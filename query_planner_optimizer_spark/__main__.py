@@ -1,0 +1,162 @@
+"""Two-phase CLI mirroring the reference's entry points so a reference
+user can switch without changing their workflow:
+
+    # reference: python prepare_optimized.py --data-dir D --optimized-dir O
+    python -m query_planner_optimizer_spark prepare \
+        --data-dir /path/to/csvs --optimized-dir /path/to/optimized
+
+    # reference: python main.py --optimized-dir O --out-dir R
+    python -m query_planner_optimizer_spark run \
+        --optimized-dir /path/to/optimized --out-dir /path/to/results \
+        [--queries-file queries.json] [--no-router] [--no-cache]
+
+``run`` also accepts ``--data-dir`` with raw parquet tables (the driver
+testdata layout) instead of a prepared dir. Queries default to the
+reference's five benchmark shapes (reference ``inputs.py:7-47``) and
+can be overridden with a JSON file holding a list of DSL dicts — the
+``--queries-file`` flag the reference documents but never implemented
+(doc/code drift noted in SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+#: The reference's benchmark query set (reference ``inputs.py:7-47``,
+#: = example_queries.json), restated in the DSL grammar claude.md:82-143.
+REFERENCE_BENCHMARK_QUERIES: list[dict] = [
+    {
+        "select": ["day", {"SUM": "bid_price"}],
+        "from": "events",
+        "where": [{"col": "type", "op": "eq", "val": "impression"}],
+        "group_by": ["day"],
+    },
+    {
+        "select": ["publisher_id", {"SUM": "bid_price"}],
+        "from": "events",
+        "where": [
+            {"col": "type", "op": "eq", "val": "impression"},
+            {"col": "country", "op": "eq", "val": "JP"},
+            {"col": "day", "op": "between",
+             "val": ["2024-10-20", "2024-10-23"]},
+        ],
+        "group_by": ["publisher_id"],
+    },
+    {
+        "select": ["country", {"AVG": "total_price"}],
+        "from": "events",
+        "where": [{"col": "type", "op": "eq", "val": "purchase"}],
+        "group_by": ["country"],
+        "order_by": [{"col": "AVG(total_price)", "dir": "desc"}],
+    },
+    {
+        "select": ["advertiser_id", "type", {"COUNT": "*"}],
+        "from": "events",
+        "group_by": ["advertiser_id", "type"],
+        "order_by": [{"col": "COUNT(*)", "dir": "desc"}],
+    },
+    {
+        "select": ["minute", {"SUM": "bid_price"}],
+        "from": "events",
+        "where": [
+            {"col": "type", "op": "eq", "val": "impression"},
+            {"col": "day", "op": "eq", "val": "2024-06-01"},
+        ],
+        "group_by": ["minute"],
+        "order_by": [{"col": "minute", "dir": "asc"}],
+    },
+]
+
+
+def _spark(app: str):
+    from query_planner_optimizer_spark.session import get_spark
+
+    spark = get_spark(app_name=app)
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def cmd_prepare(args: argparse.Namespace) -> int:
+    from query_planner_optimizer_spark.prepare import prepare
+
+    spark = _spark("qpo-spark-prepare")
+    result = prepare(spark, args.data_dir, args.optimized_dir)
+    print(f"partitioned: {result.partitioned_dir}")
+    print(f"aggregates:  {result.aggregates_dir} "
+          f"({len(result.rollups)} rollups: {', '.join(result.rollups)})")
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.runner import QueryRunner
+
+    spark = _spark("qpo-spark-run")
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            queries = json.load(f)
+        if not isinstance(queries, list):
+            raise SystemExit("--queries-file must hold a JSON list of queries")
+    else:
+        queries = REFERENCE_BENCHMARK_QUERIES
+
+    agg_dir = None
+    if args.optimized_dir:
+        data_dir = args.optimized_dir
+        overrides = {
+            "events": os.path.join(args.optimized_dir, "partitioned")
+        }
+        cand = os.path.join(args.optimized_dir, "aggregates")
+        agg_dir = cand if os.path.isdir(cand) and not args.no_router else None
+        cat = Catalog(spark, data_dir, overrides=overrides)
+    else:
+        cat = Catalog(spark, args.data_dir)
+
+    runner = QueryRunner(
+        spark, cat, aggregates_dir=agg_dir, use_cache=not args.no_cache
+    )
+    report = runner.run(queries, out_dir=args.out_dir)
+    for run in report.runs:
+        status = "ERROR " + (run.error or "") if run.error else (
+            f"{len(run.rows)} rows"
+            + (" [routed]" if run.routed else "")
+            + (" [cached]" if run.cached else "")
+        )
+        print(f"q{run.index}: {run.seconds * 1000:.1f} ms — {status}")
+    print(f"total: {report.total_seconds * 1000:.1f} ms "
+          f"({len(report.runs)} queries) → {args.out_dir}")
+    return 1 if any(r.error for r in report.runs) else 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="query_planner_optimizer_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("prepare", help="CSV events → partitioned parquet + rollups")
+    pp.add_argument("--data-dir", required=True,
+                    help="directory of events_part_*.csv (reference layout)")
+    pp.add_argument("--optimized-dir", required=True,
+                    help="output dir (partitioned/ + aggregates/)")
+    pp.set_defaults(fn=cmd_prepare)
+
+    pr = sub.add_parser("run", help="execute DSL queries → q<i>.csv + timings")
+    src = pr.add_mutually_exclusive_group(required=True)
+    src.add_argument("--optimized-dir", help="prepared dir from `prepare`")
+    src.add_argument("--data-dir", help="raw parquet tables dir (TESTDATA.md layout)")
+    pr.add_argument("--out-dir", required=True)
+    pr.add_argument("--queries-file", help="JSON list of DSL query dicts")
+    pr.add_argument("--no-router", action="store_true",
+                    help="disable rollup routing (always scan)")
+    pr.add_argument("--no-cache", action="store_true",
+                    help="disable the md5 result cache")
+    pr.set_defaults(fn=cmd_run)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
