@@ -204,7 +204,12 @@ def minhash_lsh_pairs(
     # persist_shingles=False and let lineage recompute.
     ds = _doc_shingle_hashes(df, id_col, text_col, n)
     if persist_shingles and verify:
+        # Materialize eagerly: the banded self-join's two map stages and
+        # the two verification joins all consume ds concurrently — with
+        # a lazy persist they race and can each compute the tokenize+
+        # hash lineage before the cache fills.
         ds = ds.persist()
+        ds.count()
     sig = ds.select("doc_id", _minhash_sig(F.col("hs"), k).alias("sig"))
     # Band key = one long hash of the band's r signature values (cheaper
     # to shuffle/compare than a concatenated string key).
