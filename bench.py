@@ -93,20 +93,33 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
 
-    for name in DSL_HEADLINE:
+    def run_dsl(name: str) -> float:
         t0 = time.perf_counter()
         run = runner.run_one(DSL_QUERIES[name])
         if run.error:
             raise RuntimeError(f"{name}: {run.error}")
-        timings[name] = round(time.perf_counter() - t0, 4)
+        return round(time.perf_counter() - t0, 4)
 
-    for name in OPERATOR_HEADLINE:
+    def run_op(name: str) -> float:
         t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
         # collect() so the full result is computed and fetched.
-        _ = df.collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        qs[name](spark, SF_DIR).collect()
+        return round(time.perf_counter() - t0, 4)
+
+    # Pass 1 (the headline "value"): first execution — includes plan
+    # compilation, mirroring the reference's cold-process run
+    # (Makefile:232-233). Pass 2 ("value_warm"): repeat execution,
+    # mirroring its repeat-run numbers (Makefile:242-244).
+    for name in DSL_HEADLINE:
+        timings[name] = run_dsl(name)
+    for name in OPERATOR_HEADLINE:
+        timings[name] = run_op(name)
+    for name in DSL_HEADLINE:
+        warm[name] = run_dsl(name)
+    for name in OPERATOR_HEADLINE:
+        warm[name] = run_op(name)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -118,6 +131,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "prepare_sec": prepare_sec,
         "routed": runner.router.routed,
+        "value_warm": round(sum(warm.values()), 4),
+        "queries_warm": warm,
     }))
     spark.stop()
 
