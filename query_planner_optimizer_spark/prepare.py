@@ -144,6 +144,32 @@ def build_rollups(
     return written
 
 
+def bucketize(
+    df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    num_buckets: int = 64,
+    sorted_buckets: bool = True,
+) -> DataFrame:
+    """Write a bucketed (and bucket-sorted) copy of a table so joins and
+    aggregations on the bucket keys are CO-LOCATED — both sides read
+    pre-hashed buckets and the planner emits a SortMergeJoin with no
+    Exchange (audited in tests). This is the prepare-time answer to the
+    biggest repeated cost at 100 TB: a fact-fact join (orders⋈lineitem)
+    re-shuffling terabytes on every query. Size ``num_buckets`` to the
+    target parallelism (~2-4x executor cores at full scale).
+
+    Registered through the session catalog (``saveAsTable``): bucketing
+    metadata lives in the metastore, which is what lets Catalyst trust
+    the layout.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
+    if sorted_buckets:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table_name)
+    return df.sparkSession.table(table_name)
+
+
 @dataclass
 class PrepareResult:
     partitioned_dir: str

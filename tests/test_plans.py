@@ -126,3 +126,33 @@ def test_funnel_batch_single_shuffle(spark, catalog):
 
     plan = _plan(stateful.funnel_batch(catalog.table("events")))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketized_join_is_shuffle_free(spark, catalog, request):
+    """Pre-bucketed fact-fact join: both sides read co-located buckets,
+    so the plan is a SortMergeJoin with NO Exchange — the prepare-time
+    fix for re-shuffling terabytes per join at full scale."""
+    from query_planner_optimizer_spark.prepare import bucketize
+
+    bo = bucketize(catalog.table("orders"), "b_orders_t", ["o_orderkey"], 8)
+    bl = bucketize(
+        catalog.table("lineitem"), "b_lineitem_t", ["l_orderkey"], 8
+    )
+    request.addfinalizer(lambda: [
+        spark.sql("DROP TABLE IF EXISTS b_orders_t"),
+        spark.sql("DROP TABLE IF EXISTS b_lineitem_t"),
+    ])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        plain = catalog.table("orders").join(
+            catalog.table("lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
