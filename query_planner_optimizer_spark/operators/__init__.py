@@ -15,6 +15,7 @@ def _modules():
     from query_planner_optimizer_spark.operators import (
         analytics,
         dedup,
+        docpipe,
         multimodal,
         similarity,
         temporal,
@@ -24,7 +25,7 @@ def _modules():
 
     return (
         dedup, similarity, text, multimodal, windows, stateful, analytics,
-        temporal,
+        temporal, docpipe,
     )
 
 

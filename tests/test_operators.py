@@ -141,3 +141,27 @@ def test_ivf_topk_recall_vs_exact(emb):
     exact = {(r.qid, r.nid) for r in similarity.cosine_topk(emb).collect()}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"ivf recall@10 too low: {recall}"
+
+
+def test_clean_corpus_pipeline_matches_oracle(spark, ddb):
+    from query_planner_optimizer_spark.operators import docpipe
+
+    df = docpipe.q_clean_corpus(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, docpipe.entry_oracles()["pipeline_clean_corpus"]
+    )
+
+
+def test_clean_corpus_drops_rejects_before_shuffle(spark, catalog):
+    """The quality/language gates are scan-side: the filter must appear
+    below the window exchange in the physical plan."""
+    from query_planner_optimizer_spark.operators import docpipe
+
+    df = docpipe.clean_corpus(catalog.table("documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchange_pos = plan.find("Exchange")
+    filter_pos = plan.rfind("Filter")
+    assert exchange_pos != -1 and filter_pos != -1
+    # toString prints operators top-down; a Filter BELOW the exchange
+    # appears after it in the dump.
+    assert filter_pos > exchange_pos
