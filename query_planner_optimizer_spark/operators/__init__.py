@@ -17,6 +17,7 @@ def _modules():
         dedup,
         docpipe,
         multimodal,
+        sampling,
         similarity,
         temporal,
         text,
@@ -25,7 +26,7 @@ def _modules():
 
     return (
         dedup, similarity, text, multimodal, windows, stateful, analytics,
-        temporal, docpipe,
+        temporal, docpipe, sampling,
     )
 
 

@@ -1,0 +1,108 @@
+"""Deterministic sampling and dataset splits by key hash.
+
+Training pipelines need sampling that is (a) reproducible across runs
+and engines — no RNG state, no partition-order dependence — and (b)
+stable under data growth: a document's split assignment never changes
+when other rows come or go. Both follow from hashing the KEY, not
+rolling dice per row: bucket = first 8 hex digits of md5(key) mod B.
+
+md5 is identical everywhere (unlike xxhash64/rand, which are
+engine-specific), so these are oracle-checkable bit-for-bit, and a
+sample drawn in Spark matches one drawn in DuckDB/pandas for the same
+keys — which is exactly the property you want when a 100 TB corpus and
+its 0.1% eval sample are processed by different systems.
+
+Map-only: no shuffle, fuses into the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Bucket space; fractions resolve to whole buckets (granularity 1e-6).
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column) -> Column:
+    """Stable bucket in [0, BUCKETS): first 32 bits of md5(key)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+    return h.cast("long") % BUCKETS
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep rows whose key hashes below ``fraction`` of bucket space."""
+    return df.filter(hash_bucket(F.col(key_col)) < int(fraction * BUCKETS))
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label by key hash; fractions must sum to
+    <= 1 (any remainder is labeled NULL, letting callers hold data out
+    entirely). Assignment is per-key: all rows of one key land in the
+    same split, and adding/removing other keys never reassigns it."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = hash_bucket(F.col(key_col))
+    expr = None
+    lo = 0
+    for name, frac in splits.items():
+        hi = lo + int(frac * BUCKETS)
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn(split_col, expr)
+
+
+# --------------------------------------------------------------------------
+# Driver entries
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_sample(_docs(spark, sf_dir), "doc_id", 0.10).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_by_hash(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "split"
+    )
+
+
+def entry_queries() -> dict[str, Callable]:
+    return {
+        "sample_hash_10pct": q_sample_10pct,
+        "sample_split_assignments": q_split_assignments,
+    }
+
+
+_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+    f"% {BUCKETS}"
+)
+
+
+def entry_oracles() -> dict[str, str]:
+    sample = f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {_BUCKET_SQL} < {int(0.10 * BUCKETS)}
+    """
+    split = f"""
+        SELECT doc_id,
+               CASE WHEN b < {int(0.8 * BUCKETS)} THEN 'train'
+                    WHEN b < {int(0.9 * BUCKETS)} THEN 'val'
+                    WHEN b < {BUCKETS} THEN 'test'
+               END AS split
+        FROM (SELECT doc_id, {_BUCKET_SQL} AS b FROM documents)
+    """
+    return {"sample_hash_10pct": sample, "sample_split_assignments": split}

@@ -165,3 +165,45 @@ def test_clean_corpus_drops_rejects_before_shuffle(spark, catalog):
     # toString prints operators top-down; a Filter BELOW the exchange
     # appears after it in the dump.
     assert filter_pos > exchange_pos
+
+
+def test_hash_sample_matches_oracle(spark, ddb):
+    from query_planner_optimizer_spark.operators import sampling
+
+    df = sampling.q_sample_10pct(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, sampling.entry_oracles()["sample_hash_10pct"]
+    )
+
+
+def test_split_assignments_match_oracle_and_are_stable(spark, ddb):
+    from query_planner_optimizer_spark.operators import sampling
+
+    df = sampling.q_split_assignments(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, sampling.entry_oracles()["sample_split_assignments"]
+    )
+    # Stability: assignments computed on a SUBSET agree row-for-row —
+    # adding/removing other rows never reassigns a key.
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = {r.doc_id: r.split
+            for r in sampling.split_by_hash(docs, "doc_id")
+            .select("doc_id", "split").collect()}
+    sub = {r.doc_id: r.split
+           for r in sampling.split_by_hash(docs.limit(100), "doc_id")
+           .select("doc_id", "split").collect()}
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_split_fractions_roughly_hold(spark):
+    from query_planner_optimizer_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    counts = dict(
+        sampling.split_by_hash(docs, "doc_id")
+        .groupBy("split").count().collect()
+    )
+    n = sum(counts.values())
+    assert counts.get("train", 0) / n > 0.7
+    assert 0.03 < counts.get("val", 0) / n < 0.2
+    assert 0.03 < counts.get("test", 0) / n < 0.2
