@@ -49,6 +49,9 @@ OPERATOR_HEADLINE = [
     "stream_sessionize",
     "stream_funnel",
     "multimodal_frame_pipeline",
+    "temporal_asof_join",
+    "pipeline_clean_corpus",
+    "sample_split_assignments",
 ]
 
 

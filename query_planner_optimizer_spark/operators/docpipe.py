@@ -51,16 +51,72 @@ def clean_corpus(
     )
 
 
+PACK_BUDGET = 2048
+PACK_SHARDS = 32
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = PACK_BUDGET,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Greedy context-window packing: assign documents to fixed
+    token-budget packs for training-sequence assembly.
+
+    A global greedy pack is a sequential scan — unshardable. Instead
+    documents hash-shard (stable md5 buckets, so assignment survives
+    data growth) and pack WITHIN each shard by running token count:
+    pack_id = floor(pre_cumsum / budget) — a document belongs to the
+    pack in which it STARTS, so packs hold `budget` tokens on average
+    (a boundary-straddling doc overflows its pack rather than being
+    split; splitting at the boundary is a downstream choice this layout
+    leaves open via pack_offset). Each shard's window sorts
+    independently → shards-way parallel, one shuffle. Returns
+    (doc_id, shard, pack_id, pack_offset); pack_offset is the
+    document's token start within its pack.
+    """
+    from query_planner_optimizer_spark.operators.sampling import hash_bucket
+
+    shard = (hash_bucket(F.col(id_col)) % shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_shard = docs.select(id_col, token_col, shard)
+    cum = F.sum(token_col).over(w)
+    pre = (cum - F.col(token_col)).alias("__pre")
+    return (
+        with_shard.withColumn("__pre", pre)
+        .select(
+            id_col,
+            "shard",
+            F.floor(F.col("__pre") / budget).cast("int").alias("pack_id"),
+            (F.col("__pre") % budget).cast("int").alias("pack_offset"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
-# Driver entry
+# Driver entries
 # --------------------------------------------------------------------------
 
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(T._load_documents(spark, sf_dir))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T.with_token_count(T._load_documents(spark, sf_dir))
+    return pack_sequences(docs)
+
+
 def entry_queries() -> dict[str, Callable]:
-    return {"pipeline_clean_corpus": q_clean_corpus}
+    return {
+        "pipeline_clean_corpus": q_clean_corpus,
+        "pipeline_pack_sequences": q_pack_sequences,
+    }
 
 
 def entry_oracles() -> dict[str, str]:
@@ -86,4 +142,23 @@ def entry_oracles() -> dict[str, str]:
             FROM gated
         ) WHERE rn = 1
     """
-    return {"pipeline_clean_corpus": sql}
+    toks = T._sql_tokens()
+    pack = f"""
+        WITH counted AS (
+            SELECT doc_id, len({toks}) AS n_tokens,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000 % {PACK_SHARDS} AS shard
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, shard, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS pre
+            FROM counted
+        )
+        SELECT doc_id, shard,
+               CAST(pre // {PACK_BUDGET} AS INTEGER) AS pack_id,
+               CAST(pre % {PACK_BUDGET} AS INTEGER) AS pack_offset
+        FROM cum
+    """
+    return {"pipeline_clean_corpus": sql, "pipeline_pack_sequences": pack}

@@ -207,3 +207,34 @@ def test_split_fractions_roughly_hold(spark):
     assert counts.get("train", 0) / n > 0.7
     assert 0.03 < counts.get("val", 0) / n < 0.2
     assert 0.03 < counts.get("test", 0) / n < 0.2
+
+
+def test_pack_sequences_matches_oracle(spark, ddb):
+    from query_planner_optimizer_spark.operators import docpipe
+
+    df = docpipe.q_pack_sequences(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, docpipe.entry_oracles()["pipeline_pack_sequences"]
+    )
+
+
+def test_pack_sequences_budget_properties(spark, catalog):
+    """Within a shard: pack ids are contiguous from 0; every pack except
+    possibly the last STARTS within budget (offset < budget); offsets
+    increase with doc order."""
+    from pyspark.sql import functions as F
+
+    from query_planner_optimizer_spark.operators import docpipe, text
+
+    docs = text.with_token_count(catalog.table("documents"))
+    packed = docpipe.pack_sequences(docs)
+    rows = packed.orderBy("shard", "doc_id").collect()
+    assert all(0 <= r.pack_offset < docpipe.PACK_BUDGET for r in rows)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        ids = [r.pack_id for r in shard_rows]
+        assert ids[0] == 0  # first doc of a shard starts pack 0
+        # monotone in doc order (a pack never reopens)
+        assert all(b >= a for a, b in zip(ids, ids[1:]))
