@@ -101,6 +101,31 @@ def sessionize(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated keys, keeping the first
+    arrival. In streaming mode uses ``dropDuplicatesWithinWatermark`` —
+    state holds one entry per key and is EVICTED once the watermark
+    passes it, so the state store is bounded by the duplicate-arrival
+    horizon instead of growing with the stream (the property that makes
+    streaming dedup viable at all at 100 TB/day). Batch mode (no
+    watermark possible without a stream) uses plain dropDuplicates.
+
+    Output rows are whichever arrival won; callers wanting a
+    deterministic comparison project the key columns (tests and the
+    driver entry do).
+    """
+    keys = key_cols or ["event_id"]
+    if events.isStreaming:
+        wm = events.withWatermark(ts_col, watermark or "1 hour")
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def streaming_hourly_rollup(
     spark: SparkSession,
     dir_path: str,
@@ -136,10 +161,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events)
 
 
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    # Dedup on (user_id, event_type, value): project the keys so the
+    # result is deterministic regardless of which duplicate row wins.
+    return dedup_stream(
+        events, key_cols=["user_id", "event_type", "value"]
+    ).select("user_id", "event_type", "value")
+
+
 def entry_queries():
     return {
         "stream_hourly_rollup": q_hourly_rollup,
         "stream_sessionize": q_sessionize,
+        "stream_dedup": q_dedup_events,
     }
 
 
@@ -179,4 +216,11 @@ def entry_oracles() -> dict[str, str]:
                ROUND(SUM(value), 6) AS sum_value
         FROM numbered GROUP BY user_id, session_id
     """
-    return {"stream_hourly_rollup": hourly, "stream_sessionize": sessions}
+    dedup = """
+        SELECT DISTINCT user_id, event_type, value FROM events
+    """
+    return {
+        "stream_hourly_rollup": hourly,
+        "stream_sessionize": sessions,
+        "stream_dedup": dedup,
+    }

@@ -204,3 +204,52 @@ def test_streaming_funnel_state_across_batches(spark, events_stream_dir_timeorde
     pd.testing.assert_frame_equal(
         normalize(final), normalize(batch), check_dtype=False
     )
+
+
+def test_dedup_batch_matches_oracle(spark, ddb):
+    df = windows.q_dedup_events(spark, SF_DIR)
+    assert_matches_duckdb(df, ddb, windows.entry_oracles()["stream_dedup"])
+
+
+def test_streaming_dedup_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once across a RESTART: file 2 re-delivers copies of file
+    1's rows; the restarted query must drop them from state restored off
+    the checkpoint, not from memory."""
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    src = str(tmp_path / "src"); out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = Catalog(spark, SF_DIR, register_views=False).table("events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    f1 = events.filter(F.col("event_id") < 5000)
+    dupes = events.filter(F.col("event_id") < 1000)
+    f2 = events.filter(F.col("event_id") >= 5000).unionByName(dupes)
+    f1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = windows.dedup_stream(
+            spark.readStream.schema(windows.EVENTS_STREAM_SCHEMA).parquet(src),
+            key_cols=["event_id"],
+            watermark="90 days",  # longer than the data span: no eviction
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()                                     # processes f1
+    f2.coalesce(1).write.mode("append").parquet(src)
+    run_once()                                     # restart: f2 + dupes
+
+    got = spark.read.schema(windows.EVENTS_STREAM_SCHEMA).parquet(out)
+    total = got.count()
+    uniq = got.select("event_id").distinct().count()
+    expect = events.select("event_id").distinct().count()
+    assert uniq == expect          # every event represented
+    assert total == expect         # and none twice — dupes dropped on restart
