@@ -113,3 +113,56 @@ def test_compiler_equals_duckdb_oracle(q, spark, catalog, ddb):
         normalize(got), normalize(want),
         check_dtype=False, check_exact=False, rtol=1e-6,
     )
+
+
+@st.composite
+def join_queries(draw) -> dict:
+    """Random star joins: orders⋈customer(⋈nation), aggregated over a
+    drawn grouping column, with optional filters/order/limit."""
+    q: dict = {
+        "from": "orders",
+        "join": [
+            {"table": "customer", "on": [["o_custkey", "c_custkey"]],
+             "hint": draw(st.sampled_from(["broadcast", None]))},
+        ],
+    }
+    deep = draw(st.booleans())
+    if deep:
+        q["join"].append(
+            {"table": "nation", "on": [["c_nationkey", "n_nationkey"]]}
+        )
+    q["join"] = [
+        {k: v for k, v in j.items() if v is not None} for j in q["join"]
+    ]
+    key = draw(st.sampled_from(
+        ["n_name", "c_mktsegment"] if deep else ["c_mktsegment"]
+    ))
+    aggs = draw(st.lists(st.sampled_from([
+        {"SUM": "o_totalprice", "as": "rev", "round": 4},
+        {"AVG": "o_totalprice", "as": "avg_rev", "round": 6},
+        {"COUNT": "*", "as": "n"},
+    ]), min_size=1, max_size=2,
+        unique_by=lambda t: tuple(sorted(t.items()))))
+    q["select"] = [key, *aggs]
+    q["group_by"] = [key]
+    if draw(st.booleans()):
+        q["where"] = [{
+            "col": "o_totalprice",
+            "op": draw(st.sampled_from(["lt", "gte"])),
+            "val": draw(st.integers(min_value=1000, max_value=300000)),
+        }]
+    return q
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=join_queries())
+def test_join_compiler_equals_duckdb(q, spark, catalog, ddb):
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("orders"), dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
