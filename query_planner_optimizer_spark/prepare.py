@@ -170,6 +170,43 @@ def bucketize(
     return df.sparkSession.table(table_name)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+    partition_cols: tuple[str, ...] = (),
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~``target_mb`` files. Streaming sinks, incremental appends and
+    over-parallel writes all accumulate small files; at 100 TB the
+    resulting per-file open/footer costs dominate scan time, so
+    compaction is a standing maintenance job, not a rarity.
+
+    File count = dataset bytes / target (via the Hadoop FS API, so the
+    same measurement works on HDFS/S3A); rewrite is one shuffle —
+    keyed on the partition columns when the layout is hive-partitioned
+    (preserving pruning), round-robin otherwise. Returns the file
+    count written.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + 1)
+
+    df = spark.read.parquet(path)
+    if partition_cols:
+        out = df.repartition(n, *[F.col(c) for c in partition_cols])
+        out.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            out_path
+        )
+    else:
+        out = df.repartition(n)
+        out.write.mode("overwrite").parquet(out_path)
+    return n
+
+
 @dataclass
 class PrepareResult:
     partitioned_dir: str

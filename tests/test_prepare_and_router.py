@@ -15,6 +15,7 @@ import random
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from query_planner_optimizer_spark.catalog import Catalog
 from query_planner_optimizer_spark.dsl.assembler import assemble_sql
@@ -272,3 +273,27 @@ def test_cli_prepare_and_run(spark, tmp_path):
                      "--queries-file", qf]) == 0
     with open(f"{out2}/q1.csv") as f:
         assert len(list(_csv.reader(f))) > 1
+
+
+def test_compact_small_files(spark, catalog, tmp_path):
+    """64 tiny files → one right-sized file, identical data."""
+    import glob
+
+    from query_planner_optimizer_spark.prepare import compact
+
+    src = str(tmp_path / "small")
+    events = catalog.table("events").select("event_id", "ts", "value")
+    events.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    n = compact(spark, src, out, target_mb=128)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n == 1
+    assert spark.read.parquet(out).count() == events.count()
+    got = spark.read.parquet(out).agg(
+        F.sum("value"), F.sum("event_id")
+    ).collect()[0]
+    want = events.agg(F.sum("value"), F.sum("event_id")).collect()[0]
+    assert abs(got[0] - want[0]) < 1e-6  # float sum order differs
+    assert got[1] == want[1]
