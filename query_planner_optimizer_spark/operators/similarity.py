@@ -289,16 +289,18 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k: coarse k-means cells +
     per-query probing of the ``nprobe`` nearest cells.
 
-    Index build = ``iters`` Lloyd rounds run as DataFrame jobs: assign
-    each vector to its max-cosine centroid (map-only against broadcast
-    centroid literals), recompute centroids with one groupBy over
-    (cell, 64 dimension avgs). Only the nlist×dim centroid matrix ever
-    reaches the driver (same driver/executor split as Spark ML KMeans).
-    Search: queries explode to their ``nprobe`` best cells, equi-join
+    Index build = ``iters`` Lloyd rounds run as DataFrame jobs: the
+    centroid matrix is a BROADCAST DataFrame (nlist rows), assignment is
+    a broadcast join + per-id top-1 window — small reusable plans, not
+    nlist×dim literal expression trees, which dominate analysis time.
+    Only the nlist×dim centroid matrix ever reaches the driver (same
+    driver/executor split as Spark ML KMeans). Search: queries take
+    their ``nprobe`` best cells from the same scored join, equi-join
     corpus on cell, exact rerank, per-query window top-k. With
     ``nprobe == nlist`` this degenerates to exact brute force (tested
     invariant); recall < 1 otherwise is the accepted trade.
     """
+    spark = df.sparkSession
     base = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), "_vec", "_norm"
     ).persist()
@@ -306,21 +308,32 @@ def ivf_topk(
     seed_rows = base.orderBy("id").limit(nlist).collect()
     centroids = [list(r["_vec"]) for r in seed_rows]
 
-    def cell_expr(cents: list[list[float]]) -> Column:
-        """argmax-cosine cell id against broadcast centroid literals.
-        array_max over (sim, cell) structs — struct ordering compares
-        sim first; ties break toward the higher cell id, deterministic
-        either way."""
-        entries = []
+    def centroid_df(cents: list[list[float]]) -> DataFrame:
+        rows = []
         for ci, c in enumerate(cents):
             cn = math.sqrt(sum(x * x for x in c)) or 1.0
-            plane = F.array(*[F.lit(x) for x in c])
-            sim = _dot(F.col("_vec"), plane) / (F.col("_norm") * F.lit(cn))
-            entries.append(F.struct(sim.alias("s"), F.lit(ci).alias("c")))
-        return F.array_max(F.array(*entries)).getField("c")
+            rows.append((ci, [float(x) for x in c], cn))
+        return spark.createDataFrame(
+            rows, "cell int, c_vec array<double>, c_norm double"
+        )
+
+    def scored_cells(side: DataFrame, cents: list[list[float]]) -> DataFrame:
+        """side × centroids with cosine sim and per-id rank (1 = best).
+        Deterministic tie-break toward the lower cell id."""
+        sim = _dot(F.col("_vec"), F.col("c_vec")) / (
+            F.col("_norm") * F.col("c_norm")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("csim").desc(), F.col("cell").asc()
+        )
+        return (
+            side.join(F.broadcast(centroid_df(cents)))
+            .withColumn("csim", sim)
+            .withColumn("crank", F.row_number().over(w))
+        )
 
     for _ in range(iters):
-        assigned = base.withColumn("cell", cell_expr(centroids))
+        assigned = scored_cells(base, centroids).filter(F.col("crank") == 1)
         dims = [
             F.avg(F.element_at(F.col("_vec"), i + 1)).alias(f"d{i}")
             for i in range(dim)
@@ -329,26 +342,17 @@ def ivf_topk(
         for r in rows:
             centroids[r["cell"]] = [r[f"d{i}"] for i in range(dim)]
 
-    corpus = base.withColumn("cell", cell_expr(centroids))
-
-    def probe_expr(cents: list[list[float]]) -> Column:
-        """Top-nprobe cells by cosine, best-first."""
-        entries = []
-        for ci, c in enumerate(cents):
-            cn = math.sqrt(sum(x * x for x in c)) or 1.0
-            plane = F.array(*[F.lit(x) for x in c])
-            sim = _dot(F.col("_vec"), plane) / (F.col("_norm") * F.lit(cn))
-            entries.append(F.struct(sim.alias("s"), F.lit(ci).alias("c")))
-        ordered = F.reverse(F.array_sort(F.array(*entries)))
-        return F.transform(
-            F.slice(ordered, 1, nprobe), lambda e: e.getField("c")
-        )
+    corpus = (
+        scored_cells(base, centroids)
+        .filter(F.col("crank") == 1)
+        .select("id", "_vec", "_norm", "cell")
+    )
 
     probes = (
-        base.filter(F.col("id") < num_queries)
+        scored_cells(base.filter(F.col("id") < num_queries), centroids)
+        .filter(F.col("crank") <= nprobe)
         .select(F.col("id").alias("qid"), F.col("_vec").alias("q_vec"),
-                F.col("_norm").alias("q_norm"),
-                F.explode(probe_expr(centroids)).alias("cell"))
+                F.col("_norm").alias("q_norm"), "cell")
     )
     scored = (
         corpus.join(F.broadcast(probes), "cell")
