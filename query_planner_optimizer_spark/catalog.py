@@ -63,13 +63,23 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     case on a real cluster, where the table is many files) passes through
     untouched, so this is a local-small-file fix, not a standing shuffle
     at 100 TB.
+
+    The repartitioned frame is also ``.cache()``-ed: without a barrier,
+    Catalyst pushes downstream filters (e.g. the corpus-cleaning quality
+    gate, with its full tokenization expression tree inlined) below the
+    round-robin exchange, back onto the single-partition scan — exactly
+    the serialization this helper exists to avoid. An InMemoryRelation
+    stops that pushdown, and lets the many document/embedding queries of
+    one session share a single materialized read. At cluster scale the
+    branch never triggers, so nothing is cached and scan-side pushdown
+    (which is then the RIGHT plan) is preserved.
     """
     from query_planner_optimizer_spark.session import default_parallelism
 
     target = min_partitions or default_parallelism()
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target)
+    return df.repartition(target).cache()
 
 
 def augment_time_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
