@@ -119,6 +119,21 @@ def test_multimodal_frame_pipeline_matches_oracle(spark, ddb):
     )
 
 
+def test_fused_frame_pipeline_equals_chained(spark):
+    """sample_resize_frames (one Python pass) emits exactly the rows of
+    sample_frames → resize_frames (two passes)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    media = multimodal.to_media_table(
+        docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "text"
+    )
+    fused = multimodal.sample_resize_frames(media)
+    chained = multimodal.resize_frames(multimodal.sample_frames(media))
+    assert fused.columns == chained.columns
+    f = {tuple(r) for r in fused.collect()}
+    c = {tuple(r) for r in chained.collect()}
+    assert f == c and len(f) == fused.count()
+
+
 def test_sample_frames_fanout_counts(spark):
     """Every doc emits ceil(n_frames / 2) rows; frame 0 always present."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
