@@ -113,16 +113,19 @@ def main() -> None:
 
     # Pass 1 (the headline "value"): first execution — includes plan
     # compilation, mirroring the reference's cold-process run
-    # (Makefile:232-233). Pass 2 ("value_warm"): repeat execution,
-    # mirroring its repeat-run numbers (Makefile:242-244).
+    # (Makefile:232-233). Passes 2-3 ("value_warm"): repeat executions,
+    # mirroring its repeat-run numbers (Makefile:242-244); warm takes
+    # the per-query MIN of the two repeats — steady-state timing with
+    # ambient-load noise (±40% observed on this shared box) suppressed.
     for name in DSL_HEADLINE:
         timings[name] = run_dsl(name)
     for name in OPERATOR_HEADLINE:
         timings[name] = run_op(name)
-    for name in DSL_HEADLINE:
-        warm[name] = run_dsl(name)
-    for name in OPERATOR_HEADLINE:
-        warm[name] = run_op(name)
+    for _ in range(2):
+        for name in DSL_HEADLINE:
+            warm[name] = min(warm.get(name, float("inf")), run_dsl(name))
+        for name in OPERATOR_HEADLINE:
+            warm[name] = min(warm.get(name, float("inf")), run_op(name))
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
