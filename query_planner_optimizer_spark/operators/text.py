@@ -37,17 +37,34 @@ def _tokens(text_col: str = "text") -> Column:
     return tokens(text_col)
 
 
+#: BPE-style pre-tokenizer units: letter runs, digit runs, single
+#: non-alphanumeric marks — the split a GPT-2-family pre-tokenizer makes
+#: before merges (no lookahead, so the pattern is portable between Java
+#: regex and DuckDB's RE2).
+PRETOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + a BPE-ish subword count upper bound
-    (tokens split further at letter/digit boundaries ≈ ceil(chars/4))."""
+    """Whitespace token count, a BPE-style pre-token count (regex units:
+    letter runs / digit runs / punctuation marks — the merge-input count
+    of a GPT-2-family tokenizer), and a subword upper bound
+    (≈ ceil(chars/4), floor of one per whitespace token)."""
     toks = _tokens(text_col)
-    return df.withColumn("n_tokens", F.size(toks)).withColumn(
-        # crude byte-pair-ish proxy: 1 token per 4 chars, at least one
-        # per whitespace token — deterministic, SQL-expressible.
-        "n_subword_est",
-        F.greatest(
-            F.size(toks), F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("long")
-        ),
+    pretoks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(PRETOKEN_PATTERN), 0
+    )
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_pretokens", F.size(pretoks).cast("long"))
+        .withColumn(
+            # crude byte-pair-ish proxy: 1 token per 4 chars, at least one
+            # per whitespace token — deterministic, SQL-expressible.
+            "n_subword_est",
+            F.greatest(
+                F.size(toks),
+                F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("long"),
+            ),
+        )
     )
 
 
@@ -153,7 +170,7 @@ def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_token_count(_load_documents(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "n_subword_est"
+        "doc_id", "n_tokens", "n_pretokens", "n_subword_est"
     )
 
 
@@ -196,6 +213,8 @@ def entry_oracles() -> dict[str, str]:
     token_count = f"""
         SELECT doc_id,
                len({toks}) AS n_tokens,
+               len(regexp_extract_all(lower(text), '{PRETOKEN_PATTERN}'))
+                   AS n_pretokens,
                greatest(len({toks}), CAST(ceil(length(text) / 4.0) AS BIGINT))
                    AS n_subword_est
         FROM documents
