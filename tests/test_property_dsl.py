@@ -24,7 +24,25 @@ agg_terms = st.sampled_from([
     {"AVG": "value", "as": "avg_value", "round": 6},
     {"COUNT": "*", "as": "cnt"},
     {"COUNT": "value", "as": "cnt_value"},
+    # Unaliased terms — exercise the reference's output-naming contract:
+    # results must be named sum(value) / count(*) etc. (lowercase).
+    {"SUM": "value", "round": 6},
+    {"COUNT": "*"},
+    {"COUNT": "value"},
 ])
+
+AGG_FUNCS = ("SUM", "AVG", "COUNT")
+
+
+def out_name(term) -> str:
+    """Output column name of a select term (the reference's contract:
+    explicit alias, else lowercase func(col))."""
+    if isinstance(term, str):
+        return term
+    if "as" in term:
+        return term["as"]
+    fn = next(k for k in AGG_FUNCS if k in term)
+    return f"{fn.lower()}({term[fn]})"
 
 conditions = st.one_of(
     st.builds(
@@ -75,13 +93,24 @@ def dsl_queries(draw) -> dict:
     if where:
         q["where"] = where
     if draw(st.booleans()):
-        out_cols = [t if isinstance(t, str) else t["as"] for t in q["select"]]
+        out_cols = [out_name(t) for t in q["select"]]
         ob = draw(st.lists(st.sampled_from(out_cols), min_size=1,
                            max_size=2, unique=True))
-        q["order_by"] = [
-            {"col": c, "dir": draw(st.sampled_from(["asc", "desc"]))}
-            for c in ob
-        ]
+        q["order_by"] = []
+        for c in ob:
+            # Aggregate output names may appear case-varied in ORDER BY
+            # (reference resolves "AVG(total_price)" → avg(total_price)).
+            if "(" in c and draw(st.booleans()):
+                c = c.upper()
+            q["order_by"].append(
+                {"col": c, "dir": draw(st.sampled_from(["asc", "desc"]))}
+            )
+        # LIMIT is only deterministic when the sort is total over the
+        # output (fully-equal rows are interchangeable in the cut).
+        if {o["col"].lower() for o in q["order_by"]} == {
+            c.lower() for c in out_cols
+        } and draw(st.booleans()):
+            q["limit"] = draw(st.integers(min_value=1, max_value=20))
     return q
 
 
