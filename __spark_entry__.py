@@ -53,6 +53,14 @@ DSL_QUERIES: dict[str, dict] = {
         "where": [{"col": "event_type", "op": "in",
                    "val": ["click", "purchase", "signup"]}],
     },
+    "dsl_filter_not_in": {
+        # complement of `in` — supported by both paths but previously
+        # unexercised by any driver entry
+        "select": ["event_id", "event_type", "user_id"],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "not_in",
+                   "val": ["view", "click"]}],
+    },
     "dsl_filter_between": {
         "select": ["event_id", "value"],
         "from": "events",
@@ -180,6 +188,29 @@ DSL_QUERIES: dict[str, dict] = {
         "where": [{"col": "l_discount", "op": "between", "val": [0.02, 0.08]}],
         "group_by": ["p_brand"],
         "order_by": [{"col": "p_brand", "dir": "asc"}],
+    },
+    "dsl_join_left_customer_orders": {
+        # left outer: COUNT(o_orderkey) counts matches (null-skipping),
+        # COUNT(*) keeps order-less customers — the null-semantics probe.
+        # Orders is the big side of a preserved-left outer join, so this
+        # is a shuffle join by necessity; both sides hash-partition on
+        # the key, which is exactly the cluster-scale plan.
+        "select": ["c_mktsegment",
+                   {"COUNT": "o_orderkey", "as": "n_orders"},
+                   {"COUNT": "*", "as": "n_rows"}],
+        "from": "customer",
+        "join": [{"table": "orders", "on": [["c_custkey", "o_custkey"]],
+                  "type": "left"}],
+        "group_by": ["c_mktsegment"],
+        "order_by": [{"col": "c_mktsegment", "dir": "asc"}],
+    },
+    "dsl_join_anti_inactive_customers": {
+        "select": ["c_mktsegment", {"COUNT": "*", "as": "n_customers"}],
+        "from": "customer",
+        "join": [{"table": "orders", "on": [["c_custkey", "o_custkey"]],
+                  "type": "anti"}],
+        "group_by": ["c_mktsegment"],
+        "order_by": [{"col": "c_mktsegment", "dir": "asc"}],
     },
     "dsl_join_semi_orders_with_lineitems": {
         "select": ["o_orderstatus", {"COUNT": "*", "as": "n_orders"}],
