@@ -128,6 +128,19 @@ DSL_QUERIES: dict[str, dict] = {
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    "dsl_having_group_gate": {
+        # HAVING — additive post-aggregation filter (reference DSL has
+        # none); mixes an aggregate-alias condition with a group-key one
+        "select": ["l_returnflag", "l_linestatus",
+                   {"COUNT": "*", "as": "n_rows"},
+                   {"SUM": "l_quantity", "as": "sum_qty", "round": 4}],
+        "from": "lineitem",
+        "group_by": ["l_returnflag", "l_linestatus"],
+        "having": [{"col": "n_rows", "op": "gte", "val": 1000},
+                   {"col": "l_returnflag", "op": "neq", "val": "A"}],
+        "order_by": [{"col": "l_returnflag", "dir": "asc"},
+                     {"col": "l_linestatus", "dir": "asc"}],
+    },
     # §1.2 derived time columns (day/week/hour/minute)
     "dsl_daily_rollup": {
         "select": ["day", {"SUM": "value", "as": "sum_value", "round": 6}],

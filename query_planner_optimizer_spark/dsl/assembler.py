@@ -66,11 +66,21 @@ def _literal(val: Any, dtype: T.DataType | None, dialect: str) -> str:
 
 def _condition_sql(cond: dict, type_map: dict[str, T.DataType], dialect: str) -> str:
     col_name = cond.get("col")
-    op = cond.get("op")
     if col_name not in type_map:
         raise QueryError(f"unknown filter column: {cond!r}")
-    dtype = type_map[col_name]
-    ident = _ident(col_name, dialect)
+    return _render_cond(
+        _ident(col_name, dialect), cond, type_map[col_name], dialect
+    )
+
+
+def _render_cond(
+    ident: str, cond: dict, dtype: T.DataType | None, dialect: str
+) -> str:
+    """Render ``<lhs> <op> <literal>`` where ``ident`` is any SQL
+    expression (a quoted column for WHERE, an aggregate expression for
+    HAVING — standard SQL evaluates HAVING before SELECT aliases exist,
+    so aliases must be re-expanded)."""
+    op = cond.get("op")
     val = cond.get("val")
     if op in _OP_SQL:
         return f"{ident} {_OP_SQL[op]} {_literal(val, dtype, dialect)}"
@@ -175,6 +185,31 @@ def assemble_sql(
     group_by = q.get("group_by") or []
     if group_by:
         sql += " GROUP BY " + ", ".join(_ident(c, dialect) for c in group_by)
+
+    # HAVING — conditions over aggregate aliases (re-expanded to their
+    # expressions; see _render_cond) or group keys. Twin of the
+    # compiler's post-aggregation filter.
+    having = q.get("having") or []
+    if having:
+        agg_expr_by_alias: dict[str, str] = {}
+        for term in q.get("select") or []:
+            if _is_agg_term(term):
+                expr = _agg_sql(term, dialect).rsplit(" AS ", 1)[0]
+                agg_expr_by_alias[_parse_agg_term(term)[2].lower()] = expr
+        parts = []
+        for cond in having:
+            name = str(cond.get("col"))
+            expr = agg_expr_by_alias.get(name.lower())
+            if expr is not None:
+                parts.append(_render_cond(expr, cond, None, dialect))
+            elif name in group_by:
+                parts.append(_condition_sql(cond, type_map, dialect))
+            else:
+                raise QueryError(
+                    f"having column {name!r} is neither an aggregate"
+                    f" alias nor a group key"
+                )
+        sql += " HAVING " + " AND ".join(parts)
 
     order_by = q.get("order_by") or []
     if order_by:

@@ -270,6 +270,24 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         df = df.select(*plain_cols)
         out_columns = list(plain_cols)
 
+    # HAVING — additive extension (post-aggregation filter; the
+    # reference DSL has no HAVING, SURVEY.md §2.3). Conditions reference
+    # output columns — aggregate aliases or group keys — resolved
+    # case-insensitively like order_by, and reuse the WHERE op set.
+    having = q.get("having") or []
+    if having:
+        if not (group_by or agg_terms):
+            raise QueryError("'having' requires an aggregation")
+        combined = None
+        for cond in having:
+            resolved = dict(cond)
+            resolved["col"] = _resolve_order_col(
+                str(cond.get("col")), out_columns
+            )
+            c = _filter_condition(df, resolved)
+            combined = c if combined is None else (combined & c)
+        df = df.filter(combined)
+
     order_by = q.get("order_by") or []
     if order_by:
         sort_cols = []

@@ -182,3 +182,37 @@ def test_select_not_in_groupby_raises(catalog):
              "group_by": ["user_id"]},
             catalog,
         )
+
+
+def test_having_without_aggregation_raises(catalog):
+    with pytest.raises(QueryError):
+        compile_query(
+            {"select": ["event_id"], "from": "events",
+             "having": [{"col": "event_id", "op": "gt", "val": 1}]},
+            catalog,
+        )
+
+
+def test_having_unknown_column_raises(catalog):
+    with pytest.raises(QueryError):
+        compile_query(
+            {"select": ["event_type", {"COUNT": "*", "as": "cnt"}],
+             "from": "events", "group_by": ["event_type"],
+             "having": [{"col": "nope", "op": "gt", "val": 1}]},
+            catalog,
+        )
+
+
+def test_having_ungrouped_aggregate(catalog, spark):
+    # HAVING over an ungrouped aggregate: keeps or drops the single row.
+    kept = compile_query(
+        {"select": [{"COUNT": "*", "as": "cnt"}], "from": "events",
+         "having": [{"col": "cnt", "op": "gt", "val": 0}]},
+        catalog,
+    )
+    dropped = compile_query(
+        {"select": [{"COUNT": "*", "as": "cnt"}], "from": "events",
+         "having": [{"col": "cnt", "op": "lt", "val": 0}]},
+        catalog,
+    )
+    assert kept.count() == 1 and dropped.count() == 0
