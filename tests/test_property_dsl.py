@@ -92,6 +92,24 @@ def dsl_queries(draw) -> dict:
     where = draw(st.lists(conditions, min_size=0, max_size=3))
     if where:
         q["where"] = where
+    if grouped and draw(st.booleans()):
+        # HAVING: aggregate-alias conditions restricted to COUNT terms
+        # (integer counts are exact across engines; float-sum thresholds
+        # could straddle inter-engine ulp deltas), plus group-key conds.
+        having = []
+        cnt_aliases = [out_name(t) for t in q["select"]
+                       if not isinstance(t, str) and "COUNT" in t]
+        if cnt_aliases:
+            having.append({
+                "col": draw(st.sampled_from(cnt_aliases)),
+                "op": draw(st.sampled_from(["gt", "gte", "lt", "lte"])),
+                "val": draw(st.integers(min_value=0, max_value=500)),
+            })
+        if "event_type" in (q.get("group_by") or []) and draw(st.booleans()):
+            having.append({"col": "event_type", "op": "neq",
+                           "val": draw(st.sampled_from(ETYPES))})
+        if having:
+            q["having"] = having
     if draw(st.booleans()):
         out_cols = [out_name(t) for t in q["select"]]
         ob = draw(st.lists(st.sampled_from(out_cols), min_size=1,
