@@ -128,6 +128,26 @@ DSL_QUERIES: dict[str, dict] = {
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    "dsl_where_or_not_tree": {
+        # nested boolean filter tree — additive (reference DSL is
+        # AND-only, claude.md:122-124); the `day` leaf inside the OR
+        # also probes nested derived-time-column references
+        "select": ["event_type", {"COUNT": "*", "as": "cnt"},
+                   {"SUM": "value", "as": "sum_value", "round": 6}],
+        "from": "events",
+        "where": [
+            {"or": [
+                {"col": "event_type", "op": "eq", "val": "purchase"},
+                {"and": [
+                    {"col": "value", "op": "gte", "val": 80},
+                    {"not": {"col": "day", "op": "eq", "val": "2024-01-02"}},
+                ]},
+            ]},
+            {"col": "user_id", "op": "gt", "val": 0},
+        ],
+        "group_by": ["event_type"],
+        "order_by": [{"col": "event_type", "dir": "asc"}],
+    },
     "dsl_having_group_gate": {
         # HAVING — additive post-aggregation filter (reference DSL has
         # none); mixes an aggregate-alias condition with a group-key one

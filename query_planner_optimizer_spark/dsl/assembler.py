@@ -65,6 +65,17 @@ def _literal(val: Any, dtype: T.DataType | None, dialect: str) -> str:
 
 
 def _condition_sql(cond: dict, type_map: dict[str, T.DataType], dialect: str) -> str:
+    # Boolean-tree nodes (additive extension, twin of the compiler's
+    # _bool_expr): {"or": [...]}, {"and": [...]}, {"not": cond}.
+    for kw, joiner in (("or", " OR "), ("and", " AND ")):
+        if kw in cond:
+            if not cond[kw]:
+                raise QueryError(f"{kw!r} needs at least one branch: {cond!r}")
+            return "(" + joiner.join(
+                _condition_sql(b, type_map, dialect) for b in cond[kw]
+            ) + ")"
+    if "not" in cond:
+        return f"(NOT {_condition_sql(cond['not'], type_map, dialect)})"
     col_name = cond.get("col")
     if col_name not in type_map:
         raise QueryError(f"unknown filter column: {cond!r}")
@@ -146,8 +157,17 @@ def assemble_sql(
     referenced = set()
     for term in q.get("select") or []:
         referenced.add(_parse_agg_term(term)[1] if _is_agg_term(term) else term)
+    def _collect_cols(cond: dict) -> None:
+        for kw in ("or", "and"):
+            for b in cond.get(kw) or []:
+                _collect_cols(b)
+        if "not" in cond:
+            _collect_cols(cond["not"])
+        if cond.get("col") is not None:
+            referenced.add(cond["col"])
+
     for cond in q.get("where") or []:
-        referenced.add(cond.get("col"))
+        _collect_cols(cond)
     referenced.update(q.get("group_by") or [])
 
     from_clause = table

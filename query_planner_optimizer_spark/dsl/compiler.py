@@ -208,12 +208,38 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             right = F.broadcast(right)
         df = df.join(right, cond, jtype)
 
-    # WHERE — AND-combined (the DSL has no OR/NOT, ``claude.md:122-124``).
+    # WHERE — top-level list is AND-combined (reference semantics,
+    # ``claude.md:122-124``); {"or": [...]} / {"not": cond} nodes are an
+    # additive extension (the reference DSL has no OR/NOT) allowing
+    # arbitrarily nested boolean trees over the same leaf op set.
+    def _bool_expr(cond: dict) -> Column:
+        if "or" in cond:
+            branches = cond["or"]
+            if not branches:
+                raise QueryError(f"'or' needs at least one branch: {cond!r}")
+            out = None
+            for b in branches:
+                c = _bool_expr(b)
+                out = c if out is None else (out | c)
+            return out
+        if "and" in cond:
+            branches = cond["and"]
+            if not branches:
+                raise QueryError(f"'and' needs at least one branch: {cond!r}")
+            out = None
+            for b in branches:
+                c = _bool_expr(b)
+                out = c if out is None else (out & c)
+            return out
+        if "not" in cond:
+            return ~_bool_expr(cond["not"])
+        return _filter_condition(df, cond)
+
     conds = q.get("where") or []
     if conds:
         combined = None
         for cond in conds:
-            c = _filter_condition(df, cond)
+            c = _bool_expr(cond)
             combined = c if combined is None else (combined & c)
         df = df.filter(combined)
 
