@@ -74,6 +74,20 @@ conditions = st.one_of(
 )
 
 
+#: Leaf conditions composed into random boolean trees (depth ≤ 2).
+bool_trees = st.recursive(
+    conditions,
+    lambda kids: st.one_of(
+        st.builds(lambda bs: {"or": bs},
+                  st.lists(kids, min_size=1, max_size=3)),
+        st.builds(lambda bs: {"and": bs},
+                  st.lists(kids, min_size=1, max_size=3)),
+        st.builds(lambda b: {"not": b}, kids),
+    ),
+    max_leaves=4,
+)
+
+
 @st.composite
 def dsl_queries(draw) -> dict:
     q: dict = {"from": "events"}
@@ -89,7 +103,7 @@ def dsl_queries(draw) -> dict:
     else:
         q["select"] = draw(st.lists(st.sampled_from(PLAIN_COLS), min_size=1,
                                     max_size=4, unique=True))
-    where = draw(st.lists(conditions, min_size=0, max_size=3))
+    where = draw(st.lists(bool_trees, min_size=0, max_size=3))
     if where:
         q["where"] = where
     if grouped and draw(st.booleans()):
