@@ -128,6 +128,20 @@ DSL_QUERIES: dict[str, dict] = {
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    "dsl_filter_like_notnull": {
+        # like + is_not_null leaves — supported ops previously only
+        # unit-tested; LIKE is case-sensitive with % wildcards in both
+        # engines (testdata has no NULLs, so is_not_null is an identity
+        # leaf here; its discriminating behavior is unit-tested)
+        "select": ["lang", {"COUNT": "*", "as": "n_docs"}],
+        "from": "documents",
+        "where": [
+            {"col": "text", "op": "like", "val": "%the%"},
+            {"col": "source", "op": "is_not_null"},
+        ],
+        "group_by": ["lang"],
+        "order_by": [{"col": "lang", "dir": "asc"}],
+    },
     "dsl_where_or_not_tree": {
         # nested boolean filter tree — additive (reference DSL is
         # AND-only, claude.md:122-124); the `day` leaf inside the OR
