@@ -103,6 +103,18 @@ DSL_QUERIES: dict[str, dict] = {
         "from": "lineitem",
         "group_by": ["l_returnflag"],
     },
+    "dsl_groupby_min_max": {
+        # MIN/MAX over a measure and over a derived date column (the
+        # latter forces the oracle's time CTE under an aggregate)
+        "select": ["event_type",
+                   {"MIN": "value", "as": "min_value", "round": 6},
+                   {"MAX": "value", "as": "max_value", "round": 6},
+                   {"MIN": "day", "as": "first_day"},
+                   {"MAX": "day", "as": "last_day"}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": [{"col": "event_type", "dir": "asc"}],
+    },
     "dsl_ungrouped_agg": {
         # unsupported in the reference's scan path (query_engine.py:494-502)
         "select": [{"SUM": "value", "as": "sum_value", "round": 6},
