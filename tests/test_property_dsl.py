@@ -24,6 +24,8 @@ agg_terms = st.sampled_from([
     {"AVG": "value", "as": "avg_value", "round": 6},
     {"COUNT": "*", "as": "cnt"},
     {"COUNT": "value", "as": "cnt_value"},
+    {"MIN": "value", "as": "min_value", "round": 6},
+    {"MAX": "value", "as": "max_value", "round": 6},
     # Unaliased terms — exercise the reference's output-naming contract:
     # results must be named sum(value) / count(*) etc. (lowercase).
     {"SUM": "value", "round": 6},
@@ -31,7 +33,7 @@ agg_terms = st.sampled_from([
     {"COUNT": "value"},
 ])
 
-AGG_FUNCS = ("SUM", "AVG", "COUNT")
+AGG_FUNCS = ("SUM", "AVG", "COUNT", "MIN", "MAX")
 
 
 def out_name(term) -> str:
