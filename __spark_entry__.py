@@ -278,6 +278,26 @@ DSL_QUERIES: dict[str, dict] = {
                   "type": "semi"}],
         "group_by": ["o_orderstatus"],
     },
+    "dsl_join_tree_having_mix": {
+        # integration stress: fact-to-fact equi-join (orders is no
+        # dimension — unhinted, so this is a shuffle join on the key,
+        # the correct plan at any scale) + boolean-tree WHERE + HAVING
+        "select": ["o_orderpriority",
+                   {"COUNT": "*", "as": "n_items"},
+                   {"SUM": "l_extendedprice", "as": "sum_price",
+                    "round": 4}],
+        "from": "lineitem",
+        "join": [{"table": "orders", "on": [["l_orderkey", "o_orderkey"]]}],
+        "where": [
+            {"or": [
+                {"col": "l_returnflag", "op": "eq", "val": "R"},
+                {"col": "l_discount", "op": "gte", "val": 0.07},
+            ]},
+        ],
+        "group_by": ["o_orderpriority"],
+        "having": [{"col": "n_items", "op": "gte", "val": 100}],
+        "order_by": [{"col": "o_orderpriority", "dir": "asc"}],
+    },
     # flagship: TPC-H Q1-shaped pricing summary
     "dsl_pricing_summary": {
         "select": [
