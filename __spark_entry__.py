@@ -279,9 +279,11 @@ DSL_QUERIES: dict[str, dict] = {
         "group_by": ["o_orderstatus"],
     },
     "dsl_join_tree_having_mix": {
-        # integration stress: fact-to-fact equi-join (orders is no
-        # dimension — unhinted, so this is a shuffle join on the key,
-        # the correct plan at any scale) + boolean-tree WHERE + HAVING
+        # integration stress: fact-to-fact equi-join + boolean-tree
+        # WHERE + HAVING. Unhinted: Catalyst broadcasts orders while it
+        # fits the threshold and switches to a hash-partitioned shuffle
+        # join at scale — stats decide, not the query. Plan audit: the
+        # OR tree reaches the scan (PushedFilters: [Or(...)]).
         "select": ["o_orderpriority",
                    {"COUNT": "*", "as": "n_items"},
                    {"SUM": "l_extendedprice", "as": "sum_price",
