@@ -103,6 +103,16 @@ DSL_QUERIES: dict[str, dict] = {
         "from": "lineitem",
         "group_by": ["l_returnflag"],
     },
+    "dsl_distinct_pairs": {
+        # DISTINCT projection — additive (reference has no set ops,
+        # SURVEY.md §2.5); compiles to a hash-distinct (partial→final,
+        # one shuffle on the projected key — same shape as a groupBy)
+        "select": ["event_type", "day"],
+        "from": "events",
+        "distinct": True,
+        "order_by": [{"col": "event_type", "dir": "asc"},
+                     {"col": "day", "dir": "asc"}],
+    },
     "dsl_groupby_min_max": {
         # MIN/MAX over a measure and over a derived date column (the
         # latter forces the oracle's time CTE under an aggregate)

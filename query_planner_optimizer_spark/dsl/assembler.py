@@ -194,7 +194,12 @@ def assemble_sql(
             raise QueryError(f"join needs 'on' pairs: {jspec!r}")
         from_clause += f" {kw} {jt} ON " + " AND ".join(conds)
 
-    sql = f"SELECT {', '.join(select_terms)} FROM {from_clause}"
+    prefix = "SELECT DISTINCT" if q.get("distinct") else "SELECT"
+    if q.get("distinct") and (q.get("group_by") or any(
+        _is_agg_term(t) for t in q.get("select") or []
+    )):
+        raise QueryError("'distinct' with aggregation is redundant")
+    sql = f"{prefix} {', '.join(select_terms)} FROM {from_clause}"
 
     conds = q.get("where") or []
     if conds:

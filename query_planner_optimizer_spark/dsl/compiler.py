@@ -296,6 +296,14 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         df = df.select(*plain_cols)
         out_columns = list(plain_cols)
 
+    # DISTINCT — additive projection modifier (the reference has no set
+    # ops, SURVEY.md §2.5). Only meaningful on plain projections; with
+    # aggregation the groups are already distinct.
+    if q.get("distinct"):
+        if group_by or agg_terms:
+            raise QueryError("'distinct' with aggregation is redundant")
+        df = df.distinct()
+
     # HAVING — additive extension (post-aggregation filter; the
     # reference DSL has no HAVING, SURVEY.md §2.3). Conditions reference
     # output columns — aggregate aliases or group keys — resolved
