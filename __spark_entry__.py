@@ -103,6 +103,20 @@ DSL_QUERIES: dict[str, dict] = {
         "from": "lineitem",
         "group_by": ["l_returnflag"],
     },
+    "dsl_union_segments": {
+        # UNION (distinct) of two filtered projections — additive set op
+        # (reference has none, SURVEY.md §2.5); children stay separate
+        # scans (each with its own pushed filter), the distinct is one
+        # shuffle on the projected key
+        "union": [
+            {"select": ["event_type", "day"], "from": "events",
+             "where": [{"col": "value", "op": "gte", "val": 90}]},
+            {"select": ["event_type", "day"], "from": "events",
+             "where": [{"col": "event_type", "op": "eq", "val": "purchase"}]},
+        ],
+        "order_by": [{"col": "event_type", "dir": "asc"},
+                     {"col": "day", "dir": "asc"}],
+    },
     "dsl_distinct_pairs": {
         # DISTINCT projection — additive (reference has no set ops,
         # SURVEY.md §2.5); compiles to a hash-distinct (partial→final,
@@ -395,12 +409,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+def _query_type_map(q: dict) -> dict[str, T.DataType]:
+    """Merged type map over every table a query (or union branch) touches."""
+    if "union" in q:
+        out: dict[str, T.DataType] = {}
+        for c in q["union"]:
+            out.update(_query_type_map(c))
+        return out
+    type_map = _static_type_map(q.get("from", "events"))
+    for jspec in q.get("join") or []:
+        type_map.update(_static_type_map(jspec["table"]))
+    return type_map
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, q in DSL_QUERIES.items():
-        type_map = _static_type_map(q.get("from", "events"))
-        for jspec in q.get("join") or []:
-            type_map.update(_static_type_map(jspec["table"]))
+        type_map = _query_type_map(q)
         out[name] = assemble_sql(
             q, type_map, dialect="duckdb", ts_is_millis=False
         )

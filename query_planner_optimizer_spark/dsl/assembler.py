@@ -140,6 +140,29 @@ def assemble_sql(
     """
     if dialect not in ("spark", "duckdb"):
         raise QueryError(f"unknown dialect {dialect!r}")
+
+    # UNION [ALL] — twin of the compiler's set-op branch. Children
+    # render as parenthesized subqueries (each with its own time CTE if
+    # needed); the shared order_by/limit applies to the wrapper.
+    if "union" in q:
+        children = q["union"]
+        if not isinstance(children, list) or len(children) < 2:
+            raise QueryError("'union' needs a list of at least two queries")
+        for c in children:
+            if isinstance(c, dict) and ("order_by" in c or "limit" in c):
+                raise QueryError("union children cannot have order_by/limit")
+        joiner = " UNION ALL " if q.get("all") else " UNION "
+        body = joiner.join(
+            "(" + assemble_sql(c, type_map, dialect, ts_is_millis) + ")"
+            for c in children
+        )
+        sql = f"SELECT * FROM ({body}) AS u"
+        first = children[0].get("select") or []
+        child_out = [
+            _parse_agg_term(t)[2] if _is_agg_term(t) else t for t in first
+        ]
+        return _append_order_limit(sql, q, child_out, dialect)
+
     table = q.get("from", "events")
 
     select_terms = []
@@ -236,6 +259,13 @@ def assemble_sql(
                 )
         sql += " HAVING " + " AND ".join(parts)
 
+    return _append_order_limit(sql, q, out_names, dialect)
+
+
+def _append_order_limit(
+    sql: str, q: dict, out_names: list[str], dialect: str
+) -> str:
+    """Shared tail of every query form: ORDER BY + LIMIT clauses."""
     order_by = q.get("order_by") or []
     if order_by:
         parts = []

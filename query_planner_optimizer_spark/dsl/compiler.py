@@ -173,6 +173,39 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     """
     if not isinstance(q, dict):
         raise QueryError(f"query must be a dict, got {type(q)}")
+
+    # UNION [ALL] — additive set op (the reference has none, SURVEY.md
+    # §2.5). {"union": [q1, q2, ...], "all": bool} with a shared
+    # order_by/limit tail; children must project identical columns and
+    # may not carry their own order_by/limit (meaningless under union).
+    if "union" in q:
+        children = q["union"]
+        if not isinstance(children, list) or len(children) < 2:
+            raise QueryError("'union' needs a list of at least two queries")
+        for kw in ("select", "from", "where", "group_by", "having",
+                   "join", "distinct"):
+            if kw in q:
+                raise QueryError(f"'union' query cannot also have {kw!r}")
+        for c in children:
+            if isinstance(c, dict) and ("order_by" in c or "limit" in c):
+                raise QueryError(
+                    "union children cannot have order_by/limit"
+                )
+        dfs = [compile_query(c, catalog) for c in children]
+        cols0 = dfs[0].columns
+        for d in dfs[1:]:
+            if d.columns != cols0:
+                raise QueryError(
+                    f"union children project different columns:"
+                    f" {cols0} vs {d.columns}"
+                )
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
+        if not q.get("all"):
+            df = df.distinct()
+        return _apply_order_limit(df, q, cols0)
+
     table = q.get("from", "events")
     df = catalog.table(table)
 
@@ -322,6 +355,11 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             combined = c if combined is None else (combined & c)
         df = df.filter(combined)
 
+    return _apply_order_limit(df, q, out_columns)
+
+
+def _apply_order_limit(df: DataFrame, q: dict, out_columns: list[str]) -> DataFrame:
+    """Shared tail of every query form: multi-key ORDER BY + LIMIT."""
     order_by = q.get("order_by") or []
     if order_by:
         sort_cols = []

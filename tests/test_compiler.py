@@ -216,3 +216,33 @@ def test_having_ungrouped_aggregate(catalog, spark):
         catalog,
     )
     assert kept.count() == 1 and dropped.count() == 0
+
+
+def test_union_mismatched_columns_raises(catalog):
+    with pytest.raises(QueryError):
+        compile_query(
+            {"union": [{"select": ["event_type"], "from": "events"},
+                       {"select": ["event_id"], "from": "events"}]},
+            catalog,
+        )
+
+
+def test_union_child_order_by_raises(catalog):
+    with pytest.raises(QueryError):
+        compile_query(
+            {"union": [
+                {"select": ["event_type"], "from": "events",
+                 "order_by": [{"col": "event_type", "dir": "asc"}]},
+                {"select": ["event_type"], "from": "events"},
+            ]},
+            catalog,
+        )
+
+
+def test_union_all_keeps_duplicates(catalog):
+    base = {"select": ["event_type"], "from": "events",
+            "where": [{"col": "event_type", "op": "eq", "val": "purchase"}]}
+    n = compile_query(base, catalog).count()
+    u_all = compile_query({"union": [base, base], "all": True}, catalog).count()
+    u_dis = compile_query({"union": [base, base]}, catalog).count()
+    assert u_all == 2 * n and u_dis == 1
