@@ -103,6 +103,28 @@ DSL_QUERIES: dict[str, dict] = {
         "from": "lineitem",
         "group_by": ["l_returnflag"],
     },
+    "dsl_intersect_segments": {
+        # INTERSECT (distinct) — days that saw BOTH a high-value event
+        # and a purchase; Spark plans this as a left-semi over distinct
+        # inputs, one shuffle per side on the projected key
+        "intersect": [
+            {"select": ["day"], "from": "events",
+             "where": [{"col": "value", "op": "gte", "val": 90}]},
+            {"select": ["day"], "from": "events",
+             "where": [{"col": "event_type", "op": "eq", "val": "purchase"}]},
+        ],
+        "order_by": [{"col": "day", "dir": "asc"}],
+    },
+    "dsl_except_segments": {
+        # EXCEPT (distinct, left-associative) — sources with no Chinese
+        # documents; planned as a left-anti over distinct inputs
+        "except": [
+            {"select": ["source"], "from": "documents"},
+            {"select": ["source"], "from": "documents",
+             "where": [{"col": "lang", "op": "eq", "val": "zh"}]},
+        ],
+        "order_by": [{"col": "source", "dir": "asc"}],
+    },
     "dsl_union_segments": {
         # UNION (distinct) of two filtered projections — additive set op
         # (reference has none, SURVEY.md §2.5); children stay separate
@@ -410,12 +432,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _query_type_map(q: dict) -> dict[str, T.DataType]:
-    """Merged type map over every table a query (or union branch) touches."""
-    if "union" in q:
-        out: dict[str, T.DataType] = {}
-        for c in q["union"]:
-            out.update(_query_type_map(c))
-        return out
+    """Merged type map over every table a query (or set-op branch) touches."""
+    for kw in ("union", "intersect", "except"):
+        if kw in q:
+            out: dict[str, T.DataType] = {}
+            for c in q[kw]:
+                out.update(_query_type_map(c))
+            return out
     type_map = _static_type_map(q.get("from", "events"))
     for jspec in q.get("join") or []:
         type_map.update(_static_type_map(jspec["table"]))

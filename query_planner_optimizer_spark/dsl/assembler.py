@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from query_planner_optimizer_spark.catalog import DERIVED_TIME_COLUMNS, duckdb_time_cte
 from query_planner_optimizer_spark.dsl.compiler import (
     AGG_FUNCS,
+    SET_OPS,
     QueryError,
     _is_agg_term,
     _parse_agg_term,
@@ -141,17 +142,21 @@ def assemble_sql(
     if dialect not in ("spark", "duckdb"):
         raise QueryError(f"unknown dialect {dialect!r}")
 
-    # UNION [ALL] — twin of the compiler's set-op branch. Children
-    # render as parenthesized subqueries (each with its own time CTE if
-    # needed); the shared order_by/limit applies to the wrapper.
-    if "union" in q:
-        children = q["union"]
+    # Set ops — twin of the compiler's branch. Children render as
+    # parenthesized subqueries (each with its own time CTE if needed);
+    # the shared order_by/limit applies to the wrapper.
+    setop = [kw for kw in SET_OPS if kw in q]
+    if setop:
+        if len(setop) > 1:
+            raise QueryError(f"query mixes set ops: {setop}")
+        kw = setop[0]
+        children = q[kw]
         if not isinstance(children, list) or len(children) < 2:
-            raise QueryError("'union' needs a list of at least two queries")
+            raise QueryError(f"{kw!r} needs a list of at least two queries")
         for c in children:
             if isinstance(c, dict) and ("order_by" in c or "limit" in c):
-                raise QueryError("union children cannot have order_by/limit")
-        joiner = " UNION ALL " if q.get("all") else " UNION "
+                raise QueryError(f"{kw} children cannot have order_by/limit")
+        joiner = f" {kw.upper()}{' ALL' if q.get('all') else ''} "
         body = joiner.join(
             "(" + assemble_sql(c, type_map, dialect, ts_is_millis) + ")"
             for c in children

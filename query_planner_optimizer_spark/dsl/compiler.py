@@ -61,6 +61,8 @@ AGG_FUNCS = {
     "MAX": F.max,
 }
 
+SET_OPS = ("union", "intersect", "except")
+
 FILTER_OPS = ("eq", "neq", "in", "not_in", "between", "lt", "lte", "gt", "gte",
               "is_null", "is_not_null", "like")
 
@@ -174,35 +176,47 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     if not isinstance(q, dict):
         raise QueryError(f"query must be a dict, got {type(q)}")
 
-    # UNION [ALL] — additive set op (the reference has none, SURVEY.md
-    # §2.5). {"union": [q1, q2, ...], "all": bool} with a shared
-    # order_by/limit tail; children must project identical columns and
-    # may not carry their own order_by/limit (meaningless under union).
-    if "union" in q:
-        children = q["union"]
+    # Set ops — additive (the reference has none, SURVEY.md §2.5).
+    # {"union"|"intersect"|"except": [q1, q2, ...], "all": bool} with a
+    # shared order_by/limit tail; children must project identical
+    # columns and may not carry their own order_by/limit (meaningless
+    # under a set op). Default is SQL DISTINCT semantics; "all": true
+    # gives the bag variants. EXCEPT is left-associative.
+    setop = [kw for kw in SET_OPS if kw in q]
+    if setop:
+        if len(setop) > 1:
+            raise QueryError(f"query mixes set ops: {setop}")
+        kw = setop[0]
+        children = q[kw]
         if not isinstance(children, list) or len(children) < 2:
-            raise QueryError("'union' needs a list of at least two queries")
-        for kw in ("select", "from", "where", "group_by", "having",
-                   "join", "distinct"):
-            if kw in q:
-                raise QueryError(f"'union' query cannot also have {kw!r}")
+            raise QueryError(f"{kw!r} needs a list of at least two queries")
+        for other in ("select", "from", "where", "group_by", "having",
+                      "join", "distinct"):
+            if other in q:
+                raise QueryError(f"{kw!r} query cannot also have {other!r}")
         for c in children:
             if isinstance(c, dict) and ("order_by" in c or "limit" in c):
                 raise QueryError(
-                    "union children cannot have order_by/limit"
+                    f"{kw} children cannot have order_by/limit"
                 )
         dfs = [compile_query(c, catalog) for c in children]
         cols0 = dfs[0].columns
         for d in dfs[1:]:
             if d.columns != cols0:
                 raise QueryError(
-                    f"union children project different columns:"
+                    f"{kw} children project different columns:"
                     f" {cols0} vs {d.columns}"
                 )
+        bag = bool(q.get("all"))
         df = dfs[0]
         for d in dfs[1:]:
-            df = df.unionByName(d)
-        if not q.get("all"):
+            if kw == "union":
+                df = df.unionByName(d)
+            elif kw == "intersect":
+                df = df.intersectAll(d) if bag else df.intersect(d)
+            else:
+                df = df.exceptAll(d) if bag else df.subtract(d)
+        if kw == "union" and not bag:
             df = df.distinct()
         return _apply_order_limit(df, q, cols0)
 

@@ -246,3 +246,20 @@ def test_union_all_keeps_duplicates(catalog):
     u_all = compile_query({"union": [base, base], "all": True}, catalog).count()
     u_dis = compile_query({"union": [base, base]}, catalog).count()
     assert u_all == 2 * n and u_dis == 1
+
+
+def test_intersect_and_except_semantics(catalog):
+    every = {"select": ["event_type"], "from": "events"}
+    clicks = {"select": ["event_type"], "from": "events",
+              "where": [{"col": "event_type", "op": "eq", "val": "click"}]}
+    inter = compile_query({"intersect": [every, clicks]}, catalog)
+    exc = compile_query({"except": [every, clicks]}, catalog)
+    assert [r[0] for r in inter.collect()] == ["click"]
+    assert "click" not in {r[0] for r in exc.collect()}
+
+
+def test_mixed_set_ops_raise(catalog):
+    child = {"select": ["event_type"], "from": "events"}
+    with pytest.raises(QueryError):
+        compile_query({"union": [child, child],
+                       "intersect": [child, child]}, catalog)
