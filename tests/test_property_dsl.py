@@ -229,3 +229,39 @@ def test_join_compiler_equals_duckdb(q, spark, catalog, ddb):
         normalize(got), normalize(want),
         check_dtype=False, check_exact=False, rtol=1e-6,
     )
+
+
+@st.composite
+def setop_queries(draw) -> dict:
+    """Random set-op queries: two filtered projections of the same
+    column list combined by UNION/INTERSECT/EXCEPT [ALL]."""
+    kw = draw(st.sampled_from(["union", "intersect", "except"]))
+    cols = draw(st.lists(st.sampled_from(["event_type", "day", "user_id"]),
+                         min_size=1, max_size=2, unique=True))
+
+    def child() -> dict:
+        c: dict = {"select": list(cols), "from": "events"}
+        w = draw(st.lists(conditions, min_size=0, max_size=2))
+        if w:
+            c["where"] = w
+        return c
+
+    q: dict = {kw: [child(), child()]}
+    if draw(st.booleans()):
+        q["all"] = True
+    q["order_by"] = [{"col": c, "dir": "asc"} for c in cols]
+    return q
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=setop_queries())
+def test_setop_compiler_equals_duckdb(q, spark, catalog, ddb):
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"), dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
