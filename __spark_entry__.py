@@ -161,6 +161,16 @@ DSL_QUERIES: dict[str, dict] = {
         "group_by": ["event_type"],
         "order_by": [{"col": "event_type", "dir": "asc"}],
     },
+    "dsl_groupby_stddev_var": {
+        # STDDEV_SAMP / VAR_SAMP — mergeable partial aggregates (count,
+        # sum, M2), so the shuffle carries 3 numbers per (task × group)
+        "select": ["event_type",
+                   {"STDDEV_SAMP": "value", "as": "sd_value", "round": 6},
+                   {"VAR_SAMP": "value", "as": "var_value", "round": 6}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": [{"col": "event_type", "dir": "asc"}],
+    },
     "dsl_ungrouped_agg": {
         # unsupported in the reference's scan path (query_engine.py:494-502)
         "select": [{"SUM": "value", "as": "sum_value", "round": 6},

@@ -59,6 +59,10 @@ AGG_FUNCS = {
     "COUNT": F.count,
     "MIN": F.min,
     "MAX": F.max,
+    # Sample variants — this exact spelling is valid SQL in both Spark
+    # and DuckDB, so the assembler can emit the DSL key verbatim.
+    "STDDEV_SAMP": F.stddev_samp,
+    "VAR_SAMP": F.var_samp,
 }
 
 SET_OPS = ("union", "intersect", "except")
