@@ -161,6 +161,20 @@ DSL_QUERIES: dict[str, dict] = {
         "group_by": ["event_type"],
         "order_by": [{"col": "event_type", "dir": "asc"}],
     },
+    "dsl_agg_filter_clause": {
+        # SQL FILTER (WHERE ...) on individual aggregates — conditional
+        # aggregation in one scan pass instead of N filtered subqueries
+        # (the 100 TB-relevant shape: one shuffle, K conditional sums)
+        "select": ["event_type",
+                   {"COUNT": "*", "as": "n_all"},
+                   {"COUNT": "*", "as": "n_high",
+                    "where": {"col": "value", "op": "gte", "val": 90}},
+                   {"SUM": "value", "as": "sum_low", "round": 6,
+                    "where": {"col": "value", "op": "lt", "val": 10}}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": [{"col": "event_type", "dir": "asc"}],
+    },
     "dsl_groupby_stddev_var": {
         # STDDEV_SAMP / VAR_SAMP — mergeable partial aggregates (count,
         # sum, M2), so the shuffle carries 3 numbers per (task × group)

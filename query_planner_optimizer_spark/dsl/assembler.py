@@ -115,13 +115,24 @@ def _render_cond(
     raise QueryError(f"unknown filter op: {cond!r}")
 
 
-def _agg_sql(term: dict, dialect: str) -> str:
-    fname, col, out_name, round_to = _parse_agg_term(term)
+def _agg_sql(
+    term: dict, dialect: str, type_map: dict[str, T.DataType] | None = None
+) -> str:
+    fname, col, out_name, round_to, filt = _parse_agg_term(term)
     target = "*" if col == "*" else _ident(col, dialect)
     if fname == "COUNT" and col == "*":
         expr = "COUNT(*)"
     else:
         expr = f"{fname}({target})"
+    if filt:
+        # SQL FILTER clause — identical syntax in Spark and DuckDB;
+        # binds to the aggregate, so ROUND wraps outside it.
+        if type_map is None:
+            raise QueryError(f"aggregate FILTER needs a type map: {term}")
+        cond = " AND ".join(
+            _condition_sql(c, type_map, dialect) for c in filt
+        )
+        expr += f" FILTER (WHERE {cond})"
     if round_to is not None:
         expr = f"ROUND({expr}, {round_to})"
     return f"{expr} AS {_quote_ident(out_name, dialect)}"
@@ -174,7 +185,7 @@ def assemble_sql(
     out_names = []
     for term in q.get("select") or []:
         if _is_agg_term(term):
-            select_terms.append(_agg_sql(term, dialect))
+            select_terms.append(_agg_sql(term, dialect, type_map))
             out_names.append(_parse_agg_term(term)[2])
         else:
             select_terms.append(_ident(term, dialect))
@@ -184,7 +195,12 @@ def assemble_sql(
 
     referenced = set()
     for term in q.get("select") or []:
-        referenced.add(_parse_agg_term(term)[1] if _is_agg_term(term) else term)
+        if _is_agg_term(term):
+            parsed = _parse_agg_term(term)
+            referenced.add(parsed[1])
+            referenced.update(c.get("col") for c in parsed[4] if c.get("col"))
+        else:
+            referenced.add(term)
     def _collect_cols(cond: dict) -> None:
         for kw in ("or", "and"):
             for b in cond.get(kw) or []:
@@ -247,7 +263,7 @@ def assemble_sql(
         agg_expr_by_alias: dict[str, str] = {}
         for term in q.get("select") or []:
             if _is_agg_term(term):
-                expr = _agg_sql(term, dialect).rsplit(" AS ", 1)[0]
+                expr = _agg_sql(term, dialect, type_map).rsplit(" AS ", 1)[0]
                 agg_expr_by_alias[_parse_agg_term(term)[2].lower()] = expr
         parts = []
         for cond in having:

@@ -75,8 +75,14 @@ def _is_agg_term(term: Any) -> bool:
     return isinstance(term, dict)
 
 
-def _parse_agg_term(term: dict) -> tuple[str, str, str, int | None]:
-    """({"SUM": "x", "as": ..., "round": n}) -> (func, col, out_name, round)."""
+def _parse_agg_term(term: dict) -> tuple[str, str, str, int | None, list]:
+    """({"SUM": "x", "as": ..., "round": n, "where": cond|[conds]})
+    -> (func, col, out_name, round, filter_conds).
+
+    ``where`` inside an aggregate term is the SQL ``FILTER (WHERE ...)``
+    clause — the aggregate sees only rows matching the (AND-combined)
+    conditions; other aggregates in the same select are unaffected.
+    """
     func = None
     for k in term:
         if k.upper() in AGG_FUNCS:
@@ -93,7 +99,14 @@ def _parse_agg_term(term: dict) -> tuple[str, str, str, int | None]:
         raise QueryError(f"'*' is only valid for COUNT: {term}")
     out_name = term.get("as") or f"{fname.lower()}({col})"
     round_to = term.get("round")
-    return fname, col, out_name, round_to
+    filt = term.get("where")
+    if filt is None:
+        filt = []
+    elif isinstance(filt, dict):
+        filt = [filt]
+    elif not isinstance(filt, list):
+        raise QueryError(f"aggregate 'where' must be a dict or list: {term}")
+    return fname, col, out_name, round_to, filt
 
 
 def _coerce_literal(val: Any, dtype: T.DataType) -> Column:
@@ -310,11 +323,20 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
 
     def agg_exprs() -> list[Column]:
         exprs = []
-        for fname, col, out_name, round_to in agg_terms:
+        for fname, col, out_name, round_to, filt in agg_terms:
+            # FILTER (WHERE ...): null-out non-matching rows — every
+            # aggregate here skips nulls, which is exactly SQL FILTER
+            # semantics (COUNT(*) counts the when-matched literal).
+            cond = None
+            for fc in filt:
+                c = _bool_expr(fc)
+                cond = c if cond is None else (cond & c)
             if fname == "COUNT" and col == "*":
-                e = F.count(F.lit(1))
+                target = F.lit(1) if cond is None else F.when(cond, F.lit(1))
+                e = F.count(target)
             else:
-                e = AGG_FUNCS[fname](F.col(col))
+                target = F.col(col) if cond is None else F.when(cond, F.col(col))
+                e = AGG_FUNCS[fname](target)
             if round_to is not None:
                 e = F.round(e, round_to)
             exprs.append(e.alias(out_name))

@@ -108,10 +108,18 @@ class RollupRouter:
 
     def route(self, q: dict) -> DataFrame | None:
         """Rewrite ``q`` onto a qualifying rollup, or return None."""
+        # Subsumption-or-refuse (the reference's routers silently drop
+        # unhandled clauses — SURVEY.md §4 hazards): any query feature a
+        # rollup cannot re-derive refuses the route outright.
+        if any(kw in q for kw in
+               ("join", "having", "distinct", "union", "intersect", "except")):
+            return None
         qtable = q.get("from", "events")
         agg_terms = self._agg_terms(q)
         if not agg_terms:
             return None  # plain row-level select can't come from a rollup
+        if any(t[4] for t in agg_terms):
+            return None  # FILTER'd aggregates aren't in any rollup grain
         plain = self._plain_columns(q)
 
         candidates = []
@@ -124,7 +132,7 @@ class RollupRouter:
             schema_cols = set(self._frame(name).columns)
             measures = {}
             ok = True
-            for fname, col, out_name, round_to in agg_terms:
+            for fname, col, out_name, round_to, _filt in agg_terms:
                 m = self._measure(fname, col, schema_cols)
                 if m is None:
                     ok = False
