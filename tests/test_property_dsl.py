@@ -6,6 +6,8 @@ the in-repo version of the reference's engine-vs-baseline diff scheme
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -31,6 +33,11 @@ agg_terms = st.sampled_from([
     {"SUM": "value", "round": 6},
     {"COUNT": "*"},
     {"COUNT": "value"},
+    # FILTER (WHERE ...) clause variants.
+    {"COUNT": "*", "as": "cnt_high",
+     "where": {"col": "value", "op": "gte", "val": 50}},
+    {"SUM": "value", "as": "sum_clicks", "round": 6,
+     "where": {"col": "event_type", "op": "eq", "val": "click"}},
 ])
 
 AGG_FUNCS = ("SUM", "AVG", "COUNT", "MIN", "MAX")
@@ -98,7 +105,7 @@ def dsl_queries(draw) -> dict:
         keys = draw(st.lists(st.sampled_from(GROUP_COLS), min_size=0,
                              max_size=2, unique=True))
         aggs = draw(st.lists(agg_terms, min_size=1, max_size=3,
-                             unique_by=lambda t: tuple(sorted(t.items()))))
+                             unique_by=lambda t: json.dumps(t, sort_keys=True)))
         q["select"] = [*keys, *aggs]
         if keys:
             q["group_by"] = keys
