@@ -370,6 +370,36 @@ DSL_QUERIES: dict[str, dict] = {
         "having": [{"col": "n_items", "op": "gte", "val": 100}],
         "order_by": [{"col": "o_orderpriority", "dir": "asc"}],
     },
+    "dsl_tpch_q1_full": {
+        # the REAL TPC-H Q1, discount/charge expressions included —
+        # enabled by arithmetic expression trees as aggregate targets;
+        # product sums round to 2dp (double-accumulation error across
+        # engines is ~1e-4 at this magnitude, well under the grain)
+        "select": [
+            "l_returnflag", "l_linestatus",
+            {"SUM": "l_quantity", "as": "sum_qty", "round": 4},
+            {"SUM": "l_extendedprice", "as": "sum_base_price", "round": 2},
+            {"SUM": {"op": "mul", "args": [
+                "l_extendedprice",
+                {"op": "sub", "args": [1, "l_discount"]}]},
+             "as": "sum_disc_price", "round": 2},
+            {"SUM": {"op": "mul", "args": [
+                "l_extendedprice",
+                {"op": "sub", "args": [1, "l_discount"]},
+                {"op": "add", "args": [1, "l_tax"]}]},
+             "as": "sum_charge", "round": 2},
+            {"AVG": "l_quantity", "as": "avg_qty", "round": 6},
+            {"AVG": "l_extendedprice", "as": "avg_price", "round": 6},
+            {"AVG": "l_discount", "as": "avg_disc", "round": 6},
+            {"COUNT": "*", "as": "count_order"},
+        ],
+        "from": "lineitem",
+        "where": [{"col": "l_shipdate", "op": "lte",
+                   "val": "1998-09-02 00:00:00"}],
+        "group_by": ["l_returnflag", "l_linestatus"],
+        "order_by": [{"col": "l_returnflag", "dir": "asc"},
+                     {"col": "l_linestatus", "dir": "asc"}],
+    },
     # flagship: TPC-H Q1-shaped pricing summary
     "dsl_pricing_summary": {
         "select": [

@@ -26,10 +26,12 @@ from pyspark.sql import types as T
 from query_planner_optimizer_spark.catalog import DERIVED_TIME_COLUMNS, duckdb_time_cte
 from query_planner_optimizer_spark.dsl.compiler import (
     AGG_FUNCS,
+    ARITH_OPS,
     SET_OPS,
     QueryError,
     _is_agg_term,
     _parse_agg_term,
+    expr_columns,
 )
 
 _OP_SQL = {"eq": "=", "neq": "<>", "lt": "<", "lte": "<=", "gt": ">", "gte": ">="}
@@ -115,11 +117,33 @@ def _render_cond(
     raise QueryError(f"unknown filter op: {cond!r}")
 
 
+def _num_expr_sql(e, dialect: str) -> str:
+    """Arithmetic expression tree → SQL, twin of ``compiler._num_expr``.
+    Fully parenthesized so left-fold semantics survive precedence."""
+    if isinstance(e, str):
+        return _ident(e, dialect)
+    if isinstance(e, bool) or not isinstance(e, (dict, int, float)):
+        raise QueryError(f"bad expression leaf: {e!r}")
+    if isinstance(e, (int, float)):
+        return repr(e)
+    op = ARITH_OPS.get(e.get("op"))
+    args = e.get("args")
+    if op is None or not isinstance(args, list) or len(args) < 2:
+        raise QueryError(f"bad expression node: {e!r}")
+    out = _num_expr_sql(args[0], dialect)
+    for a in args[1:]:
+        out = f"({out} {op} {_num_expr_sql(a, dialect)})"
+    return out
+
+
 def _agg_sql(
     term: dict, dialect: str, type_map: dict[str, T.DataType] | None = None
 ) -> str:
     fname, col, out_name, round_to, filt = _parse_agg_term(term)
-    target = "*" if col == "*" else _ident(col, dialect)
+    if isinstance(col, dict):
+        target = _num_expr_sql(col, dialect)
+    else:
+        target = "*" if col == "*" else _ident(col, dialect)
     if fname == "COUNT" and col == "*":
         expr = "COUNT(*)"
     else:
@@ -197,7 +221,10 @@ def assemble_sql(
     for term in q.get("select") or []:
         if _is_agg_term(term):
             parsed = _parse_agg_term(term)
-            referenced.add(parsed[1])
+            if isinstance(parsed[1], dict):
+                referenced.update(expr_columns(parsed[1]))
+            else:
+                referenced.add(parsed[1])
             referenced.update(c.get("col") for c in parsed[4] if c.get("col"))
         else:
             referenced.add(term)

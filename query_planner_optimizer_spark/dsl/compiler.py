@@ -71,8 +71,53 @@ FILTER_OPS = ("eq", "neq", "in", "not_in", "between", "lt", "lte", "gt", "gte",
               "is_null", "is_not_null", "like")
 
 
+ARITH_OPS = {"add": "+", "sub": "-", "mul": "*", "div": "/"}
+
+
 def _is_agg_term(term: Any) -> bool:
     return isinstance(term, dict)
+
+
+def _num_expr(df: DataFrame, e: Any) -> Column:
+    """Arithmetic expression tree → Column. Leaves are column names or
+    numeric literals; nodes are {"op": add|sub|mul|div, "args": [...]}
+    folded left — the twin of :func:`assembler._num_expr_sql`."""
+    if isinstance(e, str):
+        if e not in df.columns:
+            raise QueryError(f"unknown column {e!r} in expression")
+        return F.col(e)
+    if isinstance(e, bool) or not isinstance(e, (dict, int, float)):
+        raise QueryError(f"bad expression leaf: {e!r}")
+    if isinstance(e, (int, float)):
+        return F.lit(e)
+    op = e.get("op")
+    args = e.get("args")
+    if op not in ARITH_OPS or not isinstance(args, list) or len(args) < 2:
+        raise QueryError(f"bad expression node: {e!r}")
+    out = _num_expr(df, args[0])
+    for a in args[1:]:
+        nxt = _num_expr(df, a)
+        if op == "add":
+            out = out + nxt
+        elif op == "sub":
+            out = out - nxt
+        elif op == "mul":
+            out = out * nxt
+        else:
+            out = out / nxt
+    return out
+
+
+def expr_columns(e: Any) -> set[str]:
+    """Column names referenced by an expression tree."""
+    if isinstance(e, str):
+        return {e}
+    if isinstance(e, dict):
+        out: set[str] = set()
+        for a in e.get("args") or []:
+            out |= expr_columns(a)
+        return out
+    return set()
 
 
 def _parse_agg_term(term: dict) -> tuple[str, str, str, int | None, list]:
@@ -92,9 +137,16 @@ def _parse_agg_term(term: dict) -> tuple[str, str, str, int | None, list]:
     if func is None:
         raise QueryError(f"unknown aggregate term: {term}")
     col = term[func]
-    if not isinstance(col, str):
-        raise QueryError(f"aggregate target must be a column name or '*': {term}")
     fname = func.upper()
+    if isinstance(col, dict):
+        # Arithmetic expression target, e.g. SUM(price * (1 - disc)).
+        if "as" not in term:
+            raise QueryError(f"expression aggregate needs an alias: {term}")
+        if fname == "COUNT":
+            raise QueryError(f"COUNT takes a column or '*', not an expression: {term}")
+    elif not isinstance(col, str):
+        raise QueryError(f"aggregate target must be a column name,"
+                         f" '*', or an expression tree: {term}")
     if col == "*" and fname != "COUNT":
         raise QueryError(f"'*' is only valid for COUNT: {term}")
     out_name = term.get("as") or f"{fname.lower()}({col})"
@@ -335,7 +387,8 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                 target = F.lit(1) if cond is None else F.when(cond, F.lit(1))
                 e = F.count(target)
             else:
-                target = F.col(col) if cond is None else F.when(cond, F.col(col))
+                base = _num_expr(df, col) if isinstance(col, dict) else F.col(col)
+                target = base if cond is None else F.when(cond, base)
                 e = AGG_FUNCS[fname](target)
             if round_to is not None:
                 e = F.round(e, round_to)

@@ -91,7 +91,9 @@ class RollupRouter:
         return [C._parse_agg_term(t) for t in (q.get("select") or [])
                 if isinstance(t, dict)]
 
-    def _measure(self, fname: str, col: str, schema_cols: set[str]) -> Column | None:
+    def _measure(self, fname: str, col, schema_cols: set[str]) -> Column | None:
+        if not isinstance(col, str):
+            return None  # expression aggregates aren't in any rollup
         if fname == "COUNT" and col == "*":
             return F.sum("n_rows")
         if fname == "SUM" and f"sum_{col}" in schema_cols:
