@@ -470,9 +470,9 @@ def _dsl_callable(q: dict) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
+    """Flagship query (full TPC-H Q1, expression measures) on sf0.001."""
     cat = Catalog(spark, "/root/testdata/sf0.001", register_views=False)
-    return compile_query(DSL_QUERIES["dsl_pricing_summary"], cat)
+    return compile_query(DSL_QUERIES["dsl_tpch_q1_full"], cat)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
