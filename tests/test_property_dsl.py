@@ -38,6 +38,12 @@ agg_terms = st.sampled_from([
      "where": {"col": "value", "op": "gte", "val": 50}},
     {"SUM": "value", "as": "sum_clicks", "round": 6,
      "where": {"col": "event_type", "op": "eq", "val": "click"}},
+    # Arithmetic expression targets.
+    {"SUM": {"op": "mul", "args": ["value", 2]},
+     "as": "sum_double", "round": 6},
+    {"AVG": {"op": "div", "args": [
+        {"op": "sub", "args": ["value", 50]}, 100]},
+     "as": "avg_centered", "round": 6},
 ])
 
 AGG_FUNCS = ("SUM", "AVG", "COUNT", "MIN", "MAX")
