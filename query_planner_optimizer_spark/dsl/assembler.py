@@ -117,10 +117,16 @@ def _render_cond(
     raise QueryError(f"unknown filter op: {cond!r}")
 
 
-def _num_expr_sql(e, dialect: str) -> str:
+def _num_expr_sql(
+    e, dialect: str, type_map: dict[str, T.DataType] | None = None
+) -> str:
     """Arithmetic expression tree → SQL, twin of ``compiler._num_expr``.
-    Fully parenthesized so left-fold semantics survive precedence."""
+    Fully parenthesized so left-fold semantics survive precedence.
+    Column leaves are validated against ``type_map`` when given, so a
+    typo raises QueryError at build time like every other reference."""
     if isinstance(e, str):
+        if type_map is not None and e not in type_map:
+            raise QueryError(f"unknown column {e!r} in expression")
         return _ident(e, dialect)
     if isinstance(e, bool) or not isinstance(e, (dict, int, float)):
         raise QueryError(f"bad expression leaf: {e!r}")
@@ -130,18 +136,20 @@ def _num_expr_sql(e, dialect: str) -> str:
     args = e.get("args")
     if op is None or not isinstance(args, list) or len(args) < 2:
         raise QueryError(f"bad expression node: {e!r}")
-    out = _num_expr_sql(args[0], dialect)
+    out = _num_expr_sql(args[0], dialect, type_map)
     for a in args[1:]:
-        out = f"({out} {op} {_num_expr_sql(a, dialect)})"
+        out = f"({out} {op} {_num_expr_sql(a, dialect, type_map)})"
     return out
 
 
-def _agg_sql(
+def _agg_expr_sql(
     term: dict, dialect: str, type_map: dict[str, T.DataType] | None = None
-) -> str:
+) -> tuple[str, str]:
+    """Render an aggregate term as ``(bare_expression, out_name)`` —
+    callers attach the alias (or not, for HAVING re-expansion)."""
     fname, col, out_name, round_to, filt = _parse_agg_term(term)
     if isinstance(col, dict):
-        target = _num_expr_sql(col, dialect)
+        target = _num_expr_sql(col, dialect, type_map)
     else:
         target = "*" if col == "*" else _ident(col, dialect)
     if fname == "COUNT" and col == "*":
@@ -159,6 +167,13 @@ def _agg_sql(
         expr += f" FILTER (WHERE {cond})"
     if round_to is not None:
         expr = f"ROUND({expr}, {round_to})"
+    return expr, out_name
+
+
+def _agg_sql(
+    term: dict, dialect: str, type_map: dict[str, T.DataType] | None = None
+) -> str:
+    expr, out_name = _agg_expr_sql(term, dialect, type_map)
     return f"{expr} AS {_quote_ident(out_name, dialect)}"
 
 
@@ -188,19 +203,31 @@ def assemble_sql(
         children = q[kw]
         if not isinstance(children, list) or len(children) < 2:
             raise QueryError(f"{kw!r} needs a list of at least two queries")
+        for other in ("select", "from", "where", "group_by", "having",
+                      "join", "distinct"):
+            if other in q:
+                raise QueryError(f"{kw!r} query cannot also have {other!r}")
         for c in children:
             if isinstance(c, dict) and ("order_by" in c or "limit" in c):
                 raise QueryError(f"{kw} children cannot have order_by/limit")
+
+        def _child_out(c: dict) -> list:
+            return [_parse_agg_term(t)[2] if _is_agg_term(t) else t
+                    for t in c.get("select") or []]
+
+        child_out = _child_out(children[0])
+        for c in children[1:]:
+            if _child_out(c) != child_out:
+                raise QueryError(
+                    f"{kw} children project different columns:"
+                    f" {child_out} vs {_child_out(c)}"
+                )
         joiner = f" {kw.upper()}{' ALL' if q.get('all') else ''} "
         body = joiner.join(
             "(" + assemble_sql(c, type_map, dialect, ts_is_millis) + ")"
             for c in children
         )
         sql = f"SELECT * FROM ({body}) AS u"
-        first = children[0].get("select") or []
-        child_out = [
-            _parse_agg_term(t)[2] if _is_agg_term(t) else t for t in first
-        ]
         return _append_order_limit(sql, q, child_out, dialect)
 
     table = q.get("from", "events")
@@ -218,16 +245,7 @@ def assemble_sql(
         raise QueryError("query has no select list")
 
     referenced = set()
-    for term in q.get("select") or []:
-        if _is_agg_term(term):
-            parsed = _parse_agg_term(term)
-            if isinstance(parsed[1], dict):
-                referenced.update(expr_columns(parsed[1]))
-            else:
-                referenced.add(parsed[1])
-            referenced.update(c.get("col") for c in parsed[4] if c.get("col"))
-        else:
-            referenced.add(term)
+
     def _collect_cols(cond: dict) -> None:
         for kw in ("or", "and"):
             for b in cond.get(kw) or []:
@@ -236,6 +254,18 @@ def assemble_sql(
             _collect_cols(cond["not"])
         if cond.get("col") is not None:
             referenced.add(cond["col"])
+
+    for term in q.get("select") or []:
+        if _is_agg_term(term):
+            parsed = _parse_agg_term(term)
+            if isinstance(parsed[1], dict):
+                referenced.update(expr_columns(parsed[1]))
+            else:
+                referenced.add(parsed[1])
+            for c in parsed[4]:  # FILTER conds may be boolean trees
+                _collect_cols(c)
+        else:
+            referenced.add(term)
 
     for cond in q.get("where") or []:
         _collect_cols(cond)
@@ -290,16 +320,20 @@ def assemble_sql(
         agg_expr_by_alias: dict[str, str] = {}
         for term in q.get("select") or []:
             if _is_agg_term(term):
-                expr = _agg_sql(term, dialect, type_map).rsplit(" AS ", 1)[0]
-                agg_expr_by_alias[_parse_agg_term(term)[2].lower()] = expr
+                expr, alias = _agg_expr_sql(term, dialect, type_map)
+                agg_expr_by_alias[alias.lower()] = expr
+        # Group keys resolve case-insensitively, matching the compiler
+        # twin's _resolve_order_col behavior.
+        keys_by_lower = {k.lower(): k for k in group_by}
         parts = []
         for cond in having:
             name = str(cond.get("col"))
             expr = agg_expr_by_alias.get(name.lower())
             if expr is not None:
                 parts.append(_render_cond(expr, cond, None, dialect))
-            elif name in group_by:
-                parts.append(_condition_sql(cond, type_map, dialect))
+            elif name.lower() in keys_by_lower:
+                resolved = dict(cond, col=keys_by_lower[name.lower()])
+                parts.append(_condition_sql(resolved, type_map, dialect))
             else:
                 raise QueryError(
                     f"having column {name!r} is neither an aggregate"

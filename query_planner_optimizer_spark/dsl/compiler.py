@@ -395,6 +395,24 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             exprs.append(e.alias(out_name))
         return exprs
 
+    def apply_having(frame: DataFrame, columns: list[str]) -> DataFrame:
+        # HAVING — additive extension (post-aggregation filter; the
+        # reference DSL has no HAVING, SURVEY.md §2.3). Conditions
+        # reference aggregate aliases or group keys — including group
+        # keys NOT in the select list (standard SQL evaluates HAVING
+        # before the projection), resolved case-insensitively like
+        # order_by, reusing the WHERE op set.
+        having = q.get("having") or []
+        if not having:
+            return frame
+        combined = None
+        for cond in having:
+            resolved = dict(cond)
+            resolved["col"] = _resolve_order_col(str(cond.get("col")), columns)
+            c = _filter_condition(frame, resolved)
+            combined = c if combined is None else (combined & c)
+        return frame.filter(combined)
+
     if group_by:
         # Grouping columns must appear in select (``claude.md:128``); we
         # tolerate grouping columns missing from select by projecting
@@ -403,6 +421,7 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         if bad:
             raise QueryError(f"selected columns not in group_by: {bad}")
         df = df.groupBy(*[F.col(c) for c in group_by]).agg(*agg_exprs())
+        df = apply_having(df, list(group_by) + [a[2] for a in agg_terms])
         names = []
         agg_iter = iter([a[2] for a in agg_terms])
         for term in select:
@@ -418,7 +437,10 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         # (``query_engine.py:494-502``).
         df = df.agg(*agg_exprs())
         out_columns = [a[2] for a in agg_terms]
+        df = apply_having(df, out_columns)
     else:
+        if q.get("having"):
+            raise QueryError("'having' requires an aggregation")
         df = df.select(*plain_cols)
         out_columns = list(plain_cols)
 
@@ -429,24 +451,6 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         if group_by or agg_terms:
             raise QueryError("'distinct' with aggregation is redundant")
         df = df.distinct()
-
-    # HAVING — additive extension (post-aggregation filter; the
-    # reference DSL has no HAVING, SURVEY.md §2.3). Conditions reference
-    # output columns — aggregate aliases or group keys — resolved
-    # case-insensitively like order_by, and reuse the WHERE op set.
-    having = q.get("having") or []
-    if having:
-        if not (group_by or agg_terms):
-            raise QueryError("'having' requires an aggregation")
-        combined = None
-        for cond in having:
-            resolved = dict(cond)
-            resolved["col"] = _resolve_order_col(
-                str(cond.get("col")), out_columns
-            )
-            c = _filter_condition(df, resolved)
-            combined = c if combined is None else (combined & c)
-        df = df.filter(combined)
 
     return _apply_order_limit(df, q, out_columns)
 

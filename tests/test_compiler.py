@@ -12,7 +12,9 @@ import pytest
 from query_planner_optimizer_spark.dsl.assembler import assemble_sql
 from query_planner_optimizer_spark.dsl.compiler import QueryError, compile_query
 
-from .conftest import assert_matches_duckdb
+import pandas as pd
+
+from .conftest import assert_matches_duckdb, normalize
 
 # Each fixture: (name, DSL query dict). The DuckDB oracle SQL is derived
 # from the same dict via the assembler — one source of truth.
@@ -263,3 +265,53 @@ def test_mixed_set_ops_raise(catalog):
     with pytest.raises(QueryError):
         compile_query({"union": [child, child],
                        "intersect": [child, child]}, catalog)
+
+
+# -- review-pass regressions: engine-vs-oracle twin parity ---------------
+
+def test_agg_filter_tree_gets_duckdb_cte(catalog, ddb):
+    q = {"select": ["event_type",
+                    {"SUM": "value", "as": "s", "round": 6,
+                     "where": {"or": [
+                         {"col": "day", "op": "eq", "val": "2024-01-02"},
+                         {"col": "value", "op": "gte", "val": 90}]}}],
+         "from": "events", "group_by": ["event_type"],
+         "order_by": [{"col": "event_type", "dir": "asc"}]}
+    got = normalize(compile_query(q, catalog).toPandas())
+    sql = assemble_sql(q, catalog.spark_type_map("events"), dialect="duckdb")
+    want = normalize(ddb.execute(sql).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-6)
+
+
+def test_setop_assembler_validates_like_compiler(catalog):
+    child_a = {"select": ["event_type"], "from": "events"}
+    child_b = {"select": ["value"], "from": "events"}
+    tmap = catalog.spark_type_map("events")
+    with pytest.raises(QueryError):  # extra top-level clause
+        assemble_sql({"union": [child_a, child_a],
+                      "where": [{"col": "value", "op": "gte", "val": 1}]},
+                     tmap)
+    with pytest.raises(QueryError):  # mismatched child columns
+        assemble_sql({"union": [child_a, child_b]}, tmap)
+
+
+def test_having_on_unselected_group_key(catalog, ddb):
+    # Standard SQL: HAVING may reference group keys dropped from select.
+    q = {"select": [{"COUNT": "*", "as": "c"}], "from": "events",
+         "group_by": ["event_type"],
+         "having": [{"col": "EVENT_TYPE", "op": "neq", "val": "click"}]}
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"), dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got["c"]) == sorted(want["c"]) and len(got) == 4
+
+
+def test_expression_typo_raises_in_both_paths(catalog):
+    q = {"select": [{"SUM": {"op": "mul", "args": ["value", "nope"]},
+                     "as": "s"}],
+         "from": "events", "group_by": []}
+    with pytest.raises(QueryError):
+        compile_query(q, catalog)
+    with pytest.raises(QueryError):
+        assemble_sql(q, catalog.spark_type_map("events"))
