@@ -135,7 +135,10 @@ def dsl_queries(draw) -> dict:
                 "val": draw(st.integers(min_value=0, max_value=500)),
             })
         if "event_type" in (q.get("group_by") or []) and draw(st.booleans()):
-            having.append({"col": "event_type", "op": "neq",
+            # Case-varied spelling — both paths resolve group keys
+            # case-insensitively.
+            key = draw(st.sampled_from(["event_type", "EVENT_TYPE"]))
+            having.append({"col": key, "op": "neq",
                            "val": draw(st.sampled_from(ETYPES))})
         if having:
             q["having"] = having
