@@ -53,6 +53,17 @@ DSL_QUERIES: dict[str, dict] = {
         "where": [{"col": "event_type", "op": "in",
                    "val": ["click", "purchase", "signup"]}],
     },
+    "dsl_expr_projection": {
+        # computed scalar projection — row-level arithmetic stays
+        # JVM-side (whole-stage codegen), never a Python UDF
+        "select": ["event_id", "value",
+                   {"expr": {"op": "div", "args": [
+                       {"op": "sub", "args": ["value", 50]}, 100]},
+                    "as": "value_centered"}],
+        "from": "events",
+        "where": [{"col": "value", "op": "between", "val": [20, 30]}],
+        "order_by": [{"col": "event_id", "dir": "asc"}],
+    },
     "dsl_filter_not_in": {
         # complement of `in` — supported by both paths but previously
         # unexercised by any driver entry

@@ -30,6 +30,7 @@ from query_planner_optimizer_spark.dsl.compiler import (
     SET_OPS,
     QueryError,
     _is_agg_term,
+    _is_expr_term,
     _parse_agg_term,
     expr_columns,
 )
@@ -212,8 +213,15 @@ def assemble_sql(
                 raise QueryError(f"{kw} children cannot have order_by/limit")
 
         def _child_out(c: dict) -> list:
-            return [_parse_agg_term(t)[2] if _is_agg_term(t) else t
-                    for t in c.get("select") or []]
+            out = []
+            for t in c.get("select") or []:
+                if _is_expr_term(t):
+                    out.append(t.get("as"))
+                elif _is_agg_term(t):
+                    out.append(_parse_agg_term(t)[2])
+                else:
+                    out.append(t)
+            return out
 
         child_out = _child_out(children[0])
         for c in children[1:]:
@@ -235,7 +243,21 @@ def assemble_sql(
     select_terms = []
     out_names = []
     for term in q.get("select") or []:
-        if _is_agg_term(term):
+        if _is_expr_term(term):
+            if "as" not in term:
+                raise QueryError(f"expression projection needs an alias: {term}")
+            if q.get("group_by") or any(
+                _is_agg_term(t) for t in q.get("select") or []
+            ):
+                raise QueryError(
+                    f"expression projections are row-level only: {term}"
+                )
+            rendered = _num_expr_sql(term["expr"], dialect, type_map)
+            select_terms.append(
+                f"{rendered} AS {_quote_ident(term['as'], dialect)}"
+            )
+            out_names.append(term["as"])
+        elif _is_agg_term(term):
             select_terms.append(_agg_sql(term, dialect, type_map))
             out_names.append(_parse_agg_term(term)[2])
         else:
@@ -256,7 +278,9 @@ def assemble_sql(
             referenced.add(cond["col"])
 
     for term in q.get("select") or []:
-        if _is_agg_term(term):
+        if _is_expr_term(term):
+            referenced.update(expr_columns(term["expr"]))
+        elif _is_agg_term(term):
             parsed = _parse_agg_term(term)
             if isinstance(parsed[1], dict):
                 referenced.update(expr_columns(parsed[1]))

@@ -74,8 +74,13 @@ FILTER_OPS = ("eq", "neq", "in", "not_in", "between", "lt", "lte", "gt", "gte",
 ARITH_OPS = {"add": "+", "sub": "-", "mul": "*", "div": "/"}
 
 
+def _is_expr_term(term: Any) -> bool:
+    """Computed scalar projection: {"expr": tree, "as": name}."""
+    return isinstance(term, dict) and "expr" in term
+
+
 def _is_agg_term(term: Any) -> bool:
-    return isinstance(term, dict)
+    return isinstance(term, dict) and "expr" not in term
 
 
 def _num_expr(df: DataFrame, e: Any) -> Column:
@@ -364,8 +369,21 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         raise QueryError("query has no select list")
     group_by = q.get("group_by") or []
 
-    plain_cols = [t for t in select if not _is_agg_term(t)]
+    plain_cols = [t for t in select
+                  if not _is_agg_term(t) and not _is_expr_term(t)]
     agg_terms = [_parse_agg_term(t) for t in select if _is_agg_term(t)]
+    expr_terms = [t for t in select if _is_expr_term(t)]
+
+    for t in expr_terms:
+        # Computed scalar projections — row-level only; under grouping
+        # a computed column would have to be a grouping expression,
+        # which the DSL (like the reference) does not model.
+        if "as" not in t:
+            raise QueryError(f"expression projection needs an alias: {t}")
+        if group_by or agg_terms:
+            raise QueryError(
+                f"expression projections are row-level only: {t}"
+            )
 
     for c in list(plain_cols) + list(group_by):
         if not isinstance(c, str):
@@ -441,8 +459,16 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     else:
         if q.get("having"):
             raise QueryError("'having' requires an aggregation")
-        df = df.select(*plain_cols)
-        out_columns = list(plain_cols)
+        proj = []
+        out_columns = []
+        for t in select:
+            if _is_expr_term(t):
+                proj.append(_num_expr(df, t["expr"]).alias(t["as"]))
+                out_columns.append(t["as"])
+            else:
+                proj.append(F.col(t))
+                out_columns.append(t)
+        df = df.select(*proj)
 
     # DISTINCT — additive projection modifier (the reference has no set
     # ops, SURVEY.md §2.5). Only meaningful on plain projections; with

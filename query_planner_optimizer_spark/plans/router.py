@@ -116,6 +116,9 @@ class RollupRouter:
         if any(kw in q for kw in
                ("join", "having", "distinct", "union", "intersect", "except")):
             return None
+        if any(isinstance(t, dict) and "expr" in t
+               for t in q.get("select") or []):
+            return None  # computed projections aren't rollup-derivable
         qtable = q.get("from", "events")
         agg_terms = self._agg_terms(q)
         if not agg_terms:

@@ -315,3 +315,18 @@ def test_expression_typo_raises_in_both_paths(catalog):
         compile_query(q, catalog)
     with pytest.raises(QueryError):
         assemble_sql(q, catalog.spark_type_map("events"))
+
+
+def test_expr_projection_rules(catalog):
+    with pytest.raises(QueryError):  # alias required
+        compile_query({"select": [{"expr": {"op": "mul",
+                                            "args": ["value", 2]}}],
+                       "from": "events"}, catalog)
+    with pytest.raises(QueryError):  # row-level only
+        compile_query({"select": ["event_type",
+                                  {"expr": {"op": "mul",
+                                            "args": ["value", 2]},
+                                   "as": "v2"},
+                                  {"COUNT": "*", "as": "c"}],
+                       "from": "events", "group_by": ["event_type"]},
+                      catalog)
