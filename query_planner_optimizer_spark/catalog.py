@@ -181,6 +181,32 @@ class Catalog:
         self._cache: dict[str, DataFrame] = {}
         self.register_views = register_views
         self.overrides = dict(overrides or {})
+        # The catalog may be handed a FOREIGN session (the correctness
+        # harness builds its own vanilla SparkSession) — never assume the
+        # confs of our session factory (session.py). Derived day/week/hour
+        # must match the UTC-based DuckDB oracle regardless of host TZ, so
+        # pin the session timezone here. (Runtime-settable SQL conf.)
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass  # read-only conf situations: keep going, reads still work
+
+    def _ensure_nanos_conf(self) -> None:
+        """Allow reading parquet TIMESTAMP(NANOS) columns on ANY session.
+
+        Spark rejects nano-precision parquet timestamps outright
+        (``PARQUET_TYPE_ILLEGAL``) unless
+        ``spark.sql.legacy.parquet.nanosAsLong=true``, under which they
+        arrive as epoch-nanos longs that :func:`_restore_nano_timestamps`
+        converts back. The conf is runtime-settable, so set it on the
+        caller's session right before the read rather than relying on our
+        own session factory having set it (the harness passes a vanilla
+        session; see round-1 CORRECTNESS failures).
+        """
+        try:
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
 
     def table_path(self, name: str) -> str:
         if name in self.overrides:
@@ -206,8 +232,11 @@ class Catalog:
                 self._cache[name] = df
                 return df
             raise KeyError(f"unknown table {name!r}: no {path} and no registered view")
+        nano_cols = _nano_timestamp_columns(path)
+        if nano_cols:
+            self._ensure_nanos_conf()
         df = self.spark.read.parquet(path)
-        df = _restore_nano_timestamps(df, _nano_timestamp_columns(path))
+        df = _restore_nano_timestamps(df, nano_cols)
         df = augment_time_columns(df)
         if self.register_views:
             df.createOrReplaceTempView(name)

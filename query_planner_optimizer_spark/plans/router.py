@@ -136,6 +136,7 @@ class RollupRouter:
                 continue
             schema_cols = set(self._frame(name).columns)
             measures = {}
+            count_like = set()
             ok = True
             for fname, col, out_name, round_to, _filt in agg_terms:
                 m = self._measure(fname, col, schema_cols)
@@ -145,12 +146,18 @@ class RollupRouter:
                 if round_to is not None:
                     m = F.round(m, round_to)
                 measures[out_name] = m
+                if fname == "COUNT":
+                    count_like.add(out_name)
             if ok:
-                candidates.append((len(self.keys[name]), name, measures))
+                candidates.append(
+                    (len(self.keys[name]), name, measures, count_like)
+                )
         if not candidates:
             self.fallbacks += 1
             return None
-        _, name, measures = min(candidates)
+        _, name, measures, count_like = min(
+            candidates, key=lambda c: (c[0], c[1])
+        )
 
         df = self._frame(name)
         # Filters apply on rollup grouping keys — legal because every
@@ -175,6 +182,15 @@ class RollupRouter:
             df = df.select(*names)
             out_columns = names
         else:
+            # Ungrouped route: a WHERE that matches zero rollup rows makes
+            # SUM(n_rows)/SUM(count_c) return NULL, but COUNT semantics
+            # (base path and SQL alike) say 0 — coalesce the COUNT-derived
+            # measures. Grouped routes are unaffected: empty groups simply
+            # produce no rows on both paths.
+            agg_exprs = [
+                (F.coalesce(m, F.lit(0)) if n in count_like else m).alias(n)
+                for n, m in measures.items()
+            ]
             df = df.agg(*agg_exprs)
             out_columns = list(measures.keys())
 

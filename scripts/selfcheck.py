@@ -5,7 +5,15 @@ CORRECTNESS gate uses (row-count + column set + order-insensitive
 values). Exit code 0 iff all entries match (rows-only entries must
 simply run and return a schema).
 
-Usage: python scripts/selfcheck.py [sf_dir] (default /root/testdata/sf0.01)
+Usage: python scripts/selfcheck.py [sf_dir] [--vanilla]
+       (default sf_dir /root/testdata/sf0.01)
+
+``--vanilla`` (now the DEFAULT) runs under a conf-free
+``SparkSession.builder.master("local[N]")`` session — exactly what the
+driver's harness passes — so engine code can never silently depend on
+session.py-only confs again (round-1 postmortem: nanosAsLong was set
+only in our factory and 23 driver entries errored). ``--repo-session``
+opts back into the tuned factory session.
 """
 
 from __future__ import annotations
@@ -40,11 +48,27 @@ def normalize(df: pd.DataFrame, dp: int = 6) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as mod
-    from query_planner_optimizer_spark.session import get_spark
 
-    spark = get_spark(app_name="qpo-selfcheck")
+    if "--repo-session" in flags:
+        from query_planner_optimizer_spark.session import get_spark
+
+        spark = get_spark(app_name="qpo-selfcheck")
+    else:
+        # Vanilla session (default): replicate the driver harness, which
+        # builds its own SparkSession with NONE of session.py's confs.
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("qpo-selfcheck-vanilla")
+            .getOrCreate()
+        )
+        print(f"(vanilla session, local[{cpus}] — no repo confs)")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

@@ -150,6 +150,30 @@ def test_router_rejects_extra_filter(spark, prepared):
     assert router.route(q) is None
 
 
+def test_router_ungrouped_count_empty_filter(spark, prepared):
+    """Ungrouped COUNT routed through a rollup must return 0 (not NULL)
+    when the WHERE matches no rollup rows — matching the base-path
+    F.count semantics and SQL COUNT semantics (differential check)."""
+    cat = prepared["catalog"]
+    router = RollupRouter(spark, prepared["res"].aggregates_dir)
+    q = {"select": [{"COUNT": "*", "as": "n"},
+                    {"COUNT": "bid_price", "as": "n_bid"}],
+         "from": "events",
+         "where": [{"col": "type", "op": "eq", "val": "no_such_type"}]}
+    routed_df = router.route(q)
+    assert routed_df is not None and router.routed == 1
+    routed = routed_df.toPandas()
+    base = compile_query(q, cat).toPandas()
+    assert routed["n"].iloc[0] == base["n"].iloc[0] == 0
+    assert routed["n_bid"].iloc[0] == base["n_bid"].iloc[0] == 0
+    # SUM keeps NULL-on-empty semantics on both paths.
+    q2 = {"select": [{"SUM": "bid_price", "as": "s"}], "from": "events",
+          "where": [{"col": "type", "op": "eq", "val": "no_such_type"}]}
+    routed2 = router.route(q2).toPandas()
+    base2 = compile_query(q2, cat).toPandas()
+    assert pd.isna(routed2["s"].iloc[0]) and pd.isna(base2["s"].iloc[0])
+
+
 def test_router_rejects_min_max(spark, prepared):
     router = RollupRouter(spark, prepared["res"].aggregates_dir)
     q = {"select": ["day", {"MIN": "bid_price"}], "from": "events",
