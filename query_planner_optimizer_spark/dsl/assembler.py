@@ -311,13 +311,29 @@ def assemble_sql(
         kw = _JOIN_KW.get(jspec.get("type", "inner"))
         if kw is None:
             raise QueryError(f"unknown join type: {jspec!r}")
-        conds = []
-        for pair in jspec.get("on") or []:
-            lcol, rcol = (pair, pair) if isinstance(pair, str) else pair
-            conds.append(f"{_ident(lcol, dialect)} = {jt}.{_ident(rcol, dialect)}")
-        if not conds:
+        pairs = [(p, p) if isinstance(p, str) else tuple(p)
+                 for p in jspec.get("on") or []]
+        if not pairs:
             raise QueryError(f"join needs 'on' pairs: {jspec!r}")
-        from_clause += f" {kw} {jt} ON " + " AND ".join(conds)
+        same = [l == r for l, r in pairs]
+        if all(same):
+            # Same-named keys → USING semantics (one output copy of each
+            # key, no ambiguous references). Identical in Spark SQL and
+            # DuckDB, and the compiler twin joins on the key list for the
+            # same effect.
+            keys = ", ".join(_ident(l, dialect) for l, _ in pairs)
+            from_clause += f" {kw} {jt} USING ({keys})"
+        elif any(same):
+            raise QueryError(
+                f"join mixes same-named and differently-named key pairs"
+                f" (ambiguous references): {jspec!r}"
+            )
+        else:
+            conds = [
+                f"{_ident(l, dialect)} = {jt}.{_ident(r, dialect)}"
+                for l, r in pairs
+            ]
+            from_clause += f" {kw} {jt} ON " + " AND ".join(conds)
 
     prefix = "SELECT DISTINCT" if q.get("distinct") else "SELECT"
     if q.get("distinct") and (q.get("group_by") or any(
@@ -382,11 +398,17 @@ def _append_order_limit(
                 name, direction = spec.get("col"), (spec.get("dir") or "asc").upper()
             # Resolve aggregate-alias spellings ("AVG(total_price)") to
             # the output name, case-insensitively (reference
-            # ``query_engine.py:506-524``).
+            # ``query_engine.py:506-524``). Unresolvable names raise at
+            # build time, mirroring compiler._resolve_order_col — the
+            # oracle path must fail the same way the engine path does.
             resolved = next(
                 (n for n in out_names if n == name),
-                next((n for n in out_names if n.lower() == name.lower()), name),
+                next((n for n in out_names if n.lower() == name.lower()), None),
             )
+            if resolved is None:
+                raise QueryError(
+                    f"order_by column {name!r} not in result columns {out_names}"
+                )
             parts.append(f"{_quote_ident(resolved, dialect)} {direction}")
         sql += " ORDER BY " + ", ".join(parts)
 

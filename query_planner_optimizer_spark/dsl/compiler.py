@@ -310,24 +310,37 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                      jspec.get("type", "inner"))
         if jtype is None:
             raise QueryError(f"unknown join type: {jspec!r}")
-        pairs = jspec.get("on") or []
+        pairs = [(p, p) if isinstance(p, str) else tuple(p)
+                 for p in jspec.get("on") or []]
         if not pairs:
             raise QueryError(f"join needs 'on' pairs: {jspec!r}")
-        cond = None
-        for pair in pairs:
-            lcol, rcol = (pair, pair) if isinstance(pair, str) else pair
+        for lcol, rcol in pairs:
             if lcol not in df.columns:
                 raise QueryError(f"join column {lcol!r} not in left side")
             if rcol not in right.columns:
                 raise QueryError(f"join column {rcol!r} not in {jt!r}")
-            c = df[lcol] == right[rcol]
-            cond = c if cond is None else (cond & c)
         # Broadcast the build side when asked — dimension tables always
         # want this (no shuffle of the fact side at any scale); unhinted
         # joins rely on the autoBroadcastJoinThreshold + AQE.
         if jspec.get("hint") == "broadcast":
             right = F.broadcast(right)
-        df = df.join(right, cond, jtype)
+        same = [l == r for l, r in pairs]
+        if all(same):
+            # Same-named keys → USING join (key list form): one output
+            # copy of each key, so downstream F.col refs stay
+            # unambiguous. Twin of the assembler's USING clause.
+            df = df.join(right, [l for l, _ in pairs], jtype)
+        elif any(same):
+            raise QueryError(
+                f"join mixes same-named and differently-named key pairs"
+                f" (ambiguous references): {jspec!r}"
+            )
+        else:
+            cond = None
+            for lcol, rcol in pairs:
+                c = df[lcol] == right[rcol]
+                cond = c if cond is None else (cond & c)
+            df = df.join(right, cond, jtype)
 
     # WHERE — top-level list is AND-combined (reference semantics,
     # ``claude.md:122-124``); {"or": [...]} / {"not": cond} nodes are an

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from query_planner_optimizer_spark.dsl.assembler import assemble_sql
@@ -93,6 +94,71 @@ def test_join_without_on_raises(catalog):
              "join": [{"table": "nation"}]},
             catalog,
         )
+
+
+def test_join_using_same_named_keys(spark, catalog, ddb):
+    """Same-named key pairs take USING semantics on both paths: one
+    output copy of the key, no ambiguous references downstream."""
+    users = pd.DataFrame(
+        {"user_id": [1, 2, 3, 4], "seg": ["a", "a", "b", "b"]}
+    )
+    purchases = pd.DataFrame(
+        {"user_id": [1, 1, 2, 3, 9], "amt": [5.0, 7.0, 11.0, 13.0, 99.0]}
+    )
+    spark.createDataFrame(users).createOrReplaceTempView("udsl_users")
+    spark.createDataFrame(purchases).createOrReplaceTempView("udsl_purchases")
+    ddb.register("udsl_users", users)
+    ddb.register("udsl_purchases", purchases)
+
+    q = {
+        "select": ["seg", {"SUM": "amt", "as": "total"},
+                   {"COUNT": "*", "as": "n"}],
+        "from": "udsl_purchases",
+        "join": [{"table": "udsl_users", "on": ["user_id"]}],
+        "group_by": ["seg"],
+        "order_by": ["seg"],
+    }
+    df = compile_query(q, catalog)
+    tm = {f.name: f.dataType for f in df.schema.fields}
+    tm.update({f.name: f.dataType
+               for f in catalog.spark.table("udsl_purchases").schema.fields})
+    tm.update({f.name: f.dataType
+               for f in catalog.spark.table("udsl_users").schema.fields})
+    sql = assemble_sql(q, tm, dialect="duckdb")
+    assert "USING" in sql
+    assert_matches_duckdb(df, ddb, sql, ordered=True)
+
+    # Row-level USING join keeps a single key column.
+    q2 = {"select": ["user_id", "seg", "amt"],
+          "from": "udsl_purchases",
+          "join": [{"table": "udsl_users", "on": ["user_id"]}]}
+    df2 = compile_query(q2, catalog)
+    assert df2.columns.count("user_id") == 1
+    sql2 = assemble_sql(q2, tm, dialect="duckdb")
+    assert_matches_duckdb(df2, ddb, sql2)
+
+    # Mixed same-named + differently-named pairs are rejected on BOTH
+    # paths (ambiguous references).
+    q3 = {"select": ["seg"], "from": "udsl_purchases",
+          "join": [{"table": "udsl_users",
+                    "on": ["user_id", ["amt", "seg"]]}]}
+    with pytest.raises(QueryError):
+        compile_query(q3, catalog)
+    with pytest.raises(QueryError):
+        assemble_sql(q3, tm, dialect="duckdb")
+
+
+def test_order_by_unknown_column_raises_both_paths(catalog):
+    """An unresolvable order_by name raises at build time on the engine
+    AND the oracle path (the assembler used to silently pass the raw
+    name through to deferred SQL errors)."""
+    q = {"select": ["o_orderstatus", {"COUNT": "*", "as": "n"}],
+         "from": "orders", "group_by": ["o_orderstatus"],
+         "order_by": ["no_such_col"]}
+    with pytest.raises(QueryError):
+        compile_query(q, catalog)
+    with pytest.raises(QueryError):
+        assemble_sql(q, catalog.spark_type_map("orders"), dialect="duckdb")
 
 
 def test_approx_distinct_within_rsd(spark, catalog):
