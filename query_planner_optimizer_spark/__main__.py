@@ -121,7 +121,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     report = runner.run(queries, out_dir=args.out_dir)
     for run in report.runs:
         status = "ERROR " + (run.error or "") if run.error else (
-            f"{len(run.rows)} rows"
+            f"{run.total_rows} rows"
             + (" [routed]" if run.routed else "")
             + (" [cached]" if run.cached else "")
         )

@@ -205,6 +205,26 @@ def test_runner_end_to_end_with_cache(spark, prepared, tmp_path):
     assert header[0] == "day"
 
 
+def test_runner_streams_big_results(spark, prepared, tmp_path):
+    """Above collect_threshold, results stream to CSV via toLocalIterator
+    (bounded driver memory) instead of a full collect; the report keeps
+    the true cardinality plus a bounded preview and skips the cache."""
+    runner = QueryRunner(spark, prepared["catalog"], collect_threshold=50)
+    q = {"select": ["type", "auction_id"], "from": "events"}
+    out = str(tmp_path / "big")
+    report = runner.run([q], out_dir=out)
+    run = report.runs[0]
+    assert run.error is None and run.spilled
+    expected = prepared["catalog"].table("events").count()
+    assert run.total_rows == expected > 50
+    assert len(run.rows) <= 1000  # preview only
+    with open(f"{out}/q1.csv") as f:
+        n_lines = sum(1 for _ in f)
+    assert n_lines == expected + 1  # header + all rows
+    # Spilled results bypass the in-memory cache.
+    assert runner.run_one(q).cached is False
+
+
 def test_runner_isolates_errors(spark, prepared):
     runner = QueryRunner(spark, prepared["catalog"])
     report = runner.run([{"select": ["nope"], "from": "events"},
