@@ -128,6 +128,40 @@ def main() -> None:
             warm[name] = min(warm.get(name, float("inf")), run_op(name))
 
     total = round(sum(timings.values()), 4)
+
+    # ---- DuckDB oracle pass: the SAME workload at the SAME scale ----
+    # factor, so "engine vs baseline" is apples-to-apples (BASELINE.md's
+    # published numbers are a different machine + data scale). The oracle
+    # runs each entry's oracle_sql() over raw parquet views — cold first
+    # pass, then min-of-two repeats, mirroring the engine methodology.
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    oracle_sqls = entry_mod.oracle_sql()
+    covered = [n for n in (*DSL_HEADLINE, *OPERATOR_HEADLINE)
+               if n in oracle_sqls]
+
+    def run_oracle(name: str) -> float:
+        t0 = time.perf_counter()
+        con.execute(oracle_sqls[name]).fetchall()
+        return round(time.perf_counter() - t0, 4)
+
+    oracle_cold = {n: run_oracle(n) for n in covered}
+    oracle_warm: dict[str, float] = {}
+    for _ in range(2):
+        for n in covered:
+            oracle_warm[n] = min(oracle_warm.get(n, float("inf")),
+                                 run_oracle(n))
+    engine_warm_covered = round(sum(warm[n] for n in covered), 4)
+    oracle_warm_total = round(sum(oracle_warm.values()), 4)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "total_query_time",
@@ -139,6 +173,16 @@ def main() -> None:
         "routed": runner.router.routed,
         "value_warm": round(sum(warm.values()), 4),
         "queries_warm": warm,
+        "oracle": {
+            "engine": "duckdb",
+            "total": round(sum(oracle_cold.values()), 4),
+            "total_warm": oracle_warm_total,
+            "queries_warm": oracle_warm,
+            "covered": covered,
+            "engine_warm_covered": engine_warm_covered,
+            "ratio_warm": round(engine_warm_covered / oracle_warm_total, 3)
+            if oracle_warm_total else None,
+        },
     }))
     spark.stop()
 
