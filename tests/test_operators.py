@@ -101,6 +101,20 @@ def test_lsh_topk_recall_vs_exact(emb):
     assert recall >= 0.25, f"lsh recall@10 too low: {recall}"
 
 
+def test_ann_recall_summary_bounds(emb):
+    """The quantified-recall entry (driver hash-checked) holds its
+    bounds: 20 queries, avg recall >= 0.70, min recall >= 0.40 with the
+    wider-bucket (planes=4, tables=16) recall configuration."""
+    row = similarity.ann_recall_summary(emb).collect()[0]
+    assert row.n_queries == 20
+    assert row.avg_recall_ge_70 is True
+    assert row.min_recall_ge_40 is True
+    # and the underlying per-query frame is complete + in [0, 1]
+    per_q = similarity.ann_recall(emb).collect()
+    assert len(per_q) == 20
+    assert all(0.0 <= r.recall <= 1.0 for r in per_q)
+
+
 def test_minhash_signature_shape(docs):
     sig = dedup.minhash_signatures(docs).limit(5).collect()
     for r in sig:
