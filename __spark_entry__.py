@@ -486,6 +486,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return compile_query(DSL_QUERIES["dsl_tpch_q1_full"], cat)
 
 
+def _routed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsl_daily_rollup through the FULL prepare + route path: build the
+    day/event_type rollup, prove subsumption, re-aggregate from it — and
+    hash-match the raw-scan oracle. Routing correctness lands in
+    CORRECTNESS, not just pytest. Raises if the router falls back, so a
+    silent scan can never masquerade as a routed pass."""
+    import tempfile
+
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = tempfile.mkdtemp(prefix="qpo_routed_entry_")
+    build_rollups(cat.table("events"), agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    df = router.route(DSL_QUERIES["dsl_daily_rollup"])
+    if df is None or router.routed != 1:
+        raise RuntimeError(
+            f"expected a rollup route (routed={router.routed}, "
+            f"fallbacks={router.fallbacks})"
+        )
+    return df
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _dsl_callable(q) for name, q in DSL_QUERIES.items()
@@ -493,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from query_planner_optimizer_spark.operators import entry_queries
 
     out.update(entry_queries())
+    out["dsl_routed_daily_rollup"] = _routed_daily_rollup
     return out
 
 
@@ -520,4 +547,6 @@ def oracle_sql() -> dict[str, str]:
     from query_planner_optimizer_spark.operators import entry_oracles
 
     out.update(entry_oracles())
+    # The routed entry must equal the raw-scan result — same oracle.
+    out["dsl_routed_daily_rollup"] = out["dsl_daily_rollup"]
     return out
