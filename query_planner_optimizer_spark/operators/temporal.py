@@ -145,16 +145,7 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    # One click per (user, ts): keep the max event_id (tie discipline
-    # mirrored in the oracle).
-    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    clicks = (
-        events.filter(F.col("event_type") == "click")
-        .select("event_id", "user_id", "ts", "value")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    clicks = _dedup_clicks(events)
     out = asof_join(
         purchases, clicks, on="user_id", ts_col="ts", value_cols=("value",)
     )
@@ -166,8 +157,50 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clicks(events: DataFrame) -> DataFrame:
+    """One click per (user, ts): max event_id wins (tie discipline
+    mirrored in the oracle SQL)."""
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    return (
+        events.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def q_range_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases landing inside a [click, click + 2 h) window of the
+    same user — the bucketized range join (hash equi-join on
+    (user, hour-bucket) + residual band filter; no nested-loop plan).
+    The oracle states the same band join as a raw inequality, which
+    DuckDB plans natively (IEJoin) — two independent implementations."""
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    wins = _dedup_clicks(events).select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    out = range_join(
+        purchases, wins, on="user_id", ts_col="ts",
+        start_col="win_start", end_col="win_end", bucket_unit="hour",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("value", 6).alias("purchase_value"),
+        "win_start", "win_end",
+    )
+
+
 def entry_queries() -> dict[str, Callable]:
-    return {"temporal_asof_join": q_asof_purchase_click}
+    return {"temporal_asof_join": q_asof_purchase_click,
+            "temporal_range_join": q_range_click_window}
 
 
 def entry_oracles() -> dict[str, str]:
@@ -191,4 +224,29 @@ def entry_oracles() -> dict[str, str]:
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND c.ts <= p.ts
     """
-    return {"temporal_asof_join": asof}
+    range_sql = """
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+            ) WHERE rn = 1
+        ),
+        wins AS (
+            SELECT user_id, ts AS win_start,
+                   ts + INTERVAL 2 HOUR AS win_end
+            FROM clicks
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               ROUND(p.value, 6) AS purchase_value,
+               w.win_start, w.win_end
+        FROM purchases p
+        JOIN wins w
+          ON p.user_id = w.user_id
+         AND p.ts >= w.win_start AND p.ts < w.win_end
+    """
+    return {"temporal_asof_join": asof, "temporal_range_join": range_sql}

@@ -47,6 +47,14 @@ def test_asof_forward_semantics(spark, catalog):
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
 
 
+def test_range_entry_matches_duckdb_iejoin(spark, ddb):
+    """Driver range-join entry ≡ DuckDB's native inequality join."""
+    df = temporal.q_range_click_window(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, temporal.entry_oracles()["temporal_range_join"]
+    )
+
+
 def test_range_join_equals_inequality_join(spark, catalog):
     """Bucketized range join ≡ the raw inequality join it replaces."""
     events = catalog.table("events")
