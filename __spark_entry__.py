@@ -114,6 +114,18 @@ DSL_QUERIES: dict[str, dict] = {
         "from": "lineitem",
         "group_by": ["l_returnflag"],
     },
+    "dsl_count_distinct_users": {
+        # COUNT(DISTINCT x) — exact distinct aggregation; plans as
+        # Spark's two-shuffle expand (partial distinct then final),
+        # never rollup-routed (distinct counts don't re-aggregate; the
+        # mergeable scale path is the HLL sketch in analytics).
+        "select": ["event_type",
+                   {"COUNT_DISTINCT": "user_id", "as": "n_users"},
+                   {"COUNT": "*", "as": "n_events"}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    },
     "dsl_intersect_segments": {
         # INTERSECT (distinct) — days that saw BOTH a high-value event
         # and a purchase; Spark plans this as a left-semi over distinct

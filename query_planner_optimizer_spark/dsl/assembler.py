@@ -155,6 +155,8 @@ def _agg_expr_sql(
         target = "*" if col == "*" else _ident(col, dialect)
     if fname == "COUNT" and col == "*":
         expr = "COUNT(*)"
+    elif fname == "COUNT_DISTINCT":
+        expr = f"COUNT(DISTINCT {target})"
     else:
         expr = f"{fname}({target})"
     if filt:

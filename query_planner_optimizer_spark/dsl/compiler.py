@@ -63,6 +63,11 @@ AGG_FUNCS = {
     # and DuckDB, so the assembler can emit the DSL key verbatim.
     "STDDEV_SAMP": F.stddev_samp,
     "VAR_SAMP": F.var_samp,
+    # Distinct-count — renders as COUNT(DISTINCT x) in SQL (the one
+    # DSL key the assembler spells differently). Never rollup-routable
+    # (distinct counts don't re-aggregate; the mergeable path is the
+    # HLL sketch in operators/analytics.py).
+    "COUNT_DISTINCT": F.count_distinct,
 }
 
 SET_OPS = ("union", "intersect", "except")
@@ -147,8 +152,8 @@ def _parse_agg_term(term: dict) -> tuple[str, str, str, int | None, list]:
         # Arithmetic expression target, e.g. SUM(price * (1 - disc)).
         if "as" not in term:
             raise QueryError(f"expression aggregate needs an alias: {term}")
-        if fname == "COUNT":
-            raise QueryError(f"COUNT takes a column or '*', not an expression: {term}")
+        if fname in ("COUNT", "COUNT_DISTINCT"):
+            raise QueryError(f"{fname} takes a column or '*', not an expression: {term}")
     elif not isinstance(col, str):
         raise QueryError(f"aggregate target must be a column name,"
                          f" '*', or an expression tree: {term}")

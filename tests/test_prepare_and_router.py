@@ -174,6 +174,17 @@ def test_router_ungrouped_count_empty_filter(spark, prepared):
     assert pd.isna(routed2["s"].iloc[0]) and pd.isna(base2["s"].iloc[0])
 
 
+def test_router_rejects_count_distinct(spark, prepared):
+    """COUNT(DISTINCT x) is not re-aggregable from sum/count rollups —
+    the subsumption proof must refuse the route."""
+    router = RollupRouter(spark, prepared["res"].aggregates_dir)
+    q = {"select": ["day", {"COUNT_DISTINCT": "publisher_id", "as": "n"}],
+         "from": "events",
+         "where": [{"col": "type", "op": "eq", "val": "impression"}],
+         "group_by": ["day"]}
+    assert router.route(q) is None
+
+
 def test_router_rejects_min_max(spark, prepared):
     router = RollupRouter(spark, prepared["res"].aggregates_dir)
     q = {"select": ["day", {"MIN": "bid_price"}], "from": "events",

@@ -33,6 +33,10 @@ agg_terms = st.sampled_from([
     {"SUM": "value", "round": 6},
     {"COUNT": "*"},
     {"COUNT": "value"},
+    # Distinct count (incl. a FILTER'd variant).
+    {"COUNT_DISTINCT": "user_id", "as": "n_users"},
+    {"COUNT_DISTINCT": "user_id", "as": "n_users_click",
+     "where": {"col": "event_type", "op": "eq", "val": "click"}},
     # FILTER (WHERE ...) clause variants.
     {"COUNT": "*", "as": "cnt_high",
      "where": {"col": "value", "op": "gte", "val": 50}},
