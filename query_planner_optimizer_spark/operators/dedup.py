@@ -337,6 +337,107 @@ def simhash_pairs(
     )
 
 
+def minhash_quality(
+    df: DataFrame,
+    threshold: float = 0.2,
+    high: float = 0.7,
+    recall_bound: float = 0.8,
+) -> DataFrame:
+    """One-row quality gate for the MinHash-LSH path, oracle-checkable:
+    (n_exact_pairs, subset_ok, high_recall_ge_80).
+
+    - ``n_exact_pairs``: exact n-gram-Jaccard pair count — the oracle
+      recomputes it in SQL, so this cell is a REAL differential check;
+    - ``subset_ok``: every LSH-verified pair exists in the exact result
+      with the same Jaccard (verification removes all false positives);
+    - ``high_recall_ge_80``: recall over high-similarity ground truth
+      (jaccard >= ``high``) clears ``recall_bound`` — the LSH S-curve
+      (b8/r4 ≈ 0.59) makes high-sim pairs near-certain candidates.
+    """
+    exact = jaccard_pairs(df, threshold=threshold)
+    approx = minhash_lsh_pairs(df, threshold=threshold)
+    ex = exact.select("doc_a", "doc_b", F.col("jaccard").alias("jac_e"))
+    ap = approx.select("doc_a", "doc_b", F.col("jaccard").alias("jac_a"))
+    mismatches = (
+        ap.join(ex, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("jac_e").isNull()
+                        | (F.abs(F.col("jac_a") - F.col("jac_e")) > 1e-6),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_bad")
+        )
+    )
+    high_hits = (
+        ex.filter(F.col("jac_e") >= high)
+        .join(ap.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = ex.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("jac_e") >= high, 1).otherwise(0)), F.lit(0)
+        ).alias("n_high"),
+    )
+    return (
+        totals.crossJoin(mismatches)
+        .crossJoin(high_hits)
+        .select(
+            "n_exact_pairs",
+            (F.col("n_bad") == 0).alias("subset_ok"),
+            (
+                (F.col("n_high") == 0)
+                | (F.col("n_hit") >= F.col("n_high") * F.lit(recall_bound))
+            ).alias("high_recall_ge_80"),
+        )
+    )
+
+
+def simhash_quality(df: DataFrame) -> DataFrame:
+    """One-row quality gate for the SimHash path:
+    (n_exactdup_pairs, all_exactdups_found).
+
+    Identical texts have identical 64-bit SimHashes, so every
+    exact-duplicate pair MUST surface with hamming 0 — and the
+    exact-duplicate pair count is recomputed by the oracle from text
+    equality, making the count cell a differential check. The engine
+    joins on sha2(text) (cheap 32-byte shuffle key) then confirms text
+    equality, so the count matches the oracle's text-equality semantics
+    exactly."""
+    keyed = df.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h"), "text"
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("h"), F.col("text").alias("ta")
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("h"), F.col("text").alias("tb")
+    )
+    dup_pairs = (
+        a.join(b, "h")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("ta") == F.col("tb")))
+        .select("doc_a", "doc_b")
+    )
+    sim0 = simhash_pairs(df).filter(F.col("hamming") == 0).select(
+        "doc_a", "doc_b"
+    )
+    found = dup_pairs.join(sim0, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    total = dup_pairs.agg(F.count(F.lit(1)).alias("n_exactdup_pairs"))
+    return total.crossJoin(found).select(
+        "n_exactdup_pairs",
+        (F.col("n_found") == F.col("n_exactdup_pairs")).alias(
+            "all_exactdups_found"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -371,6 +472,14 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_ngram_jaccard": q_jaccard_pairs,
         "dedup_minhash_lsh": q_minhash_lsh,  # rows-only (engine-specific hashes)
         "dedup_simhash": q_simhash,  # rows-only (engine-specific hashes)
+        # Quality gates for the two rows-only paths above — hash-checked
+        # (the pair counts are recomputed by the oracle in SQL).
+        "dedup_minhash_quality": lambda spark, sf: minhash_quality(
+            _docs(spark, sf)
+        ),
+        "dedup_simhash_quality": lambda spark, sf: simhash_quality(
+            _docs(spark, sf)
+        ),
     }
 
 
@@ -407,4 +516,32 @@ def entry_oracles() -> dict[str, str]:
         JOIN sizes sb ON common.doc_b = sb.doc_id
         WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
     """
-    return {"dedup_exact": exact, "dedup_ngram_jaccard": jaccard}
+    # Quality-gate oracles: the pair counts are REAL SQL recomputations
+    # (exact Jaccard pairs / text-equality duplicate pairs); the boolean
+    # cells state the asserted outcome, so a subset or recall regression
+    # in the approximate paths fails the hash match.
+    minhash_q = f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT COUNT(*) AS n_exact_pairs,
+               true AS subset_ok, true AS high_recall_ge_80
+        FROM common
+        JOIN sizes sa ON common.doc_a = sa.doc_id
+        JOIN sizes sb ON common.doc_b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
+    """
+    simhash_q = """
+        SELECT COUNT(*) AS n_exactdup_pairs, true AS all_exactdups_found
+        FROM documents a JOIN documents b
+          ON a.text = b.text AND a.doc_id < b.doc_id
+    """
+    return {"dedup_exact": exact, "dedup_ngram_jaccard": jaccard,
+            "dedup_minhash_quality": minhash_q,
+            "dedup_simhash_quality": simhash_q}

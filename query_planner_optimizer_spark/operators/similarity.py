@@ -411,6 +411,93 @@ def ann_recall(
     return per_q
 
 
+def neardup_lsh_quality(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    recall_bound: float = 0.5,
+) -> DataFrame:
+    """One-row quality gate for the LSH near-dup path, oracle-checkable:
+    (n_exact_pairs, subset_ok, recall_ge_50). The exact pair count is
+    recomputed by the oracle in SQL (a real differential cell); subset
+    holds by construction (exact cosine verifies each candidate);
+    recall on this near-random corpus is the LSH worst case — the bound
+    is deliberately conservative."""
+    exact = embedding_neardup_pairs(df, id_col, vec_col)
+    approx = embedding_neardup_pairs(df, id_col, vec_col, use_lsh=True)
+    ex = exact.select("id_a", "id_b", F.col("sim").alias("sim_e"))
+    ap = approx.select("id_a", "id_b", F.col("sim").alias("sim_a"))
+    bad = (
+        ap.join(ex, ["id_a", "id_b"], "left")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("sim_e").isNull()
+                        | (F.abs(F.col("sim_a") - F.col("sim_e")) > 1e-6),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_bad")
+        )
+    )
+    hits = ex.join(ap.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    total = ex.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    return (
+        total.crossJoin(bad)
+        .crossJoin(hits)
+        .select(
+            "n_exact_pairs",
+            (F.col("n_bad") == 0).alias("subset_ok"),
+            (
+                (F.col("n_exact_pairs") == 0)
+                | (F.col("n_hit")
+                   >= F.col("n_exact_pairs") * F.lit(recall_bound))
+            ).alias("recall_ge_50"),
+        )
+    )
+
+
+#: IVF bounds (measured avg 0.795-0.815, min 0.4 at sf0.001/sf0.01 —
+#: looser than the LSH gate because nprobe/nlist trades recall away).
+IVF_RECALL_AVG_BOUND = 0.65
+IVF_RECALL_MIN_BOUND = 0.25
+
+
+def ivf_recall_summary(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = DEFAULT_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+) -> DataFrame:
+    """One-row quantified-recall assertion for the IVF path, twin of
+    :func:`ann_recall_summary` (same oracle scheme)."""
+    exact = cosine_topk(df, id_col, vec_col, k=k, num_queries=num_queries)
+    approx = ivf_topk(df, id_col, vec_col, k=k, num_queries=num_queries)
+    hits = (
+        exact.select("qid", "nid")
+        .join(approx.select("qid", "nid"), ["qid", "nid"])
+        .groupBy("qid").agg(F.count(F.lit(1)).alias("hit"))
+    )
+    per_q = (
+        exact.groupBy("qid").agg(F.count(F.lit(1)).alias("k_eff"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            (F.coalesce(F.col("hit"), F.lit(0)) / F.col("k_eff")).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("recall") >= IVF_RECALL_AVG_BOUND).alias("avg_recall_ge_65"),
+        (F.min("recall") >= IVF_RECALL_MIN_BOUND).alias("min_recall_ge_25"),
+    )
+
+
 def ann_recall_summary(df: DataFrame, **kw) -> DataFrame:
     """One-row quantified-recall assertion, deterministic across scale
     factors (the raw recall values aren't): query count plus whether the
@@ -462,6 +549,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_summary(_emb(spark, sf_dir))
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_recall_summary(_emb(spark, sf_dir))
+
+
+def q_neardup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_lsh_quality(_emb(spark, sf_dir))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "sim_cosine_topk": q_cosine_topk,
@@ -470,6 +565,8 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_embedding_cosine_lsh": q_neardup_lsh,  # rows-only (approx)
         "sim_ivf_topk": q_ivf_topk,  # rows-only (approximate recall)
         "sim_ann_recall": q_ann_recall,  # quantified recall, hash-checked
+        "sim_ivf_recall": q_ivf_recall,  # quantified recall, hash-checked
+        "dedup_embedding_lsh_quality": q_neardup_lsh_quality,  # hash-checked
     }
 
 
@@ -511,5 +608,23 @@ def entry_oracles() -> dict[str, str]:
         f"SELECT CAST({DEFAULT_NUM_QUERIES} AS BIGINT) AS n_queries, "
         f"true AS avg_recall_ge_70, true AS min_recall_ge_40"
     )
+    ivf_recall = (
+        f"SELECT CAST({DEFAULT_NUM_QUERIES} AS BIGINT) AS n_queries, "
+        f"true AS avg_recall_ge_65, true AS min_recall_ge_25"
+    )
+    # Near-dup LSH quality gate: the exact-pair count cell is a real SQL
+    # recomputation; the booleans state the asserted outcome.
+    neardup_q = f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        SELECT COUNT(*) AS n_exact_pairs,
+               true AS subset_ok, true AS recall_ge_50
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+              >= {NEARDUP_THRESHOLD}
+    """
     return {"sim_cosine_topk": cosine, "dedup_embedding_cosine": neardup,
-            "sim_ann_recall": recall}
+            "sim_ann_recall": recall, "sim_ivf_recall": ivf_recall,
+            "dedup_embedding_lsh_quality": neardup_q}
