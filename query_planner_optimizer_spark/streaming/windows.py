@@ -71,6 +71,38 @@ def hourly_rollup(
     )
 
 
+def sliding_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding (hopping) event-time rollup: each event contributes to
+    window/slide overlapping windows (4 here). Same state story as the
+    tumbling rollup — state per (window, key), watermark-evicted — with
+    a 4× state multiplier, which is the price of the smoother series."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
@@ -154,6 +186,13 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_rollup(events)
 
 
+def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return sliding_rollup(events)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_planner_optimizer_spark.catalog import Catalog
 
@@ -175,6 +214,7 @@ def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry_queries():
     return {
         "stream_hourly_rollup": q_hourly_rollup,
+        "stream_sliding_rollup": q_sliding_rollup,
         "stream_sessionize": q_sessionize,
         "stream_dedup": q_dedup_events,
     }
@@ -219,8 +259,24 @@ def entry_oracles() -> dict[str, str]:
     dedup = """
         SELECT DISTINCT user_id, event_type, value FROM events
     """
+    # Sliding windows: each event belongs to exactly window/slide = 4
+    # windows whose starts are the 4 slide-aligned points in
+    # (ts - window, ts] — expanded via unnest, mirroring Spark's
+    # F.window(ts, '1 hour', '15 minutes') assignment.
+    sliding = """
+        WITH expanded AS (
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - k * INTERVAL '15 minutes' AS window_start,
+                   event_type, value
+            FROM events, unnest([0, 1, 2, 3]) AS t(k)
+        )
+        SELECT window_start, event_type, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM expanded GROUP BY 1, 2
+    """
     return {
         "stream_hourly_rollup": hourly,
+        "stream_sliding_rollup": sliding,
         "stream_sessionize": sessions,
         "stream_dedup": dedup,
     }

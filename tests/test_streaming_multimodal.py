@@ -64,6 +64,34 @@ def test_streaming_rollup_equals_batch(spark, events_stream_dir):
     )
 
 
+def test_streaming_sliding_rollup_equals_batch(spark, ddb, events_stream_dir):
+    """Sliding (hopping) windows: streaming availableNow ≡ batch, and
+    the batch twin matches the DuckDB window-expansion oracle."""
+    stream = windows.sliding_rollup(
+        windows.read_events_stream(spark, events_stream_dir),
+        watermark="2 hours",
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sliding_rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sliding_rollup_test").toPandas()
+    batch = windows.sliding_rollup(
+        spark.read.parquet(events_stream_dir)
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(batch), check_dtype=False
+    )
+    # every event lands in exactly window/slide = 4 windows
+    n_events = spark.read.parquet(events_stream_dir).count()
+    assert batch["n_events"].sum() == 4 * n_events
+
+
 def test_streaming_sessionize_runs(spark, events_stream_dir):
     stream = windows.sessionize(
         windows.read_events_stream(spark, events_stream_dir),
