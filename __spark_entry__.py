@@ -64,6 +64,37 @@ DSL_QUERIES: dict[str, dict] = {
         "where": [{"col": "value", "op": "between", "val": [20, 30]}],
         "order_by": [{"col": "event_id", "dir": "asc"}],
     },
+    "dsl_case_projection": {
+        # CASE WHEN as an expression-tree node: {"if": cond-tree,
+        # "then": expr, "else": expr} — conditions reuse the WHERE
+        # grammar (incl. or/and/not), branches are full expression trees
+        "select": ["event_id", "value",
+                   {"expr": {"if": {"or": [
+                                {"col": "value", "op": "gte", "val": 80},
+                                {"col": "event_type", "op": "eq",
+                                 "val": "purchase"}]},
+                             "then": {"op": "mul", "args": ["value", 2]},
+                             "else": 0},
+                    "as": "boosted"}],
+        "from": "events",
+        "where": [{"col": "value", "op": "between", "val": [60, 90]}],
+        "order_by": [{"col": "event_id", "dir": "asc"}],
+        "limit": 500,
+    },
+    "dsl_case_agg": {
+        # conditional aggregation via SUM(CASE WHEN ...) — one scan,
+        # K conditional measures (same plan family as FILTER clauses)
+        "select": ["event_type",
+                   {"SUM": {"if": {"col": "value", "op": "gte", "val": 50},
+                            "then": "value", "else": 0},
+                    "as": "sum_high", "round": 6},
+                   {"SUM": {"if": {"col": "value", "op": "lt", "val": 50},
+                            "then": 1, "else": 0},
+                    "as": "n_low"}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    },
     "dsl_filter_not_in": {
         # complement of `in` — supported by both paths but previously
         # unexercised by any driver entry

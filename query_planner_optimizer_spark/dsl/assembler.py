@@ -133,6 +133,15 @@ def _num_expr_sql(
         raise QueryError(f"bad expression leaf: {e!r}")
     if isinstance(e, (int, float)):
         return repr(e)
+    if "if" in e:
+        if "then" not in e or "else" not in e:
+            raise QueryError(f"'if' expression needs 'then' and 'else': {e!r}")
+        if type_map is None:
+            raise QueryError(f"'if' expression needs a type map: {e!r}")
+        cond = _condition_sql(e["if"], type_map, dialect)
+        then_sql = _num_expr_sql(e["then"], dialect, type_map)
+        else_sql = _num_expr_sql(e["else"], dialect, type_map)
+        return f"(CASE WHEN {cond} THEN {then_sql} ELSE {else_sql} END)"
     op = ARITH_OPS.get(e.get("op"))
     args = e.get("args")
     if op is None or not isinstance(args, list) or len(args) < 2:

@@ -91,7 +91,10 @@ def _is_agg_term(term: Any) -> bool:
 def _num_expr(df: DataFrame, e: Any) -> Column:
     """Arithmetic expression tree → Column. Leaves are column names or
     numeric literals; nodes are {"op": add|sub|mul|div, "args": [...]}
-    folded left — the twin of :func:`assembler._num_expr_sql`."""
+    folded left, or the conditional {"if": cond, "then": e, "else": e}
+    (CASE WHEN — cond is any WHERE-style boolean tree; both branches
+    required so the expression is total) — the twin of
+    :func:`assembler._num_expr_sql`."""
     if isinstance(e, str):
         if e not in df.columns:
             raise QueryError(f"unknown column {e!r} in expression")
@@ -100,6 +103,12 @@ def _num_expr(df: DataFrame, e: Any) -> Column:
         raise QueryError(f"bad expression leaf: {e!r}")
     if isinstance(e, (int, float)):
         return F.lit(e)
+    if "if" in e:
+        if "then" not in e or "else" not in e:
+            raise QueryError(f"'if' expression needs 'then' and 'else': {e!r}")
+        return F.when(
+            _bool_tree(df, e["if"]), _num_expr(df, e["then"])
+        ).otherwise(_num_expr(df, e["else"]))
     op = e.get("op")
     args = e.get("args")
     if op not in ARITH_OPS or not isinstance(args, list) or len(args) < 2:
@@ -119,15 +128,35 @@ def _num_expr(df: DataFrame, e: Any) -> Column:
 
 
 def expr_columns(e: Any) -> set[str]:
-    """Column names referenced by an expression tree."""
+    """Column names referenced by an expression tree (including columns
+    inside conditional nodes' boolean trees)."""
     if isinstance(e, str):
         return {e}
     if isinstance(e, dict):
         out: set[str] = set()
         for a in e.get("args") or []:
             out |= expr_columns(a)
+        if "if" in e:
+            out |= cond_columns(e["if"])
+            out |= expr_columns(e.get("then"))
+            out |= expr_columns(e.get("else"))
         return out
     return set()
+
+
+def cond_columns(cond: Any) -> set[str]:
+    """Column names referenced by a boolean condition tree."""
+    out: set[str] = set()
+    if not isinstance(cond, dict):
+        return out
+    for kw in ("or", "and"):
+        for b in cond.get(kw) or []:
+            out |= cond_columns(b)
+    if "not" in cond:
+        out |= cond_columns(cond["not"])
+    if isinstance(cond.get("col"), str):
+        out.add(cond["col"])
+    return out
 
 
 def _parse_agg_term(term: dict) -> tuple[str, str, str, int | None, list]:
@@ -228,6 +257,33 @@ def _filter_condition(df: DataFrame, cond: dict) -> Column:
     if op == "like":
         return c.like(val)
     raise QueryError(f"unhandled op: {op}")  # pragma: no cover
+
+
+def _bool_tree(df: DataFrame, cond: dict) -> Column:
+    """Boolean condition tree → Column: {"or"|"and": [...]} / {"not": c}
+    nodes over the leaf op set (module-level so expression trees can
+    embed conditions; compile_query's WHERE handling uses it too)."""
+    if "or" in cond:
+        branches = cond["or"]
+        if not branches:
+            raise QueryError(f"'or' needs at least one branch: {cond!r}")
+        out = None
+        for b in branches:
+            c = _bool_tree(df, b)
+            out = c if out is None else (out | c)
+        return out
+    if "and" in cond:
+        branches = cond["and"]
+        if not branches:
+            raise QueryError(f"'and' needs at least one branch: {cond!r}")
+        out = None
+        for b in branches:
+            c = _bool_tree(df, b)
+            out = c if out is None else (out & c)
+        return out
+    if "not" in cond:
+        return ~_bool_tree(df, cond["not"])
+    return _filter_condition(df, cond)
 
 
 def _resolve_order_col(name: str, out_columns: list[str]) -> str:
@@ -352,27 +408,7 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     # additive extension (the reference DSL has no OR/NOT) allowing
     # arbitrarily nested boolean trees over the same leaf op set.
     def _bool_expr(cond: dict) -> Column:
-        if "or" in cond:
-            branches = cond["or"]
-            if not branches:
-                raise QueryError(f"'or' needs at least one branch: {cond!r}")
-            out = None
-            for b in branches:
-                c = _bool_expr(b)
-                out = c if out is None else (out | c)
-            return out
-        if "and" in cond:
-            branches = cond["and"]
-            if not branches:
-                raise QueryError(f"'and' needs at least one branch: {cond!r}")
-            out = None
-            for b in branches:
-                c = _bool_expr(b)
-                out = c if out is None else (out & c)
-            return out
-        if "not" in cond:
-            return ~_bool_expr(cond["not"])
-        return _filter_condition(df, cond)
+        return _bool_tree(df, cond)
 
     conds = q.get("where") or []
     if conds:

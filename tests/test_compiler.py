@@ -317,6 +317,38 @@ def test_expression_typo_raises_in_both_paths(catalog):
         assemble_sql(q, catalog.spark_type_map("events"))
 
 
+def test_case_expression_rules_both_paths(catalog, ddb):
+    # incomplete conditional (no else) raises at build time on both paths
+    q = {"select": [{"SUM": {"if": {"col": "value", "op": "gte", "val": 50},
+                             "then": "value"}, "as": "s"}],
+         "from": "events", "group_by": []}
+    with pytest.raises(QueryError):
+        compile_query(q, catalog)
+    with pytest.raises(QueryError):
+        assemble_sql(q, catalog.spark_type_map("events"))
+    # unknown column inside the condition raises too
+    q2 = {"select": [{"SUM": {"if": {"col": "nope", "op": "eq", "val": 1},
+                              "then": 1, "else": 0}, "as": "s"}],
+          "from": "events", "group_by": []}
+    with pytest.raises(QueryError):
+        compile_query(q2, catalog)
+    with pytest.raises(QueryError):
+        assemble_sql(q2, catalog.spark_type_map("events"))
+    # nested conditional inside arithmetic, differential-checked
+    q3 = {"select": ["event_type",
+                     {"AVG": {"op": "mul", "args": [
+                         {"if": {"not": {"col": "event_type", "op": "eq",
+                                         "val": "click"}},
+                          "then": "value", "else": 0}, 2]},
+                      "as": "avg_boost", "round": 6}],
+          "from": "events", "group_by": ["event_type"]}
+    df = compile_query(q3, catalog)
+    sql = assemble_sql(q3, catalog.spark_type_map("events"), dialect="duckdb")
+    from .conftest import assert_matches_duckdb
+
+    assert_matches_duckdb(df, ddb, sql)
+
+
 def test_expr_projection_rules(catalog):
     with pytest.raises(QueryError):  # alias required
         compile_query({"select": [{"expr": {"op": "mul",

@@ -45,6 +45,10 @@ agg_terms = st.sampled_from([
     # Arithmetic expression targets.
     {"SUM": {"op": "mul", "args": ["value", 2]},
      "as": "sum_double", "round": 6},
+    # Conditional (CASE WHEN) expression target.
+    {"SUM": {"if": {"col": "value", "op": "gte", "val": 50},
+             "then": "value", "else": 0},
+     "as": "sum_high_case", "round": 6},
     {"AVG": {"op": "div", "args": [
         {"op": "sub", "args": ["value", 50]}, 100]},
      "as": "avg_centered", "round": 6},
