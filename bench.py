@@ -37,6 +37,8 @@ DSL_HEADLINE = [
     "dsl_groupby_count_star",
     "dsl_topk_limit",
     "dsl_join_revenue_by_nation",
+    "dsl_count_distinct_users",
+    "dsl_case_agg",
 ]
 
 #: Pipeline-operator headliners (always full computation).
@@ -50,6 +52,8 @@ OPERATOR_HEADLINE = [
     "stream_funnel",
     "multimodal_frame_pipeline",
     "temporal_asof_join",
+    "temporal_range_join",
+    "stream_sliding_rollup",
     "pipeline_clean_corpus",
     "sample_split_assignments",
 ]

@@ -114,7 +114,7 @@ class RollupRouter:
         # unhandled clauses — SURVEY.md §4 hazards): any query feature a
         # rollup cannot re-derive refuses the route outright.
         if any(kw in q for kw in
-               ("join", "having", "distinct", "union", "intersect", "except")):
+               ("join", "distinct", "union", "intersect", "except")):
             return None
         if any(isinstance(t, dict) and "expr" in t
                for t in q.get("select") or []):
@@ -126,6 +126,19 @@ class RollupRouter:
         if any(t[4] for t in agg_terms):
             return None  # FILTER'd aggregates aren't in any rollup grain
         plain = self._plain_columns(q)
+        # HAVING routes when every condition references a derivable
+        # aggregate alias or a group key (then it's a plain filter on
+        # the re-aggregated, grain-bounded frame). Anything else refuses.
+        group_by = q.get("group_by") or []
+        having = q.get("having") or []
+        if having:
+            out_aliases = {t[2] for t in agg_terms}
+            resolvable = {a.lower() for a in out_aliases} | {
+                k.lower() for k in group_by
+            }
+            for cond in having:
+                if str(cond.get("col", "")).lower() not in resolvable:
+                    return None
 
         candidates = []
         for name in self._available():
@@ -171,10 +184,26 @@ class RollupRouter:
                 combined = c if combined is None else (combined & c)
             df = df.filter(combined)
 
-        group_by = q.get("group_by") or []
         agg_exprs = [m.alias(n) for n, m in measures.items()]
+
+        def apply_having(frame: DataFrame, columns: list[str]) -> DataFrame:
+            # Twin of the compiler's apply_having: conditions resolve
+            # against aggregate aliases + group keys on the re-aggregated
+            # (grain-bounded) frame, case-insensitively.
+            combined = None
+            for cond in having:
+                resolved = dict(cond)
+                resolved["col"] = C._resolve_order_col(
+                    str(cond.get("col")), columns
+                )
+                c = C._filter_condition(frame, resolved)
+                combined = c if combined is None else (combined & c)
+            return frame.filter(combined) if combined is not None else frame
+
         if group_by:
             df = df.groupBy(*group_by).agg(*agg_exprs)
+            if having:
+                df = apply_having(df, list(group_by) + list(measures.keys()))
             names = []
             agg_iter = iter(measures.keys())
             for term in q.get("select") or []:
@@ -193,6 +222,8 @@ class RollupRouter:
             ]
             df = df.agg(*agg_exprs)
             out_columns = list(measures.keys())
+            if having:
+                df = apply_having(df, out_columns)
 
         order_by = q.get("order_by") or []
         if order_by:

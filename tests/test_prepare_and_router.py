@@ -174,6 +174,34 @@ def test_router_ungrouped_count_empty_filter(spark, prepared):
     assert pd.isna(routed2["s"].iloc[0]) and pd.isna(base2["s"].iloc[0])
 
 
+def test_router_routes_having(spark, prepared):
+    """HAVING over derivable aggregate aliases / group keys routes (it's
+    a plain filter on the re-aggregated grain-bounded frame); the routed
+    result equals the base-path scan result."""
+    cat = prepared["catalog"]
+    router = RollupRouter(spark, prepared["res"].aggregates_dir)
+    q = {"select": ["day", {"SUM": "bid_price", "as": "rev", "round": 6},
+                    {"COUNT": "*", "as": "n"}],
+         "from": "events",
+         "where": [{"col": "type", "op": "eq", "val": "impression"}],
+         "group_by": ["day"],
+         "having": [{"col": "rev", "op": "gte", "val": 100.0},
+                    {"col": "DAY", "op": "is_not_null"}],
+         "order_by": ["day"]}
+    routed_df = router.route(q)
+    assert routed_df is not None and router.routed == 1
+    routed = routed_df.toPandas()
+    base = compile_query(q, cat).toPandas()
+    assert len(routed) > 0
+    pd.testing.assert_frame_equal(
+        normalize(routed), normalize(base), check_dtype=False,
+        check_exact=False, rtol=1e-6,
+    )
+    # HAVING on a non-derivable reference still refuses.
+    q_bad = dict(q, having=[{"col": "no_such", "op": "gte", "val": 1}])
+    assert router.route(q_bad) is None
+
+
 def test_router_rejects_count_distinct(spark, prepared):
     """COUNT(DISTINCT x) is not re-aggregable from sum/count rollups —
     the subsumption proof must refuse the route."""
