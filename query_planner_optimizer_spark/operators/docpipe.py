@@ -99,6 +99,54 @@ def pack_sequences(
     )
 
 
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the dual of
+    :func:`pack_sequences` (short docs pack, long docs chunk; real
+    pipelines do both around one token budget).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_size); starts are
+    generated while start < n_tokens, i.e. ceil(n/stride) chunks, so
+    every token is covered and consecutive chunks overlap by
+    chunk_size - stride tokens. Entirely built-in array expressions
+    (tokenize → sequence → explode → slice → join): map-only, zero
+    shuffle, fused into the scan — chunking 100 TB is embarrassingly
+    parallel and this plan keeps it that way. Returns
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text); empty documents
+    yield no chunks.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
+    n_chunks = F.ceil(n / F.lit(stride)).cast("int")
+    exploded = (
+        toked.filter(n > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    )
+    # slice() is 1-indexed; length past the end is truncated.
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_size
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -112,10 +160,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(T._load_documents(spark, sf_dir))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "pipeline_clean_corpus": q_clean_corpus,
         "pipeline_pack_sequences": q_pack_sequences,
+        "pipeline_chunk_documents": q_chunk_documents,
     }
 
 
@@ -161,4 +214,28 @@ def entry_oracles() -> dict[str, str]:
                CAST(pre % {PACK_BUDGET} AS INTEGER) AS pack_offset
         FROM cum
     """
-    return {"pipeline_clean_corpus": sql, "pipeline_pack_sequences": pack}
+    chunk = f"""
+        WITH toked AS (
+            SELECT doc_id, {toks} AS toks FROM documents
+        ),
+        nz AS (
+            SELECT doc_id, toks, len(toks) AS n FROM toked WHERE len(toks) > 0
+        ),
+        ex AS (
+            SELECT doc_id, toks,
+                   unnest(range(CAST(ceil(n / {CHUNK_STRIDE}.0) AS BIGINT)))
+                       AS cid
+            FROM nz
+        )
+        SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+               CAST(len(toks[cid * {CHUNK_STRIDE} + 1 :
+                          cid * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS INTEGER)
+                   AS n_chunk_tokens,
+               array_to_string(
+                   toks[cid * {CHUNK_STRIDE} + 1 :
+                        cid * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+                   AS chunk_text
+        FROM ex
+    """
+    return {"pipeline_clean_corpus": sql, "pipeline_pack_sequences": pack,
+            "pipeline_chunk_documents": chunk}

@@ -223,6 +223,48 @@ def test_split_fractions_roughly_hold(spark):
     assert 0.03 < counts.get("test", 0) / n < 0.2
 
 
+def test_chunk_documents_matches_oracle(spark, ddb):
+    from query_planner_optimizer_spark.operators import docpipe
+
+    df = docpipe.q_chunk_documents(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, docpipe.entry_oracles()["pipeline_chunk_documents"]
+    )
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Overlapping-window invariants on a synthetic long doc: full
+    coverage, 64-token chunks except the tail, 16-token overlap, and
+    reassembly of the original token stream from stride prefixes."""
+    from query_planner_optimizer_spark.operators import docpipe
+
+    toks = [f"t{i}" for i in range(150)]
+    df = spark.createDataFrame([(1, " ".join(toks)), (2, ""), (3, "one")],
+                               ["doc_id", "text"])
+    rows = sorted(
+        docpipe.chunk_documents(df).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc  # empty doc yields no chunks
+    assert [r.n_chunk_tokens for r in by_doc[3]] == [1]
+    c1 = by_doc[1]
+    # ceil(150/48) = 4 chunks at starts 0/48/96/144; the last two
+    # truncate at the document end: sizes 64, 64, 150-96=54, 150-144=6
+    assert [r.n_chunk_tokens for r in c1] == [64, 64, 54, 6]
+    for i, r in enumerate(c1):
+        start = i * docpipe.CHUNK_STRIDE
+        expect = toks[start:start + docpipe.CHUNK_SIZE]
+        assert r.chunk_text.split(" ") == expect
+    # stride prefixes reassemble the original stream exactly
+    reassembled = []
+    for r in c1:
+        reassembled.extend(r.chunk_text.split(" ")[:docpipe.CHUNK_STRIDE])
+    assert reassembled[:150] == toks
+
+
 def test_pack_sequences_matches_oracle(spark, ddb):
     from query_planner_optimizer_spark.operators import docpipe
 
