@@ -59,6 +59,39 @@ def split_by_hash(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ``fractions[stratum]``
+    of each stratum's keys (``default_fraction`` for unlisted strata).
+
+    The balance-the-corpus move in training-data prep: downsample
+    over-represented languages/sources while keeping the rare ones —
+    with the same reproducibility contract as :func:`hash_sample`
+    (per-key hash thresholds, no RNG, stable under data growth, and the
+    per-stratum sample is a SUBSET of any larger-fraction sample of the
+    same stratum). Map-only: the threshold lookup is a literal CASE
+    chain on the stratum column, fused into the scan."""
+    bucket = hash_bucket(F.col(key_col))
+    thresh = None
+    for name, frac in fractions.items():
+        cutoff = F.lit(int(frac * BUCKETS))
+        cond = F.col(strata_col) == name
+        thresh = (
+            F.when(cond, cutoff) if thresh is None else thresh.when(cond, cutoff)
+        )
+    thresh = (
+        thresh.otherwise(F.lit(int(default_fraction * BUCKETS)))
+        if thresh is not None
+        else F.lit(int(default_fraction * BUCKETS))
+    )
+    return df.filter(bucket < thresh)
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -79,10 +112,24 @@ def q_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Corpus-balancing fractions for the driver entry: keep 20% of the
+#: over-represented English stratum, 60% of everything else.
+STRATA_FRACTIONS = {"en": 0.20}
+STRATA_DEFAULT = 0.60
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", STRATA_FRACTIONS, "doc_id",
+        default_fraction=STRATA_DEFAULT,
+    ).select("doc_id", "lang", "n_chars")
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "sample_hash_10pct": q_sample_10pct,
         "sample_split_assignments": q_split_assignments,
+        "sample_stratified_by_lang": q_stratified_sample,
     }
 
 
@@ -105,4 +152,11 @@ def entry_oracles() -> dict[str, str]:
                END AS split
         FROM (SELECT doc_id, {_BUCKET_SQL} AS b FROM documents)
     """
-    return {"sample_hash_10pct": sample, "sample_split_assignments": split}
+    stratified = f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {_BUCKET_SQL} <
+              CASE WHEN lang = 'en' THEN {int(0.20 * BUCKETS)}
+                   ELSE {int(0.60 * BUCKETS)} END
+    """
+    return {"sample_hash_10pct": sample, "sample_split_assignments": split,
+            "sample_stratified_by_lang": stratified}

@@ -4,6 +4,7 @@ oracle-checked where SQL-expressible, semantics-checked otherwise."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from query_planner_optimizer_spark.operators import dedup, similarity, text
 
@@ -207,6 +208,30 @@ def test_split_assignments_match_oracle_and_are_stable(spark, ddb):
            for r in sampling.split_by_hash(docs.limit(100), "doc_id")
            .select("doc_id", "split").collect()}
     assert all(full[k] == v for k, v in sub.items())
+
+
+def test_stratified_sample_per_stratum_equivalence(spark, ddb):
+    """The stratified sample restricted to one stratum is EXACTLY the
+    plain hash sample of that stratum at its fraction (same per-key
+    thresholds — the subset/stability contract), and the entry matches
+    its oracle."""
+    from query_planner_optimizer_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    strat = sampling.stratified_sample(
+        docs, "lang", {"en": 0.20}, "doc_id", default_fraction=0.60
+    )
+    en_direct = sampling.hash_sample(
+        docs.filter(F.col("lang") == "en"), "doc_id", 0.20
+    )
+    assert (
+        sorted(r.doc_id for r in strat.filter(F.col("lang") == "en").collect())
+        == sorted(r.doc_id for r in en_direct.collect())
+    )
+    df = sampling.q_stratified_sample(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, sampling.entry_oracles()["sample_stratified_by_lang"]
+    )
 
 
 def test_split_fractions_roughly_hold(spark):
