@@ -101,6 +101,40 @@ def rollup_counts(
     )
 
 
+def zscore_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flagging: rows whose value deviates
+    more than ``z_threshold`` sample standard deviations from their
+    group mean — the anomaly gate of a metrics pipeline (and, over
+    per-document loss/quality columns, a training-data one).
+
+    Unpartitioned-window-free: group stats come from ONE partial→final
+    aggregation, broadcast back onto the rows by a join on the (low
+    cardinality) group key — never a per-row window over the whole
+    table. Groups with stddev 0/NULL (constant or singleton) flag
+    nothing.
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    joined = df.join(F.broadcast(stats), group_cols)
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sd")
+    return (
+        joined.filter(
+            F.col("__sd").isNotNull()
+            & (F.col("__sd") > 0)
+            & (F.abs(z) > z_threshold)
+        )
+        .withColumn("zscore", F.round(z, 6))
+        .drop("__mu", "__sd")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -154,8 +188,17 @@ def q_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return zscore_outliers(
+        events.select("event_id", "event_type", "value"),
+        ["event_type"], "value",
+    ).select("event_id", "event_type", "value", "zscore")
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
+        "analytics_zscore_outliers": q_zscore_outliers,
         "analytics_topn_per_group": q_topn_orders,
         "analytics_running_sum": q_running_sum,
         "analytics_lag_delta": q_lag_delta,
@@ -209,7 +252,19 @@ def entry_oracles() -> dict[str, str]:
             FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
         )
     """
+    zscore = """
+        WITH stats AS (
+            SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               ROUND((e.value - s.mu) / s.sd, 6) AS zscore
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE s.sd IS NOT NULL AND s.sd > 0
+          AND ABS((e.value - s.mu) / s.sd) > 3.0
+    """
     return {
+        "analytics_zscore_outliers": zscore,
         "analytics_topn_per_group": topn,
         "analytics_running_sum": run_sum,
         "analytics_lag_delta": lag_d,

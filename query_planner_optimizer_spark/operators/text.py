@@ -160,6 +160,41 @@ def _sql_tokens(text_col: str = "text") -> str:
     )
 
 
+VOCAB_MIN_DOC_FREQ = 5
+
+
+def token_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_doc_freq: int = VOCAB_MIN_DOC_FREQ,
+) -> DataFrame:
+    """Corpus vocabulary: (token, doc_freq, total_count) for tokens in
+    at least ``min_doc_freq`` documents — the vocabulary-build pass of a
+    training pipeline.
+
+    Shape at 100 TB: tokenize map-side, explode, then ONE partial→final
+    aggregation on the token — the shuffle carries (token, partial
+    counts), not positions or documents. Zipf guarantees the hot-token
+    skew ceiling is harmless here because partial aggregation collapses
+    each map task's duplicates before the wire (a task contributes ≤1
+    row per distinct token). doc_freq via COUNT(DISTINCT doc_id) inside
+    the same grouping uses Spark's expand path — the one extra shuffle
+    is the price of exact document frequencies; approximate pipelines
+    swap in approx_count_distinct.
+    """
+    tok = docs.select(
+        F.col("doc_id"), F.explode(_tokens(text_col)).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("total_count"),
+        )
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
 def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_planner_optimizer_spark.catalog import spread
 
@@ -190,12 +225,17 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_vocab(_load_documents(spark, sf_dir))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "text_token_count": q_token_count,
         "text_quality_score": q_quality_score,
         "text_lang_id": q_lang_id,
         "text_fingerprint": q_fingerprint,
+        "text_token_vocab": q_token_vocab,
     }
 
 
@@ -258,9 +298,19 @@ def entry_oracles() -> dict[str, str]:
                ELSE md5(array_to_string(toks, ' ')) END AS min_window_hash
         FROM t
     """
+    vocab = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({toks}) AS token FROM documents
+        )
+        SELECT token, COUNT(DISTINCT doc_id) AS doc_freq,
+               COUNT(*) AS total_count
+        FROM tok GROUP BY token
+        HAVING COUNT(DISTINCT doc_id) >= {VOCAB_MIN_DOC_FREQ}
+    """
     return {
         "text_token_count": token_count,
         "text_quality_score": quality,
         "text_lang_id": lang_id,
         "text_fingerprint": fingerprint,
+        "text_token_vocab": vocab,
     }

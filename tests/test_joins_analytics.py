@@ -161,6 +161,20 @@ def test_order_by_unknown_column_raises_both_paths(catalog):
         assemble_sql(q, catalog.spark_type_map("orders"), dialect="duckdb")
 
 
+def test_zscore_outliers_match_oracle_and_plan(spark, ddb):
+    from query_planner_optimizer_spark.operators import analytics
+
+    from .conftest import SF_DIR, assert_matches_duckdb
+
+    df = analytics.q_zscore_outliers(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, analytics.entry_oracles()["analytics_zscore_outliers"]
+    )
+    # stats attach via broadcast join, not a per-row window
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Window" not in plan
+
+
 def test_approx_distinct_within_rsd(spark, catalog):
     """HLL++ sketch (the 100 TB path) stays within ~3x its declared 1%
     relative standard deviation of the exact distinct count."""

@@ -53,6 +53,11 @@ def test_text_ops_match_oracle(key, spark, ddb):
 
 # ---- semantic checks for hash-dependent (rows-only) ops ------------------
 
+def test_token_vocab_matches_oracle(spark, ddb):
+    df = text.q_token_vocab(spark, SF_DIR)
+    assert_matches_duckdb(df, ddb, text.entry_oracles()["text_token_vocab"])
+
+
 def test_minhash_lsh_subset_of_exact(docs):
     """LSH-verified pairs must be a subset of exact Jaccard pairs (no
     false positives after verification) with decent recall."""
