@@ -454,6 +454,112 @@ DSL_QUERIES: dict[str, dict] = {
         "order_by": [{"col": "l_returnflag", "dir": "asc"},
                      {"col": "l_linestatus", "dir": "asc"}],
     },
+    "dsl_tpch_q3_shipping_priority": {
+        # TPC-H Q3 shape: 3-table selective join (segment-filtered
+        # customer → orders → lineitem), revenue expression aggregate,
+        # ORDER BY aggregate DESC + LIMIT (TakeOrderedAndProject — the
+        # top-k never materializes the full sorted result). The date
+        # split predicates push to both fact scans. Cluster plan:
+        # customer(filtered) broadcasts under AQE stats; orders⋈lineitem
+        # is the one big hash shuffle on orderkey. Predicates adapted to
+        # the driver corpus's 1995-2001 date span.
+        "select": ["l_orderkey",
+                   {"SUM": {"op": "mul", "args": [
+                       "l_extendedprice",
+                       {"op": "sub", "args": [1, "l_discount"]}]},
+                    "as": "revenue", "round": 2},
+                   "o_orderdate", "o_orderpriority"],
+        "from": "customer",
+        "join": [{"table": "orders", "on": [["c_custkey", "o_custkey"]]},
+                 {"table": "lineitem", "on": [["o_orderkey", "l_orderkey"]]}],
+        "where": [
+            {"col": "c_mktsegment", "op": "eq", "val": "BUILDING"},
+            {"col": "o_orderdate", "op": "lt", "val": "1997-06-30 00:00:00"},
+            {"col": "l_shipdate", "op": "gt", "val": "1997-06-30 00:00:00"},
+        ],
+        "group_by": ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        # l_orderkey tiebreak keeps the LIMIT deterministic across engines
+        "order_by": [{"col": "revenue", "dir": "desc"},
+                     {"col": "o_orderdate", "dir": "asc"},
+                     {"col": "l_orderkey", "dir": "asc"}],
+        "limit": 10,
+    },
+    "dsl_tpch_q5_local_supplier_volume": {
+        # TPC-H Q5 shape: SIX-table join chain incl. a two-column join
+        # (supplier on l_suppkey AND the customer's nationkey — the
+        # "local supplier" constraint spans two earlier relations).
+        # nation/region are broadcast-size dims; the chain's only large
+        # shuffles are orders⋈lineitem. Region filter prunes before the
+        # dim joins fan upward.
+        "select": ["n_name",
+                   {"SUM": {"op": "mul", "args": [
+                       "l_extendedprice",
+                       {"op": "sub", "args": [1, "l_discount"]}]},
+                    "as": "revenue", "round": 2}],
+        "from": "customer",
+        "join": [
+            {"table": "orders", "on": [["c_custkey", "o_custkey"]]},
+            {"table": "lineitem", "on": [["o_orderkey", "l_orderkey"]]},
+            {"table": "supplier", "on": [["l_suppkey", "s_suppkey"],
+                                         ["c_nationkey", "s_nationkey"]]},
+            {"table": "nation", "on": [["s_nationkey", "n_nationkey"]],
+             "hint": "broadcast"},
+            {"table": "region", "on": [["n_regionkey", "r_regionkey"]],
+             "hint": "broadcast"},
+        ],
+        "where": [
+            {"col": "r_name", "op": "eq", "val": "ASIA"},
+            {"col": "o_orderdate", "op": "gte", "val": "1996-01-01 00:00:00"},
+            {"col": "o_orderdate", "op": "lt", "val": "1997-01-01 00:00:00"},
+        ],
+        "group_by": ["n_name"],
+        "order_by": [{"col": "revenue", "dir": "desc"},
+                     {"col": "n_name", "dir": "asc"}],
+    },
+    "dsl_tpch_q6_forecast_revenue": {
+        # TPC-H Q6 shape: ungrouped expression aggregate over a
+        # triple-filtered scan — every predicate reaches PushedFilters,
+        # the agg is a map-side partial + single-row final merge.
+        "select": [{"SUM": {"op": "mul",
+                            "args": ["l_extendedprice", "l_discount"]},
+                    "as": "revenue", "round": 2},
+                   {"COUNT": "*", "as": "n_items"}],
+        "from": "lineitem",
+        "where": [
+            {"col": "l_shipdate", "op": "gte", "val": "1996-01-01 00:00:00"},
+            {"col": "l_shipdate", "op": "lt", "val": "1997-01-01 00:00:00"},
+            {"col": "l_discount", "op": "between", "val": [0.05, 0.07]},
+            {"col": "l_quantity", "op": "lt", "val": 24},
+        ],
+    },
+    "dsl_tpch_q10_returned_items": {
+        # TPC-H Q10 shape: returned-item revenue per customer — 4-table
+        # join, high-cardinality group keys (per-customer), top-20 by
+        # revenue. nation broadcasts explicitly; the group-by shuffles
+        # on c_custkey which is already the join key, so AQE coalesces.
+        "select": ["c_custkey", "c_name",
+                   {"SUM": {"op": "mul", "args": [
+                       "l_extendedprice",
+                       {"op": "sub", "args": [1, "l_discount"]}]},
+                    "as": "revenue", "round": 2},
+                   "c_acctbal", "n_name"],
+        "from": "customer",
+        "join": [
+            {"table": "orders", "on": [["c_custkey", "o_custkey"]]},
+            {"table": "lineitem", "on": [["o_orderkey", "l_orderkey"]]},
+            {"table": "nation", "on": [["c_nationkey", "n_nationkey"]],
+             "hint": "broadcast"},
+        ],
+        "where": [
+            {"col": "l_returnflag", "op": "eq", "val": "R"},
+            {"col": "o_orderdate", "op": "gte", "val": "1996-01-01 00:00:00"},
+            {"col": "o_orderdate", "op": "lt", "val": "1996-04-01 00:00:00"},
+        ],
+        "group_by": ["c_custkey", "c_name", "c_acctbal", "n_name"],
+        "order_by": [{"col": "revenue", "dir": "desc"},
+                     {"col": "c_custkey", "dir": "asc"}],
+        "limit": 20,
+    },
     # flagship: TPC-H Q1-shaped pricing summary
     "dsl_pricing_summary": {
         "select": [

@@ -51,6 +51,8 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = [f.split("=", 1)[1] for f in flags if f.startswith("--only=")]
+    only = [s for f in only for s in f.split(",") if s]
     import __spark_entry__ as mod
 
     if "--repo-session" in flags:
@@ -83,6 +85,8 @@ def main() -> int:
     print(f"entry(): OK ({len(erows)} rows, schema {[f.name for f in edf.schema]})")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items() if any(s in n for s in only)}
     failures = []
     for name, fn in qs.items():
         t0 = time.perf_counter()
