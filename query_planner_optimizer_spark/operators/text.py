@@ -150,6 +150,97 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Repetition-gate thresholds (Gopher-style repetitive-content filter):
+#: a document is flagged when duplicate word-3-grams exceed 60% or a
+#: single token accounts for over 12% of all tokens.
+REPETITION_DUP3_MAX = 0.6
+REPETITION_TOPTOK_MAX = 0.12
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher/C4 family of
+    repetitive-content filters): duplicate word-3-gram fraction and the
+    most-common-token fraction, plus the combined gate flag.
+
+    Pure column expressions over one staged tokenization — map-only,
+    whole-stage-codegen, no shuffle; the per-doc distinct-count lambdas
+    are O(distinct·n) in document length, which is the same work a
+    hash-set pass does, just expressed declaratively.
+    """
+    staged = df.select("*", _tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    trigrams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    staged = staged.select("*", trigrams.alias("__tri"))
+    tri = F.col("__tri")
+    dup3 = F.lit(1.0) - (
+        F.size(F.array_distinct(tri)).cast("double")
+        / F.greatest(F.size(tri), F.lit(1)).cast("double")
+    )
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    top_ratio = F.when(n > 0, top_count.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        staged.withColumn("n_tokens", n)
+        .withColumn("dup_3gram_ratio", F.round(dup3, 6))
+        .withColumn("top_token_ratio", F.round(top_ratio, 6))
+        .withColumn(
+            "repetitive",
+            (dup3 > F.lit(REPETITION_DUP3_MAX))
+            | (top_ratio > F.lit(REPETITION_TOPTOK_MAX)),
+        )
+        .drop("__toks", "__tri")
+    )
+
+
+#: PII patterns — portable between Java regex (Spark) and RE2 (DuckDB):
+#: no lookaround, non-capturing groups only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
+PII_LONG_NUMBER = r"\d{7,}"
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: emails, IPv4 addresses, long digit
+    runs (phone/account numbers). Counts are measured on the original
+    text per pattern; redaction applies email → ip → number so the
+    narrower patterns never eat a wider match's remainder.
+
+    Map-only expression pipeline (regexp_extract_all / regexp_replace
+    are codegen'd JVM ops). ``redacted_md5`` stands in for the full
+    redacted text in the driver entry to keep the result narrow; real
+    pipelines keep the ``redacted`` column and drop the original.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_LONG_NUMBER, "<NUM>")
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0))
+    n_ipv4 = F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0))
+    n_numbers = F.size(F.regexp_extract_all(text, F.lit(PII_LONG_NUMBER), 0))
+    return (
+        df.withColumn("n_emails", n_emails)
+        .withColumn("n_ipv4", n_ipv4)
+        .withColumn("n_numbers", n_numbers)
+        .withColumn("has_pii", (n_emails + n_ipv4 + n_numbers) > 0)
+        .withColumn("redacted", redacted)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries (queries + DuckDB oracles)
 # --------------------------------------------------------------------------
@@ -229,6 +320,24 @@ def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_vocab(_load_documents(spark, sf_dir))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_repetition(_load_documents(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "dup_3gram_ratio", "top_token_ratio", "repetitive"
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The driver corpus contains no PII (counts are 0, redacted == text)
+    # — this entry proves the cross-engine regex machinery on the
+    # no-match path; tests/test_text.py drives the hit paths with
+    # synthetic PII rows through BOTH engines.
+    df = with_pii_scrub(_load_documents(spark, sf_dir))
+    return df.select(
+        "doc_id", "n_emails", "n_ipv4", "n_numbers", "has_pii",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "text_token_count": q_token_count,
@@ -236,6 +345,8 @@ def entry_queries() -> dict[str, Callable]:
         "text_lang_id": q_lang_id,
         "text_fingerprint": q_fingerprint,
         "text_token_vocab": q_token_vocab,
+        "text_repetition": q_repetition,
+        "text_pii_scrub": q_pii_scrub,
     }
 
 
@@ -307,10 +418,52 @@ def entry_oracles() -> dict[str, str]:
         FROM tok GROUP BY token
         HAVING COUNT(DISTINCT doc_id) >= {VOCAB_MIN_DOC_FREQ}
     """
+    repetition = f"""
+        WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+        tri AS (
+            SELECT doc_id, tk, len(tk) AS n,
+                   CASE WHEN len(tk) >= 3 THEN
+                       list_transform(range(1, len(tk) - 1),
+                                      i -> array_to_string(tk[i:i+2], ' '))
+                   ELSE [array_to_string(tk, ' ')] END AS tg
+            FROM t
+        )
+        SELECT doc_id, n AS n_tokens,
+               ROUND(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)
+                     / greatest(len(tg), 1), 6) AS dup_3gram_ratio,
+               ROUND(CASE WHEN n > 0 THEN
+                   CAST(list_max(list_transform(list_distinct(tk),
+                        t2 -> len(list_filter(tk, x -> x = t2)))) AS DOUBLE) / n
+               ELSE 0.0 END, 6) AS top_token_ratio,
+               (1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)
+                     / greatest(len(tg), 1)) > {REPETITION_DUP3_MAX}
+               OR (CASE WHEN n > 0 THEN
+                   CAST(list_max(list_transform(list_distinct(tk),
+                        t2 -> len(list_filter(tk, x -> x = t2)))) AS DOUBLE) / n
+               ELSE 0.0 END) > {REPETITION_TOPTOK_MAX} AS repetitive
+        FROM tri
+    """
+    pii = f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ipv4,
+               len(regexp_extract_all(text, '{PII_LONG_NUMBER}')) AS n_numbers,
+               len(regexp_extract_all(text, '{PII_EMAIL}'))
+                 + len(regexp_extract_all(text, '{PII_IPV4}'))
+                 + len(regexp_extract_all(text, '{PII_LONG_NUMBER}')) > 0
+                   AS has_pii,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g'),
+                   '{PII_LONG_NUMBER}', '<NUM>', 'g')) AS redacted_md5
+        FROM documents
+    """
     return {
         "text_token_count": token_count,
         "text_quality_score": quality,
         "text_lang_id": lang_id,
         "text_fingerprint": fingerprint,
         "text_token_vocab": vocab,
+        "text_repetition": repetition,
+        "text_pii_scrub": pii,
     }

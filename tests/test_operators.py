@@ -45,10 +45,66 @@ def test_cosine_topk_matches_oracle(emb, ddb):
 
 
 @pytest.mark.parametrize("key", ["text_token_count", "text_quality_score",
-                                 "text_lang_id", "text_fingerprint"])
+                                 "text_lang_id", "text_fingerprint",
+                                 "text_repetition", "text_pii_scrub"])
 def test_text_ops_match_oracle(key, spark, ddb):
     df = text.entry_queries()[key](spark, SF_DIR)
     assert_matches_duckdb(df, ddb, text.entry_oracles()[key])
+
+
+#: Synthetic rows exercising every PII hit path (the driver corpus has
+#: none) — emails, IPv4s, long digit runs, mixes, and near-misses.
+_PII_ROWS = [
+    (1, "contact me at alice.smith+spam@example.co.uk for details"),
+    (2, "server at 192.168.0.1 and backup at 10.0.0.255 are up"),
+    (3, "call 5551234567 or account 00012345678 asap"),
+    (4, "bob@test.io pinged 8.8.8.8 ref 99887766554"),
+    (5, "no pii here, just words and the number 42"),
+    (6, "almost@an@email and 1.2.3 and 123456 stay untouched"),
+    (7, ""),
+]
+
+
+def test_pii_scrub_hit_paths_match_oracle(spark, ddb):
+    """Differential PII check over synthetic rows WITH matches — both
+    engines must agree on counts AND the redacted text itself."""
+    sdf = spark.createDataFrame(_PII_ROWS, ["doc_id", "text"])
+    got = text.with_pii_scrub(sdf).select(
+        "doc_id", "n_emails", "n_ipv4", "n_numbers", "has_pii", "redacted"
+    )
+    ddb.execute("CREATE OR REPLACE TABLE pii_probe(doc_id BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO pii_probe VALUES (?, ?)", _PII_ROWS)
+    sql = text.entry_oracles()["text_pii_scrub"].replace(
+        "FROM documents", "FROM pii_probe"
+    ).replace(
+        "md5(regexp_replace", "(regexp_replace"
+    ).replace(") AS redacted_md5", ") AS redacted")
+    assert_matches_duckdb(got, ddb, sql)
+    # And the redactions actually happened where expected.
+    rows = {r.doc_id: r for r in got.collect()}
+    assert "<EMAIL>" in rows[1].redacted and rows[1].n_emails == 1
+    assert rows[2].redacted.count("<IP>") == 2 and rows[2].n_ipv4 == 2
+    assert rows[3].redacted.count("<NUM>") == 2 and rows[3].n_numbers == 2
+    assert rows[4].has_pii and rows[4].n_emails == 1 and rows[4].n_ipv4 == 1
+    assert not rows[5].has_pii and rows[5].redacted == _PII_ROWS[4][1]
+    assert not rows[6].has_pii
+    assert not rows[7].has_pii and rows[7].redacted == ""
+
+
+def test_repetition_flags_synthetic_extremes(spark):
+    rows = [
+        (1, "spam " * 50),                       # one token repeated
+        (2, " ".join(f"w{i} x{i} y{i}" for i in range(40))),  # all distinct
+    ]
+    out = {
+        r.doc_id: r
+        for r in text.with_repetition(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1].repetitive and out[1].dup_3gram_ratio > 0.9
+    assert out[1].top_token_ratio == 1.0
+    assert not out[2].repetitive and out[2].dup_3gram_ratio == 0.0
 
 
 # ---- semantic checks for hash-dependent (rows-only) ops ------------------
