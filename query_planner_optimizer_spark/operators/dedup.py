@@ -126,6 +126,110 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    vid: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a similar-pair edge set: the transitive
+    closure step that turns pairwise near-dup hits into dedup groups
+    (A~B and B~C must collapse to ONE surviving document even when A~C
+    was never emitted). Returns (doc_id, cluster_id) with cluster_id =
+    min member id; vertices absent from any edge are singletons.
+
+    Algorithm: iterative min-label propagation as pure DataFrame jobs —
+    each round one shuffle (groupBy node), labels only ever decrease,
+    convergence detected by a monotone aggregate (sum of labels,
+    accumulated in decimal so 64-bit ids cannot overflow the ANSI sum).
+    Rounds needed = component diameter; near-dup clusters are
+    clique-dense (diameter 2-3), so 3-4 rounds in practice — this is
+    the same regime where GraphX/GraphFrames would spend its fixed
+    per-round cost, without the library dependency. For adversarial
+    long-chain graphs the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") reduces rounds to
+    O(log n); chain-shaped near-dup graphs are rare enough that the
+    simple propagation is the better default.
+
+    Scale notes: the propagated frame carries (node, label) longs only
+    — document text never enters the loop. Each round ends in
+    ``localCheckpoint`` to truncate the growing lineage (iterative
+    plans otherwise re-derive every prior round at each action and the
+    optimizer pass itself becomes the bottleneck).
+    """
+    und = edges.select(
+        F.col(src).alias("n"), F.col(dst).alias("m")
+    ).unionByName(
+        edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    )
+    # Materialize the edge list once: it is re-read every round, and the
+    # upstream pair generation is itself a multi-shuffle job (id pairs
+    # only — tiny relative to the corpus, cheap to pin).
+    und = und.localCheckpoint(eager=True)
+    labels = vertices.select(
+        F.col(vid).alias("n"), F.col(vid).cast("long").alias("label")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(max_iter):
+        # neighbor labels flow along every edge; keep own label in the min
+        neighbor = und.join(labels, "n").select(
+            F.col("m").alias("n"), "label"
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("n")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if new_sum == prev_sum:  # min-propagation fixpoint
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("n").alias(vid), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = DEFAULT_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Full near-dup grouping: exact Jaccard pairs → connected
+    components → (doc_id, cluster_id, cluster_size, is_canonical).
+    The canonical survivor is the min doc_id of each component — the
+    keep-set of a corpus-dedup pass is ``is_canonical = true``.
+
+    The cluster_size join shuffles (cluster_id, count) pairs; at corpus
+    scale cluster counts are tiny relative to docs, so AQE marks the
+    count side broadcast-able.
+    """
+    pairs = jaccard_pairs(df, id_col, text_col, n, threshold)
+    comp = connected_components(
+        pairs.select("doc_a", "doc_b"), df.select(id_col), vid=id_col
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+
+
 def _doc_shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -466,6 +570,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.2)
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "dedup_exact": q_exact_dedup,
@@ -480,6 +588,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_simhash_quality": lambda spark, sf: simhash_quality(
             _docs(spark, sf)
         ),
+        "dedup_connected_components": q_dedup_clusters,
     }
 
 
@@ -542,6 +651,47 @@ def entry_oracles() -> dict[str, str]:
         FROM documents a JOIN documents b
           ON a.text = b.text AND a.doc_id < b.doc_id
     """
+    # Transitive closure via recursive CTE: labels flow along undirected
+    # edges until fixpoint (UNION dedups states, so it terminates); the
+    # engine's iterative min-propagation must land on identical clusters.
+    clusters = f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM common
+            JOIN sizes sa ON common.doc_a = sa.doc_id
+            JOIN sizes sb ON common.doc_b = sb.doc_id
+            WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
+        ),
+        und AS (
+            SELECT doc_a AS n, doc_b AS m FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.m, r.label FROM reach r JOIN und e ON r.node = e.n
+        ),
+        lab AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sz AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM lab GROUP BY cluster_id
+        )
+        SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+               lab.doc_id = lab.cluster_id AS is_canonical
+        FROM lab JOIN sz USING (cluster_id)
+    """
     return {"dedup_exact": exact, "dedup_ngram_jaccard": jaccard,
             "dedup_minhash_quality": minhash_q,
-            "dedup_simhash_quality": simhash_q}
+            "dedup_simhash_quality": simhash_q,
+            "dedup_connected_components": clusters}

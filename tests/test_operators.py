@@ -114,6 +114,37 @@ def test_token_vocab_matches_oracle(spark, ddb):
     assert_matches_duckdb(df, ddb, text.entry_oracles()["text_token_vocab"])
 
 
+def test_connected_components_transitive_chain(spark):
+    """A-B and B-C edges (no A-C) must land in ONE cluster; a 6-node
+    path graph exercises multi-round propagation; isolated vertices
+    stay singletons."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24),
+         (24, 25)],
+        ["doc_a", "doc_b"],
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21, 22, 23, 24, 25, 99)],
+        ["doc_id"],
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(edges, verts).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert all(got[i] == 20 for i in (20, 21, 22, 23, 24, 25))
+    assert got[99] == 99
+
+
+def test_dedup_clusters_matches_recursive_oracle(docs, ddb):
+    assert_matches_duckdb(
+        dedup.dedup_clusters(docs, threshold=0.2),
+        ddb,
+        dedup.entry_oracles()["dedup_connected_components"],
+    )
+
+
 def test_minhash_lsh_subset_of_exact(docs):
     """LSH-verified pairs must be a subset of exact Jaccard pairs (no
     false positives after verification) with decent recall."""
