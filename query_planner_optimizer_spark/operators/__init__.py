@@ -17,6 +17,7 @@ def _modules():
         dedup,
         docpipe,
         multimodal,
+        relevance,
         sampling,
         similarity,
         temporal,
@@ -25,8 +26,8 @@ def _modules():
     from query_planner_optimizer_spark.streaming import stateful, windows
 
     return (
-        dedup, similarity, text, multimodal, windows, stateful, analytics,
-        temporal, docpipe, sampling,
+        dedup, similarity, text, relevance, multimodal, windows, stateful,
+        analytics, temporal, docpipe, sampling,
     )
 
 

@@ -1,0 +1,209 @@
+"""Lexical relevance scoring over the ``documents`` table: TF-IDF and
+BM25 — the retrieval/quality-weighting primitives of a training-data
+pipeline (score documents against a topic term list, weight sampling by
+relevance, build dedup-priority orders).
+
+Plan shape (both scorers, identical skeleton):
+
+1. tokenize map-side, explode, filter to the query terms **before** the
+   shuffle — the exploded stream shrinks to |terms| rows per doc ceiling
+   at the scan, so the groupBy shuffles a sliver of the corpus;
+2. per-(doc, term) term frequencies: ONE partial→final aggregation;
+3. per-term document frequencies: aggregation over the distinct
+   (doc, term) pairs from step 2 — |terms| rows out, broadcast back;
+4. corpus scalars (N, avgdl) via a single tiny aggregate, crossJoin'd
+   as a broadcast literal row;
+5. score = Σ_terms weight(tf, df, dl) — join tf↔idf (broadcast, the idf
+   side has |terms| rows), groupBy doc, sum.
+
+No UDFs anywhere — ln/division/multiplication are codegen'd JVM
+expressions; the DuckDB oracle reproduces the math to the same 6dp.
+
+Scoring returns ALL matching docs (score > 0) rather than a top-k so
+the driver's order-insensitive hash compare never sits on a
+float-ordering boundary; callers add ``.orderBy(...).limit(k)`` for
+retrieval (TakeOrderedAndProject — no full sort at scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_planner_optimizer_spark.functions.textexpr import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: Default topic terms for the driver entry — mid-frequency tokens of
+#: the driver corpus (present at every sf).
+DEFAULT_QUERY_TERMS = ("spark", "window", "customer", "stream")
+
+
+def _term_stats(
+    docs: DataFrame, terms: list[str], id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf, df_idf-ready per-term doc freq, per-doc lengths) shared by
+    both scorers. The term filter applies to the exploded token stream
+    pre-shuffle (codegen'd isin over a literal array)."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    lengths = toked.select("doc_id", F.size("__toks").alias("dl"))
+    tf = (
+        toked.select("doc_id", F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf, dfreq, lengths
+
+
+def tfidf_scores(
+    docs: DataFrame,
+    terms: list[str] | tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classic TF-IDF: score = Σ tf · ln(N / df). Returns
+    (doc_id, n_matched_terms, score) for docs matching ≥1 term."""
+    tf, dfreq, _ = _term_stats(docs, list(terms), id_col, text_col)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        .alias("idf"),
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"),
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str] | tuple[str, ...] = DEFAULT_QUERY_TERMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 with the Lucene-style non-negative idf:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = Σ idf · tf·(k1+1) /
+    (tf + k1·(1 - b + b·dl/avgdl)). Returns (doc_id, n_matched_terms,
+    score)."""
+    tf, dfreq, lengths = _term_stats(docs, list(terms), id_col, text_col)
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lengths, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched_terms"),
+        F.round(F.sum("contrib"), 6).alias("score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver entries
+# --------------------------------------------------------------------------
+
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import spread
+
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_scores(_load_documents(spark, sf_dir))
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_scores(_load_documents(spark, sf_dir))
+
+
+def entry_queries() -> dict[str, Callable]:
+    return {
+        "relevance_tfidf": q_tfidf,
+        "relevance_bm25": q_bm25,
+    }
+
+
+def entry_oracles() -> dict[str, str]:
+    term_list = ", ".join(f"'{t}'" for t in DEFAULT_QUERY_TERMS)
+    base = f"""
+        tok AS (
+            SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok
+            WHERE term IN ({term_list})
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        lens AS (SELECT doc_id, len({_SQL_TOKS}) AS dl FROM documents),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+            FROM lens
+        )
+    """
+    tfidf = f"""
+        WITH {base}
+        SELECT tf.doc_id, COUNT(*) AS n_matched_terms,
+               ROUND(SUM(tf.tf * ln(CAST(stats.n_docs AS DOUBLE) / dfreq.df)),
+                     6) AS score
+        FROM tf JOIN dfreq USING (term), stats
+        GROUP BY tf.doc_id
+    """
+    bm25 = f"""
+        WITH {base}
+        SELECT tf.doc_id, COUNT(*) AS n_matched_terms,
+               ROUND(SUM(
+                   ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * {BM25_K1 + 1.0})
+                   / (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
+                      + {BM25_B} * CAST(lens.dl AS DOUBLE) / stats.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN lens ON tf.doc_id = lens.doc_id, stats
+        GROUP BY tf.doc_id
+    """
+    return {"relevance_tfidf": tfidf, "relevance_bm25": bm25}

@@ -6,7 +6,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from query_planner_optimizer_spark.operators import dedup, similarity, text
+from query_planner_optimizer_spark.operators import (
+    dedup,
+    relevance,
+    similarity,
+    text,
+)
 
 from .conftest import SF_DIR, assert_matches_duckdb
 
@@ -114,7 +119,26 @@ def test_token_vocab_matches_oracle(spark, ddb):
     assert_matches_duckdb(df, ddb, text.entry_oracles()["text_token_vocab"])
 
 
-def test_connected_components_transitive_chain(spark):
+@pytest.mark.parametrize("key", ["relevance_tfidf", "relevance_bm25"])
+def test_relevance_scores_match_oracle(key, spark, ddb):
+    df = relevance.entry_queries()[key](spark, SF_DIR)
+    assert_matches_duckdb(df, ddb, relevance.entry_oracles()[key])
+
+
+def test_bm25_ranks_term_dense_doc_highest(spark):
+    """A doc saturated with the query term must outrank a doc with one
+    mention, and longer docs are length-penalized at equal tf."""
+    rows = [
+        (1, "spark spark spark spark spark"),
+        (2, "spark plus lots of other words " + "filler " * 40),
+        (3, "spark plus few words"),
+        (4, "nothing relevant at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.score for r in relevance.bm25_scores(
+        docs, terms=["spark"]).collect()}
+    assert set(got) == {1, 2, 3}          # doc 4 matches nothing
+    assert got[1] > got[3] > got[2]       # tf dominance, then length penalty
     """A-B and B-C edges (no A-C) must land in ONE cluster; a 6-node
     path graph exercises multi-round propagation; isolated vertices
     stay singletons."""
