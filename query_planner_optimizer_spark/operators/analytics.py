@@ -135,6 +135,59 @@ def zscore_outliers(
     )
 
 
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Keep-latest upsert compaction: the newest row per key, ordered by
+    ``order_cols`` (must be totally ordering — include a unique
+    tiebreak). The argmax runs as ``max(struct(order..., payload...))``
+    — a declarative aggregate with map-side partial merge, ONE shuffle
+    of one struct per (task, key), versus the window row_number() form
+    which shuffles every row and sorts each partition. This is the
+    CDC/SCD "latest version wins" primitive of an ingest pipeline.
+    """
+    ordered = F.struct(*[F.col(c) for c in (*order_cols, *payload_cols)])
+    agg = df.groupBy(*key_cols).agg(F.max(ordered).alias("__m"))
+    return agg.select(
+        *key_cols,
+        *[F.col(f"__m.{c}").alias(f"last_{c}")
+          for c in (*order_cols, *payload_cols)],
+    )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-group centroid of an ``array<float>`` column — the cluster
+    summary / class-prototype aggregate of an embedding pipeline.
+
+    Computed as ``dim`` independent AVG aggregates over array element
+    references: still ONE partial→final aggregation (each partial row
+    carries dim doubles + a count), with no explode — the alternative
+    posexplode→groupBy(group, pos) multiplies the shuffled row count by
+    dim. Output is long-form (group, dim, centroid, n_vectors) so the
+    result is schema-stable for any dim and trivially SQL-comparable.
+    """
+    aggs = [
+        F.round(F.avg(F.col(vec_col)[i]), 6).alias(f"__c{i}")
+        for i in range(dim)
+    ]
+    wide = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_vectors"), *aggs)
+    return wide.select(
+        group_col,
+        "n_vectors",
+        F.posexplode(F.array(*[F.col(f"__c{i}") for i in range(dim)])).alias(
+            "dim", "centroid"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -196,8 +249,29 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "value", "zscore")
 
 
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    out = latest_per_key(
+        events, ["user_id"], ["ts", "event_id"], ["event_type", "value"]
+    )
+    # Exact integer µs instead of a raw timestamp column: the driver's
+    # nano-precision source stringifies differently per engine.
+    return out.select(
+        "user_id",
+        F.unix_micros("last_ts").alias("last_ts_us"),
+        "last_event_id", "last_event_type", "last_value",
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_centroids(emb)
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
+        "analytics_latest_per_key": q_latest_event_per_user,
+        "analytics_embedding_centroids": q_embedding_centroids,
         "analytics_zscore_outliers": q_zscore_outliers,
         "analytics_topn_per_group": q_topn_orders,
         "analytics_running_sum": q_running_sum,
@@ -263,7 +337,27 @@ def entry_oracles() -> dict[str, str]:
         WHERE s.sd IS NOT NULL AND s.sd > 0
           AND ABS((e.value - s.mu) / s.sd) > 3.0
     """
+    latest = """
+        SELECT user_id, epoch_us(ts) AS last_ts_us,
+               event_id AS last_event_id, event_type AS last_event_type,
+               value AS last_value
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """
+    centroids = """
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(d.dim AS INTEGER) AS dim,
+               ROUND(AVG(embedding[d.dim + 1]), 6) AS centroid
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+        GROUP BY label, d.dim
+    """
     return {
+        "analytics_latest_per_key": latest,
+        "analytics_embedding_centroids": centroids,
         "analytics_zscore_outliers": zscore,
         "analytics_topn_per_group": topn,
         "analytics_running_sum": run_sum,

@@ -197,3 +197,28 @@ def test_percentile_approx_tracks_exact(spark, catalog):
     ).collect()
     for r in got:
         assert abs(r.approx - r.exact) <= 0.05 * max(1.0, abs(r.exact)), r
+
+
+def test_latest_per_key_matches_oracle_no_window(spark, ddb):
+    from query_planner_optimizer_spark.operators import analytics
+
+    from .conftest import SF_DIR, assert_matches_duckdb
+
+    df = analytics.q_latest_event_per_user(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, analytics.entry_oracles()["analytics_latest_per_key"]
+    )
+    # argmax runs as a partial-aggregable max(struct), never a window sort
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_embedding_centroids_match_oracle(spark, ddb):
+    from query_planner_optimizer_spark.operators import analytics
+
+    from .conftest import SF_DIR, assert_matches_duckdb
+
+    df = analytics.q_embedding_centroids(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, analytics.entry_oracles()["analytics_embedding_centroids"]
+    )
