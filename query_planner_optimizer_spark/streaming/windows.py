@@ -158,6 +158,60 @@ def dedup_stream(
     return events.dropDuplicates(keys)
 
 
+def interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream interval (attribution) join: every purchase within
+    ``window`` AFTER a same-user click, emitted as
+    (click_id, purchase_id, user_id, delay_us, purchase_value).
+
+    In streaming mode both sides carry watermarks and the time-interval
+    predicate bounds the join state: Spark evicts click state once the
+    purchase-side watermark passes ``click_ts + window`` and vice versa
+    — without the interval bound a stream-stream join's state grows
+    forever, so the bound is what makes this viable at 100 TB/day. The
+    same code IS the batch twin (watermark=None): Catalyst plans the
+    equi-key + range residual directly.
+
+    Contrast with :func:`operators.temporal.range_join`: that is the
+    bucketized batch formulation (explode to coarse buckets, pure
+    equi-join); this is the native interval-condition form Structured
+    Streaming requires. Both express the same semantics; tests pin the
+    stream result to the batch twin.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if watermark is not None:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (c["c_user"] == p["p_user"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] < c["click_ts"] + F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(p, cond).select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "delay_us"
+        ),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
 def streaming_hourly_rollup(
     spark: SparkSession,
     dir_path: str,
@@ -211,12 +265,23 @@ def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "value")
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return interval_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+
+
 def entry_queries():
     return {
         "stream_hourly_rollup": q_hourly_rollup,
         "stream_sliding_rollup": q_sliding_rollup,
         "stream_sessionize": q_sessionize,
         "stream_dedup": q_dedup_events,
+        "stream_interval_join": q_interval_join,
     }
 
 
@@ -274,9 +339,21 @@ def entry_oracles() -> dict[str, str]:
                ROUND(SUM(value), 6) AS sum_value
         FROM expanded GROUP BY 1, 2
     """
+    ijoin = """
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS delay_us,
+               ROUND(p.value, 6) AS purchase_value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts < c.ts + INTERVAL '30 minutes'
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """
     return {
         "stream_hourly_rollup": hourly,
         "stream_sliding_rollup": sliding,
         "stream_sessionize": sessions,
         "stream_dedup": dedup,
+        "stream_interval_join": ijoin,
     }

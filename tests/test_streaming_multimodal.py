@@ -92,6 +92,42 @@ def test_streaming_sliding_rollup_equals_batch(spark, ddb, events_stream_dir):
     assert batch["n_events"].sum() == 4 * n_events
 
 
+def test_interval_join_matches_oracle(spark, ddb):
+    df = windows.q_interval_join(spark, SF_DIR)
+    assert_matches_duckdb(df, ddb, windows.entry_oracles()["stream_interval_join"])
+
+
+def test_streaming_interval_join_equals_batch(spark, events_stream_dir):
+    """Stream-stream inner interval join (watermarked both sides) over
+    availableNow must produce exactly the batch-twin rows — inner
+    interval joins emit on match, so no rows are stranded in state."""
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(windows.read_events_stream(spark, events_stream_dir))
+    stream_df = windows.interval_join(sc, sp, watermark="2 hours")
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("interval_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM interval_join_test").toPandas()
+
+    bc, bp = split(spark.read.parquet(events_stream_dir))
+    batch = windows.interval_join(bc, bp).toPandas()
+    assert len(got) == len(batch) > 0
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(batch), check_dtype=False
+    )
+
+
 def test_streaming_sessionize_runs(spark, events_stream_dir):
     stream = windows.sessionize(
         windows.read_events_stream(spark, events_stream_dir),
