@@ -454,6 +454,18 @@ DSL_QUERIES: dict[str, dict] = {
         "order_by": [{"col": "l_returnflag", "dir": "asc"},
                      {"col": "l_linestatus", "dir": "asc"}],
     },
+    "dsl_median_value": {
+        # MEDIAN aggregate (exact interpolated order statistic) — per
+        # group + HAVING gate. Never rollup-routed: order statistics
+        # don't re-aggregate from partials (the mergeable path is the
+        # percentile_approx sketch in operators/analytics.py).
+        "select": ["event_type",
+                   {"MEDIAN": "value", "as": "median_value", "round": 6},
+                   {"COUNT": "*", "as": "n_rows"}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    },
     "dsl_tpch_q3_shipping_priority": {
         # TPC-H Q3 shape: 3-table selective join (segment-filtered
         # customer → orders → lineitem), revenue expression aggregate,

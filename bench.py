@@ -39,6 +39,9 @@ DSL_HEADLINE = [
     "dsl_join_revenue_by_nation",
     "dsl_count_distinct_users",
     "dsl_case_agg",
+    "dsl_tpch_q3_shipping_priority",
+    "dsl_tpch_q5_local_supplier_volume",
+    "dsl_tpch_q6_forecast_revenue",
 ]
 
 #: Pipeline-operator headliners (always full computation).
@@ -54,8 +57,12 @@ OPERATOR_HEADLINE = [
     "temporal_asof_join",
     "temporal_range_join",
     "stream_sliding_rollup",
+    "stream_interval_join",
     "pipeline_clean_corpus",
     "sample_split_assignments",
+    "dedup_connected_components",
+    "relevance_bm25",
+    "analytics_latest_per_key",
 ]
 
 

@@ -190,6 +190,25 @@ class Catalog:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
         except Exception:
             pass  # read-only conf situations: keep going, reads still work
+        # A conf-free session keeps Spark's out-of-the-box 200 shuffle
+        # partitions; on a small local heap (default 1g driver) that
+        # means 200 reducer-side buffers per map task across 32 threads
+        # — measured as the Java-heap OOM that killed a full 94-entry
+        # correctness sweep mid-run. Right-size ONLY the untouched
+        # default to the box's parallelism; any caller-chosen value
+        # (including our own session factory's) is respected.
+        try:
+            if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                from query_planner_optimizer_spark.session import (
+                    default_parallelism,
+                )
+
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(default_parallelism()),
+                )
+        except Exception:
+            pass
 
     def _ensure_nanos_conf(self) -> None:
         """Allow reading parquet TIMESTAMP(NANOS) columns on ANY session.

@@ -68,6 +68,12 @@ AGG_FUNCS = {
     # (distinct counts don't re-aggregate; the mergeable path is the
     # HLL sketch in operators/analytics.py).
     "COUNT_DISTINCT": F.count_distinct,
+    # Exact interpolated median — same spelling and interpolation
+    # semantics in Spark SQL and DuckDB, so the assembler emits it
+    # verbatim. Never rollup-routable (order statistics don't
+    # re-aggregate; percentile_approx sketches are the mergeable path,
+    # operators/analytics.py).
+    "MEDIAN": F.median,
 }
 
 SET_OPS = ("union", "intersect", "except")

@@ -380,3 +380,12 @@ def test_compact_small_files(spark, catalog, tmp_path):
     want = events.agg(F.sum("value"), F.sum("event_id")).collect()[0]
     assert abs(got[0] - want[0]) < 1e-6  # float sum order differs
     assert got[1] == want[1]
+
+
+def test_router_refuses_median(spark, prepared):
+    """MEDIAN never routes: order statistics don't re-aggregate from
+    sum/count partials."""
+    router = RollupRouter(spark, prepared["res"].aggregates_dir)
+    q = {"select": ["type", {"MEDIAN": "bid_price", "as": "m"}],
+         "from": "events", "group_by": ["type"]}
+    assert router.route(q) is None
