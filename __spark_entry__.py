@@ -454,6 +454,35 @@ DSL_QUERIES: dict[str, dict] = {
         "order_by": [{"col": "l_returnflag", "dir": "asc"},
                      {"col": "l_linestatus", "dir": "asc"}],
     },
+    "dsl_scalar_subquery_above_avg": {
+        # Uncorrelated scalar subquery: events whose value beats the
+        # global average. Engine path broadcast-crossJoins the one-row
+        # aggregate; oracle path renders the nested SELECT natively.
+        # Never rollup-routed (outer-value dependent).
+        "select": ["event_type", {"COUNT": "*", "as": "n_above"},
+                   {"AVG": "value", "as": "avg_above", "round": 6}],
+        "from": "events",
+        "where": [{"col": "value", "op": "gt",
+                   "val": {"subquery": {
+                       "select": [{"AVG": "value", "as": "avg_value"}],
+                       "from": "events"}}}],
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    },
+    "dsl_scalar_subquery_small_orders": {
+        # TPC-H Q17 flavor (uncorrelated): lineitems under the corpus
+        # average quantity — the subquery aggregates the same fact table
+        # the outer query scans; Catalyst shares the scan, the join adds
+        # one broadcast row.
+        "select": [{"SUM": "l_extendedprice", "as": "sum_price",
+                    "round": 2},
+                   {"COUNT": "*", "as": "n_items"}],
+        "from": "lineitem",
+        "where": [{"col": "l_quantity", "op": "lt",
+                   "val": {"subquery": {
+                       "select": [{"AVG": "l_quantity", "as": "aq"}],
+                       "from": "lineitem"}}}],
+    },
     "dsl_median_value": {
         # MEDIAN aggregate (exact interpolated order statistic) — per
         # group + HAVING gate. Never rollup-routed: order statistics
@@ -685,7 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _query_type_map(q: dict) -> dict[str, T.DataType]:
-    """Merged type map over every table a query (or set-op branch) touches."""
+    """Merged type map over every table a query (or set-op branch, or a
+    WHERE scalar subquery) touches."""
     for kw in ("union", "intersect", "except"):
         if kw in q:
             out: dict[str, T.DataType] = {}
@@ -695,6 +725,19 @@ def _query_type_map(q: dict) -> dict[str, T.DataType]:
     type_map = _static_type_map(q.get("from", "events"))
     for jspec in q.get("join") or []:
         type_map.update(_static_type_map(jspec["table"]))
+
+    def visit(cond: dict) -> None:
+        for kw in ("or", "and"):
+            for b in cond.get(kw) or []:
+                visit(b)
+        if "not" in cond:
+            visit(cond["not"])
+        val = cond.get("val")
+        if isinstance(val, dict) and "subquery" in val:
+            type_map.update(_query_type_map(val["subquery"]))
+
+    for cond in q.get("where") or []:
+        visit(cond)
     return type_map
 
 

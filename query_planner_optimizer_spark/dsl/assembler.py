@@ -83,6 +83,23 @@ def _condition_sql(cond: dict, type_map: dict[str, T.DataType], dialect: str) ->
     col_name = cond.get("col")
     if col_name not in type_map:
         raise QueryError(f"unknown filter column: {cond!r}")
+    val = cond.get("val")
+    if isinstance(val, dict) and "subquery" in val:
+        # Uncorrelated scalar subquery — twin of the compiler's
+        # broadcast-crossJoin rewrite; SQL renders it natively.
+        from query_planner_optimizer_spark.dsl.compiler import (
+            SCALAR_SUBQUERY_OPS,
+            validate_scalar_subquery,
+        )
+
+        op = cond.get("op")
+        if op not in SCALAR_SUBQUERY_OPS or op not in _OP_SQL:
+            raise QueryError(
+                f"op {op!r} does not support a scalar subquery: {cond!r}"
+            )
+        validate_scalar_subquery(val["subquery"])
+        sub_sql = assemble_sql(val["subquery"], type_map, dialect)
+        return f"{_ident(col_name, dialect)} {_OP_SQL[op]} ({sub_sql})"
     return _render_cond(
         _ident(col_name, dialect), cond, type_map[col_name], dialect
     )

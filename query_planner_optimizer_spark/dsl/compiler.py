@@ -219,7 +219,16 @@ def _coerce_literal(val: Any, dtype: T.DataType) -> Column:
             return F.to_date(F.lit(val))
         if isinstance(dtype, T.TimestampType):
             return F.to_timestamp(F.lit(val))
+    if isinstance(val, dict):
+        raise QueryError(
+            "scalar subqueries are only supported in top-level WHERE "
+            f"conditions (got nested value {val!r})"
+        )
     return F.lit(val)
+
+
+#: Comparison ops a scalar subquery may appear under.
+SCALAR_SUBQUERY_OPS = ("eq", "neq", "lt", "lte", "gt", "gte")
 
 
 def _filter_condition(df: DataFrame, cond: dict) -> Column:
@@ -231,6 +240,19 @@ def _filter_condition(df: DataFrame, cond: dict) -> Column:
         raise QueryError(f"unknown filter op: {cond!r}")
     dtype = df.schema[col_name].dataType
     c = F.col(col_name)
+    # Rewritten scalar-subquery leaf: compare against the attached
+    # broadcast scalar column instead of a literal.
+    vc = cond.get("val_col")
+    if vc is not None:
+        if op not in SCALAR_SUBQUERY_OPS:
+            raise QueryError(
+                f"op {op!r} does not support a scalar subquery: {cond!r}"
+            )
+        rhs = F.col(vc)
+        return {
+            "eq": c == rhs, "neq": c != rhs, "lt": c < rhs,
+            "lte": c <= rhs, "gt": c > rhs, "gte": c >= rhs,
+        }[op]
     val = cond.get("val")
     if op == "eq":
         return c == _coerce_literal(val, dtype)
@@ -290,6 +312,71 @@ def _bool_tree(df: DataFrame, cond: dict) -> Column:
     if "not" in cond:
         return ~_bool_tree(df, cond["not"])
     return _filter_condition(df, cond)
+
+
+def validate_scalar_subquery(sub: Any) -> None:
+    """A scalar subquery must provably yield one row, one column: a
+    single ungrouped aggregate select (no group_by/set ops/order/limit).
+    Shared by the compiler and the SQL assembler so both twin paths
+    reject the same shapes at build time."""
+    if not isinstance(sub, dict):
+        raise QueryError(f"subquery must be a DSL dict: {sub!r}")
+    if any(kw in sub for kw in (*SET_OPS, "group_by", "order_by", "limit",
+                                "having", "distinct")):
+        raise QueryError(
+            f"scalar subquery must be a plain ungrouped aggregate: {sub!r}"
+        )
+    select = sub.get("select")
+    if (not isinstance(select, list) or len(select) != 1
+            or not _is_agg_term(select[0])
+            or not isinstance(select[0], dict)):
+        raise QueryError(
+            f"scalar subquery needs exactly one aggregate select term: {sub!r}"
+        )
+
+
+def _attach_scalar_subqueries(
+    df: DataFrame, conds: list, catalog: Catalog
+) -> tuple[DataFrame, list, list[str]]:
+    """Rewrite WHERE-tree leaves whose ``val`` is {"subquery": <dsl>}:
+    compile each subquery (a one-row aggregate), broadcast-crossJoin its
+    scalar onto the frame as a hidden column, and point the leaf at that
+    column (``val_col``). The broadcast carries ONE row — at any scale
+    the cost is the subquery's own aggregation, never a shuffle of the
+    outer table (Catalyst folds the comparison into the scan filter
+    stage post-join)."""
+    scalar_cols: list[str] = []
+    frame = [df]
+
+    def walk(cond: dict) -> dict:
+        if "or" in cond:
+            return {"or": [walk(b) for b in cond["or"]]}
+        if "and" in cond:
+            return {"and": [walk(b) for b in cond["and"]]}
+        if "not" in cond:
+            return {"not": walk(cond["not"])}
+        val = cond.get("val")
+        if isinstance(val, dict) and "subquery" in val:
+            if cond.get("op") not in SCALAR_SUBQUERY_OPS:
+                raise QueryError(
+                    f"op {cond.get('op')!r} does not support a scalar "
+                    f"subquery: {cond!r}"
+                )
+            sub = val["subquery"]
+            validate_scalar_subquery(sub)
+            sdf = compile_query(sub, catalog)
+            name = f"__scalar_{len(scalar_cols)}"
+            frame[0] = frame[0].crossJoin(
+                F.broadcast(sdf.select(F.col(sdf.columns[0]).alias(name)))
+            )
+            scalar_cols.append(name)
+            out = {k: v for k, v in cond.items() if k != "val"}
+            out["val_col"] = name
+            return out
+        return cond
+
+    rewritten = [walk(c) for c in conds]
+    return frame[0], rewritten, scalar_cols
 
 
 def _resolve_order_col(name: str, out_columns: list[str]) -> str:
@@ -418,11 +505,17 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
 
     conds = q.get("where") or []
     if conds:
+        # Uncorrelated scalar subqueries ({"val": {"subquery": <dsl>}})
+        # attach as broadcast one-row columns before the filter builds
+        # (_bool_expr closes over the rebound df).
+        df, conds, scalar_cols = _attach_scalar_subqueries(df, conds, catalog)
         combined = None
         for cond in conds:
             c = _bool_expr(cond)
             combined = c if combined is None else (combined & c)
         df = df.filter(combined)
+        if scalar_cols:
+            df = df.drop(*scalar_cols)
 
     select = q.get("select") or []
     if not select:

@@ -116,6 +116,17 @@ class RollupRouter:
         if any(kw in q for kw in
                ("join", "distinct", "union", "intersect", "except")):
             return None
+
+        def _has_subquery(cond: dict) -> bool:
+            for kw in ("or", "and"):
+                if kw in cond:
+                    return any(_has_subquery(b) for b in cond[kw])
+            if "not" in cond:
+                return _has_subquery(cond["not"])
+            return isinstance(cond.get("val"), dict)
+
+        if any(_has_subquery(c) for c in q.get("where") or []):
+            return None  # scalar subqueries never route (outer-value dependent)
         if any(isinstance(t, dict) and "expr" in t
                for t in q.get("select") or []):
             return None  # computed projections aren't rollup-derivable

@@ -138,6 +138,27 @@ QUERIES = [
         "order_by": [{"col": "l_returnflag", "dir": "asc"},
                      {"col": "l_linestatus", "dir": "asc"}],
     }),
+    ("scalar_subquery_gt_avg", {
+        "select": ["event_type", {"COUNT": "*", "as": "n_above"}],
+        "from": "events",
+        "where": [{"col": "value", "op": "gt",
+                   "val": {"subquery": {
+                       "select": [{"AVG": "value", "as": "av"}],
+                       "from": "events"}}}],
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    }),
+    ("scalar_subquery_in_bool_tree", {
+        "select": ["event_id", "value"],
+        "from": "events",
+        "where": [{"or": [
+            {"col": "value", "op": "gte",
+             "val": {"subquery": {
+                 "select": [{"MAX": "value", "as": "mx"}],
+                 "from": "events"}}},
+            {"col": "value", "op": "lt", "val": 1},
+        ]}],
+    }),
 ]
 
 
@@ -362,3 +383,49 @@ def test_expr_projection_rules(catalog):
                                   {"COUNT": "*", "as": "c"}],
                        "from": "events", "group_by": ["event_type"]},
                       catalog)
+
+
+def test_scalar_subquery_must_be_ungrouped_single_agg(catalog):
+    """Both twin paths reject subqueries that can't prove one-row-one-
+    column shape, and ops without scalar-comparison semantics."""
+    grouped = {"select": ["event_id"], "from": "events",
+               "where": [{"col": "value", "op": "gt",
+                          "val": {"subquery": {
+                              "select": ["event_type",
+                                         {"AVG": "value", "as": "a"}],
+                              "from": "events",
+                              "group_by": ["event_type"]}}}]}
+    bad_op = {"select": ["event_id"], "from": "events",
+              "where": [{"col": "value", "op": "between",
+                         "val": {"subquery": {
+                             "select": [{"AVG": "value", "as": "a"}],
+                             "from": "events"}}}]}
+    tm = catalog.spark_type_map("events")
+    for q in (grouped, bad_op):
+        with pytest.raises(QueryError):
+            compile_query(q, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(q, tm, dialect="duckdb")
+
+
+def test_router_refuses_scalar_subquery(spark, catalog, tmp_path):
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    rollups = {"agg_etype": {"keys": ["event_type"],
+                             "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs")
+    build_rollups(catalog.table("events"), agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    q = {"select": ["event_type", {"COUNT": "*", "as": "n"}],
+         "from": "events",
+         "where": [{"col": "value", "op": "gt",
+                    "val": {"subquery": {
+                        "select": [{"AVG": "value", "as": "a"}],
+                        "from": "events"}}}],
+         "group_by": ["event_type"]}
+    assert router.route(q) is None
+    # sanity: without the subquery the same shape routes
+    q_plain = {"select": ["event_type", {"COUNT": "*", "as": "n"}],
+               "from": "events", "group_by": ["event_type"]}
+    assert router.route(q_plain) is not None
