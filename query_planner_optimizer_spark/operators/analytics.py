@@ -188,6 +188,32 @@ def embedding_centroids(
     )
 
 
+def json_props_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    json_col: str = "props",
+    field: str = "k",
+) -> DataFrame:
+    """Schema-on-read aggregation over a JSON string column: parse with
+    ``from_json`` (a codegen'd JVM expression — no Python, the parse
+    fuses into the scan stage) and aggregate the extracted field.
+    Malformed/missing JSON parses to NULL and drops out of SUM/AVG —
+    the standard semi-structured ingestion contract. At scale, parsing
+    at the scan beats a separate normalize-then-aggregate pass: the
+    shuffle carries only (group, partial sums), never the JSON text.
+    """
+    parsed = F.from_json(F.col(json_col), f"{field} INT")
+    return (
+        df.select(*group_cols, parsed[field].alias("__f"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__f").alias(f"sum_{field}"),
+            F.round(F.avg("__f"), 6).alias(f"avg_{field}"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -268,8 +294,14 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_centroids(emb)
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return json_props_rollup(events, ["event_type"])
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
+        "analytics_json_props": q_json_props,
         "analytics_latest_per_key": q_latest_event_per_user,
         "analytics_embedding_centroids": q_embedding_centroids,
         "analytics_zscore_outliers": q_zscore_outliers,
@@ -355,7 +387,16 @@ def entry_oracles() -> dict[str, str]:
         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
         GROUP BY label, d.dim
     """
+    json_props = """
+        SELECT event_type,
+               SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+               ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+                   AS avg_k,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY event_type
+    """
     return {
+        "analytics_json_props": json_props,
         "analytics_latest_per_key": latest,
         "analytics_embedding_centroids": centroids,
         "analytics_zscore_outliers": zscore,

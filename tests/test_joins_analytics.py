@@ -222,3 +222,23 @@ def test_embedding_centroids_match_oracle(spark, ddb):
     assert_matches_duckdb(
         df, ddb, analytics.entry_oracles()["analytics_embedding_centroids"]
     )
+
+
+def test_json_props_rollup_handles_malformed(spark, ddb):
+    from query_planner_optimizer_spark.operators import analytics
+
+    from .conftest import SF_DIR, assert_matches_duckdb
+
+    assert_matches_duckdb(
+        analytics.q_json_props(spark, SF_DIR), ddb,
+        analytics.entry_oracles()["analytics_json_props"],
+    )
+    # Malformed / missing-field JSON parses to NULL and drops out of
+    # SUM/AVG while n_rows still counts the row.
+    rows = [(1, "a", '{"k": 10}'), (2, "a", "not json"),
+            (3, "a", '{"other": 1}'), (4, "b", None)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "props"])
+    got = {r.event_type: r for r in
+           analytics.json_props_rollup(df, ["event_type"]).collect()}
+    assert got["a"].sum_k == 10 and got["a"].n_rows == 3
+    assert got["b"].sum_k is None and got["b"].n_rows == 1
