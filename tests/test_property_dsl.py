@@ -52,6 +52,9 @@ agg_terms = st.sampled_from([
     {"AVG": {"op": "div", "args": [
         {"op": "sub", "args": ["value", 50]}, 100]},
      "as": "avg_centered", "round": 6},
+    # Exact interpolated order statistic — identical interpolation rule
+    # in Spark and DuckDB.
+    {"MEDIAN": "value", "as": "med_value", "round": 6},
 ])
 
 AGG_FUNCS = ("SUM", "AVG", "COUNT", "MIN", "MAX")
@@ -93,6 +96,15 @@ conditions = st.one_of(
                                 f"2024-01-{max(d1, d2):02d}"]},
         st.integers(min_value=1, max_value=28),
         st.integers(min_value=1, max_value=28),
+    ),
+    # Uncorrelated scalar subqueries — deterministic one-row aggregates.
+    st.builds(
+        lambda op, fn: {"col": "value", "op": op,
+                        "val": {"subquery": {
+                            "select": [{fn: "value", "as": "s"}],
+                            "from": "events"}}},
+        st.sampled_from(["lt", "lte", "gt", "gte"]),
+        st.sampled_from(["AVG", "MEDIAN", "MIN", "MAX"]),
     ),
 )
 
