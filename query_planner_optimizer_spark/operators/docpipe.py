@@ -51,6 +51,46 @@ def clean_corpus(
     )
 
 
+TOP_QUALITY_KEEP_FRAC = 0.3
+
+
+def top_quality_fraction(
+    docs: DataFrame,
+    group_col: str = "lang",
+    keep_frac: float = TOP_QUALITY_KEEP_FRAC,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of documents by quality score within
+    each group — the per-language curation cut of a corpus pipeline.
+
+    Threshold-based, not rank-based: the per-group cutoff is the
+    (1 - keep_frac) quantile of the score, computed in ONE partial→final
+    aggregation and broadcast back onto the scan. The rank-based
+    alternative (percent_rank window per group) sorts entire groups —
+    and groups here are languages, whose cardinality is tiny while their
+    size is corpus-scale: exactly the giant-partition window this repo
+    deliberately never offers. Ties at the cutoff are kept (>=), so the
+    kept fraction is ≥ keep_frac by at most the tie mass. Scores are
+    rounded to 6dp BEFORE the quantile so both engines threshold the
+    same discrete values (the interpolated cutoff then lands either
+    exactly on a score — both engines agree — or strictly between two
+    6dp values, 10 orders of magnitude past double error).
+    """
+    scored = T.with_quality_score(docs).select(
+        "doc_id", group_col, F.round("quality_score", 6).alias("q")
+    )
+    cut = scored.groupBy(group_col).agg(
+        F.percentile(F.col("q"), F.lit(1.0 - keep_frac)).alias("__cut"),
+        F.count(F.lit(1)).alias("n_group"),
+    )
+    return (
+        scored.join(F.broadcast(cut), group_col)
+        .filter(F.col("q") >= F.col("__cut"))
+        .select(
+            "doc_id", group_col, F.col("q").alias("quality_score"), "n_group"
+        )
+    )
+
+
 PACK_BUDGET = 2048
 PACK_SHARDS = 32
 
@@ -164,11 +204,16 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(T._load_documents(spark, sf_dir))
 
 
+def q_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_quality_fraction(T._load_documents(spark, sf_dir))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "pipeline_clean_corpus": q_clean_corpus,
         "pipeline_pack_sequences": q_pack_sequences,
         "pipeline_chunk_documents": q_chunk_documents,
+        "pipeline_top_quality": q_top_quality,
     }
 
 
@@ -237,5 +282,22 @@ def entry_oracles() -> dict[str, str]:
                    AS chunk_text
         FROM ex
     """
+    top_quality = f"""
+        WITH q AS ({quality}),
+        scored AS (
+            SELECT d.doc_id, d.lang, ROUND(q.quality_score, 6) AS qs
+            FROM documents d JOIN q ON d.doc_id = q.doc_id
+        ),
+        cut AS (
+            SELECT lang, quantile_cont(qs, {1.0 - TOP_QUALITY_KEEP_FRAC})
+                       AS c,
+                   COUNT(*) AS n_group
+            FROM scored GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, s.qs AS quality_score, cut.n_group
+        FROM scored s JOIN cut USING (lang)
+        WHERE s.qs >= cut.c
+    """
     return {"pipeline_clean_corpus": sql, "pipeline_pack_sequences": pack,
-            "pipeline_chunk_documents": chunk}
+            "pipeline_chunk_documents": chunk,
+            "pipeline_top_quality": top_quality}

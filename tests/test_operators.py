@@ -139,6 +139,9 @@ def test_bm25_ranks_term_dense_doc_highest(spark):
         docs, terms=["spark"]).collect()}
     assert set(got) == {1, 2, 3}          # doc 4 matches nothing
     assert got[1] > got[3] > got[2]       # tf dominance, then length penalty
+
+
+def test_connected_components_transitive_chain(spark):
     """A-B and B-C edges (no A-C) must land in ONE cluster; a 6-node
     path graph exercises multi-round propagation; isolated vertices
     stay singletons."""
@@ -435,3 +438,27 @@ def test_pack_sequences_budget_properties(spark, catalog):
         assert ids[0] == 0  # first doc of a shard starts pack 0
         # monotone in doc order (a pack never reopens)
         assert all(b >= a for a, b in zip(ids, ids[1:]))
+
+
+def test_top_quality_fraction_matches_oracle_no_window(spark, ddb):
+    from query_planner_optimizer_spark.operators import docpipe
+
+    df = docpipe.q_top_quality(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, docpipe.entry_oracles()["pipeline_top_quality"]
+    )
+    # threshold broadcast-join, never a per-group window sort
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # kept fraction ≈ keep_frac (ties only push it up)
+    rows = df.collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r.lang, []).append(r)
+    for lang, kept in by_group.items():
+        n = kept[0].n_group
+        frac = len(kept) / n
+        # interpolated cutoff may exclude one boundary rank; ties only
+        # push the kept set up
+        assert docpipe.TOP_QUALITY_KEEP_FRAC - 1 / n <= frac + 1e-9
+        assert frac <= docpipe.TOP_QUALITY_KEEP_FRAC + 0.2, (lang, frac)
