@@ -207,6 +207,40 @@ def compact(
     return n
 
 
+def sort_layout(
+    df: DataFrame,
+    out_path: str,
+    sort_cols: list[str],
+    n_files: int = 16,
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` +
+    ``sortWithinPartitions`` on ``sort_cols``, so every output file
+    covers a disjoint value range and its footer min/max statistics are
+    narrow. Range predicates on the sort columns then skip whole files
+    (Spark's parquet source prunes on footer stats before reading row
+    groups) — the poor man's Z-order, and the single highest-leverage
+    layout choice for time-series at 100 TB: a one-day query over a
+    year of ts-sorted data opens ~1/365th of the files.
+
+    The range exchange samples the sort keys to build balanced range
+    bounds (no skew from hot ranges); write parallelism = ``n_files``.
+
+    Timestamps are forced to TIMESTAMP_MICROS on write: Spark's default
+    parquet timestamp encoding is legacy INT96, which carries NO footer
+    statistics — a ts-sorted layout under INT96 silently loses the
+    entire pruning benefit (found by the disjoint-ranges test).
+    """
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
 @dataclass
 class PrepareResult:
     partitioned_dir: str

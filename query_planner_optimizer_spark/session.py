@@ -63,6 +63,10 @@ def get_spark(
         # illegal type for Spark's reader; read as epoch-nanos long and
         # let Catalog._restore_nano_timestamps convert losslessly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark's default parquet timestamp encoding is legacy INT96,
+        # which writes NO footer min/max statistics — every ts-range
+        # predicate on written data loses file/row-group pruning.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if master is not None:
         builder = builder.master(master)

@@ -389,3 +389,47 @@ def test_router_refuses_median(spark, prepared):
     q = {"select": ["type", {"MEDIAN": "bid_price", "as": "m"}],
          "from": "events", "group_by": ["type"]}
     assert router.route(q) is None
+
+
+def test_sort_layout_disjoint_file_ranges(spark, catalog, tmp_path):
+    """Range-clustered layout: per-file ts min/max footers must be
+    (near-)disjoint and ordered — the property parquet file skipping
+    needs — and the data must round-trip unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from query_planner_optimizer_spark.prepare import sort_layout
+
+    events = catalog.table("events").select("event_id", "ts_dt", "value")
+    out = str(tmp_path / "sorted_events")
+    sort_layout(events, out, ["ts_dt"], n_files=8)
+
+    spans = []
+    for f in sorted(glob.glob(f"{out}/*.parquet")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ts_dt"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # A narrow range predicate returns identical rows on both layouts.
+    lo = events.agg({"ts_dt": "min"}).collect()[0][0]
+    import datetime
+
+    hi = lo + datetime.timedelta(hours=6)
+    a = {r.event_id for r in events.filter(events.ts_dt < hi).collect()}
+    b = {r.event_id for r in back.filter(back.ts_dt < hi).collect()}
+    assert a == b
