@@ -188,6 +188,30 @@ def embedding_centroids(
     )
 
 
+def value_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """Fixed-width histogram per group: bin = floor(value / width). One
+    partial→final aggregation over (group, bin) — the shuffled row count
+    is bounded by groups × bins regardless of input size, which is what
+    makes distribution profiling viable as a standing job at 100 TB
+    (contrast collecting values to the driver for numpy.histogram).
+    NULL values fall out (no bin)."""
+    bin_col = F.floor(F.col(value_col) / F.lit(bin_width)).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min(value_col), 6).alias("bin_min"),
+            F.round(F.max(value_col), 6).alias("bin_max"),
+        )
+    )
+
+
 def json_props_rollup(
     df: DataFrame,
     group_cols: list[str],
@@ -299,9 +323,15 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_props_rollup(events, ["event_type"])
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return value_histogram(events, ["event_type"], "value")
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "analytics_json_props": q_json_props,
+        "analytics_value_histogram": q_value_histogram,
         "analytics_latest_per_key": q_latest_event_per_user,
         "analytics_embedding_centroids": q_embedding_centroids,
         "analytics_zscore_outliers": q_zscore_outliers,
@@ -395,8 +425,17 @@ def entry_oracles() -> dict[str, str]:
                COUNT(*) AS n_rows
         FROM events GROUP BY event_type
     """
+    histogram = """
+        SELECT event_type, CAST(floor(value / 10.0) AS INTEGER) AS bin,
+               COUNT(*) AS n_rows,
+               ROUND(MIN(value), 6) AS bin_min,
+               ROUND(MAX(value), 6) AS bin_max
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, floor(value / 10.0)
+    """
     return {
         "analytics_json_props": json_props,
+        "analytics_value_histogram": histogram,
         "analytics_latest_per_key": latest,
         "analytics_embedding_centroids": centroids,
         "analytics_zscore_outliers": zscore,

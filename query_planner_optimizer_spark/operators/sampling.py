@@ -59,6 +59,37 @@ def split_by_hash(
     return df.withColumn(split_col, expr)
 
 
+def k_per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by ascending
+    key hash — a deterministic, engine-portable "reservoir": the hash
+    order is a fixed random-looking permutation, so the selection is
+    uniform-ish, reproducible, and stable for the keys it keeps (a key
+    in the sample stays in the sample until k smaller-hash keys enter
+    its group).
+
+    One window per group ordered by (bucket, key) — the tiebreak makes
+    the cut total. Group cardinality here is the data's (lang, source,
+    day...), typically large enough to spread; for tiny-cardinality
+    giant groups the threshold pattern (see docpipe.top_quality_fraction)
+    is the fallback.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -125,11 +156,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_per_group_sample(
+        _docs(spark, sf_dir), "lang", "doc_id", k=20
+    ).select("doc_id", "lang")
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "sample_hash_10pct": q_sample_10pct,
         "sample_split_assignments": q_split_assignments,
         "sample_stratified_by_lang": q_stratified_sample,
+        "sample_k_per_group": q_k_per_group,
     }
 
 
@@ -158,5 +196,14 @@ def entry_oracles() -> dict[str, str]:
               CASE WHEN lang = 'en' THEN {int(0.20 * BUCKETS)}
                    ELSE {int(0.60 * BUCKETS)} END
     """
+    k_per_group = f"""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY {_BUCKET_SQL}, doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """
     return {"sample_hash_10pct": sample, "sample_split_assignments": split,
-            "sample_stratified_by_lang": stratified}
+            "sample_stratified_by_lang": stratified,
+            "sample_k_per_group": k_per_group}
