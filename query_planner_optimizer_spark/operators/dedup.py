@@ -574,6 +574,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.2)
 
 
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out benchmark/eval set — the standard
+    guard against test-set leakage in a training corpus.
+
+    Inverted-index shape: both sides explode to (id, shingle) and
+    equi-join on the shingle — the shuffle carries shingle hashes, the
+    eval side is tiny (benchmarks are KBs against a 100 TB corpus), so
+    Catalyst broadcasts it and the training side never shuffles at all.
+    Returns (doc_id, n_shared_ngrams, n_eval_docs_hit) for contaminated
+    docs only; the keep-set is an anti-join on this result.
+    """
+    t = _shingle_rows(train, id_col, text_col, n)
+    e = _shingle_rows(evalset, id_col, text_col, n).select(
+        F.col("doc_id").alias("eval_id"), F.col("sh")
+    )
+    return (
+        t.join(F.broadcast(e), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+#: Driver-entry eval set: every 50th document stands in for a benchmark.
+DECONTAM_EVAL_MOD = 50
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n=4 on the driver's word-soup corpus lands between all-clean (5)
+    # and half-the-corpus (3) — a result set the hash compare can bite
+    # on. Real pipelines use 8-13-gram windows over natural text.
+    docs = _docs(spark, sf_dir)
+    evalset = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    return decontaminate(train, evalset, n=4)
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "dedup_exact": q_exact_dedup,
@@ -589,6 +635,7 @@ def entry_queries() -> dict[str, Callable]:
             _docs(spark, sf)
         ),
         "dedup_connected_components": q_dedup_clusters,
+        "dedup_decontaminate": q_decontaminate,
     }
 
 
@@ -691,7 +738,25 @@ def entry_oracles() -> dict[str, str]:
                lab.doc_id = lab.cluster_id AS is_canonical
         FROM lab JOIN sz USING (cluster_id)
     """
+    sh4 = f"""
+        CASE WHEN len(tk) >= 4 THEN
+            list_distinct(list_transform(range(1, len(tk) - 2),
+                          i -> array_to_string(tk[i:i+3], ' ')))
+        ELSE [array_to_string(tk, ' ')] END
+    """
+    decontam = f"""
+        WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+        sh AS (SELECT doc_id, unnest({sh4}) AS sh FROM tk),
+        t AS (SELECT * FROM sh WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0),
+        e AS (SELECT doc_id AS eval_id, sh FROM sh
+              WHERE doc_id % {DECONTAM_EVAL_MOD} = 0)
+        SELECT t.doc_id, COUNT(*) AS n_shared_ngrams,
+               COUNT(DISTINCT e.eval_id) AS n_eval_docs_hit
+        FROM t JOIN e USING (sh)
+        GROUP BY t.doc_id
+    """
     return {"dedup_exact": exact, "dedup_ngram_jaccard": jaccard,
             "dedup_minhash_quality": minhash_q,
             "dedup_simhash_quality": simhash_q,
-            "dedup_connected_components": clusters}
+            "dedup_connected_components": clusters,
+            "dedup_decontaminate": decontam}

@@ -286,6 +286,46 @@ def token_vocab(
     )
 
 
+def oov_ratio(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a (token) vocabulary
+    — the lexical-fit gate of a curation pipeline (docs full of tokens
+    the corpus vocabulary doesn't cover are noise, another language, or
+    encoding damage).
+
+    Explode → left-anti-ish aggregation: tokens join the vocab (a
+    broadcast at any realistic vocab size — vocabularies are ~10^5-10^6
+    rows regardless of corpus size) and each doc counts its misses.
+    Duplicate tokens count per occurrence (rate over the token stream,
+    not the token set). Zero-token docs report rate 0.
+    """
+    tok = docs.select(
+        F.col("doc_id"), F.explode_outer(_tokens(text_col)).alias("token")
+    )
+    v = vocab.select(F.col("token"), F.lit(True).alias("__known"))
+    joined = tok.join(F.broadcast(v), "token", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("token").alias("n_tokens"),
+            F.count(F.when(F.col("__known").isNull()
+                           & F.col("token").isNotNull(), 1))
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            F.round(
+                F.col("n_oov")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
 def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_planner_optimizer_spark.catalog import spread
 
@@ -338,8 +378,14 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_documents(spark, sf_dir)
+    return oov_ratio(docs, token_vocab(docs))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
+        "text_oov_ratio": q_oov_ratio,
         "text_token_count": q_token_count,
         "text_quality_score": q_quality_score,
         "text_lang_id": q_lang_id,
@@ -458,7 +504,30 @@ def entry_oracles() -> dict[str, str]:
                    '{PII_LONG_NUMBER}', '<NUM>', 'g')) AS redacted_md5
         FROM documents
     """
+    oov = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({toks}) AS token FROM documents
+        ),
+        vocab AS (
+            SELECT token FROM tok GROUP BY token
+            HAVING COUNT(DISTINCT doc_id) >= {VOCAB_MIN_DOC_FREQ}
+        ),
+        counted AS (
+            SELECT t.doc_id, COUNT(*) AS n_tokens,
+                   COUNT(*) FILTER (WHERE v.token IS NULL) AS n_oov
+            FROM tok t LEFT JOIN vocab v ON t.token = v.token
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(c.n_tokens, 0) AS n_tokens,
+               COALESCE(c.n_oov, 0) AS n_oov,
+               ROUND(COALESCE(c.n_oov, 0)
+                     / CAST(greatest(COALESCE(c.n_tokens, 0), 1) AS DOUBLE),
+                     6) AS oov_rate
+        FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id
+    """
     return {
+        "text_oov_ratio": oov,
         "text_token_count": token_count,
         "text_quality_score": quality,
         "text_lang_id": lang_id,

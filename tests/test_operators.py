@@ -462,3 +462,41 @@ def test_top_quality_fraction_matches_oracle_no_window(spark, ddb):
         # push the kept set up
         assert docpipe.TOP_QUALITY_KEEP_FRAC - 1 / n <= frac + 1e-9
         assert frac <= docpipe.TOP_QUALITY_KEEP_FRAC + 0.2, (lang, frac)
+
+
+def test_decontaminate_matches_oracle(spark, ddb):
+    assert_matches_duckdb(
+        dedup.q_decontaminate(spark, SF_DIR), ddb,
+        dedup.entry_oracles()["dedup_decontaminate"],
+    )
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc embedding an eval doc's 5-gram is flagged; clean
+    docs are not."""
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(1, "noise words alpha beta gamma delta epsilon more noise"),
+         (2, "entirely unrelated content with no shared window at all")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           dedup.decontaminate(train, evalset, n=5).collect()}
+    assert set(got) == {1}
+    assert got[1].n_shared_ngrams == 1 and got[1].n_eval_docs_hit == 1
+
+
+def test_oov_ratio_matches_oracle_and_flags_noise(spark, ddb):
+    assert_matches_duckdb(
+        text.q_oov_ratio(spark, SF_DIR), ddb,
+        text.entry_oracles()["text_oov_ratio"],
+    )
+    vocab = spark.createDataFrame(
+        [("known",), ("words",)], ["token"])
+    docs = spark.createDataFrame(
+        [(1, "known words known"), (2, "known zzqx vvbb"), (3, "")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.oov_ratio(docs, vocab).collect()}
+    assert got[1].oov_rate == 0.0
+    assert got[2].n_oov == 2 and abs(got[2].oov_rate - 2 / 3) < 1e-6
+    assert got[3].n_tokens == 0 and got[3].oov_rate == 0.0
