@@ -454,6 +454,30 @@ DSL_QUERIES: dict[str, dict] = {
         "order_by": [{"col": "l_returnflag", "dir": "asc"},
                      {"col": "l_linestatus", "dir": "asc"}],
     },
+    "dsl_window_rank_running": {
+        # Window-function projections in the DSL: rank family + running
+        # aggregate + offset (lag), one OVER clause each, identical SQL
+        # in both dialects. Partitioned on user_id (high cardinality) —
+        # unpartitioned windows are rejected at parse time by policy.
+        "select": [
+            "user_id", "event_id", "value",
+            {"win": "row_number", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "event_seq"},
+            {"win": "sum", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "running_value", "round": 6},
+            {"win": "lag", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "prev_value", "round": 6},
+        ],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "in",
+                   "val": ["click", "purchase"]}],
+    },
     "dsl_scalar_subquery_above_avg": {
         # Uncorrelated scalar subquery: events whose value beats the
         # global average. Engine path broadcast-crossJoins the one-row

@@ -28,10 +28,13 @@ from query_planner_optimizer_spark.dsl.compiler import (
     AGG_FUNCS,
     ARITH_OPS,
     SET_OPS,
+    WINDOW_RANK_FNS,
     QueryError,
     _is_agg_term,
     _is_expr_term,
+    _is_win_term,
     _parse_agg_term,
+    _parse_window_term,
     expr_columns,
 )
 
@@ -206,6 +209,29 @@ def _agg_sql(
     return f"{expr} AS {_quote_ident(out_name, dialect)}"
 
 
+def _window_sql(term: dict, dialect: str) -> str:
+    """Render a window term — same OVER clause text in both dialects.
+    Twin of ``compiler._window_column`` (rank family: no frame; offset:
+    lag/lead(col, k); running aggregates: cumulative ROWS frame)."""
+    fn, of, pb, specs, out_name, round_to, offset = _parse_window_term(term)
+    part = ", ".join(_ident(c, dialect) for c in pb)
+    order = ", ".join(
+        f"{_ident(c, dialect)} {d.upper()}" for c, d in specs
+    )
+    over = f"PARTITION BY {part} ORDER BY {order}"
+    if fn in WINDOW_RANK_FNS:
+        call = f"{fn}()"
+    elif fn in ("lag", "lead"):
+        call = f"{fn}({_ident(of, dialect)}, {offset})"
+    else:
+        call = f"{fn}({_ident(of, dialect)})"
+        over += " ROWS UNBOUNDED PRECEDING"
+    expr = f"{call} OVER ({over})"
+    if round_to is not None:
+        expr = f"ROUND({expr}, {round_to})"
+    return f"{expr} AS {_quote_ident(out_name, dialect)}"
+
+
 def assemble_sql(
     q: dict,
     type_map: dict[str, T.DataType],
@@ -285,6 +311,13 @@ def assemble_sql(
                 f"{rendered} AS {_quote_ident(term['as'], dialect)}"
             )
             out_names.append(term["as"])
+        elif _is_win_term(term):
+            if q.get("group_by") or any(
+                _is_agg_term(t) for t in q.get("select") or []
+            ):
+                raise QueryError(f"window projections are row-level only: {term}")
+            select_terms.append(_window_sql(term, dialect))
+            out_names.append(_parse_window_term(term)[4])
         elif _is_agg_term(term):
             select_terms.append(_agg_sql(term, dialect, type_map))
             out_names.append(_parse_agg_term(term)[2])
@@ -308,6 +341,12 @@ def assemble_sql(
     for term in q.get("select") or []:
         if _is_expr_term(term):
             referenced.update(expr_columns(term["expr"]))
+        elif _is_win_term(term):
+            _fn, of, pb, specs, *_rest = _parse_window_term(term)
+            referenced.update(pb)
+            referenced.update(c for c, _d in specs)
+            if of:
+                referenced.add(of)
         elif _is_agg_term(term):
             parsed = _parse_agg_term(term)
             if isinstance(parsed[1], dict):

@@ -90,8 +90,14 @@ def _is_expr_term(term: Any) -> bool:
     return isinstance(term, dict) and "expr" in term
 
 
+def _is_win_term(term: Any) -> bool:
+    """Window-function projection: {"win": fn, "partition_by": [...],
+    "order_by": [...], "as": name, ...}."""
+    return isinstance(term, dict) and "win" in term
+
+
 def _is_agg_term(term: Any) -> bool:
-    return isinstance(term, dict) and "expr" not in term
+    return isinstance(term, dict) and "expr" not in term and "win" not in term
 
 
 def _num_expr(df: DataFrame, e: Any) -> Column:
@@ -314,6 +320,88 @@ def _bool_tree(df: DataFrame, cond: dict) -> Column:
     return _filter_condition(df, cond)
 
 
+#: Window functions exposed by the DSL — rank family (no argument),
+#: offset family (lag/lead over a column), and running aggregates
+#: (cumulative frame ROWS UNBOUNDED PRECEDING .. CURRENT ROW). The
+#: spellings are valid verbatim in Spark SQL and DuckDB, so the
+#: assembler renders the same OVER clause for both dialects.
+WINDOW_RANK_FNS = ("row_number", "rank", "dense_rank")
+WINDOW_OFFSET_FNS = ("lag", "lead")
+WINDOW_AGG_FNS = ("sum", "avg", "min", "max", "count")
+
+
+def _parse_window_term(term: dict) -> tuple:
+    """Validate a window term → (fn, of, partition_by, order_specs,
+    out_name, round_to, offset). ``order_specs`` is [(col, "asc"|"desc")].
+
+    partition_by is REQUIRED non-empty: an unpartitioned ORDER BY
+    window serializes the whole table through one task and is
+    deliberately not offered (same policy as operators/analytics.py).
+    """
+    fn = term.get("win")
+    if fn not in (*WINDOW_RANK_FNS, *WINDOW_OFFSET_FNS, *WINDOW_AGG_FNS):
+        raise QueryError(f"unknown window function: {term!r}")
+    if "as" not in term:
+        raise QueryError(f"window term needs an alias: {term!r}")
+    pb = term.get("partition_by")
+    if not isinstance(pb, list) or not pb:
+        raise QueryError(
+            f"window term needs a non-empty partition_by (unpartitioned "
+            f"windows serialize on one task and are not offered): {term!r}"
+        )
+    ob = term.get("order_by")
+    if not isinstance(ob, list) or not ob:
+        raise QueryError(f"window term needs a non-empty order_by: {term!r}")
+    specs = []
+    for spec in ob:
+        if isinstance(spec, str):
+            specs.append((spec, "asc"))
+        elif isinstance(spec, dict) and isinstance(spec.get("col"), str):
+            d = (spec.get("dir") or "asc").lower()
+            if d not in ("asc", "desc"):
+                raise QueryError(f"bad window order dir: {spec!r}")
+            specs.append((spec["col"], d))
+        else:
+            raise QueryError(f"bad window order_by entry: {spec!r}")
+    of = term.get("of")
+    if fn in WINDOW_RANK_FNS:
+        if of is not None:
+            raise QueryError(f"{fn} takes no 'of' column: {term!r}")
+    elif not isinstance(of, str):
+        raise QueryError(f"window {fn} needs an 'of' column: {term!r}")
+    offset = term.get("offset", 1)
+    if fn in WINDOW_OFFSET_FNS and (
+        not isinstance(offset, int) or isinstance(offset, bool) or offset < 1
+    ):
+        raise QueryError(f"window offset must be a positive int: {term!r}")
+    return fn, of, pb, specs, term["as"], term.get("round"), offset
+
+
+def _window_column(df: DataFrame, term: dict) -> Column:
+    from pyspark.sql import Window
+
+    fn, of, pb, specs, out_name, round_to, offset = _parse_window_term(term)
+    for c in (*pb, *(s[0] for s in specs), *([of] if of else [])):
+        if c not in df.columns:
+            raise QueryError(f"unknown column {c!r} in window term {term!r}")
+    sort_cols = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in specs
+    ]
+    w = Window.partitionBy(*pb).orderBy(*sort_cols)
+    if fn in WINDOW_RANK_FNS:
+        e = getattr(F, fn)().over(w)
+    elif fn in WINDOW_OFFSET_FNS:
+        e = getattr(F, fn)(F.col(of), offset).over(w)
+    else:
+        # running aggregate: cumulative frame, ties split by the (total)
+        # ORDER BY — callers include a unique tiebreak for determinism
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e = getattr(F, fn)(F.col(of)).over(w)
+    if round_to is not None:
+        e = F.round(e, round_to)
+    return e.alias(out_name)
+
+
 def validate_scalar_subquery(sub: Any) -> None:
     """A scalar subquery must provably yield one row, one column: a
     single ungrouped aggregate select (no group_by/set ops/order/limit).
@@ -523,9 +611,11 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     group_by = q.get("group_by") or []
 
     plain_cols = [t for t in select
-                  if not _is_agg_term(t) and not _is_expr_term(t)]
+                  if not _is_agg_term(t) and not _is_expr_term(t)
+                  and not _is_win_term(t)]
     agg_terms = [_parse_agg_term(t) for t in select if _is_agg_term(t)]
     expr_terms = [t for t in select if _is_expr_term(t)]
+    win_terms = [t for t in select if _is_win_term(t)]
 
     for t in expr_terms:
         # Computed scalar projections — row-level only; under grouping
@@ -537,6 +627,14 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             raise QueryError(
                 f"expression projections are row-level only: {t}"
             )
+
+    for t in win_terms:
+        # Window projections evaluate over the WHERE-filtered rows
+        # (standard SQL ordering); mixing with grouping would need
+        # windows-over-aggregates, which the DSL does not model.
+        _parse_window_term(t)  # validate shape early
+        if group_by or agg_terms:
+            raise QueryError(f"window projections are row-level only: {t}")
 
     for c in list(plain_cols) + list(group_by):
         if not isinstance(c, str):
@@ -617,6 +715,9 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         for t in select:
             if _is_expr_term(t):
                 proj.append(_num_expr(df, t["expr"]).alias(t["as"]))
+                out_columns.append(t["as"])
+            elif _is_win_term(t):
+                proj.append(_window_column(df, t))
                 out_columns.append(t["as"])
             else:
                 proj.append(F.col(t))

@@ -127,9 +127,9 @@ class RollupRouter:
 
         if any(_has_subquery(c) for c in q.get("where") or []):
             return None  # scalar subqueries never route (outer-value dependent)
-        if any(isinstance(t, dict) and "expr" in t
+        if any(isinstance(t, dict) and ("expr" in t or "win" in t)
                for t in q.get("select") or []):
-            return None  # computed projections aren't rollup-derivable
+            return None  # computed/window projections aren't rollup-derivable
         qtable = q.get("from", "events")
         agg_terms = self._agg_terms(q)
         if not agg_terms:

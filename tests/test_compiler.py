@@ -148,6 +148,24 @@ QUERIES = [
         "group_by": ["event_type"],
         "order_by": ["event_type"],
     }),
+    ("window_rank_offset_running", {
+        "select": [
+            "user_id", "event_id",
+            {"win": "dense_rank", "partition_by": ["user_id"],
+             "order_by": [{"col": "value", "dir": "desc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "value_rank"},
+            {"win": "count", "of": "event_id", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "events_so_far"},
+            {"win": "lead", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "next_value", "round": 6},
+        ],
+        "from": "events",
+    }),
     ("scalar_subquery_in_bool_tree", {
         "select": ["event_id", "value"],
         "from": "events",
@@ -429,3 +447,42 @@ def test_router_refuses_scalar_subquery(spark, catalog, tmp_path):
     q_plain = {"select": ["event_type", {"COUNT": "*", "as": "n"}],
                "from": "events", "group_by": ["event_type"]}
     assert router.route(q_plain) is not None
+
+
+def test_window_rejects_unpartitioned_and_grouped(catalog):
+    """Policy: no unpartitioned windows (single-task serialization);
+    no windows mixed with aggregation. Both twin paths agree."""
+    tm = catalog.spark_type_map("events")
+    unpart = {"select": ["event_id",
+                         {"win": "row_number", "partition_by": [],
+                          "order_by": ["event_id"], "as": "rn"}],
+              "from": "events"}
+    mixed = {"select": ["event_type", {"COUNT": "*", "as": "n"},
+                        {"win": "row_number", "partition_by": ["event_type"],
+                         "order_by": ["event_type"], "as": "rn"}],
+             "from": "events", "group_by": ["event_type"]}
+    rank_with_of = {"select": [{"win": "rank", "of": "value",
+                                "partition_by": ["user_id"],
+                                "order_by": ["ts_dt"], "as": "r"}],
+                    "from": "events"}
+    for q in (unpart, mixed, rank_with_of):
+        with pytest.raises(QueryError):
+            compile_query(q, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(q, tm, dialect="duckdb")
+
+
+def test_router_refuses_window_terms(spark, catalog, tmp_path):
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    rollups = {"agg_etype2": {"keys": ["event_type"],
+                              "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs2")
+    build_rollups(catalog.table("events"), agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    q = {"select": ["event_type",
+                    {"win": "row_number", "partition_by": ["event_type"],
+                     "order_by": ["event_type"], "as": "rn"}],
+         "from": "events"}
+    assert router.route(q) is None
