@@ -212,6 +212,25 @@ def interval_join(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str] = ("user_id", "c_custkey"),
+    dim_cols: tuple[str, ...] = ("c_mktsegment", "c_acctbal"),
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to an
+    event stream. The static side broadcasts (re-read per micro-batch,
+    so slowly-changing dimensions pick up updates between batches) and
+    needs NO watermark — stream-static left joins are stateless, the
+    canonical way to decorate a 100 TB/day stream with reference data.
+    LEFT join so events with no dimension row survive with NULLs
+    (monitorable, not silently dropped). Same code is the batch twin.
+    """
+    lkey, rkey = on
+    d = F.broadcast(dim.select(F.col(rkey), *[F.col(c) for c in dim_cols]))
+    return events.join(d, events[lkey] == d[rkey], "left").drop(rkey)
+
+
 def streaming_hourly_rollup(
     spark: SparkSession,
     dir_path: str,
@@ -275,8 +294,20 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    out = enrich_stream(cat.table("events"), cat.table("customer"))
+    return out.select(
+        "event_id", "user_id", "event_type", "c_mktsegment",
+        F.round("c_acctbal", 6).alias("c_acctbal"),
+    )
+
+
 def entry_queries():
     return {
+        "stream_enrich_dim": q_enrich_stream,
         "stream_hourly_rollup": q_hourly_rollup,
         "stream_sliding_rollup": q_sliding_rollup,
         "stream_sessionize": q_sessionize,
@@ -350,7 +381,13 @@ def entry_oracles() -> dict[str, str]:
          AND p.ts < c.ts + INTERVAL '30 minutes'
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     """
+    enrich = """
+        SELECT e.event_id, e.user_id, e.event_type,
+               c.c_mktsegment, ROUND(c.c_acctbal, 6) AS c_acctbal
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """
     return {
+        "stream_enrich_dim": enrich,
         "stream_hourly_rollup": hourly,
         "stream_sliding_rollup": sliding,
         "stream_sessionize": sessions,

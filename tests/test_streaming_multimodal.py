@@ -128,6 +128,39 @@ def test_streaming_interval_join_equals_batch(spark, events_stream_dir):
     )
 
 
+def test_enrich_matches_oracle(spark, ddb):
+    df = windows.q_enrich_stream(spark, SF_DIR)
+    assert_matches_duckdb(df, ddb, windows.entry_oracles()["stream_enrich_dim"])
+
+
+def test_streaming_enrich_equals_batch(spark, events_stream_dir):
+    """Stream-static left join (stateless, no watermark) over
+    availableNow ≡ the batch twin."""
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    dim = Catalog(spark, SF_DIR, register_views=False).table("customer")
+    stream = windows.enrich_stream(
+        windows.read_events_stream(spark, events_stream_dir), dim
+    ).select("event_id", "user_id", "c_mktsegment")
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM enrich_test").toPandas()
+    batch = windows.enrich_stream(
+        spark.read.parquet(events_stream_dir), dim
+    ).select("event_id", "user_id", "c_mktsegment").toPandas()
+    assert len(got) == len(batch) > 0
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(batch), check_dtype=False
+    )
+
+
 def test_streaming_sessionize_runs(spark, events_stream_dir):
     stream = windows.sessionize(
         windows.read_events_stream(spark, events_stream_dir),
