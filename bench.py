@@ -42,6 +42,7 @@ DSL_HEADLINE = [
     "dsl_tpch_q3_shipping_priority",
     "dsl_tpch_q5_local_supplier_volume",
     "dsl_tpch_q6_forecast_revenue",
+    "dsl_window_rank_running",
 ]
 
 #: Pipeline-operator headliners (always full computation).
@@ -61,8 +62,11 @@ OPERATOR_HEADLINE = [
     "pipeline_clean_corpus",
     "sample_split_assignments",
     "dedup_connected_components",
+    "dedup_decontaminate",
     "relevance_bm25",
     "analytics_latest_per_key",
+    "pipeline_top_quality",
+    "stream_enrich_dim",
 ]
 
 
