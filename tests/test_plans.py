@@ -156,3 +156,51 @@ def test_bucketized_join_is_shuffle_free(spark, catalog, request):
         assert j.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tpch_q5_pushes_filters_and_broadcasts_dims(catalog):
+    """The 6-table chain: every filter reaches a scan (PushedFilters),
+    nation/region build sides broadcast, no cartesian products."""
+    from __spark_entry__ import DSL_QUERIES
+
+    df = compile_query(
+        DSL_QUERIES["dsl_tpch_q5_local_supplier_volume"], catalog
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    formatted = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "EqualTo(r_name,ASIA)" in formatted       # region filter at scan
+    assert "GreaterThanOrEqual(o_orderdate" in formatted  # date range at scan
+
+
+def test_dsl_window_single_window_node(catalog):
+    """The 3-term window entry shares ONE Window spec (same partition +
+    order), so the plan carries a single Window node and one Exchange."""
+    from __spark_entry__ import DSL_QUERIES
+
+    df = compile_query(DSL_QUERIES["dsl_window_rank_running"], catalog)
+    plan = _plan(df)
+    assert plan.count("Window") - plan.count("WindowGroupLimit") in (1, 2)
+    # row_number/lag share the unframed spec; running sum adds the frame
+    assert "rowsBetween" not in plan  # frame renders inside Window, not extra ops
+
+
+def test_scalar_subquery_is_broadcast_one_row(catalog):
+    from __spark_entry__ import DSL_QUERIES
+
+    df = compile_query(DSL_QUERIES["dsl_scalar_subquery_above_avg"], catalog)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    from query_planner_optimizer_spark.operators.dedup import q_decontaminate
+
+    plan = _plan(q_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
