@@ -89,7 +89,12 @@ def augment_time_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     ts_type = df.schema[ts_col].dataType
     if isinstance(ts_type, (T.LongType, T.IntegerType)):
         ts_dt = F.timestamp_millis(F.col(ts_col))
-    elif isinstance(ts_type, T.TimestampType):
+    elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — e.g.
+        # pandas/pyarrow-written data — arrives as TIMESTAMP_NTZ in
+        # Spark 4. Wall-clock semantics match the UTC-pinned session
+        # and the DuckDB oracle (which reads the same file as a naive
+        # timestamp), so NTZ augments identically.
         ts_dt = F.col(ts_col)
     else:
         return df

@@ -172,6 +172,37 @@ def _num_expr_sql(
     return out
 
 
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _is_integral_expr(
+    e, type_map: dict[str, T.DataType] | None
+) -> bool:
+    """Conservative integral-type inference over an expression tree —
+    True only when the expression is provably integer-valued (int
+    columns / int literals composed with +,-,*, or CASE with integral
+    branches). Used to pin DuckDB's HUGEINT SUM result to BIGINT."""
+    if isinstance(e, bool):
+        return False
+    if isinstance(e, int):
+        return True
+    if isinstance(e, str):
+        return (
+            type_map is not None
+            and isinstance(type_map.get(e), _INTEGRAL_TYPES)
+        )
+    if isinstance(e, dict):
+        if "if" in e:
+            return _is_integral_expr(
+                e.get("then"), type_map
+            ) and _is_integral_expr(e.get("else"), type_map)
+        if e.get("op") in ("add", "sub", "mul"):
+            return all(
+                _is_integral_expr(a, type_map) for a in e.get("args") or []
+            )
+    return False
+
+
 def _agg_expr_sql(
     term: dict, dialect: str, type_map: dict[str, T.DataType] | None = None
 ) -> tuple[str, str]:
@@ -182,12 +213,7 @@ def _agg_expr_sql(
         target = _num_expr_sql(col, dialect, type_map)
     else:
         target = "*" if col == "*" else _ident(col, dialect)
-    if fname == "COUNT" and col == "*":
-        expr = "COUNT(*)"
-    elif fname == "COUNT_DISTINCT":
-        expr = f"COUNT(DISTINCT {target})"
-    else:
-        expr = f"{fname}({target})"
+    filter_sql = ""
     if filt:
         # SQL FILTER clause — identical syntax in Spark and DuckDB;
         # binds to the aggregate, so ROUND wraps outside it.
@@ -196,7 +222,38 @@ def _agg_expr_sql(
         cond = " AND ".join(
             _condition_sql(c, type_map, dialect) for c in filt
         )
-        expr += f" FILTER (WHERE {cond})"
+        filter_sql = f" FILTER (WHERE {cond})"
+    if round_to is not None and fname in ("SUM", "AVG"):
+        # Rounded SUM/AVG accumulate in DECIMAL so the result is
+        # bit-identical across engines regardless of partition /
+        # summation order (float += is not associative; a double sum
+        # can straddle a ROUND boundary differently per engine). The
+        # compiler's DataFrame path applies the identical transform, so
+        # Spark and the DuckDB oracle agree by construction.
+        dec = f"DECIMAL(38, {round_to + 10})"
+        sum_expr = f"SUM(CAST({target} AS {dec})){filter_sql}"
+        if fname == "SUM":
+            expr = f"CAST(ROUND({sum_expr}, {round_to}) AS DOUBLE)"
+        else:
+            cnt = f"COUNT({target}){filter_sql}"
+            expr = (
+                f"ROUND(CAST({sum_expr} AS DOUBLE) / {cnt}, {round_to})"
+            )
+        return expr, out_name
+    if fname == "COUNT" and col == "*":
+        expr = "COUNT(*)"
+    elif fname == "COUNT_DISTINCT":
+        expr = f"COUNT(DISTINCT {target})"
+    else:
+        expr = f"{fname}({target})"
+    expr += filter_sql
+    if fname == "SUM" and dialect == "duckdb" and _is_integral_expr(
+        col, type_map
+    ):
+        # Spark's SUM over integral types yields BIGINT; DuckDB yields
+        # HUGEINT, which pandas renders as float64 — a dtype mismatch
+        # that breaks value-hash comparison. Pin the oracle to BIGINT.
+        expr = f"CAST({expr} AS BIGINT)"
     if round_to is not None:
         expr = f"ROUND({expr}, {round_to})"
     return expr, out_name

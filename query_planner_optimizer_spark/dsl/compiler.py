@@ -658,6 +658,23 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             else:
                 base = _num_expr(df, col) if isinstance(col, dict) else F.col(col)
                 target = base if cond is None else F.when(cond, base)
+                if round_to is not None and fname in ("SUM", "AVG"):
+                    # Rounded SUM/AVG accumulate in DECIMAL: double
+                    # addition is not associative, so a partition-order-
+                    # dependent sum can straddle the ROUND boundary and
+                    # diverge from the oracle by one ulp-at-scale. The
+                    # SQL assembler applies the identical transform in
+                    # both dialects, so results match bit-for-bit.
+                    dec = T.DecimalType(38, round_to + 10)
+                    s = F.sum(target.cast(dec))
+                    if fname == "SUM":
+                        e = F.round(s, round_to).cast("double")
+                    else:
+                        e = F.round(
+                            s.cast("double") / F.count(target), round_to
+                        )
+                    exprs.append(e.alias(out_name))
+                    continue
                 e = AGG_FUNCS[fname](target)
             if round_to is not None:
                 e = F.round(e, round_to)

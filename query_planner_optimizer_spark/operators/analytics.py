@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from query_planner_optimizer_spark.catalog import Catalog
+from query_planner_optimizer_spark.functions.timeexpr import epoch_micros
 
 
 def top_n_per_group(
@@ -55,7 +56,7 @@ def lag_delta_seconds(
     prev = F.lag(F.col(ts_col)).over(w)
     # exact integer microseconds both engines (no float epoch rounding)
     return df.withColumn(
-        "delta_us", F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+        "delta_us", epoch_micros(F.col(ts_col)) - epoch_micros(prev)
     )
 
 
@@ -308,7 +309,7 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nano-precision source stringifies differently per engine.
     return out.select(
         "user_id",
-        F.unix_micros("last_ts").alias("last_ts_us"),
+        epoch_micros("last_ts").alias("last_ts_us"),
         "last_event_id", "last_event_type", "last_value",
     )
 
@@ -419,7 +420,8 @@ def entry_oracles() -> dict[str, str]:
     """
     json_props = """
         SELECT event_type,
-               SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER))
+                    AS BIGINT) AS sum_k,
                ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6)
                    AS avg_k,
                COUNT(*) AS n_rows

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from query_planner_optimizer_spark.functions.timeexpr import epoch_micros
+
 #: Driver testdata events schema (TESTDATA.md) — needed explicitly for
 #: readStream (streaming sources don't infer schemas).
 EVENTS_STREAM_SCHEMA = T.StructType([
@@ -205,7 +207,7 @@ def interval_join(
         F.col("click_id"),
         F.col("purchase_id"),
         F.col("c_user").alias("user_id"),
-        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+        (epoch_micros("purchase_ts") - epoch_micros("click_ts")).alias(
             "delay_us"
         ),
         F.round("purchase_value", 6).alias("purchase_value"),

@@ -264,7 +264,8 @@ def events_stream_dir_timeordered(spark, tmp_path_factory):
     events = Catalog(spark, SF_DIR, register_views=False).table("events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    ts_us = F.unix_micros(F.col("ts"))
+    from query_planner_optimizer_spark.functions.timeexpr import epoch_micros
+    ts_us = epoch_micros("ts")
     cuts = events.select(
         F.percentile_approx(ts_us, [0.25, 0.5, 0.75], 10000).alias("q")
     ).collect()[0]["q"]
