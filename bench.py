@@ -67,6 +67,10 @@ OPERATOR_HEADLINE = [
     "analytics_latest_per_key",
     "pipeline_top_quality",
     "stream_enrich_dim",
+    "sample_mixture_weights",
+    "pipeline_token_budget",
+    "analytics_cube_counts",
+    "analytics_pivot_day_by_type",
 ]
 
 

@@ -30,6 +30,7 @@ from query_planner_optimizer_spark.dsl.compiler import (
     SET_OPS,
     WINDOW_RANK_FNS,
     QueryError,
+    agg_decimal_scale,
     _is_agg_term,
     _is_expr_term,
     _is_win_term,
@@ -230,7 +231,7 @@ def _agg_expr_sql(
         # can straddle a ROUND boundary differently per engine). The
         # compiler's DataFrame path applies the identical transform, so
         # Spark and the DuckDB oracle agree by construction.
-        dec = f"DECIMAL(38, {round_to + 10})"
+        dec = f"DECIMAL(38, {agg_decimal_scale(round_to)})"
         sum_expr = f"SUM(CAST({target} AS {dec})){filter_sql}"
         if fname == "SUM":
             expr = f"CAST(ROUND({sum_expr}, {round_to}) AS DOUBLE)"

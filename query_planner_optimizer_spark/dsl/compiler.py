@@ -49,6 +49,20 @@ class QueryError(ValueError):
     """Raised for malformed or unsupported DSL queries."""
 
 
+def agg_decimal_scale(round_to: int) -> int:
+    """Scale of the DECIMAL(38, s) accumulator used for rounded SUM/AVG.
+
+    Fixed at 16 for every round_to ≤ 6 so ALL paths that might serve
+    the same query — raw scan (compiler), SQL twin (assembler, both
+    dialects), and rollup partials merged by the router — accumulate at
+    the IDENTICAL scale and therefore produce bit-identical sums
+    (decimal addition is associative; mixing scales would reintroduce
+    path-dependent results). Falls back to round_to+10 for coarser
+    roundings, which never route.
+    """
+    return max(round_to + 10, 16)
+
+
 #: Aggregate functions exposed by the DSL. SUM/AVG/COUNT are the
 #: reference's exhaustive set (``claude.md:125-131``); MIN/MAX are
 #: strict-superset additions (harmless — guaranteed absent from judge
@@ -665,7 +679,7 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                     # diverge from the oracle by one ulp-at-scale. The
                     # SQL assembler applies the identical transform in
                     # both dialects, so results match bit-for-bit.
-                    dec = T.DecimalType(38, round_to + 10)
+                    dec = T.DecimalType(38, agg_decimal_scale(round_to))
                     s = F.sum(target.cast(dec))
                     if fname == "SUM":
                         e = F.round(s, round_to).cast("double")

@@ -102,6 +102,46 @@ def rollup_counts(
     )
 
 
+def cube_counts(
+    df: DataFrame, cols: list[str], value_col: str
+) -> DataFrame:
+    """GROUP BY CUBE over ``cols`` — all 2^n grouping sets in one pass.
+    Spark expands the sets map-side and shuffles each partial once, so
+    the cost is ~2^n × the plain aggregate's shuffle rows, not 2^n
+    scans; grouping sets are absent from the reference (SURVEY.md
+    §2.3) but native in both Spark and the oracle."""
+    return df.cube(*cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col(value_col).cast("decimal(38, 16)")), 6)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def pivot_values(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    pivot_vals: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Crosstab: one row per ``group_col``, one SUM measure column per
+    ``pivot_vals`` entry. The EXPLICIT value list matters at scale: it
+    compiles to conditional aggregates in a single shuffle; omitting it
+    would force Spark's two-pass distinct-scan + collect of pivot keys.
+    Sums accumulate in DECIMAL (same rationale as the DSL's rounded
+    aggregates: double addition is partition-order-dependent)."""
+    dec = "decimal(38, 16)"
+    measure = F.round(
+        F.sum(F.col(value_col).cast(dec)), 6
+    ).cast("double")
+    return (
+        df.groupBy(group_col)
+        .pivot(pivot_col, pivot_vals)
+        .agg(measure)
+    )
+
+
 def zscore_outliers(
     df: DataFrame,
     group_cols: list[str],
@@ -292,6 +332,57 @@ def q_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed pivot column list for the crosstab entry (events event_type
+#: domain) — explicit so the plan is single-shuffle (see pivot_values).
+PIVOT_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    # Same sentinel treatment as the ROLLUP entry: 'ALL' for subtotal
+    # rows so both engines return string-typed keys.
+    return cube_counts(events, ["day", "event_type"], "value").select(
+        F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        "n_rows",
+        "sum_value",
+    )
+
+
+def q_pivot_day_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    out = pivot_values(
+        events, "day", "event_type", PIVOT_EVENT_TYPES, "value"
+    )
+    return out.select(F.col("day").cast("string").alias("day"),
+                      *PIVOT_EVENT_TYPES)
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (functions/skew.py) with
+    the PLAIN GROUP BY as its oracle — the entry proves the salting
+    rewrite is semantics-preserving. Measures accumulate in DECIMAL so
+    the extra partial→final reduction step cannot move a rounded double
+    sum across a boundary (exact addition is associative)."""
+    from query_planner_optimizer_spark.functions.skew import (
+        salted_groupby_agg,
+    )
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    pre = events.withColumn("__vdec", F.col("value").cast("decimal(38, 16)"))
+    out = salted_groupby_agg(
+        pre,
+        ["event_type"],
+        {"n_rows": ("count", "*"), "__sum_dec": ("sum", "__vdec")},
+        salt_buckets=32,
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.round("__sum_dec", 6).cast("double").alias("sum_value"),
+    )
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     return zscore_outliers(
@@ -342,6 +433,9 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_distinct_users": q_distinct_users,
         "analytics_quantiles": q_value_quantiles,
         "analytics_rollup_counts": q_rollup_day_type,
+        "analytics_cube_counts": q_cube_day_type,
+        "analytics_pivot_day_by_type": q_pivot_day_by_type,
+        "analytics_salted_agg": q_salted_agg,
     }
 
 
@@ -388,6 +482,27 @@ def entry_oracles() -> dict[str, str]:
                    COUNT(*) AS n_rows, ROUND(SUM(value), 6) AS sum_value
             FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
         )
+    """
+    cube = """
+        SELECT COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+               COALESCE(event_type, 'ALL') AS event_type,
+               n_rows, sum_value
+        FROM (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   COUNT(*) AS n_rows,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6)
+                        AS DOUBLE) AS sum_value
+            FROM events GROUP BY CUBE(CAST(ts AS DATE), event_type)
+        )
+    """
+    pivot_measures = ", ".join(
+        f"CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))) "
+        f"FILTER (WHERE event_type = '{v}'), 6) AS DOUBLE) AS {v}"
+        for v in PIVOT_EVENT_TYPES
+    )
+    pivot = f"""
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, {pivot_measures}
+        FROM events GROUP BY CAST(ts AS DATE)
     """
     zscore = """
         WITH stats AS (
@@ -447,4 +562,12 @@ def entry_oracles() -> dict[str, str]:
         "analytics_distinct_users": distinct,
         "analytics_quantiles": quantiles,
         "analytics_rollup_counts": rollup,
+        "analytics_cube_counts": cube,
+        "analytics_pivot_day_by_type": pivot,
+        "analytics_salted_agg": """
+        SELECT event_type, COUNT(*) AS n_rows,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6)
+                    AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+    """,
     }

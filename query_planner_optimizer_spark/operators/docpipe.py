@@ -91,6 +91,65 @@ def top_quality_fraction(
     )
 
 
+TOKEN_BUDGET = 12_000
+
+
+def select_token_budget(
+    docs: DataFrame, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Global best-first corpus selection under a token budget: take
+    documents in (quality desc, doc_id asc) order until the cumulative
+    token count would exceed ``budget`` — "fill the training budget with
+    the best data first".
+
+    A naive global window (SUM OVER one big ORDER BY) serializes the
+    whole corpus through one task. Instead the global prefix-sum splits
+    into two bounded stages:
+
+    1. per-QUALITY-LEVEL token totals (quality rounded to 6dp →
+       ≤ 1e6 distinct levels regardless of corpus size), cumulated by a
+       window over the LEVELS — a corpus-size-independent frame — and
+       broadcast back;
+    2. a within-level cumsum windowed by (level, doc_id); levels are a
+       continuous score, so partitions stay small (skew note: a corpus
+       where most docs share one exact score would concentrate — salt
+       the level key by doc_id ranges in that case).
+
+    global_cum(doc) = level_cum_before + within-level_cum, so the filter
+    reproduces the single-window semantics exactly; ``cum_tokens`` is
+    emitted for auditability. Oracle: one ANSI cumulative window.
+    """
+    scored = T.with_quality_score(docs).select(
+        "doc_id",
+        F.round("quality_score", 6).alias("quality_score"),
+        "n_tokens",
+    )
+    lvl = scored.groupBy("quality_score").agg(
+        F.sum("n_tokens").alias("__lvl_tokens")
+    )
+    wl = (
+        Window.orderBy(F.col("quality_score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lvl = lvl.select(
+        "quality_score",
+        (F.sum("__lvl_tokens").over(wl) - F.col("__lvl_tokens")).alias(
+            "__cum_before"
+        ),
+    )
+    wd = (
+        Window.partitionBy("quality_score")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = scored.join(F.broadcast(lvl), "quality_score").withColumn(
+        "cum_tokens", F.col("__cum_before") + F.sum("n_tokens").over(wd)
+    )
+    return out.filter(F.col("cum_tokens") <= budget).select(
+        "doc_id", "quality_score", "n_tokens", "cum_tokens"
+    )
+
+
 PACK_BUDGET = 2048
 PACK_SHARDS = 32
 
@@ -208,12 +267,17 @@ def q_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_quality_fraction(T._load_documents(spark, sf_dir))
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return select_token_budget(T._load_documents(spark, sf_dir))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "pipeline_clean_corpus": q_clean_corpus,
         "pipeline_pack_sequences": q_pack_sequences,
         "pipeline_chunk_documents": q_chunk_documents,
         "pipeline_top_quality": q_top_quality,
+        "pipeline_token_budget": q_token_budget,
     }
 
 
@@ -298,6 +362,24 @@ def entry_oracles() -> dict[str, str]:
         FROM scored s JOIN cut USING (lang)
         WHERE s.qs >= cut.c
     """
+    token_budget = f"""
+        WITH q AS ({quality}),
+        scored AS (
+            SELECT doc_id, ROUND(quality_score, 6) AS quality_score,
+                   n_tokens
+            FROM q
+        ),
+        c AS (
+            SELECT doc_id, quality_score, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY quality_score DESC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM scored
+        )
+        SELECT doc_id, quality_score, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    """
     return {"pipeline_clean_corpus": sql, "pipeline_pack_sequences": pack,
             "pipeline_chunk_documents": chunk,
-            "pipeline_top_quality": top_quality}
+            "pipeline_top_quality": top_quality,
+            "pipeline_token_budget": token_budget}

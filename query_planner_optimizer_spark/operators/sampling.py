@@ -123,6 +123,70 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Source-weighted corpus mixing WITH oversampling — the standard
+    LLM-pretraining mixture move: weight 2.5 emits every key of that
+    source twice (epochs 0 and 1) plus a deterministic 50% sample as
+    epoch 2; weight 0.4 emits a 40% sample at epoch 0. The emitted
+    ``epoch_col`` (0-based copy index) lets downstream shuffles and
+    packing decorrelate repeats instead of emitting adjacent clones.
+
+    Same reproducibility contract as :func:`hash_sample`, with the hash
+    ROTATED per epoch (md5 of ``key:epoch``) so the fractional epoch's
+    subset is independent of the epoch-0 subset of a different weight —
+    growing a source's weight only ever ADDS copies, it never reshuffles
+    the ones already emitted.
+
+    Plan shape: a literal CASE chain for the weight, one generator
+    (explode of a 0..ceil(w)-1 sequence) and a scan-side filter — no
+    shuffle, no driver participation; output size is exactly
+    sum_s(w_s · |s|) rows regardless of cluster size.
+    """
+    import math
+
+    def _case(mapping: dict[str, int], default: int) -> Column:
+        expr: Column | None = None
+        for name, v in mapping.items():
+            cond = F.col(source_col) == name
+            expr = (
+                F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+            )
+        return (
+            expr.otherwise(F.lit(default)) if expr is not None else F.lit(default)
+        )
+
+    # Integer plan constants computed HERE, not in SQL float arithmetic:
+    # Spark truncates double→long while DuckDB rounds, so (w-⌊w⌋)·B must
+    # never be evaluated engine-side.
+    full_n = {s: int(math.floor(w)) for s, w in weights.items()}
+    epochs_n = {s: int(math.ceil(w)) for s, w in weights.items()}
+    frac_thr = {
+        s: int(round((w - math.floor(w)) * BUCKETS)) for s, w in weights.items()
+    }
+    d_full = int(math.floor(default_weight))
+    d_epochs = int(math.ceil(default_weight))
+    d_thr = int(round((default_weight - math.floor(default_weight)) * BUCKETS))
+
+    n_epochs = _case(epochs_n, d_epochs)
+    # explode(NULL) emits nothing, so weight-0 sources drop cleanly.
+    seq = F.when(n_epochs >= 1, F.sequence(F.lit(0), n_epochs - 1))
+    out = df.withColumn(epoch_col, F.explode(seq))
+    epoch = F.col(epoch_col)
+    full = epoch < _case(full_n, d_full)
+    frac_bucket = hash_bucket(
+        F.concat(F.col(key_col).cast("string"), F.lit(":"), epoch.cast("string"))
+    )
+    frac_keep = frac_bucket < _case(frac_thr, d_thr)
+    return out.filter(full | frac_keep)
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -162,12 +226,24 @@ def q_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+#: Mixture weights for the driver entry: oversample src0 (2.5 epochs)
+#: and src1 (2 full epochs), downsample src2 to 40%, pass the rest.
+MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.4}
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_sample(
+        _docs(spark, sf_dir), "source", MIXTURE_WEIGHTS, "doc_id"
+    ).select("doc_id", "source", "epoch")
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "sample_hash_10pct": q_sample_10pct,
         "sample_split_assignments": q_split_assignments,
         "sample_stratified_by_lang": q_stratified_sample,
         "sample_k_per_group": q_k_per_group,
+        "sample_mixture_weights": q_mixture,
     }
 
 
@@ -204,6 +280,35 @@ def entry_oracles() -> dict[str, str]:
             FROM documents
         ) WHERE rn <= 20
     """
+    import math
+
+    w_cases = " ".join(
+        f"WHEN '{s}' THEN {int(math.ceil(w))}"
+        for s, w in MIXTURE_WEIGHTS.items()
+    )
+    full_cases = " ".join(
+        f"WHEN '{s}' THEN {int(math.floor(w))}"
+        for s, w in MIXTURE_WEIGHTS.items()
+    )
+    thr_cases = " ".join(
+        f"WHEN '{s}' THEN {int(round((w - math.floor(w)) * BUCKETS))}"
+        for s, w in MIXTURE_WEIGHTS.items()
+    )
+    epoch_bucket = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT) % {BUCKETS}"
+    )
+    mixture = f"""
+        SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch
+        FROM documents
+        JOIN (SELECT unnest(generate_series(0,
+              {max(int(math.ceil(w)) for w in MIXTURE_WEIGHTS.values()) - 1}))
+              AS epoch) e
+          ON epoch < (CASE source {w_cases} ELSE 1 END)
+        WHERE epoch < (CASE source {full_cases} ELSE 1 END)
+           OR {epoch_bucket} < (CASE source {thr_cases} ELSE 0 END)
+    """
     return {"sample_hash_10pct": sample, "sample_split_assignments": split,
             "sample_stratified_by_lang": stratified,
-            "sample_k_per_group": k_per_group}
+            "sample_k_per_group": k_per_group,
+            "sample_mixture_weights": mixture}

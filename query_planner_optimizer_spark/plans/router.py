@@ -91,21 +91,46 @@ class RollupRouter:
         return [C._parse_agg_term(t) for t in (q.get("select") or [])
                 if isinstance(t, dict)]
 
-    def _measure(self, fname: str, col, schema_cols: set[str]) -> Column | None:
+    def _measure(
+        self,
+        fname: str,
+        col,
+        schema: dict,
+        round_to: int | None,
+    ) -> Column | None:
+        """Re-derive an aggregate from rollup partials, applying the SAME
+        rounding transform as the compiler's scan path: rollup sums over
+        fractional measures are stored DECIMAL (prepare.rollup_frame), so
+        merging partials is exact and ROUND lands on the identical value
+        the raw scan (and the SQL oracle) produces — the routed and
+        unrouted answers are bit-equal, not merely close."""
+        from pyspark.sql import types as T
+
         if not isinstance(col, str):
             return None  # expression aggregates aren't in any rollup
         if fname == "COUNT" and col == "*":
             return F.sum("n_rows")
-        if fname == "SUM" and f"sum_{col}" in schema_cols:
-            return F.sum(f"sum_{col}")
-        if fname == "COUNT" and f"count_{col}" in schema_cols:
+        is_dec = isinstance(schema.get(f"sum_{col}"), T.DecimalType)
+        if fname == "SUM" and f"sum_{col}" in schema:
+            s = F.sum(f"sum_{col}")
+            if round_to is not None:
+                s = F.round(s, round_to)
+            # Decimal partials surface as double, matching the scan
+            # path's output type for both rounded and plain sums.
+            return s.cast("double") if is_dec else s
+        if fname == "COUNT" and f"count_{col}" in schema:
             return F.sum(f"count_{col}")
-        if (fname == "AVG" and f"sum_{col}" in schema_cols
-                and f"count_{col}" in schema_cols):
+        if (fname == "AVG" and f"sum_{col}" in schema
+                and f"count_{col}" in schema):
             # NULL (not error/NaN) when no non-null inputs — AVG semantics
-            # under ANSI mode's divide-by-zero checks.
+            # under ANSI mode's divide-by-zero checks. Formula mirrors the
+            # compiler exactly: double(exact decimal sum) / count, THEN
+            # round — identical IEEE ops → identical bits.
             cnt = F.sum(f"count_{col}")
-            return F.when(cnt > 0, F.sum(f"sum_{col}") / cnt)
+            avg = F.sum(f"sum_{col}").cast("double") / cnt
+            if round_to is not None:
+                avg = F.round(avg, round_to)
+            return F.when(cnt > 0, avg)
         return None
 
     def route(self, q: dict) -> DataFrame | None:
@@ -158,17 +183,17 @@ class RollupRouter:
             keys = set(self.keys[name])
             if not plain <= keys:
                 continue
-            schema_cols = set(self._frame(name).columns)
+            frame_schema = {
+                f.name: f.dataType for f in self._frame(name).schema.fields
+            }
             measures = {}
             count_like = set()
             ok = True
             for fname, col, out_name, round_to, _filt in agg_terms:
-                m = self._measure(fname, col, schema_cols)
+                m = self._measure(fname, col, frame_schema, round_to)
                 if m is None:
                     ok = False
                     break
-                if round_to is not None:
-                    m = F.round(m, round_to)
                 measures[out_name] = m
                 if fname == "COUNT":
                     count_like.add(out_name)

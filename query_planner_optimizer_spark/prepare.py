@@ -73,11 +73,25 @@ def rollup_frame(events: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
     sum/count re-aggregate losslessly; AVG is derived as sum/count at
     query time — never store averages in a partial aggregate
     (reference got this right: prepare.py:190-195).
+
+    Fractional measures accumulate in DECIMAL(38, 16) — the SAME scale
+    the DSL's rounded aggregates use (``compiler.agg_decimal_scale``) —
+    so a query served from merged rollup partials is bit-identical to
+    the raw scan and to the SQL oracle: decimal addition is associative,
+    double addition is not. Integral measures stay integral (Spark SUM
+    over longs is exact).
     """
+    from pyspark.sql import types as T
+
     exprs = [F.count(F.lit(1)).alias("n_rows")]
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    schema = {f.name: f.dataType for f in events.schema.fields}
     for col, funcs in aggs.items():
         if "sum" in funcs:
-            exprs.append(F.sum(col).alias(f"sum_{col}"))
+            src = F.col(col)
+            if not isinstance(schema.get(col), integral):
+                src = src.cast(T.DecimalType(38, 16))
+            exprs.append(F.sum(src).alias(f"sum_{col}"))
         if "count" in funcs:
             exprs.append(F.count(col).alias(f"count_{col}"))
     return events.groupBy(*keys).agg(*exprs)
@@ -142,6 +156,67 @@ def build_rollups(
         )
         written.append(name)
     return written
+
+
+def refresh_rollups(
+    spark: SparkSession,
+    new_slice: DataFrame,
+    agg_dir: str,
+    rollups: dict[str, dict] | None = None,
+    tables: dict[str, DataFrame] | None = None,
+) -> list[str]:
+    """Incremental rollup maintenance: fold ONLY newly-appended rows
+    into the existing rollup tables instead of re-scanning the fact
+    table — at 100 TB the daily append is GBs while the table is TBs,
+    so refresh cost must track the DELTA, never the total.
+
+    Every stored measure is sum-mergeable by construction (n_rows,
+    count_* are longs; sum_* fractional measures are DECIMAL partials —
+    ``rollup_frame``), so the merge is
+    ``(existing ∪ delta).groupBy(keys).sum(measures)`` and the merged
+    rollup is BIT-identical to a from-scratch rebuild: decimal/integer
+    addition is associative, so it cannot matter whether rows arrived in
+    one batch or twenty. The shuffle moves |existing grain| + |delta
+    grain| rows — grain-bounded, independent of fact-table size.
+
+    The merged table is written to a temp dir then swapped in (Spark
+    cannot overwrite a path it is reading). On a real deployment the
+    rollup would be hive-partitioned on its leading time key with
+    dynamic partition overwrite, shrinking the rewrite to the touched
+    partitions; the swap keeps the single-file driver layout simple.
+    """
+    import shutil
+
+    rollups = rollups or ROLLUPS
+    refreshed = []
+    for name, spec in rollups.items():
+        t = spec.get("table", "events")
+        if t == "events":
+            src = new_slice
+        elif tables and t in tables:
+            src = tables[t]
+        else:
+            continue
+        keys = [k for k in spec["keys"] if k in src.columns]
+        delta = rollup_frame(src, keys, spec["aggs"])
+        path = os.path.join(agg_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            delta.write.mode("overwrite").parquet(path)
+            refreshed.append(name)
+            continue
+        existing = spark.read.parquet(path)
+        measures = [c for c in existing.columns if c not in keys]
+        merged = (
+            existing.unionByName(delta)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).alias(c) for c in measures])
+        )
+        tmp = path + ".refresh_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        os.rename(tmp, path)
+        refreshed.append(name)
+    return refreshed
 
 
 def bucketize(

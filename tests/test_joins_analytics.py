@@ -242,3 +242,61 @@ def test_json_props_rollup_handles_malformed(spark, ddb):
            analytics.json_props_rollup(df, ["event_type"]).collect()}
     assert got["a"].sum_k == 10 and got["a"].n_rows == 3
     assert got["b"].sum_k is None and got["b"].n_rows == 1
+
+
+def test_cube_counts_match_oracle(spark, ddb):
+    from .conftest import SF_DIR, assert_matches_duckdb  # noqa: F401
+    from query_planner_optimizer_spark.operators import analytics
+
+    assert_matches_duckdb(
+        analytics.q_cube_day_type(spark, SF_DIR), ddb,
+        analytics.entry_oracles()["analytics_cube_counts"],
+    )
+
+
+def test_cube_contains_rollup_sets_plus_type_marginals(spark):
+    from .conftest import SF_DIR, assert_matches_duckdb  # noqa: F401
+    """CUBE(day, type) = ROLLUP(day, type) ∪ the (type)-only marginal
+    sets; the grand-total row agrees between both."""
+    from query_planner_optimizer_spark.operators import analytics
+
+    cube = {(r.day, r.event_type): r.n_rows
+            for r in analytics.q_cube_day_type(spark, SF_DIR).collect()}
+    roll = {(r.day, r.event_type): r.n_rows
+            for r in analytics.q_rollup_day_type(spark, SF_DIR).collect()}
+    assert set(roll) <= set(cube)
+    assert all(cube[k] == v for k, v in roll.items())
+    type_marginals = {k for k in cube if k[0] == "ALL" and k[1] != "ALL"}
+    assert set(cube) == set(roll) | type_marginals
+    assert cube[("ALL", "ALL")] == sum(
+        v for (d, t), v in cube.items() if d != "ALL" and t == "ALL"
+    )
+
+
+def test_pivot_matches_oracle_single_shuffle(spark, ddb):
+    from .conftest import SF_DIR, assert_matches_duckdb  # noqa: F401
+    """The crosstab matches its conditional-aggregate oracle, and the
+    explicit value list keeps the plan to ONE aggregate pass (no
+    second distinct-scan job for pivot-key discovery)."""
+    from query_planner_optimizer_spark.operators import analytics
+
+    df = analytics.q_pivot_day_by_type(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, analytics.entry_oracles()["analytics_pivot_day_by_type"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE dumps the tree twice
+    assert final.count("Exchange") <= 2  # the aggregate's own shuffle only
+
+
+def test_salted_agg_equals_plain_groupby(spark, ddb):
+    """The two-phase salted aggregation is semantics-preserving: its
+    oracle IS the plain GROUP BY, and the plan really has two
+    aggregation exchanges (salt phase + final phase)."""
+    from .conftest import SF_DIR, assert_matches_duckdb
+    from query_planner_optimizer_spark.operators import analytics
+
+    df = analytics.q_salted_agg(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, analytics.entry_oracles()["analytics_salted_agg"]
+    )

@@ -500,3 +500,72 @@ def test_oov_ratio_matches_oracle_and_flags_noise(spark, ddb):
     assert got[1].oov_rate == 0.0
     assert got[2].n_oov == 2 and abs(got[2].oov_rate - 2 / 3) < 1e-6
     assert got[3].n_tokens == 0 and got[3].oov_rate == 0.0
+
+
+def test_mixture_sample_matches_oracle(spark, ddb):
+    from query_planner_optimizer_spark.operators import sampling
+
+    assert_matches_duckdb(
+        sampling.q_mixture(spark, SF_DIR), ddb,
+        sampling.entry_oracles()["sample_mixture_weights"],
+    )
+
+
+def test_mixture_sample_epoch_semantics(spark):
+    """weight w emits floor(w) full epochs of every key plus a
+    deterministic (w - floor(w)) sample as the last epoch; weight 0
+    emits nothing; default weight 1 emits exactly epoch 0."""
+    from query_planner_optimizer_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = sampling.mixture_sample(
+        docs, "source", {"src0": 2.5, "src2": 0.0}, "doc_id"
+    ).select("doc_id", "source", "epoch")
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    n_src0 = docs.filter("source = 'src0'").count()
+    # src0: epochs 0 and 1 are full copies; epoch 2 is a proper subset.
+    e = {0: 0, 1: 0, 2: 0}
+    for r in by_src["src0"]:
+        e[r.epoch] += 1
+    assert e[0] == n_src0 and e[1] == n_src0
+    assert 0 <= e[2] < n_src0
+    # weight 0 drops the source entirely.
+    assert "src2" not in by_src
+    # unlisted sources: exactly one epoch-0 copy each.
+    other = [r for s, rs in by_src.items() if s not in ("src0", "src2")
+             for r in rs]
+    assert other and all(r.epoch == 0 for r in other)
+    n_other = docs.filter("source NOT IN ('src0', 'src2')").count()
+    assert len(other) == n_other
+
+
+def test_token_budget_selection(spark, ddb):
+    """Matches the single-window oracle, spends at most the budget, and
+    is maximal: the next document in (quality desc, doc_id) order would
+    overflow."""
+    from query_planner_optimizer_spark.operators import docpipe
+    from query_planner_optimizer_spark.operators import text as T
+
+    got = docpipe.q_token_budget(spark, SF_DIR)
+    assert_matches_duckdb(
+        got, ddb, docpipe.entry_oracles()["pipeline_token_budget"]
+    )
+    rows = got.orderBy("cum_tokens").collect()
+    if rows:
+        assert rows[-1].cum_tokens <= docpipe.TOKEN_BUDGET
+    docs = T._load_documents(spark, SF_DIR)
+    import pyspark.sql.functions as F
+
+    scored = T.with_quality_score(docs).select(
+        "doc_id", F.round("quality_score", 6).alias("q"), "n_tokens"
+    ).orderBy(F.col("q").desc(), F.col("doc_id").asc()).collect()
+    cum, expect = 0, []
+    for r in scored:
+        if cum + r.n_tokens > docpipe.TOKEN_BUDGET:
+            break
+        cum += r.n_tokens
+        expect.append(r.doc_id)
+    assert sorted(r.doc_id for r in rows) == sorted(expect)

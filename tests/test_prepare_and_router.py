@@ -433,3 +433,43 @@ def test_sort_layout_disjoint_file_ranges(spark, catalog, tmp_path):
     a = {r.event_id for r in events.filter(events.ts_dt < hi).collect()}
     b = {r.event_id for r in back.filter(back.ts_dt < hi).collect()}
     assert a == b
+
+
+def test_incremental_refresh_bit_identical_to_rebuild(spark, tmp_path):
+    """refresh_rollups over an appended slice produces a rollup table
+    bit-identical to a from-scratch rebuild (decimal partials merge
+    associatively), and a second refresh keeps merging correctly."""
+    from .conftest import SF_DIR
+    from query_planner_optimizer_spark.prepare import (
+        build_rollups,
+        refresh_rollups,
+        rollup_frame,
+    )
+
+    events = Catalog(spark, SF_DIR, register_views=False).table("events")
+    days = sorted(r.day for r in events.select("day").distinct().collect())
+    cut1, cut2 = days[len(days) // 3], days[2 * len(days) // 3]
+    spec = {"agg_day_etype": {"keys": ["day", "event_type"],
+                              "aggs": {"value": ["sum", "count"]}}}
+
+    inc_dir = str(tmp_path / "inc")
+    build_rollups(events.filter(F.col("day") <= F.lit(cut1)), inc_dir, spec)
+    refresh_rollups(
+        spark,
+        events.filter((F.col("day") > F.lit(cut1))
+                      & (F.col("day") <= F.lit(cut2))),
+        inc_dir, spec,
+    )
+    refresh_rollups(
+        spark, events.filter(F.col("day") > F.lit(cut2)), inc_dir, spec
+    )
+
+    got = spark.read.parquet(f"{inc_dir}/agg_day_etype.parquet")
+    want = rollup_frame(events, ["day", "event_type"],
+                        {"value": ["sum", "count"]})
+    key = ["day", "event_type"]
+    g = {tuple(str(r[k]) for k in key): (r.n_rows, r.sum_value, r.count_value)
+         for r in got.collect()}
+    w = {tuple(str(r[k]) for k in key): (r.n_rows, r.sum_value, r.count_value)
+         for r in want.collect()}
+    assert g == w  # decimal partials → exact equality, not approx
