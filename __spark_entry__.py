@@ -657,6 +657,52 @@ DSL_QUERIES: dict[str, dict] = {
                      {"col": "c_custkey", "dir": "asc"}],
         "limit": 20,
     },
+    "dsl_tpch_q4_priority_exists": {
+        # TPC-H Q4 shape: orders with at least one qualifying lineitem,
+        # counted per priority — EXISTS as a SEMI JOIN with a pre-join
+        # filter on the inner table ({"where": ...} inside the join
+        # spec, an additive grammar extension). The inner predicate
+        # evaluates scan-side on lineitem BEFORE the join shuffle, and
+        # the semi join emits each order at most once (no DISTINCT
+        # needed — exactly EXISTS semantics).
+        "select": ["o_orderpriority", {"COUNT": "*", "as": "order_count"}],
+        "from": "orders",
+        "join": [{"table": "lineitem", "on": [["o_orderkey", "l_orderkey"]],
+                  "type": "semi",
+                  "where": [{"col": "l_discount", "op": "gt", "val": 0.05},
+                            {"col": "l_quantity", "op": "gte", "val": 25}]}],
+        "where": [
+            {"col": "o_orderdate", "op": "gte", "val": "1996-01-01 00:00:00"},
+            {"col": "o_orderdate", "op": "lt", "val": "1996-07-01 00:00:00"},
+        ],
+        "group_by": ["o_orderpriority"],
+        "order_by": [{"col": "o_orderpriority", "dir": "asc"}],
+    },
+    "dsl_tpch_q12_priority_split": {
+        # TPC-H Q12 SHAPE on the driver's slim schema (no l_shipmode /
+        # l_receiptdate columns): fact-to-fact join on the shared key —
+        # neither side broadcasts, the shuffle is on the join key both
+        # sides already hash on — with priority classification as CASE
+        # inside SUM (one scan, two conditional counts; reference
+        # priorities per TPC-H: 1-URGENT/2-HIGH vs the rest).
+        "select": ["l_returnflag",
+                   {"SUM": {"if": {"col": "o_orderpriority", "op": "in",
+                                   "val": ["1-URGENT", "2-HIGH"]},
+                            "then": 1, "else": 0},
+                    "as": "high_line_count"},
+                   {"SUM": {"if": {"col": "o_orderpriority", "op": "not_in",
+                                   "val": ["1-URGENT", "2-HIGH"]},
+                            "then": 1, "else": 0},
+                    "as": "low_line_count"}],
+        "from": "lineitem",
+        "join": [{"table": "orders", "on": [["l_orderkey", "o_orderkey"]]}],
+        "where": [
+            {"col": "l_shipdate", "op": "gte", "val": "1996-01-01 00:00:00"},
+            {"col": "l_shipdate", "op": "lt", "val": "1997-01-01 00:00:00"},
+        ],
+        "group_by": ["l_returnflag"],
+        "order_by": [{"col": "l_returnflag", "dir": "asc"}],
+    },
     # flagship: TPC-H Q1-shaped pricing summary
     "dsl_pricing_summary": {
         "select": [

@@ -440,6 +440,16 @@ def assemble_sql(
                  for p in jspec.get("on") or []]
         if not pairs:
             raise QueryError(f"join needs 'on' pairs: {jspec!r}")
+        # Pre-join filter (compiler twin filters the right frame before
+        # joining): render the table as a filtered subselect aliased to
+        # its own name, so ON/measure references are unchanged.
+        jconds = jspec.get("where") or []
+        jt_sql = jt
+        if jconds:
+            jfilter = " AND ".join(
+                _condition_sql(c, type_map, dialect) for c in jconds
+            )
+            jt_sql = f"(SELECT * FROM {jt} WHERE {jfilter}) AS {jt}"
         same = [l == r for l, r in pairs]
         if all(same):
             # Same-named keys → USING semantics (one output copy of each
@@ -447,7 +457,7 @@ def assemble_sql(
             # DuckDB, and the compiler twin joins on the key list for the
             # same effect.
             keys = ", ".join(_ident(l, dialect) for l, _ in pairs)
-            from_clause += f" {kw} {jt} USING ({keys})"
+            from_clause += f" {kw} {jt_sql} USING ({keys})"
         elif any(same):
             raise QueryError(
                 f"join mixes same-named and differently-named key pairs"
@@ -458,7 +468,7 @@ def assemble_sql(
                 f"{_ident(l, dialect)} = {jt}.{_ident(r, dialect)}"
                 for l, r in pairs
             ]
-            from_clause += f" {kw} {jt} ON " + " AND ".join(conds)
+            from_clause += f" {kw} {jt_sql} ON " + " AND ".join(conds)
 
     prefix = "SELECT DISTINCT" if q.get("distinct") else "SELECT"
     if q.get("distinct") and (q.get("group_by") or any(

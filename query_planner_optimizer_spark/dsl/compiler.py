@@ -557,7 +557,8 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     # excludes joins, ``claude.md:141``; Spark supplies them natively).
     # Each spec: {"table": t, "on": [[left, right], ...],
     #             "type": inner|left|right|semi|anti,
-    #             "hint": broadcast (optional)}.
+    #             "hint": broadcast (optional),
+    #             "where": [conds on t] (optional pre-join filter)}.
     for jspec in q.get("join") or []:
         jt = jspec.get("table")
         right = catalog.table(jt)
@@ -566,6 +567,19 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                      jspec.get("type", "inner"))
         if jtype is None:
             raise QueryError(f"unknown join type: {jspec!r}")
+        # Pre-join filter on the joined table — the EXISTS/NOT-EXISTS
+        # shape when combined with semi/anti (TPC-H Q4, Q21, Q22):
+        # `orders SEMI JOIN (lineitem WHERE <pred>)` ≡
+        # `WHERE EXISTS (SELECT 1 FROM lineitem WHERE key match AND
+        # <pred>)`. Evaluated scan-side on the right table, so the
+        # predicate pushes into that parquet scan before any shuffle.
+        jconds = jspec.get("where") or []
+        if jconds:
+            combined = None
+            for cond in jconds:
+                c = _bool_tree(right, cond)
+                combined = c if combined is None else (combined & c)
+            right = right.filter(combined)
         pairs = [(p, p) if isinstance(p, str) else tuple(p)
                  for p in jspec.get("on") or []]
         if not pairs:
