@@ -853,58 +853,67 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # reference-DSL core — composite entries, every §2 operator covered
-    "dsl_pricing_summary",           # flagship: SUM/AVG/COUNT(*)/group/order
-    "dsl_filter_gauntlet",           # in/not_in/neq/between/lte/gte/lt/gt/is_null
-    "dsl_where_or_not_tree",         # or/and/not + eq + derived-day leaf
-    "dsl_filter_like_notnull",       # like / is_not_null
-    "dsl_case_agg",                  # SUM(CASE WHEN) — round-2 hash fix
-    "dsl_agg_filter_clause",         # aggregate FILTER (WHERE)
-    "dsl_ungrouped_agg",             # full agg surface, ungrouped
-    "dsl_multikey_orderby",          # multi-key group + mixed-dir order
-    "dsl_join_revenue_by_nation",    # inner broadcast join + HAVING
-    "dsl_join_left_customer_orders", # left outer join
-    "dsl_join_semi_orders_with_lineitems",  # semi join
-    "dsl_join_anti_inactive_customers",     # anti join
-    "dsl_tpch_q10_returned_items",   # 4-table join + expr agg + top-k — hash fix
-    "dsl_routed_daily_rollup",       # prepare + RollupRouter path (day)
-    "dsl_routed_incremental_rollup", # prepare + refresh_rollups + route
-    "dsl_hourly_day_between",        # derived hour + date BETWEEN
-    # pipeline operator families — first driver rows for most
-    "dedup_minhash_quality",
-    "dedup_simhash_quality",
-    "dedup_connected_components",
-    "dedup_decontaminate",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "sim_ann_recall",
-    "sim_ivf_recall",
-    "text_quality_score",
-    "text_lang_id",
-    "text_repetition",
-    "text_pii_scrub",
-    "relevance_bm25",
-    "multimodal_features",
+    # -- round-4 window: every declared entry that has NEVER had a green
+    # -- driver CORRECTNESS row in rounds 1-3 (r3 VERDICT #1/#2), plus a
+    # -- small regression core over this round's code changes.
+    # never-checked: analytics/window/sampling/pipeline/text tail
+    "analytics_salted_agg",
+    "analytics_cube_counts",          # grouping()-sentinel fix this round
+    "analytics_pivot_day_by_type",
+    "analytics_value_histogram",
+    "analytics_zscore_outliers",
+    "analytics_running_sum",
+    "analytics_lag_delta",
+    "analytics_distinct_users",
+    "text_oov_ratio",
+    "text_token_vocab",
+    "relevance_tfidf",
+    "stream_hourly_rollup",
+    "sample_hash_10pct",
+    "sample_k_per_group",
+    "sample_mixture_weights",
+    "pipeline_top_quality",
+    "pipeline_token_budget",
+    "dedup_embedding_lsh_quality",
+    "dsl_tpch_q12_priority_split",    # new in r3, never driver-checked
+    # never-green rows-only entries (r1 'no_oracle' errs; now carrying
+    # portable-hash oracles where feasible — see operators/*)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "dedup_embedding_cosine_lsh",
+    # new this round
+    "dsl_join_salted",                # skew-salted join vs plain-join oracle
+    # regression core: code paths CHANGED this round must re-prove
+    "dsl_routed_daily_rollup",        # router rounded-SUM dtype + cache
+    "dsl_routed_incremental_rollup",  # refresh_rollups atomic swap
+    "analytics_rollup_counts",        # grouping()-sentinel fix
+    "multimodal_features",            # decode gate (Pillow-optional)
     "multimodal_frame_pipeline",
-    "stream_sessionize",
-    "stream_funnel",
-    "stream_sliding_rollup",
-    "stream_interval_join",
-    "stream_dedup",
-    "stream_enrich_dim",
-    "analytics_json_props",
-    "analytics_latest_per_key",
-    "analytics_topn_per_group",
-    "analytics_quantiles",
-    "analytics_rollup_counts",
-    "analytics_embedding_centroids",
-    "temporal_asof_join",
-    "temporal_range_join",
-    "pipeline_clean_corpus",
-    "pipeline_pack_sequences",
-    "pipeline_chunk_documents",
-    "sample_split_assignments",
-    "sample_stratified_by_lang",
+    "dedup_connected_components",     # star-method addition
+    # regression core: r2 failure modes (hash fixes) + flagship shapes
+    "dsl_pricing_summary",            # rounded-SUM flagship
+    "dsl_case_agg",                   # r2 hash-mismatch fix
+    "dsl_tpch_q10_returned_items",    # r2 hash-mismatch fix
+    "dsl_join_revenue_by_nation",     # join + HAVING
+    # oldest-evidence refresh (r1-only green)
+    "text_token_count",
+    "text_fingerprint",
+    # r2-green entries never re-shown since
+    "dsl_tpch_q1_full",
+    "dsl_tpch_q3_shipping_priority",
+    "dsl_tpch_q5_local_supplier_volume",
+    "dsl_tpch_q6_forecast_revenue",
+    "dsl_window_rank_running",
+    "dsl_scalar_subquery_above_avg",
+    "dsl_median_value",
+    "dsl_count_distinct_users",
+    "dsl_union_segments",
+    "dsl_intersect_segments",
+    "dsl_except_segments",
+    "dsl_distinct_pairs",
+    "dsl_groupby_stddev_var",
 ]
 
 

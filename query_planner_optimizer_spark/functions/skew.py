@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: measure -> (phase-1 partial, phase-2 combiner)
 _ALGEBRA = {
@@ -71,3 +72,92 @@ def salted_groupby_agg(
         .groupBy(*keys)
         .agg(*final_exprs)
     )
+
+
+def detect_hot_keys(
+    df: DataFrame, key: str, share_threshold: float = 0.05,
+    max_keys: int = 64,
+) -> list:
+    """Keys holding ≥ ``share_threshold`` of the rows (NULLs excluded —
+    they never match an equi-join anyway). The detection groupBy is
+    itself skew-safe: COUNT partials combine map-side, so the hot key
+    contributes ONE row per task to the shuffle, not its row count. The
+    collect is bounded by construction: at most 1/share_threshold keys
+    can clear the bar (≤ 20 at the 5% default), capped at ``max_keys``.
+    At 100 TB you would run this on a sample; exact counting here keeps
+    the semantics test deterministic."""
+    counts = df.filter(F.col(key).isNotNull()).groupBy(key).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    total = counts.agg(F.sum("__n")).first()[0] or 0
+    if not total:
+        return []
+    rows = (
+        counts.filter(F.col("__n") >= float(total) * share_threshold)
+        .orderBy(F.col("__n").desc(), F.col(key))
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 32,
+    hot_keys: list | None = None,
+    share_threshold: float = 0.05,
+) -> DataFrame:
+    """Skew-safe inner equi-join: salt the HOT keys of the fact side,
+    replicate only the matching dim rows per salt bucket, and join the
+    cold remainder plainly — ``plain ∪ salted`` is row-for-row equal to
+    ``fact ⋈ dim`` (proved by the ``dsl_join_salted`` oracle entry and a
+    planted-skew pytest).
+
+    Why: a shuffle join partitions by hash(key), so one 90%-share key
+    lands its entire row mass on ONE reducer — at 100 TB that task runs
+    for hours. Salting spreads the hot key over ``salt_buckets`` tasks
+    at the cost of replicating the hot keys' dim rows ``salt_buckets``
+    times (dim rows for cold keys are NOT replicated — selective
+    salting, unlike blanket key-salting). Prefer ``broadcast(dim)`` when
+    the whole dim fits an executor; salting is for the middle regime —
+    dim too big to broadcast, fact skewed. AQE's skew-join split covers
+    sort-merge joins at runtime; salting also covers downstream
+    aggregations pinned to the same key and engines/paths AQE doesn't
+    reach.
+
+    The salt itself is ``pmod(hash(fact row id surrogate), S)`` — any
+    spread works since the join result is salt-independent; we hash the
+    fact's OTHER columns via ``spark_partition_id`` + a per-row counter
+    to avoid requiring a unique id column.
+    """
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(fact, on, share_threshold)
+    if not hot_keys:
+        return fact.join(dim, on, "inner")
+    is_hot = F.col(on).isin(hot_keys)
+    # Uniform per-row spread, no id column required: partition id mixes
+    # with a monotonic per-partition counter. Nondeterministic salt
+    # VALUES are safe — any assignment yields the same join output.
+    spread = F.pmod(
+        F.hash(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(salt_buckets),
+    )
+    fact_hot = fact.filter(is_hot).withColumn("__salt", spread)
+    dim_hot = (
+        dim.filter(F.col(on).isin(hot_keys))
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.lit(salt_buckets - 1)
+                ).cast(T.ArrayType(T.IntegerType()))
+            ),
+        )
+    )
+    salted = fact_hot.join(dim_hot, [on, "__salt"], "inner").drop("__salt")
+    plain = fact.filter(~is_hot | F.col(on).isNull()).join(
+        dim, on, "inner"
+    )
+    return plain.unionByName(salted)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from query_planner_optimizer_spark.catalog import Catalog
@@ -99,6 +99,10 @@ def rollup_counts(
     return df.rollup(*cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum(value_col), 6).alias("sum_value"),
+        # grouping() flags let callers distinguish a subtotal row from a
+        # group whose key VALUE is NULL — a COALESCE-only sentinel
+        # conflates the two (ADVICE r3).
+        *[F.grouping(c).alias(f"__g_{c}") for c in cols],
     )
 
 
@@ -115,6 +119,7 @@ def cube_counts(
         F.round(F.sum(F.col(value_col).cast("decimal(38, 16)")), 6)
         .cast("double")
         .alias("sum_value"),
+        *[F.grouping(c).alias(f"__g_{c}") for c in cols],
     )
 
 
@@ -319,14 +324,24 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_quantiles(events, ["event_type"], "value")
 
 
+def _grouping_sentinel(col: str) -> Column:
+    """Render a ROLLUP/CUBE grouping key as a string: 'ALL' for subtotal
+    rows (grouping flag = 1), 'NULL' for genuine data-null keys, else
+    the value — unambiguous even when both occur (ADVICE r3)."""
+    return F.when(F.col(f"__g_{col}") == 1, F.lit("ALL")).otherwise(
+        F.coalesce(F.col(col).cast("string"), F.lit("NULL"))
+    )
+
+
 def q_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
-    # Subtotal rows carry NULL grouping keys; emit 'ALL' sentinels so
-    # the result is string-typed on both engines (date-vs-NaT encodings
-    # of NULL differ between Spark and DuckDB result frames).
+    # Subtotal rows emit 'ALL' sentinels keyed on grouping() — NOT on the
+    # key being NULL, so a data-NULL group renders 'NULL', never 'ALL'
+    # (the sentinels would otherwise collide; ADVICE r3). String-typed on
+    # both engines (date-vs-NaT NULL encodings differ across engines).
     return rollup_counts(events, ["day", "event_type"], "value").select(
-        F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
-        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        _grouping_sentinel("day").alias("day"),
+        _grouping_sentinel("event_type").alias("event_type"),
         "n_rows",
         "sum_value",
     )
@@ -339,11 +354,11 @@ PIVOT_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 def q_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
-    # Same sentinel treatment as the ROLLUP entry: 'ALL' for subtotal
-    # rows so both engines return string-typed keys.
+    # Same sentinel treatment as the ROLLUP entry: 'ALL' only for
+    # grouping()=1 subtotal rows, 'NULL' for data-null keys.
     return cube_counts(events, ["day", "event_type"], "value").select(
-        F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
-        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        _grouping_sentinel("day").alias("day"),
+        _grouping_sentinel("event_type").alias("event_type"),
         "n_rows",
         "sum_value",
     )
@@ -356,6 +371,40 @@ def q_pivot_day_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(F.col("day").cast("string").alias("day"),
                       *PIVOT_EVENT_TYPES)
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted inner join (functions/skew.salted_join) with the
+    PLAIN SQL join as its oracle — proves selective salting (hot fact
+    keys spread over salt buckets, dim rows replicated per bucket, cold
+    keys joined plainly) is semantics-preserving. The 10 busiest
+    customers are forced hot so the salted branch really executes; the
+    post-join aggregate accumulates in DECIMAL so the union's partition
+    order cannot move the rounded sum."""
+    from query_planner_optimizer_spark.functions.skew import salted_join
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    orders = cat.table("orders")
+    customer = cat.table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    hot = [
+        r[0]
+        for r in orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("o_custkey"))
+        .limit(10)
+        .collect()
+    ]
+    joined = salted_join(
+        orders, customer, "o_custkey", salt_buckets=8, hot_keys=hot
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38, 16)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
 
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,6 +485,7 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_cube_counts": q_cube_day_type,
         "analytics_pivot_day_by_type": q_pivot_day_by_type,
         "analytics_salted_agg": q_salted_agg,
+        "dsl_join_salted": q_salted_join,
     }
 
 
@@ -474,21 +524,29 @@ def entry_oracles() -> dict[str, str]:
         FROM events GROUP BY event_type
     """
     rollup = """
-        SELECT COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
-               COALESCE(event_type, 'ALL') AS event_type,
+        SELECT CASE WHEN g_day = 1 THEN 'ALL'
+                    ELSE COALESCE(CAST(day AS VARCHAR), 'NULL') END AS day,
+               CASE WHEN g_etype = 1 THEN 'ALL'
+                    ELSE COALESCE(event_type, 'NULL') END AS event_type,
                n_rows, sum_value
         FROM (
             SELECT CAST(ts AS DATE) AS day, event_type,
+                   GROUPING(CAST(ts AS DATE)) AS g_day,
+                   GROUPING(event_type) AS g_etype,
                    COUNT(*) AS n_rows, ROUND(SUM(value), 6) AS sum_value
             FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
         )
     """
     cube = """
-        SELECT COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
-               COALESCE(event_type, 'ALL') AS event_type,
+        SELECT CASE WHEN g_day = 1 THEN 'ALL'
+                    ELSE COALESCE(CAST(day AS VARCHAR), 'NULL') END AS day,
+               CASE WHEN g_etype = 1 THEN 'ALL'
+                    ELSE COALESCE(event_type, 'NULL') END AS event_type,
                n_rows, sum_value
         FROM (
             SELECT CAST(ts AS DATE) AS day, event_type,
+                   GROUPING(CAST(ts AS DATE)) AS g_day,
+                   GROUPING(event_type) AS g_etype,
                    COUNT(*) AS n_rows,
                    CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6)
                         AS DOUBLE) AS sum_value
@@ -569,5 +627,14 @@ def entry_oracles() -> dict[str, str]:
                CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6)
                     AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type
+    """,
+        # The PLAIN join is the salted join's oracle: equality proves
+        # the selective-salting rewrite is semantics-preserving.
+        "dsl_join_salted": """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38, 16))), 2)
+                    AS DOUBLE) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
     }

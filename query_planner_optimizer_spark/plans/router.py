@@ -66,6 +66,12 @@ class RollupRouter:
     def _frame(self, name: str) -> DataFrame:
         if name not in self._frames:
             df = self.spark.read.parquet(os.path.join(self.dir, f"{name}.parquet"))
+            # Rollups are 10^3-10^6 rows where the base table is 10^9+;
+            # cache so repeated routed hits re-scan memory, not parquet —
+            # mirrors the reference's eager aggregate-table cache
+            # (query_engine.py:526-532). Materialization is lazy (first
+            # routed query pays it), so constructing a router is free.
+            df = df.cache()
             self._frames[name] = df
         return self._frames[name]
 
@@ -112,16 +118,29 @@ class RollupRouter:
             return F.sum("n_rows")
         is_dec = isinstance(schema.get(f"sum_{col}"), T.DecimalType)
         if fname == "SUM" and f"sum_{col}" in schema:
+            if is_dec and round_to is None:
+                # Unrounded fractional SUM: the routed value would be the
+                # EXACT decimal sum (partials are stored DECIMAL) while
+                # the scan path and the SQL oracle both sum doubles in
+                # partition order — the two can differ by an ulp with no
+                # rounding step to absorb it. Refuse; the scan is the
+                # only bit-faithful answer.
+                return None
             s = F.sum(f"sum_{col}")
             if round_to is not None:
-                s = F.round(s, round_to)
-            # Decimal partials surface as double, matching the scan
-            # path's output type for both rounded and plain sums.
-            return s.cast("double") if is_dec else s
+                # Rounded SUM is always DOUBLE on the scan path (the
+                # compiler rounds a DECIMAL accumulator then casts, even
+                # for integral measures) — match it exactly.
+                return F.round(s, round_to).cast("double")
+            return s
         if fname == "COUNT" and f"count_{col}" in schema:
             return F.sum(f"count_{col}")
         if (fname == "AVG" and f"sum_{col}" in schema
                 and f"count_{col}" in schema):
+            if is_dec and round_to is None:
+                # Same ulp hazard as unrounded SUM: exact-decimal
+                # numerator vs the scan's order-dependent double avg.
+                return None
             # NULL (not error/NaN) when no non-null inputs — AVG semantics
             # under ANSI mode's divide-by-zero checks. Formula mirrors the
             # compiler exactly: double(exact decimal sum) / count, THEN

@@ -27,6 +27,7 @@ low-cardinality keys where hash agg + AQE suffice.
 from __future__ import annotations
 
 import os
+import sys
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -189,6 +190,7 @@ def refresh_rollups(
 
     rollups = rollups or ROLLUPS
     refreshed = []
+    skipped: list[str] = []
     for name, spec in rollups.items():
         t = spec.get("table", "events")
         if t == "events":
@@ -196,6 +198,12 @@ def refresh_rollups(
         elif tables and t in tables:
             src = tables[t]
         else:
+            # No delta supplied for this rollup's source table: it goes
+            # STALE. Loud, not silent — callers diff the return value,
+            # and the log line makes the gap visible in driver output.
+            skipped.append(name)
+            print(f"refresh_rollups: SKIPPED {name!r} (no delta for "
+                  f"table {t!r}) — rollup is now stale", file=sys.stderr)
             continue
         keys = [k for k in spec["keys"] if k in src.columns]
         delta = rollup_frame(src, keys, spec["aggs"])
@@ -213,8 +221,16 @@ def refresh_rollups(
         )
         tmp = path + ".refresh_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        # Crash-safe swap: move the old rollup ASIDE (rename, atomic on
+        # one filesystem), rename the new one into place, then delete
+        # the aside copy. A crash at any point leaves either the old or
+        # the new rollup at ``path`` — never a window with neither.
+        aside = path + ".refresh_old"
+        if os.path.exists(aside):
+            shutil.rmtree(aside, ignore_errors=True)
+        os.rename(path, aside)
         os.rename(tmp, path)
+        shutil.rmtree(aside, ignore_errors=True)
         refreshed.append(name)
     return refreshed
 

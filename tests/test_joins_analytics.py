@@ -273,6 +273,27 @@ def test_cube_contains_rollup_sets_plus_type_marginals(spark):
     )
 
 
+def test_cube_null_key_distinct_from_subtotal(spark):
+    """A data-NULL grouping key renders 'NULL', a subtotal row renders
+    'ALL' — the grouping() flags disambiguate what a COALESCE-only
+    sentinel conflates (r3 ADVICE)."""
+    from query_planner_optimizer_spark.operators import analytics
+    from pyspark.sql import functions as SF
+
+    rows = [("a", 1.0), (None, 2.0), ("a", 4.0), (None, 8.0)]
+    df = spark.createDataFrame(rows, ["k", "value"])
+    out = analytics.cube_counts(df, ["k"], "value").select(
+        SF.when(SF.col("__g_k") == 1, SF.lit("ALL"))
+        .otherwise(SF.coalesce(SF.col("k"), SF.lit("NULL")))
+        .alias("k"),
+        "n_rows", "sum_value",
+    )
+    got = {r.k: (r.n_rows, r.sum_value) for r in out.collect()}
+    assert got["NULL"] == (2, 10.0)   # the data-null group, not a subtotal
+    assert got["ALL"] == (4, 15.0)    # the grand total, not the null group
+    assert got["a"] == (2, 5.0)
+
+
 def test_pivot_matches_oracle_single_shuffle(spark, ddb):
     from .conftest import SF_DIR, assert_matches_duckdb  # noqa: F401
     """The crosstab matches its conditional-aggregate oracle, and the

@@ -94,6 +94,43 @@ def test_salted_groupby_with_salt_col(spark, catalog):
                                   check_dtype=False)
 
 
+def test_salted_join_matches_plain_on_planted_skew(spark):
+    """salted_join ≡ plain inner join on a planted 90%-one-key dataset,
+    with auto hot-key detection picking up the hot key; and the cold-keys
+    path (no hot keys detected) degenerates to the plain join."""
+    import pandas as pd
+
+    from query_planner_optimizer_spark.functions.skew import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    # 90% of fact rows share key 7; dim covers keys 0..9 plus an
+    # unmatched key 99; fact has a NULL key row (drops out of inner).
+    fact_rows = [(7, i) for i in range(900)]
+    fact_rows += [(k % 10, 1000 + k) for k in range(100) if k % 10 != 7]
+    fact_rows += [(None, 9999)]
+    fact = spark.createDataFrame(fact_rows, ["k", "payload"])
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in [*range(10), 99]], ["k", "attr"]
+    )
+    hot = detect_hot_keys(fact, "k", share_threshold=0.5)
+    assert hot == [7]
+    got = salted_join(fact, dim, "k", salt_buckets=4).toPandas()
+    want = fact.join(dim, "k", "inner").toPandas()
+    key = ["k", "payload", "attr"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key],
+        want.sort_values(key).reset_index(drop=True)[key],
+        check_dtype=False,
+    )
+    # No key clears a 99% bar -> pure plain-join path, same answer.
+    got2 = salted_join(
+        fact, dim, "k", salt_buckets=4, share_threshold=0.99
+    ).toPandas()
+    assert len(got2) == len(want)
+
+
 def test_similarity_plans_avoid_cross_products(spark):
     """LSH bucket joins must be hash equi-joins: a CartesianProduct or
     BroadcastNestedLoopJoin in these plans means the bucket key stopped

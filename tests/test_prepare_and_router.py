@@ -166,12 +166,21 @@ def test_router_ungrouped_count_empty_filter(spark, prepared):
     base = compile_query(q, cat).toPandas()
     assert routed["n"].iloc[0] == base["n"].iloc[0] == 0
     assert routed["n_bid"].iloc[0] == base["n_bid"].iloc[0] == 0
-    # SUM keeps NULL-on-empty semantics on both paths.
-    q2 = {"select": [{"SUM": "bid_price", "as": "s"}], "from": "events",
+    # SUM keeps NULL-on-empty semantics on both paths (rounded SUM — the
+    # only fractional-SUM shape that routes, see below).
+    q2 = {"select": [{"SUM": "bid_price", "as": "s", "round": 6}],
+          "from": "events",
           "where": [{"col": "type", "op": "eq", "val": "no_such_type"}]}
     routed2 = router.route(q2).toPandas()
     base2 = compile_query(q2, cat).toPandas()
     assert pd.isna(routed2["s"].iloc[0]) and pd.isna(base2["s"].iloc[0])
+    # UNROUNDED fractional SUM/AVG must REFUSE the route: the rollup's
+    # exact DECIMAL partial can differ from the scan's order-dependent
+    # double sum by an ulp, with no rounding step to absorb it.
+    for term in ({"SUM": "bid_price", "as": "s"},
+                 {"AVG": "bid_price", "as": "a"}):
+        refused = router.route({"select": [term], "from": "events"})
+        assert refused is None, f"unrounded fractional {term} must not route"
 
 
 def test_router_routes_having(spark, prepared):
