@@ -133,6 +133,7 @@ def connected_components(
     dst: str = "doc_b",
     vid: str = "doc_id",
     max_iter: int = 25,
+    method: str = "propagation",
 ) -> DataFrame:
     """Connected components over a similar-pair edge set: the transitive
     closure step that turns pairwise near-dup hits into dedup groups
@@ -140,25 +141,37 @@ def connected_components(
     was never emitted). Returns (doc_id, cluster_id) with cluster_id =
     min member id; vertices absent from any edge are singletons.
 
-    Algorithm: iterative min-label propagation as pure DataFrame jobs —
-    each round one shuffle (groupBy node), labels only ever decrease,
-    convergence detected by a monotone aggregate (sum of labels,
-    accumulated in decimal so 64-bit ids cannot overflow the ANSI sum).
-    Rounds needed = component diameter; near-dup clusters are
-    clique-dense (diameter 2-3), so 3-4 rounds in practice — this is
-    the same regime where GraphX/GraphFrames would spend its fixed
-    per-round cost, without the library dependency. For adversarial
-    long-chain graphs the large-star/small-star variant (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") reduces rounds to
-    O(log n); chain-shaped near-dup graphs are rare enough that the
-    simple propagation is the better default.
+    Two algorithms, both pure DataFrame jobs with longs-only frames:
 
-    Scale notes: the propagated frame carries (node, label) longs only
-    — document text never enters the loop. Each round ends in
+    - ``method="propagation"`` (default): iterative min-label
+      propagation — each round one shuffle (groupBy node), labels only
+      ever decrease, convergence detected by a monotone aggregate (sum
+      of labels, accumulated in decimal so 64-bit ids cannot overflow
+      the ANSI sum). Rounds needed = component diameter; near-dup
+      clusters are clique-dense (diameter 2-3), so 3-4 rounds in
+      practice — the right default for dedup graphs.
+    - ``method="star"``: the large-star/small-star alternation
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+      large-star hangs every larger neighbor under the neighborhood
+      minimum, small-star re-hangs the smaller ones; the alternation
+      converges in O(log n) rounds EVEN on path/chain graphs where
+      propagation needs diameter rounds. Two shuffles per round plus an
+      exact edge-set equality check — the opt-in for adversarial
+      long-chain graphs.
+
+    Exhausting ``max_iter`` without converging RAISES (RuntimeError)
+    rather than returning silently-wrong labels.
+
+    Scale notes: the iterated frames carry (node, label)/(u, v) longs
+    only — document text never enters the loop. Each round ends in
     ``localCheckpoint`` to truncate the growing lineage (iterative
     plans otherwise re-derive every prior round at each action and the
     optimizer pass itself becomes the bottleneck).
     """
+    if method == "star":
+        return _cc_star(edges, vertices, src, dst, vid, max_iter)
+    if method != "propagation":
+        raise ValueError(f"unknown method {method!r}")
     und = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
     ).unionByName(
@@ -175,6 +188,7 @@ def connected_components(
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
+    converged = False
     for _ in range(max_iter):
         # neighbor labels flow along every edge; keep own label in the min
         neighbor = und.join(labels, "n").select(
@@ -191,9 +205,110 @@ def connected_components(
         ).collect()[0]["s"]
         labels = new_labels
         if new_sum == prev_sum:  # min-propagation fixpoint
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(method='propagation') did not converge "
+            f"in {max_iter} rounds — the graph's diameter exceeds the "
+            f"round budget; use method='star' (O(log n) rounds) or raise "
+            f"max_iter"
+        )
     return labels.select(F.col("n").alias(vid), F.col("label").alias("cluster_id"))
+
+
+def _cc_star(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str,
+    dst: str,
+    vid: str,
+    max_iter: int,
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014). The
+    edge set converges to a star forest — every node directly attached
+    to its component minimum — in O(log n) alternations; convergence is
+    an EXACT edge-set equality check (count + subtract-empty), not a
+    checksum, so a non-converged return is impossible."""
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        # key every edge on BOTH endpoints; for each center n with
+        # neighborhood N(n): m = min(N(n) ∪ {n}); hang every LARGER
+        # neighbor under m.
+        sym = ed.select("u", "v").unionByName(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v"))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # key every edge on its LARGER endpoint; m = min of the smaller
+        # neighbors (all < center); re-hang them (and the center) on m.
+        big = ed.select(F.greatest("u", "v").alias("c"),
+                        F.least("u", "v").alias("v"))
+        mins = big.groupBy("c").agg(F.min("v").alias("m"))
+        rehung = (
+            big.join(mins, "c")
+            .select(F.col("m").alias("u"), F.col("v"))
+        )
+        center = mins.select(F.col("m").alias("u"), F.col("c").alias("v"))
+        return (
+            rehung.unionByName(center)
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
+        same_count = new_e.count() == e.count()
+        if same_count and new_e.exceptAll(e).isEmpty():
+            e = new_e
+            converged = True
+            break
+        e = new_e
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(method='star') did not converge in "
+            f"{max_iter} alternations — raise max_iter (expected rounds "
+            f"are O(log n), so this indicates a pathological input)"
+        )
+    # Converged star forest: every edge is (root, member). Singletons
+    # come from the vertex frame.
+    member = e.select(F.col("v").alias("n"), F.col("u").alias("label"))
+    root = e.select(F.col("u").alias("n"), F.col("u").alias("label"))
+    labels = member.unionByName(root).groupBy("n").agg(
+        F.min("label").alias("label")
+    )
+    verts = vertices.select(F.col(vid).cast("long").alias("n"))
+    return (
+        verts.join(labels, "n", "left")
+        .select(
+            F.col("n").alias(vid),
+            F.coalesce("label", F.col("n")).alias("cluster_id"),
+        )
+    )
 
 
 def dedup_clusters(
@@ -231,7 +346,8 @@ def dedup_clusters(
 
 
 def _doc_shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, hs: array<long>) — distinct shingle hashes per document,
     computed entirely map-side (tokenize → shingle → xxhash64 per
@@ -242,23 +358,45 @@ def _doc_shingle_hashes(
 
     Two projection steps materialize ``__toks`` then ``__sh`` as
     attributes so higher-order lambdas never re-evaluate tokenization
-    per element (see shingles_from_tokens)."""
+    per element (see shingles_from_tokens).
+
+    ``portable=True`` hashes shingles with md5 (hex strings) instead of
+    xxhash64 — ~4x more bytes per element, but bit-identical in every
+    engine that ships md5, which is what lets the LSH driver entry carry
+    a REAL DuckDB oracle. xxhash64 stays the scale default."""
     toked = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
     )
     shingled = toked.select(
         "doc_id", shingles_from_tokens(F.col("__toks"), n).alias("__sh")
     )
+    hash_one = F.md5 if portable else F.xxhash64
     return shingled.select(
-        "doc_id", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("hs")
+        "doc_id", F.transform(F.col("__sh"), lambda s: hash_one(s)).alias("hs")
     )
 
 
-def _minhash_sig(hs: Column, k: int) -> Column:
+def _minhash_sig(hs: Column, k: int, portable: bool = False) -> Column:
     """k-permutation MinHash over a shingle-hash array: sig[i] = min over
     shingles of xxhash64(i, shingle_hash). Hashing the 8-byte shingle
     hash (not the shingle string) k times keeps the per-element cost
-    constant in document size."""
+    constant in document size.
+
+    ``portable``: seeded hash = md5("<i>:" + shingle_md5), min taken
+    lexicographically over the hex strings — identical in Spark and
+    DuckDB (byte-wise collation over ASCII hex)."""
+    if portable:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        hs,
+                        lambda h, i=i: F.md5(F.concat(F.lit(f"{i}:"), h)),
+                    )
+                ).alias(f"h{i}")
+                for i in range(k)
+            ]
+        )
     return F.array(
         *[
             F.array_min(
@@ -291,6 +429,7 @@ def minhash_lsh_pairs(
     threshold: float = DEFAULT_JACCARD_THRESHOLD,
     verify: bool = True,
     persist_shingles: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, optionally verified by exact Jaccard.
 
@@ -299,6 +438,12 @@ def minhash_lsh_pairs(
     (band_id, band_signature) — the classic LSH bucket join; shuffle
     key is the 2-tuple, never a cross join). With k=32, b=8, r=4 the
     S-curve threshold is (1/8)^(1/4) ≈ 0.59 Jaccard.
+
+    ``portable=True`` swaps every hash for its md5 twin (same plan
+    shape: map-side signatures, banded equi-join, candidate-proportional
+    verification) so the result is engine-reproducible and the driver
+    entry carries a full DuckDB oracle; xxhash64 remains the default for
+    throughput (8-byte longs vs 32-char hex through the shuffle).
     """
     r = k // bands
     # The per-doc shingle-hash arrays feed signature computation AND
@@ -306,7 +451,7 @@ def minhash_lsh_pairs(
     # re-tokenizing the corpus. Footprint is (doc_id, array<long>), far
     # smaller than the corpus text; at extreme scale pass
     # persist_shingles=False and let lineage recompute.
-    ds = _doc_shingle_hashes(df, id_col, text_col, n)
+    ds = _doc_shingle_hashes(df, id_col, text_col, n, portable=portable)
     if persist_shingles and verify:
         # Materialize eagerly: the banded self-join's two map stages and
         # the two verification joins all consume ds concurrently — with
@@ -314,17 +459,26 @@ def minhash_lsh_pairs(
         # hash lineage before the cache fills.
         ds = ds.persist()
         ds.count()
-    sig = ds.select("doc_id", _minhash_sig(F.col("hs"), k).alias("sig"))
-    # Band key = one long hash of the band's r signature values (cheaper
-    # to shuffle/compare than a concatenated string key).
+    sig = ds.select(
+        "doc_id", _minhash_sig(F.col("hs"), k, portable=portable).alias("sig")
+    )
+    # Band key = one hash of the band's r signature values (cheaper to
+    # shuffle/compare than the concatenated key); portable mode keys on
+    # md5 of the '|'-joined row hashes (the oracle rebuilds it verbatim).
+    if portable:
+        def _bsig(bi: int) -> Column:
+            return F.md5(
+                F.concat_ws(
+                    "|", *[F.col("sig")[bi * r + j] for j in range(r)]
+                )
+            )
+    else:
+        def _bsig(bi: int) -> Column:
+            return F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)])
+
     band_arrays = F.array(
         *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[F.col("sig")[bi * r + j] for j in range(r)]
-                ).alias("bsig"),
-            )
+            F.struct(F.lit(bi).alias("band"), _bsig(bi).alias("bsig"))
             for bi in range(bands)
         ]
     )
@@ -367,19 +521,31 @@ def minhash_lsh_pairs(
     )
 
 
+def portable_hash60(c: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5,
+    parsed base-16 (fits a signed 64-bit, always non-negative). DuckDB
+    twin: ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 64, portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash: per-token xxhash64; each bit votes +1/-1; the
     signature's bit i is 1 iff the vote sum is positive.
 
     Expressed as explode → per-bit conditional sums → bit assembly, all
-    built-in integer ops (one shuffle of (doc_id, 64 ints))."""
+    built-in integer ops (one shuffle of (doc_id, 64 ints)).
+
+    ``portable=True`` votes with the 60-bit md5-derived hash (and the
+    caller should pass ``bits=60``) so DuckDB can rebuild the identical
+    signatures — the hash family is the only engine-specific part."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )
-    h = F.xxhash64(F.col("tok"))
+    h = portable_hash60(F.col("tok")) if portable else F.xxhash64(F.col("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -402,17 +568,23 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = SIMHASH_HAMMING_MAX,
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates collide on any of four
-    16-bit signature chunks (banding), verified by exact hamming
-    distance bit_count(a XOR b) <= max_hamming."""
-    sig = simhash_signatures(df, id_col, text_col)
+    ``bits/4``-wide signature chunks (banding), verified by exact
+    hamming distance bit_count(a XOR b) <= max_hamming. ``portable``
+    selects the md5-derived 60-bit hash family (pass ``bits=60``) so
+    the DuckDB oracle can replay signatures, banding and verification."""
+    sig = simhash_signatures(df, id_col, text_col, bits, portable=portable)
+    cw = bits // 4
+    mask = (1 << cw) - 1
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("simhash"), c * cw)
+                .bitwiseAND(F.lit(mask))
                 .alias("val"),
             )
             for c in range(4)
@@ -434,7 +606,7 @@ def simhash_pairs(
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            ).cast("long").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -563,11 +735,17 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+    # portable=True: md5 hash family → the DuckDB oracle replays the
+    # exact banding + verification, so this entry is hash-checked
+    # end-to-end (plan shape is identical to the xxhash64 scale path).
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2,
+                             portable=True)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(_docs(spark, sf_dir))
+    # portable 60-bit md5-derived hash family → DuckDB rebuilds the
+    # identical signatures/banding, making this entry hash-checked.
+    return simhash_pairs(_docs(spark, sf_dir), bits=60, portable=True)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,8 +802,8 @@ def entry_queries() -> dict[str, Callable]:
     return {
         "dedup_exact": q_exact_dedup,
         "dedup_ngram_jaccard": q_jaccard_pairs,
-        "dedup_minhash_lsh": q_minhash_lsh,  # rows-only (engine-specific hashes)
-        "dedup_simhash": q_simhash,  # rows-only (engine-specific hashes)
+        "dedup_minhash_lsh": q_minhash_lsh,  # portable md5 family, full oracle
+        "dedup_simhash": q_simhash,  # portable 60-bit family, full oracle
         # Quality gates for the two rows-only paths above — hash-checked
         # (the pair counts are recomputed by the oracle in SQL).
         "dedup_minhash_quality": lambda spark, sf: minhash_quality(
@@ -646,6 +824,124 @@ _SQL_SHINGLES = f"""
                       i -> array_to_string(({_SQL_TOKS})[i:i+{DEFAULT_NGRAM - 1}], ' ')))
     ELSE [array_to_string({_SQL_TOKS}, ' ')] END
 """
+
+
+def _minhash_lsh_oracle(
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.2,
+) -> str:
+    """DuckDB replay of the PORTABLE MinHash-LSH path: same md5 shingle
+    hashes, same k lexicographic-min signature rows, same '|'-joined
+    band keys, same banded candidate join, same exact-Jaccard
+    verification — a full differential oracle for an approximate
+    algorithm, possible because the hash family is engine-portable."""
+    r = k // bands
+    sig_items = ",\n                ".join(
+        f"list_min(list_transform(hs, h -> md5('{i}:' || h)))"
+        for i in range(k)
+    )
+    band_items = ",\n                ".join(
+        "struct_pack(band := {bi}, bsig := md5({cat}))".format(
+            bi=bi,
+            cat=" || '|' || ".join(
+                f"sig[{bi * r + j + 1}]" for j in range(r)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+        WITH hs0 AS (
+            SELECT doc_id,
+                   list_transform({_SQL_SHINGLES}, s -> md5(s)) AS hs
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, hs, [
+                {sig_items}
+            ] AS sig FROM hs0
+        ),
+        banded AS (
+            SELECT doc_id, u.band AS band, u.bsig AS bsig
+            FROM (SELECT doc_id, unnest([
+                {band_items}
+            ]) AS u FROM sig)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bsig = b.bsig
+             AND a.doc_id < b.doc_id
+        ),
+        v AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(ha.hs, hb.hs)) AS c,
+                   len(ha.hs) AS sa, len(hb.hs) AS sb
+            FROM cand
+            JOIN hs0 ha ON cand.doc_a = ha.doc_id
+            JOIN hs0 hb ON cand.doc_b = hb.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(c AS DOUBLE) / CAST(sa + sb - c AS DOUBLE), 6)
+                   AS jaccard
+        FROM v
+        WHERE CAST(c AS DOUBLE) / CAST(sa + sb - c AS DOUBLE)
+              >= {threshold}
+    """
+
+
+def _simhash_oracle(
+    bits: int = 60, max_hamming: int = SIMHASH_HAMMING_MAX
+) -> str:
+    """DuckDB replay of the PORTABLE SimHash path: identical 60-bit
+    md5-derived token hashes, per-bit votes, signature assembly, 15-bit
+    chunk banding and hamming verification."""
+    cw = bits // 4
+    mask = (1 << cw) - 1
+    votes = ",\n                ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    assemble = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)"
+        f" END << {i})"
+        for i in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM toks
+        ),
+        votes AS (
+            SELECT doc_id,
+                {votes}
+            FROM h GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id, {assemble} AS simhash FROM votes
+        ),
+        banded AS (
+            SELECT doc_id, simhash, c.chunk AS chunk,
+                   (simhash >> (c.chunk * {cw})) & {mask} AS val
+            FROM sig CROSS JOIN
+                 (SELECT unnest(generate_series(0, 3)) AS chunk) c
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM banded a JOIN banded b
+              ON a.chunk = b.chunk AND a.val = b.val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM pairs
+        WHERE hamming <= {max_hamming}
+    """
 
 
 def entry_oracles() -> dict[str, str]:
@@ -756,6 +1052,8 @@ def entry_oracles() -> dict[str, str]:
         GROUP BY t.doc_id
     """
     return {"dedup_exact": exact, "dedup_ngram_jaccard": jaccard,
+            "dedup_minhash_lsh": _minhash_lsh_oracle(),
+            "dedup_simhash": _simhash_oracle(),
             "dedup_minhash_quality": minhash_q,
             "dedup_simhash_quality": simhash_q,
             "dedup_connected_components": clusters,

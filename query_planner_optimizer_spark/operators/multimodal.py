@@ -2,12 +2,17 @@
 
 Images/audio/video are carried as ``binary`` columns with a typed
 metadata struct alongside (kind, n_bytes, content hash). The decode /
-feature-extract steps run as Arrow-batched ``mapInPandas`` stages — the
-Spark-side contract (schema, batch shape, partitioning) is real and
-tested; the actual media decoding is STUBBED (no image/audio libs in
-this container): :func:`decode_media` raises ``NotImplementedError``
-and :func:`fake_decode_features` is the deterministic stand-in used by
-tests and the driver entry.
+feature-extract steps run as Arrow-batched ``mapInPandas`` stages.
+
+Decode status: IMAGES decode for real — Pillow when importable (full
+format coverage), else a zero-dependency reference PNG decoder
+(:func:`decode_png`: stdlib zlib inflate + all five scanline filters,
+unit-tested against hand-built PNGs), with nearest-neighbor resize
+(:func:`resize_nearest`). Audio/video decoding still requires codec
+libraries absent from this container: :func:`decode_media` raises
+``NotImplementedError`` for those kinds, and
+:func:`fake_decode_features` remains the deterministic stand-in the
+text-payload driver entries use (oracle-reproducible arithmetic).
 
 Scale notes: payloads stay columnar Arrow end-to-end (no Python
 row-at-a-time); ``mapInPandas`` streams record batches, so executor
@@ -51,15 +56,185 @@ def to_media_table(
     )
 
 
-def decode_media(kind: str, payload: bytes):  # pragma: no cover - stub
-    """STUB: real image/audio/video decoding requires codec libraries
-    not present in this container. The Spark plumbing around this stub
-    (schema, Arrow batching, partitioning) is real and tested with
-    :func:`fake_decode_features`."""
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes):
+    """Minimal REAL PNG decoder (stdlib zlib + numpy): 8-bit depth,
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced; all five scanline filters (None/Sub/Up/Average/
+    Paeth). Returns (width, height, channels, HxWxC uint8 array).
+
+    This is the reference decode path that works with zero optional
+    dependencies — deterministic, unit-tested against hand-built PNGs.
+    Pillow (when importable) is the production path covering JPEG/WebP/
+    interlaced/paletted inputs; see :func:`decode_media`.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_SIG)
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"reference decoder handles 8-bit non-interlaced PNGs only "
+            f"(depth={bit_depth}, interlace={interlace}); install Pillow "
+            f"for full coverage"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(
+            f"unsupported color type {color_type}; install Pillow"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev).astype(np.uint8)
+        else:  # Sub / Average / Paeth need sequential left-neighbor
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - channels]) if x >= channels else 0
+                up = int(prev[x])
+                if ftype == 1:  # Sub
+                    pred = left
+                elif ftype == 3:  # Average
+                    pred = (left + up) // 2
+                elif ftype == 4:  # Paeth
+                    ul = int(prev[x - channels]) if x >= channels else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (
+                        up if pb <= pc else ul
+                    )
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        out[y] = cur
+        prev = cur
+    return width, height, channels, out.reshape(height, width, channels)
+
+
+def resize_nearest(pixels, width: int, height: int):
+    """Nearest-neighbor resize of an HxWxC uint8 array — pure numpy
+    index arithmetic (floor sampling), deterministic across platforms."""
+    import numpy as np
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return pixels[ys][:, xs]
+
+
+def decode_media(kind: str, payload: bytes):
+    """Decode a media payload to (width, height, channels, pixel array).
+
+    Images: Pillow when importable (full format coverage); otherwise the
+    zero-dependency reference PNG decoder (:func:`decode_png`). Audio /
+    video kinds still require codec libraries and raise
+    ``NotImplementedError`` when absent."""
+    if kind == "image":
+        try:  # pragma: no cover - Pillow not in this container
+            import io
+
+            import numpy as np
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload))
+            arr = np.asarray(img.convert("RGBA" if "A" in img.getbands()
+                                         else "RGB"))
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return img.width, img.height, arr.shape[2], arr
+        except ImportError:
+            if payload.startswith(PNG_SIG):
+                return decode_png(payload)
+            raise NotImplementedError(
+                "decode_media('image'): only PNG decodes without Pillow; "
+                "install Pillow for JPEG/WebP/..."
+            ) from None
     raise NotImplementedError(
-        f"decode_media({kind!r}): media codecs are not available in this "
-        "environment; inject a decoder via extract_features(decoder=...)"
+        f"decode_media({kind!r}): audio/video codecs are not available in "
+        "this environment; inject a decoder via extract_features(decoder=...)"
     )
+
+
+#: Output schema of the real image-decode stage.
+IMAGE_FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, width int, height int, "
+    "channels int, pixel_sha256 string, decode_ok boolean"
+)
+
+
+def image_decode_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """Arrow-batch image decoder for :func:`extract_features`
+    (``schema=IMAGE_FEATURE_SCHEMA``): REAL decode via
+    :func:`decode_media`, per-row error isolation (a corrupt payload
+    sets decode_ok=false instead of failing the task — at corpus scale
+    some inputs are always broken). The pixel sha256 is taken over the
+    decoded array bytes, so any engine/codec divergence is visible."""
+    rows: dict[str, list] = {
+        "media_id": [], "kind": [], "n_bytes": [], "width": [],
+        "height": [], "channels": [], "pixel_sha256": [], "decode_ok": [],
+    }
+    for mid, kind, payload in zip(
+        batch["media_id"], batch["kind"], batch["payload"]
+    ):
+        data = bytes(payload)
+        rows["media_id"].append(mid)
+        rows["kind"].append(kind)
+        rows["n_bytes"].append(len(data))
+        try:
+            w, h, ch, arr = decode_media(kind, data)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["channels"].append(ch)
+            rows["pixel_sha256"].append(
+                hashlib.sha256(arr.tobytes()).hexdigest()
+            )
+            rows["decode_ok"].append(True)
+        except Exception:
+            rows["width"].append(None)
+            rows["height"].append(None)
+            rows["channels"].append(None)
+            rows["pixel_sha256"].append(None)
+            rows["decode_ok"].append(False)
+    out = pd.DataFrame(rows)
+    out["n_bytes"] = out["n_bytes"].astype("int64")
+    for c in ("width", "height", "channels"):
+        out[c] = out[c].astype("Int32")
+    return out
 
 
 def _fake_frames(n_bytes: int) -> int:
@@ -86,14 +261,19 @@ def fake_decode_features(batch: pd.DataFrame) -> pd.DataFrame:
 def extract_features(
     media: DataFrame,
     decoder: Callable[[pd.DataFrame], pd.DataFrame] = fake_decode_features,
+    schema: str = FEATURE_SCHEMA,
 ) -> DataFrame:
-    """Arrow-batched feature extraction over the media table."""
+    """Arrow-batched feature extraction over the media table. Pair the
+    decoder with its schema: :func:`fake_decode_features` /
+    ``FEATURE_SCHEMA`` (deterministic stand-in),
+    :func:`image_decode_features` / ``IMAGE_FEATURE_SCHEMA`` (real
+    decode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             yield decoder(batch)
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(run, schema=schema)
 
 
 #: Fixed fake frame stride: frame i = payload[i*FRAME_SIZE:(i+1)*FRAME_SIZE];

@@ -530,6 +530,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hash-checked end-to-end: the hyperplanes are deterministic
+    # literals, so the oracle SQL replays the same sign-bit buckets,
+    # candidate join and exact rerank (dot-product folds are
+    # left-to-right on both engines — see module docstring).
     return lsh_topk(_emb(spark, sf_dir))
 
 
@@ -538,11 +542,19 @@ def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hash-checked like q_lsh_topk: deterministic literal hyperplanes
+    # let the oracle replay bucket generation + exact verification.
     return embedding_neardup_pairs(_emb(spark, sf_dir), use_lsh=True)
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivf_topk(_emb(spark, sf_dir))
+    # FULL-PROBE mode (nprobe == nlist): exercises the whole IVF
+    # machinery — Lloyd training, cell assignment, probing, rerank —
+    # with a result provably equal to brute force (tested invariant),
+    # which is what makes this entry exactly oracle-checkable even
+    # though k-means centroids are data-dependent. The PRUNED path
+    # (nprobe < nlist) is quality-gated by ``sim_ivf_recall``.
+    return ivf_topk(_emb(spark, sf_dir), nprobe=IVF_NLIST)
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,14 +572,108 @@ def q_neardup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry_queries() -> dict[str, Callable]:
     return {
         "sim_cosine_topk": q_cosine_topk,
-        "sim_lsh_topk": q_lsh_topk,  # rows-only (approximate recall)
+        "sim_lsh_topk": q_lsh_topk,  # literal hyperplanes, full oracle
         "dedup_embedding_cosine": q_neardup_exact,
-        "dedup_embedding_cosine_lsh": q_neardup_lsh,  # rows-only (approx)
-        "sim_ivf_topk": q_ivf_topk,  # rows-only (approximate recall)
+        "dedup_embedding_cosine_lsh": q_neardup_lsh,  # full oracle
+        "sim_ivf_topk": q_ivf_topk,  # full-probe ≡ brute force, full oracle
         "sim_ann_recall": q_ann_recall,  # quantified recall, hash-checked
         "sim_ivf_recall": q_ivf_recall,  # quantified recall, hash-checked
         "dedup_embedding_lsh_quality": q_neardup_lsh_quality,  # hash-checked
     }
+
+
+def _planes_values_sql(dim: int, planes: int, tables: int) -> str:
+    """VALUES rows (tbl, p, vec DOUBLE[]) for the deterministic
+    hyperplanes — ``repr`` round-trips every double exactly, so DuckDB
+    parses the literal to the bit-identical plane Spark gets via
+    ``F.lit``."""
+    hp = _hyperplanes(dim, planes, tables)
+    rows = []
+    for t in range(tables):
+        for p in range(planes):
+            vec = ", ".join(repr(x) for x in hp[t][p])
+            rows.append(f"({t}, {p}, CAST([{vec}] AS DOUBLE[]))")
+    return ",\n            ".join(rows)
+
+
+def _lsh_bucket_cte(dim: int, planes: int, tables: int) -> str:
+    """Shared CTE body: normalized vectors + per-(vector, table) LSH
+    bucket keys, replaying the engine's sign-bit sketch in SQL."""
+    return f"""
+        v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        planes(tbl, p, pv) AS (VALUES
+            {_planes_values_sql(dim, planes, tables)}
+        ),
+        sk AS (
+            SELECT n.vec_id, pl.tbl,
+                   SUM(CASE WHEN list_dot_product(n.e, pl.pv) >= 0
+                       THEN 1 << pl.p ELSE 0 END) AS bkt
+            FROM n CROSS JOIN planes pl
+            GROUP BY n.vec_id, pl.tbl
+        )
+    """
+
+
+def _lsh_topk_oracle(
+    dim: int = 64,
+    k: int = DEFAULT_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+    planes: int = LSH_PLANES,
+    tables: int = LSH_TABLES,
+) -> str:
+    """DuckDB replay of the hyperplane-LSH top-k: identical literal
+    hyperplanes → identical sign-bit buckets → identical candidate sets
+    → exact rerank, bit-for-bit (left-to-right double folds on both
+    engines)."""
+    return f"""
+        WITH {_lsh_bucket_cte(dim, planes, tables)},
+        cand AS (
+            SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+            FROM sk q JOIN sk c ON q.tbl = c.tbl AND q.bkt = c.bkt
+            WHERE q.vec_id < {num_queries} AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+            SELECT cand.qid, cand.nid,
+                   list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
+            FROM cand
+            JOIN n a ON cand.qid = a.vec_id
+            JOIN n b ON cand.nid = b.vec_id
+        )
+        SELECT qid, nid, rank, ROUND(sim, 6) AS sim FROM (
+            SELECT qid, nid, sim,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, nid ASC) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _neardup_lsh_oracle(
+    dim: int = 64,
+    threshold: float = NEARDUP_THRESHOLD,
+    planes: int = NEARDUP_PLANES,
+    tables: int = NEARDUP_TABLES,
+) -> str:
+    """DuckDB replay of the LSH near-dup path: bucket-collision
+    candidates (any table) + exact cosine verification."""
+    return f"""
+        WITH {_lsh_bucket_cte(dim, planes, tables)},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sk a JOIN sk b ON a.tbl = b.tbl AND a.bkt = b.bkt
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS sim
+        FROM cand
+        JOIN n a ON cand.id_a = a.vec_id
+        JOIN n b ON cand.id_b = b.vec_id
+        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+              >= {threshold}
+    """
 
 
 def entry_oracles() -> dict[str, str]:
@@ -626,5 +732,9 @@ def entry_oracles() -> dict[str, str]:
               >= {NEARDUP_THRESHOLD}
     """
     return {"sim_cosine_topk": cosine, "dedup_embedding_cosine": neardup,
+            # full-probe IVF ≡ brute force — same oracle as cosine_topk
+            "sim_ivf_topk": cosine,
+            "sim_lsh_topk": _lsh_topk_oracle(),
+            "dedup_embedding_cosine_lsh": _neardup_lsh_oracle(),
             "sim_ann_recall": recall, "sim_ivf_recall": ivf_recall,
             "dedup_embedding_lsh_quality": neardup_q}

@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the target partition size when coalescing instead of
+        # preserving parallelism: tiny shuffles collapse to a handful of
+        # tasks (the ~150 ms/query fixed task-scheduling cost was the
+        # dominant term in sub-second queries — r3 VERDICT #8), while at
+        # scale the 64 MB advisory target still yields full fan-out.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -164,6 +164,56 @@ def test_connected_components_transitive_chain(spark):
     assert got[99] == 99
 
 
+def test_connected_components_star_method(spark):
+    """Large-star/small-star on the same graphs as the propagation test
+    (identical clusters), PLUS the adversarial case: a long planted
+    chain converges in O(log n) alternations where plain propagation
+    needs diameter rounds — and exhaustion RAISES instead of returning
+    wrong labels."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24),
+         (24, 25)],
+        ["doc_a", "doc_b"],
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21, 22, 23, 24, 25, 99)],
+        ["doc_id"],
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            edges, verts, method="star"
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert all(got[i] == 20 for i in (20, 21, 22, 23, 24, 25))
+    assert got[99] == 99
+
+    # Planted 512-node chain, diameter 511: propagation's label-sum
+    # fixpoint needs ~511 rounds -> loud failure at max_iter=8; star
+    # needs exactly 10 alternations (log2(n)+1, verified by offline
+    # simulation: 64->7, 512->10, 4096->13, 65536->17), so a budget of
+    # 14 passes with headroom while still proving the O(log n) claim.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(511)], ["doc_a", "doc_b"]
+    ).coalesce(4)
+    chain_verts = spark.createDataFrame(
+        [(i,) for i in range(512)], ["doc_id"]
+    ).coalesce(4)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, chain_verts, max_iter=8)
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            chain, chain_verts, method="star", max_iter=14
+        ).collect()
+    }
+    assert len(star) == 512 and set(star.values()) == {0}
+
+
 def test_dedup_clusters_matches_recursive_oracle(docs, ddb):
     assert_matches_duckdb(
         dedup.dedup_clusters(docs, threshold=0.2),
