@@ -131,6 +131,46 @@ def test_salted_join_matches_plain_on_planted_skew(spark):
     assert len(got2) == len(want)
 
 
+def test_salted_join_plan_is_equi_join(spark):
+    """Both branches of salted_join must plan as hash equi-joins — a
+    CartesianProduct/BroadcastNestedLoopJoin would mean the salt column
+    stopped acting as a join key."""
+    from query_planner_optimizer_spark.functions.skew import salted_join
+
+    fact = spark.range(1000).selectExpr("id % 7 AS k", "id AS payload")
+    dim = spark.range(7).selectExpr("id AS k", "concat('d', id) AS attr")
+    out = salted_join(fact, dim, "k", salt_buckets=4, hot_keys=[0, 1])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_router_caches_rollup_frames(spark, tmp_path):
+    """The second routed query over the same rollup must read the
+    cached frame (InMemoryTableScan), not re-scan parquet."""
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    events = spark.range(200).selectExpr(
+        "date_add(DATE'2024-01-01', CAST(id % 7 AS INT)) AS day",
+        "CAST(id % 3 AS STRING) AS event_type",
+        "CAST(id AS DOUBLE) AS value",
+    )
+    rollups = {"agg_d": {"keys": ["day", "event_type"],
+                         "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs")
+    build_rollups(events, agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    q = {"select": ["day", {"COUNT": "*", "as": "n"}], "from": "events",
+         "group_by": ["day"]}
+    first = router.route(q)
+    assert first is not None
+    first.collect()  # materializes the cache
+    second = router.route(q)
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
 def test_similarity_plans_avoid_cross_products(spark):
     """LSH bucket joins must be hash equi-joins: a CartesianProduct or
     BroadcastNestedLoopJoin in these plans means the bucket key stopped
