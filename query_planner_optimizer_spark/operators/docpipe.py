@@ -246,6 +246,100 @@ def chunk_documents(
     )
 
 
+#: Pseudo-line width for the driver entry (the driver corpus has no
+#: newlines, so "lines" are non-overlapping 3-token windows — narrow
+#: enough that cross-document repeats actually occur and removal is
+#: exercised for real).
+LINE_DEDUP_WINDOW = 3
+#: Remove lines occurring in MORE than this many distinct documents
+#: (C4 removes any line repeated >= 3 times; expressed as doc-freq).
+LINE_DEDUP_MAX_DF = 2
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = LINE_DEDUP_MAX_DF,
+    line_tokens: int | None = None,
+) -> DataFrame:
+    """Corpus-level exact LINE dedup (the C4/RefinedWeb cleaning step):
+    drop every line that occurs in more than ``max_doc_freq`` distinct
+    documents (boilerplate: navigation, cookie banners, license
+    headers), then reassemble each document from its surviving lines in
+    order. Returns (doc_id, clean_text, n_lines_kept, n_lines_removed).
+
+    ``line_tokens=None`` splits on newlines (the real-corpus mode);
+    an integer splits into non-overlapping token windows of that width
+    (pseudo-lines — used by the driver entry because its corpus has no
+    newlines).
+
+    Scale shape: lines are hashed to md5 immediately, so the
+    doc-frequency aggregation shuffles (16-byte hash, doc_id) pairs —
+    never line text. The removal set (df > threshold) is a tiny
+    fraction of distinct lines in practice (boilerplate is by
+    definition repeated), so it broadcast-joins back against the line
+    stream; the only full-width shuffle is the per-document reassembly
+    groupBy, which is keyed on doc_id and bounded by document size.
+    Hot boilerplate lines are therefore never a join-skew hazard: they
+    live on the broadcast side.
+    """
+    if line_tokens is not None:
+        toked = docs.select(
+            F.col(id_col).alias("doc_id"),
+            T.tokens(F.col(text_col)).alias("__toks"),
+        )
+        n = F.size(F.col("__toks"))
+        n_lines = F.ceil(n / F.lit(line_tokens)).cast("int")
+        lines = (
+            toked.filter(n > 0)
+            .withColumn("idx", F.explode(F.sequence(F.lit(0), n_lines - 1)))
+            .select(
+                "doc_id",
+                "idx",
+                F.array_join(
+                    F.slice(
+                        F.col("__toks"),
+                        F.col("idx") * line_tokens + 1,
+                        line_tokens,
+                    ),
+                    " ",
+                ).alias("line"),
+            )
+        )
+        sep = " "
+    else:
+        lines = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+        )
+        sep = "\n"
+    hashed = lines.withColumn("h", F.md5("line"))
+    removal = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("h")
+    )
+    flagged = hashed.join(
+        F.broadcast(removal.withColumn("__hot", F.lit(True))), "h", "left"
+    ).withColumn("keep", F.col("__hot").isNull())
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("idx"), F.col("line"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.getField("line"),
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum(F.col("keep").cast("long")).alias("n_lines_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_lines_removed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -271,6 +365,12 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_token_budget(T._load_documents(spark, sf_dir))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup(
+        T._load_documents(spark, sf_dir), line_tokens=LINE_DEDUP_WINDOW
+    )
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "pipeline_clean_corpus": q_clean_corpus,
@@ -278,6 +378,7 @@ def entry_queries() -> dict[str, Callable]:
         "pipeline_chunk_documents": q_chunk_documents,
         "pipeline_top_quality": q_top_quality,
         "pipeline_token_budget": q_token_budget,
+        "pipeline_line_dedup": q_line_dedup,
     }
 
 
@@ -379,7 +480,40 @@ def entry_oracles() -> dict[str, str]:
         SELECT doc_id, quality_score, n_tokens, cum_tokens
         FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
     """
+    k = LINE_DEDUP_WINDOW
+    line_dd = f"""
+        WITH toked AS (SELECT doc_id, {toks} AS tk FROM documents),
+        lines AS (
+            SELECT doc_id, u.idx AS idx, u.line AS line FROM (
+                SELECT doc_id, unnest(list_transform(
+                    range(CAST(ceil(len(tk) / {k}.0) AS BIGINT)),
+                    i -> struct_pack(
+                        idx := CAST(i AS INTEGER),
+                        line := array_to_string(
+                            tk[i * {k} + 1 : i * {k} + {k}], ' ')))) AS u
+                FROM toked WHERE len(tk) > 0
+            )
+        ),
+        removal AS (
+            SELECT md5(line) AS h FROM lines
+            GROUP BY md5(line)
+            HAVING COUNT(DISTINCT doc_id) > {LINE_DEDUP_MAX_DF}
+        ),
+        flagged AS (
+            SELECT l.doc_id, l.idx, l.line, r.h IS NULL AS keep
+            FROM lines l LEFT JOIN removal r ON md5(l.line) = r.h
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN keep THEN line END, ' '
+                        ORDER BY idx), '') AS clean_text,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lines_kept,
+               CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lines_removed
+        FROM flagged GROUP BY doc_id
+    """
     return {"pipeline_clean_corpus": sql, "pipeline_pack_sequences": pack,
             "pipeline_chunk_documents": chunk,
             "pipeline_top_quality": top_quality,
-            "pipeline_token_budget": token_budget}
+            "pipeline_token_budget": token_budget,
+            "pipeline_line_dedup": line_dd}

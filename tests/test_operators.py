@@ -592,6 +592,47 @@ def test_mixture_sample_epoch_semantics(spark):
     assert len(other) == n_other
 
 
+def test_line_dedup_newline_mode(spark):
+    """Real-corpus mode: a boilerplate line planted in 3 documents is
+    removed everywhere (df > 2); unique lines survive; reassembly
+    preserves original line order and counts are exact."""
+    from query_planner_optimizer_spark.operators import docpipe
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n{boiler}\nbeta two"),
+        (2, f"{boiler}\ngamma three"),
+        (3, f"delta four\n{boiler}"),
+        (4, "all unique\nlines here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in docpipe.line_dedup(docs, max_doc_freq=2).collect()
+    }
+    assert got[1].clean_text == "alpha one\nbeta two"
+    assert got[1].n_lines_kept == 2 and got[1].n_lines_removed == 1
+    assert got[2].clean_text == "gamma three"
+    assert got[3].clean_text == "delta four"
+    assert got[4].clean_text == "all unique\nlines here"
+    assert got[4].n_lines_removed == 0
+    # df == max_doc_freq is KEPT (strictly-greater removal threshold)
+    kept2 = {
+        r.doc_id: r
+        for r in docpipe.line_dedup(docs, max_doc_freq=3).collect()
+    }
+    assert kept2[2].clean_text == f"{boiler}\ngamma three"
+
+
+def test_line_dedup_matches_oracle(spark, ddb):
+    from query_planner_optimizer_spark.operators import docpipe
+
+    assert_matches_duckdb(
+        docpipe.q_line_dedup(spark, SF_DIR), ddb,
+        docpipe.entry_oracles()["pipeline_line_dedup"],
+    )
+
+
 def test_token_budget_selection(spark, ddb):
     """Matches the single-window oracle, spends at most the budget, and
     is maximal: the next document in (quality desc, doc_id) order would
