@@ -71,6 +71,8 @@ OPERATOR_HEADLINE = [
     "pipeline_token_budget",
     "analytics_cube_counts",
     "analytics_pivot_day_by_type",
+    "dsl_join_salted",
+    "pipeline_line_dedup",
 ]
 
 

@@ -41,6 +41,7 @@ def asof_join(
     value_cols: tuple[str, ...] = ("value",),
     direction: str = "backward",
     suffix: str = "matched",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """As-of join: attach the temporally nearest right row per left row.
 
@@ -48,6 +49,13 @@ def asof_join(
     right ts >= left ts. Output = every left column plus
     ``{suffix}_ts`` and ``{suffix}_<col>`` for each value column
     (NULL when no qualifying right row exists).
+
+    ``tolerance_us`` (pandas ``merge_asof(tolerance=...)`` parity):
+    matches farther than this many microseconds from the left row are
+    nulled out — a stale quote/click should not attach to a trade/
+    purchase hours later. Applied as a post-carry column rewrite (no
+    extra shuffle); uses epoch micros so TIMESTAMP and TIMESTAMP_NTZ
+    inputs behave identically.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")
@@ -96,7 +104,26 @@ def asof_join(
             for c in value_cols
         ],
     )
-    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    out = carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    if tolerance_us is not None:
+        from query_planner_optimizer_spark.functions.timeexpr import (
+            epoch_micros,
+        )
+
+        mts = F.col(f"{suffix}_ts")
+        if direction == "backward":
+            gap = epoch_micros(F.col(ts_col)) - epoch_micros(mts)
+        else:
+            gap = epoch_micros(mts) - epoch_micros(F.col(ts_col))
+        ok = mts.isNotNull() & (gap <= F.lit(int(tolerance_us)))
+        matched = [f"{suffix}_ts"] + [f"{suffix}_{c}" for c in value_cols]
+        out = out.select(
+            *[
+                F.when(ok, F.col(c)).alias(c) if c in matched else F.col(c)
+                for c in out.columns
+            ]
+        )
+    return out
 
 
 def range_join(

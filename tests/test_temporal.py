@@ -47,6 +47,52 @@ def test_asof_forward_semantics(spark, catalog):
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
 
 
+def test_asof_tolerance(spark):
+    """merge_asof-style tolerance: matches farther than tolerance_us are
+    nulled (match columns only — left rows always survive); exact-gap
+    matches are kept (<=); works for both directions."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(1, "u", ts(100)), (2, "u", ts(500)), (3, "v", ts(50))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(40), 1.0), ("u", ts(90), 2.0), ("v", ts(49), 3.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    no_tol = {
+        r.event_id: r
+        for r in temporal.asof_join(
+            left, right, on="user_id", value_cols=("value",)
+        ).collect()
+    }
+    assert no_tol[2].matched_value == 2.0  # 410 s stale, still matched
+    tol = {
+        r.event_id: r
+        for r in temporal.asof_join(
+            left, right, on="user_id", value_cols=("value",),
+            tolerance_us=10_000_000,  # 10 s
+        ).collect()
+    }
+    assert tol[1].matched_value == 2.0 and tol[1].matched_ts == ts(90)
+    assert tol[2].matched_value is None and tol[2].matched_ts is None
+    assert tol[3].matched_value == 3.0  # exactly 1 s gap <= 10 s
+    fwd = {
+        r.event_id: r
+        for r in temporal.asof_join(
+            left, right, on="user_id", value_cols=("value",),
+            direction="forward", tolerance_us=1_000_000,
+        ).collect()
+    }
+    assert all(fwd[i].matched_value is None for i in (1, 2, 3))
+
+
 def test_range_entry_matches_duckdb_iejoin(spark, ddb):
     """Driver range-join entry ≡ DuckDB's native inequality join."""
     df = temporal.q_range_click_window(spark, SF_DIR)
