@@ -241,6 +241,59 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_normalized_text(
+    df: DataFrame, text_col: str = "text", form: str = "NFC",
+    out_col: str = "text_nfc",
+) -> DataFrame:
+    """Unicode normalization — a standard early step of multilingual
+    corpus prep (combining sequences, compatibility forms and width
+    variants otherwise split token statistics and defeat exact dedup).
+
+    Spark has no built-in Unicode normalizer, so this is the sanctioned
+    Python path: an Arrow-batched scalar ``pandas_udf`` over
+    ``unicodedata.normalize`` — columnar transfer, never row-at-a-time;
+    map-only, fused into the scan stage. The DuckDB oracle is
+    ``nfc_normalize`` (both implement the same Unicode NFC), making
+    this one of the few pandas-UDF operators with a full differential
+    check."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    # returnType given explicitly (no type-hint inference: this module
+    # uses `from __future__ import annotations`, which stringizes hints).
+    norm_udf = pandas_udf(_norm, StringType())
+    return df.withColumn(out_col, norm_udf(F.col(text_col)))
+
+
+#: Markup-strip patterns (portable: identical semantics in Java regex
+#: and RE2 — character classes and + quantifiers only).
+MARKUP_TAG = "<[^>]*>"
+WS_RUN = "\\s+"
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Markup/boilerplate strip: remove HTML/XML-style tags, collapse
+    whitespace runs, trim — the first cleaning pass over web-scraped
+    corpora. Pure JVM ``regexp_replace`` pipeline (codegen'd, map-only,
+    zero Python); tag contents survive, tags don't."""
+    text = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(text, MARKUP_TAG, " "), WS_RUN, " "
+        )
+    )
+    return df.withColumn(out_col, cleaned)
+
+
 # --------------------------------------------------------------------------
 # Driver entries (queries + DuckDB oracles)
 # --------------------------------------------------------------------------
@@ -383,6 +436,18 @@ def q_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_ratio(docs, token_vocab(docs))
 
 
+def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_normalized_text(_load_documents(spark, sf_dir)).select(
+        "doc_id", "text_nfc"
+    )
+
+
+def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return strip_markup(_load_documents(spark, sf_dir)).select(
+        "doc_id", "text_clean"
+    )
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "text_oov_ratio": q_oov_ratio,
@@ -393,6 +458,8 @@ def entry_queries() -> dict[str, Callable]:
         "text_token_vocab": q_token_vocab,
         "text_repetition": q_repetition,
         "text_pii_scrub": q_pii_scrub,
+        "text_normalize_nfc": q_normalize_nfc,
+        "text_strip_markup": q_strip_markup,
     }
 
 
@@ -535,4 +602,15 @@ def entry_oracles() -> dict[str, str]:
         "text_token_vocab": vocab,
         "text_repetition": repetition,
         "text_pii_scrub": pii,
+        # Both engines implement Unicode NFC (unicodedata vs DuckDB's
+        # nfc_normalize) — a pandas-UDF operator with a full oracle.
+        "text_normalize_nfc":
+            "SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents",
+        "text_strip_markup": f"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(text,
+                        '{MARKUP_TAG}', ' ', 'g'), '{WS_RUN}', ' ', 'g'))
+                       AS text_clean
+            FROM documents
+        """,
     }

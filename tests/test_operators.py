@@ -96,6 +96,53 @@ def test_pii_scrub_hit_paths_match_oracle(spark, ddb):
     assert not rows[7].has_pii and rows[7].redacted == ""
 
 
+def test_normalize_nfc_matches_duckdb_on_real_unicode(spark, ddb):
+    """The pandas-UDF NFC normalizer agrees with DuckDB's nfc_normalize
+    on combining sequences, precomposed chars and NULLs — and actually
+    changes the decomposed inputs."""
+    rows = [
+        (1, "e\u0301clair"),   # e + combining acute -> U+00E9
+        (2, "caf\u00e9"),      # already NFC
+        (3, "A\u030a \u212b"),  # A+ring / angstrom sign -> U+00C5 both
+        (4, ""),
+        (5, None),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.with_normalized_text(sdf).select("doc_id", "text_nfc")
+    ddb.execute("CREATE OR REPLACE TABLE nfc_probe(doc_id BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO nfc_probe VALUES (?, ?)", rows)
+    sql = text.entry_oracles()["text_normalize_nfc"].replace(
+        "FROM documents", "FROM nfc_probe"
+    )
+    assert_matches_duckdb(got, ddb, sql)
+    vals = {r.doc_id: r.text_nfc for r in got.collect()}
+    assert vals[1] == "\u00e9clair"            # composed
+    assert vals[3] == "\u00c5 \u00c5"          # both forms -> U+00C5
+    assert vals[5] is None
+
+
+def test_strip_markup_matches_duckdb_on_html(spark, ddb):
+    rows = [
+        (1, "<html><body>Hello <b>world</b>!</body></html>"),
+        (2, "no tags   just    spaces"),
+        (3, "<br/><p class='x'>a</p>\n\n<div>b</div>"),
+        (4, ""),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.strip_markup(sdf).select("doc_id", "text_clean")
+    ddb.execute("CREATE OR REPLACE TABLE markup_probe(doc_id BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO markup_probe VALUES (?, ?)", rows)
+    sql = text.entry_oracles()["text_strip_markup"].replace(
+        "FROM documents", "FROM markup_probe"
+    )
+    assert_matches_duckdb(got, ddb, sql)
+    vals = {r.doc_id: r.text_clean for r in got.collect()}
+    assert vals[1] == "Hello world !"
+    assert vals[2] == "no tags just spaces"
+    assert vals[3] == "a b"
+    assert vals[4] == ""
+
+
 def test_repetition_flags_synthetic_extremes(spark):
     rows = [
         (1, "spam " * 50),                       # one token repeated
