@@ -317,6 +317,7 @@ def dedup_clusters(
     text_col: str = "text",
     n: int = DEFAULT_NGRAM,
     threshold: float = DEFAULT_JACCARD_THRESHOLD,
+    cc_method: str = "propagation",
 ) -> DataFrame:
     """Full near-dup grouping: exact Jaccard pairs → connected
     components → (doc_id, cluster_id, cluster_size, is_canonical).
@@ -329,7 +330,8 @@ def dedup_clusters(
     """
     pairs = jaccard_pairs(df, id_col, text_col, n, threshold)
     comp = connected_components(
-        pairs.select("doc_a", "doc_b"), df.select(id_col), vid=id_col
+        pairs.select("doc_a", "doc_b"), df.select(id_col), vid=id_col,
+        method=cc_method,
     )
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -752,6 +754,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.2)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering through the large-star/small-star algorithm —
+    cluster assignments are method-independent, so it shares the
+    recursive-CTE oracle with the propagation entry: two different
+    distributed algorithms, one hash-checked answer."""
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.2,
+                          cc_method="star")
+
+
 def decontaminate(
     train: DataFrame,
     evalset: DataFrame,
@@ -813,6 +824,7 @@ def entry_queries() -> dict[str, Callable]:
             _docs(spark, sf)
         ),
         "dedup_connected_components": q_dedup_clusters,
+        "dedup_cc_star": q_dedup_clusters_star,
         "dedup_decontaminate": q_decontaminate,
     }
 
@@ -1057,4 +1069,6 @@ def entry_oracles() -> dict[str, str]:
             "dedup_minhash_quality": minhash_q,
             "dedup_simhash_quality": simhash_q,
             "dedup_connected_components": clusters,
+            # star-method twin: identical clusters, identical oracle
+            "dedup_cc_star": clusters,
             "dedup_decontaminate": decontam}
