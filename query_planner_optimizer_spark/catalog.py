@@ -271,7 +271,16 @@ class Catalog:
         return {f.name: f.dataType for f in self.table(name).schema.fields}
 
     def register_all(self) -> list[str]:
+        """Register (or RE-register) every available table as a temp
+        view. Idempotent and clobber-safe: unlike the lazy registration
+        in :meth:`table` (which only fires on first load), this always
+        re-issues ``createOrReplaceTempView`` — so a foreign Catalog
+        over a different dataset that registered the same view names in
+        a shared session (e.g. the CLI run in the test suite) cannot
+        leave this catalog's SQL surface pointing at the wrong data."""
         names = self.available_tables()
         for name in names:
-            self.table(name)
+            df = self.table(name)
+            if self.register_views:
+                df.createOrReplaceTempView(name)
         return names

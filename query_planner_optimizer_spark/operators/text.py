@@ -294,6 +294,77 @@ def strip_markup(
     return df.withColumn(out_col, cleaned)
 
 
+#: Collocation thresholds: a bigram needs this many corpus occurrences
+#: to be scored at all (rare pairs have meaningless lift).
+COLLOC_MIN_COUNT = 5
+
+
+def bigram_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = COLLOC_MIN_COUNT,
+) -> DataFrame:
+    """Corpus bigram collocations scored by LIFT — phrase mining for
+    tokenizer-vocabulary prep and boilerplate analysis:
+    ``lift(a,b) = count(ab) · N / (count(a) · count(b))`` (PMI without
+    the log — deliberately: ln differs in the last ulp across libm
+    implementations and can flip a rounded digit, while integer
+    products below 2^53 and ONE double division are bit-identical in
+    every IEEE engine — the same determinism discipline as the rounded
+    decimal aggregates).
+
+    Plan: one exploded bigram stream and one token stream, three
+    partial-agg shuffles (bigram counts, unigram counts, corpus total),
+    then two joins of the (narrow) count frames. Stopword-heavy tokens
+    skew the unigram join key — AQE splits them; the bigram stream
+    itself is keyed on the PAIR, which skews far less. Returns
+    (tok_a, tok_b, n_pair, n_a, n_b, lift), ``n_pair >= min_count``.
+    """
+    toked = docs.select(tokens(F.col(text_col)).alias("__toks"))
+    n_tok = F.size(F.col("__toks"))
+    bigrams = (
+        toked.filter(n_tok >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_tok - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__toks"), i).alias("tok_a"),
+                        F.element_at(F.col("__toks"), i + 1).alias("tok_b"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.tok_a", "bg.tok_b")
+    )
+    pair_counts = (
+        bigrams.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    unigrams = toked.select(F.explode(F.col("__toks")).alias("tok"))
+    uni_counts = unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = unigrams.agg(F.count(F.lit(1)).alias("n_total"))
+    ua = uni_counts.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    ub = uni_counts.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    # Cast BEFORE multiplying: at corpus scale n_pair·n_total overflows
+    # int64 (10^9 · 10^13); double multiply rounds once, identically in
+    # both engines.
+    lift = (
+        F.col("n_pair").cast("double") * F.col("n_total").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        pair_counts.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok_a", "tok_b", "n_pair", "n_a", "n_b",
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries (queries + DuckDB oracles)
 # --------------------------------------------------------------------------
@@ -448,6 +519,10 @@ def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_collocations(_load_documents(spark, sf_dir))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "text_oov_ratio": q_oov_ratio,
@@ -460,6 +535,7 @@ def entry_queries() -> dict[str, Callable]:
         "text_pii_scrub": q_pii_scrub,
         "text_normalize_nfc": q_normalize_nfc,
         "text_strip_markup": q_strip_markup,
+        "text_collocations": q_collocations,
     }
 
 
@@ -612,5 +688,36 @@ def entry_oracles() -> dict[str, str]:
                         '{MARKUP_TAG}', ' ', 'g'), '{WS_RUN}', ' ', 'g'))
                        AS text_clean
             FROM documents
+        """,
+        # Lift, not PMI: integer products + one double division are
+        # bit-identical across engines; ln is not.
+        "text_collocations": f"""
+            WITH toked AS (SELECT {toks} AS tk FROM documents),
+            bg AS (
+                SELECT u.a AS tok_a, u.b AS tok_b FROM (
+                    SELECT unnest(list_transform(range(1, len(tk)),
+                        i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS u
+                    FROM toked WHERE len(tk) >= 2
+                )
+            ),
+            pair_counts AS (
+                SELECT tok_a, tok_b, COUNT(*) AS n_pair FROM bg
+                GROUP BY tok_a, tok_b HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+            ),
+            uni AS (
+                SELECT u AS tok, COUNT(*) AS n FROM (
+                    SELECT unnest(tk) AS u FROM toked
+                ) GROUP BY u
+            ),
+            total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM uni)
+            SELECT p.tok_a, p.tok_b, p.n_pair,
+                   ua.n AS n_a, ub.n AS n_b,
+                   ROUND(CAST(p.n_pair AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                         / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)),
+                         6) AS lift
+            FROM pair_counts p
+            JOIN uni ua ON p.tok_a = ua.tok
+            JOIN uni ub ON p.tok_b = ub.tok
+            CROSS JOIN total t
         """,
     }

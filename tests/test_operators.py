@@ -143,6 +143,34 @@ def test_strip_markup_matches_duckdb_on_html(spark, ddb):
     assert vals[4] == ""
 
 
+def test_collocations_planted_phrase(spark, ddb):
+    """A planted phrase ('new york' always adjacent) scores high lift;
+    a pair of independently-frequent tokens scores ~1; sub-threshold
+    pairs are absent. Differential vs the DuckDB oracle on the same
+    synthetic corpus."""
+    rows = []
+    for i in range(10):
+        # 'new york' appears once per doc; 'the'/'cat' frequent but
+        # (mostly) not adjacent.
+        rows.append((i, "new york " + "the x cat y " * 5 + "the cat"))
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.bigram_collocations(sdf)
+    ddb.execute("CREATE OR REPLACE TABLE colloc_probe(doc_id BIGINT, text VARCHAR)")
+    ddb.executemany("INSERT INTO colloc_probe VALUES (?, ?)", rows)
+    sql = text.entry_oracles()["text_collocations"].replace(
+        "FROM documents", "FROM colloc_probe"
+    )
+    assert_matches_duckdb(got, ddb, sql)
+    vals = {(r.tok_a, r.tok_b): r for r in got.collect()}
+    ny = vals[("new", "york")]
+    assert ny.n_pair == 10 and ny.n_a == 10 and ny.n_b == 10
+    assert ny.lift > 5  # always adjacent -> lift = N / 10 >> 1
+    tc = vals[("the", "cat")]
+    assert tc.n_pair == 10  # one adjacent 'the cat' per doc
+    assert tc.lift < 1.0    # frequent tokens, rarely adjacent
+    assert ("x", "the") not in vals or vals[("x", "the")].n_pair >= 5
+
+
 def test_repetition_flags_synthetic_extremes(spark):
     rows = [
         (1, "spam " * 50),                       # one token repeated

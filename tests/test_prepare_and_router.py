@@ -333,7 +333,12 @@ def test_router_lineitem_pricing_rollup(spark, catalog, tmp_path):
 
 def test_cli_prepare_and_run(spark, tmp_path):
     """python -m query_planner_optimizer_spark prepare/run, in-process:
-    the reference user's two-phase workflow end to end."""
+    the reference user's two-phase workflow end to end.
+
+    The CLI's Catalog registers temp views (real CLI runs own their
+    session); in this SHARED test session those views clobber the
+    driver-testdata views other test modules registered — drop them
+    afterwards so test order cannot change results."""
     import query_planner_optimizer_spark.__main__ as cli
 
     root = tmp_path
@@ -342,29 +347,33 @@ def test_cli_prepare_and_run(spark, tmp_path):
     opt = str(root / "optimized")
     out = str(root / "results")
 
-    assert cli.main(["prepare", "--data-dir", csv_path,
-                     "--optimized-dir", opt]) == 0
-    assert cli.main(["run", "--optimized-dir", opt, "--out-dir", out]) == 0
-    import csv as _csv
-    for i in range(1, 6):
-        path = f"{out}/q{i}.csv"
-        with open(path) as f:
-            rows = list(_csv.reader(f))
-        assert len(rows) >= 1, path  # header always present
-    # q1 (daily revenue) must have data rows on the synthetic corpus.
-    with open(f"{out}/q1.csv") as f:
-        assert len(list(_csv.reader(f))) > 1
+    try:
+        assert cli.main(["prepare", "--data-dir", csv_path,
+                         "--optimized-dir", opt]) == 0
+        assert cli.main(["run", "--optimized-dir", opt,
+                         "--out-dir", out]) == 0
+        import csv as _csv
+        for i in range(1, 6):
+            path = f"{out}/q{i}.csv"
+            with open(path) as f:
+                rows = list(_csv.reader(f))
+            assert len(rows) >= 1, path  # header always present
+        # q1 (daily revenue) must have data rows on the synthetic corpus.
+        with open(f"{out}/q1.csv") as f:
+            assert len(list(_csv.reader(f))) > 1
 
-    # --queries-file override path.
-    import json
-    qf = str(root / "queries.json")
-    with open(qf, "w") as f:
-        json.dump([BENCHMARK_QUERIES[0]], f)
-    out2 = str(root / "results2")
-    assert cli.main(["run", "--optimized-dir", opt, "--out-dir", out2,
-                     "--queries-file", qf]) == 0
-    with open(f"{out2}/q1.csv") as f:
-        assert len(list(_csv.reader(f))) > 1
+        # --queries-file override path.
+        import json
+        qf = str(root / "queries.json")
+        with open(qf, "w") as f:
+            json.dump([BENCHMARK_QUERIES[0]], f)
+        out2 = str(root / "results2")
+        assert cli.main(["run", "--optimized-dir", opt, "--out-dir", out2,
+                         "--queries-file", qf]) == 0
+        with open(f"{out2}/q1.csv") as f:
+            assert len(list(_csv.reader(f))) > 1
+    finally:
+        spark.catalog.dropTempView("events")
 
 
 def test_compact_small_files(spark, catalog, tmp_path):

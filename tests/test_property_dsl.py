@@ -12,10 +12,22 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 from query_planner_optimizer_spark.dsl.assembler import assemble_sql
 from query_planner_optimizer_spark.dsl.compiler import compile_query
 
 from .conftest import normalize
+
+
+@pytest.fixture(autouse=True)
+def _fresh_views(catalog):
+    """The spark.sql() twin resolves table names through session temp
+    views; RE-register the driver-testdata views before every test so a
+    foreign Catalog elsewhere in the suite (the CLI end-to-end test
+    registers an ad-events `events` view) can never leave this module
+    pointed at the wrong dataset."""
+    catalog.register_all()
 
 PLAIN_COLS = ["event_id", "user_id", "event_type", "value", "day", "minute"]
 GROUP_COLS = ["event_type", "day", "minute", "user_id"]
