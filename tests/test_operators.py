@@ -667,6 +667,37 @@ def test_mixture_sample_epoch_semantics(spark):
     assert len(other) == n_other
 
 
+def test_new_operators_empty_and_edge_inputs(spark):
+    """Degenerate inputs must not throw: empty corpora, all-boilerplate
+    documents, sub-threshold collocations, empty join sides."""
+    from query_planner_optimizer_spark.functions.skew import salted_join
+    from query_planner_optimizer_spark.operators import docpipe
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert docpipe.line_dedup(empty_docs).count() == 0
+    assert docpipe.line_dedup(empty_docs, line_tokens=3).count() == 0
+    assert text.bigram_collocations(empty_docs).count() == 0
+    # one-token docs produce no bigrams; single doc -> no pair clears
+    # the min_count bar either
+    tiny = spark.createDataFrame([(1, "solo"), (2, "a b")],
+                                 "doc_id long, text string")
+    assert text.bigram_collocations(tiny).count() == 0
+    # every line boilerplate -> clean_text becomes '' but rows survive
+    boiler_docs = spark.createDataFrame(
+        [(i, "same line") for i in range(4)], "doc_id long, text string"
+    )
+    out = docpipe.line_dedup(boiler_docs, max_doc_freq=2).collect()
+    assert len(out) == 4
+    assert all(r.clean_text == "" and r.n_lines_removed == 1 for r in out)
+    # salted join with an empty dim/fact side
+    fact = spark.createDataFrame([(1, 10)], "k long, payload long")
+    empty_dim = spark.createDataFrame([], "k long, attr string")
+    assert salted_join(fact, empty_dim, "k", hot_keys=[1]).count() == 0
+    empty_fact = spark.createDataFrame([], "k long, payload long")
+    dim = spark.createDataFrame([(1, "d")], "k long, attr string")
+    assert salted_join(empty_fact, dim, "k").count() == 0
+
+
 def test_line_dedup_newline_mode(spark):
     """Real-corpus mode: a boilerplate line planted in 3 documents is
     removed everywhere (df > 2); unique lines survive; reassembly
