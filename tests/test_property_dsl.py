@@ -313,3 +313,96 @@ def test_setop_compiler_equals_duckdb(q, spark, catalog, ddb):
         normalize(got), normalize(want),
         check_dtype=False, check_exact=False, rtol=1e-6,
     )
+
+
+# ---- operator property tests vs pure-python references -------------------
+
+@st.composite
+def skewed_tables(draw):
+    """Random fact/dim pair with adjustable skew: one key may hold up
+    to ~90% of fact rows; dims may miss keys; facts may carry NULLs."""
+    n_keys = draw(st.integers(2, 8))
+    hot = draw(st.integers(0, n_keys - 1))
+    hot_rows = draw(st.integers(0, 60))
+    cold_rows = draw(st.integers(0, 20))
+    fact = [(hot, 1000 + i) for i in range(hot_rows)]
+    fact += [
+        (draw(st.integers(0, n_keys - 1)), 2000 + i)
+        for i in range(cold_rows)
+    ]
+    if draw(st.booleans()):
+        fact.append((None, 9999))
+    dim_keys = draw(
+        st.sets(st.integers(0, n_keys), min_size=0, max_size=n_keys + 1)
+    )
+    dim = [(k, f"d{k}") for k in sorted(dim_keys)]
+    return fact, dim
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(t=skewed_tables())
+def test_salted_join_equals_plain_join_property(t, spark):
+    """salted_join ≡ the plain inner join for ANY key distribution,
+    including empty sides, missing dim keys and NULL fact keys."""
+    from query_planner_optimizer_spark.functions.skew import salted_join
+
+    fact_rows, dim_rows = t
+    fact = spark.createDataFrame(fact_rows, "k long, payload long") \
+        if fact_rows else spark.createDataFrame([], "k long, payload long")
+    dim = spark.createDataFrame(dim_rows, "k long, attr string") \
+        if dim_rows else spark.createDataFrame([], "k long, attr string")
+    got = sorted(
+        (r.k, r.payload, r.attr)
+        for r in salted_join(fact, dim, "k", salt_buckets=3,
+                             share_threshold=0.3).collect()
+    )
+    want = sorted(
+        (r.k, r.payload, r.attr)
+        for r in fact.join(dim, "k", "inner").collect()
+    )
+    assert got == want
+
+
+@st.composite
+def line_corpora(draw):
+    """Random newline documents over a tiny line alphabet so cross-doc
+    repeats actually happen."""
+    lines = ["alpha", "beta", "gamma", "delta", "common footer"]
+    docs = []
+    for i in range(draw(st.integers(1, 6))):
+        k = draw(st.integers(1, 5))
+        body = [draw(st.sampled_from(lines)) for _ in range(k)]
+        docs.append((i, "\n".join(body)))
+    maxdf = draw(st.integers(1, 4))
+    return docs, maxdf
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(c=line_corpora())
+def test_line_dedup_equals_python_reference(c, spark):
+    """line_dedup ≡ a direct python implementation of the C4 rule on
+    random corpora (doc-frequency counting, strict-greater removal,
+    order-preserving reassembly, per-doc counts)."""
+    from collections import defaultdict
+
+    from query_planner_optimizer_spark.operators import docpipe
+
+    docs, maxdf = c
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_removed)
+        for r in docpipe.line_dedup(df, max_doc_freq=maxdf).collect()
+    }
+    doc_freq: dict[str, set] = defaultdict(set)
+    for did, body in docs:
+        for line in body.split("\n"):
+            doc_freq[line].add(did)
+    want = {}
+    for did, body in docs:
+        kept = [ln for ln in body.split("\n")
+                if len(doc_freq[ln]) <= maxdf]
+        removed = len(body.split("\n")) - len(kept)
+        want[did] = ("\n".join(kept), len(kept), removed)
+    assert got == want
