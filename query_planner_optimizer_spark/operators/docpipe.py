@@ -278,11 +278,12 @@ def line_dedup(
     doc-frequency aggregation shuffles (16-byte hash, doc_id) pairs —
     never line text. The removal set (df > threshold) is a tiny
     fraction of distinct lines in practice (boilerplate is by
-    definition repeated), so it broadcast-joins back against the line
-    stream; the only full-width shuffle is the per-document reassembly
-    groupBy, which is keyed on doc_id and bounded by document size.
-    Hot boilerplate lines are therefore never a join-skew hazard: they
-    live on the broadcast side.
+    definition repeated), and AQE elects a broadcast join for it at
+    runtime from the materialized shuffle stats — deliberately NOT a
+    forced ``F.broadcast`` so a degenerate everything-repeated corpus
+    degrades to a shuffle join instead of an executor OOM. The only
+    full-width shuffle is the per-document reassembly groupBy, keyed on
+    doc_id and bounded by document size.
     """
     if line_tokens is not None:
         toked = docs.select(
@@ -321,8 +322,14 @@ def line_dedup(
         .filter(F.col("df") > max_doc_freq)
         .select("h")
     )
+    # No FORCED broadcast: the removal set is tiny on real corpora
+    # (boilerplate is a small fraction of distinct lines) and AQE
+    # converts the join to broadcast at runtime from the materialized
+    # shuffle stats — but a degenerate corpus (everything repeated)
+    # can make it huge, and a forced broadcast would OOM executors
+    # where the runtime-elected shuffle join just works.
     flagged = hashed.join(
-        F.broadcast(removal.withColumn("__hot", F.lit(True))), "h", "left"
+        removal.withColumn("__hot", F.lit(True)), "h", "left"
     ).withColumn("keep", F.col("__hot").isNull())
     kept_struct = F.when(
         F.col("keep"), F.struct(F.col("idx"), F.col("line"))
