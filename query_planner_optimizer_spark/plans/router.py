@@ -17,10 +17,12 @@ against the rollup's grain; a query routes to a rollup iff:
   both, ``prepare.py:190-195``);
 - MIN/MAX never route (not losslessly re-aggregable from these grains).
 
-If several rollups qualify, the one with the fewest rows (coarsest
-grain ⇒ fewest grouping keys) wins. Otherwise the caller falls back to
-the base-table scan — a wrong-rollup route is impossible by
-construction, not by enumerating shapes.
+If several rollups qualify, the SMALLEST wins — by actual row count
+read from the parquet footers (cost-based; the fewest-keys proxy
+misorders grains whose coarser key set contains a higher-cardinality
+key). Otherwise the caller falls back to the base-table scan — a
+wrong-rollup route is impossible by construction, not by enumerating
+shapes.
 
 Scale: this is a logical-plan-level rewrite (the same altitude as the
 reference's router); the rollups are typically 10^3-10^6 rows where the
@@ -60,8 +62,11 @@ class RollupRouter:
                 self.keys[name] = list(spec)
                 self.tables[name] = "events"
         self._frames: dict[str, DataFrame] = {}
+        self._rowcounts: dict[str, int] = {}
         self.routed = 0
         self.fallbacks = 0
+        #: name of the rollup chosen by the most recent route() call
+        self.last_rollup: str | None = None
 
     def _frame(self, name: str) -> DataFrame:
         if name not in self._frames:
@@ -80,6 +85,27 @@ class RollupRouter:
             n for n in self.keys
             if os.path.exists(os.path.join(self.dir, f"{n}.parquet"))
         ]
+
+    def _rowcount(self, name: str) -> int:
+        """Rollup size from parquet FOOTER metadata — no Spark job, no
+        sidecar stats file to drift after refresh_rollups (footers are
+        always current). Cached per router instance."""
+        if name in self._rowcounts:
+            return self._rowcounts[name]
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.dir, f"{name}.parquet")
+        total = 0
+        if os.path.isdir(path):
+            for f in os.listdir(path):
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(
+                        os.path.join(path, f)
+                    ).num_rows
+        else:
+            total = pq.read_metadata(path).num_rows
+        self._rowcounts[name] = total
+        return total
 
     # -- subsumption ------------------------------------------------------
 
@@ -217,15 +243,23 @@ class RollupRouter:
                 if fname == "COUNT":
                     count_like.add(out_name)
             if ok:
+                # COST-BASED choice: actual rollup row count (from the
+                # parquet footer) first — the fewest-grouping-keys proxy
+                # is wrong whenever a coarser-keyed grain has a
+                # higher-cardinality key (e.g. minute vs (day, type)).
+                # Key count and name only break exact-size ties, keeping
+                # the choice deterministic.
                 candidates.append(
-                    (len(self.keys[name]), name, measures, count_like)
+                    (self._rowcount(name), len(self.keys[name]), name,
+                     measures, count_like)
                 )
         if not candidates:
             self.fallbacks += 1
             return None
-        _, name, measures, count_like = min(
-            candidates, key=lambda c: (c[0], c[1])
+        _, _, name, measures, count_like = min(
+            candidates, key=lambda c: (c[0], c[1], c[2])
         )
+        self.last_rollup = name
 
         df = self._frame(name)
         # Filters apply on rollup grouping keys — legal because every

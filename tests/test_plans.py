@@ -171,6 +171,48 @@ def test_router_caches_rollup_frames(spark, tmp_path):
     assert "InMemoryTableScan" in plan
 
 
+def test_router_cost_based_rollup_choice(spark, tmp_path):
+    """When several rollups qualify, the router must pick the SMALLEST
+    by actual row count — planted so the fewest-grouping-keys proxy
+    picks the wrong one (1-key grain on a high-cardinality id is 50x
+    bigger than the 2-key grain on low-cardinality columns)."""
+    from pyspark.sql import functions as F
+
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    events = spark.range(1000).selectExpr(
+        "id AS event_id",                       # 1000 distinct
+        "CAST(id % 2 AS STRING) AS event_type",  # 2 distinct
+        "CAST(id % 5 AS STRING) AS country",     # 5 distinct
+        "CAST(id AS DOUBLE) AS value",
+    )
+    rollups = {
+        "agg_by_id": {"keys": ["event_id"],
+                      "aggs": {"value": ["sum", "count"]}},       # 1000 rows
+        "agg_type_country": {"keys": ["event_type", "country"],
+                             "aggs": {"value": ["sum", "count"]}},  # 10 rows
+    }
+    agg_dir = str(tmp_path / "aggs")
+    build_rollups(events, agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    # Ungrouped COUNT qualifies for BOTH grains (no plain columns).
+    q = {"select": [{"COUNT": "*", "as": "n"}], "from": "events"}
+    out = router.route(q)
+    assert out is not None
+    assert router.last_rollup == "agg_type_country"  # 10 rows beats 1000
+    assert out.collect()[0]["n"] == 1000
+    # A query referencing event_type can ONLY use the matching grain.
+    q2 = {"select": ["event_type", {"COUNT": "*", "as": "n"}],
+          "from": "events", "group_by": ["event_type"]}
+    assert router.route(q2) is not None
+    assert router.last_rollup == "agg_type_country"
+    base = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    got = {r.event_type: r.n for r in router.route(q2).collect()}
+    want = {r.event_type: r.n for r in base.collect()}
+    assert got == want
+
+
 def test_similarity_plans_avoid_cross_products(spark):
     """LSH bucket joins must be hash equi-joins: a CartesianProduct or
     BroadcastNestedLoopJoin in these plans means the bucket key stopped
