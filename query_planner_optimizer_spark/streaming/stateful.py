@@ -179,6 +179,132 @@ def funnel_stream(
 
 
 # --------------------------------------------------------------------------
+# Heavy hitters (space-saving sketch): approximate per-group top-k item
+# frequencies with bounded state — the streaming answer to "top users /
+# domains / tokens right now" when the item domain is unbounded.
+# --------------------------------------------------------------------------
+
+#: Sketch capacity: counters kept per group. With capacity >= distinct
+#: items the sketch is EXACT (no eviction ever fires) — the driver-entry
+#: regime; under-capacity regimes carry the classic space-saving bound
+#: (true <= est <= true + max_err, max_err <= N/capacity).
+HH_CAPACITY = 65536
+HH_K = 10
+
+HH_OUTPUT_SCHEMA = (
+    "grp string, item bigint, est_count bigint, max_err bigint, rank int"
+)
+HH_STATE_SCHEMA = (
+    "items array<bigint>, counts array<bigint>, errs array<bigint>"
+)
+
+
+def _ss_merge(
+    counter: dict[int, list[int]], batch_counts: pd.Series, capacity: int
+) -> None:
+    """Merge a batch's per-item counts into a space-saving counter dict
+    (item -> [count, err]) — the mergeable-summaries formulation: an
+    unseen item under a full counter evicts the current minimum and
+    inherits its count as overestimation error."""
+    for item, c in batch_counts.items():
+        ent = counter.get(item)
+        if ent is not None:
+            ent[0] += int(c)
+        elif len(counter) < capacity:
+            counter[item] = [int(c), 0]
+        else:
+            evict = min(counter, key=lambda i: (counter[i][0], i))
+            m = counter[evict][0]
+            del counter[evict]
+            counter[item] = [m + int(c), m]
+
+
+def _ss_topk(grp: Any, counter: dict[int, list[int]], k: int) -> pd.DataFrame:
+    top = sorted(counter.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    return pd.DataFrame(
+        {
+            "grp": [grp] * len(top),
+            "item": [i for i, _ in top],
+            "est_count": [ce[0] for _, ce in top],
+            "max_err": [ce[1] for _, ce in top],
+            "rank": pd.Series(range(1, len(top) + 1), dtype="int32"),
+        }
+    )
+
+
+def heavy_hitters_batch(
+    events: DataFrame,
+    group_col: str = "event_type",
+    item_col: str = "user_id",
+    k: int = HH_K,
+    capacity: int = HH_CAPACITY,
+) -> DataFrame:
+    """Batch twin of the streaming sketch: one shuffle on the group,
+    whole history as a single batch — with ``capacity >= distinct
+    items`` the result is the EXACT top-k (count desc, item asc), which
+    is what the SQL oracle states."""
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        counter: dict[int, list[int]] = {}
+        _ss_merge(counter, pdf[item_col].value_counts(), capacity)
+        return _ss_topk(key[0], counter, k)
+
+    return (
+        events.select(group_col, item_col)
+        .groupBy(group_col)
+        .applyInPandas(run, schema=HH_OUTPUT_SCHEMA)
+    )
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    item_col: str = "user_id",
+    k: int = HH_K,
+    capacity: int = HH_CAPACITY,
+) -> DataFrame:
+    """Streaming heavy hitters via ``applyInPandasWithState``: the
+    counter arrays persist per group across micro-batches; each batch
+    emits that group's current top-k snapshot (update mode). State is
+    bounded by ``capacity`` counters per group REGARDLESS of the item
+    domain's cardinality — the whole point of the sketch at stream
+    scale. In the exact regime the final snapshot equals
+    :func:`heavy_hitters_batch` (pinned in tests, any batch split)."""
+
+    def run(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errs = state.get
+            counter = {
+                int(i): [int(c), int(e)]
+                for i, c, e in zip(items, counts, errs)
+            }
+        else:
+            counter = {}
+        for pdf in pdfs:
+            _ss_merge(counter, pdf[item_col].value_counts(), capacity)
+        state.update((
+            list(counter.keys()),
+            [ce[0] for ce in counter.values()],
+            [ce[1] for ce in counter.values()],
+        ))
+        yield _ss_topk(key[0], counter, k)
+
+    return (
+        events.select(group_col, item_col)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            run,
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver entry — the batch twin, with the chained min-join SQL oracle.
 # --------------------------------------------------------------------------
 
@@ -189,8 +315,18 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_batch(events)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    # Exact regime (capacity >> distinct users): the oracle states the
+    # exact top-k; the under-capacity sketch is bound-tested in pytest.
+    return heavy_hitters_batch(events)
+
+
 def entry_queries():
-    return {"stream_funnel": q_funnel}
+    return {"stream_funnel": q_funnel,
+            "stream_heavy_hitters": q_heavy_hitters}
 
 
 def entry_oracles() -> dict[str, str]:
@@ -223,4 +359,16 @@ def entry_oracles() -> dict[str, str]:
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
     """
-    return {"stream_funnel": funnel}
+    hh = f"""
+        SELECT grp, item, est_count, CAST(0 AS BIGINT) AS max_err, rank
+        FROM (
+            SELECT event_type AS grp, user_id AS item,
+                   COUNT(*) AS est_count,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY COUNT(*) DESC, user_id ASC) AS INTEGER)
+                       AS rank
+            FROM events GROUP BY event_type, user_id
+        ) WHERE rank <= {HH_K}
+    """
+    return {"stream_funnel": funnel, "stream_heavy_hitters": hh}
