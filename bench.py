@@ -73,6 +73,7 @@ OPERATOR_HEADLINE = [
     "analytics_pivot_day_by_type",
     "dsl_join_salted",
     "pipeline_line_dedup",
+    "stream_heavy_hitters",
 ]
 
 
