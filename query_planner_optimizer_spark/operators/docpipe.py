@@ -160,6 +160,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     budget: int = PACK_BUDGET,
     shards: int = PACK_SHARDS,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Greedy context-window packing: assign documents to fixed
     token-budget packs for training-sequence assembly.
@@ -173,24 +174,31 @@ def pack_sequences(
     split; splitting at the boundary is a downstream choice this layout
     leaves open via pack_offset). Each shard's window sorts
     independently → shards-way parallel, one shuffle. Returns
-    (doc_id, shard, pack_id, pack_offset); pack_offset is the
-    document's token start within its pack.
+    (doc_id, [group_cols...,] shard, pack_id, pack_offset); pack_offset
+    is the document's token start within its pack.
+
+    ``group_cols`` packs WITHIN groups (e.g. per language/source): a
+    pack never mixes documents across groups — the standard discipline
+    for monolingual training sequences. Each (group, shard) packs
+    independently, so group count multiplies parallelism, not cost.
     """
     from query_planner_optimizer_spark.operators.sampling import hash_bucket
 
+    gcols = list(group_cols)
     shard = (hash_bucket(F.col(id_col)) % shards).alias("shard")
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*gcols, "shard")
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_shard = docs.select(id_col, token_col, shard)
+    with_shard = docs.select(id_col, token_col, *gcols, shard)
     cum = F.sum(token_col).over(w)
     pre = (cum - F.col(token_col)).alias("__pre")
     return (
         with_shard.withColumn("__pre", pre)
         .select(
             id_col,
+            *gcols,
             "shard",
             F.floor(F.col("__pre") / budget).cast("int").alias("pack_id"),
             (F.col("__pre") % budget).cast("int").alias("pack_offset"),

@@ -565,6 +565,36 @@ def test_pack_sequences_budget_properties(spark, catalog):
         assert all(b >= a for a, b in zip(ids, ids[1:]))
 
 
+def test_pack_sequences_grouped_never_mixes_groups(spark, catalog):
+    """group_cols packing: a (group, shard, pack_id) pack holds exactly
+    one group's documents, and within each group the packing equals the
+    ungrouped algorithm applied to that group alone."""
+    from query_planner_optimizer_spark.operators import docpipe, text
+
+    docs = text.with_token_count(catalog.table("documents"))
+    grouped = docpipe.pack_sequences(docs, group_cols=("lang",))
+    rows = grouped.collect()
+    assert {r.lang for r in rows} == {
+        r.lang for r in docs.select("lang").distinct().collect()
+    }
+    langs = sorted({r.lang for r in rows})
+    got_by_lang = {
+        lg: sorted(
+            (r.doc_id, r.shard, r.pack_id, r.pack_offset)
+            for r in rows if r.lang == lg
+        )
+        for lg in langs
+    }
+    for lg in langs:
+        solo = sorted(
+            (r.doc_id, r.shard, r.pack_id, r.pack_offset)
+            for r in docpipe.pack_sequences(
+                docs.filter(F.col("lang") == lg)
+            ).collect()
+        )
+        assert got_by_lang[lg] == solo
+
+
 def test_top_quality_fraction_matches_oracle_no_window(spark, ddb):
     from query_planner_optimizer_spark.operators import docpipe
 
