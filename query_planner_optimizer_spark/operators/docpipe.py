@@ -386,6 +386,12 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monolingual packing: packs never mix languages."""
+    docs = T.with_token_count(T._load_documents(spark, sf_dir))
+    return pack_sequences(docs, group_cols=("lang",))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "pipeline_clean_corpus": q_clean_corpus,
@@ -394,6 +400,7 @@ def entry_queries() -> dict[str, Callable]:
         "pipeline_top_quality": q_top_quality,
         "pipeline_token_budget": q_token_budget,
         "pipeline_line_dedup": q_line_dedup,
+        "pipeline_pack_grouped": q_pack_grouped,
     }
 
 
@@ -527,8 +534,28 @@ def entry_oracles() -> dict[str, str]:
                    AS n_lines_removed
         FROM flagged GROUP BY doc_id
     """
+    pack_grouped = f"""
+        WITH counted AS (
+            SELECT doc_id, lang, len({toks}) AS n_tokens,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000 % {PACK_SHARDS} AS shard
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, lang, shard, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY lang, shard
+                       ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS pre
+            FROM counted
+        )
+        SELECT doc_id, lang, shard,
+               CAST(pre // {PACK_BUDGET} AS INTEGER) AS pack_id,
+               CAST(pre % {PACK_BUDGET} AS INTEGER) AS pack_offset
+        FROM cum
+    """
     return {"pipeline_clean_corpus": sql, "pipeline_pack_sequences": pack,
             "pipeline_chunk_documents": chunk,
             "pipeline_top_quality": top_quality,
             "pipeline_token_budget": token_budget,
-            "pipeline_line_dedup": line_dd}
+            "pipeline_line_dedup": line_dd,
+            "pipeline_pack_grouped": pack_grouped}
