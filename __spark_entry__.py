@@ -907,13 +907,15 @@ _PANEL = [
     "dsl_tpch_q6_forecast_revenue",
     "dsl_window_rank_running",
     "dsl_scalar_subquery_above_avg",
-    "dsl_median_value",
-    "dsl_count_distinct_users",
-    "dsl_union_segments",
-    "dsl_intersect_segments",
-    "dsl_except_segments",
-    "dsl_distinct_pairs",
-    "dsl_groupby_stddev_var",
+    # new in r4 — no driver evidence yet, outranks re-showing r2-green
+    # entries (those keep their r2 rows and rotate back in r5)
+    "pipeline_line_dedup",
+    "text_normalize_nfc",
+    "text_strip_markup",
+    "text_collocations",
+    "dedup_cc_star",
+    "stream_heavy_hitters",
+    "pipeline_pack_grouped",
 ]
 
 
