@@ -209,12 +209,28 @@ def connected_components(
             break
         prev_sum = new_sum
     if not converged:
-        raise RuntimeError(
-            f"connected_components(method='propagation') did not converge "
-            f"in {max_iter} rounds — the graph's diameter exceeds the "
-            f"round budget; use method='star' (O(log n) rounds) or raise "
-            f"max_iter"
+        # Fixpoint detection needs one no-change round BEYOND the
+        # diameter: a graph whose diameter exactly equals max_iter has
+        # correct labels after the loop but hasn't yet proven it. Run
+        # one final change-check before declaring failure, so max_iter
+        # is a bound on propagation rounds, not diameter+1.
+        neighbor = und.join(labels, "n").select(
+            F.col("m").alias("n"), "label"
         )
+        final_sum = (
+            labels.unionByName(neighbor)
+            .groupBy("n")
+            .agg(F.min("label").alias("label"))
+            .agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+            .collect()[0]["s"]
+        )
+        if final_sum != prev_sum:
+            raise RuntimeError(
+                f"connected_components(method='propagation') did not "
+                f"converge in {max_iter} rounds — the graph's diameter "
+                f"exceeds the round budget; use method='star' (O(log n) "
+                f"rounds) or raise max_iter"
+            )
     return labels.select(F.col("n").alias(vid), F.col("label").alias("cluster_id"))
 
 

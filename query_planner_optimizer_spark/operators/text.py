@@ -273,9 +273,14 @@ def with_normalized_text(
 
 
 #: Markup-strip patterns (portable: identical semantics in Java regex
-#: and RE2 — character classes and + quantifiers only).
+#: and RE2 — character classes and + quantifiers only). The whitespace
+#: run is an EXPLICIT class, not ``\s+``: Java's ``\s`` matches vertical
+#: tab U+000B while RE2's does not, so the escape-sugar spelling would
+#: diverge between the engine and the DuckDB oracle on a document
+#: containing ``\x0B``. Both regex dialects read the ``\t\n\x0B\f\r``
+#: escapes below identically, making the set equal by construction.
 MARKUP_TAG = "<[^>]*>"
-WS_RUN = "\\s+"
+WS_RUN = "[ \\t\\n\\x0B\\f\\r]+"
 
 
 def strip_markup(

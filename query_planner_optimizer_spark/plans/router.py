@@ -67,6 +67,28 @@ class RollupRouter:
         self.fallbacks = 0
         #: name of the rollup chosen by the most recent route() call
         self.last_rollup: str | None = None
+        # Heal any crash-interrupted refresh_rollups swap before the
+        # first _available() scan, so a stranded ``.refresh_old`` aside
+        # is renamed back instead of the rollup silently vanishing.
+        from query_planner_optimizer_spark.prepare import recover_rollup_swap
+
+        for name in self.keys:
+            recover_rollup_swap(os.path.join(self.dir, f"{name}.parquet"))
+
+    def invalidate(self) -> None:
+        """Drop cached rollup frames and memoized footer row counts.
+
+        ``_frame`` caches each rollup DataFrame and ``_rowcount`` its
+        footer count for the router's lifetime — correct while the
+        rollup files are immutable, which ``refresh_rollups`` breaks (it
+        REPLACES the files; a router that outlives a refresh would pin
+        stale data, and a partially-materialized cache could hit
+        FileNotFound on recompute). Call this (or build a new router)
+        after any refresh of the same directory."""
+        for df in self._frames.values():
+            df.unpersist()
+        self._frames.clear()
+        self._rowcounts.clear()
 
     def _frame(self, name: str) -> DataFrame:
         if name not in self._frames:
@@ -76,6 +98,8 @@ class RollupRouter:
             # mirrors the reference's eager aggregate-table cache
             # (query_engine.py:526-532). Materialization is lazy (first
             # routed query pays it), so constructing a router is free.
+            # INVARIANT: cached frames assume the files don't change;
+            # after refresh_rollups call invalidate() (or rebuild).
             df = df.cache()
             self._frames[name] = df
         return self._frames[name]

@@ -208,6 +208,7 @@ def refresh_rollups(
         keys = [k for k in spec["keys"] if k in src.columns]
         delta = rollup_frame(src, keys, spec["aggs"])
         path = os.path.join(agg_dir, f"{name}.parquet")
+        recover_rollup_swap(path)
         if not os.path.exists(path):
             delta.write.mode("overwrite").parquet(path)
             refreshed.append(name)
@@ -221,18 +222,51 @@ def refresh_rollups(
         )
         tmp = path + ".refresh_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        # Crash-safe swap: move the old rollup ASIDE (rename, atomic on
-        # one filesystem), rename the new one into place, then delete
-        # the aside copy. A crash at any point leaves either the old or
-        # the new rollup at ``path`` — never a window with neither.
+        # Crash-loss-free swap: move the old rollup ASIDE (rename, atomic
+        # on one filesystem), rename the new one into place, then delete
+        # the aside copy. The OLD DATA always survives a crash — at
+        # ``path`` or at ``aside`` — though a crash between the two
+        # renames leaves ``path`` itself briefly absent;
+        # ``recover_rollup_swap`` (run here, by RollupRouter.__init__,
+        # and available to any startup path) renames a stranded aside
+        # back so the rollup is never silently dropped.
         aside = path + ".refresh_old"
-        if os.path.exists(aside):
-            shutil.rmtree(aside, ignore_errors=True)
+        if os.path.lexists(aside):
+            # A stale aside may be a dir (normal), or a plain file /
+            # symlink (e.g. a partial manual copy) — rmtree silently
+            # no-ops on non-dirs, which would make the rename below fail.
+            if os.path.isdir(aside) and not os.path.islink(aside):
+                shutil.rmtree(aside)
+            else:
+                os.remove(aside)
         os.rename(path, aside)
         os.rename(tmp, path)
         shutil.rmtree(aside, ignore_errors=True)
         refreshed.append(name)
     return refreshed
+
+
+def recover_rollup_swap(path: str) -> bool:
+    """Recover from a crash mid-``refresh_rollups`` swap: if the rollup
+    at ``path`` is missing but its ``.refresh_old`` aside exists, rename
+    the aside back into place (the old data always survives the swap;
+    this puts it back where readers look). Returns True if a recovery
+    happened. Leftover ``.refresh_tmp`` dirs are torn down — they may be
+    partially written and are rebuilt by the next refresh anyway."""
+    import shutil
+
+    aside = path + ".refresh_old"
+    tmp = path + ".refresh_tmp"
+    recovered = False
+    if not os.path.exists(path) and os.path.exists(aside):
+        os.rename(aside, path)
+        recovered = True
+    if os.path.lexists(tmp):
+        if os.path.isdir(tmp) and not os.path.islink(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            os.remove(tmp)
+    return recovered
 
 
 def bucketize(

@@ -32,6 +32,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: Default funnel over the driver's events table (TESTDATA.md types).
@@ -321,6 +322,24 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     # Exact regime (capacity >> distinct users): the oracle states the
     # exact top-k; the under-capacity sketch is bound-tested in pytest.
+    # The oracle is only VALID in that regime — if a regenerated driver
+    # corpus ever crosses capacity, eviction fires and the entry would
+    # silently flip to a wrong-answer hash mismatch. Assert the regime
+    # up front so a violation surfaces as a loud setup error instead
+    # (sf0.1 today: ~1.5k distinct users/group vs 65,536 — 43× headroom).
+    worst = (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()[0]
+    )
+    if worst is not None and worst >= HH_CAPACITY:
+        raise RuntimeError(
+            f"stream_heavy_hitters oracle regime violated: a group has "
+            f"{worst} distinct items >= capacity {HH_CAPACITY}; the "
+            f"space-saving sketch would evict and the exact-top-k oracle "
+            f"no longer applies. Raise HH_CAPACITY for the driver entry."
+        )
     return heavy_hitters_batch(events)
 
 

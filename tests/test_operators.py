@@ -796,3 +796,21 @@ def test_token_budget_selection(spark, ddb):
         cum += r.n_tokens
         expect.append(r.doc_id)
     assert sorted(r.doc_id for r in rows) == sorted(expect)
+
+
+def test_connected_components_diameter_equals_max_iter(spark):
+    """A 6-node path (diameter 5) with max_iter=5: labels settle in
+    exactly 5 propagation rounds; the post-loop change-check proves the
+    fixpoint without a 6th budgeted round (previously this raised even
+    though the labels were already correct)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"]
+    )
+    verts = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(
+            edges, verts, max_iter=5
+        ).collect()
+    }
+    assert len(got) == 6 and set(got.values()) == {0}

@@ -491,3 +491,80 @@ def test_incremental_refresh_bit_identical_to_rebuild(spark, tmp_path):
     w = {tuple(str(r[k]) for k in key): (r.n_rows, r.sum_value, r.count_value)
          for r in want.collect()}
     assert g == w  # decimal partials → exact equality, not approx
+
+
+def test_refresh_swap_recovery_and_file_typed_aside(spark, tmp_path):
+    """Crash-recovery invariants of the refresh swap: (1) a stranded
+    ``.refresh_old`` aside with the main path missing is renamed back by
+    recover_rollup_swap (and by RollupRouter.__init__), so a crash
+    between the two renames never silently drops the rollup; (2) a
+    stale aside that is a plain FILE (not a dir) is removed, not
+    rmtree-no-op'd, so the next swap's rename cannot collide."""
+    import os
+    import shutil
+
+    from .conftest import SF_DIR
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import (
+        build_rollups,
+        recover_rollup_swap,
+        refresh_rollups,
+    )
+
+    events = Catalog(spark, SF_DIR, register_views=False).table("events")
+    spec = {"agg_day_etype": {"keys": ["day", "event_type"],
+                              "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "agg")
+    build_rollups(events, agg_dir, spec)
+    path = os.path.join(agg_dir, "agg_day_etype.parquet")
+
+    # (1) Simulate a crash after rename(path, aside): path gone, aside holds
+    # the old data. Recovery must put it back.
+    os.rename(path, path + ".refresh_old")
+    assert recover_rollup_swap(path) is True
+    assert os.path.exists(path) and not os.path.exists(path + ".refresh_old")
+
+    # Same crash state healed implicitly by router construction.
+    os.rename(path, path + ".refresh_old")
+    router = RollupRouter(spark, agg_dir, spec)
+    assert os.path.exists(path)
+    assert router.route({"select": ["day", {"SUM": "value", "as": "s",
+                                            "round": 6}],
+                         "from": "events", "group_by": ["day"]}) is not None
+
+    # (2) A file-typed stale aside must not break the next refresh swap.
+    with open(path + ".refresh_old", "w") as fh:
+        fh.write("stale non-directory aside")
+    refresh_rollups(spark, events.limit(100), agg_dir, spec)
+    assert os.path.isdir(path)  # swap completed
+    assert not os.path.exists(path + ".refresh_old")
+    shutil.rmtree(agg_dir)
+
+
+def test_router_invalidate_after_refresh(spark, tmp_path):
+    """A router that outlives refresh_rollups pins cached frames/counts;
+    invalidate() drops both so the next route sees the refreshed data."""
+    from .conftest import SF_DIR
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import (
+        build_rollups,
+        refresh_rollups,
+    )
+
+    events = Catalog(spark, SF_DIR, register_views=False).table("events")
+    days = sorted(r.day for r in events.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    spec = {"agg_day_etype": {"keys": ["day", "event_type"],
+                              "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "agg")
+    build_rollups(events.filter(F.col("day") <= F.lit(cut)), agg_dir, spec)
+
+    q = {"select": [{"COUNT": "*", "as": "cnt"}], "from": "events"}
+    router = RollupRouter(spark, agg_dir, spec)
+    before = router.route(q).collect()[0]["cnt"]
+
+    refresh_rollups(spark, events.filter(F.col("day") > F.lit(cut)),
+                    agg_dir, spec)
+    router.invalidate()
+    after = router.route(q).collect()[0]["cnt"]
+    assert before < after == events.count()

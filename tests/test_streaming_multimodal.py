@@ -570,3 +570,15 @@ def test_streaming_dedup_checkpoint_recovery(spark, tmp_path):
     expect = events.select("event_id").distinct().count()
     assert uniq == expect          # every event represented
     assert total == expect         # and none twice — dupes dropped on restart
+
+
+def test_heavy_hitters_entry_asserts_exact_regime(spark, monkeypatch):
+    """q_heavy_hitters raises LOUDLY when any group's distinct-item
+    count reaches capacity (the exact-top-k oracle stops applying once
+    the sketch evicts) — a regenerated, larger driver corpus must fail
+    the entry's setup check, never silently hash-mismatch."""
+    from query_planner_optimizer_spark.streaming import stateful
+
+    monkeypatch.setattr(stateful, "HH_CAPACITY", 3)
+    with pytest.raises(RuntimeError, match="regime violated"):
+        stateful.q_heavy_hitters(spark, SF_DIR)
