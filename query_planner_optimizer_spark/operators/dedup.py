@@ -402,24 +402,26 @@ def _minhash_sig(hs: Column, k: int, portable: bool = False) -> Column:
 
     ``portable``: seeded hash = md5("<i>:" + shingle_md5), min taken
     lexicographically over the hex strings — identical in Spark and
-    DuckDB (byte-wise collation over ASCII hex)."""
-    if portable:
-        return F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        hs,
-                        lambda h, i=i: F.md5(F.concat(F.lit(f"{i}:"), h)),
-                    )
-                ).alias(f"h{i}")
-                for i in range(k)
-            ]
-        )
+    DuckDB (byte-wise collation over ASCII hex).
+
+    The per-seed lambda is built by a closure FACTORY, never the
+    ``lambda h, i=i:`` default-arg idiom: PySpark decides a
+    higher-order-function lambda's arity from its Python signature, so
+    a two-parameter lambda becomes a BINARY ``(element, index)``
+    Catalyst lambda — the default is shadowed by the array-index
+    variable and the seed silently degenerates (every sig row hashes
+    with its element's position, or with the stringified index column).
+    Caught by the bucket-cap entry's signature-level oracle; the
+    verified-pair outputs had masked it."""
+
+    def seeded(i: int):
+        if portable:
+            return lambda h: F.md5(F.concat(F.lit(f"{i}:"), h))
+        return lambda h: F.xxhash64(F.lit(i), h)
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(hs, lambda h, i=i: F.xxhash64(F.lit(i), h))
-            ).alias(f"h{i}")
+            F.array_min(F.transform(hs, seeded(i))).alias(f"h{i}")
             for i in range(k)
         ]
     )
@@ -448,6 +450,7 @@ def minhash_lsh_pairs(
     verify: bool = True,
     persist_shingles: bool = True,
     portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, optionally verified by exact Jaccard.
 
@@ -462,6 +465,18 @@ def minhash_lsh_pairs(
     verification) so the result is engine-reproducible and the driver
     entry carries a full DuckDB oracle; xxhash64 remains the default for
     throughput (8-byte longs vs 32-char hex through the shuffle).
+
+    ``max_bucket_size``: the standard hot-bucket drop. A degenerate
+    band — every empty document shares one signature; boilerplate
+    shingle sets collide — produces a bucket of m docs and m² candidate
+    pairs, the quadratic blowup LSH exists to avoid. Buckets larger
+    than the cap are dropped BEFORE the self-join (bucket sizes are one
+    partial aggregation on the banded frame; the drop is a left-semi
+    equi-join, so the plan stays pure equi-joins). Near-dup pairs
+    inside a dropped bucket still surface through their OTHER bands
+    (probability 1-(1-s^r)^(b-1) instead of 1-(1-s^r)^b); exact-empty
+    degenerate groups are better handled by the exact-dedup pass that
+    precedes LSH in any real pipeline. None (default) disables.
     """
     r = k // bands
     # The per-doc shingle-hash arrays feed signature computation AND
@@ -503,6 +518,14 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(band_arrays).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
     )
+    if max_bucket_size is not None:
+        keep = (
+            banded.groupBy("band", "bsig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bsig")
+        )
+        banded = banded.join(keep, ["band", "bsig"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -760,6 +783,21 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              portable=True)
 
 
+#: Hot-bucket cap for the guarded driver entry — 2 is DISCRIMINATING at
+#: sf0.01 (the corpus produces a handful of size-3 band buckets, so the
+#: capped result genuinely differs from the uncapped one and the hash
+#: compare proves the drop logic, not just its absence).
+MINHASH_BUCKET_CAP = 2
+
+
+def q_minhash_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The hot-bucket-drop path (degenerate-band guard), oracle-replayed:
+    # DuckDB applies the identical cap before its candidate self-join.
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2,
+                             portable=True,
+                             max_bucket_size=MINHASH_BUCKET_CAP)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable 60-bit md5-derived hash family → DuckDB rebuilds the
     # identical signatures/banding, making this entry hash-checked.
@@ -830,6 +868,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_exact": q_exact_dedup,
         "dedup_ngram_jaccard": q_jaccard_pairs,
         "dedup_minhash_lsh": q_minhash_lsh,  # portable md5 family, full oracle
+        "dedup_minhash_bucket_cap": q_minhash_bucket_cap,  # hot-bucket drop
         "dedup_simhash": q_simhash,  # portable 60-bit family, full oracle
         # Quality gates for the two rows-only paths above — hash-checked
         # (the pair counts are recomputed by the oracle in SQL).
@@ -858,12 +897,15 @@ def _minhash_lsh_oracle(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     threshold: float = 0.2,
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB replay of the PORTABLE MinHash-LSH path: same md5 shingle
     hashes, same k lexicographic-min signature rows, same '|'-joined
     band keys, same banded candidate join, same exact-Jaccard
     verification — a full differential oracle for an approximate
-    algorithm, possible because the hash family is engine-portable."""
+    algorithm, possible because the hash family is engine-portable.
+    ``max_bucket_size`` replays the engine's hot-bucket drop (buckets
+    over the cap excluded before the candidate self-join)."""
     r = k // bands
     sig_items = ",\n                ".join(
         f"list_min(list_transform(hs, h -> md5('{i}:' || h)))"
@@ -889,11 +931,17 @@ def _minhash_lsh_oracle(
                 {sig_items}
             ] AS sig FROM hs0
         ),
-        banded AS (
+        banded0 AS (
             SELECT doc_id, u.band AS band, u.bsig AS bsig
             FROM (SELECT doc_id, unnest([
                 {band_items}
             ]) AS u FROM sig)
+        ),
+        banded AS (
+            SELECT banded0.* FROM banded0
+            {"JOIN (SELECT band, bsig FROM banded0 GROUP BY band, bsig"
+             f" HAVING COUNT(*) <= {max_bucket_size}) __k USING (band, bsig)"
+             if max_bucket_size is not None else ""}
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1081,6 +1129,8 @@ def entry_oracles() -> dict[str, str]:
     """
     return {"dedup_exact": exact, "dedup_ngram_jaccard": jaccard,
             "dedup_minhash_lsh": _minhash_lsh_oracle(),
+            "dedup_minhash_bucket_cap": _minhash_lsh_oracle(
+                max_bucket_size=MINHASH_BUCKET_CAP),
             "dedup_simhash": _simhash_oracle(),
             "dedup_minhash_quality": minhash_q,
             "dedup_simhash_quality": simhash_q,

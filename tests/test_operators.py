@@ -814,3 +814,36 @@ def test_connected_components_diameter_equals_max_iter(spark):
         ).collect()
     }
     assert len(got) == 6 and set(got.values()) == {0}
+
+
+def test_minhash_hot_bucket_drop(spark):
+    """Degenerate corpus: 40 identical (empty-ish) documents all land in
+    ONE bucket per band — 780 candidate pairs from a single hot bucket.
+    With max_bucket_size the hot buckets are dropped (no pairs from the
+    degenerate group), normal near-dup pairs in the same corpus survive
+    via their own small buckets, and the plan stays pure equi-joins
+    (no CartesianProduct/BroadcastNestedLoop)."""
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "with considerable enthusiasm every single morning")
+    rows = [(i, "boiler plate") for i in range(40)]          # degenerate
+    rows += [(100, base), (101, base)]                        # true near-dup
+    rows += [(200 + i, f"unique text number {i} " + " ".join(
+        f"w{i}x{j}" for j in range(12))) for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(4)
+
+    uncapped = dedup.minhash_lsh_pairs(docs, threshold=0.2)
+    capped_df = dedup.minhash_lsh_pairs(docs, threshold=0.2,
+                                        max_bucket_size=8)
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+    un = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    cap = {(r.doc_a, r.doc_b) for r in capped_df.collect()}
+    # Uncapped: the degenerate group contributes 40*39/2 pairs.
+    assert sum(1 for a, b in un if a < 40 and b < 40) == 780
+    # Capped: every degenerate-bucket pair is gone...
+    assert not any(a < 40 and b < 40 for a, b in cap)
+    # ...while the genuine near-dup pair survives (its buckets are small).
+    assert (100, 101) in cap
+    assert cap <= un
