@@ -94,8 +94,15 @@ def top_quality_fraction(
 TOKEN_BUDGET = 12_000
 
 
+#: Max documents per (quality-level, salt) window partition — a
+#: doc_id-range bucket, so the bound holds by construction even when
+#: every document in the corpus shares ONE exact score.
+LEVEL_SALT_WIDTH = 65536
+
+
 def select_token_budget(
-    docs: DataFrame, budget: int = TOKEN_BUDGET
+    docs: DataFrame, budget: int = TOKEN_BUDGET,
+    salt_width: int = LEVEL_SALT_WIDTH,
 ) -> DataFrame:
     """Global best-first corpus selection under a token budget: take
     documents in (quality desc, doc_id asc) order until the cumulative
@@ -110,20 +117,28 @@ def select_token_budget(
        ≤ 1e6 distinct levels regardless of corpus size), cumulated by a
        window over the LEVELS — a corpus-size-independent frame — and
        broadcast back;
-    2. a within-level cumsum windowed by (level, doc_id); levels are a
-       continuous score, so partitions stay small (skew note: a corpus
-       where most docs share one exact score would concentrate — salt
-       the level key by doc_id ranges in that case).
+    2. a within-level cumsum SALTED by doc_id range: the window
+       partitions on (level, salt) where ``salt = doc_id DIV
+       salt_width`` — truncating division is monotone non-decreasing in
+       doc_id, so (level, salt asc, doc_id asc) is exactly (level,
+       doc_id asc) and no partition can hold more than ``salt_width``
+       documents BY CONSTRUCTION, even on the adversarial corpus where
+       every document shares one exact score (the concentration hazard
+       the unsalted form documented). Bridging the salt buckets costs
+       one more bounded aggregation: per-(level, salt) totals, cumulated
+       by a window over the salt buckets WITHIN each level (aggregated
+       rows only — ≤ id-range/salt_width per level).
 
-    global_cum(doc) = level_cum_before + within-level_cum, so the filter
-    reproduces the single-window semantics exactly; ``cum_tokens`` is
-    emitted for auditability. Oracle: one ANSI cumulative window.
+    global_cum(doc) = level_cum_before + salt_cum_before +
+    within-salt_cum, so the filter reproduces the single-window
+    semantics exactly; ``cum_tokens`` is emitted for auditability.
+    Oracle: one ANSI cumulative window.
     """
     scored = T.with_quality_score(docs).select(
         "doc_id",
         F.round("quality_score", 6).alias("quality_score"),
         "n_tokens",
-    )
+    ).withColumn("__salt", F.expr(f"doc_id DIV {int(salt_width)}"))
     lvl = scored.groupBy("quality_score").agg(
         F.sum("n_tokens").alias("__lvl_tokens")
     )
@@ -137,13 +152,36 @@ def select_token_budget(
             "__cum_before"
         ),
     )
-    wd = (
+    # Salt-bucket bridge: per-(level, salt) totals, cumulated across the
+    # salt buckets of each level. The window runs over AGGREGATED rows
+    # (one per bucket), never documents.
+    ws = (
         Window.partitionBy("quality_score")
+        .orderBy(F.col("__salt").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    buckets = (
+        scored.groupBy("quality_score", "__salt")
+        .agg(F.sum("n_tokens").alias("__bucket_tokens"))
+        .select(
+            "quality_score", "__salt",
+            (F.sum("__bucket_tokens").over(ws)
+             - F.col("__bucket_tokens")).alias("__salt_cum_before"),
+        )
+    )
+    wd = (
+        Window.partitionBy("quality_score", "__salt")
         .orderBy(F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = scored.join(F.broadcast(lvl), "quality_score").withColumn(
-        "cum_tokens", F.col("__cum_before") + F.sum("n_tokens").over(wd)
+    out = (
+        scored.join(F.broadcast(lvl), "quality_score")
+        .join(buckets, ["quality_score", "__salt"])
+        .withColumn(
+            "cum_tokens",
+            F.col("__cum_before") + F.col("__salt_cum_before")
+            + F.sum("n_tokens").over(wd),
+        )
     )
     return out.filter(F.col("cum_tokens") <= budget).select(
         "doc_id", "quality_score", "n_tokens", "cum_tokens"

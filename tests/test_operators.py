@@ -847,3 +847,42 @@ def test_minhash_hot_bucket_drop(spark):
     # ...while the genuine near-dup pair survives (its buckets are small).
     assert (100, 101) in cap
     assert cap <= un
+
+
+def test_token_budget_salted_constant_score(spark):
+    """Adversarial corpus: every document has the SAME quality score (one
+    level holds the whole corpus — the concentration hazard). With a
+    small salt_width the within-level window splits into doc_id-range
+    buckets (each <= salt_width rows by construction) and the selection
+    still equals the naive single-window prefix sum."""
+    from query_planner_optimizer_spark.operators import docpipe
+
+    # identical text -> identical quality score (and token count: six
+    # whitespace tokens, re-derived by with_quality_score) across docs
+    rows = [(i, "alpha beta gamma delta epsilon zeta", 6) for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "n_tokens"]).coalesce(4)
+
+    budget = 6 * 57 + 3          # cuts mid-corpus, not on a doc boundary
+    got = docpipe.select_token_budget(docs, budget=budget, salt_width=16)
+    res = {r.doc_id: r.cum_tokens for r in got.collect()}
+    # naive reference: same score everywhere -> order is doc_id asc
+    want = {}
+    cum = 0
+    for i in range(200):
+        cum += 6
+        if cum <= budget:
+            want[i] = cum
+    assert res == want                     # exact single-window semantics
+    assert len(res) == 57
+
+    # partition bound holds by construction: no (level, salt) bucket
+    # exceeds salt_width documents
+    from pyspark.sql import functions as F
+    from query_planner_optimizer_spark.operators import text as T
+
+    scored = T.with_quality_score(docs).select(
+        "doc_id", F.round("quality_score", 6).alias("q"))
+    mx = (scored.withColumn("s", F.expr("doc_id DIV 16"))
+          .groupBy("q", "s").count()
+          .agg(F.max("count")).collect()[0][0])
+    assert mx <= 16
