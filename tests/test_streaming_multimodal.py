@@ -582,3 +582,84 @@ def test_heavy_hitters_entry_asserts_exact_regime(spark, monkeypatch):
     monkeypatch.setattr(stateful, "HH_CAPACITY", 3)
     with pytest.raises(RuntimeError, match="regime violated"):
         stateful.q_heavy_hitters(spark, SF_DIR)
+
+
+def test_streaming_heavy_hitters_late_data(spark, tmp_path_factory):
+    """Late-arrival semantics pinned: heavy_hitters_stream runs with
+    NO event-time watermark (GroupStateTimeout.NoTimeout) — counters
+    are event-time-agnostic, so a batch of LATE rows (old timestamps
+    arriving after newer data) is merged exactly like on-time rows,
+    never dropped. The final snapshot equals the batch twin over the
+    full history INCLUDING the late file; eviction remains purely
+    capacity-driven (asserted under capacity pressure on a late chunk
+    re-carrying the planted heavy item)."""
+    import pandas as _pd
+
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.functions.timeexpr import epoch_micros
+    from query_planner_optimizer_spark.streaming import stateful
+    from query_planner_optimizer_spark.streaming.stateful import (
+        _ss_merge,
+        _ss_topk,
+    )
+
+    d = str(tmp_path_factory.mktemp("events_stream_late"))
+    events = Catalog(spark, SF_DIR, register_views=False).table("events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ts_us = epoch_micros("ts")
+    cuts = events.select(
+        F.percentile_approx(ts_us, [0.25, 0.5], 10000).alias("q")
+    ).collect()[0]["q"]
+    q25, q50 = cuts
+    # file 1: (q25, q50]; file 2: (q50, inf) — then file 3 replays the
+    # OLDEST quartile: maximally late, behind everything already seen.
+    events.filter((ts_us > q25) & (ts_us <= q50)).coalesce(1).write.mode(
+        "append").parquet(d)
+    events.filter(ts_us > q50).coalesce(1).write.mode("append").parquet(d)
+    events.filter(ts_us <= q25).coalesce(1).write.mode("append").parquet(d)
+
+    src = (
+        spark.readStream.schema(windows.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stateful.heavy_hitters_stream(src)
+        .writeStream.format("memory")
+        .queryName("hh_late_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM hh_late_test").toPandas()
+    final = emitted.groupby(["grp", "rank"]).tail(1)
+    batch = stateful.heavy_hitters_batch(spark.read.parquet(d)).toPandas()
+    key = ["grp", "rank", "item", "est_count", "max_err"]
+    pd.testing.assert_frame_equal(
+        final[key].sort_values(["grp", "rank"]).reset_index(drop=True),
+        batch[key].sort_values(["grp", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # Capacity pressure + late chunk: the heavy item planted EARLY and
+    # re-arriving LATE keeps an exact count (never evicted while heavy),
+    # and the space-saving bounds hold for every reported item.
+    rng = __import__("random").Random(11)
+    early_heavy = [1] * 300
+    noise = [rng.randrange(100, 3000) for _ in range(900)]
+    late_heavy = [1] * 200           # the "late" replay of item 1
+    true: dict[int, int] = {}
+    counter: dict[int, list[int]] = {}
+    for chunk in (early_heavy, noise, late_heavy):
+        for x in chunk:
+            true[x] = true.get(x, 0) + 1
+        _ss_merge(counter, _pd.Series(chunk).value_counts(), capacity=64)
+    assert len(counter) <= 64
+    top = _ss_topk("g", counter, 5)
+    assert top.iloc[0]["item"] == 1
+    assert top.iloc[0]["est_count"] == 500 and top.iloc[0]["max_err"] == 0
+    for _, r in top.iterrows():
+        t = true.get(r["item"], 0)
+        assert r["est_count"] - r["max_err"] <= t <= r["est_count"]
