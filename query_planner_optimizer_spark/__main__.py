@@ -83,7 +83,8 @@ def cmd_prepare(args: argparse.Namespace) -> int:
     from query_planner_optimizer_spark.prepare import prepare
 
     spark = _spark("qpo-spark-prepare")
-    result = prepare(spark, args.data_dir, args.optimized_dir)
+    result = prepare(spark, args.data_dir, args.optimized_dir,
+                     profile="fast" if args.fast else "default")
     print(f"partitioned: {result.partitioned_dir}")
     print(f"aggregates:  {result.aggregates_dir} "
           f"({len(result.rollups)} rollups: {', '.join(result.rollups)})")
@@ -138,6 +139,10 @@ def main(argv: list[str] | None = None) -> int:
     pp = sub.add_parser("prepare", help="CSV events → partitioned parquet + rollups")
     pp.add_argument("--data-dir", required=True,
                     help="directory of events_part_*.csv (reference layout)")
+    pp.add_argument("--fast", action="store_true",
+                    help="speed profile (reference prepare_ultra_fast "
+                         "parity): zstd level 1, larger row groups, "
+                         "essential rollups only")
     pp.add_argument("--optimized-dir", required=True,
                     help="output dir (partitioned/ + aggregates/)")
     pp.set_defaults(fn=cmd_prepare)

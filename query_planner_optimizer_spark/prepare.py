@@ -98,6 +98,39 @@ def rollup_frame(events: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
     return events.groupBy(*keys).agg(*exprs)
 
 
+#: Prepare speed profiles — CLI parity with the reference's three
+#: prepare scripts. ``default`` mirrors ``prepare.py``/
+#: ``prepare_optimized.py`` (zstd level 3, every rollup); ``fast``
+#: mirrors ``prepare_ultra_fast.py:98-106``: zstd level 1 (minimal
+#: compression, max write speed), larger row groups, and ONLY the three
+#: "essential" rollups (daily revenue → agg_day_type, country purchases
+#: → agg_country_type, advertiser-type counts → agg_advertiser_type;
+#: the publisher-day and minute grains are skipped and those queries
+#: scan partitions — reference ``prepare_ultra_fast.py:115-126``).
+#: In Spark both knobs are parquet-mr write options, not worker-pool
+#: machinery: the distributed write already replaces all of that.
+PREPARE_PROFILES: dict[str, dict] = {
+    "default": {"zstd_level": None, "rollup_subset": None,
+                "row_group_bytes": None},
+    "fast": {"zstd_level": 1,
+             "rollup_subset": ["agg_day_type", "agg_country_type",
+                               "agg_advertiser_type"],
+             "row_group_bytes": 256 * 1024 * 1024},
+}
+
+
+def _profile_writer(writer, prof: dict):
+    """Apply a profile's parquet-mr options to a DataFrameWriter (write
+    options pass through to the Hadoop conf of the write job)."""
+    if prof.get("zstd_level") is not None:
+        writer = writer.option("parquet.compression.codec.zstd.level",
+                               str(prof["zstd_level"]))
+    if prof.get("row_group_bytes") is not None:
+        writer = writer.option("parquet.block.size",
+                               str(prof["row_group_bytes"]))
+    return writer
+
+
 #: Rollup grains for the driver testdata's events table (ts/event_type/
 #: value) — lets bench.py reproduce the reference's post-prepare query
 #: timings (BASELINE.md measures queries against pre-built aggregates).
@@ -135,15 +168,21 @@ def build_rollups(
     agg_dir: str,
     rollups: dict[str, dict] | None = None,
     tables: dict[str, DataFrame] | None = None,
+    profile: str = "default",
 ) -> list[str]:
     """Materialize rollup tables for :class:`plans.router.RollupRouter`.
 
     ``events`` sources specs without a ``table`` field; specs naming
     another table resolve through ``tables`` and are skipped (not
-    mis-built) when it isn't provided."""
+    mis-built) when it isn't provided. ``profile`` selects a
+    :data:`PREPARE_PROFILES` entry (codec level / rollup subset)."""
+    prof = PREPARE_PROFILES[profile]
     rollups = rollups or ROLLUPS
+    subset = prof.get("rollup_subset")
     written = []
     for name, spec in rollups.items():
+        if subset is not None and name not in subset:
+            continue
         t = spec.get("table", "events")
         if t == "events":
             src = events
@@ -152,9 +191,11 @@ def build_rollups(
         else:
             continue
         keys = [k for k in spec["keys"] if k in src.columns]
-        rollup_frame(src, keys, spec["aggs"]).write.mode("overwrite").parquet(
-            os.path.join(agg_dir, f"{name}.parquet")
+        writer = _profile_writer(
+            rollup_frame(src, keys, spec["aggs"]).write.mode("overwrite"),
+            prof,
         )
+        writer.parquet(os.path.join(agg_dir, f"{name}.parquet"))
         written.append(name)
     return written
 
@@ -379,12 +420,17 @@ def prepare(
     out_dir: str,
     partition_cols: tuple[str, str] = ("type", "day"),
     with_rollups: bool = True,
+    profile: str = "default",
 ) -> PrepareResult:
     """Run the full prepare pipeline.
 
     ``data`` is a CSV glob/path (reference layout) or an existing
-    DataFrame with the raw event schema.
+    DataFrame with the raw event schema. ``profile``: a
+    :data:`PREPARE_PROFILES` key — ``"fast"`` trades compression ratio
+    and rollup coverage for prepare speed (reference
+    ``prepare_ultra_fast.py`` parity).
     """
+    prof = PREPARE_PROFILES[profile]
     if isinstance(data, str):
         raw = read_events_csv(spark, data)
     else:
@@ -396,19 +442,19 @@ def prepare(
 
     # One shuffle keyed on the partition columns → one file per (type,
     # day) dir instead of numPartitions files per dir.
-    (
+    _profile_writer(
         events.repartition(*[F.col(c) for c in partition_cols])
         .write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(part_dir)
-    )
+        .partitionBy(*partition_cols),
+        prof,
+    ).parquet(part_dir)
 
     written = []
     if with_rollups:
         # Re-read the partitioned copy: rollup scans then read zstd
         # parquet (column-pruned), not the raw CSV again.
         prepared = augment_time_columns(spark.read.parquet(part_dir))
-        written = build_rollups(prepared, agg_dir, ROLLUPS)
+        written = build_rollups(prepared, agg_dir, ROLLUPS, profile=profile)
 
         # stats.parquet: key/value dataset stats (reference prepare.py:246-269)
         stats = events.agg(

@@ -568,3 +568,45 @@ def test_router_invalidate_after_refresh(spark, tmp_path):
     router.invalidate()
     after = router.route(q).collect()[0]["cnt"]
     assert before < after == events.count()
+
+
+def test_prepare_fast_profile(spark, prepared, tmp_path):
+    """--fast profile parity (reference prepare_ultra_fast.py): zstd
+    level 1 + bigger row groups + ONLY the three essential rollups.
+    The partitioned data itself is bit-equal in content (compression is
+    codec-level only), level-1 output is measurably larger on disk than
+    the level-3 default, and the router still routes the essential
+    patterns while falling back (loudly, by returning None) on the
+    grains the fast profile skips."""
+    import os
+
+    from query_planner_optimizer_spark.prepare import PREPARE_PROFILES
+
+    out = str(tmp_path / "fast_optimized")
+    res = prepare(spark, prepared["csv"], out, profile="fast")
+
+    # essential-only rollup subset
+    assert sorted(res.rollups) == sorted(
+        PREPARE_PROFILES["fast"]["rollup_subset"])
+
+    def _tree_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    fast_b = _tree_bytes(res.partitioned_dir)
+    default_b = _tree_bytes(prepared["res"].partitioned_dir)
+    # zstd level 1 compresses less than level 3 — proves the codec-level
+    # option reaches parquet-mr (identical rows either way).
+    assert fast_b > default_b
+
+    fast = spark.read.parquet(res.partitioned_dir)
+    dflt = spark.read.parquet(prepared["res"].partitioned_dir)
+    assert fast.count() == dflt.count()
+
+    router = RollupRouter(spark, res.aggregates_dir)
+    routed = router.route(BENCHMARK_QUERIES[0])        # daily revenue
+    assert routed is not None
+    skipped = router.route(BENCHMARK_QUERIES[4])       # minute grain
+    assert skipped is None and router.fallbacks >= 1
