@@ -804,6 +804,38 @@ def _routed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _plan_routed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsl_daily_rollup as RAW SQL TEXT through the Catalyst-plan-level
+    router (plans/catalyst_router.py): spark.sql's analyzed logical plan
+    is pattern-matched and rewritten onto the rollup — no DSL dict in
+    sight — and the answer hash-matches the same raw-scan oracle as
+    dsl_daily_rollup. Proves the SparkSessionExtensions-rule altitude
+    (reference query_engine.py:73-108) end-to-end from plain SQL.
+    Raises if the plan does not route."""
+    import tempfile
+
+    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    events = cat.table("events")
+    # Entry-private view name: never clobbers the shared 'events' view
+    # other entries may have registered against a different frame.
+    events.createOrReplaceTempView("events_plan_route")
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = tempfile.mkdtemp(prefix="qpo_plan_routed_entry_")
+    build_rollups(events, agg_dir, rollups)
+    router = PlanRouter(spark, agg_dir, rollups, view="events_plan_route")
+    df, routed = router.sql(
+        "SELECT day, round(sum(value), 6) AS sum_value "
+        "FROM events_plan_route WHERE event_type = 'click' GROUP BY day"
+    )
+    if not routed:
+        raise RuntimeError(f"expected a plan route: {router.last_reason}")
+    return df
+
+
 def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_daily_rollup through prepare + INCREMENTAL refresh + route:
     build the rollup from the first half of the days, fold the second
@@ -853,69 +885,67 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-4 window: every declared entry that has NEVER had a green
-    # -- driver CORRECTNESS row in rounds 1-3 (r3 VERDICT #1/#2), plus a
-    # -- small regression core over this round's code changes.
-    # never-checked: analytics/window/sampling/pipeline/text tail
-    "analytics_salted_agg",
-    "analytics_cube_counts",          # grouping()-sentinel fix this round
-    "analytics_pivot_day_by_type",
-    "analytics_value_histogram",
-    "analytics_zscore_outliers",
-    "analytics_running_sum",
-    "analytics_lag_delta",
-    "analytics_distinct_users",
-    "text_oov_ratio",
-    "text_token_vocab",
-    "relevance_tfidf",
-    "stream_hourly_rollup",
-    "sample_hash_10pct",
-    "sample_k_per_group",
-    "sample_mixture_weights",
-    "pipeline_top_quality",
-    "pipeline_token_budget",
-    "dedup_embedding_lsh_quality",
-    "dsl_tpch_q12_priority_split",    # new in r3, never driver-checked
-    # never-green rows-only entries (r1 'no_oracle' errs; now carrying
-    # portable-hash oracles where feasible — see operators/*)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "dedup_embedding_cosine_lsh",
-    # new this round
-    "dsl_join_salted",                # skew-salted join vs plain-join oracle
-    # regression core: code paths CHANGED this round must re-prove
-    "dsl_routed_daily_rollup",        # router rounded-SUM dtype + cache
-    "dsl_routed_incremental_rollup",  # refresh_rollups atomic swap
-    "analytics_rollup_counts",        # grouping()-sentinel fix
-    "multimodal_features",            # decode gate (Pillow-optional)
-    "multimodal_frame_pipeline",
-    "dedup_connected_components",     # star-method addition
-    # regression core: r2 failure modes (hash fixes) + flagship shapes
-    "dsl_pricing_summary",            # rounded-SUM flagship
-    "dsl_case_agg",                   # r2 hash-mismatch fix
-    "dsl_tpch_q10_returned_items",    # r2 hash-mismatch fix
-    "dsl_join_revenue_by_nation",     # join + HAVING
-    # oldest-evidence refresh (r1-only green)
-    "text_token_count",
-    "text_fingerprint",
-    # r2-green entries never re-shown since
-    "dsl_tpch_q1_full",
-    "dsl_tpch_q3_shipping_priority",
-    "dsl_tpch_q5_local_supplier_volume",
-    "dsl_tpch_q6_forecast_revenue",
-    "dsl_window_rank_running",
-    "dsl_scalar_subquery_above_avg",
-    # new in r4 — no driver evidence yet, outranks re-showing r2-green
-    # entries (those keep their r2 rows and rotate back in r5)
-    "pipeline_line_dedup",
-    "text_normalize_nfc",
-    "text_strip_markup",
-    "text_collocations",
-    "dedup_cc_star",
-    "stream_heavy_hitters",
-    "pipeline_pack_grouped",
+    # -- round-5 window (r4 VERDICT #1: rotate to the stale-evidence
+    # -- entries). Composition: the 2 entries with NO driver row ever,
+    # -- then all 31 entries whose latest driver-green row is r2, then a
+    # -- regression core over code changed since the r4 snapshot, then
+    # -- the oldest r3-green entries to fill 50. Everything else stays
+    # -- declared and exactcheck-verified below the fold; the remaining
+    # -- r3 entries rotate into the r6 window.
+    # never driver-checked (added below the fold in r3, or new in r5)
+    "dsl_tpch_q4_priority_exists",    # EXISTS-as-semi-join w/ inner filter
+    "dedup_minhash_bucket_cap",       # hot-bucket drop, oracle-replayed cap
+    "dsl_plan_routed_daily_rollup",   # Catalyst-plan-level rollup route
+    # r2-only evidence: the full 31-entry stale set
+    "dsl_filter_eq",
+    "dsl_filter_neq",
+    "dsl_filter_in",
+    "dsl_expr_projection",
+    "dsl_case_projection",
+    "dsl_filter_not_in",
+    "dsl_filter_between",
+    "dsl_filter_range_ops",
+    "dsl_groupby_sum",
+    "dsl_groupby_avg",
+    "dsl_groupby_count_star",
+    "dsl_count_col",
+    "dsl_count_distinct_users",
+    "dsl_intersect_segments",
+    "dsl_except_segments",
+    "dsl_union_segments",
+    "dsl_distinct_pairs",
+    "dsl_groupby_min_max",
+    "dsl_groupby_stddev_var",
+    "dsl_topk_limit",
+    "dsl_having_group_gate",
+    "dsl_daily_rollup",
+    "dsl_weekly_rollup",
+    "dsl_minute_rollup",
+    "dsl_day_in_coercion",
+    "dsl_join_brand_pricing",
+    "dsl_join_tree_having_mix",
+    "dsl_scalar_subquery_small_orders",
+    "dsl_median_value",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    # regression core: code paths changed after the r4 snapshot
+    "dedup_minhash_quality",          # seed-lambda arity fix (xxhash64 path)
+    "pipeline_token_budget",          # doc_id-range salt on level window
+    "stream_heavy_hitters",           # late-data semantics pinned
+    "dsl_routed_incremental_rollup",  # refresh swap recovery
+    "dsl_routed_daily_rollup",        # router invalidate() hook
+    "text_strip_markup",              # portable whitespace class
+    "dedup_connected_components",     # fixpoint extra-round check
+    # oldest r3-green entries, cross-family fill to 50
+    "dsl_filter_gauntlet",
+    "dsl_ungrouped_agg",
+    "dsl_multikey_orderby",
+    "dedup_decontaminate",
+    "sim_cosine_topk",
+    "text_quality_score",
+    "stream_sessionize",
+    "temporal_asof_join",             # r4 tolerance feature, r3 row
+    "pipeline_clean_corpus",
 ]
 
 
@@ -938,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(entry_queries())
     out["dsl_routed_daily_rollup"] = _routed_daily_rollup
     out["dsl_routed_incremental_rollup"] = _routed_incremental_rollup
+    out["dsl_plan_routed_daily_rollup"] = _plan_routed_daily_rollup
     return _panel_order(out)
 
 
@@ -982,4 +1013,5 @@ def oracle_sql() -> dict[str, str]:
     # The routed entries must equal the raw-scan result — same oracle.
     out["dsl_routed_daily_rollup"] = out["dsl_daily_rollup"]
     out["dsl_routed_incremental_rollup"] = out["dsl_daily_rollup"]
+    out["dsl_plan_routed_daily_rollup"] = out["dsl_daily_rollup"]
     return out

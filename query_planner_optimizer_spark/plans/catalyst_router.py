@@ -1,0 +1,358 @@
+"""Catalyst-plan-level rollup routing for arbitrary Spark SQL.
+
+``plans/router.RollupRouter`` rewrites *DSL dicts* onto materialized
+rollups (the altitude of the reference's pattern router,
+``query_engine.py:73-108``). This module lifts the same rewrite to the
+**analyzed Catalyst logical plan**, so a user writing plain
+``spark.sql("SELECT day, count(*) FROM events GROUP BY day")`` — no DSL
+involved — gets the rollup rewrite too.
+
+Why not a real ``SparkSessionExtensions`` rule? Injecting an optimizer
+rule requires a JVM-side (Scala) class on the driver classpath;
+PySpark's py4j bridge cannot register a Python function as a Catalyst
+rule. The Python-reachable equivalent is to pattern-match the SAME tree
+the rule would see — ``df._jdf.queryExecution().analyzed()``, exported
+losslessly by ``TreeNode.toJSON`` — *before* execution, and substitute
+the rewritten DataFrame. The match runs pre-optimization on the
+analyzed plan, exactly where an injected rule would sit, and the
+rewrite itself reuses ``RollupRouter``'s subsumption proof, so the two
+paths can never disagree about routability.
+
+Matching is **subsume-or-refuse** (same contract as the DSL router): a
+plan shape, expression class, or literal type outside the supported
+surface refuses the route (``route_df`` returns None) and the caller
+falls back to executing the original plan — a wrong rewrite is
+impossible by construction. The supported surface:
+
+    [GlobalLimit [LocalLimit]] [Sort] [Project] [Filter(HAVING)]
+      Aggregate
+        [Filter(WHERE)]
+          SubqueryAlias(<view>) ...
+
+- grouping keys: plain column references;
+- aggregates: COUNT(*)/COUNT(col)/SUM(col)/AVG(col), optionally under
+  ROUND(_, k) — routed with the engine's exact-DECIMAL-partial
+  semantics (``router._measure``), so a routed answer is bit-identical
+  to the DSL scan path and its DuckDB oracle;
+- WHERE: and/or/not trees over eq/neq/in/not_in/lt/lte/gt/gte/
+  is_null/is_not_null with literal operands (casts around literals are
+  unwrapped; casts around columns refuse);
+- HAVING: the analyzer plants the having aggregate as an extra
+  Aggregate output and trims it with a Project — both are translated,
+  and the trim is re-applied after routing.
+
+Scale note: this is a logical rewrite — a routed query touches the
+rollup's 10^3-10^6 rows instead of the base table's 10^9-10^12, and
+the refusal path costs one plan-JSON parse (no Spark job).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import date, datetime, timedelta
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from query_planner_optimizer_spark.plans.router import RollupRouter
+
+
+class Unsupported(Exception):
+    """Plan/expression shape outside the routable surface (→ refuse)."""
+
+
+def _cls(node: dict) -> str:
+    return node["class"].rsplit(".", 1)[-1]
+
+
+# -- expression trees -------------------------------------------------------
+# TreeNode.toJSON flattens each expression tree pre-order; a node's
+# named fields (left/right/child/value/list/scale/...) hold CHILD
+# ORDINALS, so a recursive descent over num-children rebuilds the tree.
+
+
+def _build(arr: list[dict]) -> dict:
+    def rec(i: int) -> tuple[dict, int]:
+        node = arr[i]
+        n = int(node.get("num-children", 0))
+        kids = []
+        j = i + 1
+        for _ in range(n):
+            k, j = rec(j)
+            kids.append(k)
+        return {"n": node, "kids": kids}, j
+
+    tree, end = rec(0)
+    if end != len(arr):
+        raise Unsupported(f"dangling expression nodes ({end}/{len(arr)})")
+    return tree
+
+
+def _kid(t: dict, field: str) -> dict:
+    return t["kids"][int(t["n"][field])]
+
+
+def _literal_value(t: dict) -> Any:
+    """Literal → plain Python value in the DSL's spelling (dates and
+    timestamps as strings — the compiler/router coerce them against the
+    target column's type, which is also what makes them pushdownable)."""
+    node = t["n"]
+    if _cls(node) == "Cast":
+        # Cast AROUND a literal only re-types it; the DSL coerces by
+        # column dtype anyway, so the inner value is enough.
+        return _literal_value(_kid(t, "child"))
+    if _cls(node) != "Literal":
+        raise Unsupported(f"non-literal operand: {_cls(node)}")
+    v, dt = node.get("value"), str(node.get("dataType"))
+    if v is None:
+        raise Unsupported("NULL literal in comparison (use is_null)")
+    if dt in ("integer", "long", "short", "byte"):
+        return int(v)
+    if dt in ("double", "float") or dt.startswith("decimal"):
+        return float(v)
+    if dt == "boolean":
+        return v is True or str(v).lower() == "true"
+    if dt == "string":
+        return str(v)
+    if dt == "date":
+        s = str(v)
+        if re.fullmatch(r"-?\d+", s):  # epoch-days form
+            return str(date(1970, 1, 1) + timedelta(days=int(s)))
+        return s
+    if dt.startswith("timestamp"):
+        s = str(v)
+        if re.fullmatch(r"-?\d+", s):  # epoch-micros form
+            ts = datetime(1970, 1, 1) + timedelta(microseconds=int(s))
+            return ts.strftime("%Y-%m-%d %H:%M:%S.%f").rstrip("0").rstrip(".") \
+                if ts.microsecond else ts.strftime("%Y-%m-%d %H:%M:%S")
+        return s
+    raise Unsupported(f"literal type {dt}")
+
+
+def _attr_name(t: dict) -> str:
+    if _cls(t["n"]) != "AttributeReference":
+        raise Unsupported(f"expected column reference, got {_cls(t['n'])}")
+    return t["n"]["name"]
+
+
+_REL_OPS = {
+    "EqualTo": "eq",
+    "LessThan": "lt",
+    "LessThanOrEqual": "lte",
+    "GreaterThan": "gt",
+    "GreaterThanOrEqual": "gte",
+}
+#: op under operand swap (5 < x  ≡  x > 5)
+_FLIP = {"eq": "eq", "neq": "neq", "lt": "gt", "lte": "gte",
+         "gt": "lt", "gte": "lte"}
+
+
+def _cond(t: dict) -> dict:
+    """Expression tree → DSL condition dict (and/or/not trees allowed)."""
+    c = _cls(t["n"])
+    if c == "And":
+        return {"and": [_cond(_kid(t, "left")), _cond(_kid(t, "right"))]}
+    if c == "Or":
+        return {"or": [_cond(_kid(t, "left")), _cond(_kid(t, "right"))]}
+    if c == "Not":
+        inner = t["kids"][0]
+        ic = _cls(inner["n"])
+        if ic == "EqualTo":
+            return _leaf(inner, "neq")
+        if ic == "In":
+            return _in_leaf(inner, "not_in")
+        return {"not": _cond(inner)}
+    if c == "In":
+        return _in_leaf(t, "in")
+    if c == "IsNull":
+        return {"col": _attr_name(t["kids"][0]), "op": "is_null"}
+    if c == "IsNotNull":
+        return {"col": _attr_name(t["kids"][0]), "op": "is_not_null"}
+    if c in _REL_OPS:
+        return _leaf(t, _REL_OPS[c])
+    raise Unsupported(f"filter expression {c}")
+
+
+def _leaf(t: dict, op: str) -> dict:
+    left, right = _kid(t, "left"), _kid(t, "right")
+    if _cls(left["n"]) == "AttributeReference":
+        return {"col": _attr_name(left), "op": op,
+                "val": _literal_value(right)}
+    if _cls(right["n"]) == "AttributeReference":
+        return {"col": _attr_name(right), "op": _FLIP[op],
+                "val": _literal_value(left)}
+    raise Unsupported(f"comparison without a plain column side ({op})")
+
+
+def _in_leaf(t: dict, op: str) -> dict:
+    col = _attr_name(_kid(t, "value"))
+    vals = [_literal_value(t["kids"][int(i)]) for i in t["n"]["list"]]
+    return {"col": col, "op": op, "val": vals}
+
+
+_AGG_FNS = {"Count": "COUNT", "Sum": "SUM", "Average": "AVG",
+            "Min": "MIN", "Max": "MAX"}
+
+
+def _agg_term(t: dict, alias: str) -> dict:
+    """Alias child (AggregateExpression, possibly under Round) → DSL
+    aggregate term."""
+    round_to = None
+    if _cls(t["n"]) == "Round":
+        round_to = _literal_value(_kid(t, "scale"))
+        t = _kid(t, "child")
+    if _cls(t["n"]) != "AggregateExpression":
+        raise Unsupported(f"projection expression {_cls(t['n'])}")
+    if t["n"].get("isDistinct"):
+        raise Unsupported("DISTINCT aggregate")
+    fn = _kid(t, "aggregateFunction")
+    fname = _AGG_FNS.get(_cls(fn["n"]))
+    if fname is None:
+        raise Unsupported(f"aggregate function {_cls(fn['n'])}")
+    if len(fn["kids"]) != 1:
+        raise Unsupported(f"{fname} with {len(fn['kids'])} arguments")
+    arg = fn["kids"][0]
+    if fname == "COUNT" and _cls(arg["n"]) == "Literal":
+        col = "*"
+    else:
+        col = _attr_name(arg)
+    term: dict = {fname: col, "as": alias}
+    if round_to is not None:
+        term["round"] = int(round_to)
+    return term
+
+
+# -- plan walk --------------------------------------------------------------
+
+
+def translate_plan(
+    nodes: list[dict], view: str, table: str = "events"
+) -> tuple[dict, list[str] | None]:
+    """Analyzed-plan JSON → (DSL query dict, post-route projection).
+
+    Raises :class:`Unsupported` on any shape outside the routable
+    surface. The projection (or None) re-trims analyzer-planted HAVING
+    aggregates after routing.
+    """
+    i = 0
+    q: dict = {"from": table}
+    proj: list[str] | None = None
+
+    def cls_at(j: int) -> str:
+        return _cls(nodes[j]) if j < len(nodes) else ""
+
+    # NB: single-expression fields (condition, limitExpr) serialize as
+    # one flat node array; Seq fields (groupingExpressions, order, ...)
+    # as a list of flat arrays.
+    if cls_at(i) == "GlobalLimit":
+        q["limit"] = int(_literal_value(_build(nodes[i]["limitExpr"])))
+        i += 1
+        if cls_at(i) == "LocalLimit":
+            i += 1
+    if cls_at(i) == "Sort":
+        order = []
+        for so in nodes[i]["order"]:
+            tree = _build(so)
+            if _cls(tree["n"]) != "SortOrder":
+                raise Unsupported("non-SortOrder in Sort")
+            direction = ("desc" if "Descending"
+                         in tree["n"]["direction"]["object"] else "asc")
+            nulls = tree["n"]["nullOrdering"]["object"]
+            default = "NullsFirst" if direction == "asc" else "NullsLast"
+            if default not in nulls:
+                raise Unsupported("non-default NULLS ordering")
+            order.append({"col": _attr_name(tree["kids"][0]),
+                          "dir": direction})
+        q["order_by"] = order
+        i += 1
+    if cls_at(i) == "Project":
+        # Analyzer-planted trim of internal HAVING aggregates; only a
+        # pure column-reference projection is that shape.
+        proj = [_attr_name(_build(p)) for p in nodes[i]["projectList"]]
+        i += 1
+    if cls_at(i) == "Filter" and cls_at(i + 1) == "Aggregate":
+        having = _cond(_build(nodes[i]["condition"]))
+        q["having"] = having["and"] if set(having) == {"and"} else [having]
+        i += 1
+    if cls_at(i) != "Aggregate":
+        raise Unsupported(f"expected Aggregate, found {cls_at(i)}")
+    agg = nodes[i]
+    i += 1
+
+    group_by = [_attr_name(_build(g)) for g in agg["groupingExpressions"]]
+    select: list = []
+    for ae in agg["aggregateExpressions"]:
+        tree = _build(ae)
+        c = _cls(tree["n"])
+        if c == "AttributeReference":
+            select.append(_attr_name(tree))
+        elif c == "Alias":
+            name = tree["n"]["name"]
+            child = tree["kids"][0]
+            if _cls(child["n"]) == "AttributeReference":
+                if _attr_name(child) != name:
+                    raise Unsupported(f"renamed grouping column {name}")
+                select.append(name)
+            else:
+                select.append(_agg_term(child, name))
+        else:
+            raise Unsupported(f"aggregate output {c}")
+    q["select"] = select
+    if group_by:
+        q["group_by"] = group_by
+
+    if cls_at(i) == "Filter":
+        where = _cond(_build(nodes[i]["condition"]))
+        q["where"] = where["and"] if set(where) == {"and"} else [where]
+        i += 1
+    if cls_at(i) != "SubqueryAlias":
+        raise Unsupported(f"expected source view, found {cls_at(i)}")
+    ident = nodes[i]["identifier"]["name"]
+    if ident != view:
+        raise Unsupported(f"source view {ident!r} is not {view!r}")
+    # Everything below the alias is the view's own definition (the
+    # catalog's derived-time-column projects over the parquet relation)
+    # — the same frame the rollups were built from, by construction.
+    return q, proj
+
+
+class PlanRouter:
+    """Route analyzed Catalyst plans onto rollups (see module doc).
+
+    ``view`` is the registered view name the plan must read; ``table``
+    is the rollup spec's source-table label (``RollupRouter.tables``).
+    """
+
+    def __init__(self, spark: SparkSession, aggregates_dir: str,
+                 rollup_keys: dict | None = None, view: str = "events",
+                 table: str = "events"):
+        self.spark = spark
+        self.view = view
+        self.table = table
+        self.router = RollupRouter(spark, aggregates_dir, rollup_keys)
+        #: why the last route_df refused (None after a successful route)
+        self.last_reason: str | None = None
+
+    def route_df(self, df: DataFrame) -> DataFrame | None:
+        """Rewrite ``df``'s analyzed plan onto a rollup, or None."""
+        nodes = json.loads(df._jdf.queryExecution().analyzed().toJSON())
+        try:
+            q, proj = translate_plan(nodes, self.view, self.table)
+        except Unsupported as e:
+            self.last_reason = f"translate: {e}"
+            return None
+        routed = self.router.route(q)
+        if routed is None:
+            self.last_reason = "router: no subsuming rollup"
+            return None
+        self.last_reason = None
+        if proj is not None and proj != list(routed.columns):
+            routed = routed.select(*proj)
+        return routed
+
+    def sql(self, query: str) -> tuple[DataFrame, bool]:
+        """``spark.sql`` with rollup substitution: (frame, was_routed)."""
+        df = self.spark.sql(query)
+        routed = self.route_df(df)
+        return (routed, True) if routed is not None else (df, False)

@@ -323,3 +323,112 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = _plan(q_decontaminate(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# -- Catalyst-plan-level routing (plans/catalyst_router.py) -----------------
+
+
+def _mk_plan_router(spark, catalog, tmp_path):
+    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs")
+    build_rollups(catalog.table("events"), agg_dir, rollups)
+    return PlanRouter(spark, agg_dir, rollups)
+
+
+def test_plan_router_count_star_bit_equal(spark, catalog, tmp_path):
+    """A raw spark.sql COUNT(*) aggregate routes onto the rollup and is
+    bit-identical to executing the original plan."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    sql = "SELECT day, event_type, count(*) AS n FROM events GROUP BY day, event_type"
+    df, routed = pr.sql(sql)
+    assert routed, pr.last_reason
+    assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
+
+
+def test_plan_router_equals_dsl_router(spark, catalog, tmp_path):
+    """The SAME query through the SQL-text path (PlanRouter) and the DSL
+    path (RollupRouter) returns identical rows — both reduce to one
+    subsumption proof and one decimal-partial re-aggregation."""
+    from __spark_entry__ import DSL_QUERIES
+
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    df, routed = pr.sql(
+        "SELECT day, round(sum(value), 6) AS sum_value FROM events "
+        "WHERE event_type = 'click' GROUP BY day"
+    )
+    assert routed, pr.last_reason
+    dsl = pr.router.route(DSL_QUERIES["dsl_daily_rollup"])
+    assert dsl is not None
+    assert sorted(df.collect()) == sorted(dsl.collect())
+
+
+def test_plan_router_having_order_limit(spark, catalog, tmp_path):
+    """HAVING over an analyzer-planted internal aggregate, ORDER BY an
+    alias, and LIMIT all translate; the planted column is trimmed after
+    routing and the ordered result matches the unrouted plan."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    sql = ("SELECT day, round(sum(value), 2) AS sv, count(value) AS cv "
+           "FROM events WHERE event_type IN ('click', 'view') GROUP BY day "
+           "HAVING count(*) > 2 ORDER BY sv DESC, day LIMIT 5")
+    df, routed = pr.sql(sql)
+    assert routed, pr.last_reason
+    assert df.columns == ["day", "sv", "cv"]
+    assert df.collect() == spark.sql(sql).collect()
+
+
+def test_plan_router_routed_plan_reads_rollup_only(spark, catalog, tmp_path):
+    """The routed physical plan must not scan the base events parquet —
+    the whole point of the rewrite is rollup-only I/O."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    df, routed = pr.sql("SELECT day, count(*) AS n FROM events GROUP BY day")
+    assert routed, pr.last_reason
+    plan = _plan(df)
+    assert "events.parquet" not in plan
+    assert "agg_day_etype" in plan or "InMemoryTableScan" in plan
+
+
+def test_plan_router_refusals(spark, catalog, tmp_path):
+    """Subsume-or-refuse: shapes outside the surface fall back to the
+    original plan (never a wrong rewrite). Each case pins the reason
+    family: translation-level vs subsumption-level."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    cases = [
+        # grouping key not in the rollup grain -> router refusal
+        ("SELECT user_id, count(*) AS c FROM events GROUP BY user_id",
+         "router"),
+        # unrounded AVG over a decimal-partial rollup -> ulp-hazard refusal
+        ("SELECT day, avg(value) AS a FROM events GROUP BY day", "router"),
+        # DISTINCT aggregate -> translation refusal
+        ("SELECT day, count(DISTINCT user_id) AS c FROM events GROUP BY day",
+         "translate"),
+        # join under the aggregate -> translation refusal
+        ("SELECT e.day, count(*) AS c FROM events e JOIN events f "
+         "ON e.event_id = f.event_id GROUP BY e.day", "translate"),
+        # derived subquery -> not the registered view -> refusal
+        ("SELECT day, count(*) AS c FROM "
+         "(SELECT * FROM events WHERE value > 1) GROUP BY day", "translate"),
+        # window function in output -> translation refusal
+        ("SELECT day, n, rank() OVER (ORDER BY n) AS r FROM "
+         "(SELECT day, count(*) n FROM events GROUP BY day)", "translate"),
+    ]
+    for sql, family in cases:
+        df, routed = pr.sql(sql)
+        assert not routed, sql
+        assert pr.last_reason.startswith(family), (sql, pr.last_reason)
+        df.limit(1).collect()  # the fallback plan still executes
+
+
+def test_plan_router_date_literal_forms(spark, catalog, tmp_path):
+    """DATE literals and string-to-date casts both coerce to the DSL's
+    string spelling and route with pushdown-friendly typed filters."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    for pred in ("day = DATE '2024-01-02'", "day >= '2024-01-02'"):
+        sql = (f"SELECT day, count(*) AS n FROM events WHERE {pred} "
+               "GROUP BY day")
+        df, routed = pr.sql(sql)
+        assert routed, (pred, pr.last_reason)
+        assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
