@@ -134,6 +134,7 @@ def connected_components(
     vid: str = "doc_id",
     max_iter: int = 25,
     method: str = "propagation",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a similar-pair edge set: the transitive
     closure step that turns pairwise near-dup hits into dedup groups
@@ -160,7 +161,10 @@ def connected_components(
       long-chain graphs.
 
     Exhausting ``max_iter`` without converging RAISES (RuntimeError)
-    rather than returning silently-wrong labels.
+    rather than returning silently-wrong labels. ``stats``, when given,
+    receives ``{"rounds": N}`` on return (propagation rounds or star
+    alternations) — the scale-telemetry hook ``scripts/scale_smoke.py``
+    uses to show rounds stay flat as the graph grows.
 
     Scale notes: the iterated frames carry (node, label)/(u, v) longs
     only — document text never enters the loop. Each round ends in
@@ -169,7 +173,7 @@ def connected_components(
     optimizer pass itself becomes the bottleneck).
     """
     if method == "star":
-        return _cc_star(edges, vertices, src, dst, vid, max_iter)
+        return _cc_star(edges, vertices, src, dst, vid, max_iter, stats)
     if method != "propagation":
         raise ValueError(f"unknown method {method!r}")
     und = edges.select(
@@ -189,7 +193,9 @@ def connected_components(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # neighbor labels flow along every edge; keep own label in the min
         neighbor = und.join(labels, "n").select(
             F.col("m").alias("n"), "label"
@@ -231,6 +237,8 @@ def connected_components(
                 f"exceeds the round budget; use method='star' (O(log n) "
                 f"rounds) or raise max_iter"
             )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("n").alias(vid), F.col("label").alias("cluster_id"))
 
 
@@ -241,6 +249,7 @@ def _cc_star(
     dst: str,
     vid: str,
     max_iter: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Large-star/small-star alternation (Kiveris et al. 2014). The
     edge set converges to a star forest — every node directly attached
@@ -296,7 +305,9 @@ def _cc_star(
         )
 
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         new_e = small_star(large_star(e)).localCheckpoint(eager=True)
         same_count = new_e.count() == e.count()
         if same_count and new_e.exceptAll(e).isEmpty():
@@ -310,6 +321,8 @@ def _cc_star(
             f"{max_iter} alternations — raise max_iter (expected rounds "
             f"are O(log n), so this indicates a pathological input)"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # Converged star forest: every edge is (root, member). Singletons
     # come from the vertex frame.
     member = e.select(F.col("v").alias("n"), F.col("u").alias("label"))

@@ -50,10 +50,58 @@ def replicate_orders(spark, k: int):
     )
 
 
-def run_noop(df) -> float:
+def synth_docs(spark, n_docs: int):
+    """Synthetic corpus that scales to sf10-equivalent sizes with a
+    STABLE duplicate density: ~40 pseudo-random tokens per doc from a
+    100k-token vocabulary (all JVM-side — xxhash64 + base-36), and
+    every 20th doc reuses its predecessor's seed (a planted exact dup).
+    Pair structure grows linearly (~n/20), never quadratically — unlike
+    naive k×-replication, where each doc becomes a k-clique of dups and
+    the candidate set explodes as k²."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 20 == 19, F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .alias("seed"),
+    )
+    tok = lambda i: F.conv(  # noqa: E731
+        (F.abs(F.xxhash64(F.col("seed"), i)) % 100000).cast("string"), 10, 36
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(40)), tok), " "
+        ).alias("text"),
+    )
+
+
+def chain_edges(spark, n_nodes: int, chain: int = 10):
+    """Chain-of-10 graph: nodes 0..n-1, edge (i, i-1) unless i is a
+    chain head. Component count is exactly ceil(n/chain); diameter is
+    chain-1 regardless of n — so CC round counts must stay FLAT as the
+    edge set scales, only per-round shuffle bytes grow."""
+    from pyspark.sql import functions as F
+
+    edges = (
+        spark.range(1, n_nodes)
+        .filter(F.col("id") % chain != 0)
+        .select(F.col("id").alias("doc_a"), (F.col("id") - 1).alias("doc_b"))
+    )
+    verts = spark.range(n_nodes).select(F.col("id").alias("doc_id"))
+    return edges, verts
+
+
+def run_noop(build_thunk) -> float:
+    """min-of-two of (plan build + full execution through the noop
+    sink). Build time is included deliberately: the iterative operators
+    (connected_components) run their loop eagerly at build, so timing
+    only the final write would miss the actual work."""
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
+        df = build_thunk()
         df.write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
     return best
@@ -96,21 +144,57 @@ def main() -> int:
         return joined.groupBy("c_mktsegment").agg(
             F.count(F.lit(1)).alias("n"))
 
+    from query_planner_optimizer_spark.operators import dedup
+
+    #: base sizes chosen so k=100 is sf10-equivalent (sf0.1 documents
+    #: is 5000 rows; 100× synthetic = 500k docs)
+    MINHASH_BASE_DOCS = 5_000
+    CC_BASE_NODES = 100_000
+
+    def minhash_synth(spark, kk):
+        return dedup.minhash_lsh_pairs(
+            synth_docs(spark, MINHASH_BASE_DOCS * kk),
+            verify=True,
+            max_bucket_size=64,
+        )
+
+    cc_stats: dict = {}
+
+    def cc_build(method):
+        def build(spark, kk):
+            edges, verts = chain_edges(spark, CC_BASE_NODES * kk)
+            return dedup.connected_components(
+                edges, verts, method=method, stats=cc_stats
+            )
+        return build
+
     ops = {
         "line_dedup": lambda spark, kk: docpipe.line_dedup(
             replicate_docs(spark, kk), line_tokens=3),
         "collocations": lambda spark, kk: text.bigram_collocations(
             replicate_docs(spark, kk)),
         "salted_join_agg": salted,
+        # iterative family: synthetic inputs that scale with stable
+        # structure (see synth_docs / chain_edges docstrings)
+        "minhash_lsh_synth": minhash_synth,
+        "cc_star_chain": cc_build("star"),
+        "cc_prop_chain": cc_build("propagation"),
     }
     print(f"# scale smoke: 1x vs {k}x (sf0.1 base, local, noop sink)")
     for name, build in ops.items():
         if only and name not in only:
             continue
-        t1 = run_noop(build(spark, 1))
-        tk = run_noop(build(spark, k))
+        cc_stats.clear()
+        t1 = run_noop(lambda: build(spark, 1))
+        r1 = dict(cc_stats)
+        cc_stats.clear()
+        tk = run_noop(lambda: build(spark, k))
+        rk = dict(cc_stats)
+        rounds = (f"  rounds {r1.get('rounds')}->{rk.get('rounds')}"
+                  if r1 or rk else "")
         print(f"{name}: 1x {t1:.2f}s  {k}x {tk:.2f}s  "
-              f"(time ratio {tk / max(t1, 1e-9):.1f}x for {k}x rows)")
+              f"(time ratio {tk / max(t1, 1e-9):.1f}x for {k}x rows)"
+              f"{rounds}")
     return 0
 
 
