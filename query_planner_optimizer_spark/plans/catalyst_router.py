@@ -174,19 +174,45 @@ def _cond(t: dict) -> dict:
     raise Unsupported(f"filter expression {c}")
 
 
+_TIME_PREFIXES = ("timestamp", "date")
+
+
+def _col_side(t: dict) -> str | None:
+    """Column side of a comparison: a bare AttributeReference, or one
+    under an analyzer-planted datetime-widening cast (timestamp_ntz →
+    timestamp, date → timestamp, ...). Unwrapping those is sound
+    because the DSL path re-coerces the literal to the COLUMN's own
+    type (same wall-clock instant under the engine's fixed UTC session
+    timezone); any other cast on a column changes comparison semantics
+    and must refuse."""
+    if _cls(t["n"]) == "Cast":
+        target = str(t["n"].get("dataType", ""))
+        inner = _kid(t, "child")
+        if (_cls(inner["n"]) == "AttributeReference"
+                and target.startswith(_TIME_PREFIXES)
+                and str(inner["n"].get("dataType", ""))
+                .startswith(_TIME_PREFIXES)):
+            return inner["n"]["name"]
+        return None
+    if _cls(t["n"]) == "AttributeReference":
+        return t["n"]["name"]
+    return None
+
+
 def _leaf(t: dict, op: str) -> dict:
     left, right = _kid(t, "left"), _kid(t, "right")
-    if _cls(left["n"]) == "AttributeReference":
-        return {"col": _attr_name(left), "op": op,
-                "val": _literal_value(right)}
-    if _cls(right["n"]) == "AttributeReference":
-        return {"col": _attr_name(right), "op": _FLIP[op],
-                "val": _literal_value(left)}
+    lcol, rcol = _col_side(left), _col_side(right)
+    if lcol is not None:
+        return {"col": lcol, "op": op, "val": _literal_value(right)}
+    if rcol is not None:
+        return {"col": rcol, "op": _FLIP[op], "val": _literal_value(left)}
     raise Unsupported(f"comparison without a plain column side ({op})")
 
 
 def _in_leaf(t: dict, op: str) -> dict:
-    col = _attr_name(_kid(t, "value"))
+    col = _col_side(_kid(t, "value"))
+    if col is None:
+        raise Unsupported("IN without a plain column side")
     vals = [_literal_value(t["kids"][int(i)]) for i in t["n"]["list"]]
     return {"col": col, "op": op, "val": vals}
 
@@ -195,31 +221,66 @@ _AGG_FNS = {"Count": "COUNT", "Sum": "SUM", "Average": "AVG",
             "Min": "MIN", "Max": "MAX"}
 
 
-def _agg_term(t: dict, alias: str) -> dict:
-    """Alias child (AggregateExpression, possibly under Round) → DSL
-    aggregate term."""
-    round_to = None
-    if _cls(t["n"]) == "Round":
-        round_to = _literal_value(_kid(t, "scale"))
-        t = _kid(t, "child")
+def _strip_cast(t: dict, to: str) -> dict:
+    """Unwrap ``Cast(x AS <to>...)`` (prefix match, so ``decimal`` hits
+    any precision/scale)."""
+    if (_cls(t["n"]) == "Cast"
+            and str(t["n"].get("dataType", "")).startswith(to)):
+        return _kid(t, "child")
+    return t
+
+
+def _agg_call(t: dict) -> tuple[str, str]:
+    """AggregateExpression → (fname, col). The aggregate target may sit
+    under a to-DECIMAL cast — the engine's bit-stable accumulation
+    idiom (``assembler._agg_expr_sql``) — which the router's measure
+    reproduces, so unwrapping it is semantics-preserving."""
     if _cls(t["n"]) != "AggregateExpression":
         raise Unsupported(f"projection expression {_cls(t['n'])}")
     if t["n"].get("isDistinct"):
         raise Unsupported("DISTINCT aggregate")
+    if len(t["kids"]) != 1:
+        # A second child is a FILTER (WHERE ...) clause — dropping it
+        # would silently widen the aggregate; refuse instead.
+        raise Unsupported("aggregate with FILTER clause")
     fn = _kid(t, "aggregateFunction")
     fname = _AGG_FNS.get(_cls(fn["n"]))
     if fname is None:
         raise Unsupported(f"aggregate function {_cls(fn['n'])}")
     if len(fn["kids"]) != 1:
         raise Unsupported(f"{fname} with {len(fn['kids'])} arguments")
-    arg = fn["kids"][0]
+    arg = _strip_cast(fn["kids"][0], "decimal")
     if fname == "COUNT" and _cls(arg["n"]) == "Literal":
-        col = "*"
-    else:
-        col = _attr_name(arg)
+        return fname, "*"
+    return fname, _attr_name(arg)
+
+
+def _agg_term(t: dict, alias: str) -> dict:
+    """Alias child → DSL aggregate term. Accepts the plain forms
+    (``sum(x)``, ``round(sum(x), k)``) and the engine's documented
+    bit-stable idioms (``assembler._agg_expr_sql``):
+    ``CAST(ROUND(SUM(CAST(x AS DECIMAL)), k) AS DOUBLE)`` and
+    ``ROUND(CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE) / COUNT(x), k)``
+    — both map onto the same rounded decimal-partial measure the
+    router re-derives."""
+    round_to = None
+    t = _strip_cast(t, "double")
+    if _cls(t["n"]) == "Round":
+        round_to = int(_literal_value(_kid(t, "scale")))
+        t = _strip_cast(_kid(t, "child"), "double")
+    if _cls(t["n"]) == "Divide" and round_to is not None:
+        # decimal-AVG idiom: double(SUM(dec x)) / COUNT(x), then ROUND
+        num = _strip_cast(_kid(t, "left"), "double")
+        den = _strip_cast(_kid(t, "right"), "double")
+        f1, c1 = _agg_call(num)
+        f2, c2 = _agg_call(den)
+        if f1 == "SUM" and f2 == "COUNT" and c1 == c2 and c1 != "*":
+            return {"AVG": c1, "as": alias, "round": round_to}
+        raise Unsupported("non-AVG aggregate division")
+    fname, col = _agg_call(t)
     term: dict = {fname: col, "as": alias}
     if round_to is not None:
-        term["round"] = int(round_to)
+        term["round"] = round_to
     return term
 
 

@@ -432,3 +432,59 @@ def test_plan_router_date_literal_forms(spark, catalog, tmp_path):
         df, routed = pr.sql(sql)
         assert routed, (pred, pr.last_reason)
         assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
+
+
+def test_plan_router_corpus_agreement(spark, catalog, tmp_path):
+    """Corpus-wide sweep: every DSL query, assembled to the engine's own
+    spark-dialect SQL (incl. the bit-stable decimal SUM/AVG idioms),
+    must (a) route through the plan matcher whenever the DSL router
+    routes the dict form, and (b) return rows identical to executing
+    the unrouted plan whenever it routes. Queries outside the routable
+    surface must refuse on BOTH paths — never crash, never rewrite
+    wrong."""
+    import __spark_entry__ as E
+    from query_planner_optimizer_spark.dsl.assembler import assemble_sql
+    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
+    from query_planner_optimizer_spark.prepare import (
+        DRIVER_EVENTS_ROLLUPS,
+        build_rollups,
+    )
+
+    agg_dir = str(tmp_path / "aggs")
+    build_rollups(
+        catalog.table("events"), agg_dir, DRIVER_EVENTS_ROLLUPS,
+        tables={"lineitem": catalog.table("lineitem")},
+    )
+    routers = {
+        t: PlanRouter(spark, agg_dir, DRIVER_EVENTS_ROLLUPS, view=t, table=t)
+        for t in ("events", "lineitem")
+    }
+    plan_routed_names = []
+    for name, q in E.DSL_QUERIES.items():
+        if any(kw in q for kw in ("union", "intersect", "except")):
+            continue
+        tbl = q.get("from", "events")
+        if tbl not in routers:
+            continue
+        pr = routers[tbl]
+        sql = assemble_sql(q, E._query_type_map(q), dialect="spark")
+        df = spark.sql(sql)
+        plan_routed = pr.route_df(df)
+        dsl_routed = pr.router.route(q)
+        if dsl_routed is not None:
+            assert plan_routed is not None, (name, pr.last_reason)
+        if plan_routed is not None:
+            plan_routed_names.append(name)
+            a, b = plan_routed.collect(), df.collect()
+            if not q.get("order_by"):
+                key = lambda r: tuple(  # noqa: E731
+                    (v is None, str(v)) for v in r
+                )
+                a, b = sorted(a, key=key), sorted(b, key=key)
+            assert a == b, name
+    # the routed family must actually route through the plan path
+    # (dsl_hourly_day_between is NOT expected: no rollup carries the
+    # `hour` key, so both paths refuse it — agreement, not coverage.)
+    for expected in ("dsl_daily_rollup", "dsl_weekly_rollup",
+                     "dsl_minute_rollup", "dsl_pricing_summary"):
+        assert expected in plan_routed_names, plan_routed_names
