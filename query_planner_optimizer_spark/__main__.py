@@ -132,6 +132,54 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 1 if any(r.error for r in report.runs) else 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Raw ANSI SQL over the registered tables, with automatic
+    Catalyst-plan-level rollup routing (plans/catalyst_router.py):
+    aggregates over `events` that a prepared rollup subsumes never
+    touch the base table. `--no-router` or an unroutable shape falls
+    back to the ordinary plan — results are identical either way
+    (subsume-or-refuse), only the I/O differs."""
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    spark = _spark("qpo-spark-sql")
+    agg_dir = None
+    if args.optimized_dir:
+        overrides = {
+            "events": os.path.join(args.optimized_dir, "partitioned")
+        }
+        cat = Catalog(spark, args.optimized_dir, overrides=overrides)
+        cand = os.path.join(args.optimized_dir, "aggregates")
+        agg_dir = cand if os.path.isdir(cand) else None
+    else:
+        cat = Catalog(spark, args.data_dir)
+    cat.register_all()
+
+    df = spark.sql(args.query)
+    note = "scan"
+    if agg_dir and not args.no_router:
+        from query_planner_optimizer_spark.plans.catalyst_router import (
+            PlanRouter,
+        )
+
+        router = PlanRouter(spark, agg_dir)
+        routed = router.route_df(df)
+        if routed is not None:
+            df = routed
+            note = f"routed via {router.router.last_rollup}"
+        else:
+            note = f"scan ({router.last_reason})"
+    if args.explain:
+        df.explain("formatted")
+    if args.out:
+        # Distributed CSV sink — never collects to the driver.
+        df.write.mode("overwrite").option("header", True).csv(args.out)
+        print(f"[{note}] → {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+        print(f"[{note}]")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="query_planner_optimizer_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -158,6 +206,23 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--no-cache", action="store_true",
                     help="disable the md5 result cache")
     pr.set_defaults(fn=cmd_run)
+
+    ps = sub.add_parser(
+        "sql",
+        help="raw SQL with automatic rollup routing (plan-level rewrite)",
+    )
+    ps.add_argument("query", help="ANSI SQL over the registered tables")
+    src = ps.add_mutually_exclusive_group(required=True)
+    src.add_argument("--optimized-dir", help="prepared dir from `prepare`")
+    src.add_argument("--data-dir", help="raw parquet tables dir")
+    ps.add_argument("--out", help="write full result as CSV dir (distributed)")
+    ps.add_argument("--limit", type=int, default=20,
+                    help="rows to show when --out is absent (default 20)")
+    ps.add_argument("--no-router", action="store_true",
+                    help="disable the plan-level rollup rewrite")
+    ps.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan")
+    ps.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -610,3 +610,44 @@ def test_prepare_fast_profile(spark, prepared, tmp_path):
     assert routed is not None
     skipped = router.route(BENCHMARK_QUERIES[4])       # minute grain
     assert skipped is None and router.fallbacks >= 1
+
+
+def test_cli_sql_routes_and_falls_back(spark, tmp_path, capsys):
+    """`python -m query_planner_optimizer_spark sql`: raw SQL text gets
+    the Catalyst-plan-level rollup rewrite when a prepared rollup
+    subsumes it, falls back to a scan otherwise, and both paths write
+    the same distributed CSV shape."""
+    import csv as _csv
+    import glob
+
+    import query_planner_optimizer_spark.__main__ as cli
+
+    csv_path = str(tmp_path / "events_part_0.csv")
+    _gen_events_csv(csv_path)
+    opt = str(tmp_path / "optimized")
+    try:
+        assert cli.main(["prepare", "--data-dir", csv_path,
+                         "--optimized-dir", opt]) == 0
+        out = str(tmp_path / "sql_out")
+        assert cli.main([
+            "sql", "SELECT day, count(*) AS n FROM events GROUP BY day",
+            "--optimized-dir", opt, "--out", out,
+        ]) == 0
+        captured = capsys.readouterr().out
+        assert "[routed via " in captured
+        rows = []
+        for part in glob.glob(f"{out}/part-*.csv"):
+            with open(part) as f:
+                rows += [r for r in _csv.reader(f) if r]
+        assert any(r == ["day", "n"] for r in rows)
+        assert len(rows) > 1
+
+        # Unroutable shape (DISTINCT aggregate) must fall back, not fail.
+        assert cli.main([
+            "sql",
+            "SELECT day, count(DISTINCT user_id) AS u FROM events GROUP BY day",
+            "--optimized-dir", opt,
+        ]) == 0
+        assert "[scan (" in capsys.readouterr().out
+    finally:
+        spark.catalog.dropTempView("events")
