@@ -287,14 +287,39 @@ def _agg_term(t: dict, alias: str) -> dict:
 # -- plan walk --------------------------------------------------------------
 
 
+_ID_KEYS = ("exprId", "resultId", "jvmId", "qualifier")
+
+
+def _normalize(obj):
+    """Strip per-plan identity (expression ids, qualifiers) so two
+    analyzed plans of the SAME source frame compare structurally
+    equal."""
+    if isinstance(obj, dict):
+        return {k: _normalize(v) for k, v in obj.items()
+                if k not in _ID_KEYS}
+    if isinstance(obj, list):
+        return [_normalize(v) for v in obj]
+    return obj
+
+
 def translate_plan(
-    nodes: list[dict], view: str, table: str = "events"
+    nodes: list[dict], view: str, table: str = "events",
+    canon: list[dict] | None = None,
 ) -> tuple[dict, list[str] | None]:
     """Analyzed-plan JSON → (DSL query dict, post-route projection).
 
     Raises :class:`Unsupported` on any shape outside the routable
     surface. The projection (or None) re-trims analyzer-planted HAVING
     aggregates after routing.
+
+    The source below the aggregate is accepted two ways: a
+    ``SubqueryAlias`` matching ``view`` (the spark.sql path), or — when
+    ``canon`` is given — a subtree STRUCTURALLY EQUAL (modulo
+    expression ids) to the canonical source frame's own analyzed plan
+    (the DataFrame-API path: ``cat.table("events").groupBy(...)``).
+    Structural equality is what makes the second path sound: any user
+    transformation between the source and the aggregate changes the
+    subtree and refuses the route.
     """
     i = 0
     q: dict = {"from": table}
@@ -367,15 +392,21 @@ def translate_plan(
         where = _cond(_build(nodes[i]["condition"]))
         q["where"] = where["and"] if set(where) == {"and"} else [where]
         i += 1
-    if cls_at(i) != "SubqueryAlias":
-        raise Unsupported(f"expected source view, found {cls_at(i)}")
-    ident = nodes[i]["identifier"]["name"]
-    if ident != view:
-        raise Unsupported(f"source view {ident!r} is not {view!r}")
-    # Everything below the alias is the view's own definition (the
-    # catalog's derived-time-column projects over the parquet relation)
-    # — the same frame the rollups were built from, by construction.
-    return q, proj
+    if cls_at(i) == "SubqueryAlias":
+        ident = nodes[i]["identifier"]["name"]
+        if ident != view:
+            raise Unsupported(f"source view {ident!r} is not {view!r}")
+        # Everything below the alias is the view's own definition (the
+        # catalog's derived-time-column projects over the parquet
+        # relation) — the same frame the rollups were built from, by
+        # construction.
+        return q, proj
+    if canon is not None and _normalize(nodes[i:]) == _normalize(canon):
+        return q, proj
+    raise Unsupported(
+        f"source is neither the {view!r} view nor the canonical frame "
+        f"(found {cls_at(i)})"
+    )
 
 
 class PlanRouter:
@@ -387,11 +418,18 @@ class PlanRouter:
 
     def __init__(self, spark: SparkSession, aggregates_dir: str,
                  rollup_keys: dict | None = None, view: str = "events",
-                 table: str = "events"):
+                 table: str = "events", frame: DataFrame | None = None):
         self.spark = spark
         self.view = view
         self.table = table
         self.router = RollupRouter(spark, aggregates_dir, rollup_keys)
+        #: canonical source-frame plan for the DataFrame-API path
+        #: (``frame=cat.table("events")``): a plan whose below-aggregate
+        #: subtree equals this one structurally routes without a view.
+        self._canon = (
+            json.loads(frame._jdf.queryExecution().analyzed().toJSON())
+            if frame is not None else None
+        )
         #: why the last route_df refused (None after a successful route)
         self.last_reason: str | None = None
 
@@ -399,7 +437,8 @@ class PlanRouter:
         """Rewrite ``df``'s analyzed plan onto a rollup, or None."""
         nodes = json.loads(df._jdf.queryExecution().analyzed().toJSON())
         try:
-            q, proj = translate_plan(nodes, self.view, self.table)
+            q, proj = translate_plan(nodes, self.view, self.table,
+                                     canon=self._canon)
         except Unsupported as e:
             self.last_reason = f"translate: {e}"
             return None

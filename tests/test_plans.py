@@ -488,3 +488,36 @@ def test_plan_router_corpus_agreement(spark, catalog, tmp_path):
     for expected in ("dsl_daily_rollup", "dsl_weekly_rollup",
                      "dsl_minute_rollup", "dsl_pricing_summary"):
         assert expected in plan_routed_names, plan_routed_names
+
+
+def test_plan_router_dataframe_api_path(spark, catalog, tmp_path):
+    """DataFrame-API aggregates (no view) route when the below-aggregate
+    subtree structurally equals the canonical source frame; any user
+    transformation in between (a redefined `day`) refuses."""
+    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs")
+    events = catalog.table("events")
+    build_rollups(events, agg_dir, rollups)
+    pr = PlanRouter(spark, agg_dir, rollups, frame=events)
+
+    df = (events.filter(F.col("event_type") == "click")
+          .groupBy("day").agg(F.count(F.lit(1)).alias("n")))
+    routed = pr.route_df(df)
+    assert routed is not None, pr.last_reason
+    assert sorted(routed.collect()) == sorted(df.collect())
+
+    # Redefining a grouping column between source and aggregate must
+    # refuse — the subtree is no longer the canonical frame.
+    tampered = (events.withColumn("day", F.date_add(F.col("day"), 1))
+                .groupBy("day").agg(F.count(F.lit(1)).alias("n")))
+    assert pr.route_df(tampered) is None
+    assert "source is neither" in pr.last_reason
+
+    # Selecting a column subset also refuses (not the canonical frame).
+    pruned = (events.select("day", "value")
+              .groupBy("day").agg(F.count(F.lit(1)).alias("n")))
+    assert pr.route_df(pruned) is None
