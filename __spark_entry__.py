@@ -703,6 +703,63 @@ DSL_QUERIES: dict[str, dict] = {
         "group_by": ["l_returnflag"],
         "order_by": [{"col": "l_returnflag", "dir": "asc"}],
     },
+    "dsl_tpch_q17_small_quantity": {
+        # TPC-H Q17 shape: revenue from lineitems below 20% of their
+        # part's average quantity, restricted to one brand. Correlated
+        # scalar subquery — the compiler decorrelates it into a per-key
+        # aggregate equi-join (one row per distinct l_partkey through
+        # the shuffle, AQE-electable broadcast) while the oracle runs
+        # the natively correlated SQL; round:6 on the inner AVG keeps
+        # both engines on the shared DECIMAL-accumulate idiom so the
+        # comparison boundary is bit-identical.
+        "select": [
+            {"SUM": "l_extendedprice", "as": "small_qty_revenue", "round": 2},
+            {"COUNT": "*", "as": "n_small"},
+        ],
+        "from": "lineitem",
+        "join": [{"table": "part", "on": [["l_partkey", "p_partkey"]],
+                  "type": "semi",
+                  "where": [{"col": "p_brand", "op": "eq", "val": "Brand#4"}]}],
+        "where": [{"col": "l_quantity", "op": "lt",
+                   "val": {"subquery": {
+                       "select": [{"AVG": "l_quantity", "as": "avg_qty",
+                                   "round": 6}],
+                       "from": "lineitem"},
+                       "correlate": [["l_partkey", "l_partkey"]],
+                       "scale": 0.2}}],
+    },
+    "dsl_corr_price_per_line": {
+        # Correlated COUNT: orders whose total price exceeds 1000 per
+        # lineitem. COUNT over an empty correlated set is 0 in SQL, so
+        # itemless orders survive — the compiler's LEFT-join +
+        # COALESCE(0) twin of the oracle's native correlated COUNT(*).
+        "select": ["o_orderkey", "o_totalprice"],
+        "from": "orders",
+        "where": [{"col": "o_totalprice", "op": "gt",
+                   "val": {"subquery": {
+                       "select": [{"COUNT": "*", "as": "n_items"}],
+                       "from": "lineitem"},
+                       "correlate": [["o_orderkey", "l_orderkey"]],
+                       "scale": 1000.0}}],
+        "order_by": [{"col": "o_orderkey", "dir": "asc"}],
+    },
+    "dsl_corr_above_user_avg": {
+        # Correlated AVG with an inner WHERE: events strictly above
+        # their own user's average value, counted per type. Exercises
+        # the decorrelated grouped-aggregate join on a high-cardinality
+        # correlation key (one row per user through the shuffle).
+        "select": ["event_type", {"COUNT": "*", "as": "n_above"}],
+        "from": "events",
+        "where": [{"col": "value", "op": "gt",
+                   "val": {"subquery": {
+                       "select": [{"AVG": "value", "as": "user_avg",
+                                   "round": 6}],
+                       "from": "events",
+                       "where": [{"col": "value", "op": "is_not_null"}]},
+                       "correlate": [["user_id", "user_id"]]}}],
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    },
     # flagship: TPC-H Q1-shaped pricing summary
     "dsl_pricing_summary": {
         "select": [

@@ -72,7 +72,10 @@ def _literal(val: Any, dtype: T.DataType | None, dialect: str) -> str:
     raise QueryError(f"unsupported literal: {val!r}")
 
 
-def _condition_sql(cond: dict, type_map: dict[str, T.DataType], dialect: str) -> str:
+def _condition_sql(
+    cond: dict, type_map: dict[str, T.DataType], dialect: str,
+    outer_table: str | None = None,
+) -> str:
     # Boolean-tree nodes (additive extension, twin of the compiler's
     # _bool_expr): {"or": [...]}, {"and": [...]}, {"not": cond}.
     for kw, joiner in (("or", " OR "), ("and", " AND ")):
@@ -80,20 +83,29 @@ def _condition_sql(cond: dict, type_map: dict[str, T.DataType], dialect: str) ->
             if not cond[kw]:
                 raise QueryError(f"{kw!r} needs at least one branch: {cond!r}")
             return "(" + joiner.join(
-                _condition_sql(b, type_map, dialect) for b in cond[kw]
+                _condition_sql(b, type_map, dialect, outer_table)
+                for b in cond[kw]
             ) + ")"
     if "not" in cond:
-        return f"(NOT {_condition_sql(cond['not'], type_map, dialect)})"
+        return (
+            f"(NOT {_condition_sql(cond['not'], type_map, dialect, outer_table)})"
+        )
     col_name = cond.get("col")
     if col_name not in type_map:
         raise QueryError(f"unknown filter column: {cond!r}")
     val = cond.get("val")
     if isinstance(val, dict) and "subquery" in val:
-        # Uncorrelated scalar subquery — twin of the compiler's
-        # broadcast-crossJoin rewrite; SQL renders it natively.
+        # Scalar subquery — twin of the compiler's rewrites. Uncorrelated
+        # renders a bare nested SELECT (compiler: broadcast crossJoin);
+        # correlated renders a natively correlated subquery whose outer
+        # references are qualified by the outer FROM table (compiler:
+        # decorrelated group-agg join). Identical scoping text is valid
+        # in both Spark SQL and DuckDB: the inner alias shadows the
+        # table name, so ``<outer_table>.<col>`` resolves outward even
+        # when inner and outer scan the same table (TPC-H Q17).
         from query_planner_optimizer_spark.dsl.compiler import (
             SCALAR_SUBQUERY_OPS,
-            validate_scalar_subquery,
+            validate_subquery_val,
         )
 
         op = cond.get("op")
@@ -101,9 +113,35 @@ def _condition_sql(cond: dict, type_map: dict[str, T.DataType], dialect: str) ->
             raise QueryError(
                 f"op {op!r} does not support a scalar subquery: {cond!r}"
             )
-        validate_scalar_subquery(val["subquery"])
-        sub_sql = assemble_sql(val["subquery"], type_map, dialect)
-        return f"{_ident(col_name, dialect)} {_OP_SQL[op]} ({sub_sql})"
+        pairs = validate_subquery_val(val)
+        sub = val["subquery"]
+        if pairs:
+            if outer_table is None:
+                raise QueryError(
+                    "correlated subqueries are only valid in the main "
+                    f"WHERE clause: {cond!r}"
+                )
+            alias = "__corr"
+            agg_expr, _ = _agg_expr_sql(sub["select"][0], dialect, type_map)
+            parts = [
+                f"{alias}.{_ident(ik, dialect)} ="
+                f" {_ident(outer_table, dialect)}.{_ident(ok, dialect)}"
+                for ok, ik in pairs
+            ]
+            parts += [
+                _condition_sql(c, type_map, dialect)
+                for c in sub.get("where") or []
+            ]
+            sub_sql = (
+                f"SELECT {agg_expr} FROM {_ident(sub['from'], dialect)}"
+                f" AS {alias} WHERE {' AND '.join(parts)}"
+            )
+        else:
+            sub_sql = assemble_sql(sub, type_map, dialect)
+        rhs = f"({sub_sql})"
+        if val.get("scale") is not None:
+            rhs = f"({_literal(val['scale'], None, dialect)} * {rhs})"
+        return f"{_ident(col_name, dialect)} {_OP_SQL[op]} {rhs}"
     return _render_cond(
         _ident(col_name, dialect), cond, type_map[col_name], dialect
     )
@@ -480,7 +518,8 @@ def assemble_sql(
     conds = q.get("where") or []
     if conds:
         sql += " WHERE " + " AND ".join(
-            _condition_sql(c, type_map, dialect) for c in conds
+            _condition_sql(c, type_map, dialect, outer_table=q.get("from"))
+            for c in conds
         )
 
     group_by = q.get("group_by") or []

@@ -437,6 +437,110 @@ def validate_scalar_subquery(sub: Any) -> None:
         )
 
 
+def validate_subquery_val(val: dict) -> list[tuple[str, str]]:
+    """Validate a WHERE-leaf subquery value dict and return normalized
+    correlation pairs ([] when uncorrelated). Shared by both twins.
+
+    Shape: ``{"subquery": <dsl>, "correlate": [[outer, inner], ...],
+    "scale": <number>}`` — ``correlate`` and ``scale`` optional.
+    ``scale`` multiplies the scalar (TPC-H Q17's ``0.2 * avg(...)``).
+    A correlated subquery's WHERE may not itself contain subqueries
+    (one level of correlation, like the reference's one-level DSL)."""
+    extra = set(val) - {"subquery", "correlate", "scale"}
+    if extra:
+        raise QueryError(f"unknown subquery value keys: {sorted(extra)}")
+    validate_scalar_subquery(val["subquery"])
+    scale = val.get("scale")
+    if scale is not None and not isinstance(scale, (int, float)):
+        raise QueryError(f"subquery 'scale' must be a number: {scale!r}")
+    corr = val.get("correlate")
+    if corr is None:
+        return []
+    if not isinstance(corr, list) or not corr:
+        raise QueryError(f"'correlate' needs a non-empty pair list: {corr!r}")
+    pairs = []
+    for p in corr:
+        if isinstance(p, str):
+            pairs.append((p, p))
+        elif isinstance(p, (list, tuple)) and len(p) == 2:
+            pairs.append((str(p[0]), str(p[1])))
+        else:
+            raise QueryError(f"bad 'correlate' pair: {p!r}")
+
+    def has_sub(cond: dict) -> bool:
+        for kw in ("or", "and"):
+            if kw in cond:
+                return any(has_sub(b) for b in cond[kw])
+        if "not" in cond:
+            return has_sub(cond["not"])
+        return isinstance(cond.get("val"), dict) and "subquery" in cond["val"]
+
+    if any(has_sub(c) for c in val["subquery"].get("where") or []):
+        raise QueryError(
+            "correlated subquery WHERE cannot itself contain subqueries"
+        )
+    return pairs
+
+
+def _join_correlated_scalar(
+    df: DataFrame, val: dict, name: str, catalog: Catalog,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Decorrelate ``{"subquery": ..., "correlate": [[ok, ik], ...]}``:
+    compile the subquery GROUPED BY its correlation keys (one row per
+    distinct key — the classic magic-set rewrite), then equi-join that
+    aggregated frame onto the outer plan and attach the scalar as a
+    hidden column.
+
+    Scale story: the grouped frame shuffles one row per distinct key —
+    never the outer table times the inner table — and AQE elects a
+    broadcast when it is small. Join type encodes SQL's empty-group
+    semantics: a correlated COUNT over zero matching rows is 0 (LEFT
+    join + coalesce keeps the outer row), while any other aggregate is
+    NULL, which no comparison satisfies (INNER join drops the row —
+    same outcome, no null-handling at filter time)."""
+    sub = val["subquery"]
+    inner_table = sub.get("from")
+    inner_cols = catalog.table(inner_table).columns
+    for _, ik in pairs:
+        if ik not in inner_cols:
+            raise QueryError(
+                f"correlate inner column {ik!r} not in {inner_table!r}"
+            )
+    for ok, _ in pairs:
+        if ok not in df.columns:
+            raise QueryError(f"correlate outer column {ok!r} not in scope")
+    ikeys = list(dict.fromkeys(ik for _, ik in pairs))
+    sub_dsl = {
+        "select": [*ikeys, sub["select"][0]],
+        "from": inner_table,
+        "group_by": ikeys,
+    }
+    if sub.get("where"):
+        sub_dsl["where"] = sub["where"]
+    grouped = compile_query(sub_dsl, catalog)
+    fname = _parse_agg_term(sub["select"][0])[0]
+    agg_out = grouped.columns[-1]
+    keyed = grouped.select(
+        *[F.col(ik).alias(f"{name}_k{i}") for i, ik in enumerate(ikeys)],
+        F.col(agg_out).alias(f"{name}_raw"),
+    )
+    key_of = {ik: f"{name}_k{i}" for i, ik in enumerate(ikeys)}
+    cond = None
+    for ok, ik in pairs:
+        c = df[ok] == keyed[key_of[ik]]
+        cond = c if cond is None else (cond & c)
+    joined = df.join(keyed, cond, "left" if fname == "COUNT" else "inner")
+    raw = F.col(f"{name}_raw")
+    if fname == "COUNT":
+        raw = F.coalesce(raw, F.lit(0))
+    scale = val.get("scale")
+    scalar = raw if scale is None else (F.lit(scale) * raw)
+    return joined.withColumn(name, scalar).drop(
+        f"{name}_raw", *key_of.values()
+    )
+
+
 def _attach_scalar_subqueries(
     df: DataFrame, conds: list, catalog: Catalog
 ) -> tuple[DataFrame, list, list[str]]:
@@ -464,13 +568,21 @@ def _attach_scalar_subqueries(
                     f"op {cond.get('op')!r} does not support a scalar "
                     f"subquery: {cond!r}"
                 )
+            pairs = validate_subquery_val(val)
             sub = val["subquery"]
-            validate_scalar_subquery(sub)
-            sdf = compile_query(sub, catalog)
             name = f"__scalar_{len(scalar_cols)}"
-            frame[0] = frame[0].crossJoin(
-                F.broadcast(sdf.select(F.col(sdf.columns[0]).alias(name)))
-            )
+            if pairs:
+                frame[0] = _join_correlated_scalar(
+                    frame[0], val, name, catalog, pairs
+                )
+            else:
+                sdf = compile_query(sub, catalog)
+                scalar = F.col(sdf.columns[0])
+                if val.get("scale") is not None:
+                    scalar = F.lit(val["scale"]) * scalar
+                frame[0] = frame[0].crossJoin(
+                    F.broadcast(sdf.select(scalar.alias(name)))
+                )
             scalar_cols.append(name)
             out = {k: v for k, v in cond.items() if k != "val"}
             out["val_col"] = name

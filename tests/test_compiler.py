@@ -177,6 +177,37 @@ QUERIES = [
             {"col": "value", "op": "lt", "val": 1},
         ]}],
     }),
+    ("corr_subquery_above_user_avg", {
+        # correlated scalar subquery: compiler decorrelates into a
+        # grouped-agg join; SQL twin is natively correlated. round:6 on
+        # the inner AVG keeps both engines on the DECIMAL-accumulate
+        # idiom (bit-identical comparison boundary).
+        "select": ["event_type", {"COUNT": "*", "as": "n_above"}],
+        "from": "events",
+        "where": [{"col": "value", "op": "gt",
+                   "val": {"subquery": {
+                       "select": [{"AVG": "value", "as": "ua", "round": 6}],
+                       "from": "events",
+                       "where": [{"col": "value", "op": "is_not_null"}]},
+                       "correlate": [["user_id", "user_id"]]}}],
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    }),
+    ("corr_subquery_count_scaled", {
+        # correlated COUNT with a scale multiplier: empty correlated
+        # sets count as 0 (LEFT join + COALESCE twin of SQL semantics).
+        "select": ["user_id", "event_id", "value"],
+        "from": "events",
+        "where": [{"col": "value", "op": "gt",
+                   "val": {"subquery": {
+                       "select": [{"COUNT": "*", "as": "n_purch"}],
+                       "from": "events",
+                       "where": [{"col": "event_type", "op": "eq",
+                                  "val": "purchase"}]},
+                       "correlate": ["user_id"],
+                       "scale": 5.0}}],
+        "order_by": [{"col": "event_id", "dir": "asc"}],
+    }),
 ]
 
 
@@ -424,6 +455,94 @@ def test_scalar_subquery_must_be_ungrouped_single_agg(catalog):
             compile_query(q, catalog)
         with pytest.raises(QueryError):
             assemble_sql(q, tm, dialect="duckdb")
+
+
+def test_corr_subquery_cross_table(catalog, ddb):
+    """Correlated subquery against a DIFFERENT table (orders →
+    lineitem), merged type map — the TPC-H Q17/Q22 scoping shape."""
+    q = {"select": ["o_orderkey", "o_totalprice"],
+         "from": "orders",
+         "where": [{"col": "o_totalprice", "op": "gt",
+                    "val": {"subquery": {
+                        "select": [{"COUNT": "*", "as": "n_items"}],
+                        "from": "lineitem"},
+                        "correlate": [["o_orderkey", "l_orderkey"]],
+                        "scale": 1000.0}}],
+         "order_by": [{"col": "o_orderkey", "dir": "asc"}]}
+    tm = dict(catalog.spark_type_map("orders"))
+    tm.update(catalog.spark_type_map("lineitem"))
+    df = compile_query(q, catalog)
+    sql = assemble_sql(q, tm, dialect="duckdb")
+    assert_matches_duckdb(df, ddb, sql, ordered=True)
+
+
+def test_corr_subquery_rejects_bad_shapes(catalog):
+    """Both twins reject: nested subqueries inside a correlated WHERE,
+    unknown value keys, non-numeric scale, and correlated leaves in a
+    join's pre-filter (no outer scope there)."""
+    tm = catalog.spark_type_map("events")
+    nested = {"select": ["event_id"], "from": "events",
+              "where": [{"col": "value", "op": "gt",
+                         "val": {"subquery": {
+                             "select": [{"AVG": "value", "as": "a"}],
+                             "from": "events",
+                             "where": [{"col": "value", "op": "gt",
+                                        "val": {"subquery": {
+                                            "select": [{"MIN": "value",
+                                                        "as": "m"}],
+                                            "from": "events"}}}]},
+                             "correlate": ["user_id"]}}]}
+    badkey = {"select": ["event_id"], "from": "events",
+              "where": [{"col": "value", "op": "gt",
+                         "val": {"subquery": {
+                             "select": [{"AVG": "value", "as": "a"}],
+                             "from": "events"},
+                             "corelate": ["user_id"]}}]}
+    badscale = {"select": ["event_id"], "from": "events",
+                "where": [{"col": "value", "op": "gt",
+                           "val": {"subquery": {
+                               "select": [{"AVG": "value", "as": "a"}],
+                               "from": "events"},
+                               "correlate": ["user_id"],
+                               "scale": "0.2"}}]}
+    for q in (nested, badkey, badscale):
+        with pytest.raises(QueryError):
+            compile_query(q, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(q, tm, dialect="duckdb")
+    # correlated leaf inside a join pre-filter: assembler has no outer
+    # scope there (compiler never routes join-where through the
+    # subquery attach either — it raises on the nested-value literal).
+    jq = {"select": ["o_orderkey"], "from": "orders",
+          "join": [{"table": "lineitem",
+                    "on": [["o_orderkey", "l_orderkey"]], "type": "semi",
+                    "where": [{"col": "l_quantity", "op": "gt",
+                               "val": {"subquery": {
+                                   "select": [{"AVG": "l_quantity",
+                                               "as": "a"}],
+                                   "from": "lineitem"},
+                                   "correlate": [["l_partkey",
+                                                  "l_partkey"]]}}]}]}
+    tmj = dict(catalog.spark_type_map("orders"))
+    tmj.update(catalog.spark_type_map("lineitem"))
+    with pytest.raises(QueryError):
+        assemble_sql(jq, tmj, dialect="duckdb")
+    with pytest.raises(QueryError):
+        compile_query(jq, catalog)
+
+
+def test_corr_subquery_plan_no_cartesian(spark, catalog):
+    """The decorrelated plan must be an equi-join against the grouped
+    aggregate — never a cartesian/broadcast-nested-loop product."""
+    q = {"select": ["event_id"], "from": "events",
+         "where": [{"col": "value", "op": "gt",
+                    "val": {"subquery": {
+                        "select": [{"AVG": "value", "as": "a"}],
+                        "from": "events"},
+                        "correlate": ["user_id"]}}]}
+    plan = compile_query(q, catalog)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_router_refuses_scalar_subquery(spark, catalog, tmp_path):
