@@ -225,9 +225,124 @@ def q_range_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gapfill_resample(
+    events: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    value_col: str = "value",
+    max_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-interval resample with gap filling (timeseries rollup à la
+    TimescaleDB ``time_bucket_gapfill``): bucket rows into
+    ``bucket_seconds`` intervals per group, then materialize EVERY
+    bucket between each group's first and last observation — counts and
+    sums zero-filled, the per-bucket average carried forward (LOCF)
+    across empty buckets.
+
+    Distribution: the spine is built executor-side with
+    ``sequence() + explode`` on the per-group [min, max] span — one row
+    per group feeds the generator, so there is no driver loop and no
+    global window; the spine joins back on (group, bucket) as a plain
+    equi-join and the LOCF window partitions by group. Buckets are
+    BIGINT epoch seconds (integer generate_series in the oracle — no
+    timestamp-zone semantics in the compare).
+
+    ``max_buckets`` bounds the per-group span: a degenerate input (one
+    row in 1970, one today) would otherwise explode a billion-element
+    array inside a single task. Exceeding it raises loudly
+    (``assert_true``) rather than OOMing an executor.
+    """
+    from query_planner_optimizer_spark.functions.timeexpr import epoch_micros
+
+    step_us = bucket_seconds * 1_000_000
+    gcols = list(group_cols)
+    bucket = (
+        F.floor(epoch_micros(F.col(ts_col)) / F.lit(step_us))
+        .cast("long") * bucket_seconds
+    ).alias("bucket_start")
+    agg = events.groupBy(*gcols, bucket).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 6).alias("sum_value"),
+        F.round(F.sum(value_col) / F.count(F.lit(1)), 6).alias("__avg"),
+    )
+    # The span guard lives INSIDE the __mx expression (a pruned side
+    # column would be optimized away before it ever evaluated): any
+    # group spanning more than max_buckets buckets raises loudly.
+    spans = agg.groupBy(*gcols).agg(
+        F.min("bucket_start").alias("__mn"),
+        F.max("bucket_start").alias("__mx"),
+    ).withColumn(
+        "__mx",
+        F.when(
+            (F.col("__mx") - F.col("__mn")) / bucket_seconds
+            < F.lit(max_buckets),
+            F.col("__mx"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(f"gapfill span exceeds max_buckets={max_buckets}")
+            )
+        ),
+    )
+    spine = spans.select(
+        *gcols,
+        F.explode(
+            F.sequence("__mn", "__mx", F.lit(bucket_seconds))
+        ).alias("bucket_start"),
+    )
+    out = spine.join(agg, [*gcols, "bucket_start"], "left")
+    w = (
+        Window.partitionBy(*gcols).orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.select(
+        *gcols,
+        "bucket_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.last("__avg", ignorenulls=True).over(w).alias("locf_avg"),
+    )
+
+
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return gapfill_resample(events, group_cols=("event_type",))
+
+
+GAPFILL_ORACLE = """
+WITH agg AS (
+    SELECT event_type,
+           CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600
+               AS bucket_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_v
+    FROM events GROUP BY 1, 2
+),
+spans AS (
+    SELECT event_type, MIN(bucket_start) AS mn, MAX(bucket_start) AS mx
+    FROM agg GROUP BY 1
+),
+spine AS (
+    SELECT event_type, UNNEST(generate_series(mn, mx, 3600)) AS bucket_start
+    FROM spans
+)
+SELECT s.event_type, s.bucket_start,
+       COALESCE(a.n_events, 0) AS n_events,
+       COALESCE(a.sum_value, 0.0) AS sum_value,
+       LAST_VALUE(a.avg_v IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg
+FROM spine s LEFT JOIN agg a USING (event_type, bucket_start)
+"""
+
+
 def entry_queries() -> dict[str, Callable]:
     return {"temporal_asof_join": q_asof_purchase_click,
-            "temporal_range_join": q_range_click_window}
+            "temporal_range_join": q_range_click_window,
+            "temporal_gapfill_hourly": q_gapfill_hourly}
 
 
 def entry_oracles() -> dict[str, str]:
@@ -276,4 +391,5 @@ def entry_oracles() -> dict[str, str]:
           ON p.user_id = w.user_id
          AND p.ts >= w.win_start AND p.ts < w.win_end
     """
-    return {"temporal_asof_join": asof, "temporal_range_join": range_sql}
+    return {"temporal_asof_join": asof, "temporal_range_join": range_sql,
+            "temporal_gapfill_hourly": GAPFILL_ORACLE}

@@ -133,3 +133,54 @@ def test_range_join_equals_inequality_join(spark, catalog):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gapfill_entry_matches_duckdb(spark, ddb):
+    df = temporal.q_gapfill_hourly(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, temporal.entry_oracles()["temporal_gapfill_hourly"]
+    )
+
+
+def test_gapfill_planted_gaps(spark):
+    """Synthetic series with known holes: zero-filled counts, LOCF avg
+    carried across the empty buckets, span per group (not global)."""
+    import datetime as dt
+
+    rows = [
+        # group "a": buckets at hours 0, 1, 4  (holes at 2, 3)
+        ("a", dt.datetime(2024, 1, 1, 0, 30), 10.0),
+        ("a", dt.datetime(2024, 1, 1, 1, 15), 20.0),
+        ("a", dt.datetime(2024, 1, 1, 1, 45), 40.0),
+        ("a", dt.datetime(2024, 1, 1, 4, 5), 8.0),
+        # group "b": single bucket — spine is that one bucket only
+        ("b", dt.datetime(2024, 1, 2, 7, 10), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = temporal.gapfill_resample(
+        df, group_cols=("g",), bucket_seconds=3600
+    ).toPandas().sort_values(["g", "bucket_start"]).reset_index(drop=True)
+    a = out[out.g == "a"]
+    assert len(a) == 5  # hours 0..4 inclusive
+    assert a.n_events.tolist() == [1, 2, 0, 0, 1]
+    assert a.sum_value.tolist() == [10.0, 60.0, 0.0, 0.0, 8.0]
+    # LOCF: hour-1 avg (30.0) carries across the two empty buckets.
+    assert a.locf_avg.tolist() == [10.0, 30.0, 30.0, 30.0, 8.0]
+    b = out[out.g == "b"]
+    assert len(b) == 1 and b.n_events.tolist() == [1]
+
+
+def test_gapfill_max_buckets_guard(spark):
+    """A degenerate span (rows decades apart) fails loudly instead of
+    exploding a giant sequence inside one task."""
+    import datetime as dt
+
+    import pytest
+
+    rows = [("a", dt.datetime(1970, 1, 2, 0, 0), 1.0),
+            ("a", dt.datetime(2024, 1, 1, 0, 0), 2.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    with pytest.raises(Exception, match="max_buckets"):
+        temporal.gapfill_resample(
+            df, group_cols=("g",), bucket_seconds=3600, max_buckets=1000
+        ).collect()
