@@ -123,6 +123,32 @@ def cube_counts(
     )
 
 
+def grouping_sets_counts(
+    df: DataFrame, sets: list[list[str]], cols: list[str], value_col: str
+) -> DataFrame:
+    """GROUP BY GROUPING SETS over an ARBITRARY set list — the general
+    form ROLLUP/CUBE are shorthands of (a set list neither shorthand can
+    express, e.g. ((a,b),(b),()) skipping the (a) subtotal). Same
+    single-pass execution as CUBE: Spark expands the sets map-side and
+    shuffles each partial once — len(sets) × the plain aggregate's
+    shuffle rows, never len(sets) scans. Sums accumulate in DECIMAL
+    (double addition is partition-order-dependent)."""
+    for s in sets:
+        unknown = [c for c in s if c not in cols]
+        if unknown:
+            raise ValueError(f"grouping set {s} uses non-grouping cols "
+                             f"{unknown} (declared: {cols})")
+    return df.groupingSets(
+        [[F.col(c) for c in s] for s in sets], *[F.col(c) for c in cols]
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col(value_col).cast("decimal(38, 16)")), 6)
+        .cast("double")
+        .alias("sum_value"),
+        *[F.grouping(c).alias(f"__g_{c}") for c in cols],
+    )
+
+
 def pivot_values(
     df: DataFrame,
     group_col: str,
@@ -364,6 +390,25 @@ def q_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS ((day, event_type), (event_type), ()) —
+    skips the (day) subtotal a ROLLUP would force and adds the grand
+    total a bare GROUP BY lacks. Sentinels as in the ROLLUP/CUBE
+    entries: 'ALL' keyed on grouping(), 'NULL' for data-null keys."""
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return grouping_sets_counts(
+        events,
+        [["day", "event_type"], ["event_type"], []],
+        ["day", "event_type"],
+        "value",
+    ).select(
+        _grouping_sentinel("day").alias("day"),
+        _grouping_sentinel("event_type").alias("event_type"),
+        "n_rows",
+        "sum_value",
+    )
+
+
 def q_pivot_day_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     out = pivot_values(
@@ -483,6 +528,7 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_quantiles": q_value_quantiles,
         "analytics_rollup_counts": q_rollup_day_type,
         "analytics_cube_counts": q_cube_day_type,
+        "analytics_grouping_sets": q_grouping_sets_day_type,
         "analytics_pivot_day_by_type": q_pivot_day_by_type,
         "analytics_salted_agg": q_salted_agg,
         "dsl_join_salted": q_salted_join,
@@ -553,6 +599,24 @@ def entry_oracles() -> dict[str, str]:
             FROM events GROUP BY CUBE(CAST(ts AS DATE), event_type)
         )
     """
+    gsets = """
+        SELECT CASE WHEN g_day = 1 THEN 'ALL'
+                    ELSE COALESCE(CAST(day AS VARCHAR), 'NULL') END AS day,
+               CASE WHEN g_etype = 1 THEN 'ALL'
+                    ELSE COALESCE(event_type, 'NULL') END AS event_type,
+               n_rows, sum_value
+        FROM (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   GROUPING(CAST(ts AS DATE)) AS g_day,
+                   GROUPING(event_type) AS g_etype,
+                   COUNT(*) AS n_rows,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6)
+                        AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY GROUPING SETS ((CAST(ts AS DATE), event_type),
+                                    (event_type), ())
+        )
+    """
     pivot_measures = ", ".join(
         f"CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))) "
         f"FILTER (WHERE event_type = '{v}'), 6) AS DOUBLE) AS {v}"
@@ -621,6 +685,7 @@ def entry_oracles() -> dict[str, str]:
         "analytics_quantiles": quantiles,
         "analytics_rollup_counts": rollup,
         "analytics_cube_counts": cube,
+        "analytics_grouping_sets": gsets,
         "analytics_pivot_day_by_type": pivot,
         "analytics_salted_agg": """
         SELECT event_type, COUNT(*) AS n_rows,

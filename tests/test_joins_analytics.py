@@ -321,3 +321,32 @@ def test_salted_agg_equals_plain_groupby(spark, ddb):
     assert_matches_duckdb(
         df, ddb, analytics.entry_oracles()["analytics_salted_agg"]
     )
+
+
+def test_grouping_sets_matches_oracle_and_union_construction(spark, ddb):
+    """GROUPING SETS ((day,type),(type),()) vs the oracle, and vs an
+    independent union-of-plain-group-bys construction; rejects sets
+    using undeclared columns."""
+    import pytest
+
+    from .conftest import SF_DIR, assert_matches_duckdb
+    from query_planner_optimizer_spark.operators import analytics
+
+    df = analytics.q_grouping_sets_day_type(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, analytics.entry_oracles()["analytics_grouping_sets"]
+    )
+    got = {(r.day, r.event_type): r.n_rows for r in df.collect()}
+    # independent construction: three plain GROUP BYs
+    cube = {(r.day, r.event_type): r.n_rows
+            for r in analytics.q_cube_day_type(spark, SF_DIR).collect()}
+    want = {k: v for k, v in cube.items()
+            if (k[0] != "ALL" and k[1] != "ALL")   # (day, type)
+            or (k[0] == "ALL" and k[1] != "ALL")   # (type)
+            or k == ("ALL", "ALL")}                # ()
+    assert got == want
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    with pytest.raises(ValueError, match="non-grouping"):
+        analytics.grouping_sets_counts(
+            events, [["user_id"]], ["event_type"], "value"
+        )
