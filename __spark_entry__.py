@@ -510,6 +510,33 @@ DSL_QUERIES: dict[str, dict] = {
         "where": [{"col": "event_type", "op": "in",
                    "val": ["click", "purchase"]}],
     },
+    "dsl_window_frames_ntile": {
+        # Explicit ROWS frames + ntile: 4-row moving average
+        # ([-3, 0] trailing frame), forward-looking running max
+        # ([0, unbounded]), and quartile bucketing — the frame grammar
+        # ROLLUP-era DSLs lack, one OVER clause each, identical SQL in
+        # both dialects.
+        "select": [
+            "user_id", "event_id", "value",
+            {"win": "avg", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "frame": {"rows": [-3, 0]},
+             "as": "moving_avg4", "round": 6},
+            {"win": "max", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "frame": {"rows": [0, None]},
+             "as": "max_from_here", "round": 6},
+            {"win": "ntile", "buckets": 4, "partition_by": ["user_id"],
+             "order_by": [{"col": "value", "dir": "desc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "value_quartile"},
+        ],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "in",
+                   "val": ["click", "view"]}],
+    },
     "dsl_scalar_subquery_above_avg": {
         # Uncorrelated scalar subquery: events whose value beats the
         # global average. Engine path broadcast-crossJoins the one-row

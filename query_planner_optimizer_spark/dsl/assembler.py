@@ -305,23 +305,41 @@ def _agg_sql(
     return f"{expr} AS {_quote_ident(out_name, dialect)}"
 
 
+def _frame_bound_sql(v: int | None, side: str) -> str:
+    if v is None:
+        return f"UNBOUNDED {'PRECEDING' if side == 'lo' else 'FOLLOWING'}"
+    if v == 0:
+        return "CURRENT ROW"
+    return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
+
+
 def _window_sql(term: dict, dialect: str) -> str:
     """Render a window term — same OVER clause text in both dialects.
-    Twin of ``compiler._window_column`` (rank family: no frame; offset:
-    lag/lead(col, k); running aggregates: cumulative ROWS frame)."""
-    fn, of, pb, specs, out_name, round_to, offset = _parse_window_term(term)
+    Twin of ``compiler._window_column`` (rank family: no frame; ntile(n);
+    offset: lag/lead(col, k); aggregates: explicit ROWS frame when given,
+    else the cumulative default)."""
+    fn, of, pb, specs, out_name, round_to, offset, buckets, frame = \
+        _parse_window_term(term)
     part = ", ".join(_ident(c, dialect) for c in pb)
     order = ", ".join(
         f"{_ident(c, dialect)} {d.upper()}" for c, d in specs
     )
     over = f"PARTITION BY {part} ORDER BY {order}"
-    if fn in WINDOW_RANK_FNS:
+    if fn == "ntile":
+        call = f"ntile({buckets})"
+    elif fn in WINDOW_RANK_FNS:
         call = f"{fn}()"
     elif fn in ("lag", "lead"):
         call = f"{fn}({_ident(of, dialect)}, {offset})"
     else:
         call = f"{fn}({_ident(of, dialect)})"
-        over += " ROWS UNBOUNDED PRECEDING"
+        if frame is not None:
+            over += (
+                f" ROWS BETWEEN {_frame_bound_sql(frame[0], 'lo')}"
+                f" AND {_frame_bound_sql(frame[1], 'hi')}"
+            )
+        else:
+            over += " ROWS UNBOUNDED PRECEDING"
     expr = f"{call} OVER ({over})"
     if round_to is not None:
         expr = f"ROUND({expr}, {round_to})"

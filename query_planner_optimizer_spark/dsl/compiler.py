@@ -339,9 +339,32 @@ def _bool_tree(df: DataFrame, cond: dict) -> Column:
 #: (cumulative frame ROWS UNBOUNDED PRECEDING .. CURRENT ROW). The
 #: spellings are valid verbatim in Spark SQL and DuckDB, so the
 #: assembler renders the same OVER clause for both dialects.
-WINDOW_RANK_FNS = ("row_number", "rank", "dense_rank")
+WINDOW_RANK_FNS = ("row_number", "rank", "dense_rank", "ntile")
 WINDOW_OFFSET_FNS = ("lag", "lead")
 WINDOW_AGG_FNS = ("sum", "avg", "min", "max", "count")
+
+
+def _parse_frame(term: dict, fn: str) -> tuple | None:
+    """Validate an explicit ROWS frame: ``{"frame": {"rows": [lo, hi]}}``
+    with ints (negative = PRECEDING, 0 = CURRENT ROW, positive =
+    FOLLOWING) or null (UNBOUNDED). Aggregate windows only — rank/offset
+    functions define their own frame semantics."""
+    frame = term.get("frame")
+    if frame is None:
+        return None
+    if fn not in WINDOW_AGG_FNS:
+        raise QueryError(f"'frame' is only valid on aggregate windows: {term!r}")
+    rows = frame.get("rows") if isinstance(frame, dict) else None
+    if (not isinstance(frame, dict) or set(frame) != {"rows"}
+            or not isinstance(rows, (list, tuple)) or len(rows) != 2):
+        raise QueryError(f"frame must be {{'rows': [lo, hi]}}: {term!r}")
+    lo, hi = rows
+    for v in (lo, hi):
+        if v is not None and (not isinstance(v, int) or isinstance(v, bool)):
+            raise QueryError(f"frame bounds must be ints or null: {term!r}")
+    if lo is not None and hi is not None and lo > hi:
+        raise QueryError(f"frame lower bound exceeds upper: {term!r}")
+    return (lo, hi)
 
 
 def _parse_window_term(term: dict) -> tuple:
@@ -388,13 +411,23 @@ def _parse_window_term(term: dict) -> tuple:
         not isinstance(offset, int) or isinstance(offset, bool) or offset < 1
     ):
         raise QueryError(f"window offset must be a positive int: {term!r}")
-    return fn, of, pb, specs, term["as"], term.get("round"), offset
+    buckets = term.get("buckets")
+    if fn == "ntile":
+        if not isinstance(buckets, int) or isinstance(buckets, bool) \
+                or buckets < 1:
+            raise QueryError(f"ntile needs a positive int 'buckets': {term!r}")
+    elif buckets is not None:
+        raise QueryError(f"'buckets' is only valid on ntile: {term!r}")
+    frame = _parse_frame(term, fn)
+    return fn, of, pb, specs, term["as"], term.get("round"), offset, \
+        buckets, frame
 
 
 def _window_column(df: DataFrame, term: dict) -> Column:
     from pyspark.sql import Window
 
-    fn, of, pb, specs, out_name, round_to, offset = _parse_window_term(term)
+    fn, of, pb, specs, out_name, round_to, offset, buckets, frame = \
+        _parse_window_term(term)
     for c in (*pb, *(s[0] for s in specs), *([of] if of else [])):
         if c not in df.columns:
             raise QueryError(f"unknown column {c!r} in window term {term!r}")
@@ -402,14 +435,23 @@ def _window_column(df: DataFrame, term: dict) -> Column:
         F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in specs
     ]
     w = Window.partitionBy(*pb).orderBy(*sort_cols)
-    if fn in WINDOW_RANK_FNS:
+    if fn == "ntile":
+        e = F.ntile(buckets).over(w)
+    elif fn in WINDOW_RANK_FNS:
         e = getattr(F, fn)().over(w)
     elif fn in WINDOW_OFFSET_FNS:
         e = getattr(F, fn)(F.col(of), offset).over(w)
     else:
-        # running aggregate: cumulative frame, ties split by the (total)
-        # ORDER BY — callers include a unique tiebreak for determinism
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # Aggregate window: explicit ROWS frame when given (moving
+        # aggregates), else the cumulative default; ties split by the
+        # (total) ORDER BY — callers include a unique tiebreak for
+        # determinism.
+        if frame is not None:
+            lo = Window.unboundedPreceding if frame[0] is None else frame[0]
+            hi = Window.unboundedFollowing if frame[1] is None else frame[1]
+            w = w.rowsBetween(lo, hi)
+        else:
+            w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         e = getattr(F, fn)(F.col(of)).over(w)
     if round_to is not None:
         e = F.round(e, round_to)

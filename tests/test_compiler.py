@@ -177,6 +177,31 @@ QUERIES = [
             {"col": "value", "op": "lt", "val": 1},
         ]}],
     }),
+    ("window_frames_ntile", {
+        # explicit ROWS frames (trailing moving avg, forward max) +
+        # ntile quartiles — identical OVER text in both dialects
+        "select": [
+            "user_id", "event_id",
+            {"win": "avg", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "frame": {"rows": [-2, 0]}, "as": "ma3", "round": 6},
+            {"win": "sum", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "frame": {"rows": [None, None]}, "as": "part_total",
+             "round": 6},
+            {"win": "min", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "frame": {"rows": [1, 3]}, "as": "next3_min", "round": 6},
+            {"win": "ntile", "buckets": 3, "partition_by": ["user_id"],
+             "order_by": [{"col": "value", "dir": "desc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "tercile"},
+        ],
+        "from": "events",
+    }),
     ("corr_subquery_above_user_avg", {
         # correlated scalar subquery: compiler decorrelates into a
         # grouped-agg join; SQL twin is natively correlated. round:6 on
@@ -585,6 +610,32 @@ def test_window_rejects_unpartitioned_and_grouped(catalog):
                                 "order_by": ["ts_dt"], "as": "r"}],
                     "from": "events"}
     for q in (unpart, mixed, rank_with_of):
+        with pytest.raises(QueryError):
+            compile_query(q, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(q, tm, dialect="duckdb")
+
+
+def test_window_frame_and_ntile_rejections(catalog):
+    """Frame on a rank function, inverted bounds, non-int bounds,
+    missing/invalid ntile buckets, buckets on a non-ntile fn — both
+    twins reject identically."""
+    tm = catalog.spark_type_map("events")
+
+    def wq(term):
+        return {"select": ["event_id", term], "from": "events"}
+
+    base = {"partition_by": ["user_id"], "order_by": ["event_id"], "as": "x"}
+    bad = [
+        wq({"win": "rank", **base, "frame": {"rows": [-1, 0]}}),
+        wq({"win": "sum", "of": "value", **base, "frame": {"rows": [2, -2]}}),
+        wq({"win": "sum", "of": "value", **base, "frame": {"rows": [0.5, 0]}}),
+        wq({"win": "sum", "of": "value", **base, "frame": {"range": [0, 1]}}),
+        wq({"win": "ntile", **base}),
+        wq({"win": "ntile", **base, "buckets": 0}),
+        wq({"win": "sum", "of": "value", **base, "buckets": 4}),
+    ]
+    for q in bad:
         with pytest.raises(QueryError):
             compile_query(q, catalog)
         with pytest.raises(QueryError):
