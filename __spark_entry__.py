@@ -101,6 +101,36 @@ DSL_QUERIES: dict[str, dict] = {
         "order_by": [{"col": "event_id", "dir": "asc"}],
         "limit": 500,
     },
+    "dsl_string_functions": {
+        # String scalar functions as expression-tree nodes
+        # ({"fn": ..., "args": [...]}) — the set whose semantics are
+        # bit-identical in Spark SQL and DuckDB (STRING_FNS);
+        # {"lit": ...} leaves carry string literals, concat renders as
+        # null-propagating || in both dialects, strpos maps to Spark's
+        # instr. All JVM-side codegen — never a Python UDF.
+        "select": [
+            "p_partkey",
+            {"expr": {"fn": "lower", "args": ["p_name"]},
+             "as": "name_lower"},
+            {"expr": {"fn": "substr", "args": ["p_brand", 7, 2]},
+             "as": "brand_num"},
+            {"expr": {"fn": "length", "args": ["p_name"]},
+             "as": "name_len"},
+            {"expr": {"fn": "concat",
+                      "args": ["p_brand", {"lit": "/"},
+                               {"fn": "upper", "args": ["p_type"]}]},
+             "as": "brand_type"},
+            {"expr": {"fn": "strpos", "args": ["p_type", {"lit": "BRASS"}]},
+             "as": "brass_at"},
+            {"expr": {"fn": "replace",
+                      "args": [{"fn": "trim", "args": ["p_type"]},
+                               {"lit": " "}, {"lit": "_"}]},
+             "as": "type_snake"},
+        ],
+        "from": "part",
+        "where": [{"col": "p_size", "op": "lte", "val": 25}],
+        "order_by": [{"col": "p_partkey", "dir": "asc"}],
+    },
     "dsl_case_agg": {
         # conditional aggregation via SUM(CASE WHEN ...) — one scan,
         # K conditional measures (same plan family as FILTER clauses)

@@ -192,6 +192,33 @@ def _num_expr_sql(
         raise QueryError(f"bad expression leaf: {e!r}")
     if isinstance(e, (int, float)):
         return repr(e)
+    if "lit" in e:
+        if set(e) != {"lit"} or not isinstance(e["lit"], str):
+            raise QueryError(f"bad literal leaf (string only): {e!r}")
+        return "'" + e["lit"].replace("'", "''") + "'"
+    if "fn" in e:
+        # String functions — identical semantics in both dialects (see
+        # compiler.STRING_FNS); concat renders as `||` (null-propagating
+        # like F.concat in both engines), strpos maps to Spark's instr.
+        from query_planner_optimizer_spark.dsl.compiler import STRING_FNS
+
+        fn, args = e["fn"], e.get("args")
+        if fn not in STRING_FNS:
+            raise QueryError(f"unknown function: {e!r}")
+        arity = STRING_FNS[fn]
+        if not isinstance(args, list) or (
+            len(args) != arity if arity is not None else len(args) < 2
+        ):
+            raise QueryError(f"{fn} expects "
+                             f"{arity if arity is not None else '>=2'} "
+                             f"args: {e!r}")
+        parts = [_num_expr_sql(a, dialect, type_map) for a in args]
+        if fn == "concat":
+            return "(" + " || ".join(parts) + ")"
+        if fn == "strpos":
+            name = "instr" if dialect == "spark" else "strpos"
+            return f"{name}({parts[0]}, {parts[1]})"
+        return f"{fn}({', '.join(parts)})"
     if "if" in e:
         if "then" not in e or "else" not in e:
             raise QueryError(f"'if' expression needs 'then' and 'else': {e!r}")
@@ -239,6 +266,10 @@ def _is_integral_expr(
             return all(
                 _is_integral_expr(a, type_map) for a in e.get("args") or []
             )
+        # length/strpos yield ints (DuckDB: BIGINT) — SUMs over them
+        # need the same HUGEINT→BIGINT pin as int columns.
+        if e.get("fn") in ("length", "strpos"):
+            return True
     return False
 
 

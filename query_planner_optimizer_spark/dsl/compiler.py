@@ -114,13 +114,45 @@ def _is_agg_term(term: Any) -> bool:
     return isinstance(term, dict) and "expr" not in term and "win" not in term
 
 
+#: String/scalar functions with IDENTICAL semantics in Spark SQL and
+#: DuckDB (arity; None = variadic ≥ 2). ``strpos`` maps to Spark
+#: ``instr`` (same 1-based, 0-if-absent contract); ``concat`` renders as
+#: ``||`` in SQL (null-propagating in both engines, exactly F.concat).
+STRING_FNS: dict[str, int | None] = {
+    "lower": 1, "upper": 1, "length": 1, "trim": 1, "ltrim": 1,
+    "rtrim": 1, "substr": 3, "concat": None, "replace": 3, "strpos": 2,
+}
+
+
+def _string_fn_column(df: DataFrame, e: dict) -> Column:
+    fn, args = e["fn"], e.get("args")
+    arity = STRING_FNS[fn]
+    if not isinstance(args, list) or (
+        len(args) != arity if arity is not None else len(args) < 2
+    ):
+        raise QueryError(f"{fn} expects "
+                         f"{arity if arity is not None else '>=2'} "
+                         f"args: {e!r}")
+    cols = [_num_expr(df, a) for a in args]
+    if fn == "substr":
+        return cols[0].substr(cols[1], cols[2])
+    if fn == "concat":
+        return F.concat(*cols)
+    if fn == "strpos":
+        return F.instr(cols[0], cols[1])
+    if fn == "replace":
+        return F.replace(cols[0], cols[1], cols[2])
+    return getattr(F, fn)(cols[0])
+
+
 def _num_expr(df: DataFrame, e: Any) -> Column:
-    """Arithmetic expression tree → Column. Leaves are column names or
-    numeric literals; nodes are {"op": add|sub|mul|div, "args": [...]}
-    folded left, or the conditional {"if": cond, "then": e, "else": e}
-    (CASE WHEN — cond is any WHERE-style boolean tree; both branches
-    required so the expression is total) — the twin of
-    :func:`assembler._num_expr_sql`."""
+    """Scalar expression tree → Column. Leaves are column names, numeric
+    literals, or {"lit": <str>} string literals; nodes are
+    {"op": add|sub|mul|div, "args": [...]} folded left, the conditional
+    {"if": cond, "then": e, "else": e} (CASE WHEN — cond is any
+    WHERE-style boolean tree; both branches required so the expression
+    is total), or {"fn": <STRING_FNS name>, "args": [...]} — the twin
+    of :func:`assembler._num_expr_sql`."""
     if isinstance(e, str):
         if e not in df.columns:
             raise QueryError(f"unknown column {e!r} in expression")
@@ -129,6 +161,14 @@ def _num_expr(df: DataFrame, e: Any) -> Column:
         raise QueryError(f"bad expression leaf: {e!r}")
     if isinstance(e, (int, float)):
         return F.lit(e)
+    if "lit" in e:
+        if set(e) != {"lit"} or not isinstance(e["lit"], str):
+            raise QueryError(f"bad literal leaf (string only): {e!r}")
+        return F.lit(e["lit"])
+    if "fn" in e:
+        if e["fn"] not in STRING_FNS:
+            raise QueryError(f"unknown function: {e!r}")
+        return _string_fn_column(df, e)
     if "if" in e:
         if "then" not in e or "else" not in e:
             raise QueryError(f"'if' expression needs 'then' and 'else': {e!r}")
@@ -159,6 +199,8 @@ def expr_columns(e: Any) -> set[str]:
     if isinstance(e, str):
         return {e}
     if isinstance(e, dict):
+        if "lit" in e:
+            return set()
         out: set[str] = set()
         for a in e.get("args") or []:
             out |= expr_columns(a)

@@ -177,6 +177,33 @@ QUERIES = [
             {"col": "value", "op": "lt", "val": 1},
         ]}],
     }),
+    ("string_functions_projection", {
+        "select": [
+            "event_id",
+            {"expr": {"fn": "upper", "args": ["event_type"]}, "as": "et_up"},
+            {"expr": {"fn": "substr", "args": ["event_type", 1, 3]},
+             "as": "et3"},
+            {"expr": {"fn": "concat",
+                      "args": [{"lit": "t:"}, "event_type", {"lit": "!"}]},
+             "as": "tagged"},
+            {"expr": {"fn": "length", "args": ["props"]}, "as": "props_len"},
+            {"expr": {"fn": "strpos", "args": ["event_type", {"lit": "ic"}]},
+             "as": "ic_at"},
+        ],
+        "from": "events",
+        "where": [{"col": "event_id", "op": "lt", "val": 500}],
+    }),
+    ("string_fn_agg_target", {
+        # SUM over length() — integral inference pins DuckDB's HUGEINT
+        "select": ["event_type",
+                   {"SUM": {"fn": "length", "args": ["props"]},
+                    "as": "total_props_chars"},
+                   {"AVG": {"fn": "length", "args": ["event_type"]},
+                    "as": "avg_type_len", "round": 6}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    }),
     ("window_frames_ntile", {
         # explicit ROWS frames (trailing moving avg, forward max) +
         # ntile quartiles — identical OVER text in both dialects
@@ -656,3 +683,23 @@ def test_router_refuses_window_terms(spark, catalog, tmp_path):
                      "order_by": ["event_type"], "as": "rn"}],
          "from": "events"}
     assert router.route(q) is None
+
+
+def test_string_fn_rejections(catalog):
+    """Unknown fn, wrong arity, non-string lit — both twins reject."""
+    tm = catalog.spark_type_map("events")
+    bad = [
+        {"select": [{"expr": {"fn": "regexp_kill", "args": ["props"]},
+                     "as": "x"}], "from": "events"},
+        {"select": [{"expr": {"fn": "substr", "args": ["props", 1]},
+                     "as": "x"}], "from": "events"},
+        {"select": [{"expr": {"fn": "concat", "args": ["props"]},
+                     "as": "x"}], "from": "events"},
+        {"select": [{"expr": {"fn": "lower", "args": [{"lit": 3}]},
+                     "as": "x"}], "from": "events"},
+    ]
+    for q in bad:
+        with pytest.raises(QueryError):
+            compile_query(q, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(q, tm, dialect="duckdb")
