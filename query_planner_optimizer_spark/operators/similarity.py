@@ -569,6 +569,99 @@ def q_neardup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_lsh_quality(_emb(spark, sf_dir))
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = NEARDUP_THRESHOLD,
+    planes: int = NEARDUP_PLANES,
+    tables: int = NEARDUP_TABLES,
+    cc_method: str = "propagation",
+) -> DataFrame:
+    """Semantic (embedding-space) corpus dedup — the composition a
+    training-data pipeline actually runs: LSH near-dup pairs →
+    connected components → (id, cluster_id, cluster_size,
+    is_canonical). The embedding twin of ``dedup.dedup_clusters``'s
+    lexical pipeline; the keep-set is ``is_canonical = true``.
+
+    Every stage is the bucketed scale path: hyperplane-LSH band join
+    (never the N² cross product), longs-only CC frames with
+    per-round lineage truncation, and a (cluster_id, count) join AQE
+    marks broadcast-able (cluster count ≪ corpus size)."""
+    from query_planner_optimizer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = embedding_neardup_pairs(
+        df, id_col, vec_col, dim, threshold,
+        use_lsh=True, planes=planes, tables=tables,
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), df.select(F.col(id_col)),
+        src="id_a", dst="id_b", vid=id_col, method=cc_method,
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(_emb(spark, sf_dir))
+
+
+def _semantic_dedup_oracle(
+    dim: int = 64,
+    threshold: float = NEARDUP_THRESHOLD,
+    planes: int = NEARDUP_PLANES,
+    tables: int = NEARDUP_TABLES,
+) -> str:
+    """DuckDB replay of the full semantic-dedup pipeline: literal
+    hyperplane buckets → verified pairs → recursive-CTE components →
+    cluster sizes + canonical flags."""
+    return f"""
+        WITH RECURSIVE {_lsh_bucket_cte(dim, planes, tables)},
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sk a JOIN sk b ON a.tbl = b.tbl AND a.bkt = b.bkt
+            WHERE a.vec_id < b.vec_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM cand
+            JOIN n a ON cand.id_a = a.vec_id
+            JOIN n b ON cand.id_b = b.vec_id
+            WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                  >= {threshold}
+        ),
+        und AS (
+            SELECT id_a AS nn, id_b AS mm FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.mm, r.label FROM reach r JOIN und e ON r.node = e.nn
+        ),
+        lab AS (
+            SELECT node AS vec_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sz AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM lab GROUP BY cluster_id
+        )
+        SELECT lab.vec_id, lab.cluster_id, sz.cluster_size,
+               lab.vec_id = lab.cluster_id AS is_canonical
+        FROM lab JOIN sz USING (cluster_id)
+    """
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "sim_cosine_topk": q_cosine_topk,
@@ -579,6 +672,7 @@ def entry_queries() -> dict[str, Callable]:
         "sim_ann_recall": q_ann_recall,  # quantified recall, hash-checked
         "sim_ivf_recall": q_ivf_recall,  # quantified recall, hash-checked
         "dedup_embedding_lsh_quality": q_neardup_lsh_quality,  # hash-checked
+        "dedup_semantic_clusters": q_semantic_dedup,  # LSH+CC, full oracle
     }
 
 
@@ -736,5 +830,6 @@ def entry_oracles() -> dict[str, str]:
             "sim_ivf_topk": cosine,
             "sim_lsh_topk": _lsh_topk_oracle(),
             "dedup_embedding_cosine_lsh": _neardup_lsh_oracle(),
+            "dedup_semantic_clusters": _semantic_dedup_oracle(),
             "sim_ann_recall": recall, "sim_ivf_recall": ivf_recall,
             "dedup_embedding_lsh_quality": neardup_q}

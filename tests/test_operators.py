@@ -886,3 +886,22 @@ def test_token_budget_salted_constant_score(spark):
           .groupBy("q", "s").count()
           .agg(F.max("count")).collect()[0][0])
     assert mx <= 16
+
+
+def test_semantic_dedup_matches_oracle_and_invariants(emb, ddb):
+    """Full semantic-dedup pipeline (LSH pairs → CC → survivors) vs the
+    recursive-CTE oracle, plus structural invariants: cluster_id is a
+    member min, exactly one canonical per cluster, sizes add to N."""
+    df = similarity.semantic_dedup(emb)
+    assert_matches_duckdb(
+        df, ddb, similarity.entry_oracles()["dedup_semantic_clusters"]
+    )
+    rows = df.collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == emb.count()
+    for cid, members in by_cluster.items():
+        assert cid == min(m.vec_id for m in members)
+        assert sum(m.is_canonical for m in members) == 1
+        assert all(m.cluster_size == len(members) for m in members)
