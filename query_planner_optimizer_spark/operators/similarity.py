@@ -569,6 +569,119 @@ def q_neardup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_lsh_quality(_emb(spark, sf_dir))
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` ∈ [-127, 127] — the storage/shuffle
+    format for embedding columns at corpus scale (4× fewer bytes than
+    float32, 8× fewer than double, with cosine recall in the high 90s
+    at 64 dims). All array expressions over the scan — map-only, no
+    Python. Zero vectors quantize to zeros under a sentinel scale of 1
+    (guarding the division; their quantized cosine is defined as 0).
+
+    Determinism note: every quantized value is a small integer, so ALL
+    downstream arithmetic (dot products, norms) is exactly
+    representable in doubles — quantized scoring is bit-identical in
+    any engine and any partition order, which is what gives the
+    quantized entries full oracles with no rounding idioms."""
+    v = _as_double(F.col(vec_col))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx == F.lit(0.0), F.lit(1.0)).otherwise(
+        mx / F.lit(127.0)
+    )
+    qv = F.transform(v, lambda x: F.round(x / scale).cast("long"))
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        scale.alias("scale"),
+        qv.alias("qvec"),
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = DEFAULT_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (cosine is
+    scale-invariant, so per-vector scales cancel: sim_q =
+    Σq_a·q_b / (‖q_a‖·‖q_b‖) — integer-exact doubles end to end).
+    Same broadcast-the-queries plan as :func:`cosine_topk`, but the
+    corpus side ships quantized arrays: at 100 TB this is the variant
+    whose shuffle is 4-8× lighter."""
+    qd = quantize_embeddings(df, id_col, vec_col)
+    qdbl = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    base = qd.select(
+        F.col("vec_id").alias("nid"),
+        qdbl.alias("qv"),
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    qs = base.filter(F.col("nid") < num_queries).select(
+        F.col("nid").alias("qid"),
+        F.col("qv").alias("q_qv"),
+        F.col("qn").alias("q_qn"),
+    )
+    scored = (
+        base.join(F.broadcast(qs), F.col("qid") != F.col("nid"))
+        .withColumn(
+            "qsim",
+            F.when(F.col("q_qn") * F.col("qn") == 0, F.lit(0.0)).otherwise(
+                _dot(F.col("q_qv"), F.col("qv"))
+                / (F.col("q_qn") * F.col("qn"))
+            ),
+        )
+        .select("qid", "nid", "qsim")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("qsim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("qsim", 6).alias("qsim"))
+    )
+
+
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exploded to (vec_id, scale, pos, qval) scalars so the value hash
+    # covers every quantized coefficient positionally.
+    qd = quantize_embeddings(_emb(spark, sf_dir))
+    return qd.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.posexplode("qvec").alias("pos", "qval"),
+    )
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantized_topk(_emb(spark, sf_dir))
+
+
+#: Shared quantization CTE (DuckDB replay of quantize_embeddings).
+_QUANT_CTE = """
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0
+                    THEN 1.0
+                    ELSE list_max(list_transform(e, x -> abs(x))) / 127.0
+               END AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(e, x -> CAST(ROUND(x / scale) AS BIGINT))
+                   AS qv
+        FROM s
+    )
+"""
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -673,6 +786,8 @@ def entry_queries() -> dict[str, Callable]:
         "sim_ivf_recall": q_ivf_recall,  # quantified recall, hash-checked
         "dedup_embedding_lsh_quality": q_neardup_lsh_quality,  # hash-checked
         "dedup_semantic_clusters": q_semantic_dedup,  # LSH+CC, full oracle
+        "sim_quantize_int8": q_quantize_int8,  # int8 storage format
+        "sim_quantized_topk": q_quantized_topk,  # quantized ANN, full oracle
     }
 
 
@@ -831,5 +946,38 @@ def entry_oracles() -> dict[str, str]:
             "sim_lsh_topk": _lsh_topk_oracle(),
             "dedup_embedding_cosine_lsh": _neardup_lsh_oracle(),
             "dedup_semantic_clusters": _semantic_dedup_oracle(),
+            "sim_quantize_int8": f"""
+        WITH {_QUANT_CTE}
+        SELECT vec_id, ROUND(scale, 9) AS scale,
+               UNNEST(list_transform(qv, (x, i) ->
+                      {{'pos': i - 1, 'qval': x}}), recursive := true)
+        FROM q
+    """,
+            "sim_quantized_topk": f"""
+        WITH {_QUANT_CTE},
+        n2 AS (
+            SELECT vec_id,
+                   list_transform(qv, x -> CAST(x AS DOUBLE)) AS qd,
+                   sqrt(list_dot_product(
+                       list_transform(qv, x -> CAST(x AS DOUBLE)),
+                       list_transform(qv, x -> CAST(x AS DOUBLE)))) AS qn
+            FROM q
+        ),
+        scored AS (
+            SELECT a.vec_id AS qid, b.vec_id AS nid,
+                   CASE WHEN a.qn * b.qn = 0 THEN 0.0
+                        ELSE list_dot_product(a.qd, b.qd) / (a.qn * b.qn)
+                   END AS qsim
+            FROM n2 a JOIN n2 b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < {{nq}}
+        )
+        SELECT qid, nid, rank, ROUND(qsim, 6) AS qsim FROM (
+            SELECT qid, nid, qsim,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY qsim DESC, nid ASC) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {{k}}
+    """.replace("{nq}", str(DEFAULT_NUM_QUERIES)).replace(
+                "{k}", str(DEFAULT_K)),
             "sim_ann_recall": recall, "sim_ivf_recall": ivf_recall,
             "dedup_embedding_lsh_quality": neardup_q}

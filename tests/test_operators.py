@@ -905,3 +905,24 @@ def test_semantic_dedup_matches_oracle_and_invariants(emb, ddb):
         assert cid == min(m.vec_id for m in members)
         assert sum(m.is_canonical for m in members) == 1
         assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_quantized_topk_recall_vs_exact(emb):
+    """int8-quantized cosine top-k recalls ≥0.8 of exact top-10 on
+    64-dim vectors (literature says high-90s; assert a safe floor),
+    and quantized values stay within [-127, 127]."""
+    exact = {}
+    for r in similarity.cosine_topk(emb).collect():
+        exact.setdefault(r.qid, set()).add(r.nid)
+    quant = {}
+    for r in similarity.quantized_topk(emb).collect():
+        quant.setdefault(r.qid, set()).add(r.nid)
+    recalls = [
+        len(exact[q] & quant.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.8, f"quantized recall too low: {avg}"
+    qd = similarity.quantize_embeddings(emb).collect()
+    for r in qd[:50]:
+        assert all(-127 <= v <= 127 for v in r.qvec)
+        assert r.scale > 0
