@@ -800,6 +800,31 @@ DSL_QUERIES: dict[str, dict] = {
                        "scale": 1000.0}}],
         "order_by": [{"col": "o_orderkey", "dir": "asc"}],
     },
+    "dsl_corr_join_subquery": {
+        # TPC-H Q2 SHAPE: the correlated subquery itself contains a
+        # join — customers whose balance exceeds 10% of their own
+        # average order value, counting only orders that contain a
+        # deeply-discounted lineitem (semi join inside the subquery,
+        # pre-join filter pushed to the lineitem scan). The compiler
+        # decorrelates the whole joined subquery into one grouped
+        # aggregate; the oracle renders the join inline in the
+        # correlated SQL.
+        "select": ["c_custkey", "c_name", "c_acctbal"],
+        "from": "customer",
+        "where": [{"col": "c_acctbal", "op": "gt",
+                   "val": {"subquery": {
+                       "select": [{"AVG": "o_totalprice", "as": "avg_tp",
+                                   "round": 6}],
+                       "from": "orders",
+                       "join": [{"table": "lineitem",
+                                 "on": [["o_orderkey", "l_orderkey"]],
+                                 "type": "semi",
+                                 "where": [{"col": "l_discount", "op": "gte",
+                                            "val": 0.06}]}]},
+                       "correlate": [["c_custkey", "o_custkey"]],
+                       "scale": 0.1}}],
+        "order_by": [{"col": "c_custkey", "dir": "asc"}],
+    },
     "dsl_corr_above_user_avg": {
         # Correlated AVG with an inner WHERE: events strictly above
         # their own user's average value, counted per type. Exercises

@@ -123,6 +123,18 @@ def _condition_sql(
                 )
             alias = "__corr"
             agg_expr, _ = _agg_expr_sql(sub["select"][0], dialect, type_map)
+            from_sql = f"{_ident(sub['from'], dialect)} AS {alias}"
+            for jspec in sub.get("join") or []:
+                # Inner joins would capture outer references if a joined
+                # table shared the outer FROM table's name (the alias
+                # only shadows the base) — reject that one shape.
+                if jspec.get("table") == outer_table:
+                    raise QueryError(
+                        f"correlated subquery cannot join the outer "
+                        f"table {outer_table!r} (its name would shadow "
+                        f"the outer scope): {cond!r}"
+                    )
+                from_sql += _join_clause_sql(jspec, type_map, dialect)
             parts = [
                 f"{alias}.{_ident(ik, dialect)} ="
                 f" {_ident(outer_table, dialect)}.{_ident(ok, dialect)}"
@@ -133,8 +145,8 @@ def _condition_sql(
                 for c in sub.get("where") or []
             ]
             sub_sql = (
-                f"SELECT {agg_expr} FROM {_ident(sub['from'], dialect)}"
-                f" AS {alias} WHERE {' AND '.join(parts)}"
+                f"SELECT {agg_expr} FROM {from_sql}"
+                f" WHERE {' AND '.join(parts)}"
             )
         else:
             sub_sql = assemble_sql(sub, type_map, dialect)
@@ -336,6 +348,52 @@ def _agg_sql(
     return f"{expr} AS {_quote_ident(out_name, dialect)}"
 
 
+def _join_clause_sql(
+    jspec: dict, type_map: dict[str, T.DataType], dialect: str
+) -> str:
+    """One join clause (`` JOIN t ...``) — shared by the main FROM
+    assembly and correlated-subquery rendering. Pre-join filters become
+    a filtered subselect aliased to the table's own name; same-named
+    key pairs render USING (one output key copy), differently-named
+    pairs render ON with the right side table-qualified."""
+    _JOIN_KW = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "right": "RIGHT JOIN",
+        "semi": "SEMI JOIN" if dialect == "duckdb" else "LEFT SEMI JOIN",
+        "anti": "ANTI JOIN" if dialect == "duckdb" else "LEFT ANTI JOIN",
+    }
+    jt = jspec.get("table")
+    kw = _JOIN_KW.get(jspec.get("type", "inner"))
+    if kw is None:
+        raise QueryError(f"unknown join type: {jspec!r}")
+    pairs = [(p, p) if isinstance(p, str) else tuple(p)
+             for p in jspec.get("on") or []]
+    if not pairs:
+        raise QueryError(f"join needs 'on' pairs: {jspec!r}")
+    jconds = jspec.get("where") or []
+    jt_sql = jt
+    if jconds:
+        jfilter = " AND ".join(
+            _condition_sql(c, type_map, dialect) for c in jconds
+        )
+        jt_sql = f"(SELECT * FROM {jt} WHERE {jfilter}) AS {jt}"
+    same = [l == r for l, r in pairs]
+    if all(same):
+        keys = ", ".join(_ident(l, dialect) for l, _ in pairs)
+        return f" {kw} {jt_sql} USING ({keys})"
+    if any(same):
+        raise QueryError(
+            f"join mixes same-named and differently-named key pairs"
+            f" (ambiguous references): {jspec!r}"
+        )
+    conds = [
+        f"{_ident(l, dialect)} = {jt}.{_ident(r, dialect)}"
+        for l, r in pairs
+    ]
+    return f" {kw} {jt_sql} ON " + " AND ".join(conds)
+
+
 def _frame_bound_sql(v: int | None, side: str) -> str:
     if v is None:
         return f"UNBOUNDED {'PRECEDING' if side == 'lo' else 'FOLLOWING'}"
@@ -511,51 +569,8 @@ def assemble_sql(
     if dialect == "duckdb" and referenced & set(DERIVED_TIME_COLUMNS):
         from_clause = f"({duckdb_time_cte(table, ts_is_millis=ts_is_millis)}) AS {table}"
 
-    _JOIN_KW = {
-        "inner": "JOIN",
-        "left": "LEFT JOIN",
-        "right": "RIGHT JOIN",
-        "semi": "SEMI JOIN" if dialect == "duckdb" else "LEFT SEMI JOIN",
-        "anti": "ANTI JOIN" if dialect == "duckdb" else "LEFT ANTI JOIN",
-    }
     for jspec in q.get("join") or []:
-        jt = jspec.get("table")
-        kw = _JOIN_KW.get(jspec.get("type", "inner"))
-        if kw is None:
-            raise QueryError(f"unknown join type: {jspec!r}")
-        pairs = [(p, p) if isinstance(p, str) else tuple(p)
-                 for p in jspec.get("on") or []]
-        if not pairs:
-            raise QueryError(f"join needs 'on' pairs: {jspec!r}")
-        # Pre-join filter (compiler twin filters the right frame before
-        # joining): render the table as a filtered subselect aliased to
-        # its own name, so ON/measure references are unchanged.
-        jconds = jspec.get("where") or []
-        jt_sql = jt
-        if jconds:
-            jfilter = " AND ".join(
-                _condition_sql(c, type_map, dialect) for c in jconds
-            )
-            jt_sql = f"(SELECT * FROM {jt} WHERE {jfilter}) AS {jt}"
-        same = [l == r for l, r in pairs]
-        if all(same):
-            # Same-named keys → USING semantics (one output copy of each
-            # key, no ambiguous references). Identical in Spark SQL and
-            # DuckDB, and the compiler twin joins on the key list for the
-            # same effect.
-            keys = ", ".join(_ident(l, dialect) for l, _ in pairs)
-            from_clause += f" {kw} {jt_sql} USING ({keys})"
-        elif any(same):
-            raise QueryError(
-                f"join mixes same-named and differently-named key pairs"
-                f" (ambiguous references): {jspec!r}"
-            )
-        else:
-            conds = [
-                f"{_ident(l, dialect)} = {jt}.{_ident(r, dialect)}"
-                for l, r in pairs
-            ]
-            from_clause += f" {kw} {jt_sql} ON " + " AND ".join(conds)
+        from_clause += _join_clause_sql(jspec, type_map, dialect)
 
     prefix = "SELECT DISTINCT" if q.get("distinct") else "SELECT"
     if q.get("distinct") and (q.get("group_by") or any(

@@ -568,7 +568,7 @@ def validate_subquery_val(val: dict) -> list[tuple[str, str]]:
 
 def _join_correlated_scalar(
     df: DataFrame, val: dict, name: str, catalog: Catalog,
-    pairs: list[tuple[str, str]],
+    pairs: list[tuple[str, str]], outer_table: str | None = None,
 ) -> DataFrame:
     """Decorrelate ``{"subquery": ..., "correlate": [[ok, ik], ...]}``:
     compile the subquery GROUPED BY its correlation keys (one row per
@@ -594,12 +594,24 @@ def _join_correlated_scalar(
     for ok, _ in pairs:
         if ok not in df.columns:
             raise QueryError(f"correlate outer column {ok!r} not in scope")
+    for jspec in sub.get("join") or []:
+        # Twin of the assembler's scoping rejection: a joined table
+        # sharing the outer FROM table's name would capture the outer
+        # references in the SQL rendering.
+        if jspec.get("table") == outer_table:
+            raise QueryError(
+                f"correlated subquery cannot join the outer table "
+                f"{outer_table!r} (its name would shadow the outer "
+                f"scope): {val!r}"
+            )
     ikeys = list(dict.fromkeys(ik for _, ik in pairs))
     sub_dsl = {
         "select": [*ikeys, sub["select"][0]],
         "from": inner_table,
         "group_by": ikeys,
     }
+    if sub.get("join"):
+        sub_dsl["join"] = sub["join"]
     if sub.get("where"):
         sub_dsl["where"] = sub["where"]
     grouped = compile_query(sub_dsl, catalog)
@@ -626,7 +638,8 @@ def _join_correlated_scalar(
 
 
 def _attach_scalar_subqueries(
-    df: DataFrame, conds: list, catalog: Catalog
+    df: DataFrame, conds: list, catalog: Catalog,
+    outer_table: str | None = None,
 ) -> tuple[DataFrame, list, list[str]]:
     """Rewrite WHERE-tree leaves whose ``val`` is {"subquery": <dsl>}:
     compile each subquery (a one-row aggregate), broadcast-crossJoin its
@@ -657,7 +670,7 @@ def _attach_scalar_subqueries(
             name = f"__scalar_{len(scalar_cols)}"
             if pairs:
                 frame[0] = _join_correlated_scalar(
-                    frame[0], val, name, catalog, pairs
+                    frame[0], val, name, catalog, pairs, outer_table
                 )
             else:
                 sdf = compile_query(sub, catalog)
@@ -820,7 +833,8 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         # Uncorrelated scalar subqueries ({"val": {"subquery": <dsl>}})
         # attach as broadcast one-row columns before the filter builds
         # (_bool_expr closes over the rebound df).
-        df, conds, scalar_cols = _attach_scalar_subqueries(df, conds, catalog)
+        df, conds, scalar_cols = _attach_scalar_subqueries(
+            df, conds, catalog, outer_table=table)
         combined = None
         for cond in conds:
             c = _bool_expr(cond)

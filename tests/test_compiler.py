@@ -703,3 +703,45 @@ def test_string_fn_rejections(catalog):
             compile_query(q, catalog)
         with pytest.raises(QueryError):
             assemble_sql(q, tm, dialect="duckdb")
+
+
+def test_corr_subquery_with_join_and_outer_shadow_rejection(catalog, ddb):
+    """Correlated subquery containing a join (TPC-H Q2 shape) matches
+    the oracle; joining the outer table's NAME inside the subquery is
+    rejected by both twins (alias shadowing would capture the outer
+    reference)."""
+    q = {"select": ["c_custkey", "c_acctbal"],
+         "from": "customer",
+         "where": [{"col": "c_acctbal", "op": "gt",
+                    "val": {"subquery": {
+                        "select": [{"AVG": "o_totalprice", "as": "a",
+                                    "round": 6}],
+                        "from": "orders",
+                        "join": [{"table": "lineitem",
+                                  "on": [["o_orderkey", "l_orderkey"]],
+                                  "type": "semi"}]},
+                        "correlate": [["c_custkey", "o_custkey"]],
+                        "scale": 0.1}}],
+         "order_by": [{"col": "c_custkey", "dir": "asc"}]}
+    tm = dict(catalog.spark_type_map("customer"))
+    tm.update(catalog.spark_type_map("orders"))
+    tm.update(catalog.spark_type_map("lineitem"))
+    df = compile_query(q, catalog)
+    sql = assemble_sql(q, tm, dialect="duckdb")
+    assert_matches_duckdb(df, ddb, sql, ordered=True)
+    shadow = {"select": ["o_orderkey"],
+              "from": "orders",
+              "where": [{"col": "o_totalprice", "op": "gt",
+                         "val": {"subquery": {
+                             "select": [{"AVG": "l_quantity", "as": "a"}],
+                             "from": "lineitem",
+                             "join": [{"table": "orders",
+                                       "on": [["l_orderkey",
+                                               "o_orderkey"]]}]},
+                             "correlate": [["o_orderkey", "l_orderkey"]]}}]}
+    tmj = dict(catalog.spark_type_map("orders"))
+    tmj.update(catalog.spark_type_map("lineitem"))
+    with pytest.raises(QueryError, match="shadow"):
+        compile_query(shadow, catalog)
+    with pytest.raises(QueryError, match="shadow"):
+        assemble_sql(shadow, tmj, dialect="duckdb")
