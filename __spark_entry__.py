@@ -101,6 +101,18 @@ DSL_QUERIES: dict[str, dict] = {
         "order_by": [{"col": "event_id", "dir": "asc"}],
         "limit": 500,
     },
+    "dsl_orderby_nulls_last": {
+        # Explicit NULLS placement on a nullable sort key — Spark's
+        # default (ASC→NULLS FIRST) and DuckDB's (NULLS LAST) disagree,
+        # so the DSL spells it out and both twins emit it explicitly;
+        # event_id tiebreak keeps the LIMIT cut deterministic.
+        "select": ["event_id", "props"],
+        "from": "events",
+        "where": [{"col": "event_id", "op": "lt", "val": 3000}],
+        "order_by": [{"col": "props", "dir": "desc", "nulls": "last"},
+                     {"col": "event_id", "dir": "asc"}],
+        "limit": 1000,
+    },
     "dsl_string_functions": {
         # String scalar functions as expression-tree nodes
         # ({"fn": ..., "args": [...]}) — the set whose semantics are

@@ -630,10 +630,14 @@ def _append_order_limit(
     if order_by:
         parts = []
         for spec in order_by:
+            nulls = None
             if isinstance(spec, str):
                 name, direction = spec, "ASC"
             else:
                 name, direction = spec.get("col"), (spec.get("dir") or "asc").upper()
+                nulls = spec.get("nulls")
+            if nulls is not None and nulls not in ("first", "last"):
+                raise QueryError(f"bad nulls placement: {spec!r}")
             # Resolve aggregate-alias spellings ("AVG(total_price)") to
             # the output name, case-insensitively (reference
             # ``query_engine.py:506-524``). Unresolvable names raise at
@@ -647,7 +651,12 @@ def _append_order_limit(
                 raise QueryError(
                     f"order_by column {name!r} not in result columns {out_names}"
                 )
-            parts.append(f"{_quote_ident(resolved, dialect)} {direction}")
+            # Explicit NULLS placement — Spark's default (ASC→NULLS
+            # FIRST) and DuckDB's (NULLS LAST) DISAGREE, so sorting a
+            # nullable key portably requires spelling it out; the
+            # compiler twin maps to asc_nulls_first/…
+            tail = f" NULLS {nulls.upper()}" if nulls else ""
+            parts.append(f"{_quote_ident(resolved, dialect)} {direction}{tail}")
         sql += " ORDER BY " + ", ".join(parts)
 
     if q.get("limit") is not None:

@@ -798,11 +798,20 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                 raise QueryError(f"join column {lcol!r} not in left side")
             if rcol not in right.columns:
                 raise QueryError(f"join column {rcol!r} not in {jt!r}")
-        # Broadcast the build side when asked — dimension tables always
-        # want this (no shuffle of the fact side at any scale); unhinted
-        # joins rely on the autoBroadcastJoinThreshold + AQE.
-        if jspec.get("hint") == "broadcast":
+        # Join-strategy hints: broadcast for dimension tables (no
+        # shuffle of the fact side at any scale), merge to force
+        # sort-merge (stable memory on huge both-sides joins),
+        # shuffle_hash to skip the sort when one side is modest but
+        # over the broadcast threshold. Unhinted joins rely on the
+        # autoBroadcastJoinThreshold + AQE. Hints never change
+        # semantics, so the SQL twin ignores them.
+        hint = jspec.get("hint")
+        if hint == "broadcast":
             right = F.broadcast(right)
+        elif hint in ("merge", "shuffle_hash"):
+            right = right.hint(hint)
+        elif hint is not None:
+            raise QueryError(f"unknown join hint: {jspec!r}")
         same = [l == r for l, r in pairs]
         if all(same):
             # Same-named keys → USING join (key list form): one output
@@ -996,15 +1005,27 @@ def _apply_order_limit(df: DataFrame, q: dict, out_columns: list[str]) -> DataFr
     if order_by:
         sort_cols = []
         for spec in order_by:
+            nulls = None
             if isinstance(spec, str):
                 name, direction = spec, "asc"
             else:
                 name, direction = spec.get("col"), (spec.get("dir") or "asc").lower()
+                nulls = spec.get("nulls")
+            if nulls is not None and nulls not in ("first", "last"):
+                raise QueryError(f"bad nulls placement: {spec!r}")
             resolved = _resolve_order_col(name, out_columns)
             col = F.col(resolved)
+            # Explicit NULLS placement (Spark and DuckDB defaults
+            # disagree — see assembler twin); omitted = engine default.
             if direction == "desc":
-                col = col.desc()
-            elif direction != "asc":
+                col = (col.desc() if nulls is None
+                       else col.desc_nulls_first() if nulls == "first"
+                       else col.desc_nulls_last())
+            elif direction == "asc":
+                col = (col.asc() if nulls is None
+                       else col.asc_nulls_first() if nulls == "first"
+                       else col.asc_nulls_last())
+            else:
                 raise QueryError(f"bad sort direction: {spec!r}")
             sort_cols.append(col)
         # One multi-key sort — correct lexicographic semantics (the

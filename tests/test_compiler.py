@@ -745,3 +745,47 @@ def test_corr_subquery_with_join_and_outer_shadow_rejection(catalog, ddb):
         compile_query(shadow, catalog)
     with pytest.raises(QueryError, match="shadow"):
         assemble_sql(shadow, tmj, dialect="duckdb")
+
+
+def test_orderby_nulls_placement(catalog, ddb):
+    """Explicit NULLS FIRST/LAST: Spark (ASC→NULLS FIRST) and DuckDB
+    (NULLS LAST) defaults disagree — the explicit spelling makes a
+    nullable sort key portable. Oracle-checked ordered, both ways."""
+    for nulls in ("first", "last"):
+        q = {"select": ["event_id", "props"],
+             "from": "events",
+             "where": [{"col": "event_id", "op": "lt", "val": 2000}],
+             "order_by": [{"col": "props", "dir": "asc", "nulls": nulls},
+                          {"col": "event_id", "dir": "asc"}]}
+        df = compile_query(q, catalog)
+        sql = assemble_sql(q, catalog.spark_type_map("events"),
+                           dialect="duckdb")
+        assert f"NULLS {nulls.upper()}" in sql
+        assert_matches_duckdb(df, ddb, sql, ordered=True)
+    bad = {"select": ["event_id"], "from": "events",
+           "order_by": [{"col": "event_id", "nulls": "sideways"}]}
+    with pytest.raises(QueryError):
+        compile_query(bad, catalog)
+    with pytest.raises(QueryError):
+        assemble_sql(bad, catalog.spark_type_map("events"), dialect="duckdb")
+
+
+def test_join_strategy_hints_reach_the_plan(spark, catalog):
+    """merge / shuffle_hash hints steer the physical join; unknown
+    hints are rejected."""
+    base = {"select": ["o_orderkey", "o_totalprice", "c_name"],
+            "from": "orders",
+            "join": [{"table": "customer",
+                      "on": [["o_custkey", "c_custkey"]]}]}
+
+    def plan_of(hint):
+        q = {**base, "join": [{**base["join"][0], "hint": hint}]}
+        return compile_query(q, catalog)._jdf.queryExecution() \
+            .executedPlan().toString()
+
+    assert "SortMergeJoin" in plan_of("merge")
+    assert "ShuffledHashJoin" in plan_of("shuffle_hash")
+    assert "BroadcastHashJoin" in plan_of("broadcast")
+    with pytest.raises(QueryError, match="hint"):
+        q = {**base, "join": [{**base["join"][0], "hint": "nested_loop"}]}
+        compile_query(q, catalog)
