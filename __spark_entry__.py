@@ -987,6 +987,54 @@ def _plan_routed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsl_daily_rollup through STREAMING maintenance: the events table
+    lands as two parquet files, a file-source stream folds each
+    micro-batch into the day/event_type rollup via foreachBatch +
+    refresh_rollups (maxFilesPerTrigger=1 forces ≥2 real micro-batches),
+    and the router then serves the query from the streamed-in rollup —
+    hash-matched to the raw-scan oracle. Proves the continuous-
+    maintenance story end-to-end: batch boundaries cannot change the
+    answer (DECIMAL-partial merges are associative)."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.streaming.maintenance import (
+        streaming_rollup_maintenance,
+    )
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    events = cat.table("events")
+    root = tempfile.mkdtemp(prefix="qpo_stream_maint_")
+    landing = os.path.join(root, "landing")
+    agg_dir = os.path.join(root, "aggregates")
+    ckpt = os.path.join(root, "ckpt")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "day"]
+    halves = [
+        events.filter((F.col("event_id") % 2) == i).select(*cols)
+        for i in (0, 1)
+    ]
+    halves[0].coalesce(1).write.mode("overwrite").parquet(landing)
+    halves[1].coalesce(1).write.mode("append").parquet(landing)
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    q = streaming_rollup_maintenance(
+        spark, landing, agg_dir, ckpt, rollups,
+        schema=halves[0].schema, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    router = RollupRouter(spark, agg_dir, rollups)
+    df = router.route(DSL_QUERIES["dsl_daily_rollup"])
+    if df is None or router.routed != 1:
+        raise RuntimeError(
+            f"expected a rollup route after streaming maintenance "
+            f"(routed={router.routed}, fallbacks={router.fallbacks})"
+        )
+    return df
+
+
 def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_daily_rollup through prepare + INCREMENTAL refresh + route:
     build the rollup from the first half of the days, fold the second
@@ -1120,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dsl_routed_daily_rollup"] = _routed_daily_rollup
     out["dsl_routed_incremental_rollup"] = _routed_incremental_rollup
     out["dsl_plan_routed_daily_rollup"] = _plan_routed_daily_rollup
+    out["stream_rollup_maintenance"] = _stream_rollup_maintenance
     return _panel_order(out)
 
 
@@ -1165,4 +1214,5 @@ def oracle_sql() -> dict[str, str]:
     out["dsl_routed_daily_rollup"] = out["dsl_daily_rollup"]
     out["dsl_routed_incremental_rollup"] = out["dsl_daily_rollup"]
     out["dsl_plan_routed_daily_rollup"] = out["dsl_daily_rollup"]
+    out["stream_rollup_maintenance"] = out["dsl_daily_rollup"]
     return out
