@@ -772,6 +772,35 @@ DSL_QUERIES: dict[str, dict] = {
         "group_by": ["l_returnflag"],
         "order_by": [{"col": "l_returnflag", "dir": "asc"}],
     },
+    "dsl_tpch_q19_disjunctive": {
+        # TPC-H Q19 shape: disjunction of conjunctive (brand,
+        # size-range, quantity-range) triples over a part⋈lineitem join
+        # — the classic OR-of-ANDs predicate Catalyst must keep
+        # pushdown-friendly (common join key extracted, residual
+        # disjunction evaluated post-join; revenue accumulated in
+        # DECIMAL via the shared rounded-SUM idiom).
+        "select": [{"SUM": {"op": "mul",
+                            "args": ["l_extendedprice",
+                                     {"op": "sub",
+                                      "args": [1, "l_discount"]}]},
+                    "as": "revenue", "round": 2}],
+        "from": "lineitem",
+        "join": [{"table": "part", "on": [["l_partkey", "p_partkey"]]}],
+        "where": [{"or": [
+            {"and": [
+                {"col": "p_brand", "op": "eq", "val": "Brand#4"},
+                {"col": "p_size", "op": "between", "val": [1, 5]},
+                {"col": "l_quantity", "op": "between", "val": [1, 11]}]},
+            {"and": [
+                {"col": "p_brand", "op": "eq", "val": "Brand#19"},
+                {"col": "p_size", "op": "between", "val": [1, 10]},
+                {"col": "l_quantity", "op": "between", "val": [10, 20]}]},
+            {"and": [
+                {"col": "p_brand", "op": "eq", "val": "Brand#16"},
+                {"col": "p_size", "op": "between", "val": [1, 15]},
+                {"col": "l_quantity", "op": "between", "val": [20, 30]}]},
+        ]}],
+    },
     "dsl_tpch_q17_small_quantity": {
         # TPC-H Q17 shape: revenue from lineitems below 20% of their
         # part's average quantity, restricted to one brand. Correlated

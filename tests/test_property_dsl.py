@@ -67,6 +67,46 @@ agg_terms = st.sampled_from([
     # Exact interpolated order statistic — identical interpolation rule
     # in Spark and DuckDB.
     {"MEDIAN": "value", "as": "med_value", "round": 6},
+    # String-function aggregate target (integral inference pins DuckDB's
+    # HUGEINT SUM to BIGINT).
+    {"SUM": {"fn": "length", "args": ["props"]}, "as": "sum_plen"},
+])
+
+#: Row-level computed projections over the r5 expression grammar
+#: (string functions, literals) — ungrouped selects only.
+expr_terms = st.sampled_from([
+    {"expr": {"fn": "upper", "args": ["event_type"]}, "as": "et_up"},
+    {"expr": {"fn": "concat", "args": [{"lit": "t:"}, "event_type",
+                                       {"lit": "!"}]}, "as": "tagged"},
+    {"expr": {"fn": "length", "args": ["props"]}, "as": "plen"},
+    {"expr": {"fn": "substr", "args": ["event_type", 1, 3]}, "as": "et3"},
+    {"expr": {"fn": "replace", "args": ["event_type", {"lit": "c"},
+                                        {"lit": "k"}]}, "as": "repl"},
+    {"expr": {"fn": "strpos", "args": ["event_type", {"lit": "ur"}]},
+     "as": "pos_ur"},
+    {"expr": {"fn": "lower", "args": [{"fn": "trim",
+                                       "args": ["event_type"]}]},
+     "as": "lo_trim"},
+])
+
+#: Window projections incl. the r5 frame/ntile grammar.
+_WIN_OB = [{"col": "ts_dt", "dir": "asc"}, {"col": "event_id", "dir": "asc"}]
+win_terms = st.sampled_from([
+    {"win": "ntile", "buckets": 4, "partition_by": ["user_id"],
+     "order_by": [{"col": "value", "dir": "desc"},
+                  {"col": "event_id", "dir": "asc"}], "as": "quartile"},
+    {"win": "avg", "of": "value", "partition_by": ["user_id"],
+     "order_by": _WIN_OB, "frame": {"rows": [-2, 0]},
+     "as": "ma3", "round": 6},
+    {"win": "sum", "of": "value", "partition_by": ["user_id"],
+     "order_by": _WIN_OB, "frame": {"rows": [None, None]},
+     "as": "part_total", "round": 6},
+    {"win": "min", "of": "value", "partition_by": ["user_id"],
+     "order_by": _WIN_OB, "frame": {"rows": [1, 3]},
+     "as": "next3_min", "round": 6},
+    {"win": "max", "of": "value", "partition_by": ["user_id"],
+     "order_by": _WIN_OB, "frame": {"rows": [0, None]},
+     "as": "max_ahead", "round": 6},
 ])
 
 AGG_FUNCS = ("SUM", "AVG", "COUNT", "MIN", "MAX")
@@ -150,6 +190,14 @@ def dsl_queries(draw) -> dict:
     else:
         q["select"] = draw(st.lists(st.sampled_from(PLAIN_COLS), min_size=1,
                                     max_size=4, unique=True))
+        # r5 grammar: computed string projections and framed/ntile
+        # windows mix freely into ungrouped selects.
+        q["select"] += draw(st.lists(
+            expr_terms, min_size=0, max_size=2,
+            unique_by=lambda t: t["as"]))
+        q["select"] += draw(st.lists(
+            win_terms, min_size=0, max_size=2,
+            unique_by=lambda t: t["as"]))
     where = draw(st.lists(bool_trees, min_size=0, max_size=3))
     if where:
         q["where"] = where
@@ -184,9 +232,11 @@ def dsl_queries(draw) -> dict:
             # (reference resolves "AVG(total_price)" → avg(total_price)).
             if "(" in c and draw(st.booleans()):
                 c = c.upper()
-            q["order_by"].append(
-                {"col": c, "dir": draw(st.sampled_from(["asc", "desc"]))}
-            )
+            spec = {"col": c, "dir": draw(st.sampled_from(["asc", "desc"]))}
+            # r5: explicit NULLS placement — both twins must emit it.
+            if draw(st.booleans()):
+                spec["nulls"] = draw(st.sampled_from(["first", "last"]))
+            q["order_by"].append(spec)
         # LIMIT is only deterministic when the sort is total over the
         # output (fully-equal rows are interchangeable in the cut).
         if {o["col"].lower() for o in q["order_by"]} == {
