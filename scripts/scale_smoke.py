@@ -77,6 +77,43 @@ def synth_docs(spark, n_docs: int):
     )
 
 
+def replicate_events(spark, k: int):
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if k == 1:
+        return events
+    reps = spark.range(k).withColumnRenamed("id", "__rep")
+    # Timestamps unchanged: rows-per-bucket scale k× while the gapfill
+    # spine stays FIXED — the regime that separates per-row cost from
+    # per-bucket cost.
+    return (
+        events.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") * k + F.col("__rep"))
+        .drop("__rep")
+    )
+
+
+def replicate_embeddings(spark, k: int):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    if k == 1:
+        return emb
+    reps = spark.range(k).withColumnRenamed("id", "__rep")
+    # Query set stays the fixed first-20 ids; the CORPUS scales k× —
+    # top-k cost should track corpus size linearly.
+    return (
+        emb.crossJoin(reps)
+        .withColumn(
+            "vec_id",
+            F.when(F.col("__rep") == 0, F.col("vec_id"))
+            .otherwise(F.col("vec_id") * k + F.col("__rep") + 100000),
+        )
+        .drop("__rep")
+    )
+
+
 def chain_edges(spark, n_nodes: int, chain: int = 10):
     """Chain-of-10 graph: nodes 0..n-1, edge (i, i-1) unless i is a
     chain head. Component count is exactly ceil(n/chain); diameter is
@@ -168,6 +205,16 @@ def main() -> int:
             )
         return build
 
+    from query_planner_optimizer_spark.operators import similarity, temporal
+
+    def _gapfill(spark, kk):
+        return temporal.gapfill_resample(
+            replicate_events(spark, kk), group_cols=("event_type",)
+        )
+
+    def _quant_topk(spark, kk):
+        return similarity.quantized_topk(replicate_embeddings(spark, kk))
+
     ops = {
         "line_dedup": lambda spark, kk: docpipe.line_dedup(
             replicate_docs(spark, kk), line_tokens=3),
@@ -179,6 +226,10 @@ def main() -> int:
         "minhash_lsh_synth": minhash_synth,
         "cc_star_chain": cc_build("star"),
         "cc_prop_chain": cc_build("propagation"),
+        # r5 additions: fixed spine + k× rows (gapfill), fixed queries +
+        # k× corpus (quantized ANN)
+        "gapfill_hourly": lambda spark, kk: _gapfill(spark, kk),
+        "quantized_topk": lambda spark, kk: _quant_topk(spark, kk),
     }
     print(f"# scale smoke: 1x vs {k}x (sf0.1 base, local, noop sink)")
     for name, build in ops.items():
