@@ -772,6 +772,37 @@ DSL_QUERIES: dict[str, dict] = {
         "group_by": ["l_returnflag"],
         "order_by": [{"col": "l_returnflag", "dir": "asc"}],
     },
+    "dsl_tpch_q14_promo_share": {
+        # TPC-H Q14 shape: promo revenue share — a POST-AGGREGATION
+        # expression ({"post": tree}) computed over the aggregate
+        # aliases after the shuffle (ratio-of-sums; the compiler
+        # projects over the aggregated frame, the oracle wraps the
+        # aggregate in a derived table). Both sums ride the shared
+        # DECIMAL-accumulate idiom, so the ratio is bit-stable.
+        "select": [
+            {"SUM": {"if": {"col": "p_type", "op": "eq", "val": "PROMO"},
+                     "then": {"op": "mul",
+                              "args": ["l_extendedprice",
+                                       {"op": "sub",
+                                        "args": [1, "l_discount"]}]},
+                     "else": 0},
+             "as": "promo_rev", "round": 4},
+            {"SUM": {"op": "mul",
+                     "args": ["l_extendedprice",
+                              {"op": "sub", "args": [1, "l_discount"]}]},
+             "as": "total_rev", "round": 4},
+            {"post": {"op": "div",
+                      "args": [{"op": "mul", "args": [100, "promo_rev"]},
+                               "total_rev"]},
+             "as": "promo_share", "round": 6},
+        ],
+        "from": "lineitem",
+        "join": [{"table": "part", "on": [["l_partkey", "p_partkey"]]}],
+        "where": [
+            {"col": "l_shipdate", "op": "gte", "val": "1995-09-01 00:00:00"},
+            {"col": "l_shipdate", "op": "lt", "val": "1996-09-01 00:00:00"},
+        ],
+    },
     "dsl_tpch_q19_disjunctive": {
         # TPC-H Q19 shape: disjunction of conjunctive (brand,
         # size-range, quantity-range) triples over a part⋈lineitem join

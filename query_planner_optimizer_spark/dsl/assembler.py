@@ -33,6 +33,7 @@ from query_planner_optimizer_spark.dsl.compiler import (
     agg_decimal_scale,
     _is_agg_term,
     _is_expr_term,
+    _is_post_term,
     _is_win_term,
     _parse_agg_term,
     _parse_window_term,
@@ -494,6 +495,57 @@ def assemble_sql(
         )
         sql = f"SELECT * FROM ({body}) AS u"
         return _append_order_limit(sql, q, child_out, dialect)
+
+    # Post-aggregation expressions (TPC-H Q14 ratio-of-sums): render
+    # the aggregate query as an inner derived table, compute the post
+    # expressions over its output aliases in an outer SELECT, and hang
+    # ORDER BY/LIMIT off the outer query — the twin of the compiler's
+    # projection over the aggregated frame.
+    post_terms = [t for t in (q.get("select") or []) if _is_post_term(t)]
+    if post_terms:
+        from query_planner_optimizer_spark.dsl.compiler import (
+            validate_post_term,
+        )
+
+        inner_select = [t for t in q["select"] if not _is_post_term(t)]
+        if not any(_is_agg_term(t) for t in inner_select):
+            raise QueryError(
+                f"post-aggregation terms require aggregates: {post_terms[0]!r}"
+            )
+        inner_q = {k: v for k, v in q.items()
+                   if k not in ("order_by", "limit", "select")}
+        inner_q["select"] = inner_select
+        inner_sql = assemble_sql(inner_q, type_map, dialect, ts_is_millis)
+        avail = [_parse_agg_term(t)[2] if _is_agg_term(t) else t
+                 for t in inner_select if not _is_win_term(t)]
+
+        def _post_sql(e) -> str:
+            if isinstance(e, str):
+                return _quote_ident(e, dialect)
+            if isinstance(e, (int, float)):
+                return repr(e)
+            op = ARITH_OPS[e["op"]]
+            out = _post_sql(e["args"][0])
+            for a in e["args"][1:]:
+                out = f"({out} {op} {_post_sql(a)})"
+            return out
+
+        outer_terms, final_names = [], []
+        for t in q["select"]:
+            if _is_post_term(t):
+                validate_post_term(t, avail)
+                expr = _post_sql(t["post"])
+                if t.get("round") is not None:
+                    expr = f"ROUND({expr}, {t['round']})"
+                outer_terms.append(
+                    f"{expr} AS {_quote_ident(t['as'], dialect)}")
+                final_names.append(t["as"])
+            else:
+                n = _parse_agg_term(t)[2] if _is_agg_term(t) else t
+                outer_terms.append(_quote_ident(n, dialect))
+                final_names.append(n)
+        sql = (f"SELECT {', '.join(outer_terms)} FROM ({inner_sql}) AS __q")
+        return _append_order_limit(sql, q, final_names, dialect)
 
     table = q.get("from", "events")
 

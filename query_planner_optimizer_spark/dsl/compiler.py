@@ -110,8 +110,64 @@ def _is_win_term(term: Any) -> bool:
     return isinstance(term, dict) and "win" in term
 
 
+def _is_post_term(term: Any) -> bool:
+    """Post-aggregation expression: {"post": tree, "as": name} — tree
+    leaves reference aggregate aliases / group keys (TPC-H Q14's
+    ratio-of-sums)."""
+    return isinstance(term, dict) and "post" in term
+
+
 def _is_agg_term(term: Any) -> bool:
-    return isinstance(term, dict) and "expr" not in term and "win" not in term
+    return (isinstance(term, dict) and "expr" not in term
+            and "win" not in term and "post" not in term)
+
+
+def validate_post_term(term: dict, avail: list[str]) -> None:
+    """Shared twin validation: a post term needs an alias; its tree is
+    arithmetic over numeric literals and names drawn from the
+    aggregate/group-key output columns."""
+    if "as" not in term:
+        raise QueryError(f"post-aggregation term needs an alias: {term!r}")
+
+    def walk(e: Any) -> None:
+        if isinstance(e, str):
+            if e not in avail:
+                raise QueryError(
+                    f"post-aggregation reference {e!r} is not an "
+                    f"aggregate alias or group key (have {avail})"
+                )
+            return
+        if isinstance(e, bool) or not isinstance(e, (dict, int, float)):
+            raise QueryError(f"bad post-aggregation leaf: {e!r}")
+        if isinstance(e, (int, float)):
+            return
+        op, args = e.get("op"), e.get("args")
+        if op not in ARITH_OPS or not isinstance(args, list) or len(args) < 2:
+            raise QueryError(f"bad post-aggregation node: {e!r}")
+        for a in args:
+            walk(a)
+
+    walk(term["post"])
+
+
+def _post_column(term: dict) -> Column:
+    def build(e: Any) -> Column:
+        if isinstance(e, str):
+            return F.col(e)
+        if isinstance(e, (int, float)):
+            return F.lit(e)
+        out = build(e["args"][0])
+        for a in e["args"][1:]:
+            nxt = build(a)
+            op = e["op"]
+            out = (out + nxt if op == "add" else out - nxt if op == "sub"
+                   else out * nxt if op == "mul" else out / nxt)
+        return out
+
+    col = build(term["post"])
+    if term.get("round") is not None:
+        col = F.round(col, term["round"])
+    return col.alias(term["as"])
 
 
 #: String/scalar functions with IDENTICAL semantics in Spark SQL and
@@ -859,10 +915,16 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
 
     plain_cols = [t for t in select
                   if not _is_agg_term(t) and not _is_expr_term(t)
-                  and not _is_win_term(t)]
+                  and not _is_win_term(t) and not _is_post_term(t)]
     agg_terms = [_parse_agg_term(t) for t in select if _is_agg_term(t)]
     expr_terms = [t for t in select if _is_expr_term(t)]
     win_terms = [t for t in select if _is_win_term(t)]
+    post_terms = [t for t in select if _is_post_term(t)]
+
+    if post_terms and not agg_terms:
+        raise QueryError(
+            f"post-aggregation terms require aggregates: {post_terms[0]!r}"
+        )
 
     for t in expr_terms:
         # Computed scalar projections — row-level only; under grouping
@@ -955,12 +1017,25 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             raise QueryError(f"selected columns not in group_by: {bad}")
         df = df.groupBy(*[F.col(c) for c in group_by]).agg(*agg_exprs())
         df = apply_having(df, list(group_by) + [a[2] for a in agg_terms])
-        names = []
+        # Post-aggregation expressions (ratio-of-sums, Q14): computed
+        # over the aggregated frame's aliases — one projection, no
+        # further shuffle.
+        avail = list(group_by) + [a[2] for a in agg_terms]
+        proj = []
         agg_iter = iter([a[2] for a in agg_terms])
         for term in select:
-            names.append(next(agg_iter) if _is_agg_term(term) else term)
-        df = df.select(*names)
-        out_columns = names
+            if _is_post_term(term):
+                validate_post_term(term, avail)
+                proj.append(_post_column(term))
+            elif _is_agg_term(term):
+                proj.append(F.col(next(agg_iter)))
+            else:
+                proj.append(F.col(term))
+        df = df.select(*proj)
+        out_columns = [t["as"] if _is_post_term(t)
+                       else next(it) if _is_agg_term(t) else t
+                       for it in [iter([a[2] for a in agg_terms])]
+                       for t in select]
     elif agg_terms:
         if plain_cols:
             raise QueryError(
@@ -969,8 +1044,21 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         # Ungrouped aggregate — supported here, dropped by the reference
         # (``query_engine.py:494-502``).
         df = df.agg(*agg_exprs())
-        out_columns = [a[2] for a in agg_terms]
-        df = apply_having(df, out_columns)
+        agg_names = [a[2] for a in agg_terms]
+        df = apply_having(df, agg_names)
+        proj = []
+        out_columns = []
+        agg_iter = iter(agg_names)
+        for term in select:
+            if _is_post_term(term):
+                validate_post_term(term, agg_names)
+                proj.append(_post_column(term))
+                out_columns.append(term["as"])
+            else:
+                n = next(agg_iter)
+                proj.append(F.col(n))
+                out_columns.append(n)
+        df = df.select(*proj)
     else:
         if q.get("having"):
             raise QueryError("'having' requires an aggregation")

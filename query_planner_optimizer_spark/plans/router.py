@@ -224,6 +224,34 @@ class RollupRouter:
         if any(isinstance(t, dict) and ("expr" in t or "win" in t)
                for t in q.get("select") or []):
             return None  # computed/window projections aren't rollup-derivable
+        select = q.get("select") or []
+        post_terms = [t for t in select if C._is_post_term(t)]
+        if post_terms:
+            # Post-aggregation expressions ARE rollup-derivable: route
+            # the inner aggregate, then project the post expressions
+            # over the routed frame — same split as the compiler's.
+            inner_q = {k: v for k, v in q.items()
+                       if k not in ("order_by", "limit")}
+            inner_q["select"] = [t for t in select
+                                 if not C._is_post_term(t)]
+            base = self.route(inner_q)
+            if base is None:
+                return None
+            avail = list(base.columns)
+            proj, out_cols = [], []
+            for term in select:
+                if C._is_post_term(term):
+                    C.validate_post_term(term, avail)
+                    proj.append(C._post_column(term))
+                    out_cols.append(term["as"])
+                elif isinstance(term, dict):
+                    n = C._parse_agg_term(term)[2]
+                    proj.append(F.col(n))
+                    out_cols.append(n)
+                else:
+                    proj.append(F.col(term))
+                    out_cols.append(term)
+            return C._apply_order_limit(base.select(*proj), q, out_cols)
         qtable = q.get("from", "events")
         agg_terms = self._agg_terms(q)
         if not agg_terms:

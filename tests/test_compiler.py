@@ -789,3 +789,51 @@ def test_join_strategy_hints_reach_the_plan(spark, catalog):
     with pytest.raises(QueryError, match="hint"):
         q = {**base, "join": [{**base["join"][0], "hint": "nested_loop"}]}
         compile_query(q, catalog)
+
+
+def test_post_aggregation_terms(catalog, ddb):
+    """Post-aggregation expressions: grouped ratio-of-sums vs oracle;
+    rejections (no aggregates, unknown reference, missing alias)."""
+    q = {"select": ["event_type",
+                    {"SUM": "value", "as": "sv", "round": 6},
+                    {"COUNT": "*", "as": "n"},
+                    {"post": {"op": "div", "args": ["sv", "n"]},
+                     "as": "mean_by_hand", "round": 6},
+                    {"post": {"op": "mul", "args": ["n", 2]},
+                     "as": "n2"}],
+         "from": "events",
+         "group_by": ["event_type"],
+         "order_by": ["event_type"]}
+    df = compile_query(q, catalog)
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="duckdb")
+    assert_matches_duckdb(df, ddb, sql, ordered=True)
+    # ungrouped variant
+    q2 = {"select": [{"SUM": "value", "as": "sv", "round": 6},
+                     {"COUNT": "*", "as": "n"},
+                     {"post": {"op": "div", "args": ["sv", "n"]},
+                      "as": "grand_mean", "round": 6}],
+          "from": "events"}
+    df2 = compile_query(q2, catalog)
+    sql2 = assemble_sql(q2, catalog.spark_type_map("events"),
+                        dialect="duckdb")
+    assert_matches_duckdb(df2, ddb, sql2)
+    tm = catalog.spark_type_map("events")
+    bad = [
+        {"select": ["event_id",
+                    {"post": {"op": "mul", "args": ["event_id", 2]},
+                     "as": "x"}],
+         "from": "events"},                      # no aggregates
+        {"select": [{"SUM": "value", "as": "sv"},
+                    {"post": {"op": "div", "args": ["sv", "ghost"]},
+                     "as": "x"}],
+         "from": "events"},                      # unknown reference
+        {"select": [{"SUM": "value", "as": "sv"},
+                    {"post": {"op": "div", "args": ["sv", 2]}}],
+         "from": "events"},                      # missing alias
+    ]
+    for b in bad:
+        with pytest.raises(QueryError):
+            compile_query(b, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(b, tm, dialect="duckdb")

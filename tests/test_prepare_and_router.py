@@ -651,3 +651,33 @@ def test_cli_sql_routes_and_falls_back(spark, tmp_path, capsys):
         assert "[scan (" in capsys.readouterr().out
     finally:
         spark.catalog.dropTempView("events")
+
+
+def test_router_serves_post_aggregation_terms(spark, catalog, tmp_path):
+    """Post-aggregation expressions route: the inner aggregate is served
+    from the rollup, the ratio projected on top — identical to the scan
+    path; an unroutable inner aggregate (MEDIAN) still refuses."""
+    from query_planner_optimizer_spark.dsl.compiler import compile_query
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs")
+    build_rollups(catalog.table("events"), agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    q = {"select": ["day",
+                    {"SUM": "value", "as": "sv", "round": 6},
+                    {"COUNT": "*", "as": "n"},
+                    {"post": {"op": "div", "args": ["sv", "n"]},
+                     "as": "per_event", "round": 6}],
+         "from": "events", "group_by": ["day"], "order_by": ["day"]}
+    routed = router.route(q)
+    assert routed is not None and router.routed == 1
+    assert [tuple(r) for r in routed.collect()] == \
+        [tuple(r) for r in compile_query(q, catalog).collect()]
+    unroutable = {"select": [{"MEDIAN": "value", "as": "m"},
+                             {"post": {"op": "mul", "args": ["m", 2]},
+                              "as": "m2"}],
+                  "from": "events"}
+    assert router.route(unroutable) is None
