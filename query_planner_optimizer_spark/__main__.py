@@ -180,6 +180,60 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Engine service: show a DSL query's physical plan and routing
+    decision WITHOUT executing it — what an operator reaches for before
+    shipping a query against 100 TB (is the filter pushed? did it
+    route? is the join broadcast?)."""
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.dsl.assembler import assemble_sql
+    from query_planner_optimizer_spark.dsl.compiler import compile_query
+
+    spark = _spark("qpo-spark-explain")
+    if args.query_file:
+        with open(args.query_file) as f:
+            q = json.load(f)
+    else:
+        q = json.loads(args.query)
+
+    agg_dir = None
+    if args.optimized_dir:
+        overrides = {
+            "events": os.path.join(args.optimized_dir, "partitioned")
+        }
+        cat = Catalog(spark, args.optimized_dir, overrides=overrides)
+        cand = os.path.join(args.optimized_dir, "aggregates")
+        agg_dir = cand if os.path.isdir(cand) else None
+    else:
+        cat = Catalog(spark, args.data_dir)
+
+    df = compile_query(q, cat)
+    note = "scan"
+    if agg_dir and not args.no_router:
+        from query_planner_optimizer_spark.plans.router import RollupRouter
+
+        router = RollupRouter(spark, agg_dir)
+        routed = router.route(q)
+        if routed is not None:
+            df = routed
+            note = "routed"
+        else:
+            note = "scan (route refused)"
+    print(f"-- route: {note}")
+    if args.sql:
+        print("-- spark-sql twin:")
+        print(assemble_sql(q, _merged_type_map(cat, q), dialect="spark"))
+    df.explain("formatted")
+    return 0
+
+
+def _merged_type_map(cat, q: dict):
+    tm = dict(cat.spark_type_map(q.get("from", "events")))
+    for jspec in q.get("join") or []:
+        tm.update(cat.spark_type_map(jspec["table"]))
+    return tm
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="query_planner_optimizer_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -223,6 +277,22 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--explain", action="store_true",
                     help="print the formatted physical plan")
     ps.set_defaults(fn=cmd_sql)
+
+    pe = sub.add_parser(
+        "explain",
+        help="show a DSL query's physical plan + routing decision",
+    )
+    qsrc = pe.add_mutually_exclusive_group(required=True)
+    qsrc.add_argument("--query", help="DSL query dict as a JSON string")
+    qsrc.add_argument("--query-file", help="path to a JSON DSL query dict")
+    src = pe.add_mutually_exclusive_group(required=True)
+    src.add_argument("--optimized-dir", help="prepared dir from `prepare`")
+    src.add_argument("--data-dir", help="raw parquet tables dir")
+    pe.add_argument("--no-router", action="store_true",
+                    help="skip the rollup-route attempt")
+    pe.add_argument("--sql", action="store_true",
+                    help="also print the assembled spark-sql twin")
+    pe.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

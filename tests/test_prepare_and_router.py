@@ -681,3 +681,39 @@ def test_router_serves_post_aggregation_terms(spark, catalog, tmp_path):
                               "as": "m2"}],
                   "from": "events"}
     assert router.route(unroutable) is None
+
+
+def test_cli_explain_shows_plan_and_route(spark, tmp_path, capsys):
+    """`explain` prints the routing decision, the spark-sql twin when
+    asked, and a formatted physical plan — without executing."""
+    import json as _json
+
+    import query_planner_optimizer_spark.__main__ as cli
+
+    q = {"select": ["event_type", {"SUM": "value", "as": "sv",
+                                   "round": 6}],
+         "from": "events", "group_by": ["event_type"]}
+    qf = str(tmp_path / "q.json")
+    with open(qf, "w") as f:
+        _json.dump(q, f)
+    from .conftest import SF_DIR as _sfdir
+
+    assert cli.main(["explain", "--query-file", qf,
+                     "--data-dir", _sfdir, "--sql"]) == 0
+    out = capsys.readouterr().out
+    assert "-- route: scan" in out
+    assert "Physical Plan" in out
+    assert "GROUP BY event_type" in out
+    # prepared dir: the same aggregate routes
+    csv_path = str(tmp_path / "events_part_0.csv")
+    _gen_events_csv(csv_path)
+    opt = str(tmp_path / "optimized")
+    assert cli.main(["prepare", "--data-dir", csv_path,
+                     "--optimized-dir", opt]) == 0
+    assert cli.main([
+        "explain", "--optimized-dir", opt,
+        "--query", _json.dumps({
+            "select": ["day", {"SUM": "bid_price", "round": 6}],
+            "from": "events", "group_by": ["day"]}),
+    ]) == 0
+    assert "-- route: routed" in capsys.readouterr().out

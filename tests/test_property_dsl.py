@@ -187,6 +187,16 @@ def dsl_queries(draw) -> dict:
         q["select"] = [*keys, *aggs]
         if keys:
             q["group_by"] = keys
+        # r5: post-aggregation expression over a COUNT alias
+        # (integer-exact across engines).
+        cnt_names = [out_name(t) for t in aggs
+                     if "COUNT" in t and "COUNT_DISTINCT" not in t]
+        if cnt_names and draw(st.booleans()):
+            q["select"] = [*q["select"],
+                           {"post": {"op": draw(st.sampled_from(
+                               ["add", "mul"])),
+                               "args": [cnt_names[0], 2]},
+                            "as": "post_cnt"}]
     else:
         q["select"] = draw(st.lists(st.sampled_from(PLAIN_COLS), min_size=1,
                                     max_size=4, unique=True))
