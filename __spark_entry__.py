@@ -1047,6 +1047,35 @@ def _plan_routed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _routed_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsl_groupby_min_max through prepare + route with MIN/MAX
+    partials: the rollup stores min_/max_ columns (min-of-mins is
+    lossless and order-independent exact), the router re-aggregates
+    them, and the answer hash-matches the raw-scan oracle — widening
+    the routable surface beyond sum/count/avg."""
+    import tempfile
+
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    rollups = {"agg_day_etype_mm": {
+        "keys": ["day", "event_type"],
+        "aggs": {"value": ["sum", "count", "min", "max"],
+                 "day": ["min", "max"]},
+    }}
+    agg_dir = tempfile.mkdtemp(prefix="qpo_routed_mm_")
+    build_rollups(cat.table("events"), agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    df = router.route(DSL_QUERIES["dsl_groupby_min_max"])
+    if df is None or router.routed != 1:
+        raise RuntimeError(
+            f"expected a min/max rollup route (routed={router.routed}, "
+            f"fallbacks={router.fallbacks})"
+        )
+    return df
+
+
 def _stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_daily_rollup through STREAMING maintenance: the events table
     lands as two parquet files, a file-source stream folds each
@@ -1229,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dsl_routed_incremental_rollup"] = _routed_incremental_rollup
     out["dsl_plan_routed_daily_rollup"] = _plan_routed_daily_rollup
     out["stream_rollup_maintenance"] = _stream_rollup_maintenance
+    out["dsl_routed_minmax_rollup"] = _routed_minmax_rollup
     return _panel_order(out)
 
 
@@ -1275,4 +1305,5 @@ def oracle_sql() -> dict[str, str]:
     out["dsl_routed_incremental_rollup"] = out["dsl_daily_rollup"]
     out["dsl_plan_routed_daily_rollup"] = out["dsl_daily_rollup"]
     out["stream_rollup_maintenance"] = out["dsl_daily_rollup"]
+    out["dsl_routed_minmax_rollup"] = out["dsl_groupby_min_max"]
     return out

@@ -15,7 +15,9 @@ against the rollup's grain; a query routes to a rollup iff:
   AVG(c) → sum(sum_c)/sum(count_c) (sum+count stored, never averages —
   re-aggregating an average is wrong, which is why the reference stores
   both, ``prepare.py:190-195``);
-- MIN/MAX never route (not losslessly re-aggregable from these grains).
+- MIN(c) → min(min_c) / MAX(c) → max(max_c) when the rollup STORES
+  those partials (spec ``{"value": ["min", "max"]}``); min-of-mins is
+  lossless and order-independent exact. Rollups without them refuse.
 
 If several rollups qualify, the SMALLEST wins — by actual row count
 read from the parquet footers (cost-based; the fewest-keys proxy
@@ -200,6 +202,15 @@ class RollupRouter:
             if round_to is not None:
                 avg = F.round(avg, round_to)
             return F.when(cnt > 0, avg)
+        # MIN/MAX re-aggregate losslessly from stored partials (min of
+        # mins ≡ min; order-independent exact, so no rounding idiom is
+        # needed for bit-equality with the scan path).
+        if fname == "MIN" and f"min_{col}" in schema:
+            e = F.min(f"min_{col}")
+            return F.round(e, round_to) if round_to is not None else e
+        if fname == "MAX" and f"max_{col}" in schema:
+            e = F.max(f"max_{col}")
+            return F.round(e, round_to) if round_to is not None else e
         return None
 
     def route(self, q: dict) -> DataFrame | None:

@@ -95,6 +95,13 @@ def rollup_frame(events: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
             exprs.append(F.sum(src).alias(f"sum_{col}"))
         if "count" in funcs:
             exprs.append(F.count(col).alias(f"count_{col}"))
+        # MIN/MAX partials re-aggregate losslessly (min of mins) and are
+        # order-independent exact — no decimal idiom needed. Stored only
+        # when a spec asks, so existing rollups keep their schema.
+        if "min" in funcs:
+            exprs.append(F.min(col).alias(f"min_{col}"))
+        if "max" in funcs:
+            exprs.append(F.max(col).alias(f"max_{col}"))
     return events.groupBy(*keys).agg(*exprs)
 
 
@@ -256,10 +263,21 @@ def refresh_rollups(
             continue
         existing = spark.read.parquet(path)
         measures = [c for c in existing.columns if c not in keys]
+
+        def _merge_fn(c: str):
+            # Partial-merge operator by measure kind: sums/counts add,
+            # MIN/MAX partials take min/max (both associative — the
+            # merged rollup stays bit-identical to a rebuild).
+            if c.startswith("min_"):
+                return F.min(c).alias(c)
+            if c.startswith("max_"):
+                return F.max(c).alias(c)
+            return F.sum(c).alias(c)
+
         merged = (
             existing.unionByName(delta)
             .groupBy(*keys)
-            .agg(*[F.sum(c).alias(c) for c in measures])
+            .agg(*[_merge_fn(c) for c in measures])
         )
         tmp = path + ".refresh_tmp"
         merged.write.mode("overwrite").parquet(tmp)

@@ -717,3 +717,44 @@ def test_cli_explain_shows_plan_and_route(spark, tmp_path, capsys):
             "from": "events", "group_by": ["day"]}),
     ]) == 0
     assert "-- route: routed" in capsys.readouterr().out
+
+
+def test_minmax_partials_route_and_merge(spark, catalog, tmp_path):
+    """MIN/MAX rollup partials: routed answer equals the scan path, and
+    an incremental refresh (half + half) merges min/max partials
+    bit-identically to a full rebuild."""
+    import pandas as pd
+
+    from query_planner_optimizer_spark.dsl.compiler import compile_query
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import (
+        build_rollups,
+        refresh_rollups,
+    )
+    from .conftest import normalize
+
+    events = catalog.table("events")
+    rollups = {"agg_et_mm": {"keys": ["day", "event_type"],
+                             "aggs": {"value": ["sum", "count",
+                                                "min", "max"]}}}
+    q = {"select": ["event_type",
+                    {"MIN": "value", "as": "min_value", "round": 6},
+                    {"MAX": "value", "as": "max_value", "round": 6}],
+         "from": "events", "group_by": ["event_type"],
+         "order_by": ["event_type"]}
+    full_dir = str(tmp_path / "full")
+    build_rollups(events, full_dir, rollups)
+    router = RollupRouter(spark, full_dir, rollups)
+    routed = router.route(q)
+    assert routed is not None and router.routed == 1
+    assert [tuple(r) for r in routed.collect()] == \
+        [tuple(r) for r in compile_query(q, catalog).collect()]
+    # incremental: first half then refresh with second half
+    inc_dir = str(tmp_path / "inc")
+    h0 = events.filter(F.col("event_id") % 2 == 0)
+    h1 = events.filter(F.col("event_id") % 2 == 1)
+    build_rollups(h0, inc_dir, rollups)
+    refresh_rollups(spark, h1, inc_dir, rollups)
+    merged = spark.read.parquet(f"{inc_dir}/agg_et_mm.parquet").toPandas()
+    rebuilt = spark.read.parquet(f"{full_dir}/agg_et_mm.parquet").toPandas()
+    pd.testing.assert_frame_equal(normalize(merged), normalize(rebuilt))
