@@ -931,6 +931,118 @@ DSL_QUERIES: dict[str, dict] = {
     },
 }
 
+# --- r5 late additions: derived-table FROM + membership subqueries ------
+
+#: TPC-H Q15's revenue view: per-supplier revenue over one quarter.
+#: Shared (one source of truth) between the outer join and the MAX
+#: scalar subquery of dsl_tpch_q15_top_supplier. round=4 → DECIMAL
+#: accumulation, so the equality against MAX is bit-exact in BOTH
+#: engines (a double sum would make `= max` flaky by partition order).
+_Q15_REVENUE = {
+    "select": ["l_suppkey",
+               {"SUM": {"op": "mul",
+                        "args": ["l_extendedprice",
+                                 {"op": "sub", "args": [1, "l_discount"]}]},
+                "as": "total_revenue", "round": 4}],
+    "from": "lineitem",
+    "where": [{"col": "l_shipdate", "op": "gte", "val": "1996-01-01"},
+              {"col": "l_shipdate", "op": "lt", "val": "1996-04-01"}],
+    "group_by": ["l_suppkey"],
+}
+
+#: Q22-style customer extension: a computed bucket column (substr over
+#: c_name — the testdata has no c_phone) that the OUTER query groups
+#: by, which plain row-level expr projections cannot do without a
+#: derived table. Shared with the AVG scalar subquery.
+_Q22_CUST = {
+    "select": ["c_custkey", "c_acctbal", "c_mktsegment",
+               {"expr": {"fn": "substr", "args": ["c_name", 17, 2]},
+                "as": "name_bucket"}],
+    "from": "customer",
+}
+
+DSL_QUERIES.update({
+    # TPC-H Q13 (customer order-count distribution): derived-table FROM
+    # — COUNT over a LEFT-JOIN grouped inner query, re-grouped by the
+    # inner COUNT. The canonical two-level aggregation no flat DSL can
+    # express; one logical plan, two shuffles (by c_custkey, then by
+    # c_count), no materialization between them.
+    "dsl_tpch_q13_cust_distribution": {
+        "select": ["c_count", {"COUNT": "*", "as": "custdist"}],
+        "from": {
+            "select": ["c_custkey", {"COUNT": "o_orderkey", "as": "c_count"}],
+            "from": "customer",
+            "join": [{"table": "orders", "type": "left",
+                      "on": [["c_custkey", "o_custkey"]],
+                      "where": [{"col": "o_orderpriority", "op": "neq",
+                                 "val": "1-URGENT"}]}],
+            "group_by": ["c_custkey"],
+        },
+        "group_by": ["c_count"],
+        "order_by": [{"col": "custdist", "dir": "desc"},
+                     {"col": "c_count", "dir": "desc"}],
+    },
+    # TPC-H Q15 (top supplier): the revenue view appears twice — as the
+    # derived FROM joined to supplier, and inside the MAX scalar
+    # subquery selecting the top row. Catalyst plans each reference
+    # independently; the scalar side broadcasts one row.
+    "dsl_tpch_q15_top_supplier": {
+        "select": ["s_suppkey", "s_name", "total_revenue"],
+        "from": _Q15_REVENUE,
+        "join": [{"table": "supplier", "on": [["l_suppkey", "s_suppkey"]],
+                  "hint": "broadcast"}],
+        "where": [{"col": "total_revenue", "op": "eq",
+                   "val": {"subquery": {
+                       "select": [{"MAX": "total_revenue", "as": "m"}],
+                       "from": _Q15_REVENUE}}}],
+        "order_by": [{"col": "s_suppkey", "dir": "asc"}],
+    },
+    # TPC-H Q18 (large-volume orders): IN over a grouped + HAVING
+    # subquery → LEFT SEMI join of the member set (never collected
+    # driver-side); the SQL twin renders a plain IN (SELECT ...).
+    "dsl_tpch_q18_large_orders": {
+        "select": ["o_orderkey", "o_totalprice",
+                   {"SUM": "l_quantity", "as": "sum_qty", "round": 2}],
+        "from": "orders",
+        "join": [{"table": "lineitem", "on": [["o_orderkey", "l_orderkey"]]}],
+        "where": [{"col": "o_orderkey", "op": "in", "val": {"subquery": {
+            "select": ["l_orderkey",
+                       {"SUM": "l_quantity", "as": "qty", "round": 2}],
+            "from": "lineitem", "group_by": ["l_orderkey"],
+            "having": [{"col": "qty", "op": "gt", "val": 150}]}}}],
+        "group_by": ["o_orderkey", "o_totalprice"],
+        "order_by": [{"col": "o_totalprice", "dir": "desc"},
+                     {"col": "o_orderkey", "dir": "asc"}],
+        "limit": 100,
+    },
+    # TPC-H Q22 shape (untapped accounts): derived FROM computing the
+    # grouping bucket, an AVG scalar subquery over the SAME derived
+    # table, and NOT IN → LEFT ANTI join (SQL twin renders NOT EXISTS —
+    # deliberately NOT `NOT IN`, whose null-poisoning semantics the DSL
+    # refuses to reproduce).
+    "dsl_tpch_q22_untapped_accounts": {
+        "select": ["name_bucket", {"COUNT": "*", "as": "numcust"},
+                   {"SUM": "c_acctbal", "as": "totacctbal", "round": 2}],
+        "from": _Q22_CUST,
+        "where": [
+            {"col": "name_bucket", "op": "in",
+             "val": ["00", "05", "10", "15", "20", "25", "30", "35"]},
+            {"col": "c_acctbal", "op": "gt",
+             "val": {"subquery": {
+                 "select": [{"AVG": "c_acctbal", "as": "a", "round": 6}],
+                 "from": _Q22_CUST,
+                 "where": [{"col": "c_acctbal", "op": "gt", "val": 0.0}]}}},
+            {"col": "c_custkey", "op": "not_in",
+             "val": {"subquery": {
+                 "select": ["o_custkey"], "from": "orders",
+                 "where": [{"col": "o_totalprice", "op": "gt",
+                            "val": 450000}]}}},
+        ],
+        "group_by": ["name_bucket"],
+        "order_by": [{"col": "name_bucket", "dir": "asc"}],
+    },
+})
+
 
 _ARROW_TO_SPARK = {
     "string": T.StringType(),
@@ -1271,7 +1383,9 @@ def _query_type_map(q: dict) -> dict[str, T.DataType]:
             for c in q[kw]:
                 out.update(_query_type_map(c))
             return out
-    type_map = _static_type_map(q.get("from", "events"))
+    frm = q.get("from", "events")
+    type_map = (_query_type_map(frm) if isinstance(frm, dict)
+                else _static_type_map(frm))
     for jspec in q.get("join") or []:
         type_map.update(_static_type_map(jspec["table"]))
 

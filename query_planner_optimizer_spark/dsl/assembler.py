@@ -33,11 +33,14 @@ from query_planner_optimizer_spark.dsl.compiler import (
     agg_decimal_scale,
     _is_agg_term,
     _is_expr_term,
+    _is_membership_leaf,
     _is_post_term,
     _is_win_term,
     _parse_agg_term,
     _parse_window_term,
     expr_columns,
+    validate_derived_from,
+    validate_membership_subquery,
 )
 
 _OP_SQL = {"eq": "=", "neq": "<>", "lt": "<", "lte": "<=", "gt": ">", "gte": ">="}
@@ -96,6 +99,14 @@ def _condition_sql(
         raise QueryError(f"unknown filter column: {cond!r}")
     val = cond.get("val")
     if isinstance(val, dict) and "subquery" in val:
+        if cond.get("op") in ("in", "not_in"):
+            # Membership subqueries rewrite to semi/anti joins, which
+            # cannot sit under OR/NOT or inside FILTER/HAVING — only
+            # assemble_sql's top-level WHERE renders them.
+            raise QueryError(
+                "membership subqueries are only supported as top-level "
+                f"WHERE conditions: {cond!r}"
+            )
         # Scalar subquery — twin of the compiler's rewrites. Uncorrelated
         # renders a bare nested SELECT (compiler: broadcast crossJoin);
         # correlated renders a natively correlated subquery whose outer
@@ -158,6 +169,37 @@ def _condition_sql(
     return _render_cond(
         _ident(col_name, dialect), cond, type_map[col_name], dialect
     )
+
+
+def _membership_sql(
+    cond: dict, type_map: dict[str, T.DataType], dialect: str,
+    ts_is_millis: bool,
+) -> str:
+    """Render a top-level membership leaf. ``in`` renders SQL ``IN
+    (SELECT <first output> FROM (<sub>) AS __m)`` — exactly the
+    compiler's LEFT SEMI join, including NULL handling (an outer NULL
+    matches nothing either way). ``not_in`` deliberately renders ``NOT
+    EXISTS`` rather than ``NOT IN``: SQL NOT IN returns UNKNOWN for
+    every row once the member set contains one NULL, while the
+    compiler's LEFT ANTI join (and NOT EXISTS) keeps non-matching rows
+    — the sane semantics, stated here as the DSL's contract. The
+    member key is re-aliased to ``__mkey`` in a one-column wrapper so
+    no other inner output column can capture the outer reference."""
+    col = cond.get("col")
+    if col not in type_map:
+        raise QueryError(f"unknown filter column: {cond!r}")
+    sub = validate_membership_subquery(cond)
+    sub_sql = assemble_sql(sub, type_map, dialect, ts_is_millis)
+    names = dsl_output_names(sub)
+    if not names or not isinstance(names[0], str):
+        raise QueryError(f"membership subquery has no output column: {sub!r}")
+    key = _quote_ident(names[0], dialect)
+    if cond["op"] == "in":
+        return (f"{_ident(col, dialect)} IN "
+                f"(SELECT {key} FROM ({sub_sql}) AS __m)")
+    return (f"NOT EXISTS (SELECT 1 FROM (SELECT {key} AS __mkey "
+            f"FROM ({sub_sql}) AS __mi) AS __m "
+            f"WHERE __m.__mkey = {_ident(col, dialect)})")
 
 
 def _render_cond(
@@ -284,6 +326,112 @@ def _is_integral_expr(
         if e.get("fn") in ("length", "strpos"):
             return True
     return False
+
+
+def dsl_output_names(q: dict) -> list[str]:
+    """Output column names of a DSL query, in select order (set ops:
+    the first child's names, like both engines)."""
+    for kw in SET_OPS:
+        if kw in q:
+            return dsl_output_names(q[kw][0])
+    out: list[str] = []
+    for t in q.get("select") or []:
+        if _is_post_term(t):
+            out.append(t["as"])
+        elif _is_expr_term(t):
+            out.append(t.get("as"))
+        elif _is_win_term(t):
+            out.append(_parse_window_term(t)[4])
+        elif _is_agg_term(t):
+            out.append(_parse_agg_term(t)[2])
+        else:
+            out.append(t)
+    return out
+
+
+_STRING_OUT_FNS = ("lower", "upper", "trim", "ltrim", "rtrim", "substr",
+                   "concat", "replace")
+
+
+def _is_string_expr(e, m: dict[str, T.DataType]) -> bool:
+    if isinstance(e, str):
+        return isinstance(m.get(e), T.StringType)
+    if isinstance(e, dict):
+        if "lit" in e:
+            return True
+        if e.get("fn") in _STRING_OUT_FNS:
+            return True
+        if "if" in e:
+            return (_is_string_expr(e.get("then"), m)
+                    and _is_string_expr(e.get("else"), m))
+    return False
+
+
+def _expr_type(e, m: dict[str, T.DataType]) -> T.DataType:
+    """Conservative output type of a scalar expression tree — exact
+    where it matters for the differential contract (integral → BIGINT
+    pinning; string vs numeric; date/timestamp passthrough for literal
+    coercion), DOUBLE otherwise."""
+    if isinstance(e, str) and e in m:
+        return m[e]
+    if _is_integral_expr(e, m):
+        return T.LongType()
+    if _is_string_expr(e, m):
+        return T.StringType()
+    return T.DoubleType()
+
+
+def _agg_out_type(
+    fname: str, col, round_to, m: dict[str, T.DataType]
+) -> T.DataType:
+    if fname in ("COUNT", "COUNT_DISTINCT"):
+        return T.LongType()
+    if round_to is not None and fname in ("SUM", "AVG"):
+        return T.DoubleType()  # DECIMAL accumulate, cast back to DOUBLE
+    if fname in ("AVG", "STDDEV_SAMP", "VAR_SAMP", "MEDIAN"):
+        return T.DoubleType()
+    if fname in ("MIN", "MAX"):
+        return _expr_type(col, m)
+    # SUM: BIGINT over provably-integral targets, DOUBLE otherwise.
+    return T.LongType() if _is_integral_expr(col, m) else T.DoubleType()
+
+
+def derived_output_types(
+    q: dict, type_map: dict[str, T.DataType]
+) -> dict[str, T.DataType]:
+    """Output column → type map of a derived-table FROM subquery, used
+    to type the OUTER query's literals (dates stay dates), pin DuckDB's
+    HUGEINT sums over derived BIGINT columns, and validate references —
+    the structural twin of the compiler reading ``df.schema`` off the
+    compiled inner frame."""
+    for kw in SET_OPS:
+        if kw in q:
+            return derived_output_types(q[kw][0], type_map)
+    inner_map = type_map
+    if isinstance(q.get("from"), dict):
+        inner_map = {**type_map,
+                     **derived_output_types(q["from"], type_map)}
+    out: dict[str, T.DataType] = {}
+    for t in q.get("select") or []:
+        if _is_post_term(t):
+            out[t["as"]] = T.DoubleType()
+        elif _is_win_term(t):
+            raise QueryError(
+                "window projections are not supported inside a "
+                f"derived-table FROM (engine-dependent output dtype): {t!r}"
+            )
+        elif _is_expr_term(t):
+            out[t["as"]] = _expr_type(t["expr"], inner_map)
+        elif _is_agg_term(t):
+            fname, col, out_name, round_to, _filt = _parse_agg_term(t)
+            out[out_name] = _agg_out_type(fname, col, round_to, inner_map)
+        else:
+            if t not in inner_map:
+                raise QueryError(
+                    f"unknown column {t!r} in derived-table select"
+                )
+            out[t] = inner_map[t]
+    return out
 
 
 def _agg_expr_sql(
@@ -548,6 +696,16 @@ def assemble_sql(
         return _append_order_limit(sql, q, final_names, dialect)
 
     table = q.get("from", "events")
+    derived_from = isinstance(table, dict)
+    inner_from_sql = None
+    if derived_from:
+        # Derived-table FROM: render the inner query as a parenthesized
+        # subselect and type the outer query's references off its
+        # inferred output schema (twin of the compiler recursing into
+        # compile_query and reading the frame's columns).
+        validate_derived_from(table)
+        inner_from_sql = assemble_sql(table, type_map, dialect, ts_is_millis)
+        type_map = {**type_map, **derived_output_types(table, type_map)}
 
     select_terms = []
     out_names = []
@@ -617,9 +775,15 @@ def assemble_sql(
         _collect_cols(cond)
     referenced.update(q.get("group_by") or [])
 
-    from_clause = table
-    if dialect == "duckdb" and referenced & set(DERIVED_TIME_COLUMNS):
-        from_clause = f"({duckdb_time_cte(table, ts_is_millis=ts_is_millis)}) AS {table}"
+    if derived_from:
+        from_clause = f"({inner_from_sql}) AS __src"
+    else:
+        from_clause = table
+        if dialect == "duckdb" and referenced & set(DERIVED_TIME_COLUMNS):
+            from_clause = (
+                f"({duckdb_time_cte(table, ts_is_millis=ts_is_millis)})"
+                f" AS {table}"
+            )
 
     for jspec in q.get("join") or []:
         from_clause += _join_clause_sql(jspec, type_map, dialect)
@@ -633,8 +797,11 @@ def assemble_sql(
 
     conds = q.get("where") or []
     if conds:
+        outer = None if derived_from else table
         sql += " WHERE " + " AND ".join(
-            _condition_sql(c, type_map, dialect, outer_table=q.get("from"))
+            _membership_sql(c, type_map, dialect, ts_is_millis)
+            if _is_membership_leaf(c)
+            else _condition_sql(c, type_map, dialect, outer_table=outer)
             for c in conds
         )
 

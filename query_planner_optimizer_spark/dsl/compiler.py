@@ -556,6 +556,69 @@ def _window_column(df: DataFrame, term: dict) -> Column:
     return e.alias(out_name)
 
 
+def validate_derived_from(sub: Any) -> None:
+    """Shared twin validation of a derived-table FROM (``"from"`` is a
+    DSL dict — nested aggregation, TPC-H Q13's count-of-counts). Any
+    query form is allowed inside EXCEPT window projections: the rank
+    family's output dtype differs across engines (Spark INT vs DuckDB
+    BIGINT), so a windowed derived column would silently break the
+    differential contract every other feature keeps."""
+    if not isinstance(sub, dict):
+        raise QueryError(f"derived-table FROM must be a DSL dict: {sub!r}")
+    for kw in SET_OPS:
+        if kw in sub:
+            for c in sub[kw]:
+                validate_derived_from(c)
+            return
+    for t in sub.get("select") or []:
+        if _is_win_term(t):
+            raise QueryError(
+                "window projections are not supported inside a "
+                f"derived-table FROM (engine-dependent output dtype): {t!r}"
+            )
+    if isinstance(sub.get("from"), dict):
+        validate_derived_from(sub["from"])
+
+
+def _is_membership_leaf(cond: Any) -> bool:
+    """WHERE leaf ``{"col": c, "op": "in"|"not_in",
+    "val": {"subquery": <dsl>}}`` — membership subquery."""
+    return (isinstance(cond, dict) and cond.get("op") in ("in", "not_in")
+            and isinstance(cond.get("val"), dict)
+            and "subquery" in cond["val"])
+
+
+def validate_membership_subquery(cond: dict) -> dict:
+    """Shared twin validation of a membership leaf; returns the inner
+    DSL dict. The subquery's FIRST output column is the membership
+    column (SQL's ``IN (SELECT k FROM ...)`` single-column contract,
+    generalized: extra output columns — e.g. the HAVING-gated aggregate
+    in TPC-H Q18's inner query — are simply not part of the match).
+
+    Membership subqueries are uncorrelated and only valid as TOP-LEVEL
+    WHERE conjuncts: the compiler rewrites them to LEFT SEMI / LEFT
+    ANTI joins, which cannot express a disjunctive or negated position
+    in a boolean tree. ``order_by``/``limit`` are rejected — a LIMIT
+    without a total order would make the member set engine-dependent.
+    """
+    val = cond["val"]
+    extra = set(val) - {"subquery"}
+    if extra:
+        raise QueryError(
+            f"membership subqueries take no extra keys (got {sorted(extra)});"
+            " correlation is expressed directly as semi/anti join 'on' pairs"
+        )
+    sub = val["subquery"]
+    if not isinstance(sub, dict):
+        raise QueryError(f"membership subquery must be a DSL dict: {sub!r}")
+    if "order_by" in sub or "limit" in sub:
+        raise QueryError(
+            "membership subqueries cannot carry order_by/limit (a LIMIT "
+            f"would make the member set engine-dependent): {sub!r}"
+        )
+    return sub
+
+
 def validate_scalar_subquery(sub: Any) -> None:
     """A scalar subquery must provably yield one row, one column: a
     single ungrouped aggregate select (no group_by/set ops/order/limit).
@@ -716,6 +779,11 @@ def _attach_scalar_subqueries(
             return {"not": walk(cond["not"])}
         val = cond.get("val")
         if isinstance(val, dict) and "subquery" in val:
+            if cond.get("op") in ("in", "not_in"):
+                raise QueryError(
+                    "membership subqueries are only supported as "
+                    f"top-level WHERE conditions: {cond!r}"
+                )
             if cond.get("op") not in SCALAR_SUBQUERY_OPS:
                 raise QueryError(
                     f"op {cond.get('op')!r} does not support a scalar "
@@ -725,6 +793,15 @@ def _attach_scalar_subqueries(
             sub = val["subquery"]
             name = f"__scalar_{len(scalar_cols)}"
             if pairs:
+                if outer_table is None:
+                    # Twin of the assembler's rejection: a correlated
+                    # subquery's SQL rendering qualifies outer columns
+                    # by the FROM table's name, which a derived-table
+                    # FROM does not have.
+                    raise QueryError(
+                        "correlated subqueries require a named FROM "
+                        f"table (not a derived table): {cond!r}"
+                    )
                 frame[0] = _join_correlated_scalar(
                     frame[0], val, name, catalog, pairs, outer_table
                 )
@@ -816,7 +893,17 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         return _apply_order_limit(df, q, cols0)
 
     table = q.get("from", "events")
-    df = catalog.table(table)
+    if isinstance(table, dict):
+        # Derived-table FROM: the outer query reads the inner query's
+        # output frame (nested aggregation — TPC-H Q13 count-of-counts,
+        # Q15 view shapes). One logical plan; Catalyst sees straight
+        # through the nesting, so filters on inner pass-through columns
+        # still reach the scan.
+        validate_derived_from(table)
+        df = compile_query(table, catalog)
+        table = None  # no name — correlated scalar scoping unavailable
+    else:
+        df = catalog.table(table)
 
     # JOIN — additive extension beyond the reference DSL (the spec
     # excludes joins, ``claude.md:141``; Spark supplies them natively).
@@ -894,6 +981,22 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         return _bool_tree(df, cond)
 
     conds = q.get("where") or []
+    # Membership subqueries (top-level `col IN/NOT IN (SELECT ...)`)
+    # compile to LEFT SEMI / LEFT ANTI joins — the member set shuffles
+    # (or broadcasts, AQE-elected) instead of ever materializing
+    # driver-side, and the anti join is exactly NOT EXISTS semantics
+    # (no NOT-IN null-poisoning: the SQL twin renders NOT EXISTS).
+    membership = [c for c in conds if _is_membership_leaf(c)]
+    conds = [c for c in conds if not _is_membership_leaf(c)]
+    for cond in membership:
+        col = cond.get("col")
+        if not isinstance(col, str) or col not in df.columns:
+            raise QueryError(f"unknown filter column: {cond!r}")
+        sub = validate_membership_subquery(cond)
+        sub_df = compile_query(sub, catalog)
+        member = sub_df.select(F.col(sub_df.columns[0]).alias("__mkey"))
+        jtype = "left_semi" if cond["op"] == "in" else "left_anti"
+        df = df.join(member, df[col] == member["__mkey"], jtype)
     if conds:
         # Uncorrelated scalar subqueries ({"val": {"subquery": <dsl>}})
         # attach as broadcast one-row columns before the filter builds

@@ -837,3 +837,163 @@ def test_post_aggregation_terms(catalog, ddb):
             compile_query(b, catalog)
         with pytest.raises(QueryError):
             assemble_sql(b, tm, dialect="duckdb")
+
+
+# --------------------------------------------------------------------------
+# Derived-table FROM + membership subqueries (r5 late additions)
+# --------------------------------------------------------------------------
+
+def _merged_map(catalog, *tables):
+    tm = {}
+    for t in tables:
+        tm.update(catalog.spark_type_map(t))
+    return tm
+
+
+def test_derived_from_nested_aggregation(catalog, ddb):
+    """TPC-H Q13 shape: COUNT over a grouped LEFT-JOIN inner query,
+    re-grouped by the inner COUNT — differential in both dialects."""
+    q = {"select": ["n_orders", {"COUNT": "*", "as": "ncust"}],
+         "from": {"select": ["c_custkey",
+                             {"COUNT": "o_orderkey", "as": "n_orders"}],
+                  "from": "customer",
+                  "join": [{"table": "orders", "type": "left",
+                            "on": [["c_custkey", "o_custkey"]]}],
+                  "group_by": ["c_custkey"]},
+         "group_by": ["n_orders"],
+         "order_by": [{"col": "ncust", "dir": "desc"},
+                      {"col": "n_orders", "dir": "desc"}]}
+    tm = _merged_map(catalog, "customer", "orders")
+    df = compile_query(q, catalog)
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
+    import pandas as pd
+
+    from .conftest import normalize
+
+    via_sql = catalog.spark.sql(assemble_sql(q, tm, dialect="spark"))
+    pd.testing.assert_frame_equal(
+        normalize(df.toPandas()), normalize(via_sql.toPandas()),
+        check_dtype=False)
+
+
+def test_derived_from_preserves_date_types(catalog, ddb):
+    """A date column passed through a derived table still types the
+    outer query's literals (DATE coercion), and the inner query gets
+    the duckdb time-CTE while the outer does not."""
+    q = {"select": ["day", "sv"],
+         "from": {"select": ["day", {"SUM": "value", "as": "sv",
+                                     "round": 4}],
+                  "from": "events", "group_by": ["day"]},
+         "where": [{"col": "day", "op": "between",
+                    "val": ["2024-01-02", "2024-01-05"]}],
+         "order_by": ["day"]}
+    df = compile_query(q, catalog)
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="duckdb")
+    assert "DATE '2024-01-02'" in sql
+    assert_matches_duckdb(df, ddb, sql, ordered=True)
+
+
+def test_membership_in_and_not_in(catalog, ddb):
+    """IN → LEFT SEMI, NOT IN → LEFT ANTI (oracle renders NOT EXISTS);
+    member sets from grouped + HAVING subqueries."""
+    member = {"select": ["user_id", {"SUM": "value", "as": "tv",
+                                     "round": 4}],
+              "from": "events", "group_by": ["user_id"],
+              "having": [{"col": "tv", "op": "gt", "val": 500}]}
+    tm = catalog.spark_type_map("events")
+    for op in ("in", "not_in"):
+        q = {"select": ["event_type", {"COUNT": "*", "as": "n"}],
+             "from": "events",
+             "where": [{"col": "user_id", "op": op,
+                        "val": {"subquery": member}}],
+             "group_by": ["event_type"], "order_by": ["event_type"]}
+        df = compile_query(q, catalog)
+        sql = assemble_sql(q, tm, dialect="duckdb")
+        if op == "not_in":
+            assert "NOT EXISTS" in sql and "NOT IN" not in sql
+        assert_matches_duckdb(df, ddb, sql, ordered=True)
+
+
+def test_membership_semi_anti_plan(spark, catalog):
+    """The compiled membership plans are genuine semi/anti joins —
+    never a collected literal list."""
+    member = {"select": ["user_id"], "from": "events",
+              "where": [{"col": "event_type", "op": "eq", "val": "click"}]}
+    for op, frag in (("in", "LeftSemi"), ("not_in", "LeftAnti")):
+        q = {"select": ["event_id"], "from": "events",
+             "where": [{"col": "user_id", "op": op,
+                        "val": {"subquery": member}}]}
+        plan = compile_query(q, catalog)._jdf.queryExecution().toString()
+        assert frag in plan, f"{op}: expected {frag} join in plan:\n{plan}"
+
+
+def test_derived_from_and_membership_rejections(catalog):
+    tm = catalog.spark_type_map("events")
+    bad = [
+        # window projection inside a derived FROM (dtype divergence)
+        {"select": ["r"],
+         "from": {"select": [{"win": "row_number", "as": "r",
+                              "partition_by": ["event_type"],
+                              "order_by": ["event_id"]}],
+                  "from": "events"}},
+        # membership nested under OR — semi/anti can't sit in a tree
+        {"select": ["event_id"], "from": "events",
+         "where": [{"or": [
+             {"col": "user_id", "op": "in",
+              "val": {"subquery": {"select": ["user_id"],
+                                   "from": "events"}}},
+             {"col": "value", "op": "gt", "val": 5}]}]},
+        # membership subquery with LIMIT (engine-dependent member set)
+        {"select": ["event_id"], "from": "events",
+         "where": [{"col": "user_id", "op": "in",
+                    "val": {"subquery": {"select": ["user_id"],
+                                         "from": "events",
+                                         "limit": 5}}}]},
+        # membership takes no correlate key
+        {"select": ["event_id"], "from": "events",
+         "where": [{"col": "user_id", "op": "in",
+                    "val": {"subquery": {"select": ["user_id"],
+                                         "from": "events"},
+                            "correlate": ["user_id"]}}]},
+        # correlated scalar subquery over a derived-table FROM (no
+        # outer name to qualify the correlation in SQL)
+        {"select": ["sv"],
+         "from": {"select": ["user_id", {"SUM": "value", "as": "sv",
+                                         "round": 4}],
+                  "from": "events", "group_by": ["user_id"]},
+         "where": [{"col": "sv", "op": "gt",
+                    "val": {"subquery": {"select": [{"AVG": "value",
+                                                     "as": "a"}],
+                                         "from": "events"},
+                            "correlate": [["user_id", "user_id"]]}}]},
+    ]
+    for b in bad:
+        with pytest.raises(QueryError):
+            compile_query(b, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(b, tm, dialect="duckdb")
+
+
+def test_router_refuses_derived_from_and_membership(spark, catalog, tmp_path):
+    """The rollup router must refuse (not mis-serve) the new shapes."""
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs")
+    build_rollups(catalog.table("events"), agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    derived = {"select": ["day", {"SUM": "value", "as": "sv"}],
+               "from": {"select": ["day", "value"], "from": "events"},
+               "group_by": ["day"]}
+    membership = {"select": ["day", {"SUM": "value", "as": "sv"}],
+                  "from": "events",
+                  "where": [{"col": "user_id", "op": "in",
+                             "val": {"subquery": {"select": ["user_id"],
+                                                  "from": "events"}}}],
+                  "group_by": ["day"]}
+    assert router.route(derived) is None
+    assert router.route(membership) is None
