@@ -1015,6 +1015,43 @@ DSL_QUERIES.update({
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    # Named CTE referenced twice (FROM + scalar subquery): days whose
+    # revenue beats the all-days average. The view compiles ONCE in the
+    # engine (Catalyst may reuse or recompute per its own costing —
+    # same contract as SQL WITH) and renders once in the oracle's WITH
+    # clause.
+    "dsl_cte_above_avg_days": {
+        "with": {"daily": {
+            "select": ["day", {"SUM": "value", "as": "dv", "round": 4}],
+            "from": "events", "group_by": ["day"]}},
+        "select": ["day", "dv"],
+        "from": "daily",
+        "where": [{"col": "dv", "op": "gt",
+                   "val": {"subquery": {
+                       "select": [{"AVG": "dv", "as": "a", "round": 6}],
+                       "from": "daily"}}}],
+        "order_by": ["day"],
+    },
+    # Two-level CTE chain (view over view): per-user-per-type totals,
+    # then per-type stats over them — define-before-use enforced by
+    # both twins.
+    "dsl_cte_chain_user_type": {
+        "with": {
+            "user_type": {
+                "select": ["user_id", "event_type",
+                           {"SUM": "value", "as": "tv", "round": 4}],
+                "from": "events", "group_by": ["user_id", "event_type"]},
+            "type_stats": {
+                "select": ["event_type",
+                           {"AVG": "tv", "as": "avg_tv", "round": 6},
+                           {"COUNT": "*", "as": "n_users"}],
+                "from": "user_type", "group_by": ["event_type"]},
+        },
+        "select": ["event_type", "avg_tv", "n_users"],
+        "from": "type_stats",
+        "where": [{"col": "n_users", "op": "gt", "val": 3}],
+        "order_by": ["event_type"],
+    },
     # TPC-H Q22 shape (untapped accounts): derived FROM computing the
     # grouping bucket, an AVG scalar subquery over the SAME derived
     # table, and NOT IN → LEFT ANTI join (SQL twin renders NOT EXISTS —
@@ -1374,20 +1411,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _panel_order(out)
 
 
-def _query_type_map(q: dict) -> dict[str, T.DataType]:
-    """Merged type map over every table a query (or set-op branch, or a
-    WHERE scalar subquery) touches."""
+def _query_type_map(
+    q: dict, view_names: frozenset = frozenset()
+) -> dict[str, T.DataType]:
+    """Merged type map over every BASE table a query (or set-op branch,
+    WHERE subquery, derived FROM, or CTE view) touches. CTE-view names
+    resolve to no parquet file — the assembler types their outputs via
+    its own structural inference, so they are skipped here."""
+    views = q.get("with") or {}
+    view_names = view_names | frozenset(views)
     for kw in ("union", "intersect", "except"):
         if kw in q:
             out: dict[str, T.DataType] = {}
             for c in q[kw]:
-                out.update(_query_type_map(c))
+                out.update(_query_type_map(c, view_names))
             return out
+    type_map: dict[str, T.DataType] = {}
+    for vq in views.values():
+        type_map.update(_query_type_map(vq, view_names))
     frm = q.get("from", "events")
-    type_map = (_query_type_map(frm) if isinstance(frm, dict)
-                else _static_type_map(frm))
+    if isinstance(frm, dict):
+        type_map.update(_query_type_map(frm, view_names))
+    elif frm not in view_names:
+        type_map.update(_static_type_map(frm))
     for jspec in q.get("join") or []:
-        type_map.update(_static_type_map(jspec["table"]))
+        if jspec["table"] not in view_names:
+            type_map.update(_static_type_map(jspec["table"]))
 
     def visit(cond: dict) -> None:
         for kw in ("or", "and"):
@@ -1397,7 +1446,7 @@ def _query_type_map(q: dict) -> dict[str, T.DataType]:
             visit(cond["not"])
         val = cond.get("val")
         if isinstance(val, dict) and "subquery" in val:
-            type_map.update(_query_type_map(val["subquery"]))
+            type_map.update(_query_type_map(val["subquery"], view_names))
 
     for cond in q.get("where") or []:
         visit(cond)

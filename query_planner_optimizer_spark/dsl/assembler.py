@@ -41,6 +41,7 @@ from query_planner_optimizer_spark.dsl.compiler import (
     expr_columns,
     validate_derived_from,
     validate_membership_subquery,
+    validate_with_clause,
 )
 
 _OP_SQL = {"eq": "=", "neq": "<>", "lt": "<", "lte": "<=", "gt": ">", "gte": ">="}
@@ -79,6 +80,7 @@ def _literal(val: Any, dtype: T.DataType | None, dialect: str) -> str:
 def _condition_sql(
     cond: dict, type_map: dict[str, T.DataType], dialect: str,
     outer_table: str | None = None,
+    cte_names: frozenset = frozenset(),
 ) -> str:
     # Boolean-tree nodes (additive extension, twin of the compiler's
     # _bool_expr): {"or": [...]}, {"and": [...]}, {"not": cond}.
@@ -161,7 +163,8 @@ def _condition_sql(
                 f" WHERE {' AND '.join(parts)}"
             )
         else:
-            sub_sql = assemble_sql(sub, type_map, dialect)
+            sub_sql = assemble_sql(sub, type_map, dialect,
+                                   cte_names=cte_names)
         rhs = f"({sub_sql})"
         if val.get("scale") is not None:
             rhs = f"({_literal(val['scale'], None, dialect)} * {rhs})"
@@ -173,7 +176,7 @@ def _condition_sql(
 
 def _membership_sql(
     cond: dict, type_map: dict[str, T.DataType], dialect: str,
-    ts_is_millis: bool,
+    ts_is_millis: bool, cte_names: frozenset = frozenset(),
 ) -> str:
     """Render a top-level membership leaf. ``in`` renders SQL ``IN
     (SELECT <first output> FROM (<sub>) AS __m)`` — exactly the
@@ -189,7 +192,8 @@ def _membership_sql(
     if col not in type_map:
         raise QueryError(f"unknown filter column: {cond!r}")
     sub = validate_membership_subquery(cond)
-    sub_sql = assemble_sql(sub, type_map, dialect, ts_is_millis)
+    sub_sql = assemble_sql(sub, type_map, dialect, ts_is_millis,
+                           cte_names=cte_names)
     names = dsl_output_names(sub)
     if not names or not isinstance(names[0], str):
         raise QueryError(f"membership subquery has no output column: {sub!r}")
@@ -326,6 +330,38 @@ def _is_integral_expr(
         if e.get("fn") in ("length", "strpos"):
             return True
     return False
+
+
+def _referenced_tables(q: dict) -> set:
+    """Table names a query references (FROM, joins, subquery FROMs,
+    set-op branches) — used for CTE define-before-use validation."""
+    out: set = set()
+    for kw in SET_OPS:
+        if kw in q:
+            for c in q[kw]:
+                out |= _referenced_tables(c)
+            return out
+    frm = q.get("from", "events")
+    if isinstance(frm, dict):
+        out |= _referenced_tables(frm)
+    else:
+        out.add(frm)
+    for j in q.get("join") or []:
+        out.add(j.get("table"))
+
+    def visit(cond: dict) -> None:
+        for kw in ("or", "and"):
+            for b in cond.get(kw) or []:
+                visit(b)
+        if "not" in cond:
+            visit(cond["not"])
+        v = cond.get("val")
+        if isinstance(v, dict) and "subquery" in v:
+            out.update(_referenced_tables(v["subquery"]))
+
+    for c in q.get("where") or []:
+        visit(c)
+    return out
 
 
 def dsl_output_names(q: dict) -> list[str]:
@@ -589,15 +625,48 @@ def assemble_sql(
     type_map: dict[str, T.DataType],
     dialect: str = "spark",
     ts_is_millis: bool = False,
+    cte_names: frozenset = frozenset(),
 ) -> str:
     """Render a DSL dict as a SQL string for the given dialect.
 
     ``type_map`` is the augmented table schema (``Catalog.spark_type_map``)
     used for typed literals. For duckdb, derived time columns are
     materialized via a CTE over the raw view when the query touches them.
+    ``cte_names`` carries in-scope WITH-view names (a FROM naming one is
+    a view reference, never wrapped in the raw-table time CTE).
     """
     if dialect not in ("spark", "duckdb"):
         raise QueryError(f"unknown dialect {dialect!r}")
+
+    # Named CTEs — twin of the compiler's _ViewCatalog: views render as
+    # a WITH clause in definition order, each seeing earlier views
+    # (define-before-use) and extending the type map with its inferred
+    # output schema; the body (including its subqueries) references
+    # them by name.
+    withs = q.get("with")
+    if withs is not None:
+        validate_with_clause(withs)
+        tm = dict(type_map)
+        names = set(cte_names)
+        parts = []
+        for name, vq in withs.items():
+            # Define-before-use at build time (the compiler twin fails
+            # the same way via its eager in-order view compilation).
+            forward = _referenced_tables(vq) & (set(withs) - names)
+            if forward:
+                raise QueryError(
+                    f"CTE {name!r} references {sorted(forward)} before "
+                    "definition (views see only earlier views)"
+                )
+            v_sql = assemble_sql(vq, tm, dialect, ts_is_millis,
+                                 cte_names=frozenset(names))
+            parts.append(f"{name} AS ({v_sql})")
+            tm = {**tm, **derived_output_types(vq, tm)}
+            names.add(name)
+        body_q = {k: v for k, v in q.items() if k != "with"}
+        body = assemble_sql(body_q, tm, dialect, ts_is_millis,
+                            cte_names=frozenset(names))
+        return f"WITH {', '.join(parts)} {body}"
 
     # Set ops — twin of the compiler's branch. Children render as
     # parenthesized subqueries (each with its own time CTE if needed);
@@ -638,7 +707,8 @@ def assemble_sql(
                 )
         joiner = f" {kw.upper()}{' ALL' if q.get('all') else ''} "
         body = joiner.join(
-            "(" + assemble_sql(c, type_map, dialect, ts_is_millis) + ")"
+            "(" + assemble_sql(c, type_map, dialect, ts_is_millis,
+                               cte_names=cte_names) + ")"
             for c in children
         )
         sql = f"SELECT * FROM ({body}) AS u"
@@ -663,7 +733,8 @@ def assemble_sql(
         inner_q = {k: v for k, v in q.items()
                    if k not in ("order_by", "limit", "select")}
         inner_q["select"] = inner_select
-        inner_sql = assemble_sql(inner_q, type_map, dialect, ts_is_millis)
+        inner_sql = assemble_sql(inner_q, type_map, dialect, ts_is_millis,
+                                 cte_names=cte_names)
         avail = [_parse_agg_term(t)[2] if _is_agg_term(t) else t
                  for t in inner_select if not _is_win_term(t)]
 
@@ -704,7 +775,8 @@ def assemble_sql(
         # inferred output schema (twin of the compiler recursing into
         # compile_query and reading the frame's columns).
         validate_derived_from(table)
-        inner_from_sql = assemble_sql(table, type_map, dialect, ts_is_millis)
+        inner_from_sql = assemble_sql(table, type_map, dialect, ts_is_millis,
+                                      cte_names=cte_names)
         type_map = {**type_map, **derived_output_types(table, type_map)}
 
     select_terms = []
@@ -779,7 +851,8 @@ def assemble_sql(
         from_clause = f"({inner_from_sql}) AS __src"
     else:
         from_clause = table
-        if dialect == "duckdb" and referenced & set(DERIVED_TIME_COLUMNS):
+        if (dialect == "duckdb" and table not in cte_names
+                and referenced & set(DERIVED_TIME_COLUMNS)):
             from_clause = (
                 f"({duckdb_time_cte(table, ts_is_millis=ts_is_millis)})"
                 f" AS {table}"
@@ -799,9 +872,11 @@ def assemble_sql(
     if conds:
         outer = None if derived_from else table
         sql += " WHERE " + " AND ".join(
-            _membership_sql(c, type_map, dialect, ts_is_millis)
+            _membership_sql(c, type_map, dialect, ts_is_millis,
+                            cte_names=cte_names)
             if _is_membership_leaf(c)
-            else _condition_sql(c, type_map, dialect, outer_table=outer)
+            else _condition_sql(c, type_map, dialect, outer_table=outer,
+                                cte_names=cte_names)
             for c in conds
         )
 

@@ -580,6 +580,43 @@ def validate_derived_from(sub: Any) -> None:
         validate_derived_from(sub["from"])
 
 
+class _ViewCatalog:
+    """Catalog facade resolving ``"with"`` CTE names to compiled frames
+    before falling back to the base catalog. Views are compiled eagerly
+    in definition order, each seeing only earlier views (define-before-
+    use — the same rule the SQL twin's WITH-clause ordering enforces,
+    and a structural guarantee against reference cycles). A view name
+    shadows a base table, exactly like SQL WITH."""
+
+    def __init__(self, base, views: dict):
+        self._base = base
+        self._frames: dict[str, DataFrame] = {}
+        for name, vq in views.items():  # pre-validated by the caller
+            self._frames[name] = compile_query(vq, self)
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._frames:
+            return self._frames[name]
+        return self._base.table(name)
+
+
+def validate_with_clause(withs: Any) -> None:
+    """Shared twin validation of the top-level ``"with"`` dict."""
+    if not isinstance(withs, dict) or not withs:
+        raise QueryError(f"'with' must be a non-empty dict: {withs!r}")
+    for name, vq in withs.items():
+        if not isinstance(name, str) or not name.isidentifier():
+            raise QueryError(f"bad CTE name: {name!r}")
+        if not isinstance(vq, dict):
+            raise QueryError(f"CTE {name!r} must be a DSL dict: {vq!r}")
+        if "with" in vq:
+            raise QueryError(
+                f"CTE {name!r} cannot itself declare 'with' (one level "
+                "of view definitions, like the SQL twin)"
+            )
+        validate_derived_from(vq)
+
+
 def _is_membership_leaf(cond: Any) -> bool:
     """WHERE leaf ``{"col": c, "op": "in"|"not_in",
     "val": {"subquery": <dsl>}}`` — membership subquery."""
@@ -847,6 +884,17 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     """
     if not isinstance(q, dict):
         raise QueryError(f"query must be a dict, got {type(q)}")
+
+    # Named CTEs — {"with": {name: <dsl>, ...}, ...}: each view is
+    # compiled once and visible (by name, shadowing base tables) to the
+    # main query, its joins, and its subqueries. Spark deduplicates or
+    # recomputes multiply-referenced views per Catalyst's choice — the
+    # same contract as SQL WITH (a hint, not a materialization).
+    withs = q.get("with")
+    if withs is not None:
+        validate_with_clause(withs)
+        catalog = _ViewCatalog(catalog, withs)
+        q = {k: v for k, v in q.items() if k != "with"}
 
     # Set ops — additive (the reference has none, SURVEY.md §2.5).
     # {"union"|"intersect"|"except": [q1, q2, ...], "all": bool} with a

@@ -997,3 +997,61 @@ def test_router_refuses_derived_from_and_membership(spark, catalog, tmp_path):
                   "group_by": ["day"]}
     assert router.route(derived) is None
     assert router.route(membership) is None
+
+
+def test_cte_views_both_dialects(catalog, ddb):
+    """Named CTEs: view referenced twice (FROM + scalar subquery), and
+    a view-over-view chain joined back to a base table."""
+    q = {"with": {"ut": {"select": ["user_id",
+                                    {"SUM": "value", "as": "tv",
+                                     "round": 4}],
+                         "from": "events", "group_by": ["user_id"]}},
+         "select": ["user_id", "tv"],
+         "from": "ut",
+         "where": [{"col": "tv", "op": "gt",
+                    "val": {"subquery": {
+                        "select": [{"AVG": "tv", "as": "a", "round": 6}],
+                        "from": "ut"}}}],
+         "order_by": ["user_id"]}
+    tm = catalog.spark_type_map("events")
+    df = compile_query(q, catalog)
+    sql = assemble_sql(q, tm, dialect="duckdb")
+    assert sql.startswith("WITH ut AS (")
+    assert_matches_duckdb(df, ddb, sql, ordered=True)
+    import pandas as pd
+
+    from .conftest import normalize
+
+    via_sql = catalog.spark.sql(assemble_sql(q, tm, dialect="spark"))
+    pd.testing.assert_frame_equal(
+        normalize(df.toPandas()), normalize(via_sql.toPandas()),
+        check_dtype=False)
+
+
+def test_cte_rejections(catalog):
+    tm = catalog.spark_type_map("events")
+    base_view = {"select": ["user_id"], "from": "events"}
+    bad = [
+        # nested 'with' inside a view
+        {"with": {"v": {"with": {"w": base_view},
+                        "select": ["user_id"], "from": "w"}},
+         "select": ["user_id"], "from": "v"},
+        # forward reference (define-before-use violated)
+        {"with": {"a": {"select": ["user_id"], "from": "b"},
+                  "b": base_view},
+         "select": ["user_id"], "from": "a"},
+        # window projection inside a view (dtype portability)
+        {"with": {"v": {"select": [{"win": "row_number", "as": "r",
+                                    "partition_by": ["event_type"],
+                                    "order_by": ["event_id"]}],
+                        "from": "events"}},
+         "select": ["r"], "from": "v"},
+        # non-identifier view name
+        {"with": {"bad name": base_view},
+         "select": ["user_id"], "from": "bad name"},
+    ]
+    for b in bad:
+        with pytest.raises((QueryError, KeyError)):
+            compile_query(b, catalog)
+        with pytest.raises((QueryError, KeyError)):
+            assemble_sql(b, tm, dialect="duckdb")
