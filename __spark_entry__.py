@@ -1015,6 +1015,21 @@ DSL_QUERIES.update({
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    # HAVING over aggregates NOT in the select list (standard SQL
+    # allows it; flat alias-only HAVING cannot express it): per-type
+    # revenue gated by row count and average value, neither projected.
+    # Compiler computes hidden dropped columns in the same shuffle;
+    # oracle renders the bare aggregate expressions in HAVING.
+    "dsl_having_inline_agg": {
+        "select": ["event_type", {"SUM": "value", "as": "revenue",
+                                  "round": 4}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "having": [{"agg": {"COUNT": "*"}, "op": "gt", "val": 50},
+                   {"agg": {"AVG": "value", "round": 6}, "op": "between",
+                    "val": [10, 90]}],
+        "order_by": ["event_type"],
+    },
     # Named CTE referenced twice (FROM + scalar subquery): days whose
     # revenue beats the all-days average. The view compiles ONCE in the
     # engine (Catalyst may reuse or recompute per its own costing —

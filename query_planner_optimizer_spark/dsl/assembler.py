@@ -899,6 +899,26 @@ def assemble_sql(
         keys_by_lower = {k.lower(): k for k in group_by}
         parts = []
         for cond in having:
+            if isinstance(cond, dict) and "agg" in cond:
+                # Inline-aggregate HAVING (aggregate not in SELECT) —
+                # renders the bare aggregate expression directly; the
+                # compiler twin computes it as a hidden dropped column.
+                if "col" in cond:
+                    raise QueryError(
+                        f"having condition takes 'col' or 'agg', "
+                        f"not both: {cond!r}"
+                    )
+                term = cond["agg"]
+                if not isinstance(term, dict) or "as" in term:
+                    raise QueryError(
+                        f"having 'agg' must be an alias-free aggregate "
+                        f"term: {cond!r}"
+                    )
+                expr, _ = _agg_expr_sql(
+                    {**term, "as": "__hv"}, dialect, type_map
+                )
+                parts.append(_render_cond(expr, cond, None, dialect))
+                continue
             name = str(cond.get("col"))
             expr = agg_expr_by_alias.get(name.lower())
             if expr is not None:

@@ -1102,9 +1102,38 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         if c not in df.columns:
             raise QueryError(f"unknown column {c!r} in table {table!r}")
 
-    def agg_exprs() -> list[Column]:
+    # Inline-aggregate HAVING conditions — {"agg": <aggregate term>,
+    # "op": ..., "val": ...}: standard SQL's HAVING over an aggregate
+    # NOT in the select list. The compiler computes each as a hidden
+    # column in the same aggregation (one shuffle, dropped by the final
+    # projection); the SQL twin renders the bare aggregate expression
+    # in HAVING directly.
+    having_in = q.get("having") or []
+    hidden_agg_terms: list = []
+    norm_having: list = []
+    for cond in having_in:
+        if isinstance(cond, dict) and "agg" in cond:
+            if "col" in cond:
+                raise QueryError(
+                    f"having condition takes 'col' or 'agg', not both: {cond!r}"
+                )
+            term = cond["agg"]
+            if not isinstance(term, dict) or "as" in term:
+                raise QueryError(
+                    f"having 'agg' must be an alias-free aggregate term: {cond!r}"
+                )
+            alias = f"__hv{len(hidden_agg_terms)}"
+            hidden_agg_terms.append(_parse_agg_term({**term, "as": alias}))
+            norm_having.append(
+                {**{k: v for k, v in cond.items() if k != "agg"},
+                 "col": alias}
+            )
+        else:
+            norm_having.append(cond)
+
+    def agg_exprs(terms: list) -> list[Column]:
         exprs = []
-        for fname, col, out_name, round_to, filt in agg_terms:
+        for fname, col, out_name, round_to, filt in terms:
             # FILTER (WHERE ...): null-out non-matching rows — every
             # aggregate here skips nulls, which is exactly SQL FILTER
             # semantics (COUNT(*) counts the when-matched literal).
@@ -1147,12 +1176,12 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         # reference aggregate aliases or group keys — including group
         # keys NOT in the select list (standard SQL evaluates HAVING
         # before the projection), resolved case-insensitively like
-        # order_by, reusing the WHERE op set.
-        having = q.get("having") or []
-        if not having:
+        # order_by, reusing the WHERE op set. Inline-agg conditions
+        # arrive here pre-normalized to their hidden aliases.
+        if not norm_having:
             return frame
         combined = None
-        for cond in having:
+        for cond in norm_having:
             resolved = dict(cond)
             resolved["col"] = _resolve_order_col(str(cond.get("col")), columns)
             c = _filter_condition(frame, resolved)
@@ -1166,8 +1195,10 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         bad = [c for c in plain_cols if c not in group_by]
         if bad:
             raise QueryError(f"selected columns not in group_by: {bad}")
-        df = df.groupBy(*[F.col(c) for c in group_by]).agg(*agg_exprs())
-        df = apply_having(df, list(group_by) + [a[2] for a in agg_terms])
+        df = df.groupBy(*[F.col(c) for c in group_by]).agg(
+            *agg_exprs(agg_terms + hidden_agg_terms))
+        df = apply_having(df, list(group_by)
+                          + [a[2] for a in agg_terms + hidden_agg_terms])
         # Post-aggregation expressions (ratio-of-sums, Q14): computed
         # over the aggregated frame's aliases — one projection, no
         # further shuffle.
@@ -1194,9 +1225,10 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             )
         # Ungrouped aggregate — supported here, dropped by the reference
         # (``query_engine.py:494-502``).
-        df = df.agg(*agg_exprs())
+        df = df.agg(*agg_exprs(agg_terms + hidden_agg_terms))
         agg_names = [a[2] for a in agg_terms]
-        df = apply_having(df, agg_names)
+        df = apply_having(df, agg_names
+                          + [a[2] for a in hidden_agg_terms])
         proj = []
         out_columns = []
         agg_iter = iter(agg_names)
@@ -1211,7 +1243,7 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                 out_columns.append(n)
         df = df.select(*proj)
     else:
-        if q.get("having"):
+        if having_in:
             raise QueryError("'having' requires an aggregation")
         proj = []
         out_columns = []

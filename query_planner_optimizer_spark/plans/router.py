@@ -219,8 +219,11 @@ class RollupRouter:
         # unhandled clauses — SURVEY.md §4 hazards): any query feature a
         # rollup cannot re-derive refuses the route outright.
         if any(kw in q for kw in
-               ("join", "distinct", "union", "intersect", "except")):
+               ("join", "distinct", "union", "intersect", "except",
+                "with")):
             return None
+        if not isinstance(q.get("from", "events"), str):
+            return None  # derived-table FROM is never a rollup scan
 
         def _has_subquery(cond: dict) -> bool:
             for kw in ("or", "and"):

@@ -1055,3 +1055,43 @@ def test_cte_rejections(catalog):
             compile_query(b, catalog)
         with pytest.raises((QueryError, KeyError)):
             assemble_sql(b, tm, dialect="duckdb")
+
+
+def test_having_inline_aggregates(catalog, ddb):
+    """HAVING over aggregates not in the select list — grouped and
+    ungrouped, plus rejection of malformed 'agg' conditions."""
+    tm = catalog.spark_type_map("events")
+    q = {"select": ["event_type", {"SUM": "value", "as": "sv",
+                                   "round": 4}],
+         "from": "events", "group_by": ["event_type"],
+         "having": [{"agg": {"COUNT": "*"}, "op": "gt", "val": 10},
+                    {"agg": {"MIN": "value"}, "op": "lt", "val": 50}],
+         "order_by": ["event_type"]}
+    df = compile_query(q, catalog)
+    assert df.columns == ["event_type", "sv"]  # hidden cols dropped
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
+    # ungrouped variant
+    q2 = {"select": [{"SUM": "value", "as": "sv", "round": 4}],
+          "from": "events",
+          "having": [{"agg": {"COUNT": "*"}, "op": "gt", "val": 1}]}
+    df2 = compile_query(q2, catalog)
+    assert df2.columns == ["sv"]
+    assert_matches_duckdb(df2, ddb, assemble_sql(q2, tm, dialect="duckdb"))
+    bad = [
+        # both 'col' and 'agg'
+        {"select": ["event_type", {"SUM": "value", "as": "sv"}],
+         "from": "events", "group_by": ["event_type"],
+         "having": [{"col": "sv", "agg": {"COUNT": "*"},
+                     "op": "gt", "val": 1}]},
+        # aliased agg term inside having
+        {"select": ["event_type", {"SUM": "value", "as": "sv"}],
+         "from": "events", "group_by": ["event_type"],
+         "having": [{"agg": {"COUNT": "*", "as": "n"},
+                     "op": "gt", "val": 1}]},
+    ]
+    for b in bad:
+        with pytest.raises(QueryError):
+            compile_query(b, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(b, tm, dialect="duckdb")
