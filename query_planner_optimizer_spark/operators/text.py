@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from query_planner_optimizer_spark.functions.textexpr import tokens
 
@@ -370,6 +371,75 @@ def bigram_collocations(
     )
 
 
+def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document fluency score from a bigram language model trained
+    on the corpus itself — the KenLM-style quality signal of a curation
+    pipeline, exact and self-contained (no external model): a document
+    whose token transitions are typical of the corpus scores high;
+    unusual transition chains (shuffled text, encoding damage, another
+    register) score low.
+
+    ``lm_score = avg over bigrams of P(b|a)``, with
+    ``P(b|a) = n_pair(a,b) / n_first(a)`` and ``n_first(a) = Σ_b
+    n_pair(a,b)`` (occurrences of ``a`` as a bigram head). Trained and
+    scored on the same corpus, so every probability is positive — no
+    smoothing needed. Probability arithmetic is ONE double division
+    (bit-identical across IEEE engines — the lift discipline of
+    :func:`bigram_collocations`, no logs); the per-document average
+    accumulates in DECIMAL(38,16) so partition order cannot move the
+    rounded result (the rounded-AVG discipline of the DSL compiler).
+
+    Plan at scale: map-side tokenize + bigram explode; two narrow
+    count aggregations (pair counts, head counts derived FROM the pair
+    counts — never a second pass over the corpus); then the bigram
+    stream equi-joins the count frames (hot-bigram skew is AQE's skew-
+    join case) and one per-doc aggregation. No driver-side state.
+    Documents with fewer than two tokens have no bigrams and are
+    absent from the output (callers left-join if they need them).
+    Returns (doc_id, n_bigrams, lm_score).
+    """
+    toked = docs.select(
+        F.col("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    n_tok = F.size(F.col("__toks"))
+    doc_bg = (
+        toked.filter(n_tok >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_tok - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__toks"), i).alias("tok_a"),
+                        F.element_at(F.col("__toks"), i + 1).alias("tok_b"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.tok_a", "bg.tok_b")
+    )
+    pair_counts = doc_bg.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    first_counts = pair_counts.groupBy("tok_a").agg(
+        F.sum("n_pair").alias("n_first")
+    )
+    prob = F.col("n_pair").cast("double") / F.col("n_first").cast("double")
+    scored = (
+        doc_bg.join(pair_counts, ["tok_a", "tok_b"])
+        .join(first_counts, "tok_a")
+        .select("doc_id", prob.alias("__prob"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("__prob").cast(T.DecimalType(38, 16)))
+            .cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("lm_score"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries (queries + DuckDB oracles)
 # --------------------------------------------------------------------------
@@ -528,6 +598,10 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_collocations(_load_documents(spark, sf_dir))
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_score(_load_documents(spark, sf_dir))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "text_oov_ratio": q_oov_ratio,
@@ -541,6 +615,7 @@ def entry_queries() -> dict[str, Callable]:
         "text_normalize_nfc": q_normalize_nfc,
         "text_strip_markup": q_strip_markup,
         "text_collocations": q_collocations,
+        "text_bigram_lm": q_bigram_lm,
     }
 
 
@@ -724,5 +799,40 @@ def entry_oracles() -> dict[str, str]:
             JOIN uni ua ON p.tok_a = ua.tok
             JOIN uni ub ON p.tok_b = ub.tok
             CROSS JOIN total t
+        """,
+        # Bigram-LM fluency: each P(b|a) is ONE double division (IEEE-
+        # identical); the per-doc average accumulates in DECIMAL(38,16)
+        # like the rounded-AVG DSL aggregates, so summation order never
+        # moves the rounded digit.
+        "text_bigram_lm": f"""
+            WITH toked AS (SELECT doc_id, {toks} AS tk FROM documents),
+            bg AS (
+                SELECT doc_id, u.a AS tok_a, u.b AS tok_b FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(tk)),
+                        i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS u
+                    FROM toked WHERE len(tk) >= 2
+                )
+            ),
+            pair_counts AS (
+                SELECT tok_a, tok_b, COUNT(*) AS n_pair FROM bg
+                GROUP BY tok_a, tok_b
+            ),
+            first_counts AS (
+                SELECT tok_a, CAST(SUM(n_pair) AS BIGINT) AS n_first
+                FROM pair_counts GROUP BY tok_a
+            ),
+            scored AS (
+                SELECT b.doc_id,
+                       CAST(p.n_pair AS DOUBLE) / CAST(f.n_first AS DOUBLE)
+                           AS prob
+                FROM bg b
+                JOIN pair_counts p USING (tok_a, tok_b)
+                JOIN first_counts f USING (tok_a)
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(CAST(SUM(CAST(prob AS DECIMAL(38, 16))) AS DOUBLE)
+                         / COUNT(*), 6) AS lm_score
+            FROM scored GROUP BY doc_id
         """,
     }

@@ -926,3 +926,29 @@ def test_quantized_topk_recall_vs_exact(emb):
     for r in qd[:50]:
         assert all(-127 <= v <= 127 for v in r.qvec)
         assert r.scale > 0
+
+
+def test_bigram_lm_score_semantics(spark):
+    """A perfectly predictable corpus scores 1.0; a document whose
+    transitions are unique in the corpus scores lower than one whose
+    transitions are shared by every other document."""
+    from query_planner_optimizer_spark.operators import text
+
+    rows = [(i, "a b a b a b") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.bigram_lm_score(docs).collect()}
+    assert len(got) == 5
+    for r in got.values():
+        assert r.n_bigrams == 5
+        assert r.lm_score == 1.0  # every transition is deterministic
+
+    rows2 = [(i, "x y x y x y") for i in range(9)] + [(99, "x q y p x z")]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r.doc_id: r.lm_score for r in text.bigram_lm_score(docs2).collect()}
+    assert got2[0] > got2[99]  # typical transitions beat unique ones
+    assert 0.0 < got2[99] < got2[0] <= 1.0
+    # docs with <2 tokens are absent
+    docs3 = spark.createDataFrame([(1, "solo"), (2, "a b")],
+                                  "doc_id long, text string")
+    out3 = text.bigram_lm_score(docs3).collect()
+    assert {r.doc_id for r in out3} == {2}
