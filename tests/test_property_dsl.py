@@ -230,6 +230,14 @@ def dsl_queries(draw) -> dict:
             key = draw(st.sampled_from(["event_type", "EVENT_TYPE"]))
             having.append({"col": key, "op": "neq",
                            "val": draw(st.sampled_from(ETYPES))})
+        if draw(st.booleans()):
+            # r5: inline-aggregate HAVING (aggregate not in the select
+            # list) — COUNT-only, integer-exact across engines.
+            having.append({
+                "agg": {"COUNT": "*"},
+                "op": draw(st.sampled_from(["gt", "gte", "lt", "lte"])),
+                "val": draw(st.integers(min_value=0, max_value=500)),
+            })
         if having:
             q["having"] = having
     if draw(st.booleans()):
@@ -276,6 +284,68 @@ def test_compiler_equals_sql_twin(q, spark, catalog):
 def test_compiler_equals_duckdb_oracle(q, spark, catalog, ddb):
     """Three-way: the same random query through the DuckDB dialect —
     a genuinely independent engine as the oracle."""
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"), dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+@st.composite
+def nested_queries(draw) -> dict:
+    """r5 nesting grammar: derived-table FROM, named CTEs (including a
+    scalar subquery over the same view), and IN/NOT-IN membership
+    subqueries — all COUNT/rounded-SUM based so values are exact in
+    both engines."""
+    mode = draw(st.sampled_from(
+        ["derived", "cte", "member_in", "member_not_in"]))
+    if mode in ("derived", "cte"):
+        key = draw(st.sampled_from(["user_id", "event_type", "day"]))
+        inner = {"select": [key, {"COUNT": "*", "as": "n"},
+                            {"SUM": "value", "as": "sv", "round": 6}],
+                 "from": "events", "group_by": [key]}
+        if draw(st.booleans()):
+            inner["where"] = [{"col": "event_type", "op": "neq",
+                               "val": draw(st.sampled_from(ETYPES))}]
+        outer: dict = {
+            "select": ["n", {"COUNT": "*", "as": "n_groups"}],
+            "group_by": ["n"],
+            "order_by": [{"col": "n", "dir": "asc"}],
+        }
+        if mode == "cte":
+            outer["with"] = {"v": inner}
+            outer["from"] = "v"
+        else:
+            outer["from"] = inner
+        if draw(st.booleans()):
+            # above-average gate: scalar subquery over the SAME view /
+            # derived query
+            outer["where"] = [{"col": "sv", "op": "gt", "val": {
+                "subquery": {
+                    "select": [{"AVG": "sv", "as": "a", "round": 6}],
+                    "from": "v" if mode == "cte" else inner}}}]
+        return outer
+    sub = {"select": ["user_id", {"COUNT": "*", "as": "n"}],
+           "from": "events", "group_by": ["user_id"],
+           "having": [{"col": "n", "op": "gte",
+                       "val": draw(st.integers(min_value=1,
+                                               max_value=50))}]}
+    op = "in" if mode == "member_in" else "not_in"
+    return {"select": ["event_type", {"COUNT": "*", "as": "cnt"}],
+            "from": "events",
+            "where": [{"col": "user_id", "op": op,
+                       "val": {"subquery": sub}}],
+            "group_by": ["event_type"],
+            "order_by": [{"col": "event_type", "dir": "asc"}]}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=nested_queries())
+def test_nested_compiler_equals_duckdb(q, spark, catalog, ddb):
     got = compile_query(q, catalog).toPandas()
     sql = assemble_sql(q, catalog.spark_type_map("events"), dialect="duckdb")
     want = ddb.execute(sql).fetchdf()
