@@ -230,6 +230,16 @@ def main() -> int:
         # k× corpus (quantized ANN)
         "gapfill_hourly": lambda spark, kk: _gapfill(spark, kk),
         "quantized_topk": lambda spark, kk: _quant_topk(spark, kk),
+        # r5 late additions: two-level aggregation (the derived-FROM
+        # Q13 shape — two shuffles, both on bounded key sets) and the
+        # corpus bigram LM (explode + two narrow count aggs + stream
+        # join; hot-bigram skew is AQE's case)
+        "nested_agg_distribution": lambda spark, kk: (
+            replicate_orders(spark, kk)
+            .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+            .groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_cust"))),
+        "bigram_lm": lambda spark, kk: text.bigram_lm_score(
+            replicate_docs(spark, kk)),
     }
     print(f"# scale smoke: 1x vs {k}x (sf0.1 base, local, noop sink)")
     for name, build in ops.items():
