@@ -1015,6 +1015,18 @@ DSL_QUERIES.update({
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    # LIMIT/OFFSET pagination (page 2 of a top-k): OFFSET requires an
+    # ORDER BY in both twins; the unique event_id tiebreak makes the
+    # page cut deterministic across engines.
+    "dsl_topk_offset_page": {
+        "select": ["event_id", "event_type", "value"],
+        "from": "events",
+        "where": [{"col": "value", "op": "is_not_null"}],
+        "order_by": [{"col": "value", "dir": "desc"},
+                     {"col": "event_id", "dir": "asc"}],
+        "limit": 20,
+        "offset": 20,
+    },
     # HAVING over aggregates NOT in the select list (standard SQL
     # allows it; flat alias-only HAVING cannot express it): per-type
     # revenue gated by row count and average value, neither projected.

@@ -975,4 +975,15 @@ def _append_order_limit(
 
     if q.get("limit") is not None:
         sql += f" LIMIT {int(q['limit'])}"
+    offset = q.get("offset")
+    if offset is not None:
+        # Same validation as the compiler twin: OFFSET without a total
+        # ORDER BY skips arbitrary rows. `LIMIT n OFFSET m` / bare
+        # `OFFSET m` parse identically in Spark SQL (3.4+) and DuckDB.
+        if not isinstance(offset, int) or isinstance(offset, bool) \
+                or offset < 0:
+            raise QueryError(f"bad offset: {offset!r}")
+        if not order_by:
+            raise QueryError("'offset' requires an order_by")
+        sql += f" OFFSET {offset}"
     return sql

@@ -1304,6 +1304,18 @@ def _apply_order_limit(df: DataFrame, q: dict, out_columns: list[str]) -> DataFr
         # ``query_engine.py:508-524``).
         df = df.orderBy(*sort_cols)
 
+    offset = q.get("offset")
+    if offset is not None:
+        # OFFSET pairs with ORDER BY the same way LIMIT does: without a
+        # sort the skipped rows are arbitrary. Spark's Offset operator
+        # (3.4+) composes with Limit into the same global-sort tail.
+        if not isinstance(offset, int) or isinstance(offset, bool) \
+                or offset < 0:
+            raise QueryError(f"bad offset: {offset!r}")
+        if not order_by:
+            raise QueryError("'offset' requires an order_by")
+        df = df.offset(offset)
+
     limit = q.get("limit")
     if limit is not None:
         if not isinstance(limit, int) or limit < 0:

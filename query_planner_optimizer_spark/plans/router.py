@@ -245,7 +245,7 @@ class RollupRouter:
             # the inner aggregate, then project the post expressions
             # over the routed frame — same split as the compiler's.
             inner_q = {k: v for k, v in q.items()
-                       if k not in ("order_by", "limit")}
+                       if k not in ("order_by", "limit", "offset")}
             inner_q["select"] = [t for t in select
                                  if not C._is_post_term(t)]
             base = self.route(inner_q)
@@ -392,6 +392,12 @@ class RollupRouter:
                 col = F.col(resolved)
                 sort_cols.append(col.desc() if direction == "desc" else col)
             df = df.orderBy(*sort_cols)
+        if q.get("offset") is not None:
+            # Same contract as the compiler twin: OFFSET without a sort
+            # skips arbitrary rows — invalid, not merely unroutable.
+            if not order_by:
+                raise C.QueryError("'offset' requires an order_by")
+            df = df.offset(int(q["offset"]))
         if q.get("limit") is not None:
             df = df.limit(int(q["limit"]))
         self.routed += 1

@@ -1095,3 +1095,30 @@ def test_having_inline_aggregates(catalog, ddb):
             compile_query(b, catalog)
         with pytest.raises(QueryError):
             assemble_sql(b, tm, dialect="duckdb")
+
+
+def test_offset_pagination(catalog, ddb):
+    """LIMIT/OFFSET pagination over a total order — pages partition the
+    sorted stream; OFFSET without ORDER BY rejected by both twins."""
+    tm = catalog.spark_type_map("events")
+    base = {"select": ["event_id", "value"], "from": "events",
+            "order_by": [{"col": "value", "dir": "desc"},
+                         {"col": "event_id", "dir": "asc"}]}
+    q = {**base, "limit": 10, "offset": 10}
+    df = compile_query(q, catalog)
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
+    # pages 1+2 == top-20
+    page1 = compile_query({**base, "limit": 10}, catalog).toPandas()
+    page2 = df.toPandas()
+    top20 = compile_query({**base, "limit": 20}, catalog).toPandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        pd.concat([page1, page2], ignore_index=True), top20)
+    bad = {**base, "offset": 5}
+    bad.pop("order_by")
+    for b in (bad, {**base, "offset": -1}, {**base, "offset": 2.5}):
+        with pytest.raises(QueryError):
+            compile_query(b, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(b, tm, dialect="duckdb")
