@@ -187,6 +187,40 @@ def mixture_sample(
     return out.filter(full | frac_keep)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic global-shuffle coordinates for training-data
+    ordering: ``shard`` (which output shard a row lands in) and
+    ``shuffle_key`` (its position driver within the shard), both from
+    ``md5(seed:epoch:key)`` — a different, reproducible permutation per
+    epoch with no RNG state and no partition-order dependence (same
+    contract as :func:`hash_sample`, rotated like
+    :func:`mixture_sample`'s epochs).
+
+    This op is map-only; the actual reorder is
+    ``repartition(n_shards, "shard").sortWithinPartitions("shuffle_key")``
+    — ONE shuffle whose reduce side is shard-parallel, never a global
+    single-task sort. ``shuffle_key`` uses md5 hex chars 9-23 (60 bits,
+    fits BIGINT in every engine); collisions tie-break on the key at
+    sort time.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    h = F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.lit(str(epoch)),
+        F.col(key_col).cast("string"),
+    ))
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    sort_key = F.conv(F.substring(h, 9, 15), 16, 10).cast("long")
+    return (df.withColumn("shard", shard)
+            .withColumn("shuffle_key", sort_key))
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -237,6 +271,23 @@ def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "epoch")
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    parts = [
+        epoch_shuffle(docs, "doc_id", 8, seed=42, epoch=ep)
+        .withColumn("epoch", F.lit(ep).cast("int"))
+        for ep in (0, 1)
+    ]
+    out = parts[0].unionByName(parts[1])
+    w = Window.partitionBy("epoch", "shard").orderBy("shuffle_key", "doc_id")
+    return out.select(
+        "doc_id", "epoch", "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "sample_hash_10pct": q_sample_10pct,
@@ -244,6 +295,7 @@ def entry_queries() -> dict[str, Callable]:
         "sample_stratified_by_lang": q_stratified_sample,
         "sample_k_per_group": q_k_per_group,
         "sample_mixture_weights": q_mixture,
+        "sample_epoch_shuffle": q_epoch_shuffle,
     }
 
 
@@ -308,7 +360,23 @@ def entry_oracles() -> dict[str, str]:
         WHERE epoch < (CASE source {full_cases} ELSE 1 END)
            OR {epoch_bucket} < (CASE source {thr_cases} ELSE 0 END)
     """
+    epoch_hash = ("md5('42:' || CAST(epoch AS VARCHAR) || ':' || "
+                  "CAST(doc_id AS VARCHAR))")
+    shuffle = f"""
+        SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+               CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8 AS shard,
+               row_number() OVER (
+                   PARTITION BY epoch,
+                       CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8
+                   ORDER BY CAST(('0x' || substr(hx, 9, 15)) AS BIGINT),
+                            doc_id) AS pos
+        FROM (SELECT doc_id, epoch, {epoch_hash} AS hx
+              FROM documents
+              JOIN (SELECT unnest(generate_series(0, 1)) AS epoch) e
+                ON TRUE)
+    """
     return {"sample_hash_10pct": sample, "sample_split_assignments": split,
             "sample_stratified_by_lang": stratified,
             "sample_k_per_group": k_per_group,
-            "sample_mixture_weights": mixture}
+            "sample_mixture_weights": mixture,
+            "sample_epoch_shuffle": shuffle}

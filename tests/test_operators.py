@@ -952,3 +952,27 @@ def test_bigram_lm_score_semantics(spark):
                                   "doc_id long, text string")
     out3 = text.bigram_lm_score(docs3).collect()
     assert {r.doc_id for r in out3} == {2}
+
+
+def test_epoch_shuffle_properties(spark):
+    """Each epoch is a complete deterministic permutation; different
+    epochs produce different orders; shards are reasonably balanced."""
+    from query_planner_optimizer_spark.operators import sampling
+
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    e0 = sampling.epoch_shuffle(docs, "doc_id", 8, seed=1, epoch=0)
+    e1 = sampling.epoch_shuffle(docs, "doc_id", 8, seed=1, epoch=1)
+    p0 = e0.orderBy("shard", "shuffle_key", "doc_id").collect()
+    p1 = e1.orderBy("shard", "shuffle_key", "doc_id").collect()
+    assert len(p0) == len(p1) == 500  # complete, no dup/drop
+    assert {r.doc_id for r in p0} == set(range(500))
+    assert [r.doc_id for r in p0] != [r.doc_id for r in p1]  # re-permuted
+    sizes = [sum(1 for r in p0 if r.shard == s) for s in range(8)]
+    assert all(20 <= n <= 110 for n in sizes), sizes  # no empty/hot shard
+    # determinism: same seed+epoch reproduces bit-identically
+    again = sampling.epoch_shuffle(docs, "doc_id", 8, seed=1, epoch=0)
+    assert [(r.shard, r.shuffle_key) for r in
+            again.orderBy("doc_id").collect()] == \
+           [(r.shard, r.shuffle_key) for r in e0.orderBy("doc_id").collect()]
+    with pytest.raises(ValueError):
+        sampling.epoch_shuffle(docs, "doc_id", 0)
