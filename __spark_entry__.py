@@ -1015,6 +1015,35 @@ DSL_QUERIES.update({
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    # Set-op as a derived-table FROM: aggregate over the DISTINCT union
+    # of two filtered branches — composition of two r5 features.
+    "dsl_setop_derived_from": {
+        "select": ["event_type", {"COUNT": "*", "as": "n"}],
+        "from": {"union": [
+            {"select": ["event_type", "user_id"], "from": "events",
+             "where": [{"col": "value", "op": "gt", "val": 80}]},
+            {"select": ["event_type", "user_id"], "from": "events",
+             "where": [{"col": "value", "op": "lt", "val": 5}]}]},
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    },
+    # CTE referenced in a JOIN clause with a pre-join filter on the
+    # VIEW's output column (semi join = events of high-total users):
+    # the view's inferred output types flow into the join filter's
+    # literal typing.
+    "dsl_cte_join_semi": {
+        "with": {"user_totals": {
+            "select": ["user_id", {"SUM": "value", "as": "tv",
+                                   "round": 4}],
+            "from": "events", "group_by": ["user_id"]}},
+        "select": ["event_type", {"COUNT": "*", "as": "n_events"}],
+        "from": "events",
+        "join": [{"table": "user_totals", "on": ["user_id"],
+                  "type": "semi",
+                  "where": [{"col": "tv", "op": "gt", "val": 600}]}],
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    },
     # LIMIT/OFFSET pagination (page 2 of a top-k): OFFSET requires an
     # ORDER BY in both twins; the unique event_id tiebreak makes the
     # page cut deterministic across engines.
