@@ -1015,6 +1015,24 @@ DSL_QUERIES.update({
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    # Window OVER an aggregated frame (rank days within each type by
+    # revenue): the flat DSL keeps windows row-level only, but a
+    # derived-table FROM turns the aggregate into rows — the classic
+    # two-shuffle top-N-per-group (agg shuffle, then window shuffle on
+    # the partition key).
+    "dsl_window_over_aggregate": {
+        "select": ["event_type", "day", "dv",
+                   {"win": "rank", "partition_by": ["event_type"],
+                    "order_by": [{"col": "dv", "dir": "desc"},
+                                 {"col": "day", "dir": "asc"}],
+                    "as": "day_rank"}],
+        "from": {"select": ["event_type", "day",
+                            {"SUM": "value", "as": "dv", "round": 4}],
+                 "from": "events",
+                 "group_by": ["event_type", "day"]},
+        "order_by": [{"col": "event_type", "dir": "asc"},
+                     {"col": "day_rank", "dir": "asc"}],
+    },
     # Set-op as a derived-table FROM: aggregate over the DISTINCT union
     # of two filtered branches — composition of two r5 features.
     "dsl_setop_derived_from": {
