@@ -339,10 +339,57 @@ FROM spine s LEFT JOIN agg a USING (event_type, bucket_start)
 """
 
 
+def scd2_intervals(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_cols: tuple[str, ...],
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log: each
+    change row becomes a validity interval ``[valid_from, valid_to)``
+    where ``valid_to`` is the NEXT change's timestamp for the same key
+    (NULL = still current). The standard build step for dimension
+    history that :func:`asof_join` then queries point-in-time.
+
+    One window per key ordered by (ts, tiebreak) — the tiebreak makes
+    the order total so equal-timestamp changes chain deterministically
+    instead of racing. Per-key partitions are bounded by a key's change
+    count (dimension keys change rarely); there is no global sort and
+    no driver participation.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return changes.select(
+        F.col(key_col),
+        *[F.col(c) for c in value_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        F.lead(F.col(ts_col)).over(w).isNull().alias("is_current"),
+    )
+
+
+def q_scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each user's signup-event values: every signup is
+    a 'change' to the user's profile value; intervals chain per user."""
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    changes = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts", F.round("value", 6).alias("value")
+    )
+    return scd2_intervals(
+        changes, key_col="user_id", ts_col="ts",
+        tiebreak_col="event_id", value_cols=("event_id", "value"),
+    )
+
+
 def entry_queries() -> dict[str, Callable]:
     return {"temporal_asof_join": q_asof_purchase_click,
             "temporal_range_join": q_range_click_window,
-            "temporal_gapfill_hourly": q_gapfill_hourly}
+            "temporal_gapfill_hourly": q_gapfill_hourly,
+            "temporal_scd2_intervals": q_scd2_user_values}
 
 
 def entry_oracles() -> dict[str, str]:
@@ -391,5 +438,15 @@ def entry_oracles() -> dict[str, str]:
           ON p.user_id = w.user_id
          AND p.ts >= w.win_start AND p.ts < w.win_end
     """
+    scd2 = """
+        SELECT user_id, event_id, ROUND(value, 6) AS value,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM events
+        WHERE event_type = 'signup'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """
     return {"temporal_asof_join": asof, "temporal_range_join": range_sql,
-            "temporal_gapfill_hourly": GAPFILL_ORACLE}
+            "temporal_gapfill_hourly": GAPFILL_ORACLE,
+            "temporal_scd2_intervals": scd2}

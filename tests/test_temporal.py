@@ -184,3 +184,30 @@ def test_gapfill_max_buckets_guard(spark):
         temporal.gapfill_resample(
             df, group_cols=("g",), bucket_seconds=3600, max_buckets=1000
         ).collect()
+
+
+def test_scd2_intervals_chain(spark):
+    """Intervals chain per key: valid_to equals the next valid_from,
+    exactly one current row per key, equal timestamps tiebreak on the
+    tiebreak column."""
+    from datetime import datetime
+
+    from query_planner_optimizer_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1), 5.0),
+        (1, 11, datetime(2024, 1, 3), 6.0),
+        (1, 12, datetime(2024, 1, 3), 7.0),   # same ts: id order decides
+        (2, 20, datetime(2024, 2, 1), 1.0),
+    ]
+    changes = spark.createDataFrame(
+        rows, "k long, cid long, ts timestamp, v double")
+    out = scd2_intervals(changes, "k", "ts", "cid", ("cid", "v")) \
+        .orderBy("k", "valid_from", "cid").collect()
+    k1 = [r for r in out if r.k == 1]
+    assert [r.cid for r in k1] == [10, 11, 12]
+    assert k1[0].valid_to == k1[1].valid_from
+    assert k1[1].valid_to == k1[2].valid_from  # equal-ts chain via cid
+    assert [r.is_current for r in k1] == [False, False, True]
+    k2 = [r for r in out if r.k == 2]
+    assert len(k2) == 1 and k2[0].is_current and k2[0].valid_to is None
