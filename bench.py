@@ -43,6 +43,10 @@ DSL_HEADLINE = [
     "dsl_tpch_q5_local_supplier_volume",
     "dsl_tpch_q6_forecast_revenue",
     "dsl_window_rank_running",
+    # r5 late additions: nested aggregation, membership semi-join, CTE
+    "dsl_tpch_q13_cust_distribution",
+    "dsl_tpch_q18_large_orders",
+    "dsl_cte_above_avg_days",
 ]
 
 #: Pipeline-operator headliners (always full computation).
