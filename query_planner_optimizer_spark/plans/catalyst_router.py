@@ -284,6 +284,54 @@ def _agg_term(t: dict, alias: str) -> dict:
     return term
 
 
+_ARITH_CLS = {"Multiply": "mul", "Divide": "div",
+              "Add": "add", "Subtract": "sub"}
+
+
+def _post_expr(t: dict, hidden: list, alias_of: dict):
+    """Arithmetic over aggregates (the raw-SQL spelling of a
+    post-aggregation expression, e.g. a ratio of sums) → DSL post tree.
+    Aggregate leaves become HIDDEN select terms (deduplicated by
+    shape), trimmed off after routing; numeric literals pass through.
+    Anything else refuses."""
+    t = _strip_cast(t, "double")
+    t = _strip_cast(t, "decimal")
+    c = _cls(t["n"])
+    if c in _ARITH_CLS:
+        return {"op": _ARITH_CLS[c],
+                "args": [_post_expr(_kid(t, "left"), hidden, alias_of),
+                         _post_expr(_kid(t, "right"), hidden, alias_of)]}
+    if c == "Literal":
+        v = _literal_value(t)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise Unsupported("non-numeric literal in post expression")
+        return v
+    term = _agg_term(t, alias="__pa")
+    sig = json.dumps({k: v for k, v in term.items() if k != "as"},
+                     sort_keys=True)
+    if sig not in alias_of:
+        name = f"__pa{len(alias_of)}"
+        alias_of[sig] = name
+        hidden.append({**term, "as": name})
+    return alias_of[sig]
+
+
+def _post_term(t: dict, alias: str, hidden: list, alias_of: dict) -> dict:
+    """Alias child → DSL post-aggregation term (optional top ROUND)."""
+    round_to = None
+    t = _strip_cast(t, "double")
+    if _cls(t["n"]) == "Round":
+        round_to = int(_literal_value(_kid(t, "scale")))
+        t = _kid(t, "child")
+    tree = _post_expr(t, hidden, alias_of)
+    if isinstance(tree, (str, int, float)):
+        raise Unsupported("post expression reduces to a single leaf")
+    term: dict = {"post": tree, "as": alias}
+    if round_to is not None:
+        term["round"] = round_to
+    return term
+
+
 # -- plan walk --------------------------------------------------------------
 
 
@@ -368,11 +416,15 @@ def translate_plan(
 
     group_by = [_attr_name(_build(g)) for g in agg["groupingExpressions"]]
     select: list = []
+    out_names: list[str] = []
+    hidden: list = []
+    alias_of: dict = {}
     for ae in agg["aggregateExpressions"]:
         tree = _build(ae)
         c = _cls(tree["n"])
         if c == "AttributeReference":
             select.append(_attr_name(tree))
+            out_names.append(_attr_name(tree))
         elif c == "Alias":
             name = tree["n"]["name"]
             child = tree["kids"][0]
@@ -381,10 +433,20 @@ def translate_plan(
                     raise Unsupported(f"renamed grouping column {name}")
                 select.append(name)
             else:
-                select.append(_agg_term(child, name))
+                try:
+                    select.append(_agg_term(child, name))
+                except Unsupported:
+                    # Arithmetic over aggregates (ratio-of-sums):
+                    # decompose into hidden aggregate terms + a post
+                    # expression, trimmed back after routing.
+                    select.append(_post_term(child, name, hidden,
+                                             alias_of))
+            out_names.append(name)
         else:
             raise Unsupported(f"aggregate output {c}")
-    q["select"] = select
+    q["select"] = select + hidden
+    if hidden and proj is None:
+        proj = out_names
     if group_by:
         q["group_by"] = group_by
 

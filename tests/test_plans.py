@@ -521,3 +521,29 @@ def test_plan_router_dataframe_api_path(spark, catalog, tmp_path):
     pruned = (events.select("day", "value")
               .groupBy("day").agg(F.count(F.lit(1)).alias("n")))
     assert pr.route_df(pruned) is None
+
+
+def test_plan_router_post_aggregation_arithmetic(spark, catalog, tmp_path):
+    """Raw-SQL arithmetic over aggregates (ratio-of-sums, scaled
+    ratios, outer ROUND) routes via hidden decomposed aggregate terms
+    and a post expression — bit-identical to the unrouted plan, and the
+    hidden columns never leak into the output."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    sqls = [
+        "SELECT day, round(sum(value), 6) / count(value) AS avg_hand "
+        "FROM events GROUP BY day",
+        "SELECT day, 100.0 * round(sum(value), 6) / count(*) AS scaled "
+        "FROM events WHERE event_type = 'click' GROUP BY day",
+        "SELECT day, round(100.0 * round(sum(value), 6) / count(*), 4) "
+        "AS r FROM events GROUP BY day",
+    ]
+    for sql in sqls:
+        df, routed = pr.sql(sql)
+        assert routed, (sql, pr.last_reason)
+        assert df.columns == spark.sql(sql).columns  # no hidden leak
+        assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
+    # non-numeric arithmetic refuses instead of mistranslating
+    df, routed = pr.sql(
+        "SELECT day, concat(string(sum(value)), 'x') AS s "
+        "FROM events GROUP BY day")
+    assert not routed
