@@ -247,6 +247,49 @@ def streaming_hourly_rollup(
     )
 
 
+def windowed_distinct(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact distinct keys per tumbling event-time window — the DAU/
+    hourly-uniques metric. COUNT(DISTINCT) is not supported in
+    streaming aggregations, so the op splits into the two streaming-
+    legal halves: deduplicate (key, window) — streaming:
+    ``dropDuplicatesWithinWatermark``, one state entry per LIVE
+    (key, window), watermark-evicted — then a plain windowed COUNT of
+    the survivors.
+
+    Exactness condition in streaming mode: the watermark delay must be
+    ≥ the window duration — two same-window events are at most one
+    window apart in event time, so the dedup state provably still holds
+    the first when the second arrives. State is bounded by (distinct
+    keys per window) × (windows inside the watermark horizon); at
+    100 TB/day the approximate alternative is the HLL sketch rollup
+    (operators/analytics.py) merged across micro-batches.
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    # The window struct CARRIES the event-time marker, so ts must be
+    # dropped here (two event-time columns per stream is an error) and
+    # the downstream aggregate groups on the struct itself.
+    keyed = df.select(
+        F.col(key_col), F.window(F.col(ts_col), window).alias("__w")
+    )
+    if keyed.isStreaming and watermark is not None:
+        deduped = keyed.dropDuplicatesWithinWatermark([key_col, "__w"])
+    else:
+        deduped = keyed.dropDuplicates([key_col, "__w"])
+    return (
+        deduped.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .select(F.col("__w.start").alias("window_start"), "n_distinct")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries — batch twins with DuckDB oracles. The streaming path
 # over the same functions is covered in tests/test_streaming.py (custom
@@ -307,6 +350,13 @@ def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return windowed_distinct(events)
+
+
 def entry_queries():
     return {
         "stream_enrich_dim": q_enrich_stream,
@@ -315,6 +365,7 @@ def entry_queries():
         "stream_sessionize": q_sessionize,
         "stream_dedup": q_dedup_events,
         "stream_interval_join": q_interval_join,
+        "stream_windowed_distinct": q_windowed_distinct,
     }
 
 
@@ -391,6 +442,11 @@ def entry_oracles() -> dict[str, str]:
     return {
         "stream_enrich_dim": enrich,
         "stream_hourly_rollup": hourly,
+        "stream_windowed_distinct": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   COUNT(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1
+        """,
         "stream_sliding_rollup": sliding,
         "stream_sessionize": sessions,
         "stream_dedup": dedup,

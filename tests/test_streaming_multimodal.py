@@ -725,3 +725,36 @@ def test_streaming_rollup_maintenance_equals_rebuild(spark, tmp_path):
         os.path.join(agg_dir, "agg_day_etype.parquet")
     ).toPandas()
     assert sorted(after.itertuples(index=False)) == before
+
+
+def test_streaming_windowed_distinct_equals_batch(spark, ddb, events_stream_dir):
+    """Exact distinct-per-window through the streaming path (dedup
+    within watermark -> windowed count) must equal the batch twin and
+    the COUNT(DISTINCT) oracle. Watermark delay >= the window duration
+    is the documented exactness condition; complete output mode emits
+    the tail windows an append run would hold back until the watermark
+    passes them."""
+    stream_df = windows.windowed_distinct(
+        windows.read_events_stream(spark, events_stream_dir),
+        watermark="2 hours",
+    )
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("win_distinct_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_distinct_test").toPandas()
+    batch = windows.windowed_distinct(
+        spark.read.parquet(events_stream_dir)
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(batch), check_dtype=False
+    )
+    assert_matches_duckdb(
+        windows.q_windowed_distinct(spark, SF_DIR), ddb,
+        windows.entry_oracles()["stream_windowed_distinct"],
+    )
