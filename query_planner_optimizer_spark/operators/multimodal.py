@@ -237,6 +237,115 @@ def image_decode_features(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def build_wav(sample_rate: int, channels: int, bits: int,
+              frames) -> bytes:
+    """Assemble a RIFF/WAVE PCM payload from a frames array (n, ch) —
+    the synthesis half of the WAV round-trip (tests and the audio
+    entry build payloads with it; :func:`decode_wav` parses them)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(frames)
+    if bits == 16:
+        data = arr.astype("<i2").tobytes()
+    elif bits == 8:
+        data = (arr.astype(np.int16) + 128).astype("u1").tobytes()
+    else:
+        raise NotImplementedError(f"{bits}-bit WAV")
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Minimal REAL WAV (RIFF PCM) decoder — stdlib struct + numpy,
+    zero optional dependencies (the audio twin of :func:`decode_png`):
+    walks the word-aligned chunk list, parses fmt, and decodes 8/16-bit
+    PCM to an (n_frames, channels) int16 array. Returns
+    (sample_rate, channels, bits, frames array)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        chunk = payload[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16])
+    if audio_fmt != 1:
+        raise NotImplementedError(f"non-PCM WAV (format {audio_fmt})")
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+    if bits == 16:
+        arr = np.frombuffer(data, "<i2").astype(np.int16)
+    elif bits == 8:
+        arr = np.frombuffer(data, "u1").astype(np.int16) - 128
+    else:
+        raise NotImplementedError(f"{bits}-bit WAV")
+    n_frames = len(arr) // channels
+    return rate, channels, bits, arr[:n_frames * channels].reshape(
+        n_frames, channels)
+
+
+#: Output schema of the audio metadata/decode stage.
+AUDIO_FEATURE_SCHEMA = (
+    "media_id bigint, n_bytes bigint, sample_rate int, channels int, "
+    "bits int, n_frames bigint, duration_us bigint, decode_ok boolean"
+)
+
+
+def audio_decode_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """Arrow-batch WAV decoder for :func:`extract_features`
+    (``schema=AUDIO_FEATURE_SCHEMA``): real parse via
+    :func:`decode_wav` with the same per-row corrupt-payload isolation
+    as the image stage. ``duration_us`` is integer-exact
+    (n_frames · 1e6 // rate) so it is oracle-recomputable."""
+    rows: dict[str, list] = {
+        "media_id": [], "n_bytes": [], "sample_rate": [], "channels": [],
+        "bits": [], "n_frames": [], "duration_us": [], "decode_ok": [],
+    }
+    for mid, payload in zip(batch["media_id"], batch["payload"]):
+        data = bytes(payload)
+        rows["media_id"].append(mid)
+        rows["n_bytes"].append(len(data))
+        try:
+            rate, ch, bits, frames = decode_wav(data)
+            rows["sample_rate"].append(rate)
+            rows["channels"].append(ch)
+            rows["bits"].append(bits)
+            rows["n_frames"].append(len(frames))
+            rows["duration_us"].append(len(frames) * 1_000_000 // rate)
+            rows["decode_ok"].append(True)
+        except Exception:
+            for c in ("sample_rate", "channels", "bits", "n_frames",
+                      "duration_us"):
+                rows[c].append(None)
+            rows["decode_ok"].append(False)
+    out = pd.DataFrame(rows)
+    out["n_bytes"] = out["n_bytes"].astype("int64")
+    for c in ("sample_rate", "channels", "bits"):
+        out[c] = out[c].astype("Int32")
+    for c in ("n_frames", "duration_us"):
+        out[c] = out[c].astype("Int64")
+    return out
+
+
 def _fake_frames(n_bytes: int) -> int:
     """Deterministic stand-in for 'number of decoded frames'."""
     return int(n_bytes // 100) + 1
@@ -445,10 +554,50 @@ def q_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_resize_frames(media)
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-circle audio round-trip: per doc_id, SYNTHESIZE a real
+    RIFF/WAVE PCM payload (rate/channels/bits/frames derived from
+    doc_id by integer formulas), then PARSE the bytes back with the
+    zero-dependency decoder — all inside one Arrow batch pass. The
+    oracle recomputes every output from the same doc_id formulas in
+    SQL, so a single flipped byte anywhere in the builder, the chunk
+    walk, or the PCM reshape breaks the hash."""
+    from collections.abc import Iterator
+
+    from query_planner_optimizer_spark.catalog import spread
+
+    docs = spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                rate = 8000 * (1 + did % 3)
+                ch = 1 + did % 2
+                bits = 8 if did % 4 == 0 else 16
+                n = 100 + did % 50
+                wave = ((np.arange(n * ch) * 7) % 241 - 120)
+                payloads.append(
+                    build_wav(int(rate), int(ch), int(bits),
+                              wave.reshape(n, ch))
+                )
+            yield audio_decode_features(
+                pd.DataFrame({"media_id": ids, "payload": payloads})
+            )
+
+    return docs.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def entry_queries():
     return {
         "multimodal_features": q_media_features,
         "multimodal_frame_pipeline": q_frame_pipeline,
+        "multimodal_audio_meta": q_audio_meta,
     }
 
 
@@ -491,4 +640,21 @@ def entry_oracles() -> dict[str, str]:
                sha256(substr(fb, 1, 256)) AS resized_sha256
         FROM cut
     """
-    return {"multimodal_features": sql, "multimodal_frame_pipeline": frames}
+    # WAV round-trip: every output recomputed from the doc_id formulas
+    # (header = 44 bytes: RIFF(12) + fmt(8+16) + data hdr(8)).
+    audio = """
+        SELECT doc_id AS media_id,
+               44 + (100 + doc_id % 50) * (1 + doc_id % 2)
+                  * (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END) AS n_bytes,
+               CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+               CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+               CAST(CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 16 END AS INTEGER)
+                   AS bits,
+               100 + doc_id % 50 AS n_frames,
+               (100 + doc_id % 50) * 1000000
+                   // (8000 * (1 + doc_id % 3)) AS duration_us,
+               TRUE AS decode_ok
+        FROM documents
+    """
+    return {"multimodal_features": sql, "multimodal_frame_pipeline": frames,
+            "multimodal_audio_meta": audio}
