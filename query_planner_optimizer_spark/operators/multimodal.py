@@ -303,6 +303,117 @@ def decode_wav(payload: bytes):
         n_frames, channels)
 
 
+def build_mp4(brand: bytes, timescale: int, duration: int,
+              n_tracks: int, mdat: bytes = b"") -> bytes:
+    """Assemble a minimal ISO-BMFF (MP4) container: ftyp + moov(mvhd +
+    n empty trak boxes) + optional mdat — the synthesis half of the
+    video round-trip (:func:`parse_mp4` walks it back)."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    # mvhd version 0: ver/flags, ctime, mtime, timescale, duration, ...
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale,
+                                    duration) + b"\x00" * 80)
+    traks = b"".join(box(b"trak", b"") for _ in range(n_tracks))
+    out = ftyp + box(b"moov", mvhd + traks)
+    if mdat:
+        out += box(b"mdat", mdat)
+    return out
+
+
+def parse_mp4(payload: bytes):
+    """Minimal REAL ISO-BMFF (MP4/MOV) metadata parser — stdlib struct
+    only (the video twin of :func:`decode_wav`): walks the top-level
+    box list (32-bit and 64-bit largesize forms), descends into moov,
+    reads mvhd's timescale/duration (version 0 and 1) and counts trak
+    boxes. Returns (major_brand, timescale, duration, n_tracks,
+    duration_us)."""
+    import struct
+
+    def walk(buf: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            (size,) = struct.unpack(">I", buf[pos:pos + 4])
+            btype = buf[pos + 4:pos + 8]
+            body_off = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+                body_off = 16
+            elif size == 0:  # box extends to end of buffer
+                size = len(buf) - pos
+            if size < body_off or pos + size > len(buf):
+                raise ValueError("truncated MP4 box")
+            yield btype, buf[pos + body_off:pos + size]
+            pos += size
+
+    brand = timescale = duration = None
+    n_tracks = 0
+    for btype, body in walk(payload):
+        if btype == b"ftyp":
+            brand = body[:4].decode("latin-1")
+        elif btype == b"moov":
+            for ib, ibody in walk(body):
+                if ib == b"mvhd":
+                    version = ibody[0]
+                    if version == 1:
+                        timescale, = struct.unpack(">I", ibody[20:24])
+                        duration, = struct.unpack(">Q", ibody[24:32])
+                    else:
+                        _, _, timescale, duration = struct.unpack(
+                            ">IIII", ibody[4:20])
+                elif ib == b"trak":
+                    n_tracks += 1
+    if brand is None or timescale is None:
+        raise ValueError("not an MP4 payload (missing ftyp/mvhd)")
+    if timescale == 0:
+        raise ValueError("MP4 with zero timescale")
+    return brand, timescale, duration, n_tracks, \
+        duration * 1_000_000 // timescale
+
+
+#: Output schema of the video metadata stage.
+VIDEO_META_SCHEMA = (
+    "media_id bigint, n_bytes bigint, major_brand string, timescale int, "
+    "duration bigint, n_tracks int, duration_us bigint, decode_ok boolean"
+)
+
+
+def video_meta_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """Arrow-batch MP4 metadata stage (``schema=VIDEO_META_SCHEMA``)
+    with the family's per-row corrupt-payload isolation."""
+    rows: dict[str, list] = {
+        "media_id": [], "n_bytes": [], "major_brand": [], "timescale": [],
+        "duration": [], "n_tracks": [], "duration_us": [], "decode_ok": [],
+    }
+    for mid, payload in zip(batch["media_id"], batch["payload"]):
+        data = bytes(payload)
+        rows["media_id"].append(mid)
+        rows["n_bytes"].append(len(data))
+        try:
+            brand, ts, dur, nt, dur_us = parse_mp4(data)
+            rows["major_brand"].append(brand)
+            rows["timescale"].append(ts)
+            rows["duration"].append(dur)
+            rows["n_tracks"].append(nt)
+            rows["duration_us"].append(dur_us)
+            rows["decode_ok"].append(True)
+        except Exception:
+            for c in ("major_brand", "timescale", "duration", "n_tracks",
+                      "duration_us"):
+                rows[c].append(None)
+            rows["decode_ok"].append(False)
+    out = pd.DataFrame(rows)
+    out["n_bytes"] = out["n_bytes"].astype("int64")
+    for c in ("timescale", "n_tracks"):
+        out[c] = out[c].astype("Int32")
+    for c in ("duration", "duration_us"):
+        out[c] = out[c].astype("Int64")
+    return out
+
+
 #: Output schema of the audio metadata/decode stage.
 AUDIO_FEATURE_SCHEMA = (
     "media_id bigint, n_bytes bigint, sample_rate int, channels int, "
@@ -593,11 +704,46 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
 
 
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-circle video round-trip, mirror of :func:`q_audio_meta`:
+    synthesize a real ISO-BMFF container per doc_id (brand/timescale/
+    duration/tracks/mdat size from integer formulas), parse the bytes
+    back, and let the SQL oracle recompute every field."""
+    from collections.abc import Iterator
+
+    from query_planner_optimizer_spark.catalog import spread
+
+    docs = spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id")
+    brands = (b"isom", b"mp42", b"qt  ")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = [
+                build_mp4(
+                    brands[did % 3],
+                    1000 * (1 + did % 4),
+                    5000 + did % 777,
+                    1 + did % 3,
+                    b"\x00" * (did % 32),
+                )
+                for did in ids
+            ]
+            yield video_meta_features(
+                pd.DataFrame({"media_id": ids, "payload": payloads})
+            )
+
+    return docs.mapInPandas(run, schema=VIDEO_META_SCHEMA)
+
+
 def entry_queries():
     return {
         "multimodal_features": q_media_features,
         "multimodal_frame_pipeline": q_frame_pipeline,
         "multimodal_audio_meta": q_audio_meta,
+        "multimodal_video_meta": q_video_meta,
     }
 
 
@@ -656,5 +802,22 @@ def entry_oracles() -> dict[str, str]:
                TRUE AS decode_ok
         FROM documents
     """
+    # MP4 round-trip: sizes — ftyp 20, mvhd 108, trak 8 each, moov
+    # header 8, mdat 8+pad (absent when pad = 0).
+    video = """
+        SELECT doc_id AS media_id,
+               136 + 8 * (1 + doc_id % 3)
+                   + (CASE WHEN doc_id % 32 = 0 THEN 0
+                      ELSE 8 + doc_id % 32 END) AS n_bytes,
+               CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'isom'
+                    WHEN 1 THEN 'mp42' ELSE 'qt  ' END AS major_brand,
+               CAST(1000 * (1 + doc_id % 4) AS INTEGER) AS timescale,
+               5000 + doc_id % 777 AS duration,
+               CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+               (5000 + doc_id % 777) * 1000000
+                   // (1000 * (1 + doc_id % 4)) AS duration_us,
+               TRUE AS decode_ok
+        FROM documents
+    """
     return {"multimodal_features": sql, "multimodal_frame_pipeline": frames,
-            "multimodal_audio_meta": audio}
+            "multimodal_audio_meta": audio, "multimodal_video_meta": video}

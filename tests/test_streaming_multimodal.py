@@ -796,3 +796,39 @@ def test_wav_roundtrip_and_isolation(spark):
     out = mm.audio_decode_features(batch)
     assert list(out["decode_ok"]) == [True, False, False]
     assert out["n_frames"][0] == 10
+
+
+def test_mp4_roundtrip_and_isolation():
+    """build_mp4 -> parse_mp4 round-trips brands/timescale/duration/
+    tracks; 64-bit largesize and version-1 mvhd parse; corrupt payloads
+    isolate per-row."""
+    import struct
+
+    import pandas as pd
+
+    from query_planner_optimizer_spark.operators import multimodal as mm
+
+    p = mm.build_mp4(b"mp42", 3000, 9001, 2, b"\x01\x02")
+    brand, ts, dur, nt, dur_us = mm.parse_mp4(p)
+    assert (brand, ts, dur, nt) == ("mp42", 3000, 9001, 2)
+    assert dur_us == 9001 * 1_000_000 // 3000
+    # version-1 mvhd (64-bit duration)
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+    mvhd1 = box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 16
+                + struct.pack(">IQ", 48000, 2**33) + b"\x00" * 80)
+    p1 = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", mvhd1)
+    _, ts1, dur1, _, _ = mm.parse_mp4(p1)
+    assert (ts1, dur1) == (48000, 2**33)
+    # 64-bit largesize top-level box wrapping the same moov
+    big = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(mvhd1)) + mvhd1
+    p2 = box(b"ftyp", b"isom" + b"\x00" * 8) + big
+    _, ts2, _, _, _ = mm.parse_mp4(p2)
+    assert ts2 == 48000
+    # isolation
+    out = mm.video_meta_features(pd.DataFrame({
+        "media_id": [1, 2, 3],
+        "payload": [p, b"nonsense", p[:15]],
+    }))
+    assert list(out["decode_ok"]) == [True, False, False]
+    assert out["n_tracks"][0] == 2
