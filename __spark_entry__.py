@@ -1015,6 +1015,18 @@ DSL_QUERIES.update({
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    # Column-vs-column comparison across a join (the TPC-H Q4
+    # commitdate<receiptdate shape): revenue from lineitems shipped
+    # strictly after their order's date.
+    "dsl_filter_col_vs_col": {
+        "select": ["l_returnflag", {"COUNT": "*", "as": "n_late"},
+                   {"SUM": "l_extendedprice", "as": "rev", "round": 4}],
+        "from": "lineitem",
+        "join": [{"table": "orders", "on": [["l_orderkey", "o_orderkey"]]}],
+        "where": [{"col": "l_shipdate", "op": "gt", "col2": "o_orderdate"}],
+        "group_by": ["l_returnflag"],
+        "order_by": ["l_returnflag"],
+    },
     # Window OVER an aggregated frame (rank days within each type by
     # revenue): the flat DSL keeps windows row-level only, but a
     # derived-table FROM turns the aggregate into rows — the classic

@@ -99,6 +99,22 @@ def _condition_sql(
     col_name = cond.get("col")
     if col_name not in type_map:
         raise QueryError(f"unknown filter column: {cond!r}")
+    c2 = cond.get("col2")
+    if c2 is not None:
+        # Column-vs-column comparison — twin of the compiler's col2
+        # branch (comparison ops only; no literal side).
+        op = cond.get("op")
+        if op not in _OP_SQL:
+            raise QueryError(
+                f"op {op!r} does not support a column comparison: {cond!r}"
+            )
+        if "val" in cond:
+            raise QueryError(
+                f"condition takes 'val' or 'col2', not both: {cond!r}"
+            )
+        if c2 not in type_map:
+            raise QueryError(f"unknown filter column: {cond!r}")
+        return f"{_ident(col_name, dialect)} {_OP_SQL[op]} {_ident(c2, dialect)}"
     val = cond.get("val")
     if isinstance(val, dict) and "subquery" in val:
         if cond.get("op") in ("in", "not_in"):
@@ -822,6 +838,8 @@ def assemble_sql(
             _collect_cols(cond["not"])
         if cond.get("col") is not None:
             referenced.add(cond["col"])
+        if cond.get("col2") is not None:
+            referenced.add(cond["col2"])
 
     for term in q.get("select") or []:
         if _is_expr_term(term):

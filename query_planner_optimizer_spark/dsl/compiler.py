@@ -280,6 +280,8 @@ def cond_columns(cond: Any) -> set[str]:
         out |= cond_columns(cond["not"])
     if isinstance(cond.get("col"), str):
         out.add(cond["col"])
+    if isinstance(cond.get("col2"), str):
+        out.add(cond["col2"])
     return out
 
 
@@ -358,6 +360,26 @@ def _filter_condition(df: DataFrame, cond: dict) -> Column:
         raise QueryError(f"unknown filter op: {cond!r}")
     dtype = df.schema[col_name].dataType
     c = F.col(col_name)
+    # Column-vs-column comparison — {"col": a, "op": lt, "col2": b}
+    # (TPC-H Q4's l_commitdate < l_receiptdate, join residuals). Both
+    # sides are columns in scope; comparison ops only.
+    c2 = cond.get("col2")
+    if c2 is not None:
+        if op not in SCALAR_SUBQUERY_OPS:
+            raise QueryError(
+                f"op {op!r} does not support a column comparison: {cond!r}"
+            )
+        if "val" in cond:
+            raise QueryError(
+                f"condition takes 'val' or 'col2', not both: {cond!r}"
+            )
+        if not isinstance(c2, str) or c2 not in df.columns:
+            raise QueryError(f"unknown filter column: {cond!r}")
+        rhs = F.col(c2)
+        return {
+            "eq": c == rhs, "neq": c != rhs, "lt": c < rhs,
+            "lte": c <= rhs, "gt": c > rhs, "gte": c >= rhs,
+        }[op]
     # Rewritten scalar-subquery leaf: compare against the attached
     # broadcast scalar column instead of a literal.
     vc = cond.get("val_col")

@@ -142,6 +142,8 @@ class RollupRouter:
                 cols.add(term)
         for cond in q.get("where") or []:
             cols.add(cond.get("col"))
+            if cond.get("col2") is not None:
+                cols.add(cond.get("col2"))
         cols.update(q.get("group_by") or [])
         return cols
 

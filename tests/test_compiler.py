@@ -1122,3 +1122,43 @@ def test_offset_pagination(catalog, ddb):
             compile_query(b, catalog)
         with pytest.raises(QueryError):
             assemble_sql(b, tm, dialect="duckdb")
+
+
+def test_col_vs_col_comparison(catalog, ddb):
+    """{"col": a, "op": ..., "col2": b} compares two columns (single
+    table and across a join); malformed forms reject in both twins."""
+    tm = _merged_map(catalog, "events", "lineitem", "orders")
+    q = {"select": ["event_id", "user_id", "value"], "from": "events",
+         "where": [{"col": "value", "op": "gt", "col2": "user_id"}],
+         "order_by": ["event_id"]}
+    df = compile_query(q, catalog)
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
+    q2 = {"select": ["l_returnflag", {"COUNT": "*", "as": "n"}],
+          "from": "lineitem",
+          "join": [{"table": "orders", "on": [["l_orderkey", "o_orderkey"]]}],
+          "where": [{"col": "l_shipdate", "op": "gt",
+                     "col2": "o_orderdate"}],
+          "group_by": ["l_returnflag"], "order_by": ["l_returnflag"]}
+    df2 = compile_query(q2, catalog)
+    assert df2.count() > 0
+    assert_matches_duckdb(df2, ddb, assemble_sql(q2, tm, dialect="duckdb"),
+                          ordered=True)
+    bad = [
+        # col2 with a set-membership op
+        {"select": ["event_id"], "from": "events",
+         "where": [{"col": "value", "op": "in", "col2": "user_id"}]},
+        # both val and col2
+        {"select": ["event_id"], "from": "events",
+         "where": [{"col": "value", "op": "gt", "col2": "user_id",
+                    "val": 3}]},
+        # unknown col2
+        {"select": ["event_id"], "from": "events",
+         "where": [{"col": "value", "op": "gt", "col2": "ghost"}]},
+    ]
+    for b in bad:
+        with pytest.raises(QueryError):
+            compile_query(b, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(b, catalog.spark_type_map("events"),
+                         dialect="duckdb")
