@@ -202,6 +202,10 @@ def _col_side(t: dict) -> str | None:
 def _leaf(t: dict, op: str) -> dict:
     left, right = _kid(t, "left"), _kid(t, "right")
     lcol, rcol = _col_side(left), _col_side(right)
+    if lcol is not None and rcol is not None:
+        # column-vs-column comparison → the DSL's col2 leaf (the
+        # router's subsumption accounting counts both columns)
+        return {"col": lcol, "op": op, "col2": rcol}
     if lcol is not None:
         return {"col": lcol, "op": op, "val": _literal_value(right)}
     if rcol is not None:

@@ -547,3 +547,20 @@ def test_plan_router_post_aggregation_arithmetic(spark, catalog, tmp_path):
         "SELECT day, concat(string(sum(value)), 'x') AS s "
         "FROM events GROUP BY day")
     assert not routed
+
+
+def test_plan_router_col_vs_col_where(spark, catalog, tmp_path):
+    """Raw-SQL column-vs-column WHERE over rollup-covered columns routes
+    (both columns in the grain) or refuses (one outside the grain) —
+    never mistranslates."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    sql = ("SELECT day, count(*) AS n FROM events "
+           "WHERE event_type = event_type GROUP BY day")
+    df, routed = pr.sql(sql)
+    assert routed, pr.last_reason
+    assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
+    # value is not in the day/event_type rollup grain -> refuse
+    _df, routed2 = pr.sql(
+        "SELECT day, count(*) AS n FROM events "
+        "WHERE value > user_id GROUP BY day")
+    assert not routed2

@@ -158,6 +158,11 @@ conditions = st.one_of(
         st.sampled_from(["lt", "lte", "gt", "gte"]),
         st.sampled_from(["AVG", "MEDIAN", "MIN", "MAX"]),
     ),
+    # r5: column-vs-column comparisons.
+    st.builds(
+        lambda op: {"col": "value", "op": op, "col2": "user_id"},
+        st.sampled_from(["lt", "lte", "gt", "gte", "eq", "neq"]),
+    ),
 )
 
 
