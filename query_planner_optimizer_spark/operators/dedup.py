@@ -876,6 +876,82 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, evalset, n=4)
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplicate detection (the token-window
+    formulation of Lee et al. 2021's exact-substring dedup): hash every
+    ``window``-token rolling window; a window whose hash occurs in at
+    least ``min_docs`` DISTINCT documents is a duplicated span.
+    Overlapping/adjacent duplicated windows merge into maximal spans —
+    the cut list a span-level cleaner applies (vs. :func:`exact_dedup`
+    whole-doc and ``docpipe.line_dedup`` line granularity).
+
+    Returns (doc_id, span_start, span_end, n_windows): token positions,
+    1-based inclusive.
+
+    Plan: map-side window hashing (md5 of the joined token slice — the
+    engine-portable family); one aggregation to the duplicated-hash set
+    (COUNT(DISTINCT doc) ≥ min_docs); an equi-join of the window stream
+    back onto that set (AQE-broadcast when the dup set is small, skew-
+    split when a boilerplate window is corpus-hot); then per-doc
+    gaps-and-islands over window POSITIONS (partitions bounded by
+    windows-per-doc, never corpus-wide). No driver-side state.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    )
+    n = F.size(F.col("__t"))
+    wins = (
+        toked.filter(n >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(window - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(
+                            " ", F.slice(F.col("__t"), i, window)
+                        )).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.h")
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = wins.join(dup, "h").select("doc_id", "pos")
+    from pyspark.sql import Window as W
+
+    grp = F.col("pos") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        hits.withColumn("__g", grp)
+        .groupBy("doc_id", "__g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_spans(_docs(spark, sf_dir))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "dedup_exact": q_exact_dedup,
@@ -894,6 +970,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_connected_components": q_dedup_clusters,
         "dedup_cc_star": q_dedup_clusters_star,
         "dedup_decontaminate": q_decontaminate,
+        "dedup_duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -1078,6 +1155,39 @@ def entry_oracles() -> dict[str, str]:
         JOIN sizes sb ON common.doc_b = sb.doc_id
         WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
     """
+    # Span-level exact-substring dedup: same md5-of-window family as
+    # the engine (array_to_string == concat_ws for string tokens),
+    # islands via the identical pos - row_number() grouping.
+    dup_spans = """
+        WITH toked AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                   md5(array_to_string(t[u.pos:u.pos+7], ' ')) AS h
+            FROM (SELECT doc_id, t,
+                         unnest(list_transform(range(1, len(t) - 6),
+                                i -> struct_pack(pos := i))) AS u
+                  FROM toked WHERE len(t) >= 8)
+        ),
+        dup AS (
+            SELECT h FROM wins GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS g
+            FROM wins JOIN dup USING (h)
+        )
+        SELECT doc_id, MIN(pos) AS span_start,
+               MAX(pos) + 7 AS span_end,
+               COUNT(*) AS n_windows
+        FROM hits GROUP BY doc_id, g
+    """
     simhash_q = """
         SELECT COUNT(*) AS n_exactdup_pairs, true AS all_exactdups_found
         FROM documents a JOIN documents b
@@ -1150,4 +1260,5 @@ def entry_oracles() -> dict[str, str]:
             "dedup_connected_components": clusters,
             # star-method twin: identical clusters, identical oracle
             "dedup_cc_star": clusters,
-            "dedup_decontaminate": decontam}
+            "dedup_decontaminate": decontam,
+            "dedup_duplicate_spans": dup_spans}

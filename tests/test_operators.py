@@ -976,3 +976,27 @@ def test_epoch_shuffle_properties(spark):
            [(r.shard, r.shuffle_key) for r in e0.orderBy("doc_id").collect()]
     with pytest.raises(ValueError):
         sampling.epoch_shuffle(docs, "doc_id", 0)
+
+
+def test_duplicate_spans_semantics(spark):
+    """Planted shared substring across docs is found and merged into
+    one maximal span per doc; unique text yields no spans; spans carry
+    1-based inclusive token positions."""
+    from query_planner_optimizer_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"unique one two three {shared} tail1 tailx"),
+        (2, f"{shared} totally different ending here now"),
+        (3, "nothing in common with anything else at all bravo charlie"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.duplicate_spans(docs, window=8).collect()}
+    assert set(out) == {1, 2}          # doc 3 has no duplicated window
+    # doc 1: shared tokens occupy positions 5..14 -> windows 5..7 merge
+    assert out[1].span_start == 5 and out[1].span_end == 14
+    assert out[1].n_windows == 3
+    # doc 2: shared tokens at positions 1..10
+    assert out[2].span_start == 1 and out[2].span_end == 10
+    assert out[2].n_windows == 3
