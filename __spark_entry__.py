@@ -1015,6 +1015,31 @@ DSL_QUERIES.update({
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    # Sample covariance BY HAND from mergeable sums (the moment
+    # decomposition: (Σxy − ΣxΣy/n)/(n−1)) — proves the post-agg
+    # grammar composes statistical measures from rollup-friendly
+    # partials; the oracle replays the identical arithmetic, never
+    # covar_samp().
+    "dsl_covariance_by_hand": {
+        "select": ["event_type",
+                   {"SUM": {"op": "mul", "args": ["value", "user_id"]},
+                    "as": "sxy", "round": 6},
+                   {"SUM": "value", "as": "sx", "round": 6},
+                   {"SUM": "user_id", "as": "sy"},
+                   {"COUNT": "value", "as": "n"},
+                   {"post": {"op": "div", "args": [
+                       {"op": "sub", "args": [
+                           "sxy",
+                           {"op": "div", "args": [
+                               {"op": "mul", "args": ["sx", "sy"]},
+                               "n"]}]},
+                       {"op": "sub", "args": ["n", 1]}]},
+                    "as": "covar", "round": 6}],
+        "from": "events",
+        "where": [{"col": "value", "op": "is_not_null"}],
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    },
     # Column-vs-column comparison across a join (the TPC-H Q4
     # commitdate<receiptdate shape): revenue from lineitems shipped
     # strictly after their order's date.
