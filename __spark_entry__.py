@@ -1015,6 +1015,61 @@ DSL_QUERIES.update({
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    # TPC-H Q7 (volume shipping): the full composition test — CTE views
+    # rename the twice-joined nation dim (the DSL has no table aliases;
+    # views ARE the alias mechanism), a derived FROM computes the year
+    # (DATE_FNS) and volume expressions row-level, the OR-of-ANDs picks
+    # the two nation-pair directions, and the outer groups by the
+    # computed year.
+    "dsl_tpch_q7_volume_shipping": {
+        "select": ["supp_nation", "cust_nation", "l_year",
+                   {"SUM": "volume", "as": "revenue", "round": 4}],
+        "from": {
+            "with": {
+                "s_nat": {
+                    "select": [{"expr": "s_suppkey", "as": "supp_key"},
+                               {"expr": "n_name", "as": "supp_nation"}],
+                    "from": "supplier",
+                    "join": [{"table": "nation",
+                              "on": [["s_nationkey", "n_nationkey"]],
+                              "hint": "broadcast"}]},
+                "c_nat": {
+                    "select": [{"expr": "c_custkey", "as": "cust_key"},
+                               {"expr": "n_name", "as": "cust_nation"}],
+                    "from": "customer",
+                    "join": [{"table": "nation",
+                              "on": [["c_nationkey", "n_nationkey"]],
+                              "hint": "broadcast"}]},
+            },
+            "select": [{"expr": {"fn": "year", "args": ["l_shipdate"]},
+                        "as": "l_year"},
+                       "supp_nation", "cust_nation",
+                       {"expr": {"op": "mul",
+                                 "args": ["l_extendedprice",
+                                          {"op": "sub",
+                                           "args": [1, "l_discount"]}]},
+                        "as": "volume"}],
+            "from": "lineitem",
+            "join": [{"table": "orders",
+                      "on": [["l_orderkey", "o_orderkey"]]},
+                     {"table": "s_nat", "on": [["l_suppkey", "supp_key"]]},
+                     {"table": "c_nat", "on": [["o_custkey", "cust_key"]]}],
+            "where": [
+                {"or": [
+                    {"and": [{"col": "supp_nation", "op": "eq",
+                              "val": "NATION_3"},
+                             {"col": "cust_nation", "op": "eq",
+                              "val": "NATION_8"}]},
+                    {"and": [{"col": "supp_nation", "op": "eq",
+                              "val": "NATION_8"},
+                             {"col": "cust_nation", "op": "eq",
+                              "val": "NATION_3"}]}]},
+                {"col": "l_shipdate", "op": "between",
+                 "val": ["1995-01-01", "1996-12-31"]}],
+        },
+        "group_by": ["supp_nation", "cust_nation", "l_year"],
+        "order_by": ["supp_nation", "cust_nation", "l_year"],
+    },
     # Sample covariance BY HAND from mergeable sums (the moment
     # decomposition: (Σxy − ΣxΣy/n)/(n−1)) — proves the post-agg
     # grammar composes statistical measures from rollup-friendly

@@ -275,9 +275,18 @@ def _num_expr_sql(
         # String functions — identical semantics in both dialects (see
         # compiler.STRING_FNS); concat renders as `||` (null-propagating
         # like F.concat in both engines), strpos maps to Spark's instr.
-        from query_planner_optimizer_spark.dsl.compiler import STRING_FNS
+        from query_planner_optimizer_spark.dsl.compiler import (
+            DATE_FNS,
+            STRING_FNS,
+        )
 
         fn, args = e["fn"], e.get("args")
+        if fn in DATE_FNS:
+            # Date-part extraction — same spelling, same INTEGER-kind
+            # result in both dialects.
+            if not isinstance(args, list) or len(args) != 1:
+                raise QueryError(f"{fn} expects 1 arg: {e!r}")
+            return f"{fn}({_num_expr_sql(args[0], dialect, type_map)})"
         if fn not in STRING_FNS:
             raise QueryError(f"unknown function: {e!r}")
         arity = STRING_FNS[fn]
@@ -341,9 +350,10 @@ def _is_integral_expr(
             return all(
                 _is_integral_expr(a, type_map) for a in e.get("args") or []
             )
-        # length/strpos yield ints (DuckDB: BIGINT) — SUMs over them
-        # need the same HUGEINT→BIGINT pin as int columns.
-        if e.get("fn") in ("length", "strpos"):
+        # length/strpos/date-parts yield ints (DuckDB: BIGINT) — SUMs
+        # over them need the same HUGEINT→BIGINT pin as int columns.
+        if e.get("fn") in ("length", "strpos", "year", "month",
+                           "dayofmonth"):
             return True
     return False
 
@@ -459,10 +469,13 @@ def derived_output_types(
     for kw in SET_OPS:
         if kw in q:
             return derived_output_types(q[kw][0], type_map)
-    inner_map = type_map
+    inner_map = dict(type_map)
+    # CTE views inside the subquery contribute their output columns
+    # (define-before-use order, same as the WITH renderer).
+    for vq in (q.get("with") or {}).values():
+        inner_map.update(derived_output_types(vq, inner_map))
     if isinstance(q.get("from"), dict):
-        inner_map = {**type_map,
-                     **derived_output_types(q["from"], type_map)}
+        inner_map.update(derived_output_types(q["from"], inner_map))
     out: dict[str, T.DataType] = {}
     for t in q.get("select") or []:
         if _is_post_term(t):

@@ -179,6 +179,12 @@ STRING_FNS: dict[str, int | None] = {
     "rtrim": 1, "substr": 3, "concat": None, "replace": 3, "strpos": 2,
 }
 
+#: Date-part extraction functions — identical names and integer results
+#: in Spark SQL and DuckDB (the TPC-H Q7/Q9 `extract(year ...)`
+#: spelling). Kept separate from STRING_FNS for the integral-type
+#: inference (SUMs over them pin BIGINT in the oracle).
+DATE_FNS: dict[str, int] = {"year": 1, "month": 1, "dayofmonth": 1}
+
 
 def _string_fn_column(df: DataFrame, e: dict) -> Column:
     fn, args = e["fn"], e.get("args")
@@ -222,9 +228,14 @@ def _num_expr(df: DataFrame, e: Any) -> Column:
             raise QueryError(f"bad literal leaf (string only): {e!r}")
         return F.lit(e["lit"])
     if "fn" in e:
-        if e["fn"] not in STRING_FNS:
-            raise QueryError(f"unknown function: {e!r}")
-        return _string_fn_column(df, e)
+        if e["fn"] in STRING_FNS:
+            return _string_fn_column(df, e)
+        if e["fn"] in DATE_FNS:
+            args = e.get("args")
+            if not isinstance(args, list) or len(args) != 1:
+                raise QueryError(f"{e['fn']} expects 1 arg: {e!r}")
+            return getattr(F, e["fn"])(_num_expr(df, args[0]))
+        raise QueryError(f"unknown function: {e!r}")
     if "if" in e:
         if "then" not in e or "else" not in e:
             raise QueryError(f"'if' expression needs 'then' and 'else': {e!r}")
