@@ -1070,6 +1070,42 @@ DSL_QUERIES.update({
         "group_by": ["supp_nation", "cust_nation", "l_year"],
         "order_by": ["supp_nation", "cust_nation", "l_year"],
     },
+    # TPC-H Q8 (market share): one nation's share of yearly volume —
+    # FILTER-clause aggregate over a derived-FROM-computed nation
+    # column, divided by the unfiltered total via a post expression.
+    "dsl_tpch_q8_market_share": {
+        "select": ["l_year",
+                   {"SUM": "volume", "as": "nation_vol", "round": 4,
+                    "where": {"col": "supp_nation", "op": "eq",
+                              "val": "NATION_3"}},
+                   {"SUM": "volume", "as": "total_vol", "round": 4},
+                   {"post": {"op": "div",
+                             "args": ["nation_vol", "total_vol"]},
+                    "as": "mkt_share", "round": 6}],
+        "from": {
+            "with": {"s_nat": {
+                "select": [{"expr": "s_suppkey", "as": "supp_key"},
+                           {"expr": "n_name", "as": "supp_nation"}],
+                "from": "supplier",
+                "join": [{"table": "nation",
+                          "on": [["s_nationkey", "n_nationkey"]],
+                          "hint": "broadcast"}]}},
+            "select": [{"expr": {"fn": "year", "args": ["l_shipdate"]},
+                        "as": "l_year"},
+                       "supp_nation",
+                       {"expr": {"op": "mul",
+                                 "args": ["l_extendedprice",
+                                          {"op": "sub",
+                                           "args": [1, "l_discount"]}]},
+                        "as": "volume"}],
+            "from": "lineitem",
+            "join": [{"table": "s_nat", "on": [["l_suppkey", "supp_key"]]}],
+            "where": [{"col": "l_shipdate", "op": "between",
+                       "val": ["1995-01-01", "1996-12-31"]}],
+        },
+        "group_by": ["l_year"],
+        "order_by": ["l_year"],
+    },
     # Sample covariance BY HAND from mergeable sums (the moment
     # decomposition: (Σxy − ΣxΣy/n)/(n−1)) — proves the post-agg
     # grammar composes statistical measures from rollup-friendly
