@@ -952,6 +952,37 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir))
 
 
+def dedup_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row exact-dedup audit of a corpus — the summary a curation
+    run reports before/after: document count, distinct contents,
+    removable duplicate documents, and the characters a keep-first
+    exact dedup would save. Two aggregations over 32-byte digests
+    (per-content, then global); nothing wider than a digest shuffles.
+    """
+    per = (
+        docs.select(
+            F.sha2(F.col(text_col), 256).alias("h"),
+            F.length(F.col(text_col)).alias("__len"),
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.max("__len").alias("len"))
+    )
+    return per.agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") - 1).alias("n_dup_docs"),
+        F.sum(F.col("len") * F.col("cnt")).alias("chars_total"),
+        F.sum(F.col("len") * (F.col("cnt") - 1)).alias("chars_saved"),
+    )
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_report(_docs(spark, sf_dir))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "dedup_exact": q_exact_dedup,
@@ -971,6 +1002,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_cc_star": q_dedup_clusters_star,
         "dedup_decontaminate": q_decontaminate,
         "dedup_duplicate_spans": q_duplicate_spans,
+        "dedup_report": q_dedup_report,
     }
 
 
@@ -1261,4 +1293,16 @@ def entry_oracles() -> dict[str, str]:
             # star-method twin: identical clusters, identical oracle
             "dedup_cc_star": clusters,
             "dedup_decontaminate": decontam,
-            "dedup_duplicate_spans": dup_spans}
+            "dedup_duplicate_spans": dup_spans,
+            "dedup_report": """
+        WITH per AS (
+            SELECT text, COUNT(*) AS cnt, MAX(length(text)) AS len
+            FROM documents GROUP BY text
+        )
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_distinct,
+               CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(len * cnt) AS BIGINT) AS chars_total,
+               CAST(SUM(len * (cnt - 1)) AS BIGINT) AS chars_saved
+        FROM per
+    """}
