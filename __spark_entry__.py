@@ -1070,6 +1070,46 @@ DSL_QUERIES.update({
         "group_by": ["supp_nation", "cust_nation", "l_year"],
         "order_by": ["supp_nation", "cust_nation", "l_year"],
     },
+    # TPC-H Q9 shape (product-type profit by nation and year; the
+    # testdata has no partsupp, so profit = revenue less a retail-price
+    # charge): pre-join LIKE filter on part, supplier-nation CTE,
+    # year + profit expressions in the derived FROM.
+    "dsl_tpch_q9_product_profit": {
+        "select": ["supp_nation", "l_year",
+                   {"SUM": "profit", "as": "sum_profit", "round": 4}],
+        "from": {
+            "with": {"s_nat": {
+                "select": [{"expr": "s_suppkey", "as": "supp_key"},
+                           {"expr": "n_name", "as": "supp_nation"}],
+                "from": "supplier",
+                "join": [{"table": "nation",
+                          "on": [["s_nationkey", "n_nationkey"]],
+                          "hint": "broadcast"}]}},
+            "select": [{"expr": {"fn": "year", "args": ["l_shipdate"]},
+                        "as": "l_year"},
+                       "supp_nation",
+                       {"expr": {"op": "sub", "args": [
+                           {"op": "mul",
+                            "args": ["l_extendedprice",
+                                     {"op": "sub",
+                                      "args": [1, "l_discount"]}]},
+                           {"op": "mul",
+                            "args": ["p_retailprice",
+                                     {"op": "mul",
+                                      "args": [0.01, "l_quantity"]}]}]},
+                        "as": "profit"}],
+            "from": "lineitem",
+            "join": [{"table": "part", "on": [["l_partkey", "p_partkey"]],
+                      "where": [{"col": "p_name", "op": "like",
+                                 "val": "%bolt%"}],
+                      "hint": "broadcast"},
+                     {"table": "s_nat",
+                      "on": [["l_suppkey", "supp_key"]]}],
+        },
+        "group_by": ["supp_nation", "l_year"],
+        "order_by": [{"col": "supp_nation", "dir": "asc"},
+                     {"col": "l_year", "dir": "desc"}],
+    },
     # TPC-H Q8 (market share): one nation's share of yearly volume —
     # FILTER-clause aggregate over a derived-FROM-computed nation
     # column, divided by the unfiltered total via a post expression.
