@@ -89,13 +89,14 @@ def _condition_sql(
             if not cond[kw]:
                 raise QueryError(f"{kw!r} needs at least one branch: {cond!r}")
             return "(" + joiner.join(
-                _condition_sql(b, type_map, dialect, outer_table)
+                _condition_sql(b, type_map, dialect, outer_table,
+                               cte_names)
                 for b in cond[kw]
             ) + ")"
     if "not" in cond:
-        return (
-            f"(NOT {_condition_sql(cond['not'], type_map, dialect, outer_table)})"
-        )
+        inner = _condition_sql(cond["not"], type_map, dialect,
+                               outer_table, cte_names)
+        return f"(NOT {inner})"
     col_name = cond.get("col")
     if col_name not in type_map:
         raise QueryError(f"unknown filter column: {cond!r}")
