@@ -31,6 +31,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -385,11 +386,59 @@ def q_scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlc_resample(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC (open/high/low/close) time-series resample per (bucket,
+    key) — the financial-rollup shape of a tick pipeline. Open/close
+    use the argmin/argmax STRUCT idiom (min/max of (ts, id, value)
+    structs — one shuffle with map-side partial merge, one struct per
+    (task, bucket, key)), never a sorted window over the raw stream;
+    the id tiebreak makes equal-timestamp ticks deterministic. Volume
+    accumulates in DECIMAL per the engine's rounded-sum discipline.
+    Null values are the caller's concern (the entry filters them).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    tick = F.struct(F.col(ts_col), F.col(id_col), F.col(value_col))
+    dec = T.DecimalType(38, 16)
+    agg = (
+        events.groupBy(b.alias("bucket"), F.col(key_col))
+        .agg(
+            F.min(tick).alias("__first"),
+            F.max(tick).alias("__last"),
+            F.round(F.max(value_col), 6).alias("high"),
+            F.round(F.min(value_col), 6).alias("low"),
+            F.count(value_col).alias("n_ticks"),
+            F.round(F.sum(F.col(value_col).cast(dec)), 4)
+            .cast("double").alias("volume"),
+        )
+    )
+    return agg.select(
+        "bucket", key_col,
+        F.round(F.col(f"__first.{value_col}"), 6).alias("open"),
+        F.round(F.col(f"__last.{value_col}"), 6).alias("close"),
+        "high", "low", "n_ticks", "volume",
+    )
+
+
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return ohlc_resample(events.filter(F.col("value").isNotNull()))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {"temporal_asof_join": q_asof_purchase_click,
             "temporal_range_join": q_range_click_window,
             "temporal_gapfill_hourly": q_gapfill_hourly,
-            "temporal_scd2_intervals": q_scd2_user_values}
+            "temporal_scd2_intervals": q_scd2_user_values,
+            "temporal_ohlc_hourly": q_ohlc_hourly}
 
 
 def entry_oracles() -> dict[str, str]:
@@ -447,6 +496,28 @@ def entry_oracles() -> dict[str, str]:
         WHERE event_type = 'signup'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """
+    ohlc = """
+        WITH r AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY date_trunc('hour', ts), event_type
+                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY date_trunc('hour', ts), event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT bucket, event_type,
+               ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+               ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+               ROUND(MAX(value), 6) AS high,
+               ROUND(MIN(value), 6) AS low,
+               COUNT(value) AS n_ticks,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 4)
+                    AS DOUBLE) AS volume
+        FROM r GROUP BY bucket, event_type
+    """
     return {"temporal_asof_join": asof, "temporal_range_join": range_sql,
             "temporal_gapfill_hourly": GAPFILL_ORACLE,
-            "temporal_scd2_intervals": scd2}
+            "temporal_scd2_intervals": scd2,
+            "temporal_ohlc_hourly": ohlc}
