@@ -393,6 +393,7 @@ def ohlc_resample(
     value_col: str = "value",
     id_col: str = "event_id",
     bucket: str = "hour",
+    watermark: str | None = None,
 ) -> DataFrame:
     """OHLC (open/high/low/close) time-series resample per (bucket,
     key) — the financial-rollup shape of a tick pipeline. Open/close
@@ -402,12 +403,28 @@ def ohlc_resample(
     the id tiebreak makes equal-timestamp ticks deterministic. Volume
     accumulates in DECIMAL per the engine's rounded-sum discipline.
     Null values are the caller's concern (the entry filters them).
+
+    Streaming mode (``watermark`` set on a streaming frame): the same
+    aggregation runs as a watermarked windowed agg — struct min/max are
+    mergeable, so late ticks update open/close correctly until the
+    watermark closes the bucket; state is one OHLC accumulator per
+    live (bucket, key).
     """
-    b = F.date_trunc(bucket, F.col(ts_col))
+    if watermark is not None:
+        # Streaming needs the event-time window() form for state
+        # eviction (date_trunc is not watermark-trackable); its .start
+        # equals date_trunc for tumbling 1-unit windows, so batch and
+        # stream emit identical bucket values.
+        events = events.withWatermark(ts_col, watermark)
+        group_expr = F.window(F.col(ts_col), f"1 {bucket}").alias("__w")
+        bucket_out = F.col("__w.start").alias("bucket")
+    else:
+        group_expr = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+        bucket_out = F.col("bucket")
     tick = F.struct(F.col(ts_col), F.col(id_col), F.col(value_col))
     dec = T.DecimalType(38, 16)
     agg = (
-        events.groupBy(b.alias("bucket"), F.col(key_col))
+        events.groupBy(group_expr, F.col(key_col))
         .agg(
             F.min(tick).alias("__first"),
             F.max(tick).alias("__last"),
@@ -419,7 +436,7 @@ def ohlc_resample(
         )
     )
     return agg.select(
-        "bucket", key_col,
+        bucket_out, key_col,
         F.round(F.col(f"__first.{value_col}"), 6).alias("open"),
         F.round(F.col(f"__last.{value_col}"), 6).alias("close"),
         "high", "low", "n_ticks", "volume",

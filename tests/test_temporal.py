@@ -211,3 +211,31 @@ def test_scd2_intervals_chain(spark):
     assert [r.is_current for r in k1] == [False, False, True]
     k2 = [r for r in out if r.k == 2]
     assert len(k2) == 1 and k2[0].is_current and k2[0].valid_to is None
+
+
+def test_ohlc_streaming_equals_batch(spark, tmp_path):
+    """Streaming OHLC (watermarked window aggregation, availableNow)
+    equals the batch twin over the same files — struct min/max merge
+    correctly across micro-batches."""
+    import pandas as pd
+
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.operators.temporal import ohlc_resample
+    from query_planner_optimizer_spark.streaming import windows as sw
+    from .conftest import SF_DIR, normalize
+
+    d = str(tmp_path / "ohlc_stream")
+    events = Catalog(spark, SF_DIR, register_views=False).table("events")
+    events.select("event_id", "ts", "user_id", "event_type", "value",
+                  "props").filter("value IS NOT NULL") \
+        .repartition(4).write.mode("overwrite").parquet(d)
+    stream = ohlc_resample(sw.read_events_stream(spark, d),
+                           watermark="2 hours")
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("ohlc_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ohlc_test").toPandas()
+    batch = ohlc_resample(spark.read.parquet(d)).toPandas()
+    pd.testing.assert_frame_equal(normalize(got), normalize(batch),
+                                  check_dtype=False)
