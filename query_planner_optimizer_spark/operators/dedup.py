@@ -952,6 +952,86 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir))
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The APPLY half of :func:`duplicate_spans`: rebuild each document
+    with every duplicated span cut out (all copies removed — the
+    practical exact-substring-dedup policy; keeping one global copy
+    would need a corpus-wide ordering pass). Returns
+    (doc_id, text_clean, n_tokens_kept); documents with no tokens are
+    absent (nothing to rebuild).
+
+    Plan: the duplicated-window hit stream explodes to its ``window``
+    covered positions (fan-out bounded by duplicate density, not corpus
+    size), the position-tagged token stream anti-joins it, and each doc
+    reassembles via sort_array(collect_list(struct(pos, tok))) — a
+    per-doc list bounded by document length, the same reassembly bound
+    ``docpipe.line_dedup`` carries.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    )
+    n = F.size(F.col("__t"))
+    wins = (
+        toked.filter(n >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(window - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(
+                            " ", F.slice(F.col("__t"), i, window)
+                        )).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.h")
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        wins.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks = toked.select(
+        "doc_id",
+        F.posexplode(F.col("__t")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks.join(covered, ["doc_id", "p"], "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("p", "tok")))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.transform(ordered, lambda s: s["tok"])
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_tokens_kept"),
+        )
+    )
+
+
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return remove_duplicate_spans(_docs(spark, sf_dir))
+
+
 def dedup_report(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -1003,6 +1083,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_decontaminate": q_decontaminate,
         "dedup_duplicate_spans": q_duplicate_spans,
         "dedup_report": q_dedup_report,
+        "dedup_remove_spans": q_remove_duplicate_spans,
     }
 
 
@@ -1294,6 +1375,43 @@ def entry_oracles() -> dict[str, str]:
             "dedup_cc_star": clusters,
             "dedup_decontaminate": decontam,
             "dedup_duplicate_spans": dup_spans,
+            "dedup_remove_spans": """
+        WITH toked AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                   md5(array_to_string(t[u.pos:u.pos+7], ' ')) AS h
+            FROM (SELECT doc_id, t,
+                         unnest(list_transform(range(1, len(t) - 6),
+                                i -> struct_pack(pos := i))) AS u
+                  FROM toked WHERE len(t) >= 8)
+        ),
+        dup AS (
+            SELECT h FROM wins GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, CAST(pos + j AS BIGINT) AS p
+            FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS j
+                  FROM wins JOIN dup USING (h))
+        ),
+        toks AS (
+            SELECT doc_id, CAST(u.p AS BIGINT) AS p, t[u.p] AS tok
+            FROM (SELECT doc_id, t,
+                         unnest(list_transform(range(1, len(t) + 1),
+                                i -> struct_pack(p := i))) AS u
+                  FROM toked)
+        )
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY p) AS text_clean,
+               COUNT(*) AS n_tokens_kept
+        FROM toks ANTI JOIN covered USING (doc_id, p)
+        GROUP BY doc_id
+    """,
             "dedup_report": """
         WITH per AS (
             SELECT text, COUNT(*) AS cnt, MAX(length(text)) AS len

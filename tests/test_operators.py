@@ -1000,3 +1000,23 @@ def test_duplicate_spans_semantics(spark):
     # doc 2: shared tokens at positions 1..10
     assert out[2].span_start == 1 and out[2].span_end == 10
     assert out[2].n_windows == 3
+
+
+def test_remove_duplicate_spans_cuts_planted(spark):
+    """Planted shared substring is removed from every copy; unique
+    documents pass through intact with original token order."""
+    from query_planner_optimizer_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"keep one two {shared} keep3 keep4"),
+        (2, f"{shared} other tail here now ok"),
+        (3, "fully unique text stays word for word exactly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.remove_duplicate_spans(docs, window=8).collect()}
+    assert out[1].text_clean == "keep one two keep3 keep4"
+    assert out[1].n_tokens_kept == 5
+    assert out[2].text_clean == "other tail here now ok"
+    assert out[3].text_clean == "fully unique text stays word for word exactly"
