@@ -371,6 +371,42 @@ def bigram_collocations(
     )
 
 
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-reading-ease-style readability score per document — the
+    classic curation signal complementing :func:`with_quality_score`:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`` with
+    the standard regex approximations (sentences = [.!?]+ runs, at
+    least 1; syllables = vowel-group runs per word, at least 1 per
+    word). Pure JVM-side regex counts and a fixed sequence of IEEE
+    double operations mirrored exactly by the SQL oracle — map-only,
+    fuses into the scan.
+    """
+    toks = _tokens(text_col)
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    )
+    # vowel-group runs across the lowered text approximate total
+    # syllables; the per-word floor of 1 is applied via greatest with
+    # the word count (every word has >= 1 syllable).
+    vgroups = F.size(F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"), 0
+    ))
+    n_syll = F.greatest(vgroups, n_words)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return (
+        df.withColumn("n_words", F.size(toks).cast("long"))
+        .withColumn("n_sentences", n_sents.cast("long"))
+        .withColumn("n_syllables", n_syll.cast("long"))
+        .withColumn("flesch_score", F.round(score, 4))
+    )
+
+
 def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document fluency score from a bigram language model trained
     on the corpus itself — the KenLM-style quality signal of a curation
@@ -602,6 +638,12 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_load_documents(spark, sf_dir))
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_readability(_load_documents(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch_score"
+    )
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "text_oov_ratio": q_oov_ratio,
@@ -616,6 +658,7 @@ def entry_queries() -> dict[str, Callable]:
         "text_strip_markup": q_strip_markup,
         "text_collocations": q_collocations,
         "text_bigram_lm": q_bigram_lm,
+        "text_readability": q_readability,
     }
 
 
@@ -799,6 +842,26 @@ def entry_oracles() -> dict[str, str]:
             JOIN uni ua ON p.tok_a = ua.tok
             JOIN uni ub ON p.tok_b = ub.tok
             CROSS JOIN total t
+        """,
+        "text_readability": f"""
+            SELECT doc_id,
+                   CAST(len({toks}) AS BIGINT) AS n_words,
+                   CAST(greatest(len(regexp_extract_all(text,
+                        '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                   CAST(greatest(len(regexp_extract_all(lower(text),
+                        '[aeiouy]+')), greatest(len({toks}), 1))
+                        AS BIGINT) AS n_syllables,
+                   ROUND(206.835
+                     - 1.015 * (CAST(greatest(len({toks}), 1) AS DOUBLE)
+                        / CAST(greatest(len(regexp_extract_all(text,
+                            '[.!?]+')), 1) AS DOUBLE))
+                     - 84.6 * (CAST(greatest(
+                            len(regexp_extract_all(lower(text),
+                                '[aeiouy]+')),
+                            greatest(len({toks}), 1)) AS DOUBLE)
+                        / CAST(greatest(len({toks}), 1) AS DOUBLE)),
+                     4) AS flesch_score
+            FROM documents
         """,
         # Bigram-LM fluency: each P(b|a) is ONE double division (IEEE-
         # identical); the per-doc average accumulates in DECIMAL(38,16)
