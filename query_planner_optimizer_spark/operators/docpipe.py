@@ -397,8 +397,45 @@ def line_dedup(
 # Driver entries
 # --------------------------------------------------------------------------
 
+def curation_funnel(
+    docs: DataFrame,
+    quality_min: float = QUALITY_MIN,
+    keep_langs: tuple[str, ...] = KEEP_LANGS,
+) -> DataFrame:
+    """One-row curation FUNNEL report — the per-stage survival counts
+    every pipeline run logs (input → quality gate → language gate →
+    dedup keeper) plus token totals in/out. Computed in a SINGLE pass:
+    per-document stage flags (the dedup-keeper flag via a whole-
+    partition MIN window over the content hash — no sort) feed one
+    conditional aggregation, so the funnel costs one scan + one
+    digest-keyed window + one reduce, not four pipeline reruns.
+    """
+    scored = T.with_lang_id(T.with_quality_score(docs))
+    q_ok = F.col("quality_score") >= F.lit(quality_min)
+    l_ok = q_ok & F.col("lang_pred").isin(*keep_langs)
+    h = F.sha2(F.col("text"), 256)
+    keeper = F.min(F.when(l_ok, F.col("doc_id"))).over(Window.partitionBy(h))
+    kept = l_ok & (F.col("doc_id") == keeper)
+    staged = scored.select(
+        F.col("n_tokens"), q_ok.alias("__q"), l_ok.alias("__l"),
+        kept.alias("__k"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(F.col("__q"), 1)).alias("n_quality_pass"),
+        F.count(F.when(F.col("__l"), 1)).alias("n_lang_pass"),
+        F.count(F.when(F.col("__k"), 1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_in"),
+        F.sum(F.when(F.col("__k"), F.col("n_tokens"))).alias("tokens_kept"),
+    )
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(T._load_documents(spark, sf_dir))
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_funnel(T._load_documents(spark, sf_dir))
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,6 +470,7 @@ def q_pack_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry_queries() -> dict[str, Callable]:
     return {
         "pipeline_clean_corpus": q_clean_corpus,
+        "pipeline_curation_funnel": q_curation_funnel,
         "pipeline_pack_sequences": q_pack_sequences,
         "pipeline_chunk_documents": q_chunk_documents,
         "pipeline_top_quality": q_top_quality,
@@ -464,6 +502,35 @@ def entry_oracles() -> dict[str, str]:
                 AS rn
             FROM gated
         ) WHERE rn = 1
+    """
+    langs_sql = ", ".join(f"'{x}'" for x in KEEP_LANGS)
+    funnel = f"""
+        WITH q AS ({quality}),
+        l AS ({lang}),
+        flags AS (
+            SELECT d.doc_id, q.n_tokens,
+                   (q.quality_score >= {QUALITY_MIN}) AS qok,
+                   (q.quality_score >= {QUALITY_MIN}
+                    AND l.lang_pred IN ({langs_sql})) AS lok,
+                   sha256(d.text) AS h
+            FROM documents d
+            JOIN q ON d.doc_id = q.doc_id
+            JOIN l ON d.doc_id = l.doc_id
+        ),
+        keep AS (
+            SELECT *,
+                   (lok AND doc_id = MIN(CASE WHEN lok THEN doc_id END)
+                        OVER (PARTITION BY h)) AS kept
+            FROM flags
+        )
+        SELECT COUNT(*) AS n_input,
+               COUNT(CASE WHEN qok THEN 1 END) AS n_quality_pass,
+               COUNT(CASE WHEN lok THEN 1 END) AS n_lang_pass,
+               COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+               CAST(SUM(CASE WHEN kept THEN n_tokens END) AS BIGINT)
+                   AS tokens_kept
+        FROM keep
     """
     toks = T._sql_tokens()
     pack = f"""
@@ -591,7 +658,9 @@ def entry_oracles() -> dict[str, str]:
                CAST(pre % {PACK_BUDGET} AS INTEGER) AS pack_offset
         FROM cum
     """
-    return {"pipeline_clean_corpus": sql, "pipeline_pack_sequences": pack,
+    return {"pipeline_clean_corpus": sql,
+            "pipeline_curation_funnel": funnel,
+            "pipeline_pack_sequences": pack,
             "pipeline_chunk_documents": chunk,
             "pipeline_top_quality": top_quality,
             "pipeline_token_budget": token_budget,

@@ -185,8 +185,10 @@ def decode_media(kind: str, payload: bytes):
                 "install Pillow for JPEG/WebP/..."
             ) from None
     raise NotImplementedError(
-        f"decode_media({kind!r}): audio/video codecs are not available in "
-        "this environment; inject a decoder via extract_features(decoder=...)"
+        f"decode_media({kind!r}) returns the IMAGE contract only; audio "
+        "decodes via decode_wav/audio_decode_features and video metadata "
+        "via parse_mp4/video_meta_features (zero-dependency paths), or "
+        "inject a codec decoder via extract_features(decoder=...)"
     )
 
 
