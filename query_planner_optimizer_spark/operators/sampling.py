@@ -187,6 +187,63 @@ def mixture_sample(
     return out.filter(full | frac_keep)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Temperature-based source rebalancing at α = 0.5 — the standard
+    multilingual/multi-source move (sample p_s^α renormalized, so rare
+    sources up-weight and dominant ones down-weight) with weights
+    DERIVED FROM THE DATA: ``w_s = N · √n_s / Σ_t √n_t / n_s`` (the
+    α = 0.5 emission weight that preserves total corpus size in
+    expectation). Sources are emitted :func:`mixture_sample`-style:
+    ⌈w⌉ epoch copies, the last kept by a per-epoch rotated hash.
+
+    α is fixed at 0.5 deliberately: IEEE-754 ``sqrt`` is CORRECTLY
+    ROUNDED in every engine (unlike ``pow``/``ln``, which differ in the
+    last ulp across libm builds), so the engine and the SQL oracle
+    compute bit-identical weights. The fractional-part test compares
+    ``bucket < (w − ⌊w⌋)·B`` directly — a comparison of identical
+    doubles, no rounding step to disagree on.
+
+    Plan: one tiny per-source count aggregation joined back (broadcast
+    — sources number in the dozens), then the same generator + scan-
+    side filter as mixture_sample. No driver-side weight computation:
+    the weights live in the plan, so the op re-derives them correctly
+    when the corpus changes.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum("__n").alias("__tot_n"),
+        F.sum(F.sqrt(F.col("__n").cast("double"))).alias("__tot_s"),
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        (
+            F.col("__tot_n").cast("double")
+            * F.sqrt(F.col("__n").cast("double"))
+            / F.col("__tot_s") / F.col("__n").cast("double")
+        ).alias("__w"),
+    )
+    out = df.join(F.broadcast(weights), source_col)
+    n_epochs = F.ceil(F.col("__w")).cast("int")
+    seq = F.when(n_epochs >= 1, F.sequence(F.lit(0), n_epochs - 1))
+    out = out.withColumn(epoch_col, F.explode(seq))
+    epoch = F.col(epoch_col)
+    full = epoch.cast("double") < F.floor(F.col("__w"))
+    frac_bucket = hash_bucket(
+        F.concat(F.col(key_col).cast("string"), F.lit(":"),
+                 epoch.cast("string"))
+    )
+    frac_keep = (
+        frac_bucket.cast("double")
+        < (F.col("__w") - F.floor(F.col("__w"))) * F.lit(float(BUCKETS))
+    )
+    return out.filter(full | frac_keep).drop("__w")
+
+
 def epoch_shuffle(
     df: DataFrame,
     key_col: str,
@@ -271,6 +328,12 @@ def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "epoch")
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_mixture(
+        _docs(spark, sf_dir), "source", "doc_id"
+    ).select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -296,6 +359,7 @@ def entry_queries() -> dict[str, Callable]:
         "sample_k_per_group": q_k_per_group,
         "sample_mixture_weights": q_mixture,
         "sample_epoch_shuffle": q_epoch_shuffle,
+        "sample_temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -375,8 +439,39 @@ def entry_oracles() -> dict[str, str]:
               JOIN (SELECT unnest(generate_series(0, 1)) AS epoch) e
                 ON TRUE)
     """
+    temp_bucket = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+                   "|| CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT) "
+                   f"% {BUCKETS}")
+    temperature = f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+                   SUM(sqrt(CAST(n AS DOUBLE))) AS s
+            FROM counts
+        ),
+        w AS (
+            SELECT source,
+                   nn * sqrt(CAST(n AS DOUBLE)) / s / CAST(n AS DOUBLE)
+                       AS w
+            FROM counts CROSS JOIN tot
+        ),
+        maxep AS (
+            SELECT CAST(MAX(ceil(w)) AS BIGINT) AS m FROM w
+        )
+        SELECT d.doc_id, d.source, CAST(e.epoch AS INTEGER) AS epoch
+        FROM documents d
+        JOIN w ON d.source = w.source
+        JOIN (SELECT unnest(generate_series(0, (SELECT m - 1 FROM maxep)))
+              AS epoch) e
+          ON e.epoch < CAST(ceil(w.w) AS BIGINT)
+        WHERE CAST(e.epoch AS DOUBLE) < floor(w.w)
+           OR CAST({temp_bucket} AS DOUBLE) < (w.w - floor(w.w)) * {BUCKETS}.0
+    """
     return {"sample_hash_10pct": sample, "sample_split_assignments": split,
             "sample_stratified_by_lang": stratified,
             "sample_k_per_group": k_per_group,
             "sample_mixture_weights": mixture,
-            "sample_epoch_shuffle": shuffle}
+            "sample_epoch_shuffle": shuffle,
+            "sample_temperature_mixture": temperature}

@@ -1020,3 +1020,27 @@ def test_remove_duplicate_spans_cuts_planted(spark):
     assert out[1].n_tokens_kept == 5
     assert out[2].text_clean == "other tail here now ok"
     assert out[3].text_clean == "fully unique text stays word for word exactly"
+
+
+def test_temperature_mixture_rebalances(spark):
+    """alpha=0.5 temperature sampling up-weights rare sources and
+    down-samples dominant ones, preserving total size approximately;
+    deterministic across runs."""
+    from query_planner_optimizer_spark.operators import sampling
+
+    rows = [(i, "big") for i in range(900)] + \
+           [(1000 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.temperature_mixture(docs, "source", "doc_id")
+    got = out.groupBy("source").count().collect()
+    n = {r.source: r["count"] for r in got}
+    # w_big = N*sqrt(900)/(sqrt(900)+sqrt(100))/900 = 1000*30/40/900 ≈ .83
+    # w_small = 1000*10/40/100 = 2.5 -> small roughly 2.5x, big sampled
+    assert 200 <= n["small"] <= 300, n
+    assert 680 <= n["big"] <= 820, n
+    total = n["small"] + n["big"]
+    assert 850 <= total <= 1150, total  # size preserved in expectation
+    # determinism
+    again = sampling.temperature_mixture(docs, "source", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == \
+           sorted(r.doc_id for r in again.collect())
