@@ -1146,6 +1146,25 @@ DSL_QUERIES.update({
         "group_by": ["l_year"],
         "order_by": ["l_year"],
     },
+    # Numeric scalar functions (abs / least / greatest — identical
+    # null-propagating semantics both engines) in projections and an
+    # aggregate target.
+    "dsl_numeric_functions": {
+        "select": ["event_id",
+                   {"expr": {"fn": "abs",
+                             "args": [{"op": "sub",
+                                       "args": ["value", 50]}]},
+                    "as": "dist_from_50"},
+                   {"expr": {"fn": "least", "args": ["value", 25.0]},
+                    "as": "capped"},
+                   {"expr": {"fn": "greatest",
+                             "args": ["value", "user_id", 10]},
+                    "as": "hi3"}],
+        "from": "events",
+        "where": [{"col": "value", "op": "is_not_null"}],
+        "order_by": [{"col": "event_id", "dir": "asc"}],
+        "limit": 200,
+    },
     # Sample covariance BY HAND from mergeable sums (the moment
     # decomposition: (Σxy − ΣxΣy/n)/(n−1)) — proves the post-agg
     # grammar composes statistical measures from rollup-friendly

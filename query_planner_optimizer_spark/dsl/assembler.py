@@ -278,10 +278,22 @@ def _num_expr_sql(
         # like F.concat in both engines), strpos maps to Spark's instr.
         from query_planner_optimizer_spark.dsl.compiler import (
             DATE_FNS,
+            NUMERIC_FNS,
             STRING_FNS,
         )
 
         fn, args = e["fn"], e.get("args")
+        if fn in NUMERIC_FNS:
+            arity = NUMERIC_FNS[fn]
+            if not isinstance(args, list) or (
+                len(args) != arity if arity is not None else len(args) < 2
+            ):
+                raise QueryError(
+                    f"{fn} expects "
+                    f"{arity if arity is not None else '>=2'} args: {e!r}"
+                )
+            parts = [_num_expr_sql(a, dialect, type_map) for a in args]
+            return f"{fn}({', '.join(parts)})"
         if fn in DATE_FNS:
             # Date-part extraction — same spelling, same INTEGER-kind
             # result in both dialects.
@@ -356,6 +368,10 @@ def _is_integral_expr(
         if e.get("fn") in ("length", "strpos", "year", "month",
                            "dayofmonth"):
             return True
+        if e.get("fn") in ("abs", "least", "greatest"):
+            return all(
+                _is_integral_expr(a, type_map) for a in e.get("args") or []
+            )
     return False
 
 

@@ -185,6 +185,13 @@ STRING_FNS: dict[str, int | None] = {
 #: inference (SUMs over them pin BIGINT in the oracle).
 DATE_FNS: dict[str, int] = {"year": 1, "month": 1, "dayofmonth": 1}
 
+#: Numeric scalar functions — identical names/semantics both engines
+#: (abs exact; least/greatest are null-propagating n-ary min/max in
+#: Spark SQL and DuckDB alike; arity None = variadic >= 2).
+NUMERIC_FNS: dict[str, int | None] = {
+    "abs": 1, "least": None, "greatest": None,
+}
+
 
 def _string_fn_column(df: DataFrame, e: dict) -> Column:
     fn, args = e["fn"], e.get("args")
@@ -235,6 +242,18 @@ def _num_expr(df: DataFrame, e: Any) -> Column:
             if not isinstance(args, list) or len(args) != 1:
                 raise QueryError(f"{e['fn']} expects 1 arg: {e!r}")
             return getattr(F, e["fn"])(_num_expr(df, args[0]))
+        if e["fn"] in NUMERIC_FNS:
+            args = e.get("args")
+            arity = NUMERIC_FNS[e["fn"]]
+            if not isinstance(args, list) or (
+                len(args) != arity if arity is not None else len(args) < 2
+            ):
+                raise QueryError(
+                    f"{e['fn']} expects "
+                    f"{arity if arity is not None else '>=2'} args: {e!r}"
+                )
+            cols = [_num_expr(df, a) for a in args]
+            return getattr(F, e["fn"])(*cols)
         raise QueryError(f"unknown function: {e!r}")
     if "if" in e:
         if "then" not in e or "else" not in e:
