@@ -359,6 +359,41 @@ def _grouping_sentinel(col: str) -> Column:
     )
 
 
+def retention_cohorts(
+    events, user_col: str = "user_id", day_col: str = "day"
+):
+    """Cohort retention triangle — the product-analytics staple: users
+    grouped by FIRST active day (their cohort), counted on each later
+    active day as an offset from it. Returns
+    (cohort_day, day_offset, n_users).
+
+    Window-free: distinct (user, day) activity, a per-user MIN
+    aggregation for the cohort day (narrow shuffle on user), one join
+    back, one grouped distinct-count. The triangle is |days|² cells at
+    most — a tiny output regardless of corpus size.
+    """
+    from pyspark.sql import functions as FF
+
+    activity = events.select(user_col, day_col).distinct()
+    cohort = activity.groupBy(user_col).agg(
+        FF.min(day_col).alias("cohort_day")
+    )
+    joined = activity.join(cohort, user_col)
+    return (
+        joined.groupBy(
+            "cohort_day",
+            FF.datediff(FF.col(day_col), FF.col("cohort_day"))
+            .alias("day_offset"),
+        )
+        .agg(FF.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return retention_cohorts(events)
+
+
 def q_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     # Subtotal rows emit 'ALL' sentinels keyed on grouping() — NOT on the
@@ -519,6 +554,7 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_json_props": q_json_props,
         "analytics_value_histogram": q_value_histogram,
         "analytics_latest_per_key": q_latest_event_per_user,
+        "analytics_retention_cohorts": q_retention_cohorts,
         "analytics_embedding_centroids": q_embedding_centroids,
         "analytics_zscore_outliers": q_zscore_outliers,
         "analytics_topn_per_group": q_topn_orders,
@@ -676,6 +712,21 @@ def entry_oracles() -> dict[str, str]:
         "analytics_json_props": json_props,
         "analytics_value_histogram": histogram,
         "analytics_latest_per_key": latest,
+        "analytics_retention_cohorts": """
+            WITH t AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events
+            ),
+            c AS (
+                SELECT user_id, MIN(day) AS cohort_day FROM t
+                GROUP BY user_id
+            )
+            SELECT c.cohort_day,
+                   date_diff('day', c.cohort_day, t.day) AS day_offset,
+                   COUNT(DISTINCT t.user_id) AS n_users
+            FROM t JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
         "analytics_embedding_centroids": centroids,
         "analytics_zscore_outliers": zscore,
         "analytics_topn_per_group": topn,
