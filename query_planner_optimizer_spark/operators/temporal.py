@@ -443,6 +443,45 @@ def ohlc_resample(
     )
 
 
+def linear_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value splits
+    EQUALLY across the same-user clicks in the preceding ``window``
+    (vs. the last-touch model :func:`asof_join` implements). Built on
+    the interval join's bounded pair set plus one per-purchase count —
+    credit = purchase_value / n_touches, one portable division.
+    Purchases with no qualifying click produce no credit rows (an
+    un-attributable conversion), exactly the inner interval join's
+    semantics. Returns (click_id, purchase_id, user_id, credit).
+    """
+    from query_planner_optimizer_spark.streaming.windows import interval_join
+
+    pairs = interval_join(clicks, purchases, window=window)
+    n = pairs.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        pairs.join(n, "purchase_id")
+        .select(
+            "click_id", "purchase_id", "user_id",
+            F.round(
+                F.col("purchase_value") / F.col("__n").cast("double"), 6
+            ).alias("credit"),
+        )
+    )
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return linear_attribution(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+
+
 def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_planner_optimizer_spark.catalog import Catalog
 
@@ -455,7 +494,8 @@ def entry_queries() -> dict[str, Callable]:
             "temporal_range_join": q_range_click_window,
             "temporal_gapfill_hourly": q_gapfill_hourly,
             "temporal_scd2_intervals": q_scd2_user_values,
-            "temporal_ohlc_hourly": q_ohlc_hourly}
+            "temporal_ohlc_hourly": q_ohlc_hourly,
+            "temporal_linear_attribution": q_linear_attribution}
 
 
 def entry_oracles() -> dict[str, str]:
@@ -537,4 +577,23 @@ def entry_oracles() -> dict[str, str]:
     return {"temporal_asof_join": asof, "temporal_range_join": range_sql,
             "temporal_gapfill_hourly": GAPFILL_ORACLE,
             "temporal_scd2_intervals": scd2,
-            "temporal_ohlc_hourly": ohlc}
+            "temporal_ohlc_hourly": ohlc,
+            "temporal_linear_attribution": """
+        WITH pairs AS (
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.user_id,
+                   ROUND(p.value, 6) AS purchase_value
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts < c.ts + INTERVAL '30 minutes'
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        ),
+        n AS (
+            SELECT purchase_id, COUNT(*) AS nc FROM pairs GROUP BY 1
+        )
+        SELECT pairs.click_id, pairs.purchase_id, pairs.user_id,
+               ROUND(pairs.purchase_value / CAST(n.nc AS DOUBLE), 6)
+                   AS credit
+        FROM pairs JOIN n USING (purchase_id)
+    """}
