@@ -389,6 +389,37 @@ def retention_cohorts(
     )
 
 
+def pct_change_daily(
+    events, key_col: str = "event_type", day_col: str = "day",
+    value_col: str = "value",
+):
+    """Day-over-day percent change of per-key revenue — the reporting
+    staple over the daily rollup: DECIMAL-accumulated daily sums, then
+    lag() per key ordered by day (partitions bounded by days-per-key)
+    and ONE portable division. First day per key has NULL change.
+    Returns (key, day, dv, pct_change)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as FF
+    from pyspark.sql import types as TT
+
+    dec = TT.DecimalType(38, 16)
+    daily = events.groupBy(key_col, day_col).agg(
+        FF.round(FF.sum(FF.col(value_col).cast(dec)), 4)
+        .cast("double").alias("dv")
+    )
+    w = W.partitionBy(key_col).orderBy(FF.col(day_col).asc())
+    prev = FF.lag("dv").over(w)
+    return daily.select(
+        key_col, day_col, "dv",
+        FF.round((FF.col("dv") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
+def q_pct_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return pct_change_daily(events)
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     return retention_cohorts(events)
@@ -555,6 +586,7 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_value_histogram": q_value_histogram,
         "analytics_latest_per_key": q_latest_event_per_user,
         "analytics_retention_cohorts": q_retention_cohorts,
+        "analytics_pct_change_daily": q_pct_change_daily,
         "analytics_embedding_centroids": q_embedding_centroids,
         "analytics_zscore_outliers": q_zscore_outliers,
         "analytics_topn_per_group": q_topn_orders,
@@ -712,6 +744,19 @@ def entry_oracles() -> dict[str, str]:
         "analytics_json_props": json_props,
         "analytics_value_histogram": histogram,
         "analytics_latest_per_key": latest,
+        "analytics_pct_change_daily": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 4)
+                            AS DOUBLE) AS dv
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, dv,
+                   ROUND((dv - lag(dv) OVER w) / lag(dv) OVER w, 6)
+                       AS pct_change
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+        """,
         "analytics_retention_cohorts": """
             WITH t AS (
                 SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
