@@ -75,6 +75,14 @@ agg_terms = st.sampled_from([
 #: Row-level computed projections over the r5 expression grammar
 #: (string functions, literals) — ungrouped selects only.
 expr_terms = st.sampled_from([
+    # r5: date-part and numeric scalar functions
+    {"expr": {"fn": "year", "args": ["day"]}, "as": "yr"},
+    {"expr": {"fn": "month", "args": ["day"]}, "as": "mo"},
+    {"expr": {"fn": "abs", "args": [{"op": "sub", "args": ["value", 50]}]},
+     "as": "dist50"},
+    {"expr": {"fn": "least", "args": ["value", 25.0]}, "as": "capped"},
+    {"expr": {"fn": "greatest", "args": ["value", "user_id", 10]},
+     "as": "hi3"},
     {"expr": {"fn": "upper", "args": ["event_type"]}, "as": "et_up"},
     {"expr": {"fn": "concat", "args": [{"lit": "t:"}, "event_type",
                                        {"lit": "!"}]}, "as": "tagged"},
