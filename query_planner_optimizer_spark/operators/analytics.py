@@ -415,6 +415,41 @@ def pct_change_daily(
     )
 
 
+def stickiness_daily(
+    events, user_col: str = "user_id", ts_col: str = "ts"
+):
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    track: distinct daily users over distinct users of the containing
+    (Monday-anchored) week. Two distinct-count aggregations on bounded
+    grains plus a broadcast join on week; one portable division.
+    Returns (week, day, dau, wau, stickiness)."""
+    from pyspark.sql import functions as FF
+
+    base = events.select(
+        FF.col(user_col).alias("u"),
+        FF.date_trunc("week", FF.col(ts_col)).cast("date").alias("week"),
+        FF.col(ts_col).cast("date").alias("day"),
+    )
+    dau = base.groupBy("week", "day").agg(
+        FF.countDistinct("u").alias("dau"))
+    wau = base.groupBy("week").agg(FF.countDistinct("u").alias("wau"))
+    return (
+        dau.join(FF.broadcast(wau), "week")
+        .select(
+            "week", "day", "dau", "wau",
+            FF.round(
+                FF.col("dau").cast("double") / FF.col("wau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+def q_stickiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return stickiness_daily(events)
+
+
 def q_pct_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     return pct_change_daily(events)
@@ -587,6 +622,7 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_latest_per_key": q_latest_event_per_user,
         "analytics_retention_cohorts": q_retention_cohorts,
         "analytics_pct_change_daily": q_pct_change_daily,
+        "analytics_stickiness_daily": q_stickiness_daily,
         "analytics_embedding_centroids": q_embedding_centroids,
         "analytics_zscore_outliers": q_zscore_outliers,
         "analytics_topn_per_group": q_topn_orders,
@@ -744,6 +780,25 @@ def entry_oracles() -> dict[str, str]:
         "analytics_json_props": json_props,
         "analytics_value_histogram": histogram,
         "analytics_latest_per_key": latest,
+        "analytics_stickiness_daily": """
+            WITH base AS (
+                SELECT user_id AS u,
+                       CAST(date_trunc('week', ts) AS DATE) AS week,
+                       CAST(ts AS DATE) AS day
+                FROM events
+            ),
+            dau AS (
+                SELECT week, day, COUNT(DISTINCT u) AS dau
+                FROM base GROUP BY 1, 2
+            ),
+            wau AS (
+                SELECT week, COUNT(DISTINCT u) AS wau FROM base GROUP BY 1
+            )
+            SELECT dau.week, dau.day, dau.dau, wau.wau,
+                   ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE),
+                         6) AS stickiness
+            FROM dau JOIN wau USING (week)
+        """,
         "analytics_pct_change_daily": """
             WITH daily AS (
                 SELECT event_type, CAST(ts AS DATE) AS day,
