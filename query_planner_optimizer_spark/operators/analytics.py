@@ -445,6 +445,50 @@ def stickiness_daily(
     )
 
 
+def centroid_similarity(
+    df, group_col: str = "label", vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Pairwise cosine similarity between per-group embedding centroids
+    — the inter-class-confusability summary a clustering or labeling
+    pipeline reports. Centroids are 6dp-rounded per dimension (so both
+    engines fold identical doubles), then the groups × groups pair
+    frame (tiny — labels, not documents) scores with the portable
+    zip_with/aggregate dot product. Returns
+    (label_a, label_b, cos_sim) for a < b.
+    """
+    from pyspark.sql import functions as FF
+
+    from query_planner_optimizer_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    aggs = [
+        FF.round(FF.avg(FF.col(vec_col)[i]), 6).alias(f"__c{i}")
+        for i in range(dim)
+    ]
+    cents = df.groupBy(group_col).agg(*aggs).select(
+        FF.col(group_col),
+        FF.array(*[FF.col(f"__c{i}") for i in range(dim)]).alias("__c"),
+    )
+    a = cents.select(FF.col(group_col).alias("label_a"),
+                     FF.col("__c").alias("__ca"))
+    b = cents.select(FF.col(group_col).alias("label_b"),
+                     FF.col("__c").alias("__cb"))
+    pairs = a.join(b, FF.col("label_a") < FF.col("label_b"))
+    return pairs.select(
+        "label_a", "label_b",
+        FF.round(
+            cosine_similarity(FF.col("__ca"), FF.col("__cb")), 6
+        ).alias("cos_sim"),
+    )
+
+
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return centroid_similarity(emb)
+
+
 def q_stickiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     return stickiness_daily(events)
@@ -623,6 +667,7 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_retention_cohorts": q_retention_cohorts,
         "analytics_pct_change_daily": q_pct_change_daily,
         "analytics_stickiness_daily": q_stickiness_daily,
+        "analytics_centroid_similarity": q_centroid_similarity,
         "analytics_embedding_centroids": q_embedding_centroids,
         "analytics_zscore_outliers": q_zscore_outliers,
         "analytics_topn_per_group": q_topn_orders,
@@ -780,6 +825,25 @@ def entry_oracles() -> dict[str, str]:
         "analytics_json_props": json_props,
         "analytics_value_histogram": histogram,
         "analytics_latest_per_key": latest,
+        "analytics_centroid_similarity": """
+            WITH c0 AS (
+                SELECT label, d.i AS i,
+                       ROUND(AVG(embedding[d.i]), 6) AS v
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+                GROUP BY label, d.i
+            ),
+            c AS (
+                SELECT label, list(v ORDER BY i) AS cv FROM c0
+                GROUP BY label
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+                   ROUND(list_dot_product(a.cv, b.cv)
+                         / (sqrt(list_dot_product(a.cv, a.cv))
+                            * sqrt(list_dot_product(b.cv, b.cv))), 6)
+                       AS cos_sim
+            FROM c a JOIN c b ON a.label < b.label
+        """,
         "analytics_stickiness_daily": """
             WITH base AS (
                 SELECT user_id AS u,
