@@ -240,6 +240,11 @@ def main() -> int:
             .groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_cust"))),
         "bigram_lm": lambda spark, kk: text.bigram_lm_score(
             replicate_docs(spark, kk)),
+        # k-x replication makes EVERY window duplicated (k copies) —
+        # the worst case for the covered-position join; linear k is
+        # the pass bar
+        "duplicate_spans": lambda spark, kk: dedup.duplicate_spans(
+            replicate_docs(spark, kk)),
     }
     print(f"# scale smoke: 1x vs {k}x (sf0.1 base, local, noop sink)")
     for name, build in ops.items():
