@@ -438,6 +438,61 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(T._load_documents(spark, sf_dir))
 
 
+def boilerplate_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    line_tokens: int = 3,
+    min_docs: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """C4-style boilerplate diagnostics: the most document-frequent
+    pseudo-lines (non-overlapping ``line_tokens``-token chunks — the
+    same segmentation :func:`line_dedup` removes by). The report a
+    curation run prints before choosing removal thresholds. Returns the
+    top ``top_k`` (line, n_docs, n_occurrences), ordered by
+    (n_docs desc, line asc) — a total order, so the cut is
+    deterministic. One explode + one partial-agg shuffle on the line
+    string; the top-k is TakeOrdered, never a global sort.
+    """
+    from query_planner_optimizer_spark.functions.textexpr import tokens
+
+    toked = docs.select(
+        F.col("doc_id"), tokens(F.col(text_col)).alias("__t")
+    )
+    n = F.size(F.col("__t"))
+    n_lines = F.ceil(n.cast("double") / F.lit(float(line_tokens))).cast("int")
+    lines = (
+        toked.filter(n >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(F.col("__t"), i * line_tokens + 1,
+                                line_tokens),
+                    ),
+                )
+            ).alias("line"),
+        )
+    )
+    return (
+        lines.groupBy("line")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("line").asc())
+        .limit(top_k)
+    )
+
+
+def q_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_report(T._load_documents(spark, sf_dir))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T.with_token_count(T._load_documents(spark, sf_dir))
     return pack_sequences(docs)
@@ -471,6 +526,7 @@ def entry_queries() -> dict[str, Callable]:
     return {
         "pipeline_clean_corpus": q_clean_corpus,
         "pipeline_curation_funnel": q_curation_funnel,
+        "pipeline_boilerplate_report": q_boilerplate_report,
         "pipeline_pack_sequences": q_pack_sequences,
         "pipeline_chunk_documents": q_chunk_documents,
         "pipeline_top_quality": q_top_quality,
@@ -658,8 +714,30 @@ def entry_oracles() -> dict[str, str]:
                CAST(pre % {PACK_BUDGET} AS INTEGER) AS pack_offset
         FROM cum
     """
+    boiler = f"""
+        WITH toked AS (
+            SELECT doc_id, {toks} AS t FROM documents
+        ),
+        lines AS (
+            SELECT doc_id,
+                   array_to_string(t[u.i * 3 + 1 : u.i * 3 + 3], ' ')
+                       AS line
+            FROM (SELECT doc_id, t,
+                         unnest(list_transform(
+                             range(CAST(ceil(len(t) / 3.0) AS BIGINT)),
+                             i -> struct_pack(i := i))) AS u
+                  FROM toked WHERE len(t) >= 1)
+        )
+        SELECT line, COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences
+        FROM lines GROUP BY line
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, line ASC
+        LIMIT 50
+    """
     return {"pipeline_clean_corpus": sql,
             "pipeline_curation_funnel": funnel,
+            "pipeline_boilerplate_report": boiler,
             "pipeline_pack_sequences": pack,
             "pipeline_chunk_documents": chunk,
             "pipeline_top_quality": top_quality,
