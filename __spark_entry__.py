@@ -1146,6 +1146,20 @@ DSL_QUERIES.update({
         "group_by": ["l_year"],
         "order_by": ["l_year"],
     },
+    # mod arithmetic: bucket users by id remainder via a derived FROM,
+    # then aggregate per bucket (dividend-sign %% semantics are
+    # identical in both engines).
+    "dsl_mod_bucketing": {
+        "select": ["bucket", {"COUNT": "*", "as": "n"},
+                   {"SUM": "value", "as": "sv", "round": 4}],
+        "from": {"select": [{"expr": {"op": "mod",
+                                      "args": ["user_id", 10]},
+                             "as": "bucket"},
+                            "value"],
+                 "from": "events"},
+        "group_by": ["bucket"],
+        "order_by": ["bucket"],
+    },
     # Numeric scalar functions (abs / least / greatest — identical
     # null-propagating semantics both engines) in projections and an
     # aggregate target.

@@ -359,7 +359,7 @@ def _is_integral_expr(
             return _is_integral_expr(
                 e.get("then"), type_map
             ) and _is_integral_expr(e.get("else"), type_map)
-        if e.get("op") in ("add", "sub", "mul"):
+        if e.get("op") in ("add", "sub", "mul", "mod"):
             return all(
                 _is_integral_expr(a, type_map) for a in e.get("args") or []
             )

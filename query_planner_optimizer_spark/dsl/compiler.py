@@ -96,7 +96,9 @@ FILTER_OPS = ("eq", "neq", "in", "not_in", "between", "lt", "lte", "gt", "gte",
               "is_null", "is_not_null", "like")
 
 
-ARITH_OPS = {"add": "+", "sub": "-", "mul": "*", "div": "/"}
+#: mod maps to ``%`` — dividend-sign semantics in BOTH Spark and
+#: DuckDB, so the spelling is portable as-is.
+ARITH_OPS = {"add": "+", "sub": "-", "mul": "*", "div": "/", "mod": "%"}
 
 
 def _is_expr_term(term: Any) -> bool:
@@ -161,7 +163,8 @@ def _post_column(term: dict) -> Column:
             nxt = build(a)
             op = e["op"]
             out = (out + nxt if op == "add" else out - nxt if op == "sub"
-                   else out * nxt if op == "mul" else out / nxt)
+                   else out * nxt if op == "mul"
+                   else out % nxt if op == "mod" else out / nxt)
         return out
 
     col = build(term["post"])
@@ -274,6 +277,8 @@ def _num_expr(df: DataFrame, e: Any) -> Column:
             out = out - nxt
         elif op == "mul":
             out = out * nxt
+        elif op == "mod":
+            out = out % nxt
         else:
             out = out / nxt
     return out

@@ -289,7 +289,7 @@ def _agg_term(t: dict, alias: str) -> dict:
 
 
 _ARITH_CLS = {"Multiply": "mul", "Divide": "div",
-              "Add": "add", "Subtract": "sub"}
+              "Add": "add", "Subtract": "sub", "Remainder": "mod"}
 
 
 def _post_expr(t: dict, hidden: list, alias_of: dict):
