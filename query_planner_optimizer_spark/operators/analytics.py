@@ -499,6 +499,37 @@ def q_pct_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pct_change_daily(events)
 
 
+def new_vs_returning(
+    events, user_col: str = "user_id", ts_col: str = "ts"
+):
+    """New vs returning daily actives — the growth-accounting split:
+    a user is NEW on their first-ever active day, RETURNING on every
+    later one. Same bounded machinery as the retention triangle
+    (distinct activity + per-user MIN + join back); returns
+    (day, n_new, n_returning)."""
+    from pyspark.sql import functions as FF
+
+    activity = events.select(
+        FF.col(user_col).alias("u"), FF.col(ts_col).cast("date").alias("day")
+    ).distinct()
+    first = activity.groupBy("u").agg(FF.min("day").alias("first_day"))
+    flagged = activity.join(first, "u")
+    return (
+        flagged.groupBy("day")
+        .agg(
+            FF.count(FF.when(FF.col("day") == FF.col("first_day"), 1))
+            .alias("n_new"),
+            FF.count(FF.when(FF.col("day") != FF.col("first_day"), 1))
+            .alias("n_returning"),
+        )
+    )
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return new_vs_returning(events)
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     return retention_cohorts(events)
@@ -665,6 +696,7 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_value_histogram": q_value_histogram,
         "analytics_latest_per_key": q_latest_event_per_user,
         "analytics_retention_cohorts": q_retention_cohorts,
+        "analytics_new_vs_returning": q_new_vs_returning,
         "analytics_pct_change_daily": q_pct_change_daily,
         "analytics_stickiness_daily": q_stickiness_daily,
         "analytics_centroid_similarity": q_centroid_similarity,
@@ -875,6 +907,22 @@ def entry_oracles() -> dict[str, str]:
                        AS pct_change
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+        """,
+        "analytics_new_vs_returning": """
+            WITH t AS (
+                SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+                FROM events
+            ),
+            f AS (
+                SELECT u, MIN(day) AS first_day FROM t GROUP BY u
+            )
+            SELECT t.day,
+                   COUNT(CASE WHEN t.day = f.first_day THEN 1 END)
+                       AS n_new,
+                   COUNT(CASE WHEN t.day <> f.first_day THEN 1 END)
+                       AS n_returning
+            FROM t JOIN f USING (u)
+            GROUP BY t.day
         """,
         "analytics_retention_cohorts": """
             WITH t AS (
