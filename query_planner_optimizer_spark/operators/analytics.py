@@ -525,6 +525,29 @@ def new_vs_returning(
     )
 
 
+def power_user_curve(
+    events, user_col: str = "user_id", ts_col: str = "ts"
+):
+    """Power-user curve: how many users were active on exactly N
+    distinct days — the engagement-distribution chart (the Q13
+    count-of-counts shape applied to activity). Two bounded
+    aggregations; output rows ≤ days in range."""
+    from pyspark.sql import functions as FF
+
+    activity = events.select(
+        FF.col(user_col).alias("u"), FF.col(ts_col).cast("date").alias("day")
+    ).distinct()
+    per_user = activity.groupBy("u").agg(
+        FF.count(FF.lit(1)).alias("n_active_days"))
+    return per_user.groupBy("n_active_days").agg(
+        FF.count(FF.lit(1)).alias("n_users"))
+
+
+def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return power_user_curve(events)
+
+
 def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     return new_vs_returning(events)
@@ -697,6 +720,7 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_latest_per_key": q_latest_event_per_user,
         "analytics_retention_cohorts": q_retention_cohorts,
         "analytics_new_vs_returning": q_new_vs_returning,
+        "analytics_power_user_curve": q_power_user_curve,
         "analytics_pct_change_daily": q_pct_change_daily,
         "analytics_stickiness_daily": q_stickiness_daily,
         "analytics_centroid_similarity": q_centroid_similarity,
@@ -907,6 +931,15 @@ def entry_oracles() -> dict[str, str]:
                        AS pct_change
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+        """,
+        "analytics_power_user_curve": """
+            WITH t AS (
+                SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+                FROM events
+            ),
+            p AS (SELECT u, COUNT(*) AS n_active_days FROM t GROUP BY u)
+            SELECT n_active_days, COUNT(*) AS n_users
+            FROM p GROUP BY n_active_days
         """,
         "analytics_new_vs_returning": """
             WITH t AS (
