@@ -638,6 +638,72 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_load_documents(spark, sf_dir))
 
 
+#: Vocabulary sizes the coverage curve reports.
+VOCAB_CURVE_KS = (100, 500, 1000, 5000)
+
+
+def vocab_coverage_curve(
+    docs: DataFrame, text_col: str = "text",
+    ks: tuple[int, ...] = VOCAB_CURVE_KS,
+) -> DataFrame:
+    """Token-stream coverage of a top-k frequency vocabulary for each
+    k — the tokenizer-design curve ("how big must the vocab be to cover
+    99%?"). Exact and well-defined even when k splits a tie group:
+    words with equal count are interchangeable, so covered tokens at
+    word-rank k = (tokens of strictly-higher counts) + (k − higher
+    words) · count — no per-word ordering needed.
+
+    Plan: token counts (one partial-agg shuffle), collapsed to COUNT
+    LEVELS (distinct frequency values — bounded far below vocab size),
+    cumulated by a window over the LEVELS (the token_budget discipline:
+    never a vocab-wide window), then each k looks up its level. One
+    division per k. Returns (k, covered_tokens, total_tokens,
+    coverage).
+    """
+    from pyspark.sql import Window as W
+
+    tok = docs.select(F.explode(_tokens(text_col)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    levels = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_words"))
+    wl = (W.orderBy(F.col("c").desc())
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    lv = levels.select(
+        "c", "n_words",
+        (F.sum("n_words").over(wl) - F.col("n_words")).alias("words_before"),
+        (F.sum(F.col("c") * F.col("n_words")).over(wl)
+         - F.col("c") * F.col("n_words")).alias("tokens_before"),
+    )
+    total = tok.count()
+    kdf = lv.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k long")
+    # each k lands in the level where words_before < k <= words_before
+    # + n_words; ks beyond the vocab cover everything
+    joined = kdf.join(
+        F.broadcast(lv),
+        (F.col("words_before") < F.col("k"))
+        & (F.col("k") <= F.col("words_before") + F.col("n_words")),
+        "left",
+    )
+    covered = F.when(
+        F.col("c").isNull(), F.lit(int(total))
+    ).otherwise(
+        F.col("tokens_before")
+        + (F.col("k") - F.col("words_before")) * F.col("c")
+    )
+    return joined.select(
+        "k",
+        covered.cast("long").alias("covered_tokens"),
+        F.lit(int(total)).alias("total_tokens"),
+        F.round(
+            covered.cast("double") / F.lit(float(total)), 6
+        ).alias("coverage"),
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage_curve(_load_documents(spark, sf_dir))
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_readability(_load_documents(spark, sf_dir)).select(
         "doc_id", "n_words", "n_sentences", "n_syllables", "flesch_score"
@@ -659,6 +725,7 @@ def entry_queries() -> dict[str, Callable]:
         "text_collocations": q_collocations,
         "text_bigram_lm": q_bigram_lm,
         "text_readability": q_readability,
+        "text_vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -842,6 +909,35 @@ def entry_oracles() -> dict[str, str]:
             JOIN uni ua ON p.tok_a = ua.tok
             JOIN uni ub ON p.tok_b = ub.tok
             CROSS JOIN total t
+        """,
+        "text_vocab_coverage": f"""
+            WITH tok AS (
+                SELECT unnest({toks}) AS token FROM documents
+            ),
+            counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+            levels AS (SELECT c, COUNT(*) AS n_words FROM counts GROUP BY c),
+            lv AS (
+                SELECT c, n_words,
+                       SUM(n_words) OVER w - n_words AS words_before,
+                       SUM(c * n_words) OVER w - c * n_words AS tokens_before
+                FROM levels
+                WINDOW w AS (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)
+            ),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts),
+            ks AS (SELECT unnest([100, 500, 1000, 5000]) AS k)
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(COALESCE(lv.tokens_before
+                        + (ks.k - lv.words_before) * lv.c, tot.total)
+                        AS BIGINT) AS covered_tokens,
+                   tot.total AS total_tokens,
+                   ROUND(CAST(COALESCE(lv.tokens_before
+                        + (ks.k - lv.words_before) * lv.c, tot.total)
+                        AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+                       AS coverage
+            FROM ks
+            LEFT JOIN lv ON lv.words_before < ks.k
+                        AND ks.k <= lv.words_before + lv.n_words
+            CROSS JOIN tot
         """,
         "text_readability": f"""
             SELECT doc_id,
