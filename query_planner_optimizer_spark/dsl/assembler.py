@@ -838,6 +838,8 @@ def assemble_sql(
                     f"expression projections are row-level only: {term}"
                 )
             rendered = _num_expr_sql(term["expr"], dialect, type_map)
+            if term.get("round") is not None:
+                rendered = f"ROUND({rendered}, {int(term['round'])})"
             select_terms.append(
                 f"{rendered} AS {_quote_ident(term['as'], dialect)}"
             )

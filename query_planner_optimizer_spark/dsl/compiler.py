@@ -1306,7 +1306,10 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         out_columns = []
         for t in select:
             if _is_expr_term(t):
-                proj.append(_num_expr(df, t["expr"]).alias(t["as"]))
+                e = _num_expr(df, t["expr"])
+                if t.get("round") is not None:
+                    e = F.round(e, t["round"])
+                proj.append(e.alias(t["as"]))
                 out_columns.append(t["as"])
             elif _is_win_term(t):
                 proj.append(_window_column(df, t))

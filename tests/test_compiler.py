@@ -1162,3 +1162,19 @@ def test_col_vs_col_comparison(catalog, ddb):
         with pytest.raises(QueryError):
             assemble_sql(b, catalog.spark_type_map("events"),
                          dialect="duckdb")
+
+
+def test_expr_projection_round_option(catalog, ddb):
+    """{"expr": ..., "round": n} rounds a computed projection in both
+    twins identically."""
+    tm = catalog.spark_type_map("events")
+    q = {"select": ["event_id",
+                    {"expr": {"op": "div", "args": ["value", 7]},
+                     "as": "sev", "round": 4}],
+         "from": "events",
+         "where": [{"col": "value", "op": "is_not_null"}],
+         "order_by": ["event_id"], "limit": 50}
+    df = compile_query(q, catalog)
+    sql = assemble_sql(q, tm, dialect="duckdb")
+    assert "ROUND(" in sql
+    assert_matches_duckdb(df, ddb, sql, ordered=True)
