@@ -494,9 +494,12 @@ def derived_output_types(
     if isinstance(q.get("from"), dict):
         inner_map.update(derived_output_types(q["from"], inner_map))
     out: dict[str, T.DataType] = {}
+    post_terms: list[dict] = []
     for t in q.get("select") or []:
         if _is_post_term(t):
-            out[t["as"]] = T.DoubleType()
+            # Leaves reference sibling aggregate aliases / group keys —
+            # type them in a second pass once those aliases are typed.
+            post_terms.append(t)
         elif _is_win_term(t):
             raise QueryError(
                 "window projections are not supported inside a "
@@ -513,6 +516,19 @@ def derived_output_types(
                     f"unknown column {t!r} in derived-table select"
                 )
             out[t] = inner_map[t]
+    for t in post_terms:
+        # A provably-integral post tree (e.g. the product/difference of
+        # two BIGINT SUM aliases) yields BIGINT in both engines; an
+        # outer SUM over it then needs the HUGEINT→BIGINT pin, which
+        # _agg_out_type applies only when the input types LongType.
+        # Division and non-integral leaves stay DOUBLE as before.
+        alias_map = {**inner_map, **out}
+        out[t["as"]] = (
+            T.LongType()
+            if t.get("round") is None
+            and _is_integral_expr(t["post"], alias_map)
+            else T.DoubleType()
+        )
     return out
 
 

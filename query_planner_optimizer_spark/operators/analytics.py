@@ -409,9 +409,14 @@ def pct_change_daily(
     )
     w = W.partitionBy(key_col).orderBy(FF.col(day_col).asc())
     prev = FF.lag("dv").over(w)
+    # Guard the divisor: a zero-revenue previous day yields NULL here
+    # under Spark's non-ANSI Divide but ±Infinity under DuckDB's IEEE
+    # default — pin both twins to NULL explicitly.
     return daily.select(
         key_col, day_col, "dv",
-        FF.round((FF.col("dv") - prev) / prev, 6).alias("pct_change"),
+        FF.when(
+            prev != 0, FF.round((FF.col("dv") - prev) / prev, 6)
+        ).alias("pct_change"),
     )
 
 
@@ -927,8 +932,9 @@ def entry_oracles() -> dict[str, str]:
                 FROM events GROUP BY 1, 2
             )
             SELECT event_type, day, dv,
-                   ROUND((dv - lag(dv) OVER w) / lag(dv) OVER w, 6)
-                       AS pct_change
+                   CASE WHEN lag(dv) OVER w <> 0 THEN
+                        ROUND((dv - lag(dv) OVER w) / lag(dv) OVER w, 6)
+                   END AS pct_change
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
         """,

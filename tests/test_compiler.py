@@ -1178,3 +1178,33 @@ def test_expr_projection_round_option(catalog, ddb):
     sql = assemble_sql(q, tm, dialect="duckdb")
     assert "ROUND(" in sql
     assert_matches_duckdb(df, ddb, sql, ordered=True)
+
+
+def test_integral_post_term_in_derived_from_pins_bigint(catalog, ddb):
+    """An integral post-aggregation term (product of two COUNT aliases)
+    inside a derived FROM must type BIGINT so an outer SUM over it gets
+    the HUGEINT→BIGINT oracle pin — dtype-kind parity, not just values
+    (ADVICE r5: derived_output_types typed every post term DOUBLE)."""
+    q = {"select": [{"SUM": "nn", "as": "total_nn"},
+                    {"SUM": "ratio", "as": "total_ratio", "round": 6}],
+         "from": {"select": ["event_type",
+                             {"COUNT": "*", "as": "n"},
+                             {"COUNT_DISTINCT": "user_id", "as": "nu"},
+                             {"post": {"op": "mul", "args": ["n", "nu"]},
+                              "as": "nn"},
+                             {"post": {"op": "div", "args": ["n", "nu"]},
+                              "as": "ratio"}],
+                  "from": "events",
+                  "group_by": ["event_type"]}}
+    tm = catalog.spark_type_map("events")
+    sql = assemble_sql(q, tm, dialect="duckdb")
+    # the pin must wrap the SUM over the integral post alias only
+    assert "CAST(SUM(nn) AS BIGINT)" in sql.replace('"', "")
+    df = compile_query(q, catalog)
+    got = df.toPandas()
+    want = ddb.execute(sql).fetchdf()
+    assert got["total_nn"].dtype.kind == "i"
+    assert want["total_nn"].dtype.kind == "i"
+    assert got["total_ratio"].dtype.kind == "f"
+    assert want["total_ratio"].dtype.kind == "f"
+    assert_matches_duckdb(df, ddb, sql)
