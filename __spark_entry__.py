@@ -1597,67 +1597,81 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-5 window (r4 VERDICT #1: rotate to the stale-evidence
-    # -- entries). Composition: the 2 entries with NO driver row ever,
-    # -- then all 31 entries whose latest driver-green row is r2, then a
-    # -- regression core over code changed since the r4 snapshot, then
-    # -- the oldest r3-green entries to fill 50. Everything else stays
-    # -- declared and exactcheck-verified below the fold; the remaining
-    # -- r3 entries rotate into the r6 window.
-    # never driver-checked (added below the fold in r3, or new in r5)
-    "dsl_tpch_q4_priority_exists",    # EXISTS-as-semi-join w/ inner filter
-    "dedup_minhash_bucket_cap",       # hot-bucket drop, oracle-replayed cap
-    "dsl_plan_routed_daily_rollup",   # Catalyst-plan-level rollup route
-    # r2-only evidence: the full 31-entry stale set
-    "dsl_filter_eq",
-    "dsl_filter_neq",
-    "dsl_filter_in",
-    "dsl_expr_projection",
-    "dsl_case_projection",
-    "dsl_filter_not_in",
-    "dsl_filter_between",
-    "dsl_filter_range_ops",
-    "dsl_groupby_sum",
-    "dsl_groupby_avg",
-    "dsl_groupby_count_star",
-    "dsl_count_col",
-    "dsl_count_distinct_users",
-    "dsl_intersect_segments",
-    "dsl_except_segments",
-    "dsl_union_segments",
-    "dsl_distinct_pairs",
-    "dsl_groupby_min_max",
-    "dsl_groupby_stddev_var",
-    "dsl_topk_limit",
-    "dsl_having_group_gate",
-    "dsl_daily_rollup",
-    "dsl_weekly_rollup",
-    "dsl_minute_rollup",
-    "dsl_day_in_coercion",
-    "dsl_join_brand_pricing",
-    "dsl_join_tree_having_mix",
-    "dsl_scalar_subquery_small_orders",
-    "dsl_median_value",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    # regression core: code paths changed after the r4 snapshot
-    "dedup_minhash_quality",          # seed-lambda arity fix (xxhash64 path)
-    "pipeline_token_budget",          # doc_id-range salt on level window
-    "stream_heavy_hitters",           # late-data semantics pinned
-    "dsl_routed_incremental_rollup",  # refresh swap recovery
-    "dsl_routed_daily_rollup",        # router invalidate() hook
-    "text_strip_markup",              # portable whitespace class
-    "dedup_connected_components",     # fixpoint extra-round check
-    # oldest r3-green entries, cross-family fill to 50
-    "dsl_filter_gauntlet",
-    "dsl_ungrouped_agg",
-    "dsl_multikey_orderby",
-    "dedup_decontaminate",
-    "sim_cosine_topk",
-    "text_quality_score",
-    "stream_sessionize",
-    "temporal_asof_join",             # r4 tolerance feature, r3 row
-    "pipeline_clean_corpus",
+    # -- round-6 window (r5 VERDICT #1: pure evidence conversion).
+    # -- Composition: 50 of the 56 entries that have exactcheck
+    # -- evidence but NO driver row in any CORRECTNESS_r01-r05.json —
+    # -- all the r5 additions (correlated subqueries, CTEs, derived
+    # -- FROM, membership/TPC-H Q7-Q22 shapes, duplicate spans,
+    # -- semantic dedup, int8 ANN, WAV/MP4, growth analytics,
+    # -- OHLC/SCD2/gap-fill/attribution, epoch shuffle, temperature
+    # -- mixture, streaming distinct/maintenance, minmax rollup). The
+    # -- 6 deferred to r7 are the cheapest-to-defer simple-DSL shapes
+    # -- whose code paths have r5-driver-green cousins:
+    # -- dsl_orderby_nulls_last, dsl_string_functions,
+    # -- dsl_numeric_functions, dsl_mod_bucketing,
+    # -- dsl_filter_col_vs_col, dsl_topk_offset_page.
+    # TPC-H composite shapes (r5-new, never driver-checked)
+    "dsl_tpch_q7_volume_shipping",
+    "dsl_tpch_q8_market_share",
+    "dsl_tpch_q9_product_profit",
+    "dsl_tpch_q13_cust_distribution",
+    "dsl_tpch_q14_promo_share",
+    "dsl_tpch_q15_top_supplier",
+    "dsl_tpch_q17_small_quantity",
+    "dsl_tpch_q18_large_orders",
+    "dsl_tpch_q19_disjunctive",
+    "dsl_tpch_q22_untapped_accounts",
+    # correlated + membership subqueries, CTEs, derived FROM
+    "dsl_corr_price_per_line",
+    "dsl_corr_join_subquery",
+    "dsl_corr_above_user_avg",
+    "dsl_cte_join_semi",
+    "dsl_cte_above_avg_days",
+    "dsl_cte_chain_user_type",
+    "dsl_setop_derived_from",
+    # grammar composites
+    "dsl_window_frames_ntile",
+    "dsl_window_over_aggregate",
+    "dsl_having_inline_agg",
+    "dsl_covariance_by_hand",
+    # dedup additions
+    "dedup_duplicate_spans",
+    "dedup_remove_spans",
+    "dedup_report",
+    "dedup_semantic_clusters",
+    # similarity / ANN additions
+    "sim_quantize_int8",
+    "sim_quantized_topk",
+    # text analysis additions
+    "text_bigram_lm",
+    "text_readability",
+    "text_vocab_coverage",
+    # multimodal parsers
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
+    # streaming additions
+    "stream_windowed_distinct",
+    "stream_rollup_maintenance",
+    # growth / engagement analytics family
+    "analytics_retention_cohorts",
+    "analytics_new_vs_returning",
+    "analytics_power_user_curve",
+    "analytics_pct_change_daily",
+    "analytics_stickiness_daily",
+    "analytics_centroid_similarity",
+    "analytics_grouping_sets",
+    # temporal additions
+    "temporal_gapfill_hourly",
+    "temporal_scd2_intervals",
+    "temporal_ohlc_hourly",
+    "temporal_linear_attribution",
+    # pipeline / sampling additions
+    "pipeline_curation_funnel",
+    "pipeline_boilerplate_report",
+    "sample_epoch_shuffle",
+    "sample_temperature_mixture",
+    # router addition
+    "dsl_routed_minmax_rollup",
 ]
 
 
