@@ -215,7 +215,7 @@ def main() -> None:
     oracle_warm_total = round(sum(oracle_warm.values()), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    payload = {
         "metric": "total_query_time",
         "value": total,
         "unit": "sec",
@@ -235,7 +235,20 @@ def main() -> None:
             "ratio_warm": round(engine_warm_covered / oracle_warm_total, 3)
             if oracle_warm_total else None,
         },
-    }))
+    }
+    # The driver records only a 2000-char tail of stdout, which
+    # truncates per-query cold times; persist the complete payload so
+    # each round's artifact is self-contained and per-query
+    # regressions are diffable without a re-run (r5 VERDICT #3).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries totals
+    print(json.dumps(payload))
     spark.stop()
 
 

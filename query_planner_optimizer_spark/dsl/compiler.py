@@ -932,6 +932,280 @@ def _resolve_order_col(name: str, out_columns: list[str]) -> str:
     raise QueryError(f"order_by column {name!r} not in result columns {out_columns}")
 
 
+class _FrameCatalog:
+    """Catalog facade resolving one prebuilt frame by name before
+    falling back to the base catalog — lets an optimizer rewrite feed
+    a DataFrame it constructed into the ordinary compile path."""
+
+    def __init__(self, base, name: str, frame: DataFrame):
+        self._base = base
+        self._name = name
+        self._frame = frame
+
+    def table(self, name: str) -> DataFrame:
+        if name == self._name:
+            return self._frame
+        return self._base.table(name)
+
+
+_EAGER_TABLE = "__eager_partials__"
+_INTEGRAL_SPARK_TYPES = (T.ByteType, T.ShortType, T.IntegerType,
+                         T.LongType)
+
+
+def _cond_col_refs(cond: Any) -> set:
+    """All column names referenced by a WHERE condition tree (col and
+    col2 leaves; OR/NOT nodes recursed). Subquery values contribute no
+    outer refs (uncorrelated) — correlated ones are flagged by the
+    caller via their 'correlate' key."""
+    refs: set = set()
+    if not isinstance(cond, dict):
+        return refs
+    if "or" in cond:
+        for c in cond["or"]:
+            refs |= _cond_col_refs(c)
+        return refs
+    if "not" in cond:
+        return _cond_col_refs(cond["not"])
+    if isinstance(cond.get("col"), str):
+        refs.add(cond["col"])
+    if isinstance(cond.get("col2"), str):
+        refs.add(cond["col2"])
+    val = cond.get("val")
+    if isinstance(val, dict) and isinstance(val.get("correlate"), list):
+        refs |= {c for c in val["correlate"] if isinstance(c, str)}
+    return refs
+
+
+def _having_has_inline_agg(having: list) -> bool:
+    def walk(c) -> bool:
+        if not isinstance(c, dict):
+            return False
+        if "or" in c:
+            return any(walk(x) for x in c["or"])
+        if "not" in c:
+            return walk(c["not"])
+        return any(isinstance(k, str) and k.upper() in AGG_FUNCS
+                   for k in c)
+    return any(walk(c) for c in having or [])
+
+
+def _try_eager_agg(q: dict, catalog) -> tuple | None:
+    """Eager aggregation (partial aggregation pushed below the join —
+    Yan & Larson, VLDB'95): for `O JOIN T ON oc = gk ... GROUP BY ...`
+    where every aggregate targets T's columns, aggregate T by gk FIRST
+    into exact partials, then join the (much smaller) partial frame
+    and re-aggregate the partials. Bit-exact by construction: rounded
+    SUMs accumulate in DECIMAL (associative) and are rounded only at
+    the final step, integral SUM/COUNT re-aggregate in BIGINT, MIN/MAX
+    are idempotent. A membership subquery over the same (T, gk) —
+    TPC-H Q18's `o_orderkey IN (SELECT l_orderkey ... HAVING ...)` —
+    fuses as a filter on the partial frame, so T is scanned and
+    aggregated ONCE instead of twice and never shuffles its raw rows
+    through the join.
+
+    Returns (q_rewritten, catalog_facade) or None when any guard
+    fails; the rewrite never fires on shapes it cannot prove exact.
+    """
+    if not isinstance(q, dict) or "with" in q or q.get("distinct"):
+        return None
+    if any(kw in q for kw in SET_OPS):
+        return None
+    table = q.get("from", "events")
+    joins = q.get("join") or []
+    group_by = q.get("group_by") or []
+    if not isinstance(table, str) or len(joins) != 1 or not group_by:
+        return None
+    jspec = joins[0]
+    jt = jspec.get("table")
+    if (not isinstance(jt, str) or jt.startswith("__")
+            or jspec.get("type", "inner") != "inner"
+            or jspec.get("where")):
+        return None
+    pairs = jspec.get("on") or []
+    if len(pairs) != 1:
+        return None
+    p0 = pairs[0]
+    oc, gk = (p0, p0) if isinstance(p0, str) else tuple(p0)
+    select = q.get("select") or []
+    if _having_has_inline_agg(q.get("having") or []):
+        return None
+    agg_terms = [t for t in select if _is_agg_term(t)]
+    if not agg_terms:
+        return None
+    if any(_is_win_term(t) or _is_expr_term(t) for t in select):
+        return None
+    try:
+        o_df = catalog.table(table)
+        t_df = catalog.table(jt)
+    except Exception:
+        return None
+    if oc not in o_df.columns or gk not in t_df.columns:
+        return None
+    t_types = {f.name: f.dataType for f in t_df.schema.fields}
+    # Columns that may appear in rewritten group keys / plain selects.
+    if any(k not in o_df.columns and k != gk for k in group_by):
+        return None
+
+    def _aggs_pushable(terms: list) -> bool:
+        for t in terms:
+            fname, col, _out, round_to, filt = _parse_agg_term(t)
+            if filt or "as" not in t:
+                return False
+            if fname not in ("SUM", "COUNT", "MIN", "MAX"):
+                return False
+            if col == "*":
+                if fname != "COUNT":
+                    return False
+                continue
+            if not isinstance(col, str) or col not in t_types:
+                return False
+            if col in o_df.columns and col != gk:
+                return False  # ambiguous side — stay on the safe path
+            if fname == "SUM" and round_to is None and not isinstance(
+                    t_types[col], _INTEGRAL_SPARK_TYPES):
+                return False  # unrounded double SUM: order-sensitive
+            if fname != "SUM" and round_to is not None:
+                return False
+        return True
+
+    if not _aggs_pushable(agg_terms):
+        return None
+
+    conds = q.get("where") or []
+    fused_members: list[dict] = []
+    rest_conds: list = []
+    for cond in conds:
+        if _is_membership_leaf(cond) and cond.get("op") == "in" \
+                and cond.get("col") == oc:
+            sub = cond["val"]["subquery"]
+            sub_sel = sub.get("select") or []
+            if (isinstance(sub, dict)
+                    and sub.get("from") == jt
+                    and sub.get("group_by") == [gk]
+                    and not any(k in sub for k in
+                                ("where", "join", "with", "order_by",
+                                 "limit", "distinct"))
+                    and not any(kw in sub for kw in SET_OPS)
+                    and sub_sel and sub_sel[0] == gk
+                    and all(_is_agg_term(t) for t in sub_sel[1:])
+                    and _aggs_pushable(sub_sel[1:])
+                    and not _having_has_inline_agg(
+                        sub.get("having") or [])
+                    and all(not isinstance(c.get("val"), dict)
+                            for c in _flatten_cond_leaves(
+                                sub.get("having") or []))):
+                fused_members.append(cond)
+                continue
+        rest_conds.append(cond)
+    # Remaining conds must reference only the probe side (applying an
+    # O-only predicate before or after the partial join is identical;
+    # a T-row-level predicate would have to filter before aggregation).
+    for cond in rest_conds:
+        if _is_membership_leaf(cond):
+            if cond.get("col") not in o_df.columns:
+                return None
+            continue
+        refs = _cond_col_refs(cond)
+        if not refs.issubset(set(o_df.columns) | {gk}):
+            return None
+        if gk in refs and gk not in o_df.columns:
+            return None  # post-join gk ref would bind to P pre-filter
+
+    # ---- build the partial frame P = T grouped by gk ----
+    partials: dict[tuple, str] = {}
+    pexprs: list[Column] = []
+
+    def partial_for(fname: str, col, round_to) -> str:
+        if fname == "SUM" and round_to is not None:
+            key = ("SUMD", col, agg_decimal_scale(round_to))
+        else:
+            key = (fname, col, None)
+        if key in partials:
+            return partials[key]
+        name = f"__p{len(partials)}"
+        if key[0] == "SUMD":
+            e = F.sum(F.col(col).cast(T.DecimalType(38, key[2])))
+        elif fname == "SUM":
+            e = F.sum(col)
+        elif fname == "COUNT":
+            e = F.count(F.lit(1)) if col == "*" else F.count(col)
+        elif fname == "MIN":
+            e = F.min(col)
+        else:
+            e = F.max(col)
+        partials[key] = name
+        pexprs.append(e.alias(name))
+        return name
+
+    def rewrite_term(t: dict) -> dict:
+        fname, col, out, round_to, _f = _parse_agg_term(t)
+        pname = partial_for(fname, col, round_to)
+        if fname in ("SUM", "COUNT"):
+            new = {"SUM": pname, "as": out}
+            if round_to is not None:
+                new["round"] = round_to
+            return new
+        return {fname: pname, "as": out}
+
+    # Reserve partials for the outer terms first, then the fused
+    # member subqueries (sharing identical (fn, col, scale) slots).
+    new_select = [rewrite_term(t) if _is_agg_term(t) else t
+                  for t in select]
+    member_specs = []
+    for cond in fused_members:
+        sub = cond["val"]["subquery"]
+        derived = []  # (alias, partial, round_to, fname)
+        for t in sub["select"][1:]:
+            fname, col, out, round_to, _f = _parse_agg_term(t)
+            derived.append((out, partial_for(fname, col, round_to),
+                            round_to, fname))
+        member_specs.append((derived, sub.get("having") or []))
+
+    p_df = t_df.groupBy(F.col(gk)).agg(*pexprs)
+    for derived, having in member_specs:
+        probe = p_df
+        for out, pname, round_to, fname in derived:
+            c = F.col(pname)
+            if fname == "SUM" and round_to is not None:
+                c = F.round(c, round_to).cast("double")
+            probe = probe.withColumn(out, c)
+        combined = None
+        for cond in having:
+            resolved = dict(cond)
+            c = _bool_tree(probe, resolved)
+            combined = c if combined is None else (combined & c)
+        if combined is not None:
+            p_df = probe.filter(combined).select(
+                gk, *[v for v in partials.values()])
+
+    q2 = {k: v for k, v in q.items()
+          if k not in ("select", "join", "where")}
+    q2["select"] = new_select
+    join2 = {"table": _EAGER_TABLE, "on": [[oc, gk]] if oc != gk
+             else [gk], "type": "inner"}
+    if jspec.get("hint"):
+        join2["hint"] = jspec["hint"]
+    q2["join"] = [join2]
+    if rest_conds:
+        q2["where"] = rest_conds
+    return q2, _FrameCatalog(catalog, _EAGER_TABLE, p_df)
+
+
+def _flatten_cond_leaves(conds: list) -> list:
+    out = []
+    for c in conds:
+        if not isinstance(c, dict):
+            continue
+        if "or" in c:
+            out.extend(_flatten_cond_leaves(c["or"]))
+        elif "not" in c:
+            out.extend(_flatten_cond_leaves([c["not"]]))
+        else:
+            out.append(c)
+    return out
+
+
 def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     """Compile a DSL dict to a (lazy) DataFrame.
 
@@ -997,6 +1271,15 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             df = df.distinct()
         return _apply_order_limit(df, q, cols0)
 
+    # Optimizer rewrite: eager aggregation below a single inner join
+    # (+ fused same-table membership HAVING — TPC-H Q18). Fires only on
+    # shapes proven exact; the rewritten query uses the __eager_partials__
+    # frame, whose name is excluded from re-matching (no recursion).
+    eager = _try_eager_agg(q, catalog)
+    if eager is not None:
+        q2, facade = eager
+        return compile_query(q2, facade)
+
     table = q.get("from", "events")
     if isinstance(table, dict):
         # Derived-table FROM: the outer query reads the inner query's
@@ -1009,6 +1292,45 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         table = None  # no name — correlated scalar scoping unavailable
     else:
         df = catalog.table(table)
+
+    # Membership subqueries (top-level `col IN/NOT IN (SELECT ...)`)
+    # compile to LEFT SEMI / LEFT ANTI joins. When the membership
+    # column lives on the FROM table and every explicit join is
+    # left-row-preserving (inner/left/semi/anti — a semi/anti filter on
+    # left columns commutes with those), the semi join applies BEFORE
+    # the other joins: the member set (typically a grouped+HAVING
+    # aggregate, small, AQE-electable broadcast) prunes the probe side
+    # first, so only surviving keys flow into the big fact join — at
+    # scale this is the difference between semi-joining the joined
+    # fact frame and semi-joining the slim dimension (TPC-H Q18).
+    # A `right` join breaks the commute (filtered-away left rows would
+    # null-extend instead of matching), so membership then stays
+    # post-join, as do membership columns produced by a join.
+    all_conds = q.get("where") or []
+    membership = [c for c in all_conds if _is_membership_leaf(c)]
+    conds = [c for c in all_conds if not _is_membership_leaf(c)]
+    join_types = [j.get("type", "inner") for j in q.get("join") or []]
+    pushable = all(t in ("inner", "left", "semi", "anti")
+                   for t in join_types)
+
+    def _apply_membership(frame: DataFrame, cond: dict) -> DataFrame:
+        sub = validate_membership_subquery(cond)
+        sub_df = compile_query(sub, catalog)
+        member = sub_df.select(
+            F.col(sub_df.columns[0]).alias("__mkey"))
+        jtype = "left_semi" if cond["op"] == "in" else "left_anti"
+        return frame.join(
+            member, frame[cond["col"]] == member["__mkey"], jtype)
+
+    deferred_membership = []
+    for cond in membership:
+        col = cond.get("col")
+        if not isinstance(col, str):
+            raise QueryError(f"unknown filter column: {cond!r}")
+        if pushable and col in df.columns:
+            df = _apply_membership(df, cond)
+        else:
+            deferred_membership.append(cond)
 
     # JOIN — additive extension beyond the reference DSL (the spec
     # excludes joins, ``claude.md:141``; Spark supplies them natively).
@@ -1085,23 +1407,15 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     def _bool_expr(cond: dict) -> Column:
         return _bool_tree(df, cond)
 
-    conds = q.get("where") or []
-    # Membership subqueries (top-level `col IN/NOT IN (SELECT ...)`)
-    # compile to LEFT SEMI / LEFT ANTI joins — the member set shuffles
-    # (or broadcasts, AQE-elected) instead of ever materializing
-    # driver-side, and the anti join is exactly NOT EXISTS semantics
-    # (no NOT-IN null-poisoning: the SQL twin renders NOT EXISTS).
-    membership = [c for c in conds if _is_membership_leaf(c)]
-    conds = [c for c in conds if not _is_membership_leaf(c)]
-    for cond in membership:
-        col = cond.get("col")
-        if not isinstance(col, str) or col not in df.columns:
+    # Membership conds not pushed before the joins (right-join present
+    # or the column is join-produced) apply here, post-join — the
+    # member set still shuffles/broadcasts rather than materializing
+    # driver-side, and anti is exactly NOT EXISTS (no NOT-IN
+    # null-poisoning: the SQL twin renders NOT EXISTS).
+    for cond in deferred_membership:
+        if cond["col"] not in df.columns:
             raise QueryError(f"unknown filter column: {cond!r}")
-        sub = validate_membership_subquery(cond)
-        sub_df = compile_query(sub, catalog)
-        member = sub_df.select(F.col(sub_df.columns[0]).alias("__mkey"))
-        jtype = "left_semi" if cond["op"] == "in" else "left_anti"
-        df = df.join(member, df[col] == member["__mkey"], jtype)
+        df = _apply_membership(df, cond)
     if conds:
         # Uncorrelated scalar subqueries ({"val": {"subquery": <dsl>}})
         # attach as broadcast one-row columns before the filter builds

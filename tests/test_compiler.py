@@ -1208,3 +1208,105 @@ def test_integral_post_term_in_derived_from_pins_bigint(catalog, ddb):
     assert got["total_ratio"].dtype.kind == "f"
     assert want["total_ratio"].dtype.kind == "f"
     assert_matches_duckdb(df, ddb, sql)
+
+
+# ---- eager aggregation rewrite (partial agg below a single inner join) ----
+
+def _q18_shape():
+    return {
+        "select": ["o_orderkey", "o_totalprice",
+                   {"SUM": "l_quantity", "as": "sum_qty", "round": 2}],
+        "from": "orders",
+        "join": [{"table": "lineitem",
+                  "on": [["o_orderkey", "l_orderkey"]]}],
+        "where": [{"col": "o_orderkey", "op": "in", "val": {"subquery": {
+            "select": ["l_orderkey",
+                       {"SUM": "l_quantity", "as": "qty", "round": 2}],
+            "from": "lineitem", "group_by": ["l_orderkey"],
+            "having": [{"col": "qty", "op": "gt", "val": 150}]}}}],
+        "group_by": ["o_orderkey", "o_totalprice"],
+        "order_by": [{"col": "o_totalprice", "dir": "desc"},
+                     {"col": "o_orderkey", "dir": "asc"}],
+        "limit": 100,
+    }
+
+
+def test_eager_agg_fires_on_q18_single_scan(catalog, ddb):
+    """The Q18 shape aggregates lineitem ONCE: the membership HAVING
+    fuses onto the partial frame, so the plan contains exactly one
+    lineitem scan (previously two: member set + outer aggregate)."""
+    q = _q18_shape()
+    df = compile_query(q, catalog)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # one lineitem Relation node (l_partkey appears once per scan)
+    assert plan.count("l_partkey") == 1, plan
+    tm = _merged_map(catalog, "orders", "lineitem")
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
+
+
+def test_eager_agg_exact_with_duplicate_probe_keys(catalog, ddb, spark):
+    """Dup-safety: when the probe side repeats a join key, each probe
+    row re-contributes the per-key partial — identical to aggregating
+    raw pairs (decimal addition is associative). events.user_id is
+    highly duplicated vs lineitem-free shape, so use events joined to
+    an aggregate-friendly table: orders joined on o_custkey repeats per
+    customer."""
+    q = {"select": ["o_custkey",
+                    {"SUM": "l_quantity", "as": "sq", "round": 3},
+                    {"COUNT": "*", "as": "n_pairs"},
+                    {"MIN": "l_quantity", "as": "mn"},
+                    {"MAX": "l_quantity", "as": "mx"}],
+         "from": "orders",
+         "join": [{"table": "lineitem",
+                   "on": [["o_orderkey", "l_orderkey"]]}],
+         "group_by": ["o_custkey"],
+         "order_by": ["o_custkey"], "limit": 200}
+    df = compile_query(q, catalog)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__p0" in plan  # rewrite fired
+    tm = _merged_map(catalog, "orders", "lineitem")
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
+
+
+def test_eager_agg_guards_refuse_unsafe_shapes(catalog):
+    """Shapes the rewrite cannot prove exact stay on the plain path:
+    unrounded double SUM (order-sensitive), aggregate FILTER clause,
+    non-inner join, multi-pair keys, T-column predicates."""
+    unsafe = [
+        # unrounded SUM over a double column
+        {"select": ["o_custkey", {"SUM": "l_quantity", "as": "s"}],
+         "from": "orders",
+         "join": [{"table": "lineitem",
+                   "on": [["o_orderkey", "l_orderkey"]]}],
+         "group_by": ["o_custkey"]},
+        # left join
+        {"select": ["o_custkey",
+                    {"SUM": "l_quantity", "as": "s", "round": 2}],
+         "from": "orders",
+         "join": [{"table": "lineitem", "type": "left",
+                   "on": [["o_orderkey", "l_orderkey"]]}],
+         "group_by": ["o_custkey"]},
+        # aggregate FILTER clause (row-level condition)
+        {"select": ["o_custkey",
+                    {"SUM": "l_quantity", "as": "s", "round": 2,
+                     "where": {"col": "l_quantity", "op": "gt",
+                               "val": 10}}],
+         "from": "orders",
+         "join": [{"table": "lineitem",
+                   "on": [["o_orderkey", "l_orderkey"]]}],
+         "group_by": ["o_custkey"]},
+        # WHERE references a T row-level column
+        {"select": ["o_custkey",
+                    {"SUM": "l_quantity", "as": "s", "round": 2}],
+         "from": "orders",
+         "join": [{"table": "lineitem",
+                   "on": [["o_orderkey", "l_orderkey"]]}],
+         "where": [{"col": "l_quantity", "op": "gt", "val": 10}],
+         "group_by": ["o_custkey"]},
+    ]
+    for q in unsafe:
+        df = compile_query(q, catalog)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "__p0" not in plan, q
