@@ -416,6 +416,127 @@ def video_meta_features(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def build_jpeg(width: int, height: int, n_components: int,
+               progressive: bool, comment: bytes = b"",
+               entropy: bytes = b"") -> bytes:
+    """Assemble a minimal JFIF/JPEG container: SOI + APP0(JFIF) +
+    optional COM + SOF0/SOF2 frame header + SOS + entropy bytes + EOI —
+    the synthesis half of the JPEG round-trip (:func:`parse_jpeg`
+    walks it back). Completes the media triple's common image format
+    next to PNG (decode), WAV, and MP4."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, 2 + len(body)) + body
+
+    app0 = seg(0xFFE0, b"JFIF\x00" + bytes([1, 1, 0]) +
+               struct.pack(">HH", 72, 72) + bytes([0, 0]))
+    out = b"\xff\xd8" + app0
+    if comment:
+        out += seg(0xFFFE, comment)
+    comps = b"".join(bytes([cid + 1, 0x11, 0]) for cid in
+                     range(n_components))
+    sof_marker = 0xFFC2 if progressive else 0xFFC0
+    out += seg(sof_marker, bytes([8]) + struct.pack(">HH", height, width)
+               + bytes([n_components]) + comps)
+    scan = b"".join(bytes([cid + 1, 0]) for cid in range(n_components))
+    out += seg(0xFFDA, bytes([n_components]) + scan + bytes([0, 63, 0]))
+    return out + entropy + b"\xff\xd9"
+
+
+def parse_jpeg(payload: bytes):
+    """Minimal REAL JPEG metadata parser — stdlib struct only (the
+    image-container twin of :func:`parse_mp4`): walks the marker
+    segment list (skipping fill bytes and standalone RST/TEM markers),
+    reads the first SOF frame header (SOF0 baseline, SOF1 extended
+    sequential, SOF2 progressive), and stops at SOS — entropy-coded
+    data is never touched, so metadata extraction reads O(header)
+    bytes regardless of image size. Returns
+    (progressive, precision, width, height, n_components)."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    sof_markers = {0xC0: False, 0xC1: False, 0xC2: True}
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            # standalone TEM/RSTn/EOI — no length field
+            pos += 2
+            if marker == 0xD9:
+                break
+            continue
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        if ln < 2 or pos + 2 + ln > len(payload):
+            raise ValueError("truncated JPEG segment")
+        body = payload[pos + 4:pos + 2 + ln]
+        if marker in sof_markers:
+            if len(body) < 6:
+                raise ValueError("truncated SOF header")
+            precision = body[0]
+            height, width = struct.unpack(">HH", body[1:5])
+            n_components = body[5]
+            if len(body) < 6 + 3 * n_components:
+                raise ValueError("truncated SOF component list")
+            if width == 0 or n_components == 0:
+                raise ValueError("JPEG with zero width/components")
+            return (sof_markers[marker], precision, width, height,
+                    n_components)
+        if marker == 0xDA:  # SOS — entropy data follows
+            break
+        pos += 2 + ln
+    raise ValueError("JPEG without a SOF frame header")
+
+
+#: Output schema of the JPEG metadata stage.
+JPEG_META_SCHEMA = (
+    "media_id bigint, n_bytes bigint, progressive boolean, "
+    "precision int, width int, height int, n_components int, "
+    "n_pixels bigint, decode_ok boolean"
+)
+
+
+def jpeg_meta_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """Arrow-batch JPEG metadata stage (``schema=JPEG_META_SCHEMA``)
+    with the family's per-row corrupt-payload isolation."""
+    rows: dict[str, list] = {
+        "media_id": [], "n_bytes": [], "progressive": [],
+        "precision": [], "width": [], "height": [],
+        "n_components": [], "n_pixels": [], "decode_ok": [],
+    }
+    for mid, payload in zip(batch["media_id"], batch["payload"]):
+        data = bytes(payload)
+        rows["media_id"].append(mid)
+        rows["n_bytes"].append(len(data))
+        try:
+            prog, prec, w, h, nc = parse_jpeg(data)
+            rows["progressive"].append(prog)
+            rows["precision"].append(prec)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_components"].append(nc)
+            rows["n_pixels"].append(w * h)
+            rows["decode_ok"].append(True)
+        except Exception:
+            for c in ("progressive", "precision", "width", "height",
+                      "n_components", "n_pixels"):
+                rows[c].append(None)
+            rows["decode_ok"].append(False)
+    out = pd.DataFrame(rows)
+    out["n_bytes"] = out["n_bytes"].astype("int64")
+    for c in ("precision", "width", "height", "n_components"):
+        out[c] = out[c].astype("Int32")
+    out["n_pixels"] = out["n_pixels"].astype("Int64")
+    out["progressive"] = out["progressive"].astype("boolean")
+    return out
+
+
 #: Output schema of the audio metadata/decode stage.
 AUDIO_FEATURE_SCHEMA = (
     "media_id bigint, n_bytes bigint, sample_rate int, channels int, "
@@ -740,12 +861,48 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=VIDEO_META_SCHEMA)
 
 
+def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-circle JPEG round-trip, mirror of :func:`q_video_meta`:
+    synthesize a real JFIF container per doc_id (dimensions/components/
+    baseline-vs-progressive/comment/entropy sizes from integer
+    formulas), parse the bytes back with the marker-walking parser,
+    and let the SQL oracle recompute every field."""
+    from collections.abc import Iterator
+
+    from query_planner_optimizer_spark.catalog import spread
+
+    docs = spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            payloads = [
+                build_jpeg(
+                    16 * (1 + did % 60),
+                    8 * (1 + did % 45),
+                    1 if did % 5 == 0 else 3,
+                    did % 2 == 1,
+                    b"c" * (did % 29),
+                    b"\x00" * (did % 17),
+                )
+                for did in ids
+            ]
+            yield jpeg_meta_features(
+                pd.DataFrame({"media_id": ids, "payload": payloads})
+            )
+
+    return docs.mapInPandas(run, schema=JPEG_META_SCHEMA)
+
+
 def entry_queries():
     return {
         "multimodal_features": q_media_features,
         "multimodal_frame_pipeline": q_frame_pipeline,
         "multimodal_audio_meta": q_audio_meta,
         "multimodal_video_meta": q_video_meta,
+        "multimodal_jpeg_meta": q_jpeg_meta,
     }
 
 
@@ -821,5 +978,25 @@ def entry_oracles() -> dict[str, str]:
                TRUE AS decode_ok
         FROM documents
     """
+    # JPEG round-trip: sizes — SOI 2 + APP0 18 + COM (4+k when k>0) +
+    # SOF (10+3*nc) + SOS (8+2*nc) + entropy + EOI 2 = 40 + 5*nc + ...
+    jpeg = """
+        SELECT doc_id AS media_id,
+               40 + 5 * (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END)
+                  + doc_id % 17
+                  + (CASE WHEN doc_id % 29 = 0 THEN 0
+                     ELSE 4 + doc_id % 29 END) AS n_bytes,
+               doc_id % 2 = 1 AS progressive,
+               CAST(8 AS INTEGER) AS precision,
+               CAST(16 * (1 + doc_id % 60) AS INTEGER) AS width,
+               CAST(8 * (1 + doc_id % 45) AS INTEGER) AS height,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END
+                    AS INTEGER) AS n_components,
+               16 * (1 + doc_id % 60) * 8 * (1 + doc_id % 45)
+                   AS n_pixels,
+               TRUE AS decode_ok
+        FROM documents
+    """
     return {"multimodal_features": sql, "multimodal_frame_pipeline": frames,
-            "multimodal_audio_meta": audio, "multimodal_video_meta": video}
+            "multimodal_audio_meta": audio, "multimodal_video_meta": video,
+            "multimodal_jpeg_meta": jpeg}

@@ -832,3 +832,33 @@ def test_mp4_roundtrip_and_isolation():
     }))
     assert list(out["decode_ok"]) == [True, False, False]
     assert out["n_tracks"][0] == 2
+
+
+def test_jpeg_roundtrip_and_isolation():
+    """build_jpeg -> parse_jpeg round-trips dimensions/components/
+    baseline-vs-progressive; the size formula the oracle recomputes
+    holds; segment skipping (COM), fill bytes, and RST markers parse;
+    corrupt payloads isolate per-row."""
+    import pandas as pd
+
+    from query_planner_optimizer_spark.operators import multimodal as mm
+
+    p = mm.build_jpeg(640, 480, 3, False, b"hello", b"\x00\x00\x00")
+    prog, prec, w, h, nc = mm.parse_jpeg(p)
+    assert (prog, prec, w, h, nc) == (False, 8, 640, 480, 3)
+    assert len(p) == 40 + 5 * 3 + len(b"\x00\x00\x00") + 4 + len(b"hello")
+    # progressive + grayscale, no comment (size formula branch k1=0)
+    p2 = mm.build_jpeg(16, 8, 1, True)
+    assert mm.parse_jpeg(p2) == (True, 8, 16, 8, 1)
+    assert len(p2) == 40 + 5 * 1
+    # fill bytes before a marker and a standalone RST marker skip
+    p3 = p2[:2] + b"\xff" + b"\xff\xd0" + p2[2:]
+    assert mm.parse_jpeg(p3) == (True, 8, 16, 8, 1)
+    # per-row corrupt isolation
+    out = mm.jpeg_meta_features(pd.DataFrame({
+        "media_id": [1, 2, 3, 4],
+        "payload": [p, b"nonsense", p[:9], b"\xff\xd8\xff\xd9"],
+    }))
+    assert list(out["decode_ok"]) == [True, False, False, False]
+    assert out["n_pixels"][0] == 640 * 480
+    assert bool(out["progressive"][0]) is False
