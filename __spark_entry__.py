@@ -1471,6 +1471,51 @@ def _plan_routed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: DSL twin of the raw SQL probed through the plan router below — the
+#: oracle renders from this dict, so the routed answer must equal the
+#: straightforward raw-scan SQL.
+_PLAN_WEEK_Q = {
+    "select": ["week", {"COUNT": "*", "as": "cnt"},
+               {"SUM": "value", "as": "sv", "round": 6}],
+    "from": "events",
+    "where": [{"col": "day", "op": "between",
+               "val": ["2024-01-02", "2024-01-15"]}],
+    "group_by": ["week"],
+}
+
+
+def _plan_routed_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SQL grouping by WEEK with a day-BETWEEN filter, routed at
+    the Catalyst-analyzed-plan level onto a rollup keyed (day,
+    event_type): exercises the r6 router extensions end-to-end — the
+    BETWEEN expression class in translate_plan, and the router's
+    lossless time-grain derivation (day→week navigation: every day-row
+    belongs to exactly one week, so re-grouping the rollup by the
+    derived Monday date is exact). Raises if the plan does not route."""
+    import tempfile
+
+    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    events = cat.table("events")
+    events.createOrReplaceTempView("events_plan_route_week")
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = tempfile.mkdtemp(prefix="qpo_plan_routed_week_")
+    build_rollups(events, agg_dir, rollups)
+    router = PlanRouter(spark, agg_dir, rollups,
+                        view="events_plan_route_week")
+    df, routed = router.sql(
+        "SELECT week, count(*) AS cnt, round(sum(value), 6) AS sv "
+        "FROM events_plan_route_week "
+        "WHERE day BETWEEN '2024-01-02' AND '2024-01-15' GROUP BY week"
+    )
+    if not routed:
+        raise RuntimeError(f"expected a plan route: {router.last_reason}")
+    return df
+
+
 def _routed_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_groupby_min_max through prepare + route with MIN/MAX
     partials: the rollup stores min_/max_ columns (min-of-mins is
@@ -1695,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dsl_routed_daily_rollup"] = _routed_daily_rollup
     out["dsl_routed_incremental_rollup"] = _routed_incremental_rollup
     out["dsl_plan_routed_daily_rollup"] = _plan_routed_daily_rollup
+    out["dsl_plan_routed_week_rollup"] = _plan_routed_week_rollup
     out["stream_rollup_maintenance"] = _stream_rollup_maintenance
     out["dsl_routed_minmax_rollup"] = _routed_minmax_rollup
     return _panel_order(out)
@@ -1756,6 +1802,10 @@ def oracle_sql() -> dict[str, str]:
     out["dsl_routed_daily_rollup"] = out["dsl_daily_rollup"]
     out["dsl_routed_incremental_rollup"] = out["dsl_daily_rollup"]
     out["dsl_plan_routed_daily_rollup"] = out["dsl_daily_rollup"]
+    out["dsl_plan_routed_week_rollup"] = assemble_sql(
+        _PLAN_WEEK_Q, _query_type_map(_PLAN_WEEK_Q), dialect="duckdb",
+        ts_is_millis=False
+    )
     out["stream_rollup_maintenance"] = out["dsl_daily_rollup"]
     out["dsl_routed_minmax_rollup"] = out["dsl_groupby_min_max"]
     return out

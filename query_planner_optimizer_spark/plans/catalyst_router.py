@@ -171,6 +171,16 @@ def _cond(t: dict) -> dict:
         return {"col": _attr_name(t["kids"][0]), "op": "is_not_null"}
     if c in _REL_OPS:
         return _leaf(t, _REL_OPS[c])
+    if c == "Between":
+        # RuntimeReplaceable: input/lower/upper are embedded
+        # single-expression fields; the ordinal child is the planted
+        # replacement tree (ignored — the DSL has a native between).
+        col = _col_side(_build(t["n"]["input"]))
+        if col is None:
+            raise Unsupported("BETWEEN without a plain column side")
+        lo = _literal_value(_build(t["n"]["lower"]))
+        hi = _literal_value(_build(t["n"]["upper"]))
+        return {"col": col, "op": "between", "val": [lo, hi]}
     raise Unsupported(f"filter expression {c}")
 
 
@@ -188,11 +198,14 @@ def _col_side(t: dict) -> str | None:
     if _cls(t["n"]) == "Cast":
         target = str(t["n"].get("dataType", ""))
         inner = _kid(t, "child")
-        if (_cls(inner["n"]) == "AttributeReference"
-                and target.startswith(_TIME_PREFIXES)
-                and str(inner["n"].get("dataType", ""))
-                .startswith(_TIME_PREFIXES)):
-            return inner["n"]["name"]
+        if _cls(inner["n"]) == "AttributeReference":
+            itype = str(inner["n"].get("dataType", ""))
+            if target == itype:
+                # identity cast (CAST(c AS <its own type>)) — a no-op
+                return inner["n"]["name"]
+            if (target.startswith(_TIME_PREFIXES)
+                    and itype.startswith(_TIME_PREFIXES)):
+                return inner["n"]["name"]
         return None
     if _cls(t["n"]) == "AttributeReference":
         return t["n"]["name"]

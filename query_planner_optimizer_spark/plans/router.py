@@ -9,7 +9,11 @@ This router replaces shape-matching with a general **subsumption proof**
 against the rollup's grain; a query routes to a rollup iff:
 
 - every referenced plain column (select / where / group_by / order_by on
-  non-aggregates) is a grouping key of the rollup;
+  non-aggregates) is a grouping key of the rollup, or losslessly
+  DERIVABLE from one through the time-grain hierarchy (`_TIME_DERIVE`:
+  minute→day, hour→day, day/hour/minute→week) — rollup-hierarchy
+  navigation, exact because each finer-grain row belongs to exactly
+  one coarser bucket;
 - every aggregate is derivable from the rollup's measures:
   SUM(c) → sum(sum_c), COUNT(*) → sum(n_rows), COUNT(c) → sum(count_c),
   AVG(c) → sum(sum_c)/sum(count_c) (sum+count stored, never averages —
@@ -17,7 +21,10 @@ against the rollup's grain; a query routes to a rollup iff:
   both, ``prepare.py:190-195``);
 - MIN(c) → min(min_c) / MAX(c) → max(max_c) when the rollup STORES
   those partials (spec ``{"value": ["min", "max"]}``); min-of-mins is
-  lossless and order-independent exact. Rollups without them refuse.
+  lossless and order-independent exact. Rollups without them refuse —
+  unless c is itself a GROUPING KEY, where MIN/MAX/COUNT(DISTINCT)
+  re-derive from the key column directly (it carries every distinct
+  value the base group contains).
 
 If several rollups qualify, the SMALLEST wins — by actual row count
 read from the parquet footers (cost-based; the fewest-keys proxy
@@ -41,6 +48,27 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from query_planner_optimizer_spark.dsl import compiler as C
+
+
+#: Lossless time-grain derivations: (rollup key, wanted column) →
+#: expression over the key reproducing the catalog's own derivation
+#: from ts (catalog.augment_time_columns) — day is a prefix of the
+#: 'yyyy-MM-dd HH:mm' minute string, a date-cast of the hour
+#: timestamp; week is the Monday truncation of any finer grain
+#: (truncations compose). Lets a finer-grain rollup serve
+#: coarser-grain queries (classic rollup-hierarchy navigation): a
+#: (minute, type) rollup answers day-filtered or week-grouped queries
+#: exactly, because every rollup row belongs to exactly one day/week.
+#: ``hour`` is never DERIVED (its timestamp-vs-ntz flavor follows the
+#: source data; re-deriving could flip the type) — only consumed.
+_TIME_DERIVE: dict[tuple[str, str], "object"] = {
+    ("minute", "day"): lambda: F.to_date(F.substring("minute", 1, 10)),
+    ("hour", "day"): lambda: F.to_date(F.col("hour")),
+    ("day", "week"): lambda: F.to_date(F.date_trunc("week", F.col("day"))),
+    ("hour", "week"): lambda: F.to_date(F.date_trunc("week", F.col("hour"))),
+    ("minute", "week"): lambda: F.to_date(
+        F.date_trunc("week", F.to_date(F.substring("minute", 1, 10)))),
+}
 
 
 class RollupRouter:
@@ -136,14 +164,33 @@ class RollupRouter:
     # -- subsumption ------------------------------------------------------
 
     def _plain_columns(self, q: dict) -> set[str]:
+        def walk(cond) -> set[str]:
+            # or/and/not trees reference columns in their leaves — the
+            # same recursion the subquery detector uses (a flat
+            # cond.get("col") on a tree node would yield None and
+            # spuriously refuse every tree-filtered query).
+            out: set[str] = set()
+            if not isinstance(cond, dict):
+                return out
+            for kw in ("or", "and"):
+                if kw in cond:
+                    for b in cond[kw]:
+                        out |= walk(b)
+                    return out
+            if "not" in cond:
+                return walk(cond["not"])
+            if cond.get("col") is not None:
+                out.add(cond["col"])
+            if cond.get("col2") is not None:
+                out.add(cond["col2"])
+            return out
+
         cols: set[str] = set()
         for term in q.get("select") or []:
             if not isinstance(term, dict):
                 cols.add(term)
         for cond in q.get("where") or []:
-            cols.add(cond.get("col"))
-            if cond.get("col2") is not None:
-                cols.add(cond.get("col2"))
+            cols |= walk(cond)
         cols.update(q.get("group_by") or [])
         return cols
 
@@ -157,6 +204,7 @@ class RollupRouter:
         col,
         schema: dict,
         round_to: int | None,
+        keys: frozenset = frozenset(),
     ) -> Column | None:
         """Re-derive an aggregate from rollup partials, applying the SAME
         rounding transform as the compiler's scan path: rollup sums over
@@ -213,6 +261,18 @@ class RollupRouter:
         if fname == "MAX" and f"max_{col}" in schema:
             e = F.max(f"max_{col}")
             return F.round(e, round_to) if round_to is not None else e
+        # Aggregates over a GROUPING KEY of the rollup need no stored
+        # partial: the rollup's key column carries every distinct value
+        # the base group contains, so MIN/MAX/COUNT(DISTINCT) over the
+        # (filtered, re-grouped) rollup rows are exact. COUNT(key) is
+        # NOT derivable (it weights by base-row multiplicity).
+        if col in keys and round_to is None:
+            if fname == "MIN":
+                return F.min(col)
+            if fname == "MAX":
+                return F.max(col)
+            if fname == "COUNT_DISTINCT":
+                return F.countDistinct(col)
         return None
 
     def route(self, q: dict) -> DataFrame | None:
@@ -294,16 +354,30 @@ class RollupRouter:
             if self.tables.get(name, "events") != qtable:
                 continue
             keys = set(self.keys[name])
-            if not plain <= keys:
+            # Columns outside the grain may still be DERIVABLE from a
+            # key via the lossless time hierarchy (minute→day,
+            # day/hour/minute→week): record which derivation serves
+            # each missing column, refuse if any has none.
+            derive: dict[str, tuple[str, str]] = {}
+            ok = True
+            for want in plain - keys:
+                srcs = [(s, w) for (s, w) in _TIME_DERIVE
+                        if w == want and s in keys]
+                if not srcs:
+                    ok = False
+                    break
+                derive[want] = srcs[0]
+            if not ok:
                 continue
+            eff_keys = frozenset(keys | set(derive))
             frame_schema = {
                 f.name: f.dataType for f in self._frame(name).schema.fields
             }
             measures = {}
             count_like = set()
-            ok = True
             for fname, col, out_name, round_to, _filt in agg_terms:
-                m = self._measure(fname, col, frame_schema, round_to)
+                m = self._measure(fname, col, frame_schema, round_to,
+                                  keys=eff_keys)
                 if m is None:
                     ok = False
                     break
@@ -319,25 +393,31 @@ class RollupRouter:
                 # the choice deterministic.
                 candidates.append(
                     (self._rowcount(name), len(self.keys[name]), name,
-                     measures, count_like)
+                     measures, count_like, derive)
                 )
         if not candidates:
             self.fallbacks += 1
             return None
-        _, _, name, measures, count_like = min(
+        _, _, name, measures, count_like, derive = min(
             candidates, key=lambda c: (c[0], c[1], c[2])
         )
         self.last_rollup = name
 
         df = self._frame(name)
-        # Filters apply on rollup grouping keys — legal because every
-        # filtered column is part of the rollup grain (subsumption),
-        # unlike the reference's silent drop (query_engine.py:166-232).
+        # Derived time-grain columns (minute->day, day->week, ...)
+        # attach before filters/grouping reference them.
+        for want, (src_key, _w) in derive.items():
+            df = df.withColumn(want, _TIME_DERIVE[(src_key, want)]())
+        # Filters apply on rollup grouping keys (or grain derivations)
+        # — legal because every filtered column is part of the rollup
+        # grain by subsumption, unlike the reference's silent drop
+        # (query_engine.py:166-232). _bool_tree handles or/not trees
+        # with the compiler's own leaf semantics.
         conds = q.get("where") or []
         if conds:
             combined = None
             for cond in conds:
-                c = C._filter_condition(df, cond)
+                c = C._bool_tree(df, cond)
                 combined = c if combined is None else (combined & c)
             df = df.filter(combined)
 

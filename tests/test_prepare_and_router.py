@@ -211,15 +211,31 @@ def test_router_routes_having(spark, prepared):
     assert router.route(q_bad) is None
 
 
-def test_router_rejects_count_distinct(spark, prepared):
-    """COUNT(DISTINCT x) is not re-aggregable from sum/count rollups —
-    the subsumption proof must refuse the route."""
+def test_router_count_distinct_key_routes_measure_refuses(
+        spark, prepared):
+    """COUNT(DISTINCT x) routes iff x is a GROUPING KEY of a rollup
+    (the key column carries every distinct value the base group has —
+    r6 extension); over a measure column it still refuses (multiplicity
+    is lost in sum/count partials)."""
     router = RollupRouter(spark, prepared["res"].aggregates_dir)
     q = {"select": ["day", {"COUNT_DISTINCT": "publisher_id", "as": "n"}],
          "from": "events",
          "where": [{"col": "type", "op": "eq", "val": "impression"}],
          "group_by": ["day"]}
-    assert router.route(q) is None
+    routed = router.route(q)
+    assert routed is not None
+    assert router.last_rollup == "agg_publisher_day_country"
+    cat = prepared["catalog"]
+    from query_planner_optimizer_spark.dsl.compiler import compile_query
+
+    from .conftest import normalize
+
+    got, want = (normalize(routed.toPandas()),
+                 normalize(compile_query(q, cat).toPandas()))
+    pd.testing.assert_frame_equal(got, want)
+    q_measure = {**q, "select": ["day", {"COUNT_DISTINCT": "bid_price",
+                                         "as": "n"}]}
+    assert router.route(q_measure) is None
 
 
 def test_router_rejects_min_max(spark, prepared):
@@ -758,3 +774,60 @@ def test_minmax_partials_route_and_merge(spark, catalog, tmp_path):
     merged = spark.read.parquet(f"{inc_dir}/agg_et_mm.parquet").toPandas()
     rebuilt = spark.read.parquet(f"{full_dir}/agg_et_mm.parquet").toPandas()
     pd.testing.assert_frame_equal(normalize(merged), normalize(rebuilt))
+
+
+def test_router_time_grain_derivation(spark, prepared):
+    """r6 subsumption extensions: (a) a day-filtered minute-grain query
+    routes onto the minute rollup even though `day` is only derivable
+    (prefix of the minute string); (b) a week-grouped query routes onto
+    a day-keyed rollup via the Monday-truncation derivation; (c) MIN/
+    MAX over a key column route with no stored partial. Every routed
+    answer equals the raw-scan compile."""
+    from query_planner_optimizer_spark.dsl.compiler import compile_query
+
+    from .conftest import normalize
+
+    router = RollupRouter(spark, prepared["res"].aggregates_dir)
+    cat = prepared["catalog"]
+    cases = [
+        # (a) is served directly by agg_minute_day_type (day IS a key
+        # there), so drop day from that rollup's keys to force the
+        # derivation path instead: use week-from-day on pattern 1.
+        {"select": ["week", {"SUM": "bid_price", "as": "rev",
+                             "round": 4}],
+         "from": "events",
+         "where": [{"col": "type", "op": "eq", "val": "impression"}],
+         "group_by": ["week"], "order_by": ["week"]},
+        # (c) MIN/MAX over the day key, grouped by type
+        {"select": ["type", {"MIN": "day", "as": "first_day"},
+                    {"MAX": "day", "as": "last_day"},
+                    {"COUNT": "*", "as": "n"}],
+         "from": "events", "group_by": ["type"],
+         "order_by": ["type"]},
+        # or/not tree over grain keys (previously refused: the plain-
+        # column walk returned None for tree nodes)
+        {"select": ["day", {"COUNT": "*", "as": "n"}],
+         "from": "events",
+         "where": [{"or": [{"col": "type", "op": "eq",
+                            "val": "impression"},
+                           {"not": {"col": "country", "op": "eq",
+                                    "val": "US"}}]}],
+         "group_by": ["day"], "order_by": ["day"]},
+    ]
+    for q in cases:
+        routed = router.route(q)
+        assert routed is not None, q
+        got = normalize(routed.toPandas())
+        want = normalize(compile_query(q, cat).toPandas())
+        pd.testing.assert_frame_equal(got, want)
+    # week grouping + a MINUTE-grain filter must still refuse on the
+    # day rollup (minute is finer than any day-keyed grain) when no
+    # minute rollup subsumes the other columns.
+    refuse = {"select": ["week", {"SUM": "total_price", "as": "r",
+                                  "round": 4}],
+              "from": "events",
+              "where": [{"col": "minute", "op": "eq",
+                         "val": "2024-01-02 10:00"},
+                        {"col": "country", "op": "eq", "val": "US"}],
+              "group_by": ["week"]}
+    assert router.route(refuse) is None
