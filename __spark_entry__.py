@@ -1545,6 +1545,55 @@ def _routed_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _routed_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type served from an HLL-sketch rollup
+    partial (prepare stores ``hll_user_id`` via hll_sketch_agg; the
+    router unions the sketches and estimates), GATED against the exact
+    count: the entry outputs the exact COUNT(DISTINCT) — which the
+    oracle recomputes — plus a boolean asserting the routed estimate
+    lands within the documented 5% bound (3σ of the lgK=12 standard
+    error, 1.04/√4096 ≈ 1.6%). A sketch regression anywhere (partial
+    build, union, estimate, routing) flips the boolean and breaks the
+    value hash. Pattern mirrors the IVF recall gates. Raises unless
+    the estimate actually came from the rollup route."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    events = cat.table("events")
+    rollups = {"agg_day_etype_hll": {
+        "keys": ["day", "event_type"],
+        "aggs": {"value": ["sum", "count"], "user_id": ["hll"]},
+    }}
+    agg_dir = tempfile.mkdtemp(prefix="qpo_routed_hll_")
+    build_rollups(events, agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    est = router.route({
+        "select": ["event_type",
+                   {"APPROX_COUNT_DISTINCT": "user_id", "as": "n_est"}],
+        "from": "events", "group_by": ["event_type"],
+    })
+    if est is None or router.routed != 1:
+        raise RuntimeError(
+            f"expected an HLL rollup route (routed={router.routed}, "
+            f"fallbacks={router.fallbacks})"
+        )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type", "n_exact",
+            (F.abs(F.col("n_est") - F.col("n_exact"))
+             <= F.col("n_exact") * F.lit(0.05)).alias("within_bound"),
+        )
+    )
+
+
 def _stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_daily_rollup through STREAMING maintenance: the events table
     lands as two parquet files, a file-source stream folds each
@@ -1743,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dsl_plan_routed_week_rollup"] = _plan_routed_week_rollup
     out["stream_rollup_maintenance"] = _stream_rollup_maintenance
     out["dsl_routed_minmax_rollup"] = _routed_minmax_rollup
+    out["dsl_routed_hll_rollup"] = _routed_hll_rollup
     return _panel_order(out)
 
 
@@ -1808,4 +1858,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["stream_rollup_maintenance"] = out["dsl_daily_rollup"]
     out["dsl_routed_minmax_rollup"] = out["dsl_groupby_min_max"]
+    out["dsl_routed_hll_rollup"] = """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+               TRUE AS within_bound
+        FROM events GROUP BY event_type
+    """
     return out

@@ -463,7 +463,7 @@ def _expr_type(e, m: dict[str, T.DataType]) -> T.DataType:
 def _agg_out_type(
     fname: str, col, round_to, m: dict[str, T.DataType]
 ) -> T.DataType:
-    if fname in ("COUNT", "COUNT_DISTINCT"):
+    if fname in ("COUNT", "COUNT_DISTINCT", "APPROX_COUNT_DISTINCT"):
         return T.LongType()
     if round_to is not None and fname in ("SUM", "AVG"):
         return T.DoubleType()  # DECIMAL accumulate, cast back to DOUBLE
@@ -573,6 +573,17 @@ def _agg_expr_sql(
         expr = "COUNT(*)"
     elif fname == "COUNT_DISTINCT":
         expr = f"COUNT(DISTINCT {target})"
+    elif fname == "APPROX_COUNT_DISTINCT":
+        # Engine-only DataSketches-HLL surface: both dialects DO have a
+        # same-named function, but each is a DIFFERENT sketch (Spark
+        # HLL++, DuckDB HyperLogLog) whose estimates diverge from the
+        # engine's DataSketches value — rendering it would produce a
+        # silently-inexact twin. Refuse; the gate for this op is the
+        # error-bound entry against exact COUNT(DISTINCT).
+        raise QueryError(
+            "APPROX_COUNT_DISTINCT has no SQL twin (engine-specific "
+            "sketch); oracle against the exact COUNT(DISTINCT) bound"
+        )
     else:
         expr = f"{fname}({target})"
     expr += filter_sql

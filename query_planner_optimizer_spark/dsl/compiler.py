@@ -88,6 +88,17 @@ AGG_FUNCS = {
     # re-aggregate; percentile_approx sketches are the mergeable path,
     # operators/analytics.py).
     "MEDIAN": F.median,
+    # DataSketches-HLL distinct estimate — THE mergeable distinct
+    # path: the scan form (sketch then estimate) and the rollup-routed
+    # form (union of stored hll_<col> partials then estimate) produce
+    # the IDENTICAL value, because sketch registers are per-bucket
+    # maxima (insertion-order- and partition-independent) and
+    # union-of-parts equals sketch-of-whole. Engine-only surface:
+    # DuckDB's approx_count_distinct is a different sketch, so this
+    # never appears in oracle-checked entries; the driver-facing gate
+    # is an error-bound entry against the exact count.
+    "APPROX_COUNT_DISTINCT": lambda c: F.hll_sketch_estimate(
+        F.hll_sketch_agg(c)),
 }
 
 SET_OPS = ("union", "intersect", "except")

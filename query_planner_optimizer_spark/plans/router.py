@@ -273,6 +273,14 @@ class RollupRouter:
                 return F.max(col)
             if fname == "COUNT_DISTINCT":
                 return F.countDistinct(col)
+        # HLL sketch partial: union-of-sketches over the re-grouped
+        # rollup equals the sketch of the union, so the routed estimate
+        # is IDENTICAL (not merely close) to the scan path's
+        # sketch-then-estimate. Exact COUNT_DISTINCT never routes here
+        # — approximation must be asked for by name.
+        if (fname == "APPROX_COUNT_DISTINCT" and round_to is None
+                and f"hll_{col}" in schema):
+            return F.hll_sketch_estimate(F.hll_union_agg(f"hll_{col}"))
         return None
 
     def route(self, q: dict) -> DataFrame | None:

@@ -102,6 +102,19 @@ def rollup_frame(events: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
             exprs.append(F.min(col).alias(f"min_{col}"))
         if "max" in funcs:
             exprs.append(F.max(col).alias(f"max_{col}"))
+        # HLL sketch partial (Apache DataSketches via hll_sketch_agg):
+        # a MERGEABLE distinct-count summary — union-of-sketches over
+        # any regrouping equals the sketch of the union, and the
+        # register state is insertion-order-independent (per-bucket
+        # max), so a routed estimate is deterministic and equal to the
+        # full-scan sketch estimate. Standard error 1.04/sqrt(2^lgk)
+        # ≈ 1.6% at the default lgConfigK=12. This is the scale path
+        # for distinct counts: COUNT(DISTINCT) over 10^12 rows is a
+        # two-shuffle expand; the sketch is one mergeable pass and the
+        # rollup stores kilobytes per group.
+        if "hll" in funcs:
+            exprs.append(
+                F.hll_sketch_agg(F.col(col)).alias(f"hll_{col}"))
     return events.groupBy(*keys).agg(*exprs)
 
 

@@ -831,3 +831,54 @@ def test_router_time_grain_derivation(spark, prepared):
                         {"col": "country", "op": "eq", "val": "US"}],
               "group_by": ["week"]}
     assert router.route(refuse) is None
+
+
+def test_hll_rollup_partial_routes_and_bounds(spark, catalog, tmp_path):
+    """HLL sketch rollup partial (r6): the routed
+    union-of-sketches estimate EQUALS the scan path's
+    sketch-then-estimate bit-for-bit (register state is
+    order-independent; union-of-parts == sketch-of-whole), lands
+    within the documented 5% bound of the exact count, exact
+    COUNT_DISTINCT still refuses (approximation must be asked for by
+    name), and APPROX refuses when no hll partial is stored. The
+    assembler refuses an SQL twin (engine-specific sketch)."""
+    from query_planner_optimizer_spark.dsl.compiler import QueryError
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    events = catalog.table("events")
+    agg_dir = str(tmp_path / "hll_rollups")
+    rollups = {"agg_day_etype_hll": {
+        "keys": ["day", "event_type"],
+        "aggs": {"value": ["sum", "count"], "user_id": ["hll"]},
+    }}
+    build_rollups(events, agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    q = {"select": ["event_type",
+                    {"APPROX_COUNT_DISTINCT": "user_id", "as": "n_est"}],
+         "from": "events", "group_by": ["event_type"],
+         "order_by": ["event_type"]}
+    routed = router.route(q)
+    assert routed is not None
+    got = routed.toPandas()
+    scan = compile_query(q, catalog).toPandas()
+    pd.testing.assert_frame_equal(got, scan)  # identical, not close
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")).toPandas().set_index(
+        "event_type")["n"]
+    for _, row in got.iterrows():
+        assert abs(row["n_est"] - exact[row["event_type"]]) <= \
+            0.05 * exact[row["event_type"]]
+    # exact distinct never routes onto the sketch
+    q_exact = {"select": ["event_type",
+                          {"COUNT_DISTINCT": "user_id", "as": "n"}],
+               "from": "events", "group_by": ["event_type"]}
+    assert router.route(q_exact) is None
+    # no hll partial for value -> refuse
+    q_nosketch = {"select": ["event_type",
+                             {"APPROX_COUNT_DISTINCT": "value",
+                              "as": "n"}],
+                  "from": "events", "group_by": ["event_type"]}
+    assert router.route(q_nosketch) is None
+    with pytest.raises(QueryError):
+        assemble_sql(q, catalog.spark_type_map("events"),
+                     dialect="duckdb")
