@@ -370,6 +370,91 @@ def test_nested_compiler_equals_duckdb(q, spark, catalog, ddb):
 
 
 @st.composite
+def composed_queries(draw) -> dict:
+    """r6 composition grammar (r5 VERDICT #6): a named CTE, a derived-
+    table FROM reading the CTE, an IN/NOT-IN membership subquery (over
+    the base table or the CTE itself), a post-aggregation expression
+    over the outer aggregates, and an optional inline-agg HAVING — ALL
+    IN ONE QUERY. The feature interactions (CTE view scoping inside a
+    derived table, HUGEINT pins for integral SUMs over CTE/derived
+    aliases, membership compiled against the view catalog) are where
+    twin-dialect drift hides; every value is integer-exact so any
+    divergence is a real bug, never float noise."""
+    cte = {"select": ["user_id", "event_type",
+                      {"COUNT": "*", "as": "n"}],
+           "from": "events", "group_by": ["user_id", "event_type"]}
+    if draw(st.booleans()):
+        cte["where"] = [{"col": "event_type", "op": "neq",
+                         "val": draw(st.sampled_from(ETYPES))}]
+    # derived FROM over the CTE: per-user type-count + integral SUM
+    # over the CTE's COUNT alias (exercises the derived_output_types
+    # integral pin two levels deep).
+    derived = {"select": ["user_id",
+                          {"COUNT": "*", "as": "n_types"},
+                          {"SUM": "n", "as": "tot"}],
+               "from": "v", "group_by": ["user_id"]}
+    q: dict = {
+        "with": {"v": cte},
+        "from": derived,
+        "select": ["n_types",
+                   {"COUNT": "*", "as": "n_users"},
+                   {"SUM": "tot", "as": "sum_tot"}],
+        "group_by": ["n_types"],
+        "order_by": [{"col": "n_types", "dir": "asc"}],
+    }
+    if draw(st.booleans()):
+        q["select"] = [*q["select"],
+                       {"post": {"op": draw(st.sampled_from(
+                           ["add", "mul", "sub"])),
+                           "args": ["sum_tot", "n_users"]},
+                        "as": "post_mix"}]
+    # membership over the base table or the CTE view itself
+    if draw(st.booleans()):
+        src = draw(st.sampled_from(["events", "v"]))
+        if src == "events":
+            sub = {"select": ["user_id", {"COUNT": "*", "as": "m"}],
+                   "from": "events", "group_by": ["user_id"]}
+        else:
+            sub = {"select": ["user_id", {"SUM": "n", "as": "m"}],
+                   "from": "v", "group_by": ["user_id"]}
+        sub["having"] = [{"col": "m",
+                          "op": draw(st.sampled_from(["gte", "lte"])),
+                          "val": draw(st.integers(min_value=1,
+                                                  max_value=40))}]
+        q["where"] = [{"col": "user_id",
+                       "op": draw(st.sampled_from(["in", "not_in"])),
+                       "val": {"subquery": sub}}]
+    if draw(st.booleans()):
+        q["having"] = [{"agg": {"COUNT": "*"},
+                        "op": draw(st.sampled_from(["gte", "lte"])),
+                        "val": draw(st.integers(min_value=0,
+                                                max_value=100))}]
+    return q
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=composed_queries())
+def test_composed_nesting_equals_duckdb(q, spark, catalog, ddb):
+    """CTE + derived FROM + membership + post-agg + inline-agg HAVING
+    composed in one draw, differentially against DuckDB."""
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    # dtype KINDS must match too (the exactcheck contract): every
+    # column here is integral or a group key, so any float is a
+    # missing HUGEINT pin in one dialect.
+    for c in got.columns:
+        assert got[c].dtype.kind == want[c].dtype.kind, (c, q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+@st.composite
 def join_queries(draw) -> dict:
     """Random star joins: orders⋈customer(⋈nation), aggregated over a
     drawn grouping column, with optional filters/order/limit."""
