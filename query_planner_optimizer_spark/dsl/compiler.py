@@ -988,6 +988,26 @@ def _cond_col_refs(cond: Any) -> set:
     return refs
 
 
+def _expr_col_refs(e: Any) -> set:
+    """Column names referenced by a scalar expression tree (the
+    aggregate-target grammar of :func:`_num_expr`)."""
+    refs: set = set()
+    if isinstance(e, str):
+        return {e}
+    if not isinstance(e, dict):
+        return refs
+    if "lit" in e:
+        return refs
+    if "if" in e:
+        refs |= _cond_col_refs(e["if"])
+        refs |= _expr_col_refs(e.get("then"))
+        refs |= _expr_col_refs(e.get("else"))
+        return refs
+    for a in e.get("args") or []:
+        refs |= _expr_col_refs(a)
+    return refs
+
+
 def _having_has_inline_agg(having: list) -> bool:
     def walk(c) -> bool:
         if not isinstance(c, dict):
@@ -1069,6 +1089,19 @@ def _try_eager_agg(q: dict, catalog) -> tuple | None:
                 if fname != "COUNT":
                     return False
                 continue
+            if isinstance(col, dict):
+                # Expression target (SUM(price * (1 - disc))): pushable
+                # when every referenced column lives on T and the
+                # rounded-DECIMAL accumulation applies (an unrounded
+                # double expression SUM is order-sensitive).
+                if fname != "SUM" or round_to is None:
+                    return False
+                refs = _expr_col_refs(col)
+                if not refs or not refs.issubset(t_types):
+                    return False
+                if any(r in o_df.columns and r != gk for r in refs):
+                    return False
+                continue
             if not isinstance(col, str) or col not in t_types:
                 return False
             if col in o_df.columns and col != gk:
@@ -1128,15 +1161,19 @@ def _try_eager_agg(q: dict, catalog) -> tuple | None:
     pexprs: list[Column] = []
 
     def partial_for(fname: str, col, round_to) -> str:
+        col_key = (json.dumps(col, sort_keys=True)
+                   if isinstance(col, dict) else col)
         if fname == "SUM" and round_to is not None:
-            key = ("SUMD", col, agg_decimal_scale(round_to))
+            key = ("SUMD", col_key, agg_decimal_scale(round_to))
         else:
-            key = (fname, col, None)
+            key = (fname, col_key, None)
         if key in partials:
             return partials[key]
         name = f"__p{len(partials)}"
         if key[0] == "SUMD":
-            e = F.sum(F.col(col).cast(T.DecimalType(38, key[2])))
+            base = (_num_expr(t_df, col) if isinstance(col, dict)
+                    else F.col(col))
+            e = F.sum(base.cast(T.DecimalType(38, key[2])))
         elif fname == "SUM":
             e = F.sum(col)
         elif fname == "COUNT":

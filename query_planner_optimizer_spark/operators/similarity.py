@@ -242,26 +242,35 @@ def embedding_neardup_pairs(
             *[F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bkt"))
               for t in range(tables)]
         )
-        sk = base.select(
-            "id", "_vec", "_norm", F.explode(buckets).alias("b")
-        ).select("id", "_vec", "_norm",
-                 F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt"))
+        # The band join shuffles ONLY (id, tbl, bkt) — never vectors.
+        # Wide rows through a sort-merge join are the scale killer: a
+        # coarse-bucket regime produces O(candidate-pairs) rows, and at
+        # 64 doubles per side that's ~1 KB per candidate sorted and
+        # spilled (measured: Java-heap OOM at sf0.1 under local[32]).
+        # Slim candidates dedup FIRST (multi-table collisions collapse),
+        # then vectors re-attach by id — two joins keyed on the N-row
+        # base, AQE-broadcastable when the base is small.
+        sk = base.select("id", F.explode(buckets).alias("b")).select(
+            "id", F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt"))
         a, b = sk.alias("a"), sk.alias("b")
-        pairs = (
+        cand = (
             a.join(
                 b,
                 (F.col("a.tbl") == F.col("b.tbl"))
                 & (F.col("a.bkt") == F.col("b.bkt"))
                 & (F.col("a.id") < F.col("b.id")),
             )
-            .select(
-                F.col("a.id").alias("id_a"), F.col("a._vec").alias("va"),
-                F.col("a._norm").alias("na"),
-                F.col("b.id").alias("id_b"), F.col("b._vec").alias("vb"),
-                F.col("b._norm").alias("nb"),
-            )
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
+        va = base.select(F.col("id").alias("id_a"),
+                         F.col("_vec").alias("va"),
+                         F.col("_norm").alias("na"))
+        vb = base.select(F.col("id").alias("id_b"),
+                         F.col("_vec").alias("vb"),
+                         F.col("_norm").alias("nb"))
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
     sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("sim", sim)
