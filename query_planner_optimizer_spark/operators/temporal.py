@@ -262,10 +262,20 @@ def gapfill_resample(
         F.floor(epoch_micros(F.col(ts_col)) / F.lit(step_us))
         .cast("long") * bucket_seconds
     ).alias("bucket_start")
+    # DECIMAL accumulation for the rounded sum/avg — double += is not
+    # associative, and an ulp drift straddling the ROUND(…, 6) boundary
+    # diverges from the oracle (caught by the sf0.1 full sweep: one
+    # bucket flipped 43.472812 vs 43.472813). Same idiom as the DSL
+    # compiler's rounded aggregates; the oracle mirrors it.
+    from pyspark.sql import types as T
+
+    dec = T.DecimalType(38, 16)
+    dsum = F.sum(F.col(value_col).cast(dec))
     agg = events.groupBy(*gcols, bucket).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(value_col), 6).alias("sum_value"),
-        F.round(F.sum(value_col) / F.count(F.lit(1)), 6).alias("__avg"),
+        F.round(dsum, 6).cast("double").alias("sum_value"),
+        F.round(dsum.cast("double") / F.count(F.lit(1)), 6)
+        .alias("__avg"),
     )
     # The span guard lives INSIDE the __mx expression (a pruned side
     # column would be optimized away before it ever evaluated): any
@@ -318,8 +328,10 @@ WITH agg AS (
            CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600
                AS bucket_start,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 6) AS sum_value,
-           ROUND(SUM(value) / COUNT(*), 6) AS avg_v
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6) AS DOUBLE)
+               AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38, 16))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_v
     FROM events GROUP BY 1, 2
 ),
 spans AS (

@@ -1310,3 +1310,36 @@ def test_eager_agg_guards_refuse_unsafe_shapes(catalog):
         df = compile_query(q, catalog)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "__p0" not in plan, q
+
+
+def test_eager_agg_expression_target(catalog, ddb):
+    """SUM over an arithmetic expression of T columns (the TPC-H
+    revenue shape, price*(1-disc)) pushes below the join when
+    decimal-rounded; the partial frame computes the expression
+    scan-side. Unrounded expression SUMs stay on the plain path."""
+    q = {"select": ["o_custkey",
+                    {"SUM": {"op": "mul",
+                             "args": ["l_extendedprice",
+                                      {"op": "sub",
+                                       "args": [1, "l_discount"]}]},
+                     "as": "revenue", "round": 2}],
+         "from": "orders",
+         "join": [{"table": "lineitem",
+                   "on": [["o_orderkey", "l_orderkey"]]}],
+         "group_by": ["o_custkey"],
+         "order_by": ["o_custkey"], "limit": 100}
+    df = compile_query(q, catalog)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__p0" in plan  # rewrite fired
+    tm = _merged_map(catalog, "orders", "lineitem")
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
+    # unrounded expression SUM is order-sensitive -> no rewrite
+    q2 = {**q, "select": ["o_custkey",
+                          {"SUM": {"op": "mul",
+                                   "args": ["l_extendedprice",
+                                            "l_discount"]},
+                           "as": "x"}]}
+    plan2 = compile_query(q2, catalog)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "__p0" not in plan2
