@@ -36,6 +36,7 @@ columns are named lowercase ``sum(col)`` / ``avg(col)`` / ``count(*)`` /
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
