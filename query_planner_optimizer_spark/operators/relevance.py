@@ -44,22 +44,29 @@ DEFAULT_QUERY_TERMS = ("spark", "window", "customer", "stream")
 
 def _term_stats(
     docs: DataFrame, terms: list[str], id_col: str, text_col: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(tf, df_idf-ready per-term doc freq, per-doc lengths) shared by
-    both scorers. The term filter applies to the exploded token stream
-    pre-shuffle (codegen'd isin over a literal array)."""
+) -> tuple[DataFrame, DataFrame]:
+    """(tf-with-dl, per-term doc freq) shared by both scorers. The term
+    filter applies to the exploded token stream pre-shuffle (codegen'd
+    isin over a literal array), and the document length piggybacks on
+    the tf aggregation (dl is constant per doc, so max() through the
+    same shuffle is exact) — the corpus is tokenized ONCE for scoring
+    instead of once per consumer, and no doc-keyed lengths join exists
+    at all. At 100 TB that's one fewer full-corpus pass and one fewer
+    corpus-wide shuffle."""
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
     )
-    lengths = toked.select("doc_id", F.size("__toks").alias("dl"))
     tf = (
-        toked.select("doc_id", F.explode("__toks").alias("term"))
+        toked.select(
+            "doc_id", F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
         .filter(F.col("term").isin(list(terms)))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return tf, dfreq, lengths
+    return tf, dfreq
 
 
 def tfidf_scores(
@@ -70,7 +77,7 @@ def tfidf_scores(
 ) -> DataFrame:
     """Classic TF-IDF: score = Σ tf · ln(N / df). Returns
     (doc_id, n_matched_terms, score) for docs matching ≥1 term."""
-    tf, dfreq, _ = _term_stats(docs, list(terms), id_col, text_col)
+    tf, dfreq = _term_stats(docs, list(terms), id_col, text_col)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
         "term",
@@ -99,8 +106,12 @@ def bm25_scores(
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = Σ idf · tf·(k1+1) /
     (tf + k1·(1 - b + b·dl/avgdl)). Returns (doc_id, n_matched_terms,
     score)."""
-    tf, dfreq, lengths = _term_stats(docs, list(terms), id_col, text_col)
-    stats = lengths.agg(
+    tf, dfreq = _term_stats(docs, list(terms), id_col, text_col)
+    # Corpus scalars need EVERY document (zero-match docs count toward
+    # N and avgdl) — one dedicated tokenize pass reduced to two longs.
+    stats = docs.select(
+        F.size(tokens(F.col(text_col))).alias("dl")
+    ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
@@ -115,7 +126,6 @@ def bm25_scores(
     )
     scored = (
         tf.join(F.broadcast(idf), "term")
-        .join(lengths, "doc_id")
         .select(
             "doc_id",
             (
