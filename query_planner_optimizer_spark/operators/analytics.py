@@ -98,7 +98,8 @@ def rollup_counts(
     (SURVEY.md §2.3) but native in both Spark and the oracle."""
     return df.rollup(*cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum(value_col), 6).alias("sum_value"),
+        F.round(F.sum(F.col(value_col).cast("decimal(38, 16)")), 6)
+        .cast("double").alias("sum_value"),
         # grouping() flags let callers distinguish a subtotal row from a
         # group whose key VALUE is NULL — a COALESCE-only sentinel
         # conflates the two (ADVICE r3).
@@ -789,7 +790,9 @@ def entry_oracles() -> dict[str, str]:
             SELECT CAST(ts AS DATE) AS day, event_type,
                    GROUPING(CAST(ts AS DATE)) AS g_day,
                    GROUPING(event_type) AS g_etype,
-                   COUNT(*) AS n_rows, ROUND(SUM(value), 6) AS sum_value
+                   COUNT(*) AS n_rows,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6)
+                        AS DOUBLE) AS sum_value
             FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
         )
     """

@@ -89,7 +89,9 @@ def tfidf_scores(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_matched_terms"),
-            F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"),
+            F.round(F.sum((F.col("tf") * F.col("idf"))
+                           .cast("decimal(38, 16)")), 6)
+            .cast("double").alias("score"),
         )
     )
 
@@ -144,7 +146,8 @@ def bm25_scores(
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_matched_terms"),
-        F.round(F.sum("contrib"), 6).alias("score"),
+        F.round(F.sum(F.col("contrib").cast("decimal(38, 16)")), 6)
+        .cast("double").alias("score"),
     )
 
 
@@ -197,20 +200,21 @@ def entry_oracles() -> dict[str, str]:
     tfidf = f"""
         WITH {base}
         SELECT tf.doc_id, COUNT(*) AS n_matched_terms,
-               ROUND(SUM(tf.tf * ln(CAST(stats.n_docs AS DOUBLE) / dfreq.df)),
-                     6) AS score
+               CAST(ROUND(SUM(CAST(
+                   tf.tf * ln(CAST(stats.n_docs AS DOUBLE) / dfreq.df)
+               AS DECIMAL(38, 16))), 6) AS DOUBLE) AS score
         FROM tf JOIN dfreq USING (term), stats
         GROUP BY tf.doc_id
     """
     bm25 = f"""
         WITH {base}
         SELECT tf.doc_id, COUNT(*) AS n_matched_terms,
-               ROUND(SUM(
+               CAST(ROUND(SUM(CAST(
                    ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
                    * (tf.tf * {BM25_K1 + 1.0})
                    / (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
                       + {BM25_B} * CAST(lens.dl AS DOUBLE) / stats.avgdl))
-               ), 6) AS score
+               AS DECIMAL(38, 16))), 6) AS DOUBLE) AS score
         FROM tf
         JOIN dfreq USING (term)
         JOIN lens ON tf.doc_id = lens.doc_id, stats

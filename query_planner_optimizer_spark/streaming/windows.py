@@ -62,7 +62,8 @@ def hourly_rollup(
         df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(38, 16)")), 6)
+            .cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -94,7 +95,8 @@ def sliding_rollup(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(38, 16)")), 6)
+            .cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -124,7 +126,11 @@ def sessionize(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # DECIMAL accumulation: same ulp-at-the-ROUND-boundary
+            # hazard the sf0.1 sweep caught in gapfill — per-session
+            # double sums are usually tiny but not provably safe.
+            F.round(F.sum(F.col("value").cast("decimal(38, 16)")), 6)
+            .cast("double").alias("sum_value"),
         )
         .select(
             F.col(key_col),
@@ -373,7 +379,8 @@ def entry_oracles() -> dict[str, str]:
     hourly = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type, COUNT(*) AS n_events,
-               ROUND(SUM(value), 6) AS sum_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6) AS DOUBLE)
+                   AS sum_value
         FROM events GROUP BY 1, 2
     """
     # Gaps-and-islands sessionization — identical semantics to
@@ -402,7 +409,8 @@ def entry_oracles() -> dict[str, str]:
             FROM flagged
         )
         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-               ROUND(SUM(value), 6) AS sum_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6) AS DOUBLE)
+                   AS sum_value
         FROM numbered GROUP BY user_id, session_id
     """
     dedup = """
@@ -420,7 +428,8 @@ def entry_oracles() -> dict[str, str]:
             FROM events, unnest([0, 1, 2, 3]) AS t(k)
         )
         SELECT window_start, event_type, COUNT(*) AS n_events,
-               ROUND(SUM(value), 6) AS sum_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6) AS DOUBLE)
+                   AS sum_value
         FROM expanded GROUP BY 1, 2
     """
     ijoin = """
