@@ -279,12 +279,17 @@ def refresh_rollups(
 
         def _merge_fn(c: str):
             # Partial-merge operator by measure kind: sums/counts add,
-            # MIN/MAX partials take min/max (both associative — the
-            # merged rollup stays bit-identical to a rebuild).
+            # MIN/MAX partials take min/max, HLL sketches union (all
+            # associative — the merged rollup stays equivalent to a
+            # rebuild; for sketches the serialized bytes may differ by
+            # storage mode but the register state, and therefore every
+            # estimate served from it, is identical).
             if c.startswith("min_"):
                 return F.min(c).alias(c)
             if c.startswith("max_"):
                 return F.max(c).alias(c)
+            if c.startswith("hll_"):
+                return F.hll_union_agg(c).alias(c)
             return F.sum(c).alias(c)
 
         merged = (

@@ -882,3 +882,40 @@ def test_hll_rollup_partial_routes_and_bounds(spark, catalog, tmp_path):
     with pytest.raises(QueryError):
         assemble_sql(q, catalog.spark_type_map("events"),
                      dialect="duckdb")
+
+
+def test_hll_rollup_incremental_refresh_equals_rebuild(
+        spark, catalog, tmp_path):
+    """Splitting the data into build + refresh slices and merging HLL
+    partials via hll_union_agg serves the IDENTICAL routed estimate as
+    a from-scratch rebuild (register state is associative; serialized
+    bytes may differ by sketch storage mode, estimates may not)."""
+    from query_planner_optimizer_spark.prepare import (
+        build_rollups, refresh_rollups,
+    )
+
+    events = catalog.table("events")
+    cut = events.select(F.min("day"), F.max("day")).first()
+    mid = cut[0] + (cut[1] - cut[0]) / 2
+    rollups = {"agg_day_etype_hll": {
+        "keys": ["day", "event_type"],
+        "aggs": {"user_id": ["hll"]},
+    }}
+    q = {"select": ["event_type",
+                    {"APPROX_COUNT_DISTINCT": "user_id", "as": "n_est"}],
+         "from": "events", "group_by": ["event_type"],
+         "order_by": ["event_type"]}
+
+    full_dir = str(tmp_path / "full")
+    build_rollups(events, full_dir, rollups)
+    incr_dir = str(tmp_path / "incr")
+    build_rollups(events.filter(F.col("day") <= F.lit(mid)),
+                  incr_dir, rollups)
+    refreshed = refresh_rollups(
+        spark, events.filter(F.col("day") > F.lit(mid)), incr_dir,
+        rollups)
+    assert refreshed == ["agg_day_etype_hll"]
+    full = RollupRouter(spark, full_dir, rollups).route(q)
+    incr = RollupRouter(spark, incr_dir, rollups).route(q)
+    assert full is not None and incr is not None
+    pd.testing.assert_frame_equal(full.toPandas(), incr.toPandas())
