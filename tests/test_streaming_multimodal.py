@@ -862,3 +862,52 @@ def test_jpeg_roundtrip_and_isolation():
     assert list(out["decode_ok"]) == [True, False, False, False]
     assert out["n_pixels"][0] == 640 * 480
     assert bool(out["progressive"][0]) is False
+
+
+def test_streaming_hll_rollup_maintenance_serves_distinct(spark, tmp_path):
+    """The streaming-DAU scale path end-to-end: a rollup spec with an
+    HLL sketch column maintained by the file-source stream (two forced
+    micro-batches, hll_union_agg merges) serves the SAME routed
+    APPROX_COUNT_DISTINCT estimate as a one-shot rebuild — distinct
+    counts from pre-aggregates with no state store, no watermark, and
+    no two-shuffle exact expand."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+    from query_planner_optimizer_spark.streaming.maintenance import (
+        streaming_rollup_maintenance,
+    )
+    from .conftest import SF_DIR
+
+    events = Catalog(spark, SF_DIR, register_views=False).table("events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "day"]
+    landing = str(tmp_path / "landing")
+    agg_dir = str(tmp_path / "aggs")
+    rollups = {"agg_day_etype_hll": {
+        "keys": ["day", "event_type"],
+        "aggs": {"value": ["sum", "count"], "user_id": ["hll"]},
+    }}
+    h0 = events.filter((F.col("event_id") % 2) == 0).select(*cols)
+    h1 = events.filter((F.col("event_id") % 2) == 1).select(*cols)
+    h0.coalesce(1).write.mode("overwrite").parquet(landing)
+    h1.coalesce(1).write.mode("append").parquet(landing)
+    q = streaming_rollup_maintenance(
+        spark, landing, agg_dir, str(tmp_path / "ckpt"), rollups,
+        schema=h0.schema, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    rebuild_dir = str(tmp_path / "rebuild")
+    build_rollups(events.select(*cols), rebuild_dir, rollups)
+    dau_q = {"select": ["day",
+                        {"APPROX_COUNT_DISTINCT": "user_id",
+                         "as": "dau_est"}],
+             "from": "events", "group_by": ["day"],
+             "order_by": ["day"]}
+    streamed = RollupRouter(spark, agg_dir, rollups).route(dau_q)
+    rebuilt = RollupRouter(spark, rebuild_dir, rollups).route(dau_q)
+    assert streamed is not None and rebuilt is not None
+    pd.testing.assert_frame_equal(streamed.toPandas(),
+                                  rebuilt.toPandas())
