@@ -710,6 +710,125 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_ROUNDS = 6
+
+
+def bpe_merge_induction(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGE_ROUNDS,
+    text_col: str = "text",
+    top_words: int | None = None,
+) -> DataFrame:
+    """Byte-pair-encoding merge induction (Sennrich et al. 2016) — the
+    tokenizer-TRAINING step, run the scalable way: one corpus pass
+    builds the (word, count) vocabulary, and every merge round after
+    that operates on |V| vocabulary rows, never the corpus. Each round:
+    count weighted adjacent symbol pairs (explode over per-word symbol
+    arrays), pick the most frequent pair (ties broken lexicographically
+    — fully deterministic), and fuse its non-overlapping left-to-right
+    occurrences in every word. Words are space-joined symbol strings,
+    so the fuse step is one sentinel-padded literal replace — identical
+    non-overlap semantics in Spark and the oracle by construction.
+
+    Returns the merge table (merge_round, left_sym, right_sym,
+    pair_count) — the artifact a tokenizer ships. The per-round winner
+    is a SINGLE row collected to the driver (the same bounded-collect
+    pattern as connected-components' convergence sums); the vocabulary
+    localCheckpoints per round so lineage stays flat across rounds. At
+    100 TB the corpus pass dominates and the rounds are |V|-bounded;
+    ``top_words`` optionally caps |V| (count-desc, word-asc — the
+    standard frequency-truncated training vocabulary).
+    """
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if top_words is not None:
+        words = words.orderBy(
+            F.col("cnt").desc(), F.col("w").asc()).limit(top_words)
+    vocab = words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "cnt"
+    ).localCheckpoint(eager=False)
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        s = F.split("sym", " ")
+        n = F.size(s)
+        pair = F.explode(F.arrays_zip(
+            F.slice(s, 1, n - 1).alias("l"),
+            F.slice(s, 2, n - 1).alias("r"),
+        )).alias("p")
+        best = (
+            vocab.select("cnt", pair)
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), F.col("l").asc(),
+                     F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # every word fused to one symbol — vocabulary is done
+        left, right, pc = best[0]["l"], best[0]["r"], best[0]["pc"]
+        merges.append((r, left, right, pc))
+        vocab = vocab.select(
+            F.trim(F.replace(
+                F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                F.lit(f" {left} {right} "),
+                F.lit(f" {left}{right} "),
+            )).alias("sym"),
+            "cnt",
+        ).localCheckpoint(eager=False)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_induction(_load_documents(spark, sf_dir))
+
+
+def _bpe_oracle(n_merges: int = BPE_MERGE_ROUNDS) -> str:
+    """Generate the N-round merge induction as one chained-CTE DuckDB
+    query — each round re-derives the previous round's winner and
+    applies the identical sentinel-padded replace."""
+    toks = _sql_tokens()
+    parts = [f"""
+        v0 AS (
+            SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+                   COUNT(*) AS cnt
+            FROM (SELECT unnest({toks}) AS w FROM documents)
+            GROUP BY 1
+        )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+        p{r} AS (
+            SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS pc
+            FROM (SELECT cnt, string_split(sym, ' ') AS syms
+                  FROM v{r - 1}) t,
+                 UNNEST(range(1, len(syms))) AS u(i)
+            GROUP BY 1, 2
+        ),
+        b{r} AS (
+            SELECT l, r, pc FROM p{r}
+            ORDER BY pc DESC, l ASC, r ASC LIMIT 1
+        ),
+        v{r} AS (
+            SELECT trim(replace(' ' || sym || ' ',
+                                ' ' || b.l || ' ' || b.r || ' ',
+                                ' ' || b.l || b.r || ' ')) AS sym, cnt
+            FROM v{r - 1}, b{r} b
+        )""")
+    rounds = "\n        UNION ALL\n".join(
+        f"""        SELECT {r} AS merge_round, l AS left_sym,
+               r AS right_sym, CAST(pc AS BIGINT) AS pair_count
+        FROM b{r}""" for r in range(1, n_merges + 1)
+    )
+    return ("WITH " + ",".join(parts) + "\n" + rounds)
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "text_oov_ratio": q_oov_ratio,
@@ -726,6 +845,7 @@ def entry_queries() -> dict[str, Callable]:
         "text_bigram_lm": q_bigram_lm,
         "text_readability": q_readability,
         "text_vocab_coverage": q_vocab_coverage,
+        "text_bpe_merges": q_bpe_merges,
     }
 
 
@@ -994,4 +1114,5 @@ def entry_oracles() -> dict[str, str]:
                          / COUNT(*), 6) AS lm_score
             FROM scored GROUP BY doc_id
         """,
+        "text_bpe_merges": _bpe_oracle(),
     }

@@ -1044,3 +1044,58 @@ def test_temperature_mixture_rebalances(spark):
     again = sampling.temperature_mixture(docs, "source", "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == \
            sorted(r.doc_id for r in again.collect())
+
+
+def test_bpe_merge_induction_matches_python_reference(spark):
+    """The distributed BPE merge rounds equal a plain-Python reference
+    (pair counting with overlap, lexicographic tiebreak, left-to-right
+    non-overlapping fuse) on a corpus tiny enough to hand-check."""
+    from collections import Counter
+
+    from query_planner_optimizer_spark.operators.text import (
+        bpe_merge_induction,
+    )
+
+    texts = ["low low low lower lowest", "new newer newest new",
+             "low new lowest"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+    def py_bpe(texts, n):
+        words = Counter(w for t in texts for w in t.lower().split())
+        vocab = {tuple(w): c for w, c in words.items()}
+        out = []
+        for r in range(1, n + 1):
+            pairs = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            (l, rr), pc = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((r, l, rr, pc))
+            new_vocab = {}
+            for syms, c in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == rr):
+                        merged.append(l + rr)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                new_vocab[tuple(merged)] = \
+                    new_vocab.get(tuple(merged), 0) + c
+            vocab = new_vocab
+        return out
+
+    want = py_bpe(texts, 5)
+    got = [(r.merge_round, r.left_sym, r.right_sym, r.pair_count)
+           for r in bpe_merge_induction(docs, n_merges=5)
+           .orderBy("merge_round").collect()]
+    assert got == want
+    # top_words truncation keeps determinism
+    got2 = bpe_merge_induction(docs, n_merges=3, top_words=4).collect()
+    assert len(got2) == 3
