@@ -790,10 +790,53 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_induction(_load_documents(spark, sf_dir))
 
 
-def _bpe_oracle(n_merges: int = BPE_MERGE_ROUNDS) -> str:
-    """Generate the N-round merge induction as one chained-CTE DuckDB
-    query — each round re-derives the previous round's winner and
-    applies the identical sentinel-padded replace."""
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table — the tokenizer ENCODE step,
+    paired with :func:`bpe_merge_induction`'s training step. Each
+    document's words become char-level symbol strings and the merges
+    apply IN LEARNED ORDER as chained sentinel-padded literal replaces
+    — entirely map-side column expressions (no UDF, no shuffle beyond
+    the per-doc count aggregation), so encoding a 100 TB corpus is an
+    embarrassingly parallel scan. Returns
+    (doc_id, n_words, n_bpe_tokens)."""
+    word = F.explode(tokens(F.col(text_col))).alias("w")
+    seg = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for left, right in merges:
+        seg = F.replace(
+            seg, F.lit(f" {left} {right} "), F.lit(f" {left}{right} "))
+    n_sub = F.size(F.split(F.trim(seg), " "))
+    return (
+        docs.select("doc_id", word)
+        .select("doc_id", n_sub.alias("ns"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.sum("ns").alias("n_bpe_tokens"))
+    )
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-circle train-then-encode: induce the merge table from the
+    corpus (driver holds N rows — bounded), then encode every document
+    with it. The oracle re-derives the SAME merges in its CTE chain and
+    applies the identical chained replace."""
+    docs = _load_documents(spark, sf_dir)
+    merges = [(r["left_sym"], r["right_sym"])
+              for r in bpe_merge_induction(docs)
+              .orderBy("merge_round").collect()]
+    return bpe_segment(docs, merges)
+
+
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """The WITH-clause body (v0..vN, b1..bN) shared by the merge-table
+    oracle and the segment oracle."""
     toks = _sql_tokens()
     parts = [f"""
         v0 AS (
@@ -821,12 +864,48 @@ def _bpe_oracle(n_merges: int = BPE_MERGE_ROUNDS) -> str:
                                 ' ' || b.l || b.r || ' ')) AS sym, cnt
             FROM v{r - 1}, b{r} b
         )""")
+    return ",".join(parts)
+
+
+def _bpe_oracle(n_merges: int = BPE_MERGE_ROUNDS) -> str:
+    """Generate the N-round merge induction as one chained-CTE DuckDB
+    query — each round re-derives the previous round's winner and
+    applies the identical sentinel-padded replace."""
     rounds = "\n        UNION ALL\n".join(
         f"""        SELECT {r} AS merge_round, l AS left_sym,
                r AS right_sym, CAST(pc AS BIGINT) AS pair_count
         FROM b{r}""" for r in range(1, n_merges + 1)
     )
-    return ("WITH " + ",".join(parts) + "\n" + rounds)
+    return "WITH " + _bpe_oracle_ctes(n_merges) + "\n" + rounds
+
+
+def _bpe_segment_oracle(n_merges: int = BPE_MERGE_ROUNDS) -> str:
+    """Train + encode in one DuckDB query: the v/b CTE chain re-derives
+    the learned merges, then every word encodes through the identical
+    nested sentinel-padded replace chain."""
+    toks = _sql_tokens()
+    expr = "s"
+    for r in range(1, n_merges + 1):
+        expr = (f"replace({expr}, ' ' || b{r}.l || ' ' || b{r}.r || ' ',"
+                f" ' ' || b{r}.l || b{r}.r || ' ')")
+    b_tables = ", ".join(f"b{r}" for r in range(1, n_merges + 1))
+    return f"""
+        WITH {_bpe_oracle_ctes(n_merges)},
+        words AS (SELECT doc_id, unnest({toks}) AS w FROM documents),
+        seg AS (
+            SELECT doc_id,
+                   ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
+                       || ' ' AS s
+            FROM words
+        ),
+        applied AS (
+            SELECT doc_id, {expr} AS s FROM seg, {b_tables}
+        )
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM applied GROUP BY doc_id
+    """
 
 
 def entry_queries() -> dict[str, Callable]:
@@ -846,6 +925,7 @@ def entry_queries() -> dict[str, Callable]:
         "text_readability": q_readability,
         "text_vocab_coverage": q_vocab_coverage,
         "text_bpe_merges": q_bpe_merges,
+        "text_bpe_segment": q_bpe_segment,
     }
 
 
@@ -1115,4 +1195,5 @@ def entry_oracles() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         """,
         "text_bpe_merges": _bpe_oracle(),
+        "text_bpe_segment": _bpe_segment_oracle(),
     }

@@ -1099,3 +1099,19 @@ def test_bpe_merge_induction_matches_python_reference(spark):
     # top_words truncation keeps determinism
     got2 = bpe_merge_induction(docs, n_merges=3, top_words=4).collect()
     assert len(got2) == 3
+
+
+def test_bpe_segment_applies_merges_in_order(spark):
+    """Encoding applies merges in LEARNED order (an early merge feeds a
+    later one: e + s -> es, then es + t -> est), and unmergeable words
+    stay char-segmented."""
+    from query_planner_optimizer_spark.operators.text import bpe_segment
+
+    docs = spark.createDataFrame(
+        [(1, "test best rest"), (2, "xy")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in bpe_segment(
+        docs, [("e", "s"), ("es", "t")]).collect()}
+    # 'test' -> t,e,s,t -> t,es,t -> t,est : 2 subwords; same for best/rest
+    assert out[1].n_words == 3 and out[1].n_bpe_tokens == 6
+    assert out[2].n_words == 1 and out[2].n_bpe_tokens == 2
