@@ -973,10 +973,11 @@ def _cond_col_refs(cond: Any) -> set:
     refs: set = set()
     if not isinstance(cond, dict):
         return refs
-    if "or" in cond:
-        for c in cond["or"]:
-            refs |= _cond_col_refs(c)
-        return refs
+    for kw in ("or", "and"):
+        if kw in cond:
+            for c in cond[kw]:
+                refs |= _cond_col_refs(c)
+            return refs
     if "not" in cond:
         return _cond_col_refs(cond["not"])
     if isinstance(cond.get("col"), str):

@@ -1305,11 +1305,42 @@ def test_eager_agg_guards_refuse_unsafe_shapes(catalog):
                    "on": [["o_orderkey", "l_orderkey"]]}],
          "where": [{"col": "l_quantity", "op": "gt", "val": 10}],
          "group_by": ["o_custkey"]},
+        # T column hidden inside an AND tree (guard must recurse)
+        {"select": ["o_custkey",
+                    {"SUM": "l_quantity", "as": "s", "round": 2}],
+         "from": "orders",
+         "join": [{"table": "lineitem",
+                   "on": [["o_orderkey", "l_orderkey"]]}],
+         "where": [{"and": [
+             {"col": "o_custkey", "op": "gt", "val": 0},
+             {"col": "l_quantity", "op": "gt", "val": 10}]}],
+         "group_by": ["o_custkey"]},
     ]
     for q in unsafe:
         df = compile_query(q, catalog)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "__p0" not in plan, q
+
+
+def test_eager_agg_and_tree_probe_only_still_fires(catalog, ddb):
+    """An AND tree over probe-side columns only is safe — the rewrite
+    must still fire (the guard recursion must not over-refuse)."""
+    q = {"select": ["o_custkey",
+                    {"SUM": "l_quantity", "as": "sq", "round": 2}],
+         "from": "orders",
+         "join": [{"table": "lineitem",
+                   "on": [["o_orderkey", "l_orderkey"]]}],
+         "where": [{"and": [
+             {"col": "o_custkey", "op": "gt", "val": 0},
+             {"col": "o_totalprice", "op": "lt", "val": 400000}]}],
+         "group_by": ["o_custkey"],
+         "order_by": ["o_custkey"], "limit": 100}
+    df = compile_query(q, catalog)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__p0" in plan
+    tm = _merged_map(catalog, "orders", "lineitem")
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
 
 
 def test_eager_agg_expression_target(catalog, ddb):
