@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from query_planner_optimizer_spark.catalog import Catalog
 from query_planner_optimizer_spark.functions.timeexpr import epoch_micros
@@ -309,6 +310,95 @@ def json_props_rollup(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+_PROFILE_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                    T.FloatType, T.DoubleType)
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None,
+                  round_to: int = 6) -> DataFrame:
+    """One-pass column profiler: per column, null count, exact distinct
+    count, and type-appropriate stats (numeric min/max/avg; string
+    min/max/avg-length; timestamps profiled as epoch-µs min/max).
+    Output: one row per column with a fixed schema
+    ``(col_name, n_rows, n_null, n_distinct, min_num, max_num, avg_num,
+    min_str, max_str, avg_len)`` — slots that don't apply are NULL.
+
+    The profiler the reference lacks entirely (its ``stats.parquet`` is
+    per-partition row counts only, `prepare_ultra_fast.py`); this is the
+    table-level pre-training data-quality pass.
+
+    Scale: ONE Aggregate over ONE scan — all metrics for all columns
+    reduce to a single row, then a driver-free explode fans it back out
+    to per-column rows. The multiple COUNT(DISTINCT)s share the scan via
+    Spark's Expand (input amplification = #distinct-aggs); at 100 TB
+    swap `F.count_distinct` for `F.approx_count_distinct` — the rest of
+    the plan is partial-aggregate-combining and shuffles ~one row per
+    partition. Sums accumulate in DECIMAL(38,16) so avg is bit-portable
+    (see `agg_decimal_scale` discipline); divisions are zero-guarded
+    (an all-NULL column yields NULL avgs, not ±Inf/NaN).
+    """
+    names = list(cols) if cols is not None else \
+        [f.name for f in df.schema.fields]
+    work = df
+    kinds: dict[str, str] = {}
+    for c in names:
+        dt = work.schema[c].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            work = work.withColumn(c, epoch_micros(F.col(c)))
+            kinds[c] = "ts"
+        elif isinstance(dt, _PROFILE_NUMERIC):
+            kinds[c] = "num"
+        elif isinstance(dt, T.StringType):
+            kinds[c] = "str"
+        else:
+            raise TypeError(f"profile_table: unsupported dtype for {c}: {dt}")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in names:
+        aggs += [F.count(c).alias(f"{c}__nn"),
+                 F.count_distinct(F.col(c)).alias(f"{c}__nd")]
+        if kinds[c] in ("num", "ts"):
+            aggs += [F.min(c).cast("double").alias(f"{c}__mn"),
+                     F.max(c).cast("double").alias(f"{c}__mx")]
+            if kinds[c] == "num":
+                aggs.append(
+                    F.round(F.sum(F.col(c).cast(T.DecimalType(38, 16))),
+                            round_to).cast("double").alias(f"{c}__sm"))
+        else:
+            aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx"),
+                     F.sum(F.length(c)).alias(f"{c}__sl")]
+    g = work.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in names:
+        nn = F.col(f"{c}__nn")
+        fields = [F.lit(c).alias("col_name"),
+                  (F.col("n_rows") - nn).alias("n_null"),
+                  F.col(f"{c}__nd").alias("n_distinct")]
+        if kinds[c] in ("num", "ts"):
+            avg = (F.when(nn > 0, F.col(f"{c}__sm") / nn)
+                   if kinds[c] == "num" else null_d)
+            fields += [F.col(f"{c}__mn").alias("min_num"),
+                       F.col(f"{c}__mx").alias("max_num"),
+                       avg.alias("avg_num"),
+                       null_s.alias("min_str"), null_s.alias("max_str"),
+                       null_d.alias("avg_len")]
+        else:
+            fields += [null_d.alias("min_num"), null_d.alias("max_num"),
+                       null_d.alias("avg_num"),
+                       F.col(f"{c}__mn").alias("min_str"),
+                       F.col(f"{c}__mx").alias("max_str"),
+                       F.when(nn > 0, F.col(f"{c}__sl").cast("double") / nn)
+                        .alias("avg_len")]
+        structs.append(F.struct(*fields))
+    return (g.select("n_rows", F.explode(F.array(*structs)).alias("p"))
+             .select("p.col_name", "n_rows", "p.n_null", "p.n_distinct",
+                     "p.min_num", "p.max_num", "p.avg_num",
+                     "p.min_str", "p.max_str", "p.avg_len"))
 
 
 # --------------------------------------------------------------------------
@@ -719,6 +809,73 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(events, ["event_type"], "value")
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return profile_table(events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"))
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import spread
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return profile_table(docs.select(
+        "doc_id", "text", "lang", "source", "n_chars"))
+
+
+def _profile_oracle_col(label: str, expr: str, kind: str) -> str:
+    """One UNION-ALL branch of the profiler oracle, twin-identical to
+    the engine's expression tree (decimal-accumulated avg, zero-guarded
+    division, NULL slots for inapplicable metrics)."""
+    head = (f"SELECT '{label}' AS col_name, COUNT(*) AS n_rows,\n"
+            f"       COUNT(*) - COUNT({expr}) AS n_null,\n"
+            f"       COUNT(DISTINCT {expr}) AS n_distinct,\n")
+    if kind in ("num", "ts"):
+        avg = ("CASE WHEN COUNT({x}) > 0 THEN "
+               "CAST(ROUND(SUM(CAST({x} AS DECIMAL(38, 16))), 6) AS DOUBLE)"
+               " / COUNT({x}) END").format(x=expr) \
+            if kind == "num" else "CAST(NULL AS DOUBLE)"
+        body = (f"       CAST(MIN({expr}) AS DOUBLE) AS min_num,\n"
+                f"       CAST(MAX({expr}) AS DOUBLE) AS max_num,\n"
+                f"       {avg} AS avg_num,\n"
+                f"       CAST(NULL AS VARCHAR) AS min_str,\n"
+                f"       CAST(NULL AS VARCHAR) AS max_str,\n"
+                f"       CAST(NULL AS DOUBLE) AS avg_len\n")
+    else:
+        body = (f"       CAST(NULL AS DOUBLE) AS min_num,\n"
+                f"       CAST(NULL AS DOUBLE) AS max_num,\n"
+                f"       CAST(NULL AS DOUBLE) AS avg_num,\n"
+                f"       MIN({expr}) AS min_str,\n"
+                f"       MAX({expr}) AS max_str,\n"
+                f"       CASE WHEN COUNT({expr}) > 0 THEN "
+                f"CAST(SUM(LENGTH({expr})) AS DOUBLE) / COUNT({expr}) END"
+                f" AS avg_len\n")
+    return head + body + "FROM src"
+
+
+_PROFILE_EVENTS_SQL = (
+    "WITH src AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,\n"
+    "                    event_type, value, props FROM events)\n"
+    + "\nUNION ALL\n".join([
+        _profile_oracle_col("event_id", "event_id", "num"),
+        _profile_oracle_col("ts", "ts_us", "ts"),
+        _profile_oracle_col("user_id", "user_id", "num"),
+        _profile_oracle_col("event_type", "event_type", "str"),
+        _profile_oracle_col("value", "value", "num"),
+        _profile_oracle_col("props", "props", "str"),
+    ]))
+
+_PROFILE_DOCUMENTS_SQL = (
+    "WITH src AS (SELECT doc_id, text, lang, source, n_chars\n"
+    "             FROM documents)\n"
+    + "\nUNION ALL\n".join([
+        _profile_oracle_col("doc_id", "doc_id", "num"),
+        _profile_oracle_col("text", "text", "str"),
+        _profile_oracle_col("lang", "lang", "str"),
+        _profile_oracle_col("source", "source", "str"),
+        _profile_oracle_col("n_chars", "n_chars", "num"),
+    ]))
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "analytics_json_props": q_json_props,
@@ -743,6 +900,8 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_pivot_day_by_type": q_pivot_day_by_type,
         "analytics_salted_agg": q_salted_agg,
         "dsl_join_salted": q_salted_join,
+        "analytics_profile_events": q_profile_events,
+        "analytics_profile_documents": q_profile_documents,
     }
 
 
@@ -1007,4 +1166,6 @@ def entry_oracles() -> dict[str, str]:
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
+        "analytics_profile_events": _PROFILE_EVENTS_SQL,
+        "analytics_profile_documents": _PROFILE_DOCUMENTS_SQL,
     }

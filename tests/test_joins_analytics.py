@@ -350,3 +350,34 @@ def test_grouping_sets_matches_oracle_and_union_construction(spark, ddb):
         analytics.grouping_sets_counts(
             events, [["user_id"]], ["event_type"], "value"
         )
+
+
+def test_profile_table_edges(spark):
+    """Profiler edge cases: NULL counting, all-NULL column yields NULL
+    avg (not Inf/NaN), exact distinct ignores NULLs, string length avg,
+    and unsupported dtypes are refused."""
+    import pytest
+
+    from query_planner_optimizer_spark.operators.analytics import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab", None), (2, None, None), (2, "cdef", None)],
+        "x bigint, s string, z double",
+    )
+    rows = {r.col_name: r for r in profile_table(df).collect()}
+    assert rows["x"].n_rows == 3 and rows["x"].n_null == 0
+    assert rows["x"].n_distinct == 2
+    assert rows["x"].min_num == 1.0 and rows["x"].max_num == 2.0
+    assert abs(rows["x"].avg_num - 5.0 / 3.0) < 1e-12
+    assert rows["s"].n_null == 1 and rows["s"].n_distinct == 2
+    assert rows["s"].min_str == "ab" and rows["s"].max_str == "cdef"
+    assert rows["s"].avg_len == 3.0
+    # all-NULL double column: guarded division -> NULL, never Inf
+    assert rows["z"].n_null == 3 and rows["z"].n_distinct == 0
+    assert rows["z"].avg_num is None and rows["z"].min_num is None
+    # unsupported dtype refused loudly
+    arr = spark.createDataFrame([([1, 2],)], "a array<int>")
+    with pytest.raises(TypeError, match="unsupported dtype"):
+        profile_table(arr)
