@@ -401,6 +401,45 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
                      "p.min_str", "p.max_str", "p.avg_len"))
 
 
+def key_skew_report(df: DataFrame, key_col: str,
+                    top_n: int = 10) -> DataFrame:
+    """Key-distribution skew diagnostic for a prospective join/agg key:
+    one row of ``(key_col, n_rows, n_keys, max_key_rows, top1_share,
+    topn_rows, topn_share, avg_rows_per_key, skew_ratio)``.
+    ``skew_ratio`` = heaviest key's rows over the per-key average — the
+    number that decides between a plain shuffle join, AQE skew split,
+    and explicit salting (`functions/skew.py`).
+
+    Scale: ONE shuffle (count per key, map-side combined); the top-N is
+    TakeOrderedAndProject over the counts frame (no global sort); the
+    final joins are one-row × one-row. All ratios are double divisions
+    of exact integers, so the report is bit-portable.
+    """
+    k = F.col(key_col)
+    counts = df.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+    )
+    top = (counts.orderBy(F.col("n").desc(), F.col("k").asc())
+           .limit(top_n).agg(F.sum("n").alias("topn_rows")))
+    out = stats.crossJoin(top)
+    return out.select(
+        F.lit(key_col).alias("key_col"),
+        "n_rows", "n_keys", "max_key_rows",
+        (F.col("max_key_rows").cast("double") / F.col("n_rows"))
+            .alias("top1_share"),
+        "topn_rows",
+        (F.col("topn_rows").cast("double") / F.col("n_rows"))
+            .alias("topn_share"),
+        (F.col("n_rows").cast("double") / F.col("n_keys"))
+            .alias("avg_rows_per_key"),
+        (F.col("max_key_rows").cast("double") * F.col("n_keys")
+         / F.col("n_rows")).alias("skew_ratio"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -809,6 +848,35 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(events, ["event_type"], "value")
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return key_skew_report(events, "user_id")
+
+
+_KEY_SKEW_SQL = """
+    WITH c AS (
+        SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys, MAX(n) AS max_key_rows
+        FROM c
+    ),
+    t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS topn_rows FROM (
+            SELECT n FROM c ORDER BY n DESC, k ASC LIMIT 10
+        )
+    )
+    SELECT 'user_id' AS key_col, n_rows, n_keys, max_key_rows,
+           CAST(max_key_rows AS DOUBLE) / n_rows AS top1_share,
+           topn_rows,
+           CAST(topn_rows AS DOUBLE) / n_rows AS topn_share,
+           CAST(n_rows AS DOUBLE) / n_keys AS avg_rows_per_key,
+           CAST(max_key_rows AS DOUBLE) * n_keys / n_rows AS skew_ratio
+    FROM s, t
+"""
+
+
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     return profile_table(events.select(
@@ -902,6 +970,7 @@ def entry_queries() -> dict[str, Callable]:
         "dsl_join_salted": q_salted_join,
         "analytics_profile_events": q_profile_events,
         "analytics_profile_documents": q_profile_documents,
+        "analytics_key_skew": q_key_skew,
     }
 
 
@@ -1168,4 +1237,5 @@ def entry_oracles() -> dict[str, str]:
     """,
         "analytics_profile_events": _PROFILE_EVENTS_SQL,
         "analytics_profile_documents": _PROFILE_DOCUMENTS_SQL,
+        "analytics_key_skew": _KEY_SKEW_SQL,
     }

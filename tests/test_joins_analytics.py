@@ -381,3 +381,21 @@ def test_profile_table_edges(spark):
     arr = spark.createDataFrame([([1, 2],)], "a array<int>")
     with pytest.raises(TypeError, match="unsupported dtype"):
         profile_table(arr)
+
+
+def test_key_skew_report_numbers(spark):
+    """Known distribution: key 1 x6, key 2 x3, key 3 x1 -> exact
+    shares; top_n smaller than key count sums only the heaviest."""
+    from query_planner_optimizer_spark.operators.analytics import (
+        key_skew_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1,)] * 6 + [(2,)] * 3 + [(3,)], "k bigint"
+    )
+    r = key_skew_report(df, "k", top_n=2).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_key_rows) == (10, 3, 6)
+    assert r.top1_share == 0.6
+    assert r.topn_rows == 9 and r.topn_share == 0.9
+    assert abs(r.avg_rows_per_key - 10 / 3) < 1e-12
+    assert abs(r.skew_ratio - 1.8) < 1e-12
