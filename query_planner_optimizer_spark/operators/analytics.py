@@ -440,6 +440,60 @@ def key_skew_report(df: DataFrame, key_col: str,
     )
 
 
+def corr_pairs(df: DataFrame, cols: list[str], scale: int = 3) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns, bit-portable:
+    inputs are quantized to ``10^-scale`` units and ALL moments (n, Σx,
+    Σy, Σx², Σy², Σxy) accumulate as exact integers (DECIMAL(38,0) here,
+    HUGEINT in the oracle), so the covariance/variance numerators
+    ``n·Σxy − Σx·Σy`` are computed exactly — no catastrophic
+    cancellation and no partition-order float drift. Only the final
+    ``cov / sqrt(varx · vary)`` runs in IEEE double (correctly-rounded
+    ops on identical exact inputs ⇒ identical bits in any engine).
+    Output: one row per pair ``(col_x, col_y, n_pairs, corr)``; a
+    constant column yields NULL, never NaN/Inf.
+
+    Scale: ONE Aggregate over ONE scan (conditional sums per pair —
+    rows where either side is NULL drop from that pair only), partials
+    map-side combined; the explode fan-out is len(cols)² driver-free
+    rows. Bounds: exactness needs n·Σx² < 10³⁸ — at scale=3 that holds
+    to ~10⁹ rows of 10⁵-magnitude values; lower `scale` before raising
+    row count.
+    """
+    unit = F.lit(float(10 ** scale))
+    q = {c: F.round(F.col(c).cast("double") * unit)
+            .cast(T.DecimalType(38, 0)) for c in cols}
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        m = F.col(a).isNotNull() & F.col(b).isNotNull()
+        x, y = F.when(m, q[a]), F.when(m, q[b])
+        p = f"{a}__{b}"
+        aggs += [F.sum(F.when(m, F.lit(1)).otherwise(F.lit(0)))
+                  .alias(f"{p}__n"),
+                 F.sum(x).alias(f"{p}__sx"), F.sum(y).alias(f"{p}__sy"),
+                 F.sum(x * x).alias(f"{p}__sxx"),
+                 F.sum(y * y).alias(f"{p}__syy"),
+                 F.sum(x * y).alias(f"{p}__sxy")]
+    g = df.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        p = f"{a}__{b}"
+        n = F.col(f"{p}__n")
+        sx, sy = F.col(f"{p}__sx"), F.col(f"{p}__sy")
+        cov = n * F.col(f"{p}__sxy") - sx * sy
+        varx = n * F.col(f"{p}__sxx") - sx * sx
+        vary = n * F.col(f"{p}__syy") - sy * sy
+        corr = F.when(
+            (varx > 0) & (vary > 0),
+            cov.cast("double")
+            / F.sqrt(varx.cast("double") * vary.cast("double")))
+        structs.append(F.struct(
+            F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+            n.alias("n_pairs"), corr.alias("corr")))
+    return (g.select(F.explode(F.array(*structs)).alias("p"))
+             .select("p.col_x", "p.col_y", "p.n_pairs", "p.corr"))
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -848,6 +902,51 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(events, ["event_type"], "value")
 
 
+def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir, register_views=False).table("lineitem")
+    return corr_pairs(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def _corr_oracle(table: str, cols: list[str], scale: int = 3) -> str:
+    """Twin of :func:`corr_pairs`: HUGEINT-exact moments, identical
+    final IEEE combine."""
+    unit = float(10 ** scale)
+    qsel = ", ".join(
+        f"CAST(ROUND(CAST({c} AS DOUBLE) * {unit}) AS HUGEINT) AS {c}"
+        for c in cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    moments, selects = [], []
+    for a, b in pairs:
+        p, m = f"{a}__{b}", f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        x, y = (f"CASE WHEN {m} THEN {a} END",
+                f"CASE WHEN {m} THEN {b} END")
+        moments += [
+            f"CAST(SUM(CASE WHEN {m} THEN 1 ELSE 0 END) AS HUGEINT)"
+            f" AS {p}__n",
+            f"SUM({x}) AS {p}__sx", f"SUM({y}) AS {p}__sy",
+            f"SUM(({x}) * ({x})) AS {p}__sxx",
+            f"SUM(({y}) * ({y})) AS {p}__syy",
+            f"SUM(({x}) * ({y})) AS {p}__sxy"]
+        cov = f"({p}__n * {p}__sxy - {p}__sx * {p}__sy)"
+        vx = f"({p}__n * {p}__sxx - {p}__sx * {p}__sx)"
+        vy = f"({p}__n * {p}__syy - {p}__sy * {p}__sy)"
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y,\n"
+            f"       CAST({p}__n AS BIGINT) AS n_pairs,\n"
+            f"       CASE WHEN {vx} > 0 AND {vy} > 0 THEN\n"
+            f"            CAST({cov} AS DOUBLE)\n"
+            f"            / sqrt(CAST({vx} AS DOUBLE)"
+            f" * CAST({vy} AS DOUBLE)) END AS corr\n"
+            f"FROM m")
+    return (f"WITH src AS (SELECT {qsel} FROM {table}),\n"
+            f"m AS (SELECT {', '.join(moments)} FROM src)\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+_CORR_PAIRS_SQL = _corr_oracle(
+    "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     return key_skew_report(events, "user_id")
@@ -971,6 +1070,7 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_profile_events": q_profile_events,
         "analytics_profile_documents": q_profile_documents,
         "analytics_key_skew": q_key_skew,
+        "analytics_corr_pairs": q_corr_pairs,
     }
 
 
@@ -1238,4 +1338,5 @@ def entry_oracles() -> dict[str, str]:
         "analytics_profile_events": _PROFILE_EVENTS_SQL,
         "analytics_profile_documents": _PROFILE_DOCUMENTS_SQL,
         "analytics_key_skew": _KEY_SKEW_SQL,
+        "analytics_corr_pairs": _CORR_PAIRS_SQL,
     }

@@ -399,3 +399,25 @@ def test_key_skew_report_numbers(spark):
     assert r.topn_rows == 9 and r.topn_share == 0.9
     assert abs(r.avg_rows_per_key - 10 / 3) < 1e-12
     assert abs(r.skew_ratio - 1.8) < 1e-12
+
+
+def test_corr_pairs_known_values(spark):
+    """Perfect linear -> 1.0; perfect inverse -> -1.0; constant column
+    -> NULL (guarded, never NaN); NULL rows drop from that pair only."""
+    from query_planner_optimizer_spark.operators.analytics import (
+        corr_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0, 7.0), (2.0, 4.0, 5.0, 6.0),
+         (3.0, 6.0, 5.0, 5.0), (4.0, None, 5.0, 4.0)],
+        "x double, y double, c double, z double",
+    )
+    out = {(r.col_x, r.col_y): r for r in
+           corr_pairs(df, ["x", "y", "c", "z"]).collect()}
+    assert out[("x", "y")].n_pairs == 3
+    assert abs(out[("x", "y")].corr - 1.0) < 1e-12
+    assert out[("x", "z")].n_pairs == 4
+    assert abs(out[("x", "z")].corr + 1.0) < 1e-12
+    assert out[("x", "c")].corr is None  # constant -> zero variance
+    assert out[("c", "z")].corr is None
