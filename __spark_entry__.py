@@ -1516,6 +1516,51 @@ def _plan_routed_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: DSL twin of the cast-filtered raw SQL routed below: the plan router
+#: strips CAST(day AS STRING) against a canonical ISO literal (fixed-
+#: width ISO strings order chronologically), so the oracle is the plain
+#: date-domain filter.
+_PLAN_CAST_Q = {
+    "select": ["day", {"COUNT": "*", "as": "cnt"},
+               {"SUM": "value", "as": "sv", "round": 6}],
+    "from": "events",
+    "where": [{"col": "day", "op": "gte", "val": "2024-01-08"}],
+    "group_by": ["day"],
+}
+
+
+def _plan_routed_cast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SQL filtering on CAST(day AS STRING) >= '<ISO literal>',
+    routed at the Catalyst-analyzed-plan level: the r6 cast-stripping
+    admission (plans/catalyst_router._date_to_string_side) rewrites the
+    string comparison back onto the date column — sound because Spark
+    stringifies dates as fixed-width ISO, where lexicographic order IS
+    chronological order — then the rollup serves it. Raises if the plan
+    does not route."""
+    import tempfile
+
+    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    events = cat.table("events")
+    events.createOrReplaceTempView("events_plan_route_cast")
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = tempfile.mkdtemp(prefix="qpo_plan_routed_cast_")
+    build_rollups(events, agg_dir, rollups)
+    router = PlanRouter(spark, agg_dir, rollups,
+                        view="events_plan_route_cast")
+    df, routed = router.sql(
+        "SELECT day, count(*) AS cnt, round(sum(value), 6) AS sv "
+        "FROM events_plan_route_cast "
+        "WHERE CAST(day AS STRING) >= '2024-01-08' GROUP BY day"
+    )
+    if not routed:
+        raise RuntimeError(f"expected a plan route: {router.last_reason}")
+    return df
+
+
 def _routed_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_groupby_min_max through prepare + route with MIN/MAX
     partials: the rollup stores min_/max_ columns (min-of-mins is
@@ -1790,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dsl_routed_incremental_rollup"] = _routed_incremental_rollup
     out["dsl_plan_routed_daily_rollup"] = _plan_routed_daily_rollup
     out["dsl_plan_routed_week_rollup"] = _plan_routed_week_rollup
+    out["dsl_plan_routed_cast_filter"] = _plan_routed_cast_filter
     out["stream_rollup_maintenance"] = _stream_rollup_maintenance
     out["dsl_routed_minmax_rollup"] = _routed_minmax_rollup
     out["dsl_routed_hll_rollup"] = _routed_hll_rollup
@@ -1854,6 +1900,10 @@ def oracle_sql() -> dict[str, str]:
     out["dsl_plan_routed_daily_rollup"] = out["dsl_daily_rollup"]
     out["dsl_plan_routed_week_rollup"] = assemble_sql(
         _PLAN_WEEK_Q, _query_type_map(_PLAN_WEEK_Q), dialect="duckdb",
+        ts_is_millis=False
+    )
+    out["dsl_plan_routed_cast_filter"] = assemble_sql(
+        _PLAN_CAST_Q, _query_type_map(_PLAN_CAST_Q), dialect="duckdb",
         ts_is_millis=False
     )
     out["stream_rollup_maintenance"] = out["dsl_daily_rollup"]

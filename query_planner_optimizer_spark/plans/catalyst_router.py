@@ -212,6 +212,34 @@ def _col_side(t: dict) -> str | None:
     return None
 
 
+_ISO_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _date_to_string_side(t: dict) -> str | None:
+    """``Cast(<date column> AS STRING)`` → the column name, else None.
+    Strippable only against a CANONICAL ``YYYY-MM-DD`` literal (checked
+    by the caller): Spark stringifies dates in exactly that form, which
+    is fixed-width ISO, so lexicographic string order coincides with
+    chronological order — eq/neq/range/IN against such a literal are
+    all equivalent to the date-domain comparison the DSL re-coerces to.
+    A non-canonical literal ('2024-1-3', 'zzz') has string-comparison
+    semantics the date domain can't express → refuse."""
+    if (_cls(t["n"]) == "Cast"
+            and str(t["n"].get("dataType", "")).startswith("string")):
+        inner = _kid(t, "child")
+        if (_cls(inner["n"]) == "AttributeReference"
+                and str(inner["n"].get("dataType", "")).startswith("date")):
+            return inner["n"]["name"]
+    return None
+
+
+def _canonical_date_lit(t: dict) -> str | None:
+    v = _literal_value(t)
+    if isinstance(v, str) and _ISO_DATE.match(v):
+        return v
+    return None
+
+
 def _leaf(t: dict, op: str) -> dict:
     left, right = _kid(t, "left"), _kid(t, "right")
     lcol, rcol = _col_side(left), _col_side(right)
@@ -223,14 +251,32 @@ def _leaf(t: dict, op: str) -> dict:
         return {"col": lcol, "op": op, "val": _literal_value(right)}
     if rcol is not None:
         return {"col": rcol, "op": _FLIP[op], "val": _literal_value(left)}
+    # CAST(date col AS STRING) vs canonical ISO literal: strip the cast
+    # (see _date_to_string_side for the order-compatibility argument).
+    lcast, rcast = _date_to_string_side(left), _date_to_string_side(right)
+    if lcast is not None:
+        lit = _canonical_date_lit(right)
+        if lit is not None:
+            return {"col": lcast, "op": op, "val": lit}
+    if rcast is not None:
+        lit = _canonical_date_lit(left)
+        if lit is not None:
+            return {"col": rcast, "op": _FLIP[op], "val": lit}
     raise Unsupported(f"comparison without a plain column side ({op})")
 
 
 def _in_leaf(t: dict, op: str) -> dict:
-    col = _col_side(_kid(t, "value"))
+    value = _kid(t, "value")
+    col = _col_side(value)
+    kids = [t["kids"][int(i)] for i in t["n"]["list"]]
     if col is None:
+        cast_col = _date_to_string_side(value)
+        if cast_col is not None:
+            lits = [_canonical_date_lit(k) for k in kids]
+            if all(v is not None for v in lits):
+                return {"col": cast_col, "op": op, "val": lits}
         raise Unsupported("IN without a plain column side")
-    vals = [_literal_value(t["kids"][int(i)]) for i in t["n"]["list"]]
+    vals = [_literal_value(k) for k in kids]
     return {"col": col, "op": op, "val": vals}
 
 
@@ -473,7 +519,10 @@ def translate_plan(
         i += 1
     if cls_at(i) == "SubqueryAlias":
         ident = nodes[i]["identifier"]["name"]
-        if ident != view:
+        # Spark's analyzer resolves identifiers case-insensitively
+        # (spark.sql.caseSensitive=false default) and serializes them
+        # lower-cased; match the same way.
+        if ident.lower() != view.lower():
             raise Unsupported(f"source view {ident!r} is not {view!r}")
         # Everything below the alias is the view's own definition (the
         # catalog's derived-time-column projects over the parquet

@@ -564,3 +564,43 @@ def test_plan_router_col_vs_col_where(spark, catalog, tmp_path):
         "SELECT day, count(*) AS n FROM events "
         "WHERE value > user_id GROUP BY day")
     assert not routed2
+
+
+def test_plan_router_cast_string_date_filter(spark, catalog, tmp_path):
+    """CAST(day AS STRING) compared to canonical ISO literals strips
+    the cast (fixed-width ISO strings order chronologically) and routes
+    bit-equal to the unrouted plan; a non-canonical literal refuses —
+    its string semantics aren't expressible on the date domain."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    routable = [
+        "CAST(day AS STRING) = '2024-01-03'",
+        "CAST(day AS STRING) >= '2024-01-05'",
+        "'2024-01-05' < CAST(day AS STRING)",
+        "CAST(day AS STRING) IN ('2024-01-03', '2024-01-04')",
+    ]
+    for pred in routable:
+        sql = (f"SELECT day, count(*) AS n FROM events WHERE {pred} "
+               "GROUP BY day")
+        df, routed = pr.sql(sql)
+        assert routed, (pred, pr.last_reason)
+        assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
+    for pred in ("CAST(day AS STRING) = '2024-1-3'",
+                 "CAST(day AS STRING) < 'zzz'",
+                 "CAST(day AS STRING) IN ('2024-01-03', 'nope')"):
+        sql = (f"SELECT day, count(*) AS n FROM events WHERE {pred} "
+               "GROUP BY day")
+        df, routed = pr.sql(sql)
+        assert not routed, pred
+        assert pr.last_reason.startswith("translate"), pr.last_reason
+
+
+def test_plan_router_view_name_case_insensitive(spark, catalog, tmp_path):
+    """Spark resolves identifiers case-insensitively and lower-cases
+    them in the analyzed plan; the router's view match must agree, so a
+    mixed-case FROM still routes."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    df, routed = pr.sql(
+        "SELECT day, count(*) AS n FROM EVENTS GROUP BY day")
+    assert routed, pr.last_reason
+    sql = "SELECT day, count(*) AS n FROM events GROUP BY day"
+    assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
