@@ -620,6 +620,21 @@ DSL_QUERIES: dict[str, dict] = {
         "group_by": ["event_type"],
         "order_by": ["event_type"],
     },
+    "dsl_quantile_sketch": {
+        # Histogram-sketch quantiles (functions/histq.py): MERGEABLE
+        # percentiles — the scale path MEDIAN lacks. Exact-integer
+        # cumulative bin counts + one shared IEEE interpolation make the
+        # estimate bit-identical across the scan form, the rollup-routed
+        # form (dsl_routed_hist_quantile), and this full SQL oracle.
+        "select": ["event_type",
+                   {"APPROX_P50": "value", "as": "p50_est"},
+                   {"APPROX_P90": "value", "as": "p90_est"},
+                   {"APPROX_P99": "value", "as": "p99_est"},
+                   {"COUNT": "*", "as": "n_rows"}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    },
     "dsl_tpch_q3_shipping_priority": {
         # TPC-H Q3 shape: 3-table selective join (segment-filtered
         # customer → orders → lineitem), revenue expression aggregate,
@@ -1639,6 +1654,39 @@ def _routed_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _routed_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsl_quantile_sketch served from HISTOGRAM rollup partials: the
+    rollup stores per-(day, event_type) bin-count arrays (``hist``
+    spec, prepare.rollup_frame), the router re-aggregates them by
+    elementwise addition and applies the shared interpolation
+    (plans/router._measure → functions/histq.py). Unlike the HLL entry
+    (bound-gated: DataSketches isn't SQL-replayable), the histogram
+    estimate is exact integer counts + deterministic IEEE combine, so
+    the routed answer hash-matches the SAME full oracle as the scan
+    entry. Raises unless the answer actually came from the route."""
+    import tempfile
+
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    events = cat.table("events")
+    rollups = {"agg_day_etype_hist": {
+        "keys": ["day", "event_type"],
+        "aggs": {"value": ["sum", "count", "hist"]},
+    }}
+    agg_dir = tempfile.mkdtemp(prefix="qpo_routed_hist_")
+    build_rollups(events, agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    df = router.route(DSL_QUERIES["dsl_quantile_sketch"])
+    if df is None or router.routed != 1:
+        raise RuntimeError(
+            f"expected a histogram rollup route (routed={router.routed}, "
+            f"fallbacks={router.fallbacks})"
+        )
+    return df
+
+
 def _stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_daily_rollup through STREAMING maintenance: the events table
     lands as two parquet files, a file-source stream folds each
@@ -1839,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stream_rollup_maintenance"] = _stream_rollup_maintenance
     out["dsl_routed_minmax_rollup"] = _routed_minmax_rollup
     out["dsl_routed_hll_rollup"] = _routed_hll_rollup
+    out["dsl_routed_hist_quantile"] = _routed_hist_quantile
     return _panel_order(out)
 
 
@@ -1908,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["stream_rollup_maintenance"] = out["dsl_daily_rollup"]
     out["dsl_routed_minmax_rollup"] = out["dsl_groupby_min_max"]
+    out["dsl_routed_hist_quantile"] = out["dsl_quantile_sketch"]
     out["dsl_routed_hll_rollup"] = """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
                TRUE AS within_bound

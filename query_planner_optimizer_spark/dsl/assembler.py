@@ -24,6 +24,7 @@ from typing import Any
 from pyspark.sql import types as T
 
 from query_planner_optimizer_spark.catalog import DERIVED_TIME_COLUMNS, duckdb_time_cte
+from query_planner_optimizer_spark.functions import histq as _HQ
 from query_planner_optimizer_spark.dsl.compiler import (
     AGG_FUNCS,
     ARITH_OPS,
@@ -467,7 +468,8 @@ def _agg_out_type(
         return T.LongType()
     if round_to is not None and fname in ("SUM", "AVG"):
         return T.DoubleType()  # DECIMAL accumulate, cast back to DOUBLE
-    if fname in ("AVG", "STDDEV_SAMP", "VAR_SAMP", "MEDIAN"):
+    if fname in ("AVG", "STDDEV_SAMP", "VAR_SAMP", "MEDIAN") \
+            or fname in _HQ.APPROX_QUANTILES:
         return T.DoubleType()
     if fname in ("MIN", "MAX"):
         return _expr_type(col, m)
@@ -573,6 +575,25 @@ def _agg_expr_sql(
         expr = "COUNT(*)"
     elif fname == "COUNT_DISTINCT":
         expr = f"COUNT(DISTINCT {target})"
+    elif fname in _HQ.APPROX_QUANTILES:
+        # Histogram-sketch quantile: exact-integer cumulative bin
+        # counts (FILTER-clause-aware) combined by the shared
+        # deterministic interpolation — the full SQL twin of the
+        # engine's scan/routed forms (functions/histq.py).
+        if not isinstance(col, str) or col not in _HQ.HIST_BINS:
+            raise QueryError(
+                f"{fname} needs a column with a HIST_BINS spec: {col!r}")
+        lo, hi, nb = _HQ.HIST_BINS[col]
+        idx = _HQ.bin_index_sql(_ident(col, dialect), lo, hi, nb)
+        cums = [
+            f"SUM(CASE WHEN {idx} <= {i} THEN 1 ELSE 0 END){filter_sql}"
+            for i in range(nb)
+        ]
+        expr = _HQ.quantile_from_cums_sql(
+            cums, _HQ.APPROX_QUANTILES[fname], lo, hi, nb)
+        if round_to is not None:
+            expr = f"ROUND({expr}, {round_to})"
+        return expr, out_name
     elif fname == "APPROX_COUNT_DISTINCT":
         # Engine-only DataSketches-HLL surface: both dialects DO have a
         # same-named function, but each is a DIFFERENT sketch (Spark

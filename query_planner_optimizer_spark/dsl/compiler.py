@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from query_planner_optimizer_spark.catalog import Catalog
+from query_planner_optimizer_spark.functions import histq as _HQ
 
 
 class QueryError(ValueError):
@@ -100,6 +101,14 @@ AGG_FUNCS = {
     # is an error-bound entry against the exact count.
     "APPROX_COUNT_DISTINCT": lambda c: F.hll_sketch_estimate(
         F.hll_sketch_agg(c)),
+    # Histogram-sketch quantiles (functions/histq.py) — mergeable
+    # percentile partials with a full SQL twin. Registered so
+    # _parse_agg_term recognizes the names; the expression is built by
+    # the agg_exprs special case (it needs the column NAME for the
+    # HIST_BINS lookup), never through this table.
+    **{name: (lambda c: (_ for _ in ()).throw(
+        QueryError("APPROX_P* builds via the histogram path")))
+       for name in ("APPROX_P50", "APPROX_P90", "APPROX_P99")},
 }
 
 SET_OPS = ("union", "intersect", "except")
@@ -1565,6 +1574,28 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             if fname == "COUNT" and col == "*":
                 target = F.lit(1) if cond is None else F.when(cond, F.lit(1))
                 e = F.count(target)
+            elif fname in _HQ.APPROX_QUANTILES:
+                # Histogram-sketch quantile (functions/histq.py): the
+                # scan form counts clamped-bin cumulatives directly;
+                # the rollup-routed form sums stored hist_<col> partials
+                # into the SAME integers, so scan, routed, and the SQL
+                # oracle agree bitwise.
+                if not isinstance(col, str) or col not in _HQ.HIST_BINS:
+                    raise QueryError(
+                        f"{fname} needs a column with a HIST_BINS spec "
+                        f"(have {sorted(_HQ.HIST_BINS)}): {col!r}")
+                base = F.col(col)
+                target = base if cond is None else F.when(cond, base)
+                lo, hi, nb = _HQ.HIST_BINS[col]
+                idx = _HQ.bin_index_col(target, lo, hi, nb)
+                cums = [F.sum(F.when(idx <= i, F.lit(1)).otherwise(F.lit(0)))
+                        for i in range(nb)]
+                e = _HQ.quantile_from_cums(
+                    cums, _HQ.APPROX_QUANTILES[fname], lo, hi, nb)
+                if round_to is not None:
+                    e = F.round(e, round_to)
+                exprs.append(e.alias(out_name))
+                continue
             else:
                 base = _num_expr(df, col) if isinstance(col, dict) else F.col(col)
                 target = base if cond is None else F.when(cond, base)

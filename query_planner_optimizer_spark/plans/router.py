@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from query_planner_optimizer_spark.dsl import compiler as C
+from query_planner_optimizer_spark.functions import histq as _HQ
 
 
 #: Lossless time-grain derivations: (rollup key, wanted column) →
@@ -281,6 +282,31 @@ class RollupRouter:
         if (fname == "APPROX_COUNT_DISTINCT" and round_to is None
                 and f"hll_{col}" in schema):
             return F.hll_sketch_estimate(F.hll_union_agg(f"hll_{col}"))
+        # Histogram partial: per-bin integer counts merge by
+        # elementwise addition under any regrouping, so the routed
+        # cumulative counts EQUAL the scan form's (count of clamped
+        # index <= i) and the shared interpolation over them is
+        # bit-identical to scan AND oracle (functions/histq.py).
+        # HIST_BINS is part of the rollup format: the stored arrays
+        # were built from the same registry the estimator reads.
+        if (fname in _HQ.APPROX_QUANTILES and isinstance(col, str)
+                and f"hist_{col}" in schema and col in _HQ.HIST_BINS):
+            lo, hi, nb = _HQ.HIST_BINS[col]
+            # cum_i as ONE aggregate each (sum over rows of the row's
+            # first-(i+1)-bins fold) — same 1-aggregate-per-cum shape
+            # as the scan form, which keeps the cascade inside janino's
+            # method-size budget (nesting cum_i = cum_{i-1} + sum_i
+            # builds an O(nbins^2) tree that kills whole-stage codegen).
+            h = f"hist_{col}"
+            cums = [
+                F.sum(F.aggregate(
+                    F.slice(F.col(h), 1, i + 1),
+                    F.lit(0).cast("bigint"), lambda acc, x: acc + x))
+                for i in range(nb)
+            ]
+            e = _HQ.quantile_from_cums(
+                cums, _HQ.APPROX_QUANTILES[fname], lo, hi, nb)
+            return F.round(e, round_to) if round_to is not None else e
         return None
 
     def route(self, q: dict) -> DataFrame | None:

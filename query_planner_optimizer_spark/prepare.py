@@ -34,6 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from query_planner_optimizer_spark.catalog import augment_time_columns
+from query_planner_optimizer_spark.functions.histq import (
+    HIST_BINS, bin_index_col,
+)
 from query_planner_optimizer_spark.sources.events_csv import read_events_csv
 
 #: The five summary rollups (reference prepare.py:148-244; README.md:268-274).
@@ -115,6 +118,19 @@ def rollup_frame(events: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
         if "hll" in funcs:
             exprs.append(
                 F.hll_sketch_agg(F.col(col)).alias(f"hll_{col}"))
+        # Fixed-bin histogram partial (functions/histq.py): an
+        # array<bigint> of per-bin counts — plain integers, so partials
+        # merge by ELEMENTWISE ADDITION (associative, order-free) and
+        # the routed quantile estimate is bit-identical to the scan
+        # form AND fully replayable in the SQL oracle (unlike the HLL
+        # sketch, which is bound-gated). The mergeable percentile path.
+        if "hist" in funcs:
+            lo, hi, nb = HIST_BINS[col]
+            idx = bin_index_col(F.col(col), lo, hi, nb)
+            exprs.append(F.array(*[
+                F.sum(F.when(idx == i, F.lit(1)).otherwise(F.lit(0)))
+                for i in range(nb)
+            ]).alias(f"hist_{col}"))
     return events.groupBy(*keys).agg(*exprs)
 
 
@@ -290,6 +306,12 @@ def refresh_rollups(
                 return F.max(c).alias(c)
             if c.startswith("hll_"):
                 return F.hll_union_agg(c).alias(c)
+            if c.startswith("hist_"):
+                # histogram partial: elementwise integer addition
+                nb = HIST_BINS[c[len("hist_"):]][2]
+                return F.array(*[
+                    F.sum(F.col(c)[i]) for i in range(nb)
+                ]).alias(c)
             return F.sum(c).alias(c)
 
         merged = (

@@ -919,3 +919,95 @@ def test_hll_rollup_incremental_refresh_equals_rebuild(
     incr = RollupRouter(spark, incr_dir, rollups).route(q)
     assert full is not None and incr is not None
     pd.testing.assert_frame_equal(full.toPandas(), incr.toPandas())
+
+
+def test_hist_quantile_routes_accuracy_and_refresh(spark, tmp_path):
+    """Histogram-quantile partials end-to-end: (a) the routed estimate
+    is BITWISE equal to the scan form (same exact integer cums, same
+    IEEE combine); (b) the estimate lands within one bin width of the
+    exact quantile for in-range data; (c) incremental refresh merges
+    hist arrays elementwise to the exact rebuild counts; (d) a rollup
+    without the hist partial refuses to serve the quantile."""
+    from .conftest import SF_DIR
+    from query_planner_optimizer_spark.dsl.compiler import compile_query
+    from query_planner_optimizer_spark.functions.histq import bin_width
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import (
+        build_rollups,
+        refresh_rollups,
+        rollup_frame,
+    )
+
+    cat = Catalog(spark, SF_DIR, register_views=False)
+    events = cat.table("events")
+    spec = {"agg_day_etype_hist": {"keys": ["day", "event_type"],
+                                   "aggs": {"value": ["sum", "count",
+                                                      "hist"]}}}
+    agg_dir = str(tmp_path / "aggs")
+    build_rollups(events, agg_dir, spec)
+    router = RollupRouter(spark, agg_dir, spec)
+    q = {"select": ["event_type",
+                    {"APPROX_P50": "value", "as": "p50_est"},
+                    {"APPROX_P90": "value", "as": "p90_est"}],
+         "from": "events", "group_by": ["event_type"]}
+    routed = router.route(q)
+    assert routed is not None and router.routed == 1
+    got = sorted(routed.collect())
+    assert got == sorted(compile_query(q, cat).collect())  # bitwise
+
+    # (b) error bound: ≤ one bin width vs the exact order statistic
+    w = bin_width("value")
+    exact = {r.event_type: (r.p50, r.p90) for r in events.groupBy(
+        "event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90")).collect()}
+    for r in got:
+        e50, e90 = exact[r.event_type]
+        assert abs(r.p50_est - e50) <= w, (r.event_type, r.p50_est, e50)
+        assert abs(r.p90_est - e90) <= w, (r.event_type, r.p90_est, e90)
+
+    # (c) incremental refresh == rebuild, elementwise-exact hist arrays
+    days = sorted(r.day for r in events.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    inc_dir = str(tmp_path / "inc")
+    build_rollups(events.filter(F.col("day") <= F.lit(cut)), inc_dir, spec)
+    refresh_rollups(spark, events.filter(F.col("day") > F.lit(cut)),
+                    inc_dir, spec)
+    got_h = {(str(r.day), r.event_type): list(r.hist_value)
+             for r in spark.read.parquet(
+                 f"{inc_dir}/agg_day_etype_hist.parquet").collect()}
+    want_h = {(str(r.day), r.event_type): list(r.hist_value)
+              for r in rollup_frame(
+                  events, ["day", "event_type"],
+                  {"value": ["hist"]}).collect()}
+    assert got_h == want_h
+
+    # (d) no hist partial stored -> quantile refuses (falls back)
+    plain_spec = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                    "aggs": {"value": ["sum", "count"]}}}
+    plain_dir = str(tmp_path / "plain")
+    build_rollups(events, plain_dir, plain_spec)
+    r2 = RollupRouter(spark, plain_dir, plain_spec)
+    assert r2.route(q) is None
+
+
+def test_approx_quantile_requires_bin_spec(spark):
+    """APPROX_P* over a column without a HIST_BINS entry refuses loudly
+    in both twins (compiler and assembler)."""
+    import pytest
+
+    from .conftest import SF_DIR
+    from query_planner_optimizer_spark.dsl.assembler import assemble_sql
+    from query_planner_optimizer_spark.dsl.compiler import (
+        QueryError,
+        compile_query,
+    )
+
+    cat = Catalog(spark, SF_DIR, register_views=False)
+    q = {"select": [{"APPROX_P90": "user_id", "as": "p"}],
+         "from": "events"}
+    with pytest.raises(QueryError, match="HIST_BINS"):
+        compile_query(q, cat)
+    tm = {f.name: f.dataType for f in cat.table("events").schema.fields}
+    with pytest.raises(QueryError, match="HIST_BINS"):
+        assemble_sql(q, tm, dialect="duckdb")
