@@ -911,3 +911,53 @@ def test_streaming_hll_rollup_maintenance_serves_distinct(spark, tmp_path):
     assert streamed is not None and rebuilt is not None
     pd.testing.assert_frame_equal(streamed.toPandas(),
                                   rebuilt.toPandas())
+
+
+def test_streaming_hist_rollup_maintenance_serves_quantiles(spark, tmp_path):
+    """Streaming-maintained histogram partials: the file-source stream
+    folds micro-batches into hist_<col> bin arrays (elementwise-add
+    merge in refresh_rollups), and the routed APPROX_P* estimate from
+    the streamed rollup is BITWISE equal to a one-shot rebuild's — and
+    to the raw-scan compile. Percentile dashboards from pre-aggregates
+    with no state store and no per-query sort."""
+    from pyspark.sql import functions as F
+
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.dsl.compiler import compile_query
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+    from query_planner_optimizer_spark.streaming.maintenance import (
+        streaming_rollup_maintenance,
+    )
+    from .conftest import SF_DIR
+
+    cat = Catalog(spark, SF_DIR, register_views=False)
+    events = cat.table("events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "day"]
+    landing = str(tmp_path / "landing")
+    agg_dir = str(tmp_path / "aggs")
+    rollups = {"agg_day_etype_hist": {
+        "keys": ["day", "event_type"],
+        "aggs": {"value": ["sum", "count", "hist"]},
+    }}
+    h0 = events.filter((F.col("event_id") % 2) == 0).select(*cols)
+    h1 = events.filter((F.col("event_id") % 2) == 1).select(*cols)
+    h0.coalesce(1).write.mode("overwrite").parquet(landing)
+    h1.coalesce(1).write.mode("append").parquet(landing)
+    q = streaming_rollup_maintenance(
+        spark, landing, agg_dir, str(tmp_path / "ckpt"), rollups,
+        schema=h0.schema, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    rebuild_dir = str(tmp_path / "rebuild")
+    build_rollups(events.select(*cols), rebuild_dir, rollups)
+    pq = {"select": ["event_type",
+                     {"APPROX_P50": "value", "as": "p50_est"},
+                     {"APPROX_P90": "value", "as": "p90_est"}],
+          "from": "events", "group_by": ["event_type"]}
+    streamed = RollupRouter(spark, agg_dir, rollups).route(pq)
+    rebuilt = RollupRouter(spark, rebuild_dir, rollups).route(pq)
+    assert streamed is not None and rebuilt is not None
+    s, r = sorted(streamed.collect()), sorted(rebuilt.collect())
+    assert s == r  # bitwise: integer partials, shared IEEE combine
+    assert s == sorted(compile_query(pq, cat).collect())
