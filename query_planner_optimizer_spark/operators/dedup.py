@@ -876,6 +876,62 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, evalset, n=4)
 
 
+def split_leakage_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """Cross-split exact-duplicate leakage: content (by sha2-256
+    digest) that lands in MORE THAN ONE train/val/test split under the
+    deterministic hash assignment (`sampling.split_by_hash`). Split
+    assignment is per-document-id, so two ids carrying identical text
+    can straddle the split boundary — exactly the leakage that inflates
+    eval scores. Returns one row per leaked digest:
+    ``(content_hash, n_docs, n_splits, splits)``.
+
+    Scale: one shuffle on 32-byte digests carrying only the split
+    label — document bodies are hashed map-side and never move. The
+    fix-side join (drop or re-side the leaked ids) is an equi-join on
+    this digest frame.
+    """
+    from query_planner_optimizer_spark.operators.sampling import (
+        split_by_hash,
+    )
+
+    assigned = split_by_hash(df, id_col, splits)
+    d = assigned.select(
+        F.sha2(F.col(text_col), 256).alias("content_hash"), F.col("split")
+    )
+    return (
+        d.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("split").alias("n_splits"),
+            F.array_join(F.sort_array(F.collect_set("split")), ",")
+            .alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
+#: Shadow-id offset for the driver entry: the driver corpus has no
+#: exact duplicates at small SF, so the entry doubles it under shifted
+#: ids — identical content now exists under two ids whose hash-splits
+#: usually differ, which is precisely the divergence the report exists
+#: to catch (and the oracle replays the same union).
+SPLIT_LEAK_SHADOW_OFFSET = 10_000_000
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    shadow = docs.select(
+        (F.col("doc_id") + F.lit(SPLIT_LEAK_SHADOW_OFFSET)).alias("doc_id"),
+        "text",
+    )
+    return split_leakage_report(docs.unionByName(shadow))
+
+
 def duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1084,6 +1140,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_duplicate_spans": q_duplicate_spans,
         "dedup_report": q_dedup_report,
         "dedup_remove_spans": q_remove_duplicate_spans,
+        "dedup_split_leakage": q_split_leakage,
     }
 
 
@@ -1363,7 +1420,38 @@ def entry_oracles() -> dict[str, str]:
         FROM t JOIN e USING (sh)
         GROUP BY t.doc_id
     """
+    from query_planner_optimizer_spark.operators.sampling import (
+        _BUCKET_SQL, BUCKETS,
+    )
+
+    # Twin of split_leakage_report: same md5-bucket split assignment as
+    # the sample_split_assignments oracle, digests grouped, sorted-
+    # unique split list concatenated identically to the engine's
+    # array_join(sort_array(collect_set(...))).
+    split_leakage = f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {SPLIT_LEAK_SHADOW_OFFSET}, text
+            FROM documents
+        ),
+        assigned AS (
+            SELECT sha256(text) AS content_hash,
+                   CASE WHEN b < {int(0.8 * BUCKETS)} THEN 'train'
+                        WHEN b < {int(0.9 * BUCKETS)} THEN 'val'
+                        WHEN b < {BUCKETS} THEN 'test'
+                   END AS split
+            FROM (SELECT text, {_BUCKET_SQL} AS b FROM corpus)
+        )
+        SELECT content_hash, COUNT(*) AS n_docs,
+               COUNT(DISTINCT split) AS n_splits,
+               array_to_string(list_sort(list_distinct(list(split))), ',')
+                   AS splits
+        FROM assigned GROUP BY content_hash
+        HAVING COUNT(DISTINCT split) > 1
+    """
     return {"dedup_exact": exact, "dedup_ngram_jaccard": jaccard,
+            "dedup_split_leakage": split_leakage,
             "dedup_minhash_lsh": _minhash_lsh_oracle(),
             "dedup_minhash_bucket_cap": _minhash_lsh_oracle(
                 max_bucket_size=MINHASH_BUCKET_CAP),

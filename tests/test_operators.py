@@ -1115,3 +1115,33 @@ def test_bpe_segment_applies_merges_in_order(spark):
     # 'test' -> t,e,s,t -> t,es,t -> t,est : 2 subwords; same for best/rest
     assert out[1].n_words == 3 and out[1].n_bpe_tokens == 6
     assert out[2].n_words == 1 and out[2].n_bpe_tokens == 2
+
+
+def test_split_leakage_report_semantics(spark):
+    """Leaked = identical content under ids assigned to different
+    splits; single-split duplicate groups and unique docs don't
+    appear; the splits column lists the sorted distinct split names."""
+    from query_planner_optimizer_spark.operators.dedup import (
+        split_leakage_report,
+    )
+    from query_planner_optimizer_spark.operators.sampling import (
+        split_by_hash,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"text-{i % 40}") for i in range(200)], "doc_id long, text string"
+    )
+    out = split_leakage_report(base).collect()
+    assigned = {r.doc_id: r.split
+                for r in split_by_hash(base, "doc_id").collect()}
+    # independent reconstruction
+    from collections import defaultdict
+    groups = defaultdict(set)
+    for i in range(200):
+        groups[f"text-{i % 40}"].add(assigned[i])
+    want_leaked = {t for t, s in groups.items() if len(s) > 1}
+    assert len(out) == len(want_leaked)
+    for r in out:
+        assert r.n_splits == len(set(r.splits.split(",")))
+        assert r.n_splits > 1
+        assert r.splits == ",".join(sorted(r.splits.split(",")))
