@@ -435,6 +435,40 @@ DSL_QUERIES: dict[str, dict] = {
         "order_by": [{"col": "revenue", "dir": "desc"},
                      {"col": "n_name", "dir": "asc"}],
     },
+    "dsl_join_semi_nonequi": {
+        # Generalized EXISTS: customers having at least one order
+        # CHEAPER than their account balance — a semi join with a
+        # NON-EQUI ON conjunct (`cond`, r6): key match AND cross-side
+        # comparison, exactly `WHERE EXISTS (SELECT 1 FROM orders WHERE
+        # o_custkey = c_custkey AND o_totalprice < c_acctbal)`. Plan:
+        # LEFT SEMI hash join on custkey with the comparison as a join
+        # residual — no row duplication, right columns never surface.
+        # (Direction chosen so BOTH this and the anti complement carry
+        # rows at sf0.01: 115 / 1385 of 1500 customers.)
+        "select": ["c_custkey", "c_name", "c_acctbal"],
+        "from": "customer",
+        "join": [{"table": "orders", "type": "semi",
+                  "on": [["c_custkey", "o_custkey"]],
+                  "cond": [{"left": "c_acctbal", "op": "gt",
+                            "right": "o_totalprice"}]}],
+        "order_by": ["c_custkey"],
+        "limit": 250,
+    },
+    "dsl_join_anti_nonequi": {
+        # Generalized NOT EXISTS — the exact complement of the semi
+        # entry: customers with NO order priced below their balance
+        # (anti join + non-equi conjunct, the Q21/Q22-family shape
+        # through the join grammar instead of a subquery). Semi-result
+        # ∪ this = all customers, a complementarity pytest pins it.
+        "select": ["c_custkey", "c_mktsegment", "c_acctbal"],
+        "from": "customer",
+        "join": [{"table": "orders", "type": "anti",
+                  "on": [["c_custkey", "o_custkey"]],
+                  "cond": [{"left": "c_acctbal", "op": "gt",
+                            "right": "o_totalprice"}]}],
+        "order_by": ["c_custkey"],
+        "limit": 250,
+    },
     "dsl_join_brand_pricing": {
         "select": ["p_brand", {"AVG": "l_extendedprice", "as": "avg_price",
                                "round": 6},

@@ -39,8 +39,10 @@ from query_planner_optimizer_spark.dsl.compiler import (
     _is_win_term,
     _parse_agg_term,
     _parse_window_term,
+    _NONEQUI_SQL,
     expr_columns,
     validate_derived_from,
+    validate_join_nonequi,
     validate_membership_subquery,
     validate_with_clause,
 )
@@ -657,6 +659,9 @@ def _join_clause_sql(
             _condition_sql(c, type_map, dialect) for c in jconds
         )
         jt_sql = f"(SELECT * FROM {jt} WHERE {jfilter}) AS {jt}"
+    # Validate BEFORE the USING early-return: a 'cond' on same-named
+    # pairs must refuse here too, never silently drop.
+    nonequi = validate_join_nonequi(jspec, pairs)
     same = [l == r for l, r in pairs]
     if all(same):
         keys = ", ".join(_ident(l, dialect) for l, _ in pairs)
@@ -670,6 +675,14 @@ def _join_clause_sql(
         f"{_ident(l, dialect)} = {jt}.{_ident(r, dialect)}"
         for l, r in pairs
     ]
+    # Non-equi ON conjuncts (semi/anti only — validate_join_nonequi):
+    # left side unqualified (collision-free by the differently-named
+    # pair requirement), right side table-qualified, same as the equi
+    # pairs above.
+    for ne in nonequi:
+        conds.append(
+            f"{_ident(ne['left'], dialect)} {_NONEQUI_SQL[ne['op']]} "
+            f"{jt}.{_ident(ne['right'], dialect)}")
     return f" {kw} {jt_sql} ON " + " AND ".join(conds)
 
 

@@ -734,6 +734,63 @@ def validate_membership_subquery(cond: dict) -> dict:
     return sub
 
 
+#: Cross-side comparison ops a join ``cond`` conjunct may use (eq
+#: belongs in ``on``; expressing it here would shadow the equi-join
+#: pair contract).
+_NONEQUI_OPS = {
+    "lt": lambda a, b: a < b,
+    "lte": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "gte": lambda a, b: a >= b,
+    "neq": lambda a, b: a != b,
+}
+
+_NONEQUI_SQL = {"lt": "<", "lte": "<=", "gt": ">", "gte": ">=",
+                "neq": "<>"}
+
+
+def validate_join_nonequi(jspec: dict, pairs: list[tuple]) -> list[dict]:
+    """Shared twin validation of a join's non-equi ``cond`` list
+    (``[{"left": lcol, "op": op, "right": rcol}, ...]`` — cross-side
+    column comparisons AND-ed onto the equi pairs). Returns the
+    normalized list ([] when absent).
+
+    Only ``semi``/``anti`` joins accept it — the generalized
+    EXISTS/NOT-EXISTS shape. On row-producing join types a non-equi
+    conjunct would demand qualified duplicate-column handling the DSL's
+    flat-name contract doesn't have (and its SQL twin would render
+    ambiguous unqualified references); differently-named key pairs are
+    required for the same reason.
+    """
+    cond = jspec.get("cond") or []
+    if not cond:
+        return []
+    if jspec.get("type") not in ("semi", "anti"):
+        raise QueryError(
+            f"join 'cond' (non-equi conjuncts) is only supported on "
+            f"semi/anti joins: {jspec!r}")
+    if any(l == r for l, r in pairs):
+        raise QueryError(
+            f"join 'cond' requires differently-named 'on' pairs "
+            f"(unqualified same-named references are ambiguous in the "
+            f"SQL twin): {jspec!r}")
+    out = []
+    for ne in cond:
+        if (not isinstance(ne, dict)
+                or set(ne) != {"left", "op", "right"}
+                or not isinstance(ne.get("left"), str)
+                or not isinstance(ne.get("right"), str)):
+            raise QueryError(
+                f"join cond conjunct must be "
+                f"{{'left': col, 'op': op, 'right': col}}: {ne!r}")
+        if ne["op"] not in _NONEQUI_OPS:
+            raise QueryError(
+                f"unknown join cond op {ne['op']!r} "
+                f"(have {sorted(_NONEQUI_OPS)}): {ne!r}")
+        out.append(ne)
+    return out
+
+
 def validate_scalar_subquery(sub: Any) -> None:
     """A scalar subquery must provably yield one row, one column: a
     single ungrouped aggregate select (no group_by/set ops/order/limit).
@@ -1062,7 +1119,7 @@ def _try_eager_agg(q: dict, catalog) -> tuple | None:
     jt = jspec.get("table")
     if (not isinstance(jt, str) or jt.startswith("__")
             or jspec.get("type", "inner") != "inner"
-            or jspec.get("where")):
+            or jspec.get("where") or jspec.get("cond")):
         return None
     pairs = jspec.get("on") or []
     if len(pairs) != 1:
@@ -1427,6 +1484,21 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                 raise QueryError(f"join column {lcol!r} not in left side")
             if rcol not in right.columns:
                 raise QueryError(f"join column {rcol!r} not in {jt!r}")
+        # Non-equi ON conjuncts — the generalized-EXISTS surface:
+        # `customer SEMI JOIN orders ON custkey match AND o_totalprice
+        # > c_acctbal` ≡ `WHERE EXISTS (... AND cross-side compare)`.
+        # Restricted to semi/anti (validate_join_nonequi): only there
+        # is the output schema unambiguous (left columns only), which
+        # is also what keeps the SQL twin's unqualified left references
+        # collision-free.
+        nonequi = validate_join_nonequi(jspec, pairs)
+        for ne in nonequi:
+            if ne["left"] not in df.columns:
+                raise QueryError(
+                    f"join cond column {ne['left']!r} not in left side")
+            if ne["right"] not in right.columns:
+                raise QueryError(
+                    f"join cond column {ne['right']!r} not in {jt!r}")
         # Join-strategy hints: broadcast for dimension tables (no
         # shuffle of the fact side at any scale), merge to force
         # sort-merge (stable memory on huge both-sides joins),
@@ -1442,7 +1514,17 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         elif hint is not None:
             raise QueryError(f"unknown join hint: {jspec!r}")
         same = [l == r for l, r in pairs]
-        if all(same):
+        if nonequi:
+            cond = None
+            for lcol, rcol in pairs:
+                c = df[lcol] == right[rcol]
+                cond = c if cond is None else (cond & c)
+            for ne in nonequi:
+                c = _NONEQUI_OPS[ne["op"]](df[ne["left"]],
+                                           right[ne["right"]])
+                cond = cond & c
+            df = df.join(right, cond, jtype)
+        elif all(same):
             # Same-named keys → USING join (key list form): one output
             # copy of each key, so downstream F.col refs stay
             # unambiguous. Twin of the assembler's USING clause.

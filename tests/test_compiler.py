@@ -1374,3 +1374,55 @@ def test_eager_agg_expression_target(catalog, ddb):
     plan2 = compile_query(q2, catalog)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "__p0" not in plan2
+
+
+def test_join_nonequi_semi_anti(catalog, ddb, spark):
+    """Non-equi ON conjuncts (generalized EXISTS): semi matches the
+    literal EXISTS SQL; semi and anti with the same cond partition the
+    left table exactly; refusals — inner join, same-named pairs, bad
+    op, unknown cond keys."""
+    import pytest
+
+    from query_planner_optimizer_spark.dsl.compiler import QueryError
+
+    semi = {"select": ["c_custkey", "c_acctbal"],
+            "from": "customer",
+            "join": [{"table": "orders", "type": "semi",
+                      "on": [["c_custkey", "o_custkey"]],
+                      "cond": [{"left": "c_acctbal", "op": "gt",
+                                "right": "o_totalprice"}]}],
+            "order_by": ["c_custkey"]}
+    df = compile_query(semi, catalog)
+    tm = _merged_map(catalog, "customer", "orders")
+    assert_matches_duckdb(df, ddb, assemble_sql(semi, tm, dialect="duckdb"),
+                          ordered=True)
+    # independent oracle: literal EXISTS
+    want = ddb.execute(
+        "SELECT c_custkey, c_acctbal FROM customer c WHERE EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice < c.c_acctbal) ORDER BY c_custkey"
+    ).fetchall()
+    assert [(r.c_custkey, r.c_acctbal) for r in df.collect()] == want
+
+    anti = {**semi, "join": [{**semi["join"][0], "type": "anti"}]}
+    n_semi = df.count()
+    n_anti = compile_query(anti, catalog).count()
+    n_all = catalog.table("customer").count()
+    assert n_semi + n_anti == n_all  # exact partition
+
+    bad = [
+        {**semi, "join": [{**semi["join"][0], "type": "inner"}]},
+        {**semi, "join": [{**semi["join"][0], "on": ["c_custkey"],
+                           }]},
+        {**semi, "join": [{**semi["join"][0],
+                           "cond": [{"left": "c_acctbal", "op": "eq",
+                                     "right": "o_totalprice"}]}]},
+        {**semi, "join": [{**semi["join"][0],
+                           "cond": [{"left": "c_acctbal",
+                                     "right": "o_totalprice"}]}]},
+    ]
+    for q in bad:
+        with pytest.raises(QueryError):
+            compile_query(q, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(q, tm, dialect="duckdb")
