@@ -51,16 +51,25 @@ def bin_width(col: str) -> float:
 
 
 def bin_index_col(x: Column, lo: float, hi: float, nbins: int) -> Column:
-    """Clamped bin index of ``x`` (NULL for NULL x)."""
+    """Clamped bin index of ``x`` — NULL for NULL x, EXPLICITLY: Spark's
+    ``least``/``greatest`` SKIP null arguments (SQL-standard n-ary
+    semantics), so an unguarded ``least(greatest(NULL, 0), n-1)`` is 0,
+    silently counting NULL (or FILTER-nulled) values into bin 0. The
+    hypothesis fuzzer caught this as a filtered-ungrouped divergence;
+    the guard makes NULLs genuinely drop in both twins."""
     w = (hi - lo) / nbins
     raw = F.floor((x - F.lit(lo)) / F.lit(w)).cast("bigint")
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+    return F.when(x.isNotNull(), clamped)
 
 
 def bin_index_sql(x: str, lo: float, hi: float, nbins: int) -> str:
+    """SQL twin of :func:`bin_index_col` — same explicit NULL guard
+    (DuckDB's GREATEST/LEAST also skip NULLs)."""
     w = (hi - lo) / nbins
-    return (f"LEAST(GREATEST(CAST(FLOOR(({x} - {lo!r}) / {w!r}) "
-            f"AS BIGINT), 0), {nbins - 1})")
+    return (f"CASE WHEN {x} IS NOT NULL THEN "
+            f"LEAST(GREATEST(CAST(FLOOR(({x} - {lo!r}) / {w!r}) "
+            f"AS BIGINT), 0), {nbins - 1}) END")
 
 
 def quantile_from_cums(cums: list[Column], q: float, lo: float,

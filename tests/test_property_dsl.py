@@ -67,6 +67,13 @@ agg_terms = st.sampled_from([
     # Exact interpolated order statistic — identical interpolation rule
     # in Spark and DuckDB.
     {"MEDIAN": "value", "as": "med_value", "round": 6},
+    # Histogram-sketch quantiles (r6, functions/histq.py): exact
+    # integer cums + shared IEEE interpolation — bitwise twin, incl.
+    # under FILTER clauses.
+    {"APPROX_P50": "value", "as": "p50_est"},
+    {"APPROX_P90": "value", "as": "p90_est",
+     "where": {"col": "event_type", "op": "eq", "val": "click"}},
+    {"APPROX_P99": "value", "as": "p99_est", "round": 4},
     # String-function aggregate target (integral inference pins DuckDB's
     # HUGEINT SUM to BIGINT).
     {"SUM": {"fn": "length", "args": ["props"]}, "as": "sum_plen"},
