@@ -494,6 +494,84 @@ def corr_pairs(df: DataFrame, cols: list[str], scale: int = 3) -> DataFrame:
              .select("p.col_x", "p.col_y", "p.n_pairs", "p.corr"))
 
 
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized (outlier-clipped) robust mean per group: values below
+    the group's p_lo percentile clip up to it, above p_hi clip down,
+    then a DECIMAL-accumulated mean — the robust location estimate for
+    metric pipelines where a handful of corrupt readings would swamp a
+    plain AVG. Output: ``(group…, p_lo, p_hi, n_rows, n_clip_lo,
+    n_clip_hi, winsorized_mean)``.
+
+    Determinism: the clip thresholds are the exact interpolated
+    percentiles ROUNDED to 6 (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the same property `analytics_quantiles` proves),
+    so both twins clip at identical doubles; the clipped sum
+    accumulates in DECIMAL(38,16). Plan: one stats aggregation per
+    group (tiny frame, AQE broadcasts it back), one re-aggregation —
+    never a per-row window. NULL values drop from mean and clip counts.
+    """
+    pct = F.percentile(F.col(value_col),
+                       F.array(F.lit(p_lo), F.lit(p_hi)))
+    stats = df.groupBy(*group_cols).agg(
+        F.round(pct.getItem(0), 6).alias("p_lo"),
+        F.round(pct.getItem(1), 6).alias("p_hi"),
+    )
+    j = df.join(stats, group_cols)
+    x = F.col(value_col)
+    clipped = (F.when(x < F.col("p_lo"), F.col("p_lo"))
+               .when(x > F.col("p_hi"), F.col("p_hi"))
+               .otherwise(x))
+    dec = clipped.cast(T.DecimalType(38, 16))
+    return (
+        j.groupBy(*group_cols, "p_lo", "p_hi")
+        .agg(
+            F.count(x).alias("n_rows"),
+            F.sum(F.when(x < F.col("p_lo"), F.lit(1)).otherwise(F.lit(0)))
+            .alias("n_clip_lo"),
+            F.sum(F.when(x > F.col("p_hi"), F.lit(1)).otherwise(F.lit(0)))
+            .alias("n_clip_hi"),
+            F.round(F.sum(dec).cast("double") / F.count(x), 6)
+            .alias("winsorized_mean"),
+        )
+        .select(*group_cols, "p_lo", "p_hi", "n_rows",
+                "n_clip_lo", "n_clip_hi", "winsorized_mean")
+    )
+
+
+def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return winsorized_stats(events, ["event_type"], "value")
+
+
+_WINSORIZED_SQL = """
+    WITH s AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.05), 6) AS p_lo,
+               ROUND(quantile_cont(value, 0.95), 6) AS p_hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, p_lo, p_hi,
+           COUNT(value) AS n_rows,
+           CAST(SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_lo,
+           CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_hi,
+           ROUND(CAST(SUM(CAST(
+               CASE WHEN value < p_lo THEN p_lo
+                    WHEN value > p_hi THEN p_hi
+                    ELSE value END AS DECIMAL(38, 16))) AS DOUBLE)
+               / COUNT(value), 6) AS winsorized_mean
+    FROM events e JOIN s USING (event_type)
+    GROUP BY e.event_type, p_lo, p_hi
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver entries
 # --------------------------------------------------------------------------
@@ -1071,6 +1149,7 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_profile_documents": q_profile_documents,
         "analytics_key_skew": q_key_skew,
         "analytics_corr_pairs": q_corr_pairs,
+        "analytics_winsorized": q_winsorized,
     }
 
 
@@ -1339,4 +1418,5 @@ def entry_oracles() -> dict[str, str]:
         "analytics_profile_documents": _PROFILE_DOCUMENTS_SQL,
         "analytics_key_skew": _KEY_SKEW_SQL,
         "analytics_corr_pairs": _CORR_PAIRS_SQL,
+        "analytics_winsorized": _WINSORIZED_SQL,
     }

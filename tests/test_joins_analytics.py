@@ -421,3 +421,21 @@ def test_corr_pairs_known_values(spark):
     assert abs(out[("x", "z")].corr + 1.0) < 1e-12
     assert out[("x", "c")].corr is None  # constant -> zero variance
     assert out[("c", "z")].corr is None
+
+
+def test_winsorized_stats_semantics(spark):
+    """Clip counts and mean on a known distribution; NULLs drop; the
+    clipped mean sits between the raw percentiles."""
+    from query_planner_optimizer_spark.operators.analytics import (
+        winsorized_stats,
+    )
+
+    vals = [float(v) for v in range(1, 100)] + [10_000.0, None]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, value double")
+    r = winsorized_stats(df, ["g"], "value").collect()[0]
+    assert r.n_rows == 100  # NULL dropped
+    assert r.n_clip_lo > 0 and r.n_clip_hi > 0
+    assert r.p_lo < r.p_hi
+    # the 10000 outlier is clipped to p_hi, so the mean stays bounded
+    assert r.p_lo <= r.winsorized_mean <= r.p_hi
