@@ -932,6 +932,44 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_report(docs.unionByName(shadow))
 
 
+def near_dup_split_leakage(
+    df: DataFrame,
+    threshold: float = 0.2,
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """NEAR-duplicate cross-split leakage: MinHash-LSH similar pairs
+    whose two documents were hash-assigned to DIFFERENT train/val/test
+    splits — the leakage exact-digest checks miss (paraphrased or
+    lightly-edited copies straddling the boundary still inflate eval).
+    Returns ``(doc_a, doc_b, jaccard, split_a, split_b)``.
+
+    Composition of two audited primitives: `minhash_lsh_pairs`
+    (portable md5 family — fully oracle-replayable) and
+    `sampling.split_by_hash`. Scale: the pair frame carries ids +
+    jaccard only; the split frame is (id, label); both joins are
+    id-equi-joins AQE can broadcast.
+    """
+    from query_planner_optimizer_spark.operators.sampling import (
+        split_by_hash,
+    )
+
+    pairs = minhash_lsh_pairs(df, threshold=threshold, portable=True)
+    spl = split_by_hash(df.select("doc_id"), "doc_id")
+    sa = spl.select(F.col("doc_id").alias("doc_a"),
+                    F.col("split").alias("split_a"))
+    sb = spl.select(F.col("doc_id").alias("doc_b"),
+                    F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
+
+
+def q_near_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_split_leakage(_docs(spark, sf_dir))
+
+
 def duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1141,6 +1179,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_report": q_dedup_report,
         "dedup_remove_spans": q_remove_duplicate_spans,
         "dedup_split_leakage": q_split_leakage,
+        "dedup_near_split_leakage": q_near_split_leakage,
     }
 
 
@@ -1450,8 +1489,28 @@ def entry_oracles() -> dict[str, str]:
         FROM assigned GROUP BY content_hash
         HAVING COUNT(DISTINCT split) > 1
     """
+    near_split = f"""
+        SELECT doc_a, doc_b, jaccard,
+               CASE WHEN ba < {int(0.8 * BUCKETS)} THEN 'train'
+                    WHEN ba < {int(0.9 * BUCKETS)} THEN 'val'
+                    ELSE 'test' END AS split_a,
+               CASE WHEN bb < {int(0.8 * BUCKETS)} THEN 'train'
+                    WHEN bb < {int(0.9 * BUCKETS)} THEN 'val'
+                    ELSE 'test' END AS split_b
+        FROM (
+            SELECT base.*,
+                   CAST(('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {BUCKETS} AS ba,
+                   CAST(('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {BUCKETS} AS bb
+            FROM ({_minhash_lsh_oracle()}) AS base
+        )
+        WHERE (ba < {int(0.8 * BUCKETS)}) <> (bb < {int(0.8 * BUCKETS)})
+           OR (ba < {int(0.9 * BUCKETS)}) <> (bb < {int(0.9 * BUCKETS)})
+    """
     return {"dedup_exact": exact, "dedup_ngram_jaccard": jaccard,
             "dedup_split_leakage": split_leakage,
+            "dedup_near_split_leakage": near_split,
             "dedup_minhash_lsh": _minhash_lsh_oracle(),
             "dedup_minhash_bucket_cap": _minhash_lsh_oracle(
                 max_bucket_size=MINHASH_BUCKET_CAP),
