@@ -215,6 +215,31 @@ def main() -> int:
     def _quant_topk(spark, kk):
         return similarity.quantized_topk(replicate_embeddings(spark, kk))
 
+    from query_planner_optimizer_spark.operators import analytics
+    from query_planner_optimizer_spark.prepare import rollup_frame
+
+    def _profile(spark, kk):
+        ev = replicate_events(spark, kk)
+        return analytics.profile_table(
+            ev.select("event_id", "user_id", "event_type", "value"))
+
+    def _corr(spark, kk):
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        if kk > 1:
+            reps = spark.range(kk).withColumnRenamed("id", "__rep")
+            li = li.crossJoin(reps).drop("__rep")
+        return analytics.corr_pairs(
+            li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def _hist_rollup(spark, kk):
+        ev = replicate_events(spark, kk)
+        from query_planner_optimizer_spark.catalog import (
+            augment_time_columns,
+        )
+        return rollup_frame(augment_time_columns(ev),
+                            ["day", "event_type"],
+                            {"value": ["sum", "count", "hist"]})
+
     ops = {
         "line_dedup": lambda spark, kk: docpipe.line_dedup(
             replicate_docs(spark, kk), line_tokens=3),
@@ -245,6 +270,13 @@ def main() -> int:
         # the pass bar
         "duplicate_spans": lambda spark, kk: dedup.duplicate_spans(
             replicate_docs(spark, kk)),
+        # r6 late additions: single-Aggregate profiler (Expand-amplified
+        # by its per-column exact distincts — the documented trade),
+        # integer-moment corr (one scan, 18 conditional sums), and the
+        # histogram rollup build (one shuffle, nbins conditional sums)
+        "profile_events": lambda spark, kk: _profile(spark, kk),
+        "corr_pairs": lambda spark, kk: _corr(spark, kk),
+        "hist_rollup_build": lambda spark, kk: _hist_rollup(spark, kk),
     }
     print(f"# scale smoke: 1x vs {k}x (sf0.1 base, local, noop sink)")
     for name, build in ops.items():
