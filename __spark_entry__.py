@@ -586,6 +586,27 @@ DSL_QUERIES: dict[str, dict] = {
         "where": [{"col": "event_type", "op": "in",
                    "val": ["click", "purchase"]}],
     },
+    "dsl_window_distribution": {
+        # Distribution-family window functions (r6): percent_rank =
+        # (rank-1)/(n-1) and cume_dist = n_peers_le/n — exact-integer
+        # ratios evaluated in double, so both dialects agree bitwise
+        # (single-row partitions return 0.0 per the SQL standard).
+        "select": [
+            "user_id", "event_id", "value",
+            {"win": "percent_rank", "partition_by": ["user_id"],
+             "order_by": [{"col": "value", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "pr_value"},
+            {"win": "cume_dist", "partition_by": ["user_id"],
+             "order_by": [{"col": "value", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "cd_value"},
+        ],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "eq", "val": "purchase"}],
+        "order_by": ["user_id", "event_id"],
+        "limit": 500,
+    },
     "dsl_window_frames_ntile": {
         # Explicit ROWS frames + ntile: 4-row moving average
         # ([-3, 0] trailing frame), forward-looking running max

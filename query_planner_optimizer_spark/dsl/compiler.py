@@ -515,7 +515,12 @@ def _bool_tree(df: DataFrame, cond: dict) -> Column:
 #: (cumulative frame ROWS UNBOUNDED PRECEDING .. CURRENT ROW). The
 #: spellings are valid verbatim in Spark SQL and DuckDB, so the
 #: assembler renders the same OVER clause for both dialects.
-WINDOW_RANK_FNS = ("row_number", "rank", "dense_rank", "ntile")
+#: Rank-family fns — no 'of' column, no frame; percent_rank/cume_dist
+#: are exact-integer ratios ((rank-1)/(n-1), n_le/n) evaluated in
+#: double, identical in Spark and DuckDB (both return 0.0 for a
+#: single-row partition per the SQL-standard definition).
+WINDOW_RANK_FNS = ("row_number", "rank", "dense_rank", "ntile",
+                   "percent_rank", "cume_dist")
 WINDOW_OFFSET_FNS = ("lag", "lead")
 WINDOW_AGG_FNS = ("sum", "avg", "min", "max", "count")
 
