@@ -675,6 +675,32 @@ DSL_QUERIES: dict[str, dict] = {
         "group_by": ["event_type"],
         "order_by": ["event_type"],
     },
+    "dsl_grouping_rollup": {
+        # ROLLUP in the DSL grammar (r6): hierarchical subtotals +
+        # grand total in ONE pass (Spark expands the grouping sets
+        # map-side — 3× the plain aggregate's shuffle rows, never 3
+        # scans). Keys project through the string sentinel ('ALL'
+        # keyed on GROUPING(), not key-NULL), identical in both twins.
+        "select": ["day", "event_type",
+                   {"COUNT": "*", "as": "n_rows"},
+                   {"SUM": "value", "as": "sv", "round": 6}],
+        "from": "events",
+        "group_by": {"rollup": ["day", "event_type"]},
+        "order_by": ["day", "event_type"],
+    },
+    "dsl_grouping_sets": {
+        # Arbitrary GROUPING SETS — the set list ((day,type),(type),())
+        # that skips the (day) subtotal, which neither ROLLUP nor CUBE
+        # can spell. Same one-pass expansion, same sentinel contract.
+        "select": ["day", "event_type",
+                   {"COUNT": "*", "as": "n_rows"},
+                   {"MIN": "value", "as": "mn", "round": 6},
+                   {"MAX": "value", "as": "mx", "round": 6}],
+        "from": "events",
+        "group_by": {"sets": [["day", "event_type"],
+                              ["event_type"], []]},
+        "order_by": ["day", "event_type"],
+    },
     "dsl_quantile_sketch": {
         # Histogram-sketch quantiles (functions/histq.py): MERGEABLE
         # percentiles — the scale path MEDIAN lacks. Exact-integer

@@ -43,6 +43,7 @@ from query_planner_optimizer_spark.dsl.compiler import (
     expr_columns,
     validate_derived_from,
     validate_join_nonequi,
+    parse_grouping,
     validate_membership_subquery,
     validate_with_clause,
 )
@@ -519,7 +520,11 @@ def derived_output_types(
                 raise QueryError(
                     f"unknown column {t!r} in derived-table select"
                 )
-            out[t] = inner_map[t]
+            # Under rollup/cube/sets grouping, keys project through the
+            # string sentinel in both twins.
+            out[t] = (T.StringType()
+                      if isinstance(q.get("group_by"), dict)
+                      else inner_map[t])
     for t in post_terms:
         # A provably-integral post tree (e.g. the product/difference of
         # two BIGINT SUM aliases) yields BIGINT in both engines; an
@@ -886,6 +891,14 @@ def assemble_sql(
                                       cte_names=cte_names)
         type_map = {**type_map, **derived_output_types(table, type_map)}
 
+    gmode, gflat, gsets = parse_grouping(q.get("group_by"))
+    if gmode and (q.get("having")
+                  or any(_is_post_term(t) for t in q.get("select") or [])):
+        raise QueryError(
+            "HAVING/post terms are not supported with rollup/cube/sets "
+            "group_by")
+    _sentinel_type = "VARCHAR" if dialect == "duckdb" else "STRING"
+
     select_terms = []
     out_names = []
     for term in q.get("select") or []:
@@ -916,7 +929,17 @@ def assemble_sql(
             select_terms.append(_agg_sql(term, dialect, type_map))
             out_names.append(_parse_agg_term(term)[2])
         else:
-            select_terms.append(_ident(term, dialect))
+            if gmode:
+                # Twin of the compiler's grouping sentinel: 'ALL' for
+                # subtotal rows (GROUPING()=1), 'NULL' for data-null
+                # keys, else the stringified value.
+                k = _ident(term, dialect)
+                select_terms.append(
+                    f"CASE WHEN GROUPING({k}) = 1 THEN 'ALL' "
+                    f"ELSE COALESCE(CAST({k} AS {_sentinel_type}), "
+                    f"'NULL') END AS {_quote_ident(term, dialect)}")
+            else:
+                select_terms.append(_ident(term, dialect))
             out_names.append(term)
     if not select_terms:
         raise QueryError("query has no select list")
@@ -956,7 +979,7 @@ def assemble_sql(
 
     for cond in q.get("where") or []:
         _collect_cols(cond)
-    referenced.update(q.get("group_by") or [])
+    referenced.update(gflat)
 
     if derived_from:
         from_clause = f"({inner_from_sql}) AS __src"
@@ -991,8 +1014,19 @@ def assemble_sql(
             for c in conds
         )
 
-    group_by = q.get("group_by") or []
-    if group_by:
+    group_by = [] if gmode else (q.get("group_by") or [])
+    if gmode:
+        cols = ", ".join(_ident(c, dialect) for c in gflat)
+        if gmode == "rollup":
+            sql += f" GROUP BY ROLLUP({cols})"
+        elif gmode == "cube":
+            sql += f" GROUP BY CUBE({cols})"
+        else:
+            sets_sql = ", ".join(
+                "(" + ", ".join(_ident(c, dialect) for c in st) + ")"
+                for st in gsets)
+            sql += f" GROUP BY GROUPING SETS ({sets_sql})"
+    elif group_by:
         sql += " GROUP BY " + ", ".join(_ident(c, dialect) for c in group_by)
 
     # HAVING — conditions over aggregate aliases (re-expanded to their

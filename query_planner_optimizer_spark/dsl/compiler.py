@@ -739,6 +739,48 @@ def validate_membership_subquery(cond: dict) -> dict:
     return sub
 
 
+def parse_grouping(group_by: Any) -> tuple:
+    """Normalize ``group_by`` → ``(mode, flat_cols, sets)``.
+
+    Plain list → ``(None, cols, None)``. Grouping-dict forms (additive
+    r6 surface; the reference DSL has plain GROUP BY only):
+    ``{"rollup": [cols]}``, ``{"cube": [cols]}``,
+    ``{"sets": [[cols], ...]}``. Shared by both twins.
+    """
+    if group_by is None or isinstance(group_by, list):
+        return None, list(group_by or []), None
+    if not isinstance(group_by, dict) or len(group_by) != 1:
+        raise QueryError(
+            f"group_by must be a column list or one of "
+            f"{{'rollup'|'cube'|'sets': ...}}: {group_by!r}")
+    mode, val = next(iter(group_by.items()))
+    if mode not in ("rollup", "cube", "sets"):
+        raise QueryError(f"unknown grouping form {mode!r}: {group_by!r}")
+    if mode == "sets":
+        if (not isinstance(val, list) or not val
+                or not all(isinstance(s, list)
+                           and all(isinstance(c, str) for c in s)
+                           for s in val)):
+            raise QueryError(
+                f"'sets' takes a non-empty list of column lists: {val!r}")
+        flat: list[str] = []
+        for s in val:
+            for c in s:
+                if c not in flat:
+                    flat.append(c)
+        if not flat:
+            raise QueryError(f"'sets' groups no columns: {val!r}")
+        for s in val:
+            unknown = [c for c in s if c not in flat]
+            if unknown:  # unreachable by construction; keeps twins honest
+                raise QueryError(f"set {s} uses undeclared {unknown}")
+        return mode, flat, [list(s) for s in val]
+    if (not isinstance(val, list) or not val
+            or not all(isinstance(c, str) for c in val)):
+        raise QueryError(f"'{mode}' takes a non-empty column list: {val!r}")
+    return mode, list(val), None
+
+
 #: Cross-side comparison ops a join ``cond`` conjunct may use (eq
 #: belongs in ``on``; expressing it here would shadow the equi-join
 #: pair contract).
@@ -1118,8 +1160,9 @@ def _try_eager_agg(q: dict, catalog) -> tuple | None:
     table = q.get("from", "events")
     joins = q.get("join") or []
     group_by = q.get("group_by") or []
-    if not isinstance(table, str) or len(joins) != 1 or not group_by:
-        return None
+    if (not isinstance(table, str) or len(joins) != 1 or not group_by
+            or not isinstance(group_by, list)):
+        return None  # grouping-dict (rollup/cube/sets) never rewrites
     jspec = joins[0]
     jt = jspec.get("table")
     if (not isinstance(jt, str) or jt.startswith("__")
@@ -1579,7 +1622,8 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     select = q.get("select") or []
     if not select:
         raise QueryError("query has no select list")
-    group_by = q.get("group_by") or []
+    gmode, gflat, gsets = parse_grouping(q.get("group_by"))
+    group_by = [] if gmode else gflat
 
     plain_cols = [t for t in select
                   if not _is_agg_term(t) and not _is_expr_term(t)
@@ -1727,7 +1771,56 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             combined = c if combined is None else (combined & c)
         return frame.filter(combined)
 
-    if group_by:
+    if gmode:
+        # ROLLUP / CUBE / GROUPING SETS (r6): multi-set aggregation in
+        # ONE pass (Spark expands the sets map-side — len(sets) × the
+        # plain aggregate's shuffle rows, never len(sets) scans).
+        # Grouping keys project through the string sentinel ('ALL' for
+        # subtotal rows keyed on grouping(), 'NULL' for genuine
+        # data-null keys — unambiguous even when both occur, and
+        # engine-portable where raw NULL date/ts keys are not). HAVING
+        # and post/window/expr terms refuse: their interaction with
+        # subtotal rows is grouping-set-relative and the SQL twin would
+        # be ambiguous — subsume-or-refuse, never silently wrong.
+        if norm_having:
+            raise QueryError(
+                "HAVING is not supported with rollup/cube/sets group_by")
+        if post_terms or win_terms or expr_terms:
+            raise QueryError(
+                "rollup/cube/sets group_by supports plain keys and "
+                "aggregates only")
+        bad = [c for c in plain_cols if c not in gflat]
+        if bad:
+            raise QueryError(f"selected columns not in group_by: {bad}")
+        for c in gflat:
+            if c not in df.columns:
+                raise QueryError(f"unknown grouping column {c!r}")
+        if gmode == "rollup":
+            base = df.rollup(*[F.col(c) for c in gflat])
+        elif gmode == "cube":
+            base = df.cube(*[F.col(c) for c in gflat])
+        else:
+            base = df.groupingSets(
+                [[F.col(c) for c in s] for s in gsets],
+                *[F.col(c) for c in gflat])
+        aggd = base.agg(
+            *agg_exprs(agg_terms),
+            *[F.grouping(c).alias(f"__g_{c}") for c in gflat])
+        proj, out_columns = [], []
+        agg_iter = iter([a[2] for a in agg_terms])
+        for term in select:
+            if _is_agg_term(term):
+                n = next(agg_iter)
+                proj.append(F.col(n))
+                out_columns.append(n)
+            else:
+                sent = F.when(F.col(f"__g_{term}") == 1, F.lit("ALL")) \
+                    .otherwise(F.coalesce(F.col(term).cast("string"),
+                                          F.lit("NULL")))
+                proj.append(sent.alias(term))
+                out_columns.append(term)
+        df = aggd.select(*proj)
+    elif group_by:
         # Grouping columns must appear in select (``claude.md:128``); we
         # tolerate grouping columns missing from select by projecting
         # the selected subset afterwards, preserving select order.

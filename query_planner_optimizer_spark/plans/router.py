@@ -320,6 +320,9 @@ class RollupRouter:
             return None
         if not isinstance(q.get("from", "events"), str):
             return None  # derived-table FROM is never a rollup scan
+        if isinstance(q.get("group_by"), dict):
+            return None  # rollup/cube/sets emit subtotal rows no
+            # single-grain rollup can re-derive
 
         def _has_subquery(cond: dict) -> bool:
             for kw in ("or", "and"):

