@@ -206,12 +206,23 @@ def dsl_queries(draw) -> dict:
                              unique_by=lambda t: json.dumps(t, sort_keys=True)))
         q["select"] = [*keys, *aggs]
         if keys:
-            q["group_by"] = keys
+            # r6: plain GROUP BY or a grouping-dict form (rollup/cube/
+            # sets over the same keys — subtotal rows through the
+            # string sentinel, refusing interactions elsewhere).
+            form = draw(st.sampled_from(["plain", "plain", "plain",
+                                         "rollup", "cube", "sets"]))
+            if form == "plain":
+                q["group_by"] = keys
+            elif form == "sets":
+                q["group_by"] = {"sets": [keys, []]}
+            else:
+                q["group_by"] = {form: keys}
         # r5: post-aggregation expression over a COUNT alias
         # (integer-exact across engines).
         cnt_names = [out_name(t) for t in aggs
                      if "COUNT" in t and "COUNT_DISTINCT" not in t]
-        if cnt_names and draw(st.booleans()):
+        if cnt_names and isinstance(q.get("group_by", []), list) \
+                and draw(st.booleans()):
             q["select"] = [*q["select"],
                            {"post": {"op": draw(st.sampled_from(
                                ["add", "mul"])),
@@ -231,7 +242,8 @@ def dsl_queries(draw) -> dict:
     where = draw(st.lists(bool_trees, min_size=0, max_size=3))
     if where:
         q["where"] = where
-    if grouped and draw(st.booleans()):
+    if grouped and isinstance(q.get("group_by", []), list) \
+            and draw(st.booleans()):
         # HAVING: aggregate-alias conditions restricted to COUNT terms
         # (integer counts are exact across engines; float-sum thresholds
         # could straddle inter-engine ulp deltas), plus group-key conds.
