@@ -107,6 +107,52 @@ def sliding_rollup(
     )
 
 
+def topk_trending(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    k: int = 3,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Top-k trending keys per sliding event-time window: hopping
+    counts per (window, event_type), ranked within each window
+    (count desc, key asc tiebreak), top ``k`` kept. The "what's hot
+    right now" standing query.
+
+    Streaming shape: the windowed COUNT is an ordinary watermark-
+    evicted streaming aggregate; the per-window rank is NOT
+    append-streamable (a later event can reorder a window), so the
+    production pattern is rank-in-foreachBatch over the maintained
+    counts — which is exactly this batch form, re-run per trigger over
+    a grain-bounded frame (windows × keys, independent of event
+    volume). Deterministic: integer counts, total tiebreak.
+    """
+    counts = (
+        events.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events")
+    )
+    from pyspark.sql import Window
+
+    rw = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def q_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return topk_trending(events)
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
@@ -368,6 +414,7 @@ def entry_queries():
         "stream_enrich_dim": q_enrich_stream,
         "stream_hourly_rollup": q_hourly_rollup,
         "stream_sliding_rollup": q_sliding_rollup,
+        "stream_topk_trending": q_topk_trending,
         "stream_sessionize": q_sessionize,
         "stream_dedup": q_dedup_events,
         "stream_interval_join": q_interval_join,
@@ -457,6 +504,24 @@ def entry_oracles() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "stream_sliding_rollup": sliding,
+        "stream_topk_trending": """
+        WITH expanded AS (
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - k * INTERVAL '15 minutes' AS window_start,
+                   event_type
+            FROM events, unnest([0, 1, 2, 3]) AS t(k)
+        ),
+        counts AS (
+            SELECT window_start, event_type, COUNT(*) AS n_events
+            FROM expanded GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n_events, rnk FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type ASC) AS INTEGER)
+                       AS rnk
+            FROM counts
+        ) WHERE rnk <= 3
+    """,
         "stream_sessionize": sessions,
         "stream_dedup": dedup,
         "stream_interval_join": ijoin,

