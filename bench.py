@@ -47,6 +47,10 @@ DSL_HEADLINE = [
     "dsl_tpch_q13_cust_distribution",
     "dsl_tpch_q18_large_orders",
     "dsl_cte_above_avg_days",
+    # r6 late additions: mergeable histogram percentiles (the sketch
+    # path MEDIAN lacks) and one-pass ROLLUP subtotals
+    "dsl_quantile_sketch",
+    "dsl_grouping_rollup",
 ]
 
 #: Pipeline-operator headliners (always full computation).

@@ -597,7 +597,8 @@ def _agg_expr_sql(
             for i in range(nb)
         ]
         expr = _HQ.quantile_from_cums_sql(
-            cums, _HQ.APPROX_QUANTILES[fname], lo, hi, nb)
+            cums, _HQ.APPROX_QUANTILES[fname], lo, hi, nb,
+            dialect=dialect)
         if round_to is not None:
             expr = f"ROUND({expr}, {round_to})"
         return expr, out_name

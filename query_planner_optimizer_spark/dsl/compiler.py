@@ -1692,6 +1692,52 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         else:
             norm_having.append(cond)
 
+    # Histogram-quantile bin indexes materialize ONCE per (column,
+    # FILTER) as hidden row-level projections BEFORE aggregation: the
+    # nbins cumulative counts then compare a single int column instead
+    # of each re-evaluating the floor/clamp tree — without this, 3
+    # quantile levels × 50 cums evaluate the index expression 150× per
+    # row and the expression tree falls out of whole-stage codegen
+    # (measured 5.7s → sub-second at sf0.1). Shared across quantile
+    # levels of the same target, so the aggregates also dedupe.
+    hist_idx: dict[tuple, str] = {}
+    for fname, col, _out, _rt, filt in agg_terms + hidden_agg_terms:
+        if fname not in _HQ.APPROX_QUANTILES:
+            continue
+        if not isinstance(col, str) or col not in _HQ.HIST_BINS:
+            raise QueryError(
+                f"{fname} needs a column with a HIST_BINS spec "
+                f"(have {sorted(_HQ.HIST_BINS)}): {col!r}")
+        key = (col, json.dumps(filt, sort_keys=True, default=str))
+        if key in hist_idx:
+            continue
+        cond = None
+        for fc in filt:
+            c = _bool_tree(df, fc)
+            cond = c if cond is None else (cond & c)
+        target = F.col(col) if cond is None else F.when(cond, F.col(col))
+        lo, hi, nb = _HQ.HIST_BINS[col]
+        name = f"__histidx{len(hist_idx)}"
+        df = df.withColumn(name, _HQ.bin_index_col(target, lo, hi, nb))
+        hist_idx[key] = name
+
+    # APPROX_P* restructuring: the aggregation emits the nbins
+    # cumulative counts as NAMED columns (shared across quantile levels
+    # of the same target — 50 aggregates, not 150) and the when-cascade
+    # estimator runs as a post-projection over those attribute refs.
+    # Folding the cascade into the aggregate expressions blows janino's
+    # method budget (the whole aggregate drops to interpreted eval —
+    # measured 5.7s vs sub-second at sf0.1).
+    hist_cums: dict[tuple, list[str]] = {}
+    hist_posts: list[tuple[str, Column]] = []
+
+    def apply_hist_posts(frame: DataFrame) -> DataFrame:
+        if not hist_posts:
+            return frame
+        keep = [c for c in frame.columns if not c.startswith("__hqcum")]
+        return frame.select(*[F.col(c) for c in keep],
+                            *[e.alias(n) for n, e in hist_posts])
+
     def agg_exprs(terms: list) -> list[Column]:
         exprs = []
         for fname, col, out_name, round_to, filt in terms:
@@ -1707,25 +1753,34 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                 e = F.count(target)
             elif fname in _HQ.APPROX_QUANTILES:
                 # Histogram-sketch quantile (functions/histq.py): the
-                # scan form counts clamped-bin cumulatives directly;
+                # scan form counts clamped-bin cumulatives over the
+                # pre-materialized index column (see hist_idx above);
                 # the rollup-routed form sums stored hist_<col> partials
                 # into the SAME integers, so scan, routed, and the SQL
                 # oracle agree bitwise.
-                if not isinstance(col, str) or col not in _HQ.HIST_BINS:
-                    raise QueryError(
-                        f"{fname} needs a column with a HIST_BINS spec "
-                        f"(have {sorted(_HQ.HIST_BINS)}): {col!r}")
-                base = F.col(col)
-                target = base if cond is None else F.when(cond, base)
+                key = (col, json.dumps(filt, sort_keys=True, default=str))
                 lo, hi, nb = _HQ.HIST_BINS[col]
-                idx = _HQ.bin_index_col(target, lo, hi, nb)
-                cums = [F.sum(F.when(idx <= i, F.lit(1)).otherwise(F.lit(0)))
-                        for i in range(nb)]
-                e = _HQ.quantile_from_cums(
-                    cums, _HQ.APPROX_QUANTILES[fname], lo, hi, nb)
+                if key not in hist_cums:
+                    names = [f"__hqcum{len(hist_cums)}_{i}"
+                             for i in range(nb)]
+                    iname = hist_idx[key]
+                    # Column-object cache (functions/histq.py): the
+                    # nbins aggregate expressions cost ~1 s of py4j
+                    # construction per compile otherwise.
+                    ck = (iname, tuple(names))
+                    if ck not in _HQ._CUM_AGGS_CACHE:
+                        _HQ._CUM_AGGS_CACHE[ck] = [
+                            F.expr(f"sum(case when {iname} <= {i} "
+                                   f"then 1 else 0 end)").alias(names[i])
+                            for i in range(nb)]
+                    exprs.extend(_HQ._CUM_AGGS_CACHE[ck])
+                    hist_cums[key] = names
+                e = _HQ.quantile_est_cached(
+                    hist_cums[key], _HQ.APPROX_QUANTILES[fname],
+                    lo, hi, nb)
                 if round_to is not None:
                     e = F.round(e, round_to)
-                exprs.append(e.alias(out_name))
+                hist_posts.append((out_name, e))
                 continue
             else:
                 base = _num_expr(df, col) if isinstance(col, dict) else F.col(col)
@@ -1803,9 +1858,9 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             base = df.groupingSets(
                 [[F.col(c) for c in s] for s in gsets],
                 *[F.col(c) for c in gflat])
-        aggd = base.agg(
+        aggd = apply_hist_posts(base.agg(
             *agg_exprs(agg_terms),
-            *[F.grouping(c).alias(f"__g_{c}") for c in gflat])
+            *[F.grouping(c).alias(f"__g_{c}") for c in gflat]))
         proj, out_columns = [], []
         agg_iter = iter([a[2] for a in agg_terms])
         for term in select:
@@ -1827,8 +1882,9 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         bad = [c for c in plain_cols if c not in group_by]
         if bad:
             raise QueryError(f"selected columns not in group_by: {bad}")
-        df = df.groupBy(*[F.col(c) for c in group_by]).agg(
-            *agg_exprs(agg_terms + hidden_agg_terms))
+        df = apply_hist_posts(
+            df.groupBy(*[F.col(c) for c in group_by]).agg(
+                *agg_exprs(agg_terms + hidden_agg_terms)))
         df = apply_having(df, list(group_by)
                           + [a[2] for a in agg_terms + hidden_agg_terms])
         # Post-aggregation expressions (ratio-of-sums, Q14): computed
@@ -1857,7 +1913,8 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             )
         # Ungrouped aggregate — supported here, dropped by the reference
         # (``query_engine.py:494-502``).
-        df = df.agg(*agg_exprs(agg_terms + hidden_agg_terms))
+        df = apply_hist_posts(
+            df.agg(*agg_exprs(agg_terms + hidden_agg_terms)))
         agg_names = [a[2] for a in agg_terms]
         df = apply_having(df, agg_names
                           + [a[2] for a in hidden_agg_terms])

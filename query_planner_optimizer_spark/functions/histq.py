@@ -72,42 +72,106 @@ def bin_index_sql(x: str, lo: float, hi: float, nbins: int) -> str:
             f"AS BIGINT), 0), {nbins - 1}) END")
 
 
+#: Column-object caches: building ~50-element array expressions costs
+#: ~1 s of py4j round trips per compile; Spark Columns are immutable
+#: unresolved expression trees, so reusing them across plans is safe
+#: (each plan re-resolves the attribute references). Keyed on the
+#: STRUCTURAL inputs (column names + bins + level).
+_CUM_AGGS_CACHE: dict[tuple, list[Column]] = {}
+_EST_CACHE: dict[tuple, Column] = {}
+
+
+def quantile_est_cached(cum_names: list[str], q: float, lo: float,
+                        hi: float, nbins: int) -> Column:
+    """Cached estimator over named cumulative-count columns."""
+    key = (tuple(cum_names), q, lo, hi, nbins)
+    if key not in _EST_CACHE:
+        _EST_CACHE[key] = quantile_from_cums(
+            [F.col(n) for n in cum_names], q, lo, hi, nbins)
+    return _EST_CACHE[key]
+
+
+def hist_partial_cums(hist_col: str, nbins: int) -> list[Column]:
+    """Cached routed-path cums: one aggregate per cumulative — the sum
+    over rows of each row's first-(i+1)-bins fold of the stored
+    ``hist_<col>`` array partial."""
+    key = (hist_col, nbins)
+    if key not in _CUM_AGGS_CACHE:
+        _CUM_AGGS_CACHE[key] = [
+            F.sum(F.aggregate(
+                F.slice(F.col(hist_col), 1, i + 1),
+                F.lit(0).cast("bigint"), lambda acc, x: acc + x))
+            for i in range(nbins)
+        ]
+    return _CUM_AGGS_CACHE[key]
+
+
+def routed_quantile_cached(hist_col: str, q: float, lo: float,
+                           hi: float, nbins: int) -> Column:
+    """Cached routed-path estimate from a stored hist partial column."""
+    key = ("routed", hist_col, q, lo, hi, nbins)
+    if key not in _EST_CACHE:
+        _EST_CACHE[key] = quantile_from_cums(
+            hist_partial_cums(hist_col, nbins), q, lo, hi, nbins)
+    return _EST_CACHE[key]
+
+
 def quantile_from_cums(cums: list[Column], q: float, lo: float,
                        hi: float, nbins: int) -> Column:
     """Estimate from cumulative-count Columns (exact integers).
 
-    The twin of :func:`quantile_from_cums_sql` — keep the expression
-    trees structurally identical (same ops, same order, same literals)
-    so exact integer inputs produce bit-equal doubles.
+    Array-based, NOT a WHEN-cascade: the chosen bin is
+    ``array_position`` over the boolean-transformed cum array, and the
+    bin edge is computed arithmetically from that position. A 50-branch
+    CASE cascade inlines to >64 KB of generated Java — janino then
+    fails, and every execution pays the attempt-and-fall-back (~1.5 s
+    per cascade measured at sf0.1); this form codegens in a few hundred
+    bytes. Keep it structurally identical to
+    :func:`quantile_from_cums_sql` (same ops, same order, same
+    literals) so exact integer inputs produce bit-equal doubles.
     """
     w = (hi - lo) / nbins
-    total = cums[-1].cast("double")
+    arr = F.array(*[c.cast("double") for c in cums])
+    total = F.element_at(arr, nbins)
     target = total * F.lit(q)
-    chain = None
-    for i in range(nbins):
-        edge = lo + i * w
-        cumprev = (F.lit(0.0) if i == 0 else cums[i - 1].cast("double"))
-        cnt = cums[i].cast("double") - cumprev
-        est = F.lit(edge) + ((target - cumprev) / cnt) * F.lit(w)
-        cond = cums[i].cast("double") >= target
-        chain = F.when(cond, est) if chain is None else chain.when(cond, est)
-    return F.when(total > 0, chain)
+    # first bin with cum >= target; exists whenever total > 0 (the last
+    # element IS total and target = q·total <= total for q <= 1)
+    pos = F.array_position(
+        F.transform(arr, lambda c: c >= target), F.lit(True)
+    ).cast("int")
+    cumprev = (F.when(pos == 1, F.lit(0.0))
+               .otherwise(F.element_at(arr, pos - 1)))
+    cnt = F.element_at(arr, pos) - cumprev
+    edge = F.lit(float(lo)) + (pos - 1).cast("double") * F.lit(w)
+    est = edge + ((target - cumprev) / cnt) * F.lit(w)
+    return F.when(total > 0, est)
 
 
 def quantile_from_cums_sql(cums: list[str], q: float, lo: float,
-                           hi: float, nbins: int) -> str:
+                           hi: float, nbins: int,
+                           dialect: str = "duckdb") -> str:
     """SQL twin of :func:`quantile_from_cums`; ``cums`` are integer
-    cumulative-count SQL expressions."""
+    cumulative-count SQL expressions. Dialect-aware spellings of the
+    same 1-based array ops (semantics identical, so the computed
+    doubles are bit-equal across dialects)."""
     w = (hi - lo) / nbins
-    total = f"CAST({cums[-1]} AS DOUBLE)"
+    if dialect == "duckdb":
+        mk_arr = "[{items}]"
+        extract, position, transform = ("list_extract", "list_position",
+                                        "list_transform")
+    else:
+        mk_arr = "array({items})"
+        extract, position, transform = ("element_at", "array_position",
+                                        "transform")
+    arr = mk_arr.format(items=", ".join(
+        f"CAST({c} AS DOUBLE)" for c in cums))
+    total = f"{extract}({arr}, {nbins})"
     target = f"({total} * {q!r})"
-    whens = []
-    for i in range(nbins):
-        edge = lo + i * w
-        cumprev = "0.0" if i == 0 else f"CAST({cums[i - 1]} AS DOUBLE)"
-        cnt = f"(CAST({cums[i]} AS DOUBLE) - {cumprev})"
-        est = f"({edge!r} + ((({target} - {cumprev}) / {cnt}) * {w!r}))"
-        whens.append(
-            f"WHEN CAST({cums[i]} AS DOUBLE) >= {target} THEN {est}")
-    cascade = "CASE " + " ".join(whens) + " END"
-    return f"CASE WHEN {total} > 0 THEN {cascade} END"
+    pos = (f"CAST({position}({transform}({arr}, "
+           f"c -> c >= {target}), true) AS INTEGER)")
+    cumprev = (f"(CASE WHEN {pos} = 1 THEN 0.0 "
+               f"ELSE {extract}({arr}, {pos} - 1) END)")
+    cnt = f"({extract}({arr}, {pos}) - {cumprev})"
+    edge = f"({lo!r} + CAST({pos} - 1 AS DOUBLE) * {w!r})"
+    est = f"({edge} + ((({target} - {cumprev}) / {cnt}) * {w!r}))"
+    return f"CASE WHEN {total} > 0 THEN {est} END"

@@ -292,20 +292,14 @@ class RollupRouter:
         if (fname in _HQ.APPROX_QUANTILES and isinstance(col, str)
                 and f"hist_{col}" in schema and col in _HQ.HIST_BINS):
             lo, hi, nb = _HQ.HIST_BINS[col]
-            # cum_i as ONE aggregate each (sum over rows of the row's
-            # first-(i+1)-bins fold) — same 1-aggregate-per-cum shape
-            # as the scan form, which keeps the cascade inside janino's
-            # method-size budget (nesting cum_i = cum_{i-1} + sum_i
-            # builds an O(nbins^2) tree that kills whole-stage codegen).
-            h = f"hist_{col}"
-            cums = [
-                F.sum(F.aggregate(
-                    F.slice(F.col(h), 1, i + 1),
-                    F.lit(0).cast("bigint"), lambda acc, x: acc + x))
-                for i in range(nb)
-            ]
-            e = _HQ.quantile_from_cums(
-                cums, _HQ.APPROX_QUANTILES[fname], lo, hi, nb)
+            # One aggregate per cumulative (sum of per-row slice-folds
+            # of the stored array) — nesting cum_i = cum_{i-1} + sum_i
+            # builds an O(nbins^2) tree that kills whole-stage codegen.
+            # Column objects are cached module-wide: constructing ~50
+            # array expressions costs ~1 s of py4j round trips per
+            # route otherwise (functions/histq.py).
+            e = _HQ.routed_quantile_cached(
+                f"hist_{col}", _HQ.APPROX_QUANTILES[fname], lo, hi, nb)
             return F.round(e, round_to) if round_to is not None else e
         return None
 

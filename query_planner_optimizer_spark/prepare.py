@@ -126,7 +126,14 @@ def rollup_frame(events: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
         # sketch, which is bound-gated). The mergeable percentile path.
         if "hist" in funcs:
             lo, hi, nb = HIST_BINS[col]
-            idx = bin_index_col(F.col(col), lo, hi, nb)
+            # Materialize the bin index once per row (hidden column):
+            # nb conditional sums over an int column stay inside
+            # whole-stage codegen; re-evaluating the floor/clamp tree
+            # per bin does not (see compiler hist_idx).
+            iname = f"__histidx_{col}"
+            events = events.withColumn(
+                iname, bin_index_col(F.col(col), lo, hi, nb))
+            idx = F.col(iname)
             exprs.append(F.array(*[
                 F.sum(F.when(idx == i, F.lit(1)).otherwise(F.lit(0)))
                 for i in range(nb)
