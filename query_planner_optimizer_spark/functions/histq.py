@@ -91,28 +91,28 @@ def quantile_est_cached(cum_names: list[str], q: float, lo: float,
     return _EST_CACHE[key]
 
 
-def hist_partial_cums(hist_col: str, nbins: int) -> list[Column]:
-    """Cached routed-path cums: one aggregate per cumulative — the sum
-    over rows of each row's first-(i+1)-bins fold of the stored
-    ``hist_<col>`` array partial."""
-    key = (hist_col, nbins)
-    if key not in _CUM_AGGS_CACHE:
-        _CUM_AGGS_CACHE[key] = [
-            F.sum(F.aggregate(
-                F.slice(F.col(hist_col), 1, i + 1),
-                F.lit(0).cast("bigint"), lambda acc, x: acc + x))
-            for i in range(nbins)
-        ]
-    return _CUM_AGGS_CACHE[key]
-
-
 def routed_quantile_cached(hist_col: str, q: float, lo: float,
                            hi: float, nbins: int) -> Column:
-    """Cached routed-path estimate from a stored hist partial column."""
+    """Cached routed-path estimate from a stored hist partial column:
+    nbins PLAIN per-bin sums (array-index aggregates — no lambdas, so
+    analysis stays cheap and identical sums dedupe across quantile
+    levels), then ONE nested-lambda fold turns the per-bin totals into
+    the cumulative array the shared estimator core reads. Same exact
+    integers as the scan form's direct cums ⇒ bit-equal estimates."""
     key = ("routed", hist_col, q, lo, hi, nbins)
     if key not in _EST_CACHE:
-        _EST_CACHE[key] = quantile_from_cums(
-            hist_partial_cums(hist_col, nbins), q, lo, hi, nbins)
+        ck = ("perbin", hist_col, nbins)
+        if ck not in _CUM_AGGS_CACHE:
+            _CUM_AGGS_CACHE[ck] = [
+                F.sum(F.col(hist_col)[i]) for i in range(nbins)]
+        per_bin = F.array(*_CUM_AGGS_CACHE[ck])
+        cums_d = F.transform(
+            F.sequence(F.lit(1), F.lit(nbins)),
+            lambda j: F.aggregate(
+                F.slice(per_bin, F.lit(1), j),
+                F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).cast("double"))
+        _EST_CACHE[key] = _est_from_double_array(cums_d, q, lo, hi, nbins)
     return _EST_CACHE[key]
 
 
@@ -130,8 +130,16 @@ def quantile_from_cums(cums: list[Column], q: float, lo: float,
     :func:`quantile_from_cums_sql` (same ops, same order, same
     literals) so exact integer inputs produce bit-equal doubles.
     """
-    w = (hi - lo) / nbins
     arr = F.array(*[c.cast("double") for c in cums])
+    return _est_from_double_array(arr, q, lo, hi, nbins)
+
+
+def _est_from_double_array(arr: Column, q: float, lo: float,
+                           hi: float, nbins: int) -> Column:
+    """Shared estimator core over a double cumulative-count array —
+    identical arithmetic regardless of how the array was assembled, so
+    scan, routed, and oracle agree bitwise on the same integers."""
+    w = (hi - lo) / nbins
     total = F.element_at(arr, nbins)
     target = total * F.lit(q)
     # first bin with cum >= target; exists whenever total > 0 (the last
