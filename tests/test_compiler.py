@@ -1477,3 +1477,37 @@ def test_grouping_dict_forms_and_refusals(catalog, ddb, spark):
     build_rollups(catalog.table("events"), agg_dir, spec)
     r = RollupRouter(spark, agg_dir, spec)
     assert r.route(rollup) is None
+
+
+def test_grouping_dict_with_join_and_derived_from(catalog, ddb, spark):
+    """rollup group_by composes with joins (subtotals over the joined
+    frame) and inside a derived-table FROM (outer query sees sentinel
+    STRING keys in both twins)."""
+    joined = {"select": ["c_mktsegment", {"COUNT": "*", "as": "n"},
+                         {"SUM": "o_totalprice", "as": "sp", "round": 2}],
+              "from": "orders",
+              "join": [{"table": "customer",
+                        "on": [["o_custkey", "c_custkey"]]}],
+              "group_by": {"rollup": ["c_mktsegment"]}}
+    tm = _merged_map(catalog, "orders", "customer")
+    assert_matches_duckdb(compile_query(joined, catalog), ddb,
+                          assemble_sql(joined, tm, dialect="duckdb"))
+    rows = compile_query(joined, catalog).collect()
+    assert any(r.c_mktsegment == "ALL" for r in rows)
+    total = next(r for r in rows if r.c_mktsegment == "ALL")
+    assert total.n == sum(r.n for r in rows if r.c_mktsegment != "ALL")
+
+    derived = {"select": ["event_type", {"COUNT": "*", "as": "n_sub"}],
+               "from": {"select": ["day", "event_type",
+                                   {"COUNT": "*", "as": "n"}],
+                        "from": "events",
+                        "group_by": {"rollup": ["day", "event_type"]}},
+               "group_by": ["event_type"],
+               "order_by": ["event_type"]}
+    tm2 = catalog.spark_type_map("events")
+    df = compile_query(derived, catalog)
+    # sentinel keys are strings in the derived output
+    assert dict(df.dtypes)["event_type"] == "string"
+    assert_matches_duckdb(df, ddb,
+                          assemble_sql(derived, tm2, dialect="duckdb"),
+                          ordered=True)
