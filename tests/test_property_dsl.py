@@ -653,3 +653,86 @@ def test_line_dedup_equals_python_reference(c, spark):
         removed = len(body.split("\n")) - len(kept)
         want[did] = ("\n".join(kept), len(kept), removed)
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def fuzz_router(spark, catalog, tmp_path_factory):
+    """A RollupRouter over a (day, event_type) sum/count/hist grain —
+    built once for the soundness fuzz below."""
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    spec = {"agg_day_etype_fuzz": {
+        "keys": ["day", "event_type"],
+        "aggs": {"value": ["sum", "count", "hist"]},
+    }}
+    agg_dir = str(tmp_path_factory.mktemp("fuzz_rollups"))
+    build_rollups(catalog.table("events"), agg_dir, spec)
+    return RollupRouter(spark, agg_dir, spec)
+
+
+#: Routable-biased draws: grain-compatible keys (day/event_type plus
+#: the derivable week), router-servable aggregates (rounded SUM/AVG,
+#: counts, MIN/MAX, hist quantiles), flat grain-column predicates —
+#: so roughly half the examples actually route and the soundness
+#: property bites (the general dsl_queries corpus routes <2%).
+routable_aggs = st.sampled_from([
+    {"SUM": "value", "as": "sv", "round": 6},
+    {"AVG": "value", "as": "av", "round": 6},
+    {"COUNT": "*", "as": "cnt"},
+    {"COUNT": "value", "as": "cv"},
+    {"MIN": "value", "as": "mn"},
+    {"MAX": "value", "as": "mx"},
+    {"APPROX_P50": "value", "as": "p50"},
+    {"APPROX_P90": "value", "as": "p90"},
+])
+
+routable_conds = st.one_of(
+    st.builds(lambda op, v: {"col": "event_type", "op": op, "val": v},
+              st.sampled_from(["eq", "neq"]), st.sampled_from(ETYPES)),
+    st.builds(lambda vs: {"col": "event_type", "op": "in",
+                          "val": sorted(vs)},
+              st.sets(st.sampled_from(ETYPES), min_size=1, max_size=3)),
+    st.builds(lambda d1, d2: {"col": "day", "op": "between",
+                              "val": [f"2024-01-{min(d1, d2):02d}",
+                                      f"2024-01-{max(d1, d2):02d}"]},
+              st.integers(min_value=1, max_value=28),
+              st.integers(min_value=1, max_value=28)),
+)
+
+
+@st.composite
+def routable_queries(draw) -> dict:
+    keys = draw(st.lists(st.sampled_from(["day", "event_type", "week"]),
+                         min_size=0, max_size=2, unique=True))
+    aggs = draw(st.lists(routable_aggs, min_size=1, max_size=3,
+                         unique_by=lambda t: t["as"]))
+    q: dict = {"from": "events", "select": [*keys, *aggs]}
+    if keys:
+        q["group_by"] = keys
+    where = draw(st.lists(routable_conds, min_size=0, max_size=2))
+    if where:
+        q["where"] = where
+    if keys and draw(st.booleans()):
+        q["order_by"] = list(keys)
+    return q
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=st.one_of(routable_queries(), dsl_queries()))
+def test_router_subsumption_soundness(q, spark, catalog, fuzz_router):
+    """SOUNDNESS fuzz of the rollup router's subsume-or-refuse proof:
+    for ANY drawn query, if the router claims a route, the routed frame
+    must be BITWISE equal to the raw-scan compile. Refusals are always
+    allowed (completeness isn't fuzzed); a wrong rewrite never is."""
+    routed = fuzz_router.route(q)
+    if routed is None:
+        return
+    want = compile_query(q, catalog).toPandas()
+    got = routed.toPandas()
+    assert sorted(got.columns) == sorted(want.columns), q
+    got = got[want.columns]
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want), check_dtype=False,
+    )
