@@ -701,6 +701,18 @@ DSL_QUERIES: dict[str, dict] = {
                               ["event_type"], []]},
         "order_by": ["day", "event_type"],
     },
+    "dsl_pricing_quantiles": {
+        # Histogram percentiles over lineitem prices per return flag —
+        # the multi-column HIST_BINS surface (l_extendedprice bins) and
+        # the scan twin of dsl_routed_pricing_quantile.
+        "select": ["l_returnflag",
+                   {"APPROX_P50": "l_extendedprice", "as": "p50_price"},
+                   {"APPROX_P90": "l_extendedprice", "as": "p90_price"},
+                   {"COUNT": "*", "as": "n_rows"}],
+        "from": "lineitem",
+        "group_by": ["l_returnflag"],
+        "order_by": ["l_returnflag"],
+    },
     "dsl_quantile_sketch": {
         # Histogram-sketch quantiles (functions/histq.py): MERGEABLE
         # percentiles — the scale path MEDIAN lacks. Exact-integer
@@ -1735,6 +1747,37 @@ def _routed_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _routed_pricing_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsl_pricing_quantiles served from histogram partials stored in
+    the PRICING rollup grain (l_returnflag, l_linestatus, l_shipdate)
+    — the multi-table, coarser-regroup variant of the events entry:
+    the router re-aggregates per-(flag,status,day) bin arrays up to
+    per-flag cums, bit-equal to the scan form and the shared oracle.
+    Raises unless the answer actually came from the route."""
+    import tempfile
+
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    li = cat.table("lineitem")
+    rollups = {"agg_pricing_hist": {
+        "table": "lineitem",
+        "keys": ["l_returnflag", "l_linestatus", "l_shipdate"],
+        "aggs": {"l_extendedprice": ["sum", "count", "hist"]},
+    }}
+    agg_dir = tempfile.mkdtemp(prefix="qpo_routed_phist_")
+    build_rollups(li, agg_dir, rollups, tables={"lineitem": li})
+    router = RollupRouter(spark, agg_dir, rollups)
+    df = router.route(DSL_QUERIES["dsl_pricing_quantiles"])
+    if df is None or router.routed != 1:
+        raise RuntimeError(
+            f"expected a pricing-hist route (routed={router.routed}, "
+            f"fallbacks={router.fallbacks})"
+        )
+    return df
+
+
 def _routed_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_quantile_sketch served from HISTOGRAM rollup partials: the
     rollup stores per-(day, event_type) bin-count arrays (``hist``
@@ -1969,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dsl_routed_minmax_rollup"] = _routed_minmax_rollup
     out["dsl_routed_hll_rollup"] = _routed_hll_rollup
     out["dsl_routed_hist_quantile"] = _routed_hist_quantile
+    out["dsl_routed_pricing_quantile"] = _routed_pricing_quantile
     return _panel_order(out)
 
 
@@ -2039,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_rollup_maintenance"] = out["dsl_daily_rollup"]
     out["dsl_routed_minmax_rollup"] = out["dsl_groupby_min_max"]
     out["dsl_routed_hist_quantile"] = out["dsl_quantile_sketch"]
+    out["dsl_routed_pricing_quantile"] = out["dsl_pricing_quantiles"]
     out["dsl_routed_hll_rollup"] = """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
                TRUE AS within_bound

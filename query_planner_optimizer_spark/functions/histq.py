@@ -34,6 +34,9 @@ from pyspark.sql import functions as F
 #: column name -> (lo, hi, nbins). Part of the rollup format version.
 HIST_BINS: dict[str, tuple[float, float, int]] = {
     "value": (0.0, 500.0, 50),
+    # TPC-H lineitem prices: ~900..105000 across SFs (price formula is
+    # SF-independent); [0, 110k) covers with headroom, w = 2200.
+    "l_extendedprice": (0.0, 110_000.0, 50),
 }
 
 #: DSL aggregate names -> quantile level. Named levels (not a free q
