@@ -231,6 +231,19 @@ def main() -> int:
         return analytics.corr_pairs(
             li, ["l_quantity", "l_extendedprice", "l_discount"])
 
+    def _cube(spark, kk):
+        from query_planner_optimizer_spark.catalog import (
+            augment_time_columns,
+        )
+        ev = augment_time_columns(replicate_events(spark, kk))
+        return analytics.cube_counts(ev, ["day", "event_type"], "value")
+
+    def _topk(spark, kk):
+        from query_planner_optimizer_spark.streaming.windows import (
+            topk_trending,
+        )
+        return topk_trending(replicate_events(spark, kk))
+
     def _hist_rollup(spark, kk):
         ev = replicate_events(spark, kk)
         from query_planner_optimizer_spark.catalog import (
@@ -277,6 +290,10 @@ def main() -> int:
         "profile_events": lambda spark, kk: _profile(spark, kk),
         "corr_pairs": lambda spark, kk: _corr(spark, kk),
         "hist_rollup_build": lambda spark, kk: _hist_rollup(spark, kk),
+        # one-pass CUBE (4 grouping sets -> 4x shuffle rows, 1 scan)
+        # and sliding-window top-k (hopping counts + grain-bounded rank)
+        "cube_day_etype": lambda spark, kk: _cube(spark, kk),
+        "topk_trending": lambda spark, kk: _topk(spark, kk),
     }
     print(f"# scale smoke: 1x vs {k}x (sf0.1 base, local, noop sink)")
     for name, build in ops.items():
