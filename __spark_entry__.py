@@ -1859,6 +1859,58 @@ def _stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _stream_hist_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsl_quantile_sketch through STREAMING maintenance of HISTOGRAM
+    partials: the events table lands as two parquet files, a
+    file-source stream folds each micro-batch's bin-count arrays into
+    the rollup (elementwise-add merge in refresh_rollups;
+    maxFilesPerTrigger=1 forces >=2 real micro-batches), and the router
+    serves p50/p90/p99 from the streamed-in partials — hash-matched to
+    the same raw-scan oracle as the scan entry. Batch boundaries cannot
+    change the answer: integer addition is associative, and the
+    estimator is one deterministic combine over the merged integers.
+    The streaming percentile-dashboard story end-to-end."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.streaming.maintenance import (
+        streaming_rollup_maintenance,
+    )
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    events = cat.table("events")
+    root = tempfile.mkdtemp(prefix="qpo_stream_hist_")
+    landing = os.path.join(root, "landing")
+    agg_dir = os.path.join(root, "aggregates")
+    ckpt = os.path.join(root, "ckpt")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "day"]
+    halves = [
+        events.filter((F.col("event_id") % 2) == i).select(*cols)
+        for i in (0, 1)
+    ]
+    halves[0].coalesce(1).write.mode("overwrite").parquet(landing)
+    halves[1].coalesce(1).write.mode("append").parquet(landing)
+    rollups = {"agg_day_etype_hist": {
+        "keys": ["day", "event_type"],
+        "aggs": {"value": ["sum", "count", "hist"]},
+    }}
+    q = streaming_rollup_maintenance(
+        spark, landing, agg_dir, ckpt, rollups,
+        schema=halves[0].schema, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    router = RollupRouter(spark, agg_dir, rollups)
+    df = router.route(DSL_QUERIES["dsl_quantile_sketch"])
+    if df is None or router.routed != 1:
+        raise RuntimeError(
+            f"expected a hist route after streaming maintenance "
+            f"(routed={router.routed}, fallbacks={router.fallbacks})"
+        )
+    return df
+
+
 def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_daily_rollup through prepare + INCREMENTAL refresh + route:
     build the rollup from the first half of the days, fold the second
@@ -2013,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dsl_routed_hll_rollup"] = _routed_hll_rollup
     out["dsl_routed_hist_quantile"] = _routed_hist_quantile
     out["dsl_routed_pricing_quantile"] = _routed_pricing_quantile
+    out["stream_hist_maintenance"] = _stream_hist_maintenance
     return _panel_order(out)
 
 
@@ -2084,6 +2137,7 @@ def oracle_sql() -> dict[str, str]:
     out["dsl_routed_minmax_rollup"] = out["dsl_groupby_min_max"]
     out["dsl_routed_hist_quantile"] = out["dsl_quantile_sketch"]
     out["dsl_routed_pricing_quantile"] = out["dsl_pricing_quantiles"]
+    out["stream_hist_maintenance"] = out["dsl_quantile_sketch"]
     out["dsl_routed_hll_rollup"] = """
         SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
                TRUE AS within_bound
