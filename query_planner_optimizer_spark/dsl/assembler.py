@@ -893,11 +893,9 @@ def assemble_sql(
         type_map = {**type_map, **derived_output_types(table, type_map)}
 
     gmode, gflat, gsets = parse_grouping(q.get("group_by"))
-    if gmode and (q.get("having")
-                  or any(_is_post_term(t) for t in q.get("select") or [])):
+    if gmode and any(_is_post_term(t) for t in q.get("select") or []):
         raise QueryError(
-            "HAVING/post terms are not supported with rollup/cube/sets "
-            "group_by")
+            "post terms are not supported with rollup/cube/sets group_by")
     _sentinel_type = "VARCHAR" if dialect == "duckdb" else "STRING"
 
     select_terms = []
@@ -1042,7 +1040,8 @@ def assemble_sql(
                 agg_expr_by_alias[alias.lower()] = expr
         # Group keys resolve case-insensitively, matching the compiler
         # twin's _resolve_order_col behavior.
-        keys_by_lower = {k.lower(): k for k in group_by}
+        keys_by_lower = {k.lower(): k
+                         for k in (gflat if gmode else group_by)}
         parts = []
         for cond in having:
             if isinstance(cond, dict) and "agg" in cond:

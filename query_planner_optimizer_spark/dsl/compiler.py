@@ -1834,12 +1834,11 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         # subtotal rows keyed on grouping(), 'NULL' for genuine
         # data-null keys — unambiguous even when both occur, and
         # engine-portable where raw NULL date/ts keys are not). HAVING
-        # and post/window/expr terms refuse: their interaction with
-        # subtotal rows is grouping-set-relative and the SQL twin would
-        # be ambiguous — subsume-or-refuse, never silently wrong.
-        if norm_having:
-            raise QueryError(
-                "HAVING is not supported with rollup/cube/sets group_by")
+        # is admitted (standard SQL: it filters EVERY output row,
+        # subtotals included — a key condition excludes subtotals via
+        # their NULL key); post/window/expr terms refuse — their
+        # interaction with subtotal rows is grouping-set-relative and
+        # the SQL twin would be ambiguous.
         if post_terms or win_terms or expr_terms:
             raise QueryError(
                 "rollup/cube/sets group_by supports plain keys and "
@@ -1859,8 +1858,16 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                 [[F.col(c) for c in s] for s in gsets],
                 *[F.col(c) for c in gflat])
         aggd = apply_hist_posts(base.agg(
-            *agg_exprs(agg_terms),
+            *agg_exprs(agg_terms + hidden_agg_terms),
             *[F.grouping(c).alias(f"__g_{c}") for c in gflat]))
+        # HAVING filters every output row — subtotal rows included,
+        # the standard SQL GROUPING-SETS semantics (a key condition
+        # excludes subtotals: their key is NULL). Applied on the RAW
+        # typed keys BEFORE the sentinel projection, same as the SQL
+        # twin's HAVING-before-projection evaluation order.
+        aggd = apply_having(
+            aggd, list(gflat)
+            + [a[2] for a in agg_terms + hidden_agg_terms])
         proj, out_columns = [], []
         agg_iter = iter([a[2] for a in agg_terms])
         for term in select:

@@ -1457,13 +1457,26 @@ def test_grouping_dict_forms_and_refusals(catalog, ddb, spark):
         {**base, "group_by": {"nope": ["event_type"]}},
         {**base, "group_by": {"rollup": ["event_type"], "cube": ["day"]}},
         {**base, "group_by": {"sets": [["event_type"], "day"]}},
-        {**rollup, "having": [{"col": "n", "op": "gt", "val": 3}]},
     ]
     for q in bad:
         with pytest.raises(QueryError):
             compile_query(q, catalog)
         with pytest.raises(QueryError):
             assemble_sql(q, tm, dialect="duckdb")
+
+    # HAVING under grouping (admitted late-r6): filters every output
+    # row, subtotals included — key conditions exclude subtotals (NULL
+    # key), alias conditions apply to the 'ALL' rows too.
+    hv = {**rollup, "having": [{"col": "n", "op": "gt", "val": 3}]}
+    assert_matches_duckdb(compile_query(hv, catalog), ddb,
+                          assemble_sql(hv, tm, dialect="duckdb"))
+    hv_key = {**rollup,
+              "having": [{"col": "event_type", "op": "eq",
+                          "val": "click"}]}
+    rows = compile_query(hv_key, catalog).collect()
+    assert all(r.event_type == "click" for r in rows)  # no subtotal row
+    assert_matches_duckdb(compile_query(hv_key, catalog), ddb,
+                          assemble_sql(hv_key, tm, dialect="duckdb"))
 
     # router: grouping queries emit subtotal rows no rollup re-derives
     import tempfile

@@ -242,9 +242,10 @@ def dsl_queries(draw) -> dict:
     where = draw(st.lists(bool_trees, min_size=0, max_size=3))
     if where:
         q["where"] = where
-    if grouped and isinstance(q.get("group_by", []), list) \
-            and draw(st.booleans()):
+    if grouped and draw(st.booleans()):
         # HAVING: aggregate-alias conditions restricted to COUNT terms
+        # (admitted under grouping-dict group_by too, late-r6: filters
+        # every output row, subtotals included)
         # (integer counts are exact across engines; float-sum thresholds
         # could straddle inter-engine ulp deltas), plus group-key conds.
         having = []
@@ -256,7 +257,11 @@ def dsl_queries(draw) -> dict:
                 "op": draw(st.sampled_from(["gt", "gte", "lt", "lte"])),
                 "val": draw(st.integers(min_value=0, max_value=500)),
             })
-        if "event_type" in (q.get("group_by") or []) and draw(st.booleans()):
+        gb = q.get("group_by") or []
+        gcols = (gb if isinstance(gb, list)
+                 else next(iter(gb.values())) if "sets" not in gb
+                 else [c for st_ in gb["sets"] for c in st_])
+        if "event_type" in gcols and draw(st.booleans()):
             # Case-varied spelling — both paths resolve group keys
             # case-insensitively.
             key = draw(st.sampled_from(["event_type", "EVENT_TYPE"]))
