@@ -457,10 +457,13 @@ def translate_plan(
                          in tree["n"]["direction"]["object"] else "asc")
             nulls = tree["n"]["nullOrdering"]["object"]
             default = "NullsFirst" if direction == "asc" else "NullsLast"
+            spec = {"col": _attr_name(tree["kids"][0]), "dir": direction}
             if default not in nulls:
-                raise Unsupported("non-default NULLS ordering")
-            order.append({"col": _attr_name(tree["kids"][0]),
-                          "dir": direction})
+                # Explicit non-default placement maps to the DSL's
+                # order spec (r6 admission — previously refused).
+                spec["nulls"] = ("first" if "NullsFirst" in nulls
+                                 else "last")
+            order.append(spec)
         q["order_by"] = order
         i += 1
     if cls_at(i) == "Project":

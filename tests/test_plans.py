@@ -604,3 +604,17 @@ def test_plan_router_view_name_case_insensitive(spark, catalog, tmp_path):
     assert routed, pr.last_reason
     sql = "SELECT day, count(*) AS n FROM events GROUP BY day"
     assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
+
+
+def test_plan_router_nulls_ordering_admitted(spark, catalog, tmp_path):
+    """Explicit NULLS FIRST/LAST in raw SQL maps to the DSL order spec
+    and routes; result order matches the unrouted plan exactly."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    for tail in ("ORDER BY day DESC NULLS FIRST",
+                 "ORDER BY day ASC NULLS LAST",
+                 "ORDER BY n DESC NULLS LAST, day"):
+        sql = (f"SELECT day, count(*) AS n FROM events GROUP BY day "
+               f"{tail} LIMIT 10")
+        df, routed = pr.sql(sql)
+        assert routed, (tail, pr.last_reason)
+        assert df.collect() == spark.sql(sql).collect()
