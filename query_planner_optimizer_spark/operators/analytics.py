@@ -544,6 +544,67 @@ def winsorized_stats(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flagging by median absolute deviation: rows with
+    ``|x − median| > k·MAD`` where ``MAD = median(|x − median|)`` per
+    group — the median-based counterpart of :func:`zscore_outliers`
+    (a mean/stddev gate is itself dragged by the outliers it hunts;
+    MAD has a 50% breakdown point). Groups with MAD 0/NULL flag
+    nothing.
+
+    Determinism: both medians are the exact interpolated percentile
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) rounded to 6, so
+    the twins compare identical doubles. Plan: two grouped
+    aggregations over low-cardinality keys broadcast back onto the
+    rows — never a per-row window over the table.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(F.col(value_col), F.lit(0.5)), 6)
+        .alias("med"))
+    j = df.join(med, group_cols).withColumn(
+        "dev", F.abs(F.col(value_col) - F.col("med")))
+    mad = j.groupBy(*group_cols).agg(
+        F.round(F.percentile(F.col("dev"), F.lit(0.5)), 6).alias("mad"))
+    return (
+        j.join(mad, group_cols)
+        .filter((F.col("mad") > 0)
+                & (F.col("dev") > F.lit(k) * F.col("mad")))
+        .select(*group_cols, "event_id", value_col, "med", "mad",
+                F.round("dev", 6).alias("dev"))
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return mad_outliers(events, ["event_type"], "value")
+
+
+_MAD_OUTLIERS_SQL = """
+    WITH m AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_type, e.event_id, e.value, m.med,
+               ABS(e.value - m.med) AS dev
+        FROM events e JOIN m USING (event_type)
+    ),
+    s AS (
+        SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, d.event_id, d.value, d.med, s.mad,
+           ROUND(d.dev, 6) AS dev
+    FROM d JOIN s USING (event_type)
+    WHERE s.mad > 0 AND d.dev > 3.0 * s.mad
+"""
+
+
 def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     return winsorized_stats(events, ["event_type"], "value")
@@ -1150,6 +1211,7 @@ def entry_queries() -> dict[str, Callable]:
         "analytics_key_skew": q_key_skew,
         "analytics_corr_pairs": q_corr_pairs,
         "analytics_winsorized": q_winsorized,
+        "analytics_mad_outliers": q_mad_outliers,
     }
 
 
@@ -1419,4 +1481,5 @@ def entry_oracles() -> dict[str, str]:
         "analytics_key_skew": _KEY_SKEW_SQL,
         "analytics_corr_pairs": _CORR_PAIRS_SQL,
         "analytics_winsorized": _WINSORIZED_SQL,
+        "analytics_mad_outliers": _MAD_OUTLIERS_SQL,
     }

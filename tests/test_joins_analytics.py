@@ -439,3 +439,22 @@ def test_winsorized_stats_semantics(spark):
     assert r.p_lo < r.p_hi
     # the 10000 outlier is clipped to p_hi, so the mean stays bounded
     assert r.p_lo <= r.winsorized_mean <= r.p_hi
+
+
+def test_mad_outliers_semantics(spark):
+    """A planted extreme value is flagged; a constant group (MAD=0)
+    flags nothing; flagged rows satisfy the k·MAD bound."""
+    from query_planner_optimizer_spark.operators.analytics import (
+        mad_outliers,
+    )
+
+    rows = ([("g", i, float(v)) for i, v in enumerate(
+        [10, 11, 12, 13, 14, 15, 16, 10_000])]
+        + [("c", 100 + i, 5.0) for i in range(6)])
+    df = spark.createDataFrame(rows, "grp string, event_id long, "
+                                     "value double")
+    out = mad_outliers(df, ["grp"], "value").collect()
+    assert [r.value for r in out] == [10_000.0]
+    for r in out:
+        assert r.dev > 3.0 * r.mad and r.mad > 0
+    assert not any(r.grp == "c" for r in out)  # constant group silent
