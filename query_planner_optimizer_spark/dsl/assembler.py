@@ -751,6 +751,74 @@ def assemble_sql(
     if dialect not in ("spark", "duckdb"):
         raise QueryError(f"unknown dialect {dialect!r}")
 
+    # HAVING under rollup/cube/sets rewrites to a derived-table outer
+    # WHERE over the grouping query's OUTPUT (sentinel keys + agg
+    # aliases) — the contract the compiler evaluates directly. Spark
+    # cannot resolve GROUPING() inside HAVING (GROUPING_COLUMN_
+    # MISMATCH) and alias-vs-column resolution in HAVING differs
+    # across engines; filtering the projected output is unambiguous
+    # in both dialects and reuses the audited derived-FROM path.
+    _gm0, _gf0, _gs0 = parse_grouping(q.get("group_by"))         if isinstance(q.get("group_by"), dict) else (None, [], None)
+    if _gm0 and q.get("having"):
+        from query_planner_optimizer_spark.dsl.compiler import (
+            validate_gmode_key_having,
+        )
+
+        sel = list(q.get("select") or [])
+        sel_names = [
+            t["as"] if (_is_post_term(t) or _is_win_term(t))
+            else _parse_agg_term(t)[2] if _is_agg_term(t) else t
+            for t in sel
+        ]
+        inner_sel = list(sel)
+        by_lower = {k.lower(): k for k in _gf0}
+        alias_lower = {n.lower(): n for n in sel_names}
+        outer_where = []
+        hid = 0
+        for cond in q["having"]:
+            if isinstance(cond, dict) and "agg" in cond:
+                term = cond["agg"]
+                if "col" in cond:
+                    raise QueryError(
+                        f"having condition takes 'col' or 'agg', "
+                        f"not both: {cond!r}")
+                if not isinstance(term, dict) or "as" in term:
+                    raise QueryError(
+                        f"having 'agg' must be an alias-free aggregate "
+                        f"term: {cond!r}")
+                alias = f"__hvg{hid}"
+                hid += 1
+                inner_sel.append({**term, "as": alias})
+                outer_where.append(
+                    {**{k: v for k, v in cond.items() if k != "agg"},
+                     "col": alias})
+                continue
+            name = str(cond.get("col", ""))
+            key = by_lower.get(name.lower())
+            if key is not None:
+                validate_gmode_key_having(cond, key)
+                if key not in inner_sel:
+                    inner_sel.append(key)
+                outer_where.append(dict(cond, col=key))
+            elif name.lower() in alias_lower:
+                outer_where.append(
+                    dict(cond, col=alias_lower[name.lower()]))
+            else:
+                raise QueryError(
+                    f"having column {name!r} is neither an aggregate "
+                    f"alias nor a grouping key")
+        inner_q = {k: v for k, v in q.items()
+                   if k not in ("having", "order_by", "limit",
+                                "offset", "select")}
+        inner_q["select"] = inner_sel
+        outer_q = {"select": sel_names, "from": inner_q,
+                   "where": outer_where}
+        for k in ("order_by", "limit", "offset"):
+            if k in q:
+                outer_q[k] = q[k]
+        return assemble_sql(outer_q, type_map, dialect, ts_is_millis,
+                            cte_names=cte_names)
+
     # Named CTEs — twin of the compiler's _ViewCatalog: views render as
     # a WITH clause in definition order, each seeing earlier views
     # (define-before-use) and extending the type map with its inferred
@@ -848,8 +916,15 @@ def assemble_sql(
         inner_q["select"] = inner_select
         inner_sql = assemble_sql(inner_q, type_map, dialect, ts_is_millis,
                                  cte_names=cte_names)
+        # Under rollup/cube/sets grouping the inner key outputs are the
+        # STRING sentinels — arithmetic over them is undefined, so post
+        # leaves are restricted to aggregate aliases (twin of the
+        # compiler's gmode avail).
+        _gm, _gf, _gs = parse_grouping(q.get("group_by"))
         avail = [_parse_agg_term(t)[2] if _is_agg_term(t) else t
-                 for t in inner_select if not _is_win_term(t)]
+                 for t in inner_select
+                 if not _is_win_term(t)
+                 and not (_gm and not _is_agg_term(t))]
 
         def _post_sql(e) -> str:
             if isinstance(e, str):
@@ -893,10 +968,13 @@ def assemble_sql(
         type_map = {**type_map, **derived_output_types(table, type_map)}
 
     gmode, gflat, gsets = parse_grouping(q.get("group_by"))
-    if gmode and any(_is_post_term(t) for t in q.get("select") or []):
-        raise QueryError(
-            "post terms are not supported with rollup/cube/sets group_by")
     _sentinel_type = "VARCHAR" if dialect == "duckdb" else "STRING"
+
+    def _sentinel_case(key: str) -> str:
+        k = _ident(key, dialect)
+        return (f"CASE WHEN GROUPING({k}) = 1 THEN 'ALL' "
+                f"ELSE COALESCE(CAST({k} AS {_sentinel_type}), "
+                f"'NULL') END")
 
     select_terms = []
     out_names = []
@@ -932,11 +1010,9 @@ def assemble_sql(
                 # Twin of the compiler's grouping sentinel: 'ALL' for
                 # subtotal rows (GROUPING()=1), 'NULL' for data-null
                 # keys, else the stringified value.
-                k = _ident(term, dialect)
                 select_terms.append(
-                    f"CASE WHEN GROUPING({k}) = 1 THEN 'ALL' "
-                    f"ELSE COALESCE(CAST({k} AS {_sentinel_type}), "
-                    f"'NULL') END AS {_quote_ident(term, dialect)}")
+                    f"{_sentinel_case(term)} "
+                    f"AS {_quote_ident(term, dialect)}")
             else:
                 select_terms.append(_ident(term, dialect))
             out_names.append(term)
@@ -1002,9 +1078,10 @@ def assemble_sql(
     sql = f"{prefix} {', '.join(select_terms)} FROM {from_clause}"
 
     conds = q.get("where") or []
+    where_sql = ""
     if conds:
         outer = None if derived_from else table
-        sql += " WHERE " + " AND ".join(
+        where_sql = " WHERE " + " AND ".join(
             _membership_sql(c, type_map, dialect, ts_is_millis,
                             cte_names=cte_names)
             if _is_membership_leaf(c)
@@ -1012,6 +1089,7 @@ def assemble_sql(
                                 cte_names=cte_names)
             for c in conds
         )
+        sql += where_sql
 
     group_by = [] if gmode else (q.get("group_by") or [])
     if gmode:
@@ -1025,6 +1103,36 @@ def assemble_sql(
                 "(" + ", ".join(_ident(c, dialect) for c in st) + ")"
                 for st in gsets)
             sql += f" GROUP BY GROUPING SETS ({sets_sql})"
+        # SQL-standard empty-input semantics: every () grouping set
+        # emits one row even over EMPTY input. DuckDB does this
+        # natively; SPARK's rollup/cube return no rows, so the spark
+        # dialect appends the statically-known ()-row gated on
+        # COUNT(*)=0 over the same FROM/WHERE — the exact twin of the
+        # compiler's marker union.
+        n_empty = (1 if gmode in ("rollup", "cube")
+                   else sum(1 for st in gsets if not st))
+        if dialect == "spark" and n_empty:
+            statics = []
+            for t in q.get("select") or []:
+                if _is_agg_term(t):
+                    fname, col, out_name, round_to, _f = _parse_agg_term(t)
+                    if fname == "COUNT":
+                        statics.append(
+                            f"CAST(0 AS BIGINT) AS "
+                            f"{_quote_ident(out_name, dialect)}")
+                    else:
+                        ty = _agg_out_type(fname, col, round_to,
+                                           type_map).simpleString()
+                        statics.append(
+                            f"CAST(NULL AS {ty.upper()}) AS "
+                            f"{_quote_ident(out_name, dialect)}")
+                else:
+                    statics.append(
+                        f"'ALL' AS {_quote_ident(t, dialect)}")
+            marker = (f"SELECT {', '.join(statics)} FROM "
+                      f"(SELECT COUNT(*) AS __n0 FROM {from_clause}"
+                      f"{where_sql}) AS __mrk WHERE __n0 = 0")
+            sql = "(" + sql + ")" + (" UNION ALL " + marker) * n_empty
     elif group_by:
         sql += " GROUP BY " + ", ".join(_ident(c, dialect) for c in group_by)
 
@@ -1040,8 +1148,7 @@ def assemble_sql(
                 agg_expr_by_alias[alias.lower()] = expr
         # Group keys resolve case-insensitively, matching the compiler
         # twin's _resolve_order_col behavior.
-        keys_by_lower = {k.lower(): k
-                         for k in (gflat if gmode else group_by)}
+        keys_by_lower = {k.lower(): k for k in group_by}
         parts = []
         for cond in having:
             if isinstance(cond, dict) and "agg" in cond:

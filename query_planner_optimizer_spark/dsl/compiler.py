@@ -781,6 +781,37 @@ def parse_grouping(group_by: Any) -> tuple:
     return mode, list(val), None
 
 
+#: HAVING ops permitted on a GROUPING KEY under rollup/cube/sets: the
+#: key output is the string sentinel ('ALL'/'NULL'/value), so only
+#: string-domain membership ops are well-defined — and they make
+#: subtotal rows addressable (HAVING key = 'ALL'). Range/typed ops on
+#: keys belong in WHERE (pre-aggregation), where they stay typed and
+#: pushdownable.
+GMODE_KEY_HAVING_OPS = ("eq", "neq", "in", "not_in")
+
+
+def validate_gmode_key_having(cond: dict, key: str) -> None:
+    """Shared twin validation of a HAVING condition on a grouping key
+    under a grouping-dict group_by."""
+    op = cond.get("op")
+    if op not in GMODE_KEY_HAVING_OPS:
+        raise QueryError(
+            f"HAVING on grouping key {key!r} under rollup/cube/sets "
+            f"supports {GMODE_KEY_HAVING_OPS} over the string sentinel "
+            f"only (typed/range conditions belong in WHERE): {cond!r}")
+    val = cond.get("val")
+    if op in ("in", "not_in"):
+        if (not isinstance(val, list)
+                or not all(isinstance(v, str) for v in val)):
+            raise QueryError(
+                f"HAVING {op} on grouping key {key!r} takes a list of "
+                f"strings (sentinel domain): {cond!r}")
+    elif not isinstance(val, str):
+        raise QueryError(
+            f"HAVING on grouping key {key!r} compares the string "
+            f"sentinel; value must be a string: {cond!r}")
+
+
 #: Cross-side comparison ops a join ``cond`` conjunct may use (eq
 #: belongs in ``on``; expressing it here would shadow the equi-join
 #: pair contract).
@@ -1839,10 +1870,10 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         # their NULL key); post/window/expr terms refuse — their
         # interaction with subtotal rows is grouping-set-relative and
         # the SQL twin would be ambiguous.
-        if post_terms or win_terms or expr_terms:
+        if win_terms or expr_terms:
             raise QueryError(
-                "rollup/cube/sets group_by supports plain keys and "
-                "aggregates only")
+                "rollup/cube/sets group_by supports plain keys, "
+                "aggregates, and post terms only")
         bad = [c for c in plain_cols if c not in gflat]
         if bad:
             raise QueryError(f"selected columns not in group_by: {bad}")
@@ -1860,18 +1891,43 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         aggd = apply_hist_posts(base.agg(
             *agg_exprs(agg_terms + hidden_agg_terms),
             *[F.grouping(c).alias(f"__g_{c}") for c in gflat]))
-        # HAVING filters every output row — subtotal rows included,
-        # the standard SQL GROUPING-SETS semantics (a key condition
-        # excludes subtotals: their key is NULL). Applied on the RAW
-        # typed keys BEFORE the sentinel projection, same as the SQL
-        # twin's HAVING-before-projection evaluation order.
-        aggd = apply_having(
-            aggd, list(gflat)
-            + [a[2] for a in agg_terms + hidden_agg_terms])
+        # SQL-standard empty-input semantics (fuzzer-caught, late-r6):
+        # every () grouping set behaves like an ungrouped aggregate, so
+        # it emits ONE row even over EMPTY input (COUNTs 0, other
+        # aggregates NULL). Spark's rollup/cube return no rows there;
+        # DuckDB follows the standard. The ()-row's values over empty
+        # input are statically known, so it's a literal row gated on a
+        # cheap COUNT(*)==0 marker — no second full aggregation.
+        n_empty_sets = (1 if gmode in ("rollup", "cube")
+                        else sum(1 for s_ in gsets if not s_))
+        if n_empty_sets:
+            count_outs = {a[2] for a in agg_terms + hidden_agg_terms
+                          if a[0] == "COUNT"}
+            types = {f.name: f.dataType for f in aggd.schema.fields}
+            gt_cols = []
+            for c in aggd.columns:
+                if c.startswith("__g_"):
+                    gt_cols.append(F.lit(1).cast(types[c]).alias(c))
+                elif c in count_outs:
+                    gt_cols.append(F.lit(0).cast(types[c]).alias(c))
+                else:
+                    gt_cols.append(F.lit(None).cast(types[c]).alias(c))
+            marker = (df.agg(F.count(F.lit(1)).alias("__n0"))
+                      .filter(F.col("__n0") == 0).select(*gt_cols))
+            for _ in range(n_empty_sets):
+                aggd = aggd.unionByName(marker)
         proj, out_columns = [], []
-        agg_iter = iter([a[2] for a in agg_terms])
+        # Post terms over AGG ALIASES only: key outputs are the string
+        # sentinels here, so arithmetic over them is undefined — the
+        # assembler twin restricts identically.
+        post_avail = [a[2] for a in agg_terms]
+        agg_iter = iter(post_avail)
         for term in select:
-            if _is_agg_term(term):
+            if _is_post_term(term):
+                validate_post_term(term, post_avail)
+                proj.append(_post_column(term))
+                out_columns.append(term["as"])
+            elif _is_agg_term(term):
                 n = next(agg_iter)
                 proj.append(F.col(n))
                 out_columns.append(n)
@@ -1881,7 +1937,51 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                                           F.lit("NULL")))
                 proj.append(sent.alias(term))
                 out_columns.append(term)
-        df = aggd.select(*proj)
+        # HAVING evaluates over the SENTINEL-projected output — the
+        # contract both SQL twins render explicitly (an inlined
+        # sentinel CASE), sidestepping engine-fragile alias-vs-column
+        # resolution in HAVING. Key conditions are string ops on the
+        # sentinel (subtotals addressable via 'ALL'); aggregate-alias
+        # conditions are unchanged. Sentinels for UNSELECTED keys and
+        # hidden inline-agg aliases ride along and are dropped after.
+        extras = []
+        sel_keys = {c for c in out_columns if c in gflat}
+        for k in gflat:
+            if k not in sel_keys:
+                sent = F.when(F.col(f"__g_{k}") == 1, F.lit("ALL")) \
+                    .otherwise(F.coalesce(F.col(k).cast("string"),
+                                          F.lit("NULL")))
+                extras.append(sent.alias(f"__sent_{k}"))
+        extras += [F.col(a[2]) for a in hidden_agg_terms]
+        frame = aggd.select(*proj, *extras)
+        if norm_having:
+            by_lower = {k.lower(): k for k in gflat}
+            combined = None
+            for cond in norm_having:
+                name = str(cond.get("col", ""))
+                key = by_lower.get(name.lower())
+                if key is not None:
+                    validate_gmode_key_having(cond, key)
+                    col = F.col(key if key in sel_keys
+                                else f"__sent_{key}")
+                    op, val = cond["op"], cond["val"]
+                    if op == "eq":
+                        c = col == F.lit(val)
+                    elif op == "neq":
+                        c = col != F.lit(val)
+                    elif op == "in":
+                        c = col.isin(val)
+                    else:
+                        c = ~col.isin(val)
+                else:
+                    resolved = dict(cond)
+                    resolved["col"] = _resolve_order_col(
+                        name, list(frame.columns))
+                    c = _filter_condition(frame, resolved)
+                combined = c if combined is None else (combined & c)
+            frame = frame.filter(combined)
+        df = frame.select(*[F.col(c) for c in out_columns]) \
+            if extras else frame
     elif group_by:
         # Grouping columns must appear in select (``claude.md:128``); we
         # tolerate grouping columns missing from select by projecting

@@ -1464,9 +1464,10 @@ def test_grouping_dict_forms_and_refusals(catalog, ddb, spark):
         with pytest.raises(QueryError):
             assemble_sql(q, tm, dialect="duckdb")
 
-    # HAVING under grouping (admitted late-r6): filters every output
-    # row, subtotals included — key conditions exclude subtotals (NULL
-    # key), alias conditions apply to the 'ALL' rows too.
+    # HAVING under grouping (admitted late-r6): evaluates over the
+    # SENTINEL output in both twins — key conditions are string ops on
+    # 'ALL'/'NULL'/value (so subtotals are addressable via 'ALL'),
+    # alias conditions apply to every output row.
     hv = {**rollup, "having": [{"col": "n", "op": "gt", "val": 3}]}
     assert_matches_duckdb(compile_query(hv, catalog), ddb,
                           assemble_sql(hv, tm, dialect="duckdb"))
@@ -1474,9 +1475,24 @@ def test_grouping_dict_forms_and_refusals(catalog, ddb, spark):
               "having": [{"col": "event_type", "op": "eq",
                           "val": "click"}]}
     rows = compile_query(hv_key, catalog).collect()
-    assert all(r.event_type == "click" for r in rows)  # no subtotal row
+    assert all(r.event_type == "click" for r in rows)  # 'ALL' != 'click'
     assert_matches_duckdb(compile_query(hv_key, catalog), ddb,
                           assemble_sql(hv_key, tm, dialect="duckdb"))
+    hv_total = {**rollup,
+                "having": [{"col": "event_type", "op": "eq",
+                            "val": "ALL"}]}
+    rows_t = compile_query(hv_total, catalog).collect()
+    assert len(rows_t) == 1 and rows_t[0].event_type == "ALL"
+    assert_matches_duckdb(compile_query(hv_total, catalog), ddb,
+                          assemble_sql(hv_total, tm, dialect="duckdb"))
+    import pytest as _pt
+    bad_range = {**rollup,
+                 "having": [{"col": "event_type", "op": "gt",
+                             "val": "a"}]}
+    with _pt.raises(QueryError):
+        compile_query(bad_range, catalog)
+    with _pt.raises(QueryError):
+        assemble_sql(bad_range, tm, dialect="duckdb")
 
     # router: grouping queries emit subtotal rows no rollup re-derives
     import tempfile
@@ -1524,3 +1540,59 @@ def test_grouping_dict_with_join_and_derived_from(catalog, ddb, spark):
     assert_matches_duckdb(df, ddb,
                           assemble_sql(derived, tm2, dialect="duckdb"),
                           ordered=True)
+
+
+def test_grouping_dict_post_terms(catalog, ddb):
+    """Post-aggregation arithmetic over AGG ALIASES composes with
+    rollup/cube group_by (subtotal rows compute it too); a post leaf
+    referencing a grouping KEY (a string sentinel) refuses in both
+    twins."""
+    import pytest
+
+    from query_planner_optimizer_spark.dsl.compiler import QueryError
+
+    q = {"select": ["event_type",
+                    {"COUNT": "*", "as": "n"},
+                    {"COUNT": "value", "as": "nv"},
+                    {"post": {"op": "mul", "args": ["n", 2]}, "as": "n2"}],
+         "from": "events", "group_by": {"cube": ["event_type"]}}
+    tm = catalog.spark_type_map("events")
+    assert_matches_duckdb(compile_query(q, catalog), ddb,
+                          assemble_sql(q, tm, dialect="duckdb"))
+    rows = compile_query(q, catalog).collect()
+    assert all(r.n2 == r.n * 2 for r in rows)
+    assert any(r.event_type == "ALL" for r in rows)
+
+    bad = {**q, "select": [*q["select"][:3],
+                           {"post": {"op": "add",
+                                     "args": ["event_type", 1]},
+                            "as": "x"}]}
+    with pytest.raises(QueryError):
+        compile_query(bad, catalog)
+    with pytest.raises(QueryError):
+        assemble_sql(bad, tm, dialect="duckdb")
+
+
+def test_grouping_empty_input_grand_total(catalog, ddb, spark):
+    """SQL-standard empty-input semantics (fuzzer-caught): grouping
+    sets containing () emit the grand-total row even over EMPTY input
+    (COUNTs 0, other aggregates NULL); sets without () emit nothing;
+    non-empty input gains no duplicate total row."""
+    tm = catalog.spark_type_map("events")
+    impossible = [{"col": "value", "op": "lt", "val": -1}]
+    with_unit = {"select": ["event_type", {"COUNT": "*", "as": "n"},
+                            {"SUM": "value", "as": "sv", "round": 6}],
+                 "from": "events", "where": impossible,
+                 "group_by": {"rollup": ["event_type"]}}
+    rows = compile_query(with_unit, catalog).collect()
+    assert len(rows) == 1
+    assert rows[0].event_type == "ALL" and rows[0].n == 0
+    assert rows[0].sv is None
+    assert_matches_duckdb(compile_query(with_unit, catalog), ddb,
+                          assemble_sql(with_unit, tm, dialect="duckdb"))
+    without_unit = {**with_unit,
+                    "group_by": {"sets": [["event_type"]]}}
+    assert compile_query(without_unit, catalog).count() == 0
+    nonempty = {**with_unit, "where": []}
+    rows2 = compile_query(nonempty, catalog).collect()
+    assert sum(1 for r in rows2 if r.event_type == "ALL") == 1

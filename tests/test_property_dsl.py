@@ -221,8 +221,9 @@ def dsl_queries(draw) -> dict:
         # (integer-exact across engines).
         cnt_names = [out_name(t) for t in aggs
                      if "COUNT" in t and "COUNT_DISTINCT" not in t]
-        if cnt_names and isinstance(q.get("group_by", []), list) \
-                and draw(st.booleans()):
+        if cnt_names and draw(st.booleans()):
+            # post terms admitted under grouping dicts too (late-r6):
+            # agg-alias leaves only, computed for subtotal rows as well
             q["select"] = [*q["select"],
                            {"post": {"op": draw(st.sampled_from(
                                ["add", "mul"])),
