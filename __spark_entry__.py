@@ -701,6 +701,25 @@ DSL_QUERIES: dict[str, dict] = {
                               ["event_type"], []]},
         "order_by": ["day", "event_type"],
     },
+    "dsl_grouping_having": {
+        # HAVING over grouping sets (late-r6): evaluates on the
+        # SENTINEL output in both twins — the key condition keeps
+        # per-day rows AND the 'ALL' subtotals (subtotals are
+        # addressable strings, not silent NULLs), the alias condition
+        # gates every output row, and the post term computes over
+        # subtotal rows too.
+        "select": ["day", "event_type",
+                   {"COUNT": "*", "as": "n_rows"},
+                   {"SUM": "value", "as": "sv", "round": 6},
+                   {"post": {"op": "mul", "args": ["n_rows", 2]},
+                    "as": "n2"}],
+        "from": "events",
+        "group_by": {"rollup": ["day", "event_type"]},
+        "having": [{"col": "event_type", "op": "in",
+                    "val": ["ALL", "click", "purchase"]},
+                   {"col": "n_rows", "op": "gt", "val": 5}],
+        "order_by": ["day", "event_type"],
+    },
     "dsl_pricing_quantiles": {
         # Histogram percentiles over lineitem prices per return flag —
         # the multi-column HIST_BINS surface (l_extendedprice bins) and
