@@ -534,23 +534,44 @@ def test_join_compiler_equals_duckdb(q, spark, catalog, ddb):
 
 @st.composite
 def setop_queries(draw) -> dict:
-    """Random set-op queries: two filtered projections of the same
-    column list combined by UNION/INTERSECT/EXCEPT [ALL]."""
+    """Random set-op queries: UNION/INTERSECT/EXCEPT [ALL] over (a)
+    filtered projections of one column list, or (b) GROUPED aggregate
+    branches — including grouping-dict branches, whose sentinel-string
+    key unifies with a plain branch's raw string key (late-r6: the
+    set-op × grouping-sets interaction)."""
     kw = draw(st.sampled_from(["union", "intersect", "except"]))
-    cols = draw(st.lists(st.sampled_from(["event_type", "day", "user_id"]),
-                         min_size=1, max_size=2, unique=True))
+    shape = draw(st.sampled_from(["plain", "agg"]))
+    if shape == "plain":
+        cols = draw(st.lists(
+            st.sampled_from(["event_type", "day", "user_id"]),
+            min_size=1, max_size=2, unique=True))
 
-    def child() -> dict:
-        c: dict = {"select": list(cols), "from": "events"}
-        w = draw(st.lists(conditions, min_size=0, max_size=2))
-        if w:
-            c["where"] = w
-        return c
+        def child() -> dict:
+            c: dict = {"select": list(cols), "from": "events"}
+            w = draw(st.lists(conditions, min_size=0, max_size=2))
+            if w:
+                c["where"] = w
+            return c
 
+        order_cols = cols
+    else:
+        def child() -> dict:
+            c: dict = {"select": ["event_type",
+                                  {"COUNT": "*", "as": "n"}],
+                       "from": "events"}
+            form = draw(st.sampled_from(["plain", "rollup", "cube"]))
+            c["group_by"] = (["event_type"] if form == "plain"
+                             else {form: ["event_type"]})
+            w = draw(st.lists(conditions, min_size=0, max_size=1))
+            if w:
+                c["where"] = w
+            return c
+
+        order_cols = ["event_type", "n"]
     q: dict = {kw: [child(), child()]}
     if draw(st.booleans()):
         q["all"] = True
-    q["order_by"] = [{"col": c, "dir": "asc"} for c in cols]
+    q["order_by"] = [{"col": c, "dir": "asc"} for c in order_cols]
     return q
 
 
