@@ -72,6 +72,10 @@ SHAPES = [
     ("cast_flip", "SELECT day, count(*) AS n FROM V "
      "WHERE '2024-01-05' < CAST(day AS STRING) GROUP BY day"),
     ("hour_grain", "SELECT hour, count(*) AS n FROM V GROUP BY hour"),
+    ("nulls_first", "SELECT day, count(*) AS n FROM V GROUP BY day "
+     "ORDER BY day DESC NULLS FIRST LIMIT 5"),
+    ("nulls_last", "SELECT day, count(*) AS n FROM V GROUP BY day "
+     "ORDER BY n DESC NULLS LAST, day LIMIT 5"),
 ]
 
 
