@@ -482,7 +482,23 @@ def test_composed_nesting_equals_duckdb(q, spark, catalog, ddb):
 @st.composite
 def join_queries(draw) -> dict:
     """Random star joins: orders⋈customer(⋈nation), aggregated over a
-    drawn grouping column, with optional filters/order/limit."""
+    drawn grouping column, with optional filters/order/limit. A drawn
+    fraction instead exercises the non-equi semi/anti surface (late-r6
+    generalized EXISTS): customers filtered by a cross-side price
+    comparison against their orders."""
+    if draw(st.integers(min_value=0, max_value=3)) == 0:
+        jtype = draw(st.sampled_from(["semi", "anti"]))
+        op = draw(st.sampled_from(["lt", "lte", "gt", "gte"]))
+        return {
+            "select": ["c_custkey", "c_mktsegment", "c_acctbal"],
+            "from": "customer",
+            "join": [{"table": "orders", "type": jtype,
+                      "on": [["c_custkey", "o_custkey"]],
+                      "cond": [{"left": "c_acctbal", "op": op,
+                                "right": "o_totalprice"}]}],
+            "order_by": ["c_custkey"],
+            "limit": draw(st.integers(min_value=5, max_value=100)),
+        }
     q: dict = {
         "from": "orders",
         "join": [
