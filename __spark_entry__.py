@@ -1979,81 +1979,84 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-6 window (r5 VERDICT #1: pure evidence conversion).
-    # -- Composition: 50 of the 56 entries that have exactcheck
-    # -- evidence but NO driver row in any CORRECTNESS_r01-r05.json —
-    # -- all the r5 additions (correlated subqueries, CTEs, derived
-    # -- FROM, membership/TPC-H Q7-Q22 shapes, duplicate spans,
-    # -- semantic dedup, int8 ANN, WAV/MP4, growth analytics,
-    # -- OHLC/SCD2/gap-fill/attribution, epoch shuffle, temperature
-    # -- mixture, streaming distinct/maintenance, minmax rollup). The
-    # -- 6 deferred to r7 are the cheapest-to-defer simple-DSL shapes
-    # -- whose code paths have r5-driver-green cousins:
-    # -- dsl_orderby_nulls_last, dsl_string_functions,
-    # -- dsl_numeric_functions, dsl_mod_bucketing,
-    # -- dsl_filter_col_vs_col, dsl_topk_offset_page.
-    # TPC-H composite shapes (r5-new, never driver-checked)
-    "dsl_tpch_q7_volume_shipping",
-    "dsl_tpch_q8_market_share",
-    "dsl_tpch_q9_product_profit",
-    "dsl_tpch_q13_cust_distribution",
-    "dsl_tpch_q14_promo_share",
-    "dsl_tpch_q15_top_supplier",
-    "dsl_tpch_q17_small_quantity",
-    "dsl_tpch_q18_large_orders",
-    "dsl_tpch_q19_disjunctive",
-    "dsl_tpch_q22_untapped_accounts",
-    # correlated + membership subqueries, CTEs, derived FROM
-    "dsl_corr_price_per_line",
-    "dsl_corr_join_subquery",
-    "dsl_corr_above_user_avg",
-    "dsl_cte_join_semi",
-    "dsl_cte_above_avg_days",
-    "dsl_cte_chain_user_type",
-    "dsl_setop_derived_from",
-    # grammar composites
-    "dsl_window_frames_ntile",
-    "dsl_window_over_aggregate",
-    "dsl_having_inline_agg",
-    "dsl_covariance_by_hand",
-    # dedup additions
-    "dedup_duplicate_spans",
-    "dedup_remove_spans",
-    "dedup_report",
-    "dedup_semantic_clusters",
-    # similarity / ANN additions
-    "sim_quantize_int8",
-    "sim_quantized_topk",
-    # text analysis additions
-    "text_bigram_lm",
-    "text_readability",
-    "text_vocab_coverage",
-    # multimodal parsers
-    "multimodal_audio_meta",
-    "multimodal_video_meta",
-    # streaming additions
-    "stream_windowed_distinct",
-    "stream_rollup_maintenance",
-    # growth / engagement analytics family
-    "analytics_retention_cohorts",
-    "analytics_new_vs_returning",
-    "analytics_power_user_curve",
-    "analytics_pct_change_daily",
-    "analytics_stickiness_daily",
-    "analytics_centroid_similarity",
-    "analytics_grouping_sets",
-    # temporal additions
-    "temporal_gapfill_hourly",
-    "temporal_scd2_intervals",
-    "temporal_ohlc_hourly",
-    "temporal_linear_attribution",
-    # pipeline / sampling additions
-    "pipeline_curation_funnel",
-    "pipeline_boilerplate_report",
-    "sample_epoch_shuffle",
-    "sample_temperature_mixture",
-    # router addition
-    "dsl_routed_minmax_rollup",
+    # -- round-7 window (r6 VERDICT #1: evidence conversion again).
+    # -- Composition: ALL 32 entries with zero driver rows across
+    # -- CORRECTNESS_r01-r06 (the 6 simple-DSL shapes deferred from r6
+    # -- plus the 26 r6 additions: grouping dict, non-equi semi/anti,
+    # -- quantile/hist/HLL routing, BPE tokenizer, JPEG meta, profiler,
+    # -- skew/corr/winsorized/MAD, cross-split leakage, topk-trending,
+    # -- hist maintenance, plan-routed week/cast), plus 18 refresh
+    # -- slots from the 30-entry r3-stale backlog (entries whose last
+    # -- driver evidence predates the DECIMAL-sum and portable-hash
+    # -- hardening). The 12 r3-green entries deferred to r8:
+    # -- dsl_filter_like_notnull, dsl_hourly_day_between,
+    # -- dsl_join_anti_inactive_customers,
+    # -- dsl_join_semi_orders_with_lineitems, text_repetition,
+    # -- stream_enrich_dim, stream_sliding_rollup, analytics_json_props,
+    # -- analytics_embedding_centroids, analytics_topn_per_group,
+    # -- pipeline_chunk_documents, sample_split_assignments.
+    # simple-DSL shapes deferred from r6 (never driver-checked)
+    "dsl_orderby_nulls_last",
+    "dsl_string_functions",
+    "dsl_numeric_functions",
+    "dsl_mod_bucketing",
+    "dsl_filter_col_vs_col",
+    "dsl_topk_offset_page",
+    # grouping dict (ROLLUP/CUBE/GROUPING SETS) — r6-new
+    "dsl_grouping_rollup",
+    "dsl_grouping_sets",
+    "dsl_grouping_having",
+    # non-equi semi/anti joins — r6-new
+    "dsl_join_semi_nonequi",
+    "dsl_join_anti_nonequi",
+    # window distribution functions — r6-new
+    "dsl_window_distribution",
+    # quantile sketches + routing — r6-new
+    "dsl_pricing_quantiles",
+    "dsl_quantile_sketch",
+    "dsl_routed_hist_quantile",
+    "dsl_routed_pricing_quantile",
+    "dsl_routed_hll_rollup",
+    # plan-level router additions — r6-new
+    "dsl_plan_routed_week_rollup",
+    "dsl_plan_routed_cast_filter",
+    # BPE tokenizer training + segmentation — r6-new
+    "text_bpe_merges",
+    "text_bpe_segment",
+    # JPEG marker parsing — r6-new
+    "multimodal_jpeg_meta",
+    # streaming additions — r6-new
+    "stream_topk_trending",
+    "stream_hist_maintenance",
+    # profiling / stats analytics — r6-new
+    "analytics_profile_events",
+    "analytics_profile_documents",
+    "analytics_key_skew",
+    "analytics_corr_pairs",
+    "analytics_winsorized",
+    "analytics_mad_outliers",
+    # cross-split leakage — r6-new
+    "dedup_split_leakage",
+    "dedup_near_split_leakage",
+    # -- r3-stale refresh (last driver evidence r3, pre-hardening) --
+    "dsl_agg_filter_clause",
+    "dsl_where_or_not_tree",
+    "dsl_join_left_customer_orders",
+    "dedup_simhash_quality",
+    "dedup_embedding_cosine",
+    "sim_ann_recall",
+    "sim_ivf_recall",
+    "text_lang_id",
+    "text_pii_scrub",
+    "relevance_bm25",
+    "stream_dedup",
+    "stream_funnel",
+    "stream_interval_join",
+    "analytics_quantiles",
+    "analytics_latest_per_key",
+    "temporal_range_join",
+    "pipeline_pack_sequences",
+    "sample_stratified_by_lang",
 ]
 
 
