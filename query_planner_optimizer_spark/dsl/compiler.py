@@ -827,7 +827,9 @@ _NONEQUI_SQL = {"lt": "<", "lte": "<=", "gt": ">", "gte": ">=",
                 "neq": "<>"}
 
 
-def validate_join_nonequi(jspec: dict, pairs: list[tuple]) -> list[dict]:
+def validate_join_nonequi(
+    jspec: dict, pairs: list[tuple], right_cols: set | None = None
+) -> list[dict]:
     """Shared twin validation of a join's non-equi ``cond`` list
     (``[{"left": lcol, "op": op, "right": rcol}, ...]`` — cross-side
     column comparisons AND-ed onto the equi pairs). Returns the
@@ -839,6 +841,16 @@ def validate_join_nonequi(jspec: dict, pairs: list[tuple]) -> list[dict]:
     flat-name contract doesn't have (and its SQL twin would render
     ambiguous unqualified references); differently-named key pairs are
     required for the same reason.
+
+    ``right_cols``, when provided (the compiler passes the joined
+    frame's columns; the SQL assembler has no per-table schema and
+    passes None), extends that collision guard to the conjuncts
+    themselves: a ``left`` column that ALSO exists on the right table
+    would bind to the left frame engine-side (DataFrame-object
+    reference) but render as an ambiguous unqualified reference in the
+    SQL twin — refuse rather than diverge. Every DSL query compiles
+    engine-side before its oracle runs, so the engine-side check alone
+    keeps the twins consistent.
     """
     cond = jspec.get("cond") or []
     if not cond:
@@ -865,6 +877,11 @@ def validate_join_nonequi(jspec: dict, pairs: list[tuple]) -> list[dict]:
             raise QueryError(
                 f"unknown join cond op {ne['op']!r} "
                 f"(have {sorted(_NONEQUI_OPS)}): {ne!r}")
+        if right_cols is not None and ne["left"] in right_cols:
+            raise QueryError(
+                f"join cond 'left' column {ne['left']!r} also exists "
+                f"on the joined table (ambiguous unqualified reference "
+                f"in the SQL twin): {ne!r}")
         out.append(ne)
     return out
 
@@ -1570,7 +1587,8 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         # is the output schema unambiguous (left columns only), which
         # is also what keeps the SQL twin's unqualified left references
         # collision-free.
-        nonequi = validate_join_nonequi(jspec, pairs)
+        nonequi = validate_join_nonequi(jspec, pairs,
+                                        right_cols=set(right.columns))
         for ne in nonequi:
             if ne["left"] not in df.columns:
                 raise QueryError(

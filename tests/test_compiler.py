@@ -1427,6 +1427,22 @@ def test_join_nonequi_semi_anti(catalog, ddb, spark):
         with pytest.raises(QueryError):
             assemble_sql(q, tm, dialect="duckdb")
 
+    # cond 'left' column that ALSO exists on the joined table (only
+    # reachable via a self-join, since catalog tables use disjoint
+    # prefixes): engine-side DataFrame refs would silently bind it to
+    # the left frame while the SQL twin renders an ambiguous
+    # unqualified reference — the compiler must refuse, not diverge.
+    # (Engine-side only: the assembler has no per-table schema, and
+    # every DSL entry compiles engine-side before its oracle runs.)
+    collide = {"select": ["c_custkey"],
+               "from": "customer",
+               "join": [{"table": "customer", "type": "semi",
+                         "on": [["c_nationkey", "c_custkey"]],
+                         "cond": [{"left": "c_acctbal", "op": "gt",
+                                   "right": "c_acctbal"}]}]}
+    with pytest.raises(QueryError, match="also exists"):
+        compile_query(collide, catalog)
+
 
 def test_grouping_dict_forms_and_refusals(catalog, ddb, spark):
     """rollup/cube/sets group_by: cube ⊇ rollup sets; router refuses to
