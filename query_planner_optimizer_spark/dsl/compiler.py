@@ -1263,13 +1263,18 @@ def _try_eager_agg(q: dict, catalog) -> tuple | None:
                 refs = _expr_col_refs(col)
                 if not refs or not refs.issubset(t_types):
                     return False
-                if any(r in o_df.columns and r != gk for r in refs):
+                if any(r in o_df.columns for r in refs):
                     return False
                 continue
             if not isinstance(col, str) or col not in t_types:
                 return False
-            if col in o_df.columns and col != gk:
-                return False  # ambiguous side — stay on the safe path
+            if col in o_df.columns:
+                # Ambiguous side — stay on the safe path. No gk
+                # exemption: an aggregate target named gk where gk
+                # also exists on the probe table (self-join) would
+                # silently bind build-side under the rewrite while the
+                # unrewritten plan and SQL twin raise ambiguous-ref.
+                return False
             if fname == "SUM" and round_to is None and not isinstance(
                     t_types[col], _INTEGRAL_SPARK_TYPES):
                 return False  # unrounded double SUM: order-sensitive

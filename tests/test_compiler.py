@@ -1321,6 +1321,19 @@ def test_eager_agg_guards_refuse_unsafe_shapes(catalog):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "__p0" not in plan, q
 
+    # Aggregate target named gk where gk ALSO exists on the probe
+    # table (self-join, oc != gk): the rewrite would silently bind it
+    # build-side while the unrewritten plan and SQL twin raise an
+    # ambiguous reference — the guard must refuse (no gk exemption).
+    from query_planner_optimizer_spark.dsl.compiler import _try_eager_agg
+    ambiguous = {"select": ["user_id",
+                            {"SUM": "event_id", "as": "s"}],
+                 "from": "events",
+                 "join": [{"table": "events",
+                           "on": [["user_id", "event_id"]]}],
+                 "group_by": ["user_id"]}
+    assert _try_eager_agg(ambiguous, catalog) is None
+
 
 def test_eager_agg_and_tree_probe_only_still_fires(catalog, ddb):
     """An AND tree over probe-side columns only is safe — the rewrite
