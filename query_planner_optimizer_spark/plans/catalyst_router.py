@@ -175,12 +175,22 @@ def _cond(t: dict) -> dict:
         # RuntimeReplaceable: input/lower/upper are embedded
         # single-expression fields; the ordinal child is the planted
         # replacement tree (ignored — the DSL has a native between).
-        col = _col_side(_build(t["n"]["input"]))
-        if col is None:
-            raise Unsupported("BETWEEN without a plain column side")
-        lo = _literal_value(_build(t["n"]["lower"]))
-        hi = _literal_value(_build(t["n"]["upper"]))
-        return {"col": col, "op": "between", "val": [lo, hi]}
+        inp = _build(t["n"]["input"])
+        col = _col_side(inp)
+        if col is not None:
+            lo = _literal_value(_build(t["n"]["lower"]))
+            hi = _literal_value(_build(t["n"]["upper"]))
+            return {"col": col, "op": "between", "val": [lo, hi]}
+        # CAST(date col AS STRING) BETWEEN two canonical ISO literals:
+        # strippable by the same fixed-width lexicographic-order
+        # argument as eq/range/IN (_date_to_string_side).
+        cast_col = _date_to_string_side(inp)
+        if cast_col is not None:
+            lo = _canonical_date_lit(_build(t["n"]["lower"]))
+            hi = _canonical_date_lit(_build(t["n"]["upper"]))
+            if lo is not None and hi is not None:
+                return {"col": cast_col, "op": "between", "val": [lo, hi]}
+        raise Unsupported("BETWEEN without a plain column side")
     raise Unsupported(f"filter expression {c}")
 
 

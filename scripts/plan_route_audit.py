@@ -1,12 +1,20 @@
-"""Audit the Catalyst-plan router's refusal surface over a corpus of
-rollup-servable SQL shapes (VERDICT r5 item 4 follow-through): print
-route/refuse + reason per shape so widening work targets the most
-common refusals instead of guesses.
+"""Audit the Catalyst-plan router's refusal surface (VERDICT r5 item 4
+follow-through, merged r7 from the former planroute_audit.py twin).
 
-Usage: python scripts/plan_route_audit.py [sf_dir]
+Two corpora, selected by ``--mode``:
+
+- ``shapes`` (default): hand-written raw-SQL spellings of
+  rollup-servable queries — route/refuse + reason per shape, so
+  widening work targets the most common refusals instead of guesses.
+- ``dsl``: join-free single-table aggregate DSL entries respelled as
+  raw Spark SQL by the assembler (what a migrating user would run),
+  plus a few extra raw spellings; refusals bucketed by reason.
+
+Usage: python scripts/plan_route_audit.py [sf_dir] [--mode=shapes|dsl]
 """
 import sys
 import tempfile
+from collections import Counter
 
 sys.path.insert(0, ".")
 
@@ -78,29 +86,99 @@ SHAPES = [
      "ORDER BY n DESC NULLS LAST, day LIMIT 5"),
 ]
 
+RAW_DSL_EXTRAS = {
+    "raw_cast_col_filter": (
+        "SELECT day, count(*) AS n FROM V "
+        "WHERE CAST(event_type AS STRING) = 'click' GROUP BY day"),
+    "raw_int_vs_double_lit": (
+        "SELECT event_type, count(*) AS n FROM V "
+        "WHERE value > 1.5 GROUP BY event_type"),
+    "raw_minute_grain": (
+        "SELECT minute, round(sum(value), 4) AS sv FROM V "
+        "WHERE minute >= '2024-01-02 10:00' GROUP BY minute"),
+    "raw_day_cast_string": (
+        "SELECT day, count(*) AS n FROM V "
+        "WHERE CAST(day AS STRING) BETWEEN '2024-01-02' AND "
+        "'2024-01-05' GROUP BY day"),
+    "raw_having_post": (
+        "SELECT event_type, sum(value) AS sv FROM V "
+        "GROUP BY event_type HAVING count(*) > 100"),
+}
+
+
+def _dsl_candidates(cat) -> dict:
+    from __spark_entry__ import DSL_QUERIES
+    from query_planner_optimizer_spark.dsl.assembler import assemble_sql
+
+    out: dict = {}
+    for name, q in DSL_QUERIES.items():
+        if not isinstance(q, dict) or q.get("from") != "events":
+            continue
+        if any(k in q for k in ("join", "with", "union", "intersect",
+                                "except", "distinct")):
+            continue
+        if not q.get("group_by"):
+            continue
+        try:
+            sql = assemble_sql(q, cat.spark_type_map("events"),
+                               dialect="spark")
+        except Exception:
+            continue
+        sql = sql.replace("FROM events", "FROM V")
+        if "events." in sql:
+            # correlated-subquery spelling qualifies the outer table by
+            # its original name — the FROM rewrite breaks the
+            # correlation alias, so the candidate is not representative
+            continue
+        out[name] = sql
+    out.update(RAW_DSL_EXTRAS)
+    return out
+
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = [a for a in sys.argv[1:]]
+    mode = "shapes"
+    for a in list(argv):
+        if a.startswith("--mode="):
+            mode = a.split("=", 1)[1]
+            argv.remove(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+
     spark = get_spark(app_name="plan-route-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    cat = Catalog(spark, sf_dir, register_views=False)
+    events = cat.table("events")
     events.createOrReplaceTempView("V")
     rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
-                                 "aggs": {"value": ["sum", "count"]}}}
+                                 "aggs": {"value": ["sum", "count",
+                                                    "min", "max"]}},
+               "agg_minute_etype": {"keys": ["minute", "event_type"],
+                                    "aggs": {"value": ["sum", "count"]}}}
     agg_dir = tempfile.mkdtemp(prefix="qpo_plan_audit_")
     build_rollups(events, agg_dir, rollups)
-    router = PlanRouter(spark, agg_dir, rollups, view="V")
+    router = PlanRouter(spark, agg_dir, rollups, view="V", frame=events)
+
+    corpus = (dict(SHAPES) if mode == "shapes"
+              else _dsl_candidates(cat))
+    reasons: Counter = Counter()
+    detail: dict = {}
     routed_n = 0
-    for name, sql in SHAPES:
+    for name, sql in (SHAPES if mode == "shapes"
+                      else sorted(corpus.items())):
         try:
             _, routed = router.sql(sql)
             reason = "" if routed else str(router.last_reason)
         except Exception as e:  # noqa: BLE001
             routed, reason = False, f"EXC {type(e).__name__}: {e}"
-        tag = "ROUTE " if routed else "refuse"
         routed_n += routed
-        print(f"{tag} {name:22s} {reason[:120]}")
-    print(f"\n{routed_n}/{len(SHAPES)} routed")
+        tag = "ROUTE " if routed else "refuse"
+        print(f"{tag} {name:28s} {reason[:110]}")
+        if not routed:
+            reasons[reason] += 1
+            detail.setdefault(reason, []).append(name)
+    print(f"\n{routed_n}/{len(corpus)} routed ({mode} corpus)\n")
+    for reason, n in reasons.most_common():
+        print(f"{n:3d}  {reason[:110]}")
 
 
 if __name__ == "__main__":

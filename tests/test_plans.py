@@ -434,6 +434,28 @@ def test_plan_router_date_literal_forms(spark, catalog, tmp_path):
         assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
 
 
+def test_plan_router_cast_between(spark, catalog, tmp_path):
+    """CAST(day AS STRING) BETWEEN canonical ISO literals routes (r7
+    admission — fixed-width lexicographic order ≡ date order); a
+    non-canonical bound keeps string-comparison semantics the date
+    domain can't express and must refuse."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    sql = ("SELECT day, count(*) AS n FROM events "
+           "WHERE CAST(day AS STRING) BETWEEN '2024-01-02' AND "
+           "'2024-01-05' GROUP BY day")
+    df, routed = pr.sql(sql)
+    assert routed, pr.last_reason
+    assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
+
+    bad = ("SELECT day, count(*) AS n FROM events "
+           "WHERE CAST(day AS STRING) BETWEEN '2024-1-2' AND "
+           "'2024-01-05' GROUP BY day")
+    df, routed = pr.sql(bad)
+    assert not routed
+    assert pr.last_reason.startswith("translate")
+    df.limit(1).collect()  # fallback plan still executes
+
+
 def test_plan_router_corpus_agreement(spark, catalog, tmp_path):
     """Corpus-wide sweep: every DSL query, assembled to the engine's own
     spark-dialect SQL (incl. the bit-stable decimal SUM/AVG idioms),
