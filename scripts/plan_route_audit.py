@@ -79,6 +79,9 @@ SHAPES = [
      "WHERE CAST(day AS STRING) = '2024-1-3' GROUP BY day"),
     ("cast_flip", "SELECT day, count(*) AS n FROM V "
      "WHERE '2024-01-05' < CAST(day AS STRING) GROUP BY day"),
+    ("cast_between", "SELECT day, count(*) AS n FROM V "
+     "WHERE CAST(day AS STRING) BETWEEN '2024-01-02' AND '2024-01-05' "
+     "GROUP BY day"),
     ("hour_grain", "SELECT hour, count(*) AS n FROM V GROUP BY hour"),
     ("nulls_first", "SELECT day, count(*) AS n FROM V GROUP BY day "
      "ORDER BY day DESC NULLS FIRST LIMIT 5"),
