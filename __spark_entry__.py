@@ -1688,6 +1688,49 @@ def _plan_routed_cast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_PLAN_BETWEEN_Q = {
+    "select": ["day", {"COUNT": "*", "as": "cnt"},
+               {"SUM": "value", "as": "sv", "round": 6}],
+    "from": "events",
+    "where": [{"col": "day", "op": "between",
+               "val": ["2024-01-05", "2024-01-12"]}],
+    "group_by": ["day"],
+}
+
+
+def _plan_routed_cast_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SQL filtering on CAST(day AS STRING) BETWEEN two ISO
+    literals, routed at the Catalyst-analyzed-plan level (r7
+    admission): the cast strips to a typed date between — Spark
+    stringifies dates as fixed-width ISO, so lexicographic order IS
+    chronological order, the same argument as the eq/range/IN
+    admissions — then the day-grain rollup serves it. Raises if the
+    plan does not route."""
+    import tempfile
+
+    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    events = cat.table("events")
+    events.createOrReplaceTempView("events_plan_route_between")
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = tempfile.mkdtemp(prefix="qpo_plan_routed_between_")
+    build_rollups(events, agg_dir, rollups)
+    router = PlanRouter(spark, agg_dir, rollups,
+                        view="events_plan_route_between")
+    df, routed = router.sql(
+        "SELECT day, count(*) AS cnt, round(sum(value), 6) AS sv "
+        "FROM events_plan_route_between "
+        "WHERE CAST(day AS STRING) BETWEEN '2024-01-05' AND '2024-01-12' "
+        "GROUP BY day"
+    )
+    if not routed:
+        raise RuntimeError(f"expected a plan route: {router.last_reason}")
+    return df
+
+
 def _routed_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_groupby_min_max through prepare + route with MIN/MAX
     partials: the rollup stores min_/max_ columns (min-of-mins is
@@ -2082,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dsl_plan_routed_daily_rollup"] = _plan_routed_daily_rollup
     out["dsl_plan_routed_week_rollup"] = _plan_routed_week_rollup
     out["dsl_plan_routed_cast_filter"] = _plan_routed_cast_filter
+    out["dsl_plan_routed_cast_between"] = _plan_routed_cast_between
     out["stream_rollup_maintenance"] = _stream_rollup_maintenance
     out["dsl_routed_minmax_rollup"] = _routed_minmax_rollup
     out["dsl_routed_hll_rollup"] = _routed_hll_rollup
@@ -2154,6 +2198,10 @@ def oracle_sql() -> dict[str, str]:
     out["dsl_plan_routed_cast_filter"] = assemble_sql(
         _PLAN_CAST_Q, _query_type_map(_PLAN_CAST_Q), dialect="duckdb",
         ts_is_millis=False
+    )
+    out["dsl_plan_routed_cast_between"] = assemble_sql(
+        _PLAN_BETWEEN_Q, _query_type_map(_PLAN_BETWEEN_Q),
+        dialect="duckdb", ts_is_millis=False
     )
     out["stream_rollup_maintenance"] = out["dsl_daily_rollup"]
     out["dsl_routed_minmax_rollup"] = out["dsl_groupby_min_max"]
