@@ -469,6 +469,30 @@ DSL_QUERIES: dict[str, dict] = {
         "order_by": ["c_custkey"],
         "limit": 250,
     },
+    "dsl_join_range_conjunct": {
+        # Range conjunct on a ROW-PRODUCING join (r7): every
+        # (customer, order) pair where the account balance exceeds the
+        # order price — inner join on custkey with a cross-side
+        # inequality AND-ed into the ON clause, then aggregated per
+        # customer. Plan: hash/sort-merge join on the equi key with
+        # the inequality as a join residual (audited: never a
+        # nested-loop) — at 100 TB the shuffle keys stay the equi
+        # pair, so the band filter costs nothing extra.
+        "select": ["c_custkey",
+                   {"COUNT": "o_orderkey", "as": "n_cheap_orders"},
+                   {"SUM": "o_totalprice", "as": "cheap_total",
+                    "round": 4},
+                   {"MAX": "o_totalprice", "as": "max_cheap",
+                    "round": 4}],
+        "from": "customer",
+        "join": [{"table": "orders", "type": "inner",
+                  "on": [["c_custkey", "o_custkey"]],
+                  "cond": [{"left": "c_acctbal", "op": "gt",
+                            "right": "o_totalprice"}]}],
+        "group_by": ["c_custkey"],
+        "order_by": ["c_custkey"],
+        "limit": 200,
+    },
     "dsl_join_brand_pricing": {
         "select": ["p_brand", {"AVG": "l_extendedprice", "as": "avg_price",
                                "round": 6},

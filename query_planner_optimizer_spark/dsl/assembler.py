@@ -681,10 +681,11 @@ def _join_clause_sql(
         f"{_ident(l, dialect)} = {jt}.{_ident(r, dialect)}"
         for l, r in pairs
     ]
-    # Non-equi ON conjuncts (semi/anti only — validate_join_nonequi):
-    # left side unqualified (collision-free by the differently-named
-    # pair requirement), right side table-qualified, same as the equi
-    # pairs above.
+    # Non-equi ON conjuncts (semi/anti/inner/left —
+    # validate_join_nonequi): left side unqualified (collision-free by
+    # the differently-named pair requirement plus the compiler's
+    # right-schema collision guard), right side table-qualified, same
+    # as the equi pairs above.
     for ne in nonequi:
         conds.append(
             f"{_ident(ne['left'], dialect)} {_NONEQUI_SQL[ne['op']]} "

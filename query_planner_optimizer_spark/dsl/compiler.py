@@ -835,12 +835,17 @@ def validate_join_nonequi(
     column comparisons AND-ed onto the equi pairs). Returns the
     normalized list ([] when absent).
 
-    Only ``semi``/``anti`` joins accept it — the generalized
-    EXISTS/NOT-EXISTS shape. On row-producing join types a non-equi
-    conjunct would demand qualified duplicate-column handling the DSL's
-    flat-name contract doesn't have (and its SQL twin would render
-    ambiguous unqualified references); differently-named key pairs are
-    required for the same reason.
+    ``semi``/``anti`` (the generalized EXISTS/NOT-EXISTS shape) and —
+    r7 — row-producing ``inner``/``left`` joins accept it: with the
+    required differently-named key pairs both sides' columns coexist
+    unambiguously in the output, exactly as on the equi path, and the
+    equi pairs keep the physical plan a hash/sort-merge join with the
+    range conjunct as a residual filter (never a nested-loop join —
+    see ``tests/test_plans.py`` plan audit). ``right`` joins stay
+    refused: the membership-pushdown commute analysis treats them
+    specially and the shape is expressible as the mirrored ``left``.
+    Differently-named key pairs are required so the SQL twin's
+    unqualified left references stay collision-free.
 
     ``right_cols``, when provided (the compiler passes the joined
     frame's columns; the SQL assembler has no per-table schema and
@@ -855,10 +860,10 @@ def validate_join_nonequi(
     cond = jspec.get("cond") or []
     if not cond:
         return []
-    if jspec.get("type") not in ("semi", "anti"):
+    if jspec.get("type", "inner") not in ("semi", "anti", "inner", "left"):
         raise QueryError(
             f"join 'cond' (non-equi conjuncts) is only supported on "
-            f"semi/anti joins: {jspec!r}")
+            f"semi/anti/inner/left joins: {jspec!r}")
     if any(l == r for l, r in pairs):
         raise QueryError(
             f"join 'cond' requires differently-named 'on' pairs "
@@ -1585,13 +1590,14 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                 raise QueryError(f"join column {lcol!r} not in left side")
             if rcol not in right.columns:
                 raise QueryError(f"join column {rcol!r} not in {jt!r}")
-        # Non-equi ON conjuncts — the generalized-EXISTS surface:
-        # `customer SEMI JOIN orders ON custkey match AND o_totalprice
-        # > c_acctbal` ≡ `WHERE EXISTS (... AND cross-side compare)`.
-        # Restricted to semi/anti (validate_join_nonequi): only there
-        # is the output schema unambiguous (left columns only), which
-        # is also what keeps the SQL twin's unqualified left references
-        # collision-free.
+        # Non-equi ON conjuncts. On semi/anti this is the
+        # generalized-EXISTS surface (`customer SEMI JOIN orders ON
+        # custkey match AND o_totalprice > c_acctbal` ≡ `WHERE EXISTS
+        # (... AND cross-side compare)`); on inner/left (r7) it is the
+        # band/range-conjunct join. Either way the equi pairs carry the
+        # shuffle/hash keys and the conjunct runs as a residual filter
+        # inside the hash or sort-merge join — never a nested-loop
+        # plan (audited in tests/test_plans.py).
         nonequi = validate_join_nonequi(jspec, pairs,
                                         right_cols=set(right.columns))
         for ne in nonequi:

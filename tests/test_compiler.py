@@ -1424,7 +1424,7 @@ def test_join_nonequi_semi_anti(catalog, ddb, spark):
     assert n_semi + n_anti == n_all  # exact partition
 
     bad = [
-        {**semi, "join": [{**semi["join"][0], "type": "inner"}]},
+        {**semi, "join": [{**semi["join"][0], "type": "right"}]},
         {**semi, "join": [{**semi["join"][0], "on": ["c_custkey"],
                            }]},
         {**semi, "join": [{**semi["join"][0],
@@ -1455,6 +1455,41 @@ def test_join_nonequi_semi_anti(catalog, ddb, spark):
                                    "right": "c_acctbal"}]}]}
     with pytest.raises(QueryError, match="also exists"):
         compile_query(collide, catalog)
+
+
+def test_join_nonequi_inner_left(catalog, ddb, spark):
+    """Range conjuncts on row-producing joins (r7): inner and left
+    joins with a cross-side comparison AND-ed onto the equi keys match
+    the SQL twin; the left join null-extends exactly the rows the
+    inner join drops."""
+    inner = {"select": ["c_custkey", "o_orderkey", "c_acctbal",
+                        "o_totalprice"],
+             "from": "customer",
+             "join": [{"table": "orders", "type": "inner",
+                       "on": [["c_custkey", "o_custkey"]],
+                       "cond": [{"left": "c_acctbal", "op": "gt",
+                                 "right": "o_totalprice"}]}],
+             "order_by": ["c_custkey", "o_orderkey"]}
+    tm = _merged_map(catalog, "customer", "orders")
+    df = compile_query(inner, catalog)
+    assert_matches_duckdb(df, ddb, assemble_sql(inner, tm,
+                                                dialect="duckdb"),
+                          ordered=True)
+    # independent oracle: raw inequality join
+    want = ddb.execute(
+        "SELECT count(*) FROM customer c JOIN orders o "
+        "ON o.o_custkey = c.c_custkey AND c.c_acctbal > o.o_totalprice"
+    ).fetchone()[0]
+    assert df.count() == want
+
+    left = {**inner, "join": [{**inner["join"][0], "type": "left"}]}
+    ldf = compile_query(left, catalog)
+    assert_matches_duckdb(ldf, ddb, assemble_sql(left, tm,
+                                                 dialect="duckdb"),
+                          ordered=False)
+    # every customer survives the left join at least once
+    n_cust = catalog.table("customer").count()
+    assert ldf.select("c_custkey").distinct().count() == n_cust
 
 
 def test_grouping_dict_forms_and_refusals(catalog, ddb, spark):

@@ -434,6 +434,25 @@ def test_plan_router_date_literal_forms(spark, catalog, tmp_path):
         assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
 
 
+def test_nonequi_inner_join_is_hash_with_residual(catalog):
+    """A range conjunct on an inner/left join must ride the equi keys:
+    hash or sort-merge join with the inequality as a residual filter
+    inside the join node — a BroadcastNestedLoopJoin/CartesianProduct
+    would be the O(n·m) plan that dies at scale."""
+    for jt in ("inner", "left"):
+        q = {"select": ["c_custkey", "o_orderkey"],
+             "from": "customer",
+             "join": [{"table": "orders", "type": jt,
+                       "on": [["c_custkey", "o_custkey"]],
+                       "cond": [{"left": "c_acctbal", "op": "gt",
+                                 "right": "o_totalprice"}]}]}
+        plan = _plan(compile_query(q, catalog))
+        assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan), plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
 def test_plan_router_cast_between(spark, catalog, tmp_path):
     """CAST(day AS STRING) BETWEEN canonical ISO literals routes (r7
     admission — fixed-width lexicographic order ≡ date order); a

@@ -483,19 +483,38 @@ def test_composed_nesting_equals_duckdb(q, spark, catalog, ddb):
 def join_queries(draw) -> dict:
     """Random star joins: orders⋈customer(⋈nation), aggregated over a
     drawn grouping column, with optional filters/order/limit. A drawn
-    fraction instead exercises the non-equi semi/anti surface (late-r6
-    generalized EXISTS): customers filtered by a cross-side price
+    fraction instead exercises the non-equi surface: semi/anti
+    (late-r6 generalized EXISTS) and — r7 — inner/left range
+    conjuncts, customers filtered/paired by a cross-side price
     comparison against their orders."""
     if draw(st.integers(min_value=0, max_value=3)) == 0:
-        jtype = draw(st.sampled_from(["semi", "anti"]))
+        jtype = draw(st.sampled_from(["semi", "anti", "inner", "left"]))
         op = draw(st.sampled_from(["lt", "lte", "gt", "gte"]))
+        if jtype in ("semi", "anti"):
+            return {
+                "select": ["c_custkey", "c_mktsegment", "c_acctbal"],
+                "from": "customer",
+                "join": [{"table": "orders", "type": jtype,
+                          "on": [["c_custkey", "o_custkey"]],
+                          "cond": [{"left": "c_acctbal", "op": op,
+                                    "right": "o_totalprice"}]}],
+                "order_by": ["c_custkey"],
+                "limit": draw(st.integers(min_value=5, max_value=100)),
+            }
+        # Row-producing range conjunct: aggregate the matched pairs so
+        # the left join's null-extended rows flow through COUNT(col)
+        # (counts 0) and the result stays integral/rounded.
         return {
-            "select": ["c_custkey", "c_mktsegment", "c_acctbal"],
+            "select": ["c_custkey",
+                       {"COUNT": "o_orderkey", "as": "n_match"},
+                       {"SUM": "o_totalprice", "as": "match_total",
+                        "round": 4}],
             "from": "customer",
             "join": [{"table": "orders", "type": jtype,
                       "on": [["c_custkey", "o_custkey"]],
                       "cond": [{"left": "c_acctbal", "op": op,
                                 "right": "o_totalprice"}]}],
+            "group_by": ["c_custkey"],
             "order_by": ["c_custkey"],
             "limit": draw(st.integers(min_value=5, max_value=100)),
         }
