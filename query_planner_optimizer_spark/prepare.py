@@ -243,12 +243,30 @@ def build_rollups(
     return written
 
 
+def _rollup_last_batch(path: str) -> int:
+    """Batch id committed INSIDE the rollup parquet dir (written into
+    the swap's tmp dir, so the atomic rename commits data + marker
+    together; Spark ignores underscore-prefixed files when reading).
+    -1 when absent (pre-r7 rollups, or non-streaming builds)."""
+    marker = os.path.join(path, "_last_batch")
+    if os.path.isfile(marker):
+        txt = open(marker).read().strip()
+        return int(txt) if txt else -1
+    return -1
+
+
+def _write_rollup_batch_marker(dirpath: str, batch_id: int) -> None:
+    with open(os.path.join(dirpath, "_last_batch"), "w") as f:
+        f.write(str(batch_id))
+
+
 def refresh_rollups(
     spark: SparkSession,
     new_slice: DataFrame,
     agg_dir: str,
     rollups: dict[str, dict] | None = None,
     tables: dict[str, DataFrame] | None = None,
+    batch_id: int | None = None,
 ) -> list[str]:
     """Incremental rollup maintenance: fold ONLY newly-appended rows
     into the existing rollup tables instead of re-scanning the fact
@@ -269,6 +287,16 @@ def refresh_rollups(
     rollup would be hive-partitioned on its leading time key with
     dynamic partition overwrite, shrinking the rewrite to the touched
     partitions; the swap keeps the single-file driver layout simple.
+
+    ``batch_id`` (streaming maintenance, r7): when given, each rollup
+    carries the last-folded batch id INSIDE its parquet dir — written
+    into the swap's tmp dir so one atomic rename commits the fold and
+    the marker TOGETHER. A rollup whose in-dir marker already covers
+    ``batch_id`` is skipped: a checkpoint replay after a crash at ANY
+    point (even between the fold and any external bookkeeping) can
+    never double-fold, per rollup — this closes the torn-crash window
+    an agg_dir-level marker alone leaves open, and lets a multi-rollup
+    replay re-fold exactly the rollups the crash left behind.
     """
     import shutil
 
@@ -290,11 +318,18 @@ def refresh_rollups(
                   f"table {t!r}) — rollup is now stale", file=sys.stderr)
             continue
         keys = [k for k in spec["keys"] if k in src.columns]
-        delta = rollup_frame(src, keys, spec["aggs"])
         path = os.path.join(agg_dir, f"{name}.parquet")
         recover_rollup_swap(path)
+        if batch_id is not None and _rollup_last_batch(path) >= batch_id:
+            # Checkpoint replay of a batch this rollup already folded
+            # (crash landed after the swap): exactly-once no-op.
+            refreshed.append(name)
+            continue
+        delta = rollup_frame(src, keys, spec["aggs"])
         if not os.path.exists(path):
             delta.write.mode("overwrite").parquet(path)
+            if batch_id is not None:
+                _write_rollup_batch_marker(path, batch_id)
             refreshed.append(name)
             continue
         existing = spark.read.parquet(path)
@@ -328,6 +363,10 @@ def refresh_rollups(
         )
         tmp = path + ".refresh_tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        if batch_id is not None:
+            # Marker rides the tmp dir: the rename below commits the
+            # folded data and the batch id in ONE atomic step.
+            _write_rollup_batch_marker(tmp, batch_id)
         # Crash-loss-free swap: move the old rollup ASIDE (rename, atomic
         # on one filesystem), rename the new one into place, then delete
         # the aside copy. The OLD DATA always survives a crash — at

@@ -13,15 +13,15 @@ from-scratch rebuild no matter how the stream was chopped into batches
 rollup hash-match the raw-scan oracle.
 
 Delivery semantics: the file source's checkpoint gives at-least-once
-replay of uncommitted batches; the ``_last_batch`` marker makes the
-fold idempotent against that replay (a batch id ≤ the marker is
-skipped). The residual window — a crash BETWEEN the rollup's atomic
-swap and the marker replace — is closed for the single-rollup case by
-checking the marker before the swap inside the same batch; for
-multi-rollup specs a torn crash can leave table freshness one batch
-apart, surfaced by ``refresh_rollups``'s loud skip/recover machinery
-rather than silently double-folded (the marker still blocks the
-double-fold on restart).
+replay of uncommitted batches; exactly-once comes from the PER-ROLLUP
+batch marker committed INSIDE each rollup dir by the same atomic
+rename that commits the folded data (``prepare.refresh_rollups``'s
+``batch_id`` path, r7). A crash at ANY point — mid-fold, between the
+swap and any bookkeeping, mid-multi-rollup — replays the batch, and
+each rollup independently skips or re-folds exactly according to its
+own committed marker. The agg_dir-level ``_last_batch`` file remains
+as a cheap whole-batch fast path and a progress record; correctness
+no longer depends on it.
 
 Scale: each micro-batch shuffles |batch grain| + |rollup grain| rows —
 delta-bounded, never the fact table; the stream never holds aggregate
@@ -64,8 +64,9 @@ def streaming_rollup_maintenance(
 
     def apply_batch(batch_df, batch_id: int) -> None:
         if batch_id <= _last():
-            return  # checkpoint replay of an already-folded batch
-        refresh_rollups(spark, batch_df, agg_dir, rollups)
+            return  # fast path: whole batch already folded + recorded
+        refresh_rollups(spark, batch_df, agg_dir, rollups,
+                        batch_id=batch_id)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(batch_id))

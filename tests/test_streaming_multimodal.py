@@ -727,6 +727,134 @@ def test_streaming_rollup_maintenance_equals_rebuild(spark, tmp_path):
     assert sorted(after.itertuples(index=False)) == before
 
 
+def test_refresh_replay_idempotent_hist_hll(spark, tmp_path):
+    """Exactly-once for the hist/HLL maintenance fold (r7): replaying
+    the SAME batch id against a rollup that already folded it — the
+    foreachBatch replay after a crash between the fold and the
+    checkpoint commit — is a bit-exact no-op, because the batch id is
+    committed inside the rollup dir by the same atomic rename as the
+    data."""
+    import os
+
+    import pandas as pd
+
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.prepare import refresh_rollups
+    from .conftest import SF_DIR, normalize
+
+    events = Catalog(spark, SF_DIR, register_views=False).table("events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "day"]
+    h0 = events.filter((F.col("event_id") % 2) == 0).select(*cols)
+    h1 = events.filter((F.col("event_id") % 2) == 1).select(*cols)
+    rollups = {"agg_day_etype_sketch": {
+        "keys": ["day", "event_type"],
+        "aggs": {"value": ["sum", "count", "hist"],
+                 "user_id": ["hll"]},
+    }}
+    agg_dir = str(tmp_path / "aggs")
+    path = os.path.join(agg_dir, "agg_day_etype_sketch.parquet")
+    refresh_rollups(spark, h0, agg_dir, rollups, batch_id=0)
+    refresh_rollups(spark, h1, agg_dir, rollups, batch_id=1)
+
+    def snapshot() -> pd.DataFrame:
+        df = spark.read.parquet(path)
+        # serialized sketch bytes are storage-mode-sensitive; compare
+        # the SERVED values (estimate) plus the exact partials
+        return normalize(df.select(
+            "day", "event_type", "sum_value", "count_value",
+            F.col("hist_value").cast("string").alias("hist_value"),
+            F.hll_sketch_estimate("hll_user_id").alias("du"),
+        ).toPandas())
+
+    before = snapshot()
+    # crash-replay of batch 1 (sums would double, hist bins would
+    # double, HLL would re-union) — must be skipped via the in-dir marker
+    refresh_rollups(spark, h1, agg_dir, rollups, batch_id=1)
+    pd.testing.assert_frame_equal(snapshot(), before)
+    # a genuinely NEW batch id with new data still folds
+    extra = h1.limit(100)
+    refresh_rollups(spark, extra, agg_dir, rollups, batch_id=2)
+    after = snapshot()
+    assert after["count_value"].sum() == before["count_value"].sum() + 100
+
+
+def test_streaming_hist_maintenance_kill_mid_batch(spark, tmp_path):
+    """Kill-mid-batch checkpoint recovery for the hist/HLL maintenance
+    stream: the last micro-batch folds, then the process 'dies' before
+    the checkpoint commit and before the agg-dir marker write (commit
+    file deleted + marker rewound). The restarted stream REPLAYS that
+    batch; the per-rollup in-dir marker must make the replay a no-op,
+    leaving the rollup bit-identical to a one-shot rebuild."""
+    import os
+
+    import pandas as pd
+
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.prepare import build_rollups
+    from query_planner_optimizer_spark.streaming.maintenance import (
+        streaming_rollup_maintenance,
+    )
+    from .conftest import SF_DIR, normalize
+
+    events = Catalog(spark, SF_DIR, register_views=False).table("events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "day"]
+    landing = str(tmp_path / "landing")
+    agg_dir = str(tmp_path / "aggs")
+    ckpt = str(tmp_path / "ckpt")
+    h0 = events.filter((F.col("event_id") % 2) == 0).select(*cols)
+    h1 = events.filter((F.col("event_id") % 2) == 1).select(*cols)
+    h0.coalesce(1).write.mode("overwrite").parquet(landing)
+    h1.coalesce(1).write.mode("append").parquet(landing)
+    rollups = {"agg_day_etype_hist": {
+        "keys": ["day", "event_type"],
+        "aggs": {"value": ["sum", "count", "hist"],
+                 "user_id": ["hll"]},
+    }}
+    q = streaming_rollup_maintenance(
+        spark, landing, agg_dir, ckpt, rollups,
+        schema=h0.schema, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    # simulate the kill: last batch's fold landed, but neither the
+    # checkpoint commit nor the agg-dir marker did
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    last = commits[-1]
+    assert int(last) >= 1  # maxFilesPerTrigger=1 ⇒ ≥2 batches
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # hadoop ChecksumFs sibling
+        os.remove(crc)
+    with open(os.path.join(agg_dir, "_last_batch"), "w") as f:
+        f.write(str(int(last) - 1))
+
+    q2 = streaming_rollup_maintenance(
+        spark, landing, agg_dir, ckpt, rollups,
+        schema=h0.schema, max_files_per_trigger=1,
+    )
+    q2.awaitTermination()
+
+    path = os.path.join(agg_dir, "agg_day_etype_hist.parquet")
+    got = spark.read.parquet(path).select(
+        "day", "event_type", "sum_value", "count_value",
+        F.col("hist_value").cast("string").alias("hist_value"),
+        F.hll_sketch_estimate("hll_user_id").alias("du"),
+    ).toPandas()
+    rebuild_dir = str(tmp_path / "rebuild")
+    build_rollups(events.select(*cols), rebuild_dir, rollups)
+    want = spark.read.parquet(
+        os.path.join(rebuild_dir, "agg_day_etype_hist.parquet")
+    ).select(
+        "day", "event_type", "sum_value", "count_value",
+        F.col("hist_value").cast("string").alias("hist_value"),
+        F.hll_sketch_estimate("hll_user_id").alias("du"),
+    ).toPandas()
+    pd.testing.assert_frame_equal(normalize(got), normalize(want))
+
+
 def test_streaming_windowed_distinct_equals_batch(spark, ddb, events_stream_dir):
     """Exact distinct-per-window through the streaming path (dedup
     within watermark -> windowed count) must equal the batch twin and
