@@ -317,7 +317,8 @@ _PROFILE_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 
 
 def profile_table(df: DataFrame, cols: list[str] | None = None,
-                  round_to: int = 6) -> DataFrame:
+                  round_to: int = 6, distinct_mode: str = "exact",
+                  rsd: float = 0.01) -> DataFrame:
     """One-pass column profiler: per column, null count, exact distinct
     count, and type-appropriate stats (numeric min/max/avg; string
     min/max/avg-length; timestamps profiled as epoch-µs min/max).
@@ -338,7 +339,20 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
     partition. Sums accumulate in DECIMAL(38,16) so avg is bit-portable
     (see `agg_decimal_scale` discipline); divisions are zero-guarded
     (an all-NULL column yields NULL avgs, not ±Inf/NaN).
+
+    ``distinct_mode``: ``"exact"`` (default, oracle-checkable) uses
+    COUNT(DISTINCT) — Spark's Expand amplifies the scan #cols-fold, the
+    cost that dominates wide-table profiles. ``"approx"`` — the 100-TB
+    default — swaps in ``approx_count_distinct`` (HLL++, relative
+    error ``rsd``): no Expand, every metric partial-aggregates in one
+    map pass, shuffle stays one sketch per column per partition. Same
+    output schema; ``n_distinct`` is then an estimate.
     """
+    if distinct_mode not in ("exact", "approx"):
+        raise ValueError(f"distinct_mode must be exact|approx: "
+                         f"{distinct_mode!r}")
+    nd = (F.count_distinct if distinct_mode == "exact"
+          else lambda c: F.approx_count_distinct(c, rsd))
     names = list(cols) if cols is not None else \
         [f.name for f in df.schema.fields]
     work = df
@@ -358,7 +372,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in names:
         aggs += [F.count(c).alias(f"{c}__nn"),
-                 F.count_distinct(F.col(c)).alias(f"{c}__nd")]
+                 nd(F.col(c)).alias(f"{c}__nd")]
         if kinds[c] in ("num", "ts"):
             aggs += [F.min(c).cast("double").alias(f"{c}__mn"),
                      F.max(c).cast("double").alias(f"{c}__mx")]
@@ -1128,6 +1142,40 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "source", "n_chars"))
 
 
+_PROFILE_EVENT_COLS = ["event_id", "ts", "user_id", "event_type",
+                       "value", "props"]
+
+
+def q_profile_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB profile mode: ``profile_table(distinct_mode="approx")``
+    — HLL++ estimates replace COUNT(DISTINCT), removing the Expand
+    #cols-fold scan amplification that dominates the exact profile
+    (SCALE.md r6: 2.9 s for 4 columns). The gate computes the exact
+    distincts alongside (one extra agg, gate-scale only; a deployment
+    runs the approx pass alone) and emits the exact value plus an
+    ``approx_ok`` bound flag — HLL++ is hash-deterministic, so the flag
+    is stable, and the oracle checks every exact column + TRUE."""
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    src = events.select(*_PROFILE_EVENT_COLS)
+    ap = profile_table(src, distinct_mode="approx", rsd=0.05)
+    ex = src.agg(*[F.count_distinct(F.col(c)).alias(c)
+                   for c in _PROFILE_EVENT_COLS])
+    ex_long = ex.select(F.explode(F.map_from_arrays(
+        F.array(*[F.lit(c) for c in _PROFILE_EVENT_COLS]),
+        F.array(*[F.col(c) for c in _PROFILE_EVENT_COLS]),
+    )).alias("col_name", "nd_exact"))
+    j = ap.join(F.broadcast(ex_long), "col_name")
+    err = F.abs(F.col("n_distinct") - F.col("nd_exact"))
+    bound = F.greatest(F.lit(3.0),
+                       F.lit(4 * 0.05) * F.col("nd_exact"))
+    return j.select(
+        "col_name", "n_rows", "n_null",
+        F.col("nd_exact").alias("n_distinct"),
+        "min_num", "max_num", "avg_num", "min_str", "max_str", "avg_len",
+        (err <= bound).alias("approx_ok"),
+    )
+
+
 def _profile_oracle_col(label: str, expr: str, kind: str) -> str:
     """One UNION-ALL branch of the profiler oracle, twin-identical to
     the engine's expression tree (decimal-accumulated avg, zero-guarded
@@ -1208,6 +1256,7 @@ def entry_queries() -> dict[str, Callable]:
         "dsl_join_salted": q_salted_join,
         "analytics_profile_events": q_profile_events,
         "analytics_profile_documents": q_profile_documents,
+        "analytics_profile_approx": q_profile_events_approx,
         "analytics_key_skew": q_key_skew,
         "analytics_corr_pairs": q_corr_pairs,
         "analytics_winsorized": q_winsorized,
@@ -1478,6 +1527,12 @@ def entry_oracles() -> dict[str, str]:
     """,
         "analytics_profile_events": _PROFILE_EVENTS_SQL,
         "analytics_profile_documents": _PROFILE_DOCUMENTS_SQL,
+        # approx mode: every exact column is the same profile oracle;
+        # the HLL bound flag must come out TRUE for every column
+        "analytics_profile_approx": (
+            "SELECT p.*, TRUE AS approx_ok FROM (\n"
+            + _PROFILE_EVENTS_SQL + "\n) p"
+        ),
         "analytics_key_skew": _KEY_SKEW_SQL,
         "analytics_corr_pairs": _CORR_PAIRS_SQL,
         "analytics_winsorized": _WINSORIZED_SQL,

@@ -223,6 +223,12 @@ def main() -> int:
         return analytics.profile_table(
             ev.select("event_id", "user_id", "event_type", "value"))
 
+    def _profile_approx(spark, kk):
+        ev = replicate_events(spark, kk)
+        return analytics.profile_table(
+            ev.select("event_id", "user_id", "event_type", "value"),
+            distinct_mode="approx", rsd=0.05)
+
     def _corr(spark, kk):
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         if kk > 1:
@@ -288,6 +294,9 @@ def main() -> int:
         # integer-moment corr (one scan, 18 conditional sums), and the
         # histogram rollup build (one shuffle, nbins conditional sums)
         "profile_events": lambda spark, kk: _profile(spark, kk),
+        # r7: HLL profile mode — no Expand, one map pass; the 100-TB
+        # default (exact stays the oracle-checked opt-in)
+        "profile_approx": lambda spark, kk: _profile_approx(spark, kk),
         "corr_pairs": lambda spark, kk: _corr(spark, kk),
         "hist_rollup_build": lambda spark, kk: _hist_rollup(spark, kk),
         # one-pass CUBE (4 grouping sets -> 4x shuffle rows, 1 scan)

@@ -382,6 +382,23 @@ def test_profile_table_edges(spark):
     with pytest.raises(TypeError, match="unsupported dtype"):
         profile_table(arr)
 
+    # approx mode (r7): identical schema, every non-distinct metric
+    # bit-identical to exact mode, small-cardinality estimates exact
+    # (HLL++ stores small sets verbatim), no Expand in the plan
+    ap = profile_table(df, distinct_mode="approx", rsd=0.05)
+    ex = profile_table(df)
+    assert ap.columns == ex.columns
+    arows = {r.col_name: r for r in ap.collect()}
+    for c in ("x", "s", "z"):
+        got, want = arows[c].asDict(), rows[c].asDict()
+        nd = got.pop("n_distinct"), want.pop("n_distinct")
+        assert got == want, c
+        assert nd[0] == nd[1], c  # exact at tiny cardinality
+    assert "Expand" not in ap._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in ex._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError, match="distinct_mode"):
+        profile_table(df, distinct_mode="hll")
+
 
 def test_key_skew_report_numbers(spark):
     """Known distribution: key 1 x6, key 2 x3, key 3 x1 -> exact
