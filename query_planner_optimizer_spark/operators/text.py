@@ -713,6 +713,27 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGE_ROUNDS = 6
 
 
+def _bpe_fuse(padded, left: str, right: str):
+    """Textbook left-to-right non-overlapping fuse of pair (left,
+    right) over a space-padded symbol string — EXACT Sennrich (2016)
+    semantics (r7; previously a single shared-separator replace
+    under-fused adjacent repeats: ' a a a a ' -> ' aa a a ').
+
+    A plain replace of ' l r ' under-fuses because adjacent occurrences
+    share a separator space (the match consumes it), and iterating that
+    replace to a fixpoint converges to MISALIGNED pairings on runs ≥ 5.
+    Doubling every separator first gives each occurrence its own
+    separator halves, so ONE replace-all of ' l  r ' fuses exactly the
+    pairs the Sennrich left-to-right scan fuses (a fused output token
+    is l+r, never equal to l, so it cannot chain); collapsing the
+    doubles (max run is 2 by construction) restores the format. Three
+    literal replaces, identically expressible in the DuckDB twin."""
+    doubled = F.replace(padded, F.lit(" "), F.lit("  "))
+    fused = F.replace(doubled, F.lit(f" {left}  {right} "),
+                      F.lit(f" {left}{right} "))
+    return F.replace(fused, F.lit("  "), F.lit(" "))
+
+
 def bpe_merge_induction(
     docs: DataFrame,
     n_merges: int = BPE_MERGE_ROUNDS,
@@ -726,9 +747,10 @@ def bpe_merge_induction(
     count weighted adjacent symbol pairs (explode over per-word symbol
     arrays), pick the most frequent pair (ties broken lexicographically
     — fully deterministic), and fuse its non-overlapping left-to-right
-    occurrences in every word. Words are space-joined symbol strings,
-    so the fuse step is one sentinel-padded literal replace — identical
-    non-overlap semantics in Spark and the oracle by construction.
+    occurrences in every word. Words are space-joined symbol strings
+    and the fuse is :func:`_bpe_fuse` — exact Sennrich greedy-scan
+    semantics through three literal replaces, rendered identically in
+    the DuckDB oracle, so the twins agree by construction.
 
     Returns the merge table (merge_round, left_sym, right_sym,
     pair_count) — the artifact a tokenizer ships. The per-round winner
@@ -771,10 +793,9 @@ def bpe_merge_induction(
         left, right, pc = best[0]["l"], best[0]["r"], best[0]["pc"]
         merges.append((r, left, right, pc))
         vocab = vocab.select(
-            F.trim(F.replace(
+            F.trim(_bpe_fuse(
                 F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
-                F.lit(f" {left} {right} "),
-                F.lit(f" {left}{right} "),
+                left, right,
             )).alias("sym"),
             "cnt",
         ).localCheckpoint(eager=False)
@@ -798,7 +819,7 @@ def bpe_segment(
     """Apply a learned BPE merge table — the tokenizer ENCODE step,
     paired with :func:`bpe_merge_induction`'s training step. Each
     document's words become char-level symbol strings and the merges
-    apply IN LEARNED ORDER as chained sentinel-padded literal replaces
+    apply IN LEARNED ORDER as chained :func:`_bpe_fuse` steps
     — entirely map-side column expressions (no UDF, no shuffle beyond
     the per-doc count aggregation), so encoding a 100 TB corpus is an
     embarrassingly parallel scan. Returns
@@ -810,8 +831,7 @@ def bpe_segment(
         F.lit(" "),
     )
     for left, right in merges:
-        seg = F.replace(
-            seg, F.lit(f" {left} {right} "), F.lit(f" {left}{right} "))
+        seg = _bpe_fuse(seg, left, right)
     n_sub = F.size(F.split(F.trim(seg), " "))
     return (
         docs.select("doc_id", word)
@@ -859,9 +879,12 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
             ORDER BY pc DESC, l ASC, r ASC LIMIT 1
         ),
         v{r} AS (
-            SELECT trim(replace(' ' || sym || ' ',
-                                ' ' || b.l || ' ' || b.r || ' ',
-                                ' ' || b.l || b.r || ' ')) AS sym, cnt
+            -- textbook fuse via separator doubling (see _bpe_fuse)
+            SELECT trim(replace(replace(
+                       replace(' ' || sym || ' ', ' ', '  '),
+                       ' ' || b.l || '  ' || b.r || ' ',
+                       ' ' || b.l || b.r || ' '),
+                       '  ', ' ')) AS sym, cnt
             FROM v{r - 1}, b{r} b
         )""")
     return ",".join(parts)
@@ -886,8 +909,9 @@ def _bpe_segment_oracle(n_merges: int = BPE_MERGE_ROUNDS) -> str:
     toks = _sql_tokens()
     expr = "s"
     for r in range(1, n_merges + 1):
-        expr = (f"replace({expr}, ' ' || b{r}.l || ' ' || b{r}.r || ' ',"
-                f" ' ' || b{r}.l || b{r}.r || ' ')")
+        expr = (f"replace(replace(replace({expr}, ' ', '  '),"
+                f" ' ' || b{r}.l || '  ' || b{r}.r || ' ',"
+                f" ' ' || b{r}.l || b{r}.r || ' '), '  ', ' ')")
     b_tables = ", ".join(f"b{r}" for r in range(1, n_merges + 1))
     return f"""
         WITH {_bpe_oracle_ctes(n_merges)},

@@ -1100,6 +1100,19 @@ def test_bpe_merge_induction_matches_python_reference(spark):
     got2 = bpe_merge_induction(docs, n_merges=3, top_words=4).collect()
     assert len(got2) == 3
 
+    # Adjacent repeated pairs (the r7 _bpe_fuse fix): ' a a a a '
+    # must fuse to 'aa aa' like the Sennrich scan, not the old
+    # shared-separator ' aa a a ' — pair counts in later rounds
+    # diverge if the fuse under- or mis-aligns on runs.
+    rep = ["aaaa aaa aaaaa aaaa baaab"]
+    docs_rep = spark.createDataFrame([(0, rep[0])],
+                                     "doc_id long, text string")
+    want_rep = py_bpe(rep, 4)
+    got_rep = [(r.merge_round, r.left_sym, r.right_sym, r.pair_count)
+               for r in bpe_merge_induction(docs_rep, n_merges=4)
+               .orderBy("merge_round").collect()]
+    assert got_rep == want_rep
+
 
 def test_bpe_segment_applies_merges_in_order(spark):
     """Encoding applies merges in LEARNED order (an early merge feeds a
