@@ -299,6 +299,9 @@ def dsl_queries(draw) -> dict:
             c.lower() for c in out_cols
         } and draw(st.booleans()):
             q["limit"] = draw(st.integers(min_value=1, max_value=20))
+            # r7: OFFSET pagination rides the same total-sort guard
+            if draw(st.booleans()):
+                q["offset"] = draw(st.integers(min_value=1, max_value=10))
     return q
 
 
