@@ -171,19 +171,29 @@ def main() -> None:
 
     # Pass 1 (the headline "value"): first execution — includes plan
     # compilation, mirroring the reference's cold-process run
-    # (Makefile:232-233). Passes 2-3 ("value_warm"): repeat executions,
-    # mirroring its repeat-run numbers (Makefile:242-244); warm takes
-    # the per-query MIN of the two repeats — steady-state timing with
-    # ambient-load noise (±40% observed on this shared box) suppressed.
+    # (Makefile:232-233). Passes 2-4 ("value_warm"): three repeat
+    # executions, mirroring its repeat-run numbers (Makefile:242-244);
+    # warm is the per-query MEDIAN of the three repeats (r7, VERDICT
+    # #3: median + recorded spread makes regressions distinguishable
+    # from the ±40% ambient-load noise observed on this shared box —
+    # two r6 same-day runs disagreed by 19% under min-of-two).
+    WARM_RUNS = 3
     for name in DSL_HEADLINE:
         timings[name] = run_dsl(name)
     for name in OPERATOR_HEADLINE:
         timings[name] = run_op(name)
-    for _ in range(2):
+    import statistics
+
+    warm_samples: dict[str, list[float]] = {}
+    for _ in range(WARM_RUNS):
         for name in DSL_HEADLINE:
-            warm[name] = min(warm.get(name, float("inf")), run_dsl(name))
+            warm_samples.setdefault(name, []).append(run_dsl(name))
         for name in OPERATOR_HEADLINE:
-            warm[name] = min(warm.get(name, float("inf")), run_op(name))
+            warm_samples.setdefault(name, []).append(run_op(name))
+    warm = {n: round(statistics.median(v), 4)
+            for n, v in warm_samples.items()}
+    warm_spread = {n: round(max(v) - min(v), 4)
+                   for n, v in warm_samples.items()}
 
     total = round(sum(timings.values()), 4)
 
@@ -212,11 +222,12 @@ def main() -> None:
         return round(time.perf_counter() - t0, 4)
 
     oracle_cold = {n: run_oracle(n) for n in covered}
-    oracle_warm: dict[str, float] = {}
-    for _ in range(2):
+    oracle_samples: dict[str, list[float]] = {}
+    for _ in range(WARM_RUNS):
         for n in covered:
-            oracle_warm[n] = min(oracle_warm.get(n, float("inf")),
-                                 run_oracle(n))
+            oracle_samples.setdefault(n, []).append(run_oracle(n))
+    oracle_warm = {n: round(statistics.median(v), 4)
+                   for n, v in oracle_samples.items()}
     engine_warm_covered = round(sum(warm[n] for n in covered), 4)
     oracle_warm_total = round(sum(oracle_warm.values()), 4)
 
@@ -231,6 +242,8 @@ def main() -> None:
         "routed": runner.router.routed,
         "value_warm": round(sum(warm.values()), 4),
         "queries_warm": warm,
+        "warm_runs": WARM_RUNS,
+        "queries_warm_spread": warm_spread,
         "oracle": {
             "engine": "duckdb",
             "total": round(sum(oracle_cold.values()), 4),
