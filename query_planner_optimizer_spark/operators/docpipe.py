@@ -522,6 +522,94 @@ def q_pack_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, group_cols=("lang",))
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Dataset-versioning delta: classify every key across two corpus
+    snapshots as ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+    Returns the row-level frame ``(key, status)``; aggregate with
+    :func:`snapshot_diff_report` for the release-notes summary.
+
+    Scale: both sides reduce to ``(key, sha2-256 digest)`` scan-side —
+    32 bytes per row crosses the FULL OUTER JOIN shuffle regardless of
+    document size, and snapshots partitioned/bucketed on the key
+    co-locate so the join is shuffle-free on a real deployment. Content
+    equality is digest equality (change detection, not diff content),
+    which is also what makes the report incremental-friendly: a stored
+    digest column amortizes across runs. NULL content hashes as the
+    empty string (concat_ws), so NULL vs '' compare equal — acceptable
+    for change DETECTION, documented here.
+    """
+    digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
+    o = old.select(F.col(key_col).alias("k"), digest.alias("oh"))
+    n = new.select(F.col(key_col).alias("k"), digest.alias("nh"))
+    status = (
+        F.when(F.col("oh").isNull(), F.lit("added"))
+        .when(F.col("nh").isNull(), F.lit("removed"))
+        .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "k", "full_outer").select(
+        F.col("k").alias(key_col), status.alias("status"))
+
+
+def snapshot_diff_report(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Per-status counts of :func:`snapshot_diff` — the one-line answer
+    to "what changed between corpus v1 and v2"."""
+    return (
+        snapshot_diff(old, new, key_col, content_cols)
+        .groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic synthetic snapshots of the documents table
+    (the driver corpus has no version history, so divergence is
+    synthesized — the same modular-split discipline as the dedup
+    entries): v1 drops doc_id % 3 == 0, v2 drops doc_id % 5 == 0 and
+    rewrites text for doc_id % 7 == 0. Every status class is
+    populated. The oracle classifies by RAW text equality — an
+    independent implementation of the same predicate (digest equality
+    ≡ content equality)."""
+    docs = T._load_documents(spark, sf_dir).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return snapshot_diff_report(old, new)
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 5 <> 0
+    ),
+    j AS (
+        SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.text <> n.text THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+    )
+    SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status
+"""
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "pipeline_clean_corpus": q_clean_corpus,
@@ -533,6 +621,7 @@ def entry_queries() -> dict[str, Callable]:
         "pipeline_token_budget": q_token_budget,
         "pipeline_line_dedup": q_line_dedup,
         "pipeline_pack_grouped": q_pack_grouped,
+        "pipeline_snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -743,4 +832,5 @@ def entry_oracles() -> dict[str, str]:
             "pipeline_top_quality": top_quality,
             "pipeline_token_budget": token_budget,
             "pipeline_line_dedup": line_dd,
-            "pipeline_pack_grouped": pack_grouped}
+            "pipeline_pack_grouped": pack_grouped,
+            "pipeline_snapshot_diff": _SNAPSHOT_DIFF_SQL}

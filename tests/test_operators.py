@@ -1130,6 +1130,34 @@ def test_bpe_segment_applies_merges_in_order(spark):
     assert out[2].n_words == 1 and out[2].n_bpe_tokens == 2
 
 
+def test_snapshot_diff_semantics(spark):
+    """Hand-built snapshots hit every status class; the report counts
+    match; multi-column content participates in change detection."""
+    from query_planner_optimizer_spark.operators.docpipe import (
+        snapshot_diff,
+        snapshot_diff_report,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")],
+        "doc_id long, text string, meta string")
+    new = spark.createDataFrame(
+        [(2, "b", "y"), (3, "c", "CHANGED"), (4, "d", "w")],
+        "doc_id long, text string, meta string")
+    got = {r.doc_id: r.status for r in snapshot_diff(
+        old, new, content_cols=("text", "meta")).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "added"}
+    rep = {r.status: r.n for r in snapshot_diff_report(
+        old, new, content_cols=("text", "meta")).collect()}
+    assert rep == {"added": 1, "removed": 1, "changed": 1,
+                   "unchanged": 1}
+    # text-only content: row 3's meta change is invisible
+    got_t = {r.doc_id: r.status for r in snapshot_diff(
+        old, new).collect()}
+    assert got_t[3] == "unchanged"
+
+
 def test_split_leakage_report_semantics(spark):
     """Leaked = identical content under ids assigned to different
     splits; single-split duplicate groups and unique docs don't
