@@ -376,6 +376,37 @@ def dedup_clusters(
     )
 
 
+def select_representatives(
+    df: DataFrame,
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: mark the best-scoring member
+    of each duplicate cluster (ties → smallest id, fully
+    deterministic) — the keep-the-best-copy policy production dedup
+    pipelines use instead of min-id (RefinedWeb/CCNet-style: among
+    near-identical copies, keep the highest-quality or longest one).
+    Adds ``is_representative``; composes downstream of
+    :func:`dedup_clusters` / :func:`exact_dedup` / semantic dedup —
+    any frame carrying a cluster assignment and a score.
+
+    Scale: ONE shuffle on the cluster key (the window partition);
+    cluster populations are tiny relative to the corpus, so no
+    partition-skew regime — the heaviest key is the largest duplicate
+    cluster, bounded by how many copies of one document exist.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("is_representative", F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _doc_shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int,
     portable: bool = False,
@@ -1157,6 +1188,35 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_report(_docs(spark, sf_dir))
 
 
+#: Shadow-id offset for synthesized duplicate clusters (the sf0.01
+#: driver corpus has no organic duplicates — same modular discipline as
+#: the other dedup entries).
+_REP_SHADOW = 10_000_000
+
+
+def q_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection over synthesized
+    duplicate clusters: every doc with doc_id % 4 == 0 gains a shadow
+    copy (id + 10M) with stopword boilerplate appended — a changed
+    quality score — and :func:`select_representatives` keeps the
+    better-scoring member per cluster (ties → smaller id). The oracle
+    replays the quality formula and the window in SQL."""
+    from query_planner_optimizer_spark.operators import text as T
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    shadows = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + _REP_SHADOW).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" the the the the")).alias("text"),
+    )
+    corpus = docs.unionByName(shadows)
+    scored = T.with_quality_score(corpus).withColumn(
+        "cluster_id", F.col("doc_id") % _REP_SHADOW)
+    return select_representatives(scored).select(
+        "doc_id", "cluster_id", "quality_score", "is_representative"
+    ).orderBy("doc_id")
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "dedup_exact": q_exact_dedup,
@@ -1180,6 +1240,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_remove_spans": q_remove_duplicate_spans,
         "dedup_split_leakage": q_split_leakage,
         "dedup_near_split_leakage": q_near_split_leakage,
+        "dedup_best_of_cluster": q_best_of_cluster,
     }
 
 
@@ -1508,7 +1569,29 @@ def entry_oracles() -> dict[str, str]:
         WHERE (ba < {int(0.8 * BUCKETS)}) <> (bb < {int(0.8 * BUCKETS)})
            OR (ba < {int(0.9 * BUCKETS)}) <> (bb < {int(0.9 * BUCKETS)})
     """
+    from query_planner_optimizer_spark.operators import text as T
+
+    quality_over_corpus = T.entry_oracles()["text_quality_score"].replace(
+        "FROM documents", "FROM corpus")
+    best_of_cluster = f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_REP_SHADOW} AS doc_id,
+                   text || ' the the the the' AS text
+            FROM documents WHERE doc_id % 4 = 0
+        ),
+        q AS (SELECT * FROM ({quality_over_corpus}))
+        SELECT doc_id, doc_id % {_REP_SHADOW} AS cluster_id,
+               quality_score,
+               row_number() OVER (
+                   PARTITION BY doc_id % {_REP_SHADOW}
+                   ORDER BY quality_score DESC, doc_id ASC
+               ) = 1 AS is_representative
+        FROM q ORDER BY doc_id
+    """
     return {"dedup_exact": exact, "dedup_ngram_jaccard": jaccard,
+            "dedup_best_of_cluster": best_of_cluster,
             "dedup_split_leakage": split_leakage,
             "dedup_near_split_leakage": near_split,
             "dedup_minhash_lsh": _minhash_lsh_oracle(),

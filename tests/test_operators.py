@@ -1130,6 +1130,22 @@ def test_bpe_segment_applies_merges_in_order(spark):
     assert out[2].n_words == 1 and out[2].n_bpe_tokens == 2
 
 
+def test_select_representatives_policy(spark):
+    """Best score wins the cluster; exact ties fall to the smaller id;
+    singleton clusters are their own representative."""
+    from query_planner_optimizer_spark.operators.dedup import (
+        select_representatives,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.5), (2, 10, 0.9), (3, 10, 0.9),
+         (4, 20, 0.1)],
+        "doc_id long, cluster_id long, quality_score double")
+    got = {r.doc_id: r.is_representative
+           for r in select_representatives(df).collect()}
+    assert got == {1: False, 2: True, 3: False, 4: True}
+
+
 def test_snapshot_diff_semantics(spark):
     """Hand-built snapshots hit every status class; the report counts
     match; multi-column content participates in change detection."""
