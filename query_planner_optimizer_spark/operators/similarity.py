@@ -380,6 +380,176 @@ def ivf_topk(
     )
 
 
+PQ_M = 8        #: subspaces (dim 64 → 8 dims per subvector)
+PQ_KS = 32      #: codes per subspace codebook (5-bit codes)
+PQ_ITERS = 2    #: Lloyd rounds per subspace
+PQ_SHORTLIST = 100  #: ADC candidates per query re-ranked exactly
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    k: int = DEFAULT_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+    iters: int = PQ_ITERS,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): the
+    memory-bounded scale path past int8 — each unit vector compresses
+    to ``m`` sub-codebook codes (m·log2(ks) bits: 5 bytes/vector here
+    vs 256 for float32×64), search is ADC (asymmetric distance: exact
+    query subvectors against a per-query lookup table of code
+    distances), and the ADC ``shortlist`` re-ranks EXACTLY — the
+    standard production shape (IVF-PQ shortlists feeding a rerank).
+
+    Spark-first layout: codebooks are a broadcast frame (m·ks rows —
+    the only driver-side collects are the ks seed rows and the m·ks
+    centroid updates per Lloyd round); the corpus shuffles only
+    ``(id, s, code)`` triples; the LUT (num_queries·m·ks rows)
+    broadcasts; exact vectors are fetched ONLY for shortlist members
+    (num_queries·shortlist rows). On unit vectors L2² = 2 − 2·cos, and
+    the per-query constants Σ|q_s|² drop out of the ranking, so ADC
+    scores reduce to Σ_s (|c|² − 2·q_s·c) — cheapest possible form.
+    """
+    spark = df.sparkSession
+    d_sub = dim // m
+    if d_sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    unit = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.transform("_vec", lambda x: x / F.col("_norm")).alias("u"),
+    ).persist()
+    sub = unit.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice("u", s * d_sub + 1, d_sub).alias("sv"))
+            for s in range(m)
+        ])).alias("p"),
+    ).select("id", "p.s", "p.sv")
+
+    seeds = unit.orderBy("id").limit(ks).collect()
+    books: dict[tuple[int, int], list[float]] = {}
+    for j, r in enumerate(seeds):
+        u = list(r["u"])
+        for s in range(m):
+            books[(s, j)] = u[s * d_sub:(s + 1) * d_sub]
+
+    def book_df() -> DataFrame:
+        rows = [
+            (s, j, [float(x) for x in c],
+             float(sum(x * x for x in c)))
+            for (s, j), c in books.items()
+        ]
+        return spark.createDataFrame(
+            rows, "s int, code int, c_vec array<double>, c_n2 double")
+
+    def assign() -> DataFrame:
+        # |sub|² is constant per (id, s): rank by |c|² − 2·dot alone.
+        # Deterministic tie-break toward the lower code id.
+        ad = F.col("c_n2") - 2.0 * _dot(F.col("sv"), F.col("c_vec"))
+        w = Window.partitionBy("id", "s").orderBy(
+            F.col("adist").asc(), F.col("code").asc())
+        return (
+            sub.join(F.broadcast(book_df()), "s")
+            .withColumn("adist", ad)
+            .withColumn("arank", F.row_number().over(w))
+            .filter(F.col("arank") == 1)
+            .select("id", "s", "code", "sv")
+        )
+
+    for _ in range(iters):
+        dims = [F.avg(F.element_at(F.col("sv"), i + 1)).alias(f"d{i}")
+                for i in range(d_sub)]
+        for r in assign().groupBy("s", "code").agg(*dims).collect():
+            books[(r["s"], r["code"])] = [r[f"d{i}"] for i in range(d_sub)]
+
+    codes = assign().select("id", "s", "code")
+
+    # Per-query LUT: partial ADC distance for every (s, code).
+    q_sub = sub.filter(F.col("id") < num_queries).select(
+        F.col("id").alias("qid"), "s", F.col("sv").alias("qv"))
+    lut = (
+        q_sub.join(F.broadcast(book_df()), "s")
+        .select("qid", "s", "code",
+                (F.col("c_n2")
+                 - 2.0 * _dot(F.col("qv"), F.col("c_vec"))).alias("pd"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("qid") != F.col("id"))
+        .groupBy("qid", "id").agg(F.sum("pd").alias("adist"))
+    )
+    ws = Window.partitionBy("qid").orderBy(
+        F.col("adist").asc(), F.col("id").asc())
+    short = (
+        adc.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= shortlist)
+        .select("qid", "id")
+    )
+
+    # Exact rerank of the shortlist only.
+    qv = unit.filter(F.col("id") < num_queries).select(
+        F.col("id").alias("qid"), F.col("u").alias("q_u"))
+    rer = (
+        short.join(unit, "id").join(F.broadcast(qv), "qid")
+        .withColumn("sim", _dot(F.col("q_u"), F.col("u")))
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("id").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("id").alias("nid"), "rank",
+                F.round("sim", 6).alias("sim"))
+    )
+
+
+#: Bounds for the PQ gate: ADC-shortlist-then-rerank recall on this
+#: near-random corpus (the ANN worst case — no cluster structure for
+#: the codebooks to exploit). Measured avg 0.78 / min 0.6 at sf0.1
+#: with ks=32, shortlist=100; asserted conservatively (codebook
+#: training uses float avgs, so recall wiggles slightly run to run).
+PQ_RECALL_AVG_BOUND = 0.50
+PQ_RECALL_MIN_BOUND = 0.10
+
+
+def pq_recall_summary(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = DEFAULT_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+) -> DataFrame:
+    """One-row quantified-recall assertion for the PQ path, same
+    oracle scheme as :func:`ann_recall_summary` / IVF."""
+    exact = cosine_topk(df, id_col, vec_col, k=k, num_queries=num_queries)
+    approx = pq_topk(df, id_col, vec_col, k=k, num_queries=num_queries)
+    hits = (
+        exact.select("qid", "nid")
+        .join(approx.select("qid", "nid"), ["qid", "nid"])
+        .groupBy("qid").agg(F.count(F.lit(1)).alias("hit"))
+    )
+    per_q = (
+        exact.groupBy("qid").agg(F.count(F.lit(1)).alias("k_eff"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            (F.coalesce(F.col("hit"), F.lit(0))
+             / F.col("k_eff")).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("recall") >= PQ_RECALL_AVG_BOUND).alias("avg_recall_ge_50"),
+        (F.min("recall") >= PQ_RECALL_MIN_BOUND).alias("min_recall_ge_10"),
+    )
+
+
 #: Conservative recall bounds asserted by :func:`ann_recall_summary`
 #: (measured on the driver testdata: LSH avg 0.85-0.90, min 0.6-0.7 at
 #: sf0.001/sf0.01 with planes=4, tables=16 — headroom on both bounds).
@@ -572,6 +742,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_recall_summary(_emb(spark, sf_dir))
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_recall_summary(_emb(spark, sf_dir))
 
 
 def q_neardup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,6 +967,7 @@ def entry_queries() -> dict[str, Callable]:
         "sim_ivf_topk": q_ivf_topk,  # full-probe ≡ brute force, full oracle
         "sim_ann_recall": q_ann_recall,  # quantified recall, hash-checked
         "sim_ivf_recall": q_ivf_recall,  # quantified recall, hash-checked
+        "sim_pq_recall": q_pq_recall,  # PQ shortlist+rerank recall gate
         "dedup_embedding_lsh_quality": q_neardup_lsh_quality,  # hash-checked
         "dedup_semantic_clusters": q_semantic_dedup,  # LSH+CC, full oracle
         "sim_quantize_int8": q_quantize_int8,  # int8 storage format
@@ -936,6 +1111,10 @@ def entry_oracles() -> dict[str, str]:
         f"SELECT CAST({DEFAULT_NUM_QUERIES} AS BIGINT) AS n_queries, "
         f"true AS avg_recall_ge_65, true AS min_recall_ge_25"
     )
+    pq_recall = (
+        f"SELECT CAST({DEFAULT_NUM_QUERIES} AS BIGINT) AS n_queries, "
+        f"true AS avg_recall_ge_50, true AS min_recall_ge_10"
+    )
     # Near-dup LSH quality gate: the exact-pair count cell is a real SQL
     # recomputation; the booleans state the asserted outcome.
     neardup_q = f"""
@@ -989,4 +1168,5 @@ def entry_oracles() -> dict[str, str]:
     """.replace("{nq}", str(DEFAULT_NUM_QUERIES)).replace(
                 "{k}", str(DEFAULT_K)),
             "sim_ann_recall": recall, "sim_ivf_recall": ivf_recall,
+            "sim_pq_recall": pq_recall,
             "dedup_embedding_lsh_quality": neardup_q}

@@ -402,6 +402,29 @@ def test_ivf_topk_recall_vs_exact(emb):
     assert recall >= 0.5, f"ivf recall@10 too low: {recall}"
 
 
+def test_pq_full_shortlist_equals_brute_force(emb):
+    """With the ADC shortlist covering the whole corpus, the exact
+    rerank sees every candidate and PQ must reproduce brute-force
+    top-k bit-for-bit — quantization is then just routing. A
+    non-divisible dim refuses loudly."""
+    import pytest
+
+    n = emb.count()
+    full = {tuple(r) for r in
+            similarity.pq_topk(emb, shortlist=n).collect()}
+    exact = {tuple(r) for r in similarity.cosine_topk(emb).collect()}
+    assert full == exact
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_topk(emb, dim=64, m=7)
+
+
+def test_pq_topk_recall_vs_exact(emb):
+    approx = {(r.qid, r.nid) for r in similarity.pq_topk(emb).collect()}
+    exact = {(r.qid, r.nid) for r in similarity.cosine_topk(emb).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"pq recall@10 too low: {recall}"
+
+
 def test_clean_corpus_pipeline_matches_oracle(spark, ddb):
     from query_planner_optimizer_spark.operators import docpipe
 
