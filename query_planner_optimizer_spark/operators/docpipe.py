@@ -571,6 +571,50 @@ def snapshot_diff_report(
     )
 
 
+def corpus_card(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-source dataset card — the documentation table a curated
+    corpus release ships (docs / tokens / quality / language mix /
+    duplicate rate per provenance bucket). One aggregation composes
+    the quality and language scorers (scan-side column expressions)
+    with an exact-dup count via sha2 digests:
+    ``(source, n_docs, total_tokens, avg_quality, n_english, n_dupes)``
+    where ``n_dupes`` counts rows beyond the first per content hash
+    WITHIN the group.
+
+    Scale: one shuffle on the group key; per-group COUNT(DISTINCT
+    digest) rides the same Expand Spark uses for mixed distinct
+    aggregates — with few provenance buckets the reduce side is tiny.
+    ``avg_quality`` accumulates in DECIMAL(38,16) then rounds (the
+    bit-portability discipline every unordered rounded mean follows).
+    """
+    from pyspark.sql import types as PT
+
+    scored = T.with_lang_id(T.with_quality_score(docs))
+    dec = F.col("quality_score").cast(PT.DecimalType(38, 16))
+    return (
+        scored.select(
+            F.col(group_col), "n_tokens", "quality_score", "lang_pred",
+            F.sha2(F.col("text"), 256).alias("__h"), dec.alias("__q"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("__q").cast("double") / F.count(F.lit(1)), 6)
+             .alias("avg_quality"),
+            F.count(F.when(F.col("lang_pred") == "en", 1))
+             .alias("n_english"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("__h")))
+             .alias("n_dupes"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_card(T._load_documents(spark, sf_dir))
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two deterministic synthetic snapshots of the documents table
     (the driver corpus has no version history, so divergence is
@@ -622,6 +666,7 @@ def entry_queries() -> dict[str, Callable]:
         "pipeline_line_dedup": q_line_dedup,
         "pipeline_pack_grouped": q_pack_grouped,
         "pipeline_snapshot_diff": q_snapshot_diff,
+        "pipeline_corpus_card": q_corpus_card,
     }
 
 
@@ -833,4 +878,22 @@ def entry_oracles() -> dict[str, str]:
             "pipeline_token_budget": token_budget,
             "pipeline_line_dedup": line_dd,
             "pipeline_pack_grouped": pack_grouped,
-            "pipeline_snapshot_diff": _SNAPSHOT_DIFF_SQL}
+            "pipeline_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+            "pipeline_corpus_card": f"""
+        WITH q AS ({quality}),
+        l AS ({lang}),
+        j AS (
+            SELECT d.source, q.n_tokens, q.quality_score, l.lang_pred,
+                   sha256(d.text) AS h
+            FROM documents d
+            JOIN q ON d.doc_id = q.doc_id
+            JOIN l ON d.doc_id = l.doc_id
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(38, 16)))
+                          AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+               COUNT(CASE WHEN lang_pred = 'en' THEN 1 END) AS n_english,
+               COUNT(*) - COUNT(DISTINCT h) AS n_dupes
+        FROM j GROUP BY source ORDER BY source
+    """}
