@@ -215,6 +215,9 @@ def main() -> int:
     def _quant_topk(spark, kk):
         return similarity.quantized_topk(replicate_embeddings(spark, kk))
 
+    def _pq_topk(spark, kk):
+        return similarity.pq_topk(replicate_embeddings(spark, kk))
+
     from query_planner_optimizer_spark.operators import analytics
     from query_planner_optimizer_spark.prepare import rollup_frame
 
@@ -274,6 +277,9 @@ def main() -> int:
         # k× corpus (quantized ANN)
         "gapfill_hourly": lambda spark, kk: _gapfill(spark, kk),
         "quantized_topk": lambda spark, kk: _quant_topk(spark, kk),
+        # r7: PQ — codebook train + encode + ADC + rerank; corpus-side
+        # work is (id, s, code) triples, so k× rows → ~k× encode cost
+        "pq_topk": lambda spark, kk: _pq_topk(spark, kk),
         # r5 late additions: two-level aggregation (the derived-FROM
         # Q13 shape — two shuffles, both on bounded key sets) and the
         # corpus bigram LM (explode + two narrow count aggs + stream
