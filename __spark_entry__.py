@@ -658,6 +658,22 @@ DSL_QUERIES: dict[str, dict] = {
         "where": [{"col": "event_type", "op": "in",
                    "val": ["click", "view"]}],
     },
+    "dsl_scalar_select_share": {
+        # SELECT-side scalar subquery (r7): per-type revenue alongside
+        # the corpus-wide total — the ratio-to-total report shape.
+        # Engine attaches the one-row aggregate as a broadcast
+        # crossJoin constant; oracle renders the inline scalar
+        # subselect. ORDER BY may reference the scalar alias.
+        "select": ["event_type",
+                   {"SUM": "value", "as": "sv", "round": 4},
+                   {"subquery": {
+                       "select": [{"SUM": "value", "as": "total",
+                                   "round": 4}],
+                       "from": "events"}, "as": "total_sv"}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    },
     "dsl_scalar_subquery_above_avg": {
         # Uncorrelated scalar subquery: events whose value beats the
         # global average. Engine path broadcast-crossJoins the one-row
@@ -2198,6 +2214,9 @@ def _query_type_map(
 
     for cond in q.get("where") or []:
         visit(cond)
+    for t in q.get("select") or []:
+        if isinstance(t, dict) and "subquery" in t:
+            type_map.update(_query_type_map(t["subquery"], view_names))
     return type_map
 
 

@@ -408,6 +408,9 @@ def _referenced_tables(q: dict) -> set:
 
     for c in q.get("where") or []:
         visit(c)
+    for t in q.get("select") or []:
+        if isinstance(t, dict) and "subquery" in t:
+            out |= _referenced_tables(t["subquery"])
     return out
 
 
@@ -421,6 +424,8 @@ def dsl_output_names(q: dict) -> list[str]:
     for t in q.get("select") or []:
         if _is_post_term(t):
             out.append(t["as"])
+        elif isinstance(t, dict) and "subquery" in t:
+            out.append(t.get("as"))
         elif _is_expr_term(t):
             out.append(t.get("as"))
         elif _is_win_term(t):
@@ -510,6 +515,15 @@ def derived_output_types(
                 "window projections are not supported inside a "
                 f"derived-table FROM (engine-dependent output dtype): {t!r}"
             )
+        elif isinstance(t, dict) and "subquery" in t:
+            # Scalar select term (r7): the subquery's single output
+            # column carries the type.
+            sub_types = derived_output_types(t["subquery"], type_map)
+            if len(sub_types) != 1:
+                raise QueryError(
+                    f"scalar select subquery must have one output: {t!r}")
+            out[t["as"]] = (T.DoubleType() if t.get("round") is not None
+                            else next(iter(sub_types.values())))
         elif _is_expr_term(t):
             out[t["as"]] = _expr_type(t["expr"], inner_map)
         elif _is_agg_term(t):
@@ -752,6 +766,18 @@ def assemble_sql(
     if dialect not in ("spark", "duckdb"):
         raise QueryError(f"unknown dialect {dialect!r}")
 
+    from query_planner_optimizer_spark.dsl.compiler import (
+        _is_scalar_sel_term,
+    )
+
+    if any(_is_scalar_sel_term(t) for t in (q.get("select") or [])) \
+            and isinstance(q.get("group_by"), dict):
+        # Twin of the compiler's refusal — checked before the
+        # grouping-HAVING rewrite below would mis-handle the term.
+        raise QueryError(
+            "scalar select terms are not supported under "
+            "rollup/cube/sets group_by")
+
     # HAVING under rollup/cube/sets rewrites to a derived-table outer
     # WHERE over the grouping query's OUTPUT (sentinel keys + agg
     # aliases) — the contract the compiler evaluates directly. Spark
@@ -895,6 +921,51 @@ def assemble_sql(
         )
         sql = f"SELECT * FROM ({body}) AS u"
         return _append_order_limit(sql, q, child_out, dialect)
+
+    # SELECT-side scalar subqueries (r7) — twin of the compiler's
+    # broadcast-crossJoin wrapper: render the main query WITHOUT the
+    # scalar terms as a derived table, interleave inline scalar
+    # subselects back into select order in the outer projection, and
+    # hang ORDER BY/LIMIT off the wrapper.
+    sel0 = q.get("select") or []
+    if any(_is_scalar_sel_term(t) for t in sel0):
+        from query_planner_optimizer_spark.dsl.compiler import (
+            validate_scalar_sel_term,
+        )
+
+        inner_q = {k: v for k, v in q.items()
+                   if k not in ("order_by", "limit", "offset", "select")}
+        inner_q["select"] = [t for t in sel0
+                             if not _is_scalar_sel_term(t)]
+        if not inner_q["select"]:
+            raise QueryError(
+                "select cannot consist only of scalar subqueries")
+        inner_names = dsl_output_names(inner_q)
+        inner_sql = assemble_sql(inner_q, type_map, dialect, ts_is_millis,
+                                 cte_names=cte_names)
+        parts, out_names = [], []
+        for t in sel0:
+            if _is_scalar_sel_term(t):
+                validate_scalar_sel_term(t)
+                if t["as"] in inner_names:
+                    raise QueryError(
+                        f"scalar select alias collides with an output "
+                        f"column: {t['as']!r}")
+                sub_sql = assemble_sql(t["subquery"], type_map, dialect,
+                                       ts_is_millis, cte_names=cte_names)
+                expr = f"({sub_sql})"
+                if t.get("round") is not None:
+                    expr = f"ROUND({expr}, {t['round']})"
+                parts.append(f"{expr} AS {_ident(t['as'], dialect)}")
+                out_names.append(t["as"])
+            else:
+                n = (t["as"] if (_is_post_term(t) or _is_win_term(t)
+                                 or _is_expr_term(t))
+                     else _parse_agg_term(t)[2] if _is_agg_term(t) else t)
+                parts.append(_ident(n, dialect))
+                out_names.append(n)
+        sql = f"SELECT {', '.join(parts)} FROM ({inner_sql}) AS s"
+        return _append_order_limit(sql, q, out_names, dialect)
 
     # Post-aggregation expressions (TPC-H Q14 ratio-of-sums): render
     # the aggregate query as an inner derived table, compute the post

@@ -891,6 +891,28 @@ def validate_join_nonequi(
     return out
 
 
+def _is_scalar_sel_term(t: Any) -> bool:
+    """SELECT-side scalar subquery term: {"subquery": <dsl>, "as": n}."""
+    return isinstance(t, dict) and "subquery" in t
+
+
+def validate_scalar_sel_term(t: dict) -> None:
+    """Shared twin validation of a SELECT-side scalar subquery term
+    (r7): ``{"subquery": <one-row aggregate>, "as": name,
+    "round": k?}`` — the inline-scalar projection (global average next
+    to per-group values, ratio-to-total inputs). The subquery obeys the
+    same provably-one-row contract as WHERE-side scalars."""
+    extra = set(t) - {"subquery", "as", "round"}
+    if extra or "as" not in t or not isinstance(t["as"], str):
+        raise QueryError(
+            f"scalar select term must be "
+            f"{{'subquery': <dsl>, 'as': name[, 'round': k]}}: {t!r}")
+    if t.get("round") is not None and (
+            not isinstance(t["round"], int) or isinstance(t["round"], bool)):
+        raise QueryError(f"bad round in scalar select term: {t!r}")
+    validate_scalar_subquery(t["subquery"])
+
+
 def validate_scalar_subquery(sub: Any) -> None:
     """A scalar subquery must provably yield one row, one column: a
     single ungrouped aggregate select (no group_by/set ops/order/limit).
@@ -1492,6 +1514,49 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         if kw == "union" and not bag:
             df = df.distinct()
         return _apply_order_limit(df, q, cols0)
+
+    # SELECT-side scalar subqueries (r7) — {"subquery": <dsl>, "as": n}
+    # select terms: compile the main query WITHOUT them (they cannot
+    # interact with grouping — a one-row aggregate is constant), attach
+    # each scalar as a broadcast one-row crossJoin column, project back
+    # into select order, then apply ORDER BY/LIMIT at the wrapper so
+    # they may reference the scalar alias. Refused under grouping-dict
+    # group_by (subtotal-row interaction would be set-relative); the
+    # SQL twin renders the inline scalar subselect with the identical
+    # refusals.
+    sel0 = q.get("select")
+    if isinstance(sel0, list) and any(_is_scalar_sel_term(t) for t in sel0):
+        if isinstance(q.get("group_by"), dict):
+            raise QueryError(
+                "scalar select terms are not supported under "
+                "rollup/cube/sets group_by")
+        inner = {k: v for k, v in q.items()
+                 if k not in ("order_by", "limit", "offset", "select")}
+        inner["select"] = [t for t in sel0
+                           if not _is_scalar_sel_term(t)]
+        if not inner["select"]:
+            raise QueryError(
+                "select cannot consist only of scalar subqueries")
+        for t in sel0:
+            if _is_scalar_sel_term(t):
+                validate_scalar_sel_term(t)
+        df = compile_query(inner, catalog)
+        names, it = [], iter(df.columns)
+        for t in sel0:
+            names.append(t["as"] if _is_scalar_sel_term(t) else next(it))
+        for t in sel0:
+            if not _is_scalar_sel_term(t):
+                continue
+            if t["as"] in df.columns:
+                raise QueryError(
+                    f"scalar select alias collides with an output "
+                    f"column: {t['as']!r}")
+            sdf = compile_query(t["subquery"], catalog)
+            col = F.col(sdf.columns[0])
+            if t.get("round") is not None:
+                col = F.round(col, t["round"])
+            df = df.crossJoin(F.broadcast(sdf.select(col.alias(t["as"]))))
+        return _apply_order_limit(df.select(*names), q, names)
 
     # Optimizer rewrite: eager aggregation below a single inner join
     # (+ fused same-table membership HAVING — TPC-H Q18). Fires only on

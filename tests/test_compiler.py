@@ -1457,6 +1457,64 @@ def test_join_nonequi_semi_anti(catalog, ddb, spark):
         compile_query(collide, catalog)
 
 
+def test_scalar_select_terms(catalog, ddb, spark):
+    """SELECT-side scalar subqueries (r7): a one-row aggregate attaches
+    as a constant column next to per-group values, differential against
+    the SQL twin's inline subselect; grouped and ungrouped forms;
+    refusals — scalar-only select, grouping-dict group_by, alias
+    collision, malformed term, non-one-row subquery."""
+    import pytest
+
+    from query_planner_optimizer_spark.dsl.compiler import QueryError
+
+    tm = catalog.spark_type_map("events")
+    sub = {"select": [{"AVG": "value", "as": "overall", "round": 6}],
+           "from": "events"}
+    grouped = {"select": ["event_type",
+                          {"SUM": "value", "as": "sv", "round": 4},
+                          {"subquery": sub, "as": "overall_avg"}],
+               "from": "events", "group_by": ["event_type"],
+               "order_by": ["event_type"]}
+    assert_matches_duckdb(compile_query(grouped, catalog), ddb,
+                          assemble_sql(grouped, tm, dialect="duckdb"),
+                          ordered=True)
+
+    plain = {"select": ["event_id", "value",
+                        {"subquery": sub, "as": "overall_avg",
+                         "round": 2}],
+             "from": "events",
+             "where": [{"col": "value", "op": "gt", "val": 9.9}],
+             "order_by": ["event_id"], "limit": 50}
+    assert_matches_duckdb(compile_query(plain, catalog), ddb,
+                          assemble_sql(plain, tm, dialect="duckdb"),
+                          ordered=True)
+
+    bad = [
+        # select cannot be only scalar subqueries
+        {"select": [{"subquery": sub, "as": "x"}], "from": "events"},
+        # grouping-dict refusal
+        {**grouped, "group_by": {"rollup": ["event_type"]}},
+        # alias collision with an output column
+        {**grouped,
+         "select": ["event_type", {"SUM": "value", "as": "sv"},
+                    {"subquery": sub, "as": "event_type"}]},
+        # missing alias
+        {**grouped,
+         "select": ["event_type", {"SUM": "value", "as": "sv"},
+                    {"subquery": sub}]},
+        # subquery not provably one-row (grouped)
+        {**grouped,
+         "select": ["event_type", {"SUM": "value", "as": "sv"},
+                    {"subquery": {**sub, "group_by": ["event_type"]},
+                     "as": "x"}]},
+    ]
+    for q in bad:
+        with pytest.raises(QueryError):
+            compile_query(q, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(q, tm, dialect="duckdb")
+
+
 def test_join_nonequi_inner_left(catalog, ddb, spark):
     """Range conjuncts on row-producing joins (r7): inner and left
     joins with a cross-side comparison AND-ed onto the equi keys match

@@ -240,6 +240,16 @@ def dsl_queries(draw) -> dict:
         q["select"] += draw(st.lists(
             win_terms, min_size=0, max_size=2,
             unique_by=lambda t: t["as"]))
+    # r7: SELECT-side scalar subquery — a COUNT(*) constant column
+    # (integer-exact across engines), grouped and ungrouped alike,
+    # refused under grouping dicts (skip those draws).
+    if draw(st.integers(min_value=0, max_value=4)) == 0 \
+            and not isinstance(q.get("group_by"), dict):
+        q["select"] = [*q["select"],
+                       {"subquery": {"select": [{"COUNT": "*",
+                                                 "as": "n_all"}],
+                                     "from": "events"},
+                        "as": "corpus_n"}]
     where = draw(st.lists(bool_trees, min_size=0, max_size=3))
     if where:
         q["where"] = where
