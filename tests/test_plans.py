@@ -434,6 +434,21 @@ def test_plan_router_date_literal_forms(spark, catalog, tmp_path):
         assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
 
 
+def test_scalar_select_attaches_broadcast_one_row(catalog):
+    """A SELECT-side scalar subquery must attach as a broadcast
+    (one-row build side) — never a shuffle or nested-loop over the
+    outer frame's full width."""
+    q = {"select": ["event_type", {"SUM": "value", "as": "sv",
+                                   "round": 4},
+                    {"subquery": {"select": [{"SUM": "value",
+                                              "as": "t", "round": 4}],
+                                  "from": "events"}, "as": "total"}],
+         "from": "events", "group_by": ["event_type"]}
+    plan = _plan(compile_query(q, catalog))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_nonequi_inner_join_is_hash_with_residual(catalog):
     """A range conjunct on an inner/left join must ride the equi keys:
     hash or sort-merge join with the inequality as a residual filter
