@@ -674,6 +674,32 @@ DSL_QUERIES: dict[str, dict] = {
         "group_by": ["event_type"],
         "order_by": ["event_type"],
     },
+    "dsl_scalar_select_correlated": {
+        # Correlated SELECT-side scalar subqueries (r7): each
+        # customer's priciest large order (NULL when none — outer rows
+        # preserved, LEFT-join decorrelation) and large-order count
+        # (0 when none, native SQL subselect semantics). 202/1500
+        # customers are unmatched at sf0.01, so both branches bite.
+        "select": ["c_custkey", "c_mktsegment",
+                   {"subquery": {
+                       "select": [{"MAX": "o_totalprice", "as": "mx",
+                                   "round": 4}],
+                       "from": "orders",
+                       "where": [{"col": "o_totalprice", "op": "gt",
+                                  "val": 400000}]},
+                    "correlate": [["c_custkey", "o_custkey"]],
+                    "as": "max_large_order"},
+                   {"subquery": {
+                       "select": [{"COUNT": "*", "as": "c"}],
+                       "from": "orders",
+                       "where": [{"col": "o_totalprice", "op": "gt",
+                                  "val": 400000}]},
+                    "correlate": [["c_custkey", "o_custkey"]],
+                    "as": "n_large_orders"}],
+        "from": "customer",
+        "order_by": ["c_custkey"],
+        "limit": 500,
+    },
     "dsl_scalar_subquery_above_avg": {
         # Uncorrelated scalar subquery: events whose value beats the
         # global average. Engine path broadcast-crossJoins the one-row

@@ -946,14 +946,46 @@ def assemble_sql(
         parts, out_names = [], []
         for t in sel0:
             if _is_scalar_sel_term(t):
-                validate_scalar_sel_term(t)
+                pairs = validate_scalar_sel_term(t)
                 if t["as"] in inner_names:
                     raise QueryError(
                         f"scalar select alias collides with an output "
                         f"column: {t['as']!r}")
-                sub_sql = assemble_sql(t["subquery"], type_map, dialect,
-                                       ts_is_millis, cte_names=cte_names)
-                expr = f"({sub_sql})"
+                if pairs:
+                    # Correlated subselect in SELECT position: outer
+                    # refs qualify by the derived table's alias (the
+                    # compiler's LEFT-join decorrelation twin;
+                    # correlated COUNT over zero rows is 0 natively in
+                    # SQL, matching the engine's coalesce).
+                    for ok, _ in pairs:
+                        if ok not in inner_names:
+                            raise QueryError(
+                                f"correlate outer column {ok!r} must "
+                                f"be a selected output column: {t!r}")
+                    sub = t["subquery"]
+                    alias = "__corr"
+                    agg_expr, _ = _agg_expr_sql(sub["select"][0],
+                                                dialect, type_map)
+                    from_sql = f"{_ident(sub['from'], dialect)} AS {alias}"
+                    for jspec in sub.get("join") or []:
+                        from_sql += _join_clause_sql(jspec, type_map,
+                                                     dialect)
+                    conds = [
+                        f"{alias}.{_ident(ik, dialect)} ="
+                        f" __sel_outer.{_ident(ok, dialect)}"
+                        for ok, ik in pairs
+                    ]
+                    conds += [
+                        _condition_sql(c, type_map, dialect)
+                        for c in sub.get("where") or []
+                    ]
+                    expr = (f"(SELECT {agg_expr} FROM {from_sql}"
+                            f" WHERE {' AND '.join(conds)})")
+                else:
+                    sub_sql = assemble_sql(t["subquery"], type_map,
+                                           dialect, ts_is_millis,
+                                           cte_names=cte_names)
+                    expr = f"({sub_sql})"
                 if t.get("round") is not None:
                     expr = f"ROUND({expr}, {t['round']})"
                 parts.append(f"{expr} AS {_ident(t['as'], dialect)}")
@@ -964,7 +996,8 @@ def assemble_sql(
                      else _parse_agg_term(t)[2] if _is_agg_term(t) else t)
                 parts.append(_ident(n, dialect))
                 out_names.append(n)
-        sql = f"SELECT {', '.join(parts)} FROM ({inner_sql}) AS s"
+        sql = (f"SELECT {', '.join(parts)} FROM ({inner_sql}) "
+               f"AS __sel_outer")
         return _append_order_limit(sql, q, out_names, dialect)
 
     # Post-aggregation expressions (TPC-H Q14 ratio-of-sums): render

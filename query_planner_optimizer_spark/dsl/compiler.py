@@ -896,21 +896,29 @@ def _is_scalar_sel_term(t: Any) -> bool:
     return isinstance(t, dict) and "subquery" in t
 
 
-def validate_scalar_sel_term(t: dict) -> None:
+def validate_scalar_sel_term(t: dict) -> list[tuple[str, str]]:
     """Shared twin validation of a SELECT-side scalar subquery term
-    (r7): ``{"subquery": <one-row aggregate>, "as": name,
-    "round": k?}`` — the inline-scalar projection (global average next
-    to per-group values, ratio-to-total inputs). The subquery obeys the
-    same provably-one-row contract as WHERE-side scalars."""
-    extra = set(t) - {"subquery", "as", "round"}
+    (r7): ``{"subquery": <one-row aggregate>, "as": name, "round": k?,
+    "correlate": [[outer, inner], ...]?}`` — the inline-scalar
+    projection (global average next to per-group values; per-row
+    correlated lookups like each customer's max order). The subquery
+    obeys the same provably-one-row contract as WHERE-side scalars;
+    returns the normalized correlation pairs ([] when uncorrelated).
+    In SELECT position a correlated term preserves unmatched outer
+    rows (NULL scalar; correlated COUNT is 0) — SQL subselect
+    semantics — and its outer correlation keys must be among the
+    query's own selected columns."""
+    extra = set(t) - {"subquery", "as", "round", "correlate"}
     if extra or "as" not in t or not isinstance(t["as"], str):
         raise QueryError(
             f"scalar select term must be "
-            f"{{'subquery': <dsl>, 'as': name[, 'round': k]}}: {t!r}")
+            f"{{'subquery': <dsl>, 'as': name[, 'round': k]"
+            f"[, 'correlate': pairs]}}: {t!r}")
     if t.get("round") is not None and (
             not isinstance(t["round"], int) or isinstance(t["round"], bool)):
         raise QueryError(f"bad round in scalar select term: {t!r}")
-    validate_scalar_subquery(t["subquery"])
+    return validate_subquery_val(
+        {k: t[k] for k in ("subquery", "correlate") if k in t})
 
 
 def validate_scalar_subquery(sub: Any) -> None:
@@ -982,6 +990,7 @@ def validate_subquery_val(val: dict) -> list[tuple[str, str]]:
 def _join_correlated_scalar(
     df: DataFrame, val: dict, name: str, catalog: Catalog,
     pairs: list[tuple[str, str]], outer_table: str | None = None,
+    preserve_outer: bool = False,
 ) -> DataFrame:
     """Decorrelate ``{"subquery": ..., "correlate": [[ok, ik], ...]}``:
     compile the subquery GROUPED BY its correlation keys (one row per
@@ -995,7 +1004,9 @@ def _join_correlated_scalar(
     semantics: a correlated COUNT over zero matching rows is 0 (LEFT
     join + coalesce keeps the outer row), while any other aggregate is
     NULL, which no comparison satisfies (INNER join drops the row —
-    same outcome, no null-handling at filter time)."""
+    same outcome, no null-handling at filter time). In SELECT position
+    (``preserve_outer``) the outer row must survive regardless, with a
+    NULL scalar — the LEFT join always."""
     sub = val["subquery"]
     inner_table = sub.get("from")
     inner_cols = catalog.table(inner_table).columns
@@ -1039,7 +1050,9 @@ def _join_correlated_scalar(
     for ok, ik in pairs:
         c = df[ok] == keyed[key_of[ik]]
         cond = c if cond is None else (cond & c)
-    joined = df.join(keyed, cond, "left" if fname == "COUNT" else "inner")
+    joined = df.join(
+        keyed, cond,
+        "left" if (fname == "COUNT" or preserve_outer) else "inner")
     raw = F.col(f"{name}_raw")
     if fname == "COUNT":
         raw = F.coalesce(raw, F.lit(0))
@@ -1537,9 +1550,8 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         if not inner["select"]:
             raise QueryError(
                 "select cannot consist only of scalar subqueries")
-        for t in sel0:
-            if _is_scalar_sel_term(t):
-                validate_scalar_sel_term(t)
+        term_pairs = {id(t): validate_scalar_sel_term(t)
+                      for t in sel0 if _is_scalar_sel_term(t)}
         df = compile_query(inner, catalog)
         names, it = [], iter(df.columns)
         for t in sel0:
@@ -1551,11 +1563,26 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                 raise QueryError(
                     f"scalar select alias collides with an output "
                     f"column: {t['as']!r}")
-            sdf = compile_query(t["subquery"], catalog)
-            col = F.col(sdf.columns[0])
-            if t.get("round") is not None:
-                col = F.round(col, t["round"])
-            df = df.crossJoin(F.broadcast(sdf.select(col.alias(t["as"]))))
+            pairs = term_pairs[id(t)]
+            if pairs:
+                outer_from = q.get("from", "events")
+                if not isinstance(outer_from, str):
+                    raise QueryError(
+                        "correlated scalar select terms require a "
+                        f"named FROM table: {t!r}")
+                df = _join_correlated_scalar(
+                    df, {"subquery": t["subquery"]}, t["as"], catalog,
+                    pairs, outer_from, preserve_outer=True)
+                if t.get("round") is not None:
+                    df = df.withColumn(
+                        t["as"], F.round(F.col(t["as"]), t["round"]))
+            else:
+                sdf = compile_query(t["subquery"], catalog)
+                col = F.col(sdf.columns[0])
+                if t.get("round") is not None:
+                    col = F.round(col, t["round"])
+                df = df.crossJoin(
+                    F.broadcast(sdf.select(col.alias(t["as"]))))
         return _apply_order_limit(df.select(*names), q, names)
 
     # Optimizer rewrite: eager aggregation below a single inner join

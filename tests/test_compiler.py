@@ -1515,6 +1515,53 @@ def test_scalar_select_terms(catalog, ddb, spark):
             assemble_sql(q, tm, dialect="duckdb")
 
 
+def test_scalar_select_correlated(catalog, ddb, spark):
+    """Correlated SELECT-side scalar subqueries: per-customer max
+    order price (NULL when no orders — outer rows preserved) and
+    order count (0 when none, SQL subselect semantics); refusal when
+    the correlation key is not a selected column."""
+    import pytest
+
+    from query_planner_optimizer_spark.dsl.compiler import QueryError
+
+    tm = _merged_map(catalog, "customer", "orders")
+    # the subquery WHERE leaves most customers without a qualifying
+    # order, exercising the unmatched branch (sf0.001 gives every
+    # customer at least one order overall)
+    big = [{"col": "o_totalprice", "op": "gt", "val": 300000}]
+    q = {"select": ["c_custkey", "c_name",
+                    {"subquery": {"select": [{"MAX": "o_totalprice",
+                                              "as": "mx", "round": 4}],
+                                  "from": "orders", "where": big},
+                     "correlate": [["c_custkey", "o_custkey"]],
+                     "as": "max_order"},
+                    {"subquery": {"select": [{"COUNT": "*",
+                                              "as": "c"}],
+                                  "from": "orders", "where": big},
+                     "correlate": [["c_custkey", "o_custkey"]],
+                     "as": "n_orders"}],
+         "from": "customer",
+         "order_by": ["c_custkey"], "limit": 300}
+    df = compile_query(q, catalog)
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
+    rows = df.collect()
+    # customers without orders: NULL max, COUNT 0 — both present
+    assert any(r.max_order is None and r.n_orders == 0 for r in rows)
+    assert any(r.max_order is not None and r.n_orders > 0 for r in rows)
+
+    bad = {**q, "select": ["c_name",
+                           {"subquery": {"select": [{"COUNT": "*",
+                                                     "as": "c"}],
+                                         "from": "orders"},
+                            "correlate": [["c_custkey", "o_custkey"]],
+                            "as": "n_orders"}]}
+    with pytest.raises(QueryError):
+        compile_query(bad, catalog)
+    with pytest.raises(QueryError):
+        assemble_sql(bad, tm, dialect="duckdb")
+
+
 def test_join_nonequi_inner_left(catalog, ddb, spark):
     """Range conjuncts on row-producing joins (r7): inner and left
     joins with a cross-side comparison AND-ed onto the equi keys match
