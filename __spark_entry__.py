@@ -2157,15 +2157,20 @@ _PANEL = [
     "sim_ivf_recall",
     "text_lang_id",
     "text_pii_scrub",
-    "relevance_bm25",
-    "stream_dedup",
-    "stream_funnel",
-    "stream_interval_join",
-    "analytics_quantiles",
-    "analytics_latest_per_key",
-    "temporal_range_join",
-    "pipeline_pack_sequences",
-    "sample_stratified_by_lang",
+    # -- r7-new entries (zero driver rows; the remaining 9 r3-stale
+    # refreshes — relevance_bm25, stream_dedup/funnel/interval_join,
+    # analytics_quantiles/latest_per_key, temporal_range_join,
+    # pipeline_pack_sequences, sample_stratified_by_lang — defer to
+    # the r8 window: never-checked outranks re-showing r3-green) --
+    "dsl_plan_routed_cast_between",
+    "dsl_join_range_conjunct",
+    "analytics_profile_approx",
+    "pipeline_snapshot_diff",
+    "pipeline_corpus_card",
+    "dedup_best_of_cluster",
+    "sim_pq_recall",
+    "dsl_scalar_select_share",
+    "dsl_scalar_select_correlated",
 ]
 
 
