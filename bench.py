@@ -93,6 +93,12 @@ OPERATOR_HEADLINE = [
     "dsl_join_salted",
     "pipeline_line_dedup",
     "stream_heavy_hitters",
+    # r7 additions: per-source dataset card (composed scorers + digest
+    # distinct, one shuffle) and the raw HLL profile mode (bench-only:
+    # the analytics_profile_approx ENTRY also computes exact distincts
+    # for its bound gate, which would mismeasure the fast mode)
+    "pipeline_corpus_card",
+    "profile_events_hll",
 ]
 
 
@@ -104,11 +110,26 @@ def _bench_only() -> dict:
         minhash_lsh_pairs,
     )
 
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.operators.analytics import (
+        profile_table,
+    )
+
+    def _hll_profile(spark, sf):
+        events = Catalog(spark, sf, register_views=False).table("events")
+        return profile_table(
+            events.select("event_id", "ts", "user_id", "event_type",
+                          "value", "props"),
+            distinct_mode="approx", rsd=0.05)
+
     return {
         # xxhash64 MinHash-LSH (the scale default; portable=False).
         "dedup_minhash_xxh": lambda spark, sf: minhash_lsh_pairs(
             _docs(spark, sf), threshold=0.2
         ),
+        # the 100-TB profile default (approx distincts, no Expand) —
+        # correctness gated by the analytics_profile_approx entry
+        "profile_events_hll": _hll_profile,
     }
 
 

@@ -900,6 +900,8 @@ def assemble_sql(
             for t in c.get("select") or []:
                 if _is_expr_term(t):
                     out.append(t.get("as"))
+                elif isinstance(t, dict) and "subquery" in t:
+                    out.append(t.get("as"))
                 elif _is_agg_term(t):
                     out.append(_parse_agg_term(t)[2])
                 else:

@@ -142,7 +142,8 @@ def _is_post_term(term: Any) -> bool:
 
 def _is_agg_term(term: Any) -> bool:
     return (isinstance(term, dict) and "expr" not in term
-            and "win" not in term and "post" not in term)
+            and "win" not in term and "post" not in term
+            and "subquery" not in term)
 
 
 def validate_post_term(term: dict, avail: list[str]) -> None:
@@ -2023,7 +2024,7 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                         else sum(1 for s_ in gsets if not s_))
         if n_empty_sets:
             count_outs = {a[2] for a in agg_terms + hidden_agg_terms
-                          if a[0] == "COUNT"}
+                          if a[0] in ("COUNT", "COUNT_DISTINCT")}
             types = {f.name: f.dataType for f in aggd.schema.fields}
             gt_cols = []
             for c in aggd.columns:

@@ -328,9 +328,11 @@ class RollupRouter:
 
         if any(_has_subquery(c) for c in q.get("where") or []):
             return None  # scalar subqueries never route (outer-value dependent)
-        if any(isinstance(t, dict) and ("expr" in t or "win" in t)
+        if any(isinstance(t, dict)
+               and ("expr" in t or "win" in t or "subquery" in t)
                for t in q.get("select") or []):
-            return None  # computed/window projections aren't rollup-derivable
+            return None  # computed/window/scalar-subquery projections
+            # aren't rollup-derivable
         select = q.get("select") or []
         post_terms = [t for t in select if C._is_post_term(t)]
         if post_terms:

@@ -1621,6 +1621,19 @@ def test_grouping_dict_forms_and_refusals(catalog, ddb, spark):
         k for k, _n in got_r if k == "ALL")[:1] or True
     assert any(k == "ALL" for k, _n in got_r)
 
+    # Empty-input grand total (fuzzer-caught r7): COUNT_DISTINCT over
+    # the ()-set's empty input is 0 like COUNT, not NULL (the static
+    # marker row must zero both count families).
+    empty = {"select": ["event_type", {"COUNT": "*", "as": "n"},
+                        {"COUNT_DISTINCT": "user_id", "as": "du"}],
+             "from": "events",
+             "where": [{"col": "value", "op": "lt", "val": -1.0}],
+             "group_by": {"rollup": ["event_type"]}}
+    assert_matches_duckdb(compile_query(empty, catalog), ddb,
+                          assemble_sql(empty, tm, dialect="duckdb"))
+    row = compile_query(empty, catalog).collect()
+    assert len(row) == 1 and row[0].n == 0 and row[0].du == 0
+
     bad = [
         {**base, "group_by": {"rollup": []}},
         {**base, "group_by": {"nope": ["event_type"]}},
