@@ -500,6 +500,30 @@ def join_queries(draw) -> dict:
     (late-r6 generalized EXISTS) and — r7 — inner/left range
     conjuncts, customers filtered/paired by a cross-side price
     comparison against their orders."""
+    if draw(st.integers(min_value=0, max_value=4)) == 4:
+        # r7: correlated SELECT-side scalar subquery — per-customer
+        # order COUNT (0 for empty groups, integer-exact) with a drawn
+        # price gate, optionally alongside a MAX scalar.
+        thr = draw(st.integers(min_value=50000, max_value=450000))
+        sel = ["c_custkey", "c_mktsegment",
+               {"subquery": {"select": [{"COUNT": "*", "as": "c"}],
+                             "from": "orders",
+                             "where": [{"col": "o_totalprice",
+                                        "op": "gt", "val": thr}]},
+                "correlate": [["c_custkey", "o_custkey"]],
+                "as": "n_big"}]
+        if draw(st.booleans()):
+            sel.append({"subquery": {
+                "select": [{"MAX": "o_totalprice", "as": "m",
+                            "round": 4}],
+                "from": "orders",
+                "where": [{"col": "o_totalprice", "op": "gt",
+                           "val": thr}]},
+                "correlate": [["c_custkey", "o_custkey"]],
+                "as": "max_big"})
+        return {"select": sel, "from": "customer",
+                "order_by": ["c_custkey"],
+                "limit": draw(st.integers(min_value=5, max_value=100))}
     if draw(st.integers(min_value=0, max_value=3)) == 0:
         jtype = draw(st.sampled_from(["semi", "anti", "inner", "left"]))
         op = draw(st.sampled_from(["lt", "lte", "gt", "gte"]))
