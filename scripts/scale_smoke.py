@@ -218,6 +218,29 @@ def main() -> int:
     def _pq_topk(spark, kk):
         return similarity.pq_topk(replicate_embeddings(spark, kk))
 
+    def _corpus_card(spark, kk):
+        return docpipe.corpus_card(replicate_docs(spark, kk))
+
+    def _snapshot_diff(spark, kk):
+        from pyspark.sql import functions as FF
+        docs = replicate_docs(spark, kk).select("doc_id", "text")
+        old = docs.filter(FF.col("doc_id") % 3 != 0)
+        new = docs.filter(FF.col("doc_id") % 5 != 0).withColumn(
+            "text", FF.when(FF.col("doc_id") % 7 == 0,
+                            FF.concat(FF.col("text"), FF.lit(" v2")))
+            .otherwise(FF.col("text")))
+        return docpipe.snapshot_diff_report(old, new)
+
+    def _best_of_cluster(spark, kk):
+        from pyspark.sql import functions as FF
+
+        from query_planner_optimizer_spark.operators import dedup, text
+        docs = replicate_docs(spark, kk).select("doc_id", "text")
+        scored = text.with_quality_score(docs).withColumn(
+            "cluster_id", FF.col("doc_id") % 1000)
+        return dedup.select_representatives(scored).select(
+            "doc_id", "is_representative")
+
     from query_planner_optimizer_spark.operators import analytics
     from query_planner_optimizer_spark.prepare import rollup_frame
 
@@ -280,6 +303,11 @@ def main() -> int:
         # r7: PQ — codebook train + encode + ADC + rerank; corpus-side
         # work is (id, s, code) triples, so k× rows → ~k× encode cost
         "pq_topk": lambda spark, kk: _pq_topk(spark, kk),
+        # r7 pipeline additions: one-shuffle group reports and the
+        # digest-pair full outer join
+        "corpus_card": lambda spark, kk: _corpus_card(spark, kk),
+        "snapshot_diff": lambda spark, kk: _snapshot_diff(spark, kk),
+        "best_of_cluster": lambda spark, kk: _best_of_cluster(spark, kk),
         # r5 late additions: two-level aggregation (the derived-FROM
         # Q13 shape — two shuffles, both on bounded key sets) and the
         # corpus bigram LM (explode + two narrow count aggs + stream
