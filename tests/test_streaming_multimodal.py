@@ -778,6 +778,72 @@ def test_refresh_replay_idempotent_hist_hll(spark, tmp_path):
     assert after["count_value"].sum() == before["count_value"].sum() + 100
 
 
+def test_refresh_multi_rollup_torn_crash(spark, tmp_path):
+    """Torn crash ACROSS rollups: the process dies after rollup A folds
+    batch 1 but before rollup B does. The replay must skip A (its
+    in-dir marker covers batch 1) and fold ONLY B — previously the
+    agg_dir-level marker could only skip or double-fold the whole
+    batch. Crash simulated by a raising fold on B's first attempt."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.prepare import (
+        build_rollups,
+        refresh_rollups,
+    )
+    from query_planner_optimizer_spark import prepare as prep_mod
+    from .conftest import SF_DIR, normalize
+
+    events = Catalog(spark, SF_DIR, register_views=False).table("events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "day"]
+    h0 = events.filter((F.col("event_id") % 2) == 0).select(*cols)
+    h1 = events.filter((F.col("event_id") % 2) == 1).select(*cols)
+    # dict order pins fold order: A first, then B
+    rollups = {
+        "agg_a_day": {"keys": ["day"], "aggs": {"value": ["sum", "count"]}},
+        "agg_b_etype": {"keys": ["event_type"],
+                        "aggs": {"value": ["sum", "count"]}},
+    }
+    agg_dir = str(tmp_path / "aggs")
+    refresh_rollups(spark, h0, agg_dir, rollups, batch_id=0)
+
+    real_frame = prep_mod.rollup_frame
+    state = {"calls": 0}
+
+    def exploding_frame(src, keys, aggs):
+        state["calls"] += 1
+        if state["calls"] == 2:  # rollup B's delta on the first attempt
+            raise RuntimeError("simulated crash before rollup B")
+        return real_frame(src, keys, aggs)
+
+    prep_mod.rollup_frame = exploding_frame
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            refresh_rollups(spark, h1, agg_dir, rollups, batch_id=1)
+    finally:
+        prep_mod.rollup_frame = real_frame
+
+    # A folded batch 1; B did not — frozen mid-batch
+    from query_planner_optimizer_spark.prepare import _rollup_last_batch
+    assert _rollup_last_batch(os.path.join(agg_dir, "agg_a_day.parquet")) == 1
+    assert _rollup_last_batch(
+        os.path.join(agg_dir, "agg_b_etype.parquet")) == 0
+
+    # the replay (same batch id): A skips, B folds exactly once
+    refresh_rollups(spark, h1, agg_dir, rollups, batch_id=1)
+    rebuild = str(tmp_path / "rebuild")
+    build_rollups(events.select(*cols), rebuild, rollups)
+    for name in rollups:
+        got = spark.read.parquet(
+            os.path.join(agg_dir, f"{name}.parquet")).toPandas()
+        want = spark.read.parquet(
+            os.path.join(rebuild, f"{name}.parquet")).toPandas()
+        pd.testing.assert_frame_equal(normalize(got), normalize(want))
+
+
 def test_streaming_hist_maintenance_kill_mid_batch(spark, tmp_path):
     """Kill-mid-batch checkpoint recovery for the hist/HLL maintenance
     stream: the last micro-batch folds, then the process 'dies' before
