@@ -893,6 +893,59 @@ def decontaminate(
     )
 
 
+def ngram_novelty(
+    eval_docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus — the
+    memorization/novelty metric (what fraction of a generated or
+    held-out document's distinct word n-grams never appear in the
+    training reference). Returns
+    ``(doc_id, n_ngrams, n_novel, novelty)`` with
+    ``novelty = round(n_novel / n_ngrams, 6)``.
+
+    Scale shape: the reference reduces to DISTINCT 16-byte md5 shingle
+    hashes scan-side (the set a 100 TB reference corpus compresses to
+    — reusable across eval batches); eval shingles LEFT-join that set
+    on the hash, so the shuffle carries hashes only, and hot shingles
+    can't skew the reference side (already distinct). The per-doc
+    reduce is count/sum partials.
+    """
+    ref = (
+        _shingle_rows(ref_docs, id_col, text_col, n)
+        .select(F.md5("sh").alias("h"))
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    ev = _shingle_rows(eval_docs, id_col, text_col, n).select(
+        "doc_id", F.md5("sh").alias("h"))
+    return (
+        ev.join(ref, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.col("__seen").isNull().cast("long")).alias("n_novel"),
+        )
+        .withColumn("novelty",
+                    F.round(F.col("n_novel") / F.col("n_ngrams"), 6))
+    )
+
+
+#: Eval split for the novelty entry: every 10th doc held out, scored
+#: against the rest as reference.
+NOVELTY_EVAL_MOD = 10
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % NOVELTY_EVAL_MOD == 0)
+    ref = docs.filter(F.col("doc_id") % NOVELTY_EVAL_MOD != 0)
+    return ngram_novelty(ev, ref).orderBy("doc_id")
+
+
 #: Driver-entry eval set: every 50th document stands in for a benchmark.
 DECONTAM_EVAL_MOD = 50
 
@@ -1241,6 +1294,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_split_leakage": q_split_leakage,
         "dedup_near_split_leakage": q_near_split_leakage,
         "dedup_best_of_cluster": q_best_of_cluster,
+        "dedup_ngram_novelty": q_ngram_novelty,
     }
 
 
@@ -1590,8 +1644,25 @@ def entry_oracles() -> dict[str, str]:
                ) = 1 AS is_representative
         FROM q ORDER BY doc_id
     """
+    novelty = f"""
+        WITH ev AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh
+            FROM documents WHERE doc_id % {NOVELTY_EVAL_MOD} = 0
+        ),
+        ref AS (
+            SELECT DISTINCT unnest({_SQL_SHINGLES}) AS sh
+            FROM documents WHERE doc_id % {NOVELTY_EVAL_MOD} <> 0
+        )
+        SELECT e.doc_id, COUNT(*) AS n_ngrams,
+               COUNT(CASE WHEN r.sh IS NULL THEN 1 END) AS n_novel,
+               ROUND(COUNT(CASE WHEN r.sh IS NULL THEN 1 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        FROM ev e LEFT JOIN ref r ON e.sh = r.sh
+        GROUP BY e.doc_id ORDER BY e.doc_id
+    """
     return {"dedup_exact": exact, "dedup_ngram_jaccard": jaccard,
             "dedup_best_of_cluster": best_of_cluster,
+            "dedup_ngram_novelty": novelty,
             "dedup_split_leakage": split_leakage,
             "dedup_near_split_leakage": near_split,
             "dedup_minhash_lsh": _minhash_lsh_oracle(),
