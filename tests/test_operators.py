@@ -1153,6 +1153,30 @@ def test_bpe_segment_applies_merges_in_order(spark):
     assert out[2].n_words == 1 and out[2].n_bpe_tokens == 2
 
 
+def test_ngram_novelty_semantics(spark):
+    """Known overlap: an eval doc fully covered by the reference scores
+    0 novelty; a fully-unseen doc scores 1; a short (< n words) doc
+    falls back to its whole-doc shingle."""
+    from query_planner_optimizer_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "tiny doc")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, "the quick brown fox"),      # both 3-grams seen
+         (2, "completely novel words here"),   # none seen
+         (3, "tiny doc"),                 # short: whole-doc shingle, seen
+         (4, "small one")],               # short: whole-doc, unseen
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_novelty(ev, ref).collect()}
+    assert got[1].novelty == 0.0 and got[1].n_ngrams == 2
+    assert got[2].novelty == 1.0
+    assert got[3].novelty == 0.0 and got[3].n_ngrams == 1
+    assert got[4].novelty == 1.0 and got[4].n_ngrams == 1
+
+
 def test_select_representatives_policy(spark):
     """Best score wins the cluster; exact ties fall to the smaller id;
     singleton clusters are their own representative."""
