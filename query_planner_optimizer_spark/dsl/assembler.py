@@ -156,33 +156,9 @@ def _condition_sql(
                     "correlated subqueries are only valid in the main "
                     f"WHERE clause: {cond!r}"
                 )
-            alias = "__corr"
-            agg_expr, _ = _agg_expr_sql(sub["select"][0], dialect, type_map)
-            from_sql = f"{_ident(sub['from'], dialect)} AS {alias}"
-            for jspec in sub.get("join") or []:
-                # Inner joins would capture outer references if a joined
-                # table shared the outer FROM table's name (the alias
-                # only shadows the base) — reject that one shape.
-                if jspec.get("table") == outer_table:
-                    raise QueryError(
-                        f"correlated subquery cannot join the outer "
-                        f"table {outer_table!r} (its name would shadow "
-                        f"the outer scope): {cond!r}"
-                    )
-                from_sql += _join_clause_sql(jspec, type_map, dialect)
-            parts = [
-                f"{alias}.{_ident(ik, dialect)} ="
-                f" {_ident(outer_table, dialect)}.{_ident(ok, dialect)}"
-                for ok, ik in pairs
-            ]
-            parts += [
-                _condition_sql(c, type_map, dialect)
-                for c in sub.get("where") or []
-            ]
-            sub_sql = (
-                f"SELECT {agg_expr} FROM {from_sql}"
-                f" WHERE {' AND '.join(parts)}"
-            )
+            sub_sql = _correlated_subselect_sql(
+                sub, pairs, _ident(outer_table, dialect), type_map,
+                dialect, shadow_table=outer_table)
         else:
             sub_sql = assemble_sql(sub, type_map, dialect,
                                    cte_names=cte_names)
@@ -193,6 +169,46 @@ def _condition_sql(
     return _render_cond(
         _ident(col_name, dialect), cond, type_map[col_name], dialect
     )
+
+
+def _correlated_subselect_sql(
+    sub: dict,
+    pairs: list[tuple[str, str]],
+    outer_qual: str,
+    type_map: dict[str, T.DataType],
+    dialect: str,
+    shadow_table: str | None = None,
+) -> str:
+    """Render a natively correlated scalar subselect whose outer
+    references qualify by ``outer_qual`` (the outer FROM table in WHERE
+    position; the wrapper's derived-table alias in SELECT position —
+    identical scoping text is valid in both Spark SQL and DuckDB).
+    ``shadow_table``: a joined table with this name would capture the
+    outer references when the qualifier IS a table name (the inner
+    alias only shadows the base) — refuse; the compiler refuses the
+    same shape in both positions, so passing it in SELECT position
+    keeps the twin refusals symmetric even though the derived alias
+    there cannot actually be shadowed."""
+    alias = "__corr"
+    agg_expr, _ = _agg_expr_sql(sub["select"][0], dialect, type_map)
+    from_sql = f"{_ident(sub['from'], dialect)} AS {alias}"
+    for jspec in sub.get("join") or []:
+        if shadow_table is not None and jspec.get("table") == shadow_table:
+            raise QueryError(
+                f"correlated subquery cannot join the outer table "
+                f"{shadow_table!r} (its name would shadow the outer "
+                f"scope)"
+            )
+        from_sql += _join_clause_sql(jspec, type_map, dialect)
+    conds = [
+        f"{alias}.{_ident(ik, dialect)} = {outer_qual}.{_ident(ok, dialect)}"
+        for ok, ik in pairs
+    ]
+    conds += [
+        _condition_sql(c, type_map, dialect)
+        for c in sub.get("where") or []
+    ]
+    return f"SELECT {agg_expr} FROM {from_sql} WHERE {' AND '.join(conds)}"
 
 
 def _membership_sql(
@@ -949,7 +965,9 @@ def assemble_sql(
         for t in sel0:
             if _is_scalar_sel_term(t):
                 pairs = validate_scalar_sel_term(t)
-                if t["as"] in inner_names:
+                if t["as"] in inner_names or t["as"] in out_names:
+                    # Twin of the compiler's df.columns check, which
+                    # also sees earlier-attached scalar columns.
                     raise QueryError(
                         f"scalar select alias collides with an output "
                         f"column: {t['as']!r}")
@@ -964,32 +982,22 @@ def assemble_sql(
                             raise QueryError(
                                 f"correlate outer column {ok!r} must "
                                 f"be a selected output column: {t!r}")
-                    sub = t["subquery"]
-                    alias = "__corr"
-                    agg_expr, _ = _agg_expr_sql(sub["select"][0],
-                                                dialect, type_map)
-                    from_sql = f"{_ident(sub['from'], dialect)} AS {alias}"
-                    for jspec in sub.get("join") or []:
-                        from_sql += _join_clause_sql(jspec, type_map,
-                                                     dialect)
-                    conds = [
-                        f"{alias}.{_ident(ik, dialect)} ="
-                        f" __sel_outer.{_ident(ok, dialect)}"
-                        for ok, ik in pairs
-                    ]
-                    conds += [
-                        _condition_sql(c, type_map, dialect)
-                        for c in sub.get("where") or []
-                    ]
-                    expr = (f"(SELECT {agg_expr} FROM {from_sql}"
-                            f" WHERE {' AND '.join(conds)})")
+                    frm = q.get("from")
+                    expr = "(" + _correlated_subselect_sql(
+                        t["subquery"], pairs, "__sel_outer", type_map,
+                        dialect,
+                        shadow_table=frm if isinstance(frm, str)
+                        else None) + ")"
                 else:
                     sub_sql = assemble_sql(t["subquery"], type_map,
                                            dialect, ts_is_millis,
                                            cte_names=cte_names)
                     expr = f"({sub_sql})"
                 if t.get("round") is not None:
-                    expr = f"ROUND({expr}, {t['round']})"
+                    # CAST like the compiler: round over an integral
+                    # scalar stays BIGINT in Spark but is DOUBLE in
+                    # DuckDB — pin both dialects to DOUBLE.
+                    expr = f"CAST(ROUND({expr}, {t['round']}) AS DOUBLE)"
                 parts.append(f"{expr} AS {_ident(t['as'], dialect)}")
                 out_names.append(t["as"])
             else:

@@ -1575,13 +1575,18 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                     df, {"subquery": t["subquery"]}, t["as"], catalog,
                     pairs, outer_from, preserve_outer=True)
                 if t.get("round") is not None:
+                    # DOUBLE like every rounded output: Spark's round
+                    # over an integral scalar stays BIGINT while the
+                    # SQL twin's ROUND returns DOUBLE.
                     df = df.withColumn(
-                        t["as"], F.round(F.col(t["as"]), t["round"]))
+                        t["as"],
+                        F.round(F.col(t["as"]),
+                                t["round"]).cast("double"))
             else:
                 sdf = compile_query(t["subquery"], catalog)
                 col = F.col(sdf.columns[0])
                 if t.get("round") is not None:
-                    col = F.round(col, t["round"])
+                    col = F.round(col, t["round"]).cast("double")
                 df = df.crossJoin(
                     F.broadcast(sdf.select(col.alias(t["as"]))))
         return _apply_order_limit(df.select(*names), q, names)

@@ -1173,7 +1173,7 @@ def q_profile_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nd_exact").alias("n_distinct"),
         "min_num", "max_num", "avg_num", "min_str", "max_str", "avg_len",
         (err <= bound).alias("approx_ok"),
-    )
+    ).orderBy("col_name")
 
 
 def _profile_oracle_col(label: str, expr: str, kind: str) -> str:
@@ -1531,7 +1531,7 @@ def entry_oracles() -> dict[str, str]:
         # the HLL bound flag must come out TRUE for every column
         "analytics_profile_approx": (
             "SELECT p.*, TRUE AS approx_ok FROM (\n"
-            + _PROFILE_EVENTS_SQL + "\n) p"
+            + _PROFILE_EVENTS_SQL + "\n) p ORDER BY col_name"
         ),
         "analytics_key_skew": _KEY_SKEW_SQL,
         "analytics_corr_pairs": _CORR_PAIRS_SQL,

@@ -501,12 +501,19 @@ def pq_topk(
     )
     wk = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col("id").asc())
-    return (
+    out = (
         rer.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("qid", F.col("id").alias("nid"), "rank",
                 F.round("sim", 6).alias("sim"))
     )
+    # The persist served the in-function Lloyd collects; release it so
+    # repeated calls in one long-lived session (the 216-entry driver
+    # run, scale smokes) don't accumulate cached vector partitions.
+    # The returned lazy plan recomputes the cheap scan+normalize
+    # lineage instead.
+    unit.unpersist(blocking=False)
+    return out
 
 
 #: Bounds for the PQ gate: ADC-shortlist-then-rerank recall on this

@@ -327,9 +327,18 @@ def refresh_rollups(
             continue
         delta = rollup_frame(src, keys, spec["aggs"])
         if not os.path.exists(path):
-            delta.write.mode("overwrite").parquet(path)
-            if batch_id is not None:
-                _write_rollup_batch_marker(path, batch_id)
+            if batch_id is None:
+                delta.write.mode("overwrite").parquet(path)
+            else:
+                # First creation commits data + marker via ONE rename,
+                # like the merge path: writing data then marker
+                # separately would leave a marker-less existing rollup
+                # on a crash between them, and the replay's MERGE would
+                # then double-fold the same delta.
+                tmp = path + ".refresh_tmp"
+                delta.write.mode("overwrite").parquet(tmp)
+                _write_rollup_batch_marker(tmp, batch_id)
+                os.rename(tmp, path)
             refreshed.append(name)
             continue
         existing = spark.read.parquet(path)
@@ -363,10 +372,14 @@ def refresh_rollups(
         )
         tmp = path + ".refresh_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        if batch_id is not None:
-            # Marker rides the tmp dir: the rename below commits the
-            # folded data and the batch id in ONE atomic step.
-            _write_rollup_batch_marker(tmp, batch_id)
+        # Marker rides the tmp dir: the rename below commits the folded
+        # data and the batch id in ONE atomic step. A non-streaming
+        # refresh (batch_id=None) carries the EXISTING marker forward —
+        # silently dropping it would re-open the replay double-fold
+        # window for the streaming maintainer of the same rollup.
+        mk = batch_id if batch_id is not None else _rollup_last_batch(path)
+        if mk >= 0:
+            _write_rollup_batch_marker(tmp, mk)
         # Crash-loss-free swap: move the old rollup ASIDE (rename, atomic
         # on one filesystem), rename the new one into place, then delete
         # the aside copy. The OLD DATA always survives a crash — at

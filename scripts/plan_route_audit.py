@@ -182,6 +182,8 @@ def main() -> None:
     print(f"\n{routed_n}/{len(corpus)} routed ({mode} corpus)\n")
     for reason, n in reasons.most_common():
         print(f"{n:3d}  {reason[:110]}")
+        for name in detail[reason][:6]:
+            print(f"       {name}")
 
 
 if __name__ == "__main__":

@@ -778,6 +778,48 @@ def test_refresh_replay_idempotent_hist_hll(spark, tmp_path):
     assert after["count_value"].sum() == before["count_value"].sum() + 100
 
 
+def test_refresh_first_creation_atomic_and_marker_carry(spark, tmp_path):
+    """First-creation exactly-once: batch 0 commits data + marker via
+    one rename, so replaying batch 0 is a no-op (previously the replay
+    would MERGE the delta into an existing copy of itself). And a
+    non-streaming refresh (batch_id=None) carries the existing in-dir
+    marker forward instead of destroying it."""
+    import os
+
+    import pandas as pd
+
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.prepare import (
+        _rollup_last_batch,
+        refresh_rollups,
+    )
+    from .conftest import SF_DIR, normalize
+
+    events = Catalog(spark, SF_DIR, register_views=False).table("events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "day"]
+    h0 = events.filter((F.col("event_id") % 2) == 0).select(*cols)
+    h1 = events.filter((F.col("event_id") % 2) == 1).select(*cols)
+    rollups = {"agg_day": {"keys": ["day"],
+                           "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs")
+    path = os.path.join(agg_dir, "agg_day.parquet")
+
+    refresh_rollups(spark, h0, agg_dir, rollups, batch_id=0)
+    assert _rollup_last_batch(path) == 0
+    before = normalize(spark.read.parquet(path).toPandas())
+    # replay of the creation batch: exactly-once no-op
+    refresh_rollups(spark, h0, agg_dir, rollups, batch_id=0)
+    pd.testing.assert_frame_equal(
+        normalize(spark.read.parquet(path).toPandas()), before)
+
+    # non-streaming refresh must NOT destroy the committed marker
+    refresh_rollups(spark, h1, agg_dir, rollups)  # batch_id=None
+    assert _rollup_last_batch(path) == 0
+    after = normalize(spark.read.parquet(path).toPandas())
+    want = events.where(F.col("value").isNotNull()).count()
+    assert int(after["count_value"].sum()) == want  # h0 + h1 = all rows
+
+
 def test_refresh_multi_rollup_torn_crash(spark, tmp_path):
     """Torn crash ACROSS rollups: the process dies after rollup A folds
     batch 1 but before rollup B does. The replay must skip A (its
