@@ -631,6 +631,27 @@ DSL_QUERIES: dict[str, dict] = {
         "order_by": ["user_id", "event_id"],
         "limit": 500,
     },
+    "dsl_window_first_last": {
+        # first_value / last_value (r7) under the aggregate-frame
+        # contract: cumulative-default first_value = partition head;
+        # last_value takes the full frame to reach the partition tail
+        # (the shared-SQL gotcha). Total ORDER BY for determinism.
+        "select": ["event_id", "user_id", "value",
+                   {"win": "first_value", "of": "value",
+                    "partition_by": ["user_id"],
+                    "order_by": [{"col": "value", "dir": "desc"},
+                                 {"col": "event_id", "dir": "asc"}],
+                    "as": "head_v", "round": 6},
+                   {"win": "last_value", "of": "value",
+                    "partition_by": ["user_id"],
+                    "order_by": [{"col": "value", "dir": "desc"},
+                                 {"col": "event_id", "dir": "asc"}],
+                    "frame": {"rows": [None, None]},
+                    "as": "tail_v", "round": 6}],
+        "from": "events",
+        "order_by": ["event_id"],
+        "limit": 600,
+    },
     "dsl_window_frames_ntile": {
         # Explicit ROWS frames + ntile: 4-row moving average
         # ([-3, 0] trailing frame), forward-looking running max

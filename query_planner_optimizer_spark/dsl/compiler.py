@@ -523,7 +523,13 @@ def _bool_tree(df: DataFrame, cond: dict) -> Column:
 WINDOW_RANK_FNS = ("row_number", "rank", "dense_rank", "ntile",
                    "percent_rank", "cume_dist")
 WINDOW_OFFSET_FNS = ("lag", "lead")
-WINDOW_AGG_FNS = ("sum", "avg", "min", "max", "count")
+#: ``first_value``/``last_value`` follow the aggregate-frame contract
+#: (explicit ROWS frame, else the cumulative default — under which
+#: first_value is the partition head and last_value the CURRENT row,
+#: the standard SQL gotcha both engines share). Callers use a total
+#: ORDER BY for determinism, like every aggregate window here.
+WINDOW_AGG_FNS = ("sum", "avg", "min", "max", "count",
+                  "first_value", "last_value")
 
 
 def _parse_frame(term: dict, fn: str) -> tuple | None:

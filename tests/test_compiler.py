@@ -1457,6 +1457,33 @@ def test_join_nonequi_semi_anti(catalog, ddb, spark):
         compile_query(collide, catalog)
 
 
+def test_window_first_last_value(catalog, ddb, spark):
+    """first_value/last_value (r7): cumulative-default first_value is
+    the partition head; last_value needs the full frame to be the
+    partition tail (the standard gotcha both engines share) —
+    differential against the SQL twin."""
+    ob = [{"col": "value", "dir": "desc"},
+          {"col": "event_id", "dir": "asc"}]
+    q = {"select": ["event_id", "user_id", "value",
+                    {"win": "first_value", "of": "value",
+                     "partition_by": ["user_id"], "order_by": ob,
+                     "as": "head_v", "round": 6},
+                    {"win": "last_value", "of": "value",
+                     "partition_by": ["user_id"], "order_by": ob,
+                     "frame": {"rows": [None, None]},
+                     "as": "tail_v", "round": 6}],
+         "from": "events",
+         "order_by": ["event_id"], "limit": 400}
+    tm = catalog.spark_type_map("events")
+    df = compile_query(q, catalog)
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
+    # head >= tail under the desc value ordering
+    rows = df.collect()
+    assert all(r.head_v >= r.tail_v for r in rows
+               if r.head_v is not None and r.tail_v is not None)
+
+
 def test_scalar_select_terms(catalog, ddb, spark):
     """SELECT-side scalar subqueries (r7): a one-row aggregate attaches
     as a constant column next to per-group values, differential against

@@ -122,6 +122,13 @@ win_terms = st.sampled_from([
     {"win": "max", "of": "value", "partition_by": ["user_id"],
      "order_by": _WIN_OB, "frame": {"rows": [0, None]},
      "as": "max_ahead", "round": 6},
+    # r7: first_value/last_value ride the aggregate-frame contract
+    {"win": "first_value", "of": "value", "partition_by": ["user_id"],
+     "order_by": _WIN_OB, "frame": {"rows": [-2, 0]},
+     "as": "fv3", "round": 6},
+    {"win": "last_value", "of": "value", "partition_by": ["user_id"],
+     "order_by": _WIN_OB, "frame": {"rows": [0, 2]},
+     "as": "lv3", "round": 6},
 ])
 
 AGG_FUNCS = ("SUM", "AVG", "COUNT", "MIN", "MAX")
