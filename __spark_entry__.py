@@ -679,6 +679,69 @@ DSL_QUERIES: dict[str, dict] = {
         "where": [{"col": "event_type", "op": "in",
                    "val": ["click", "view"]}],
     },
+    "dsl_window_range_frame": {
+        # RANGE window frames (r8): value-based frames over the single
+        # ORDER BY key — the time-series moving-window shape ROWS
+        # frames can't express (a 7-day trailing window holds however
+        # many rows fall in 7 days). Interval bounds ride a timestamp
+        # key (engine: unix_micros ordering + rangeBetween micros —
+        # bit-exact twin of INTERVAL arithmetic for fixed-duration
+        # units); numeric bounds ride an integral key. Aggregates here
+        # are COUNT/MIN/MAX only — order-independent and exact, no fp
+        # accumulation-order hazard; RANGE is tie-safe by definition
+        # (peer rows share the frame).
+        "select": [
+            "event_id", "user_id", "value",
+            {"win": "count", "of": "event_id",
+             "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"}],
+             "frame": {"range": ["-7 days", 0]},
+             "as": "cnt_7d"},
+            {"win": "max", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"}],
+             "frame": {"range": ["-7 days", 0]},
+             "as": "max_7d", "round": 6},
+            {"win": "min", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"}],
+             "frame": {"range": ["-72 hours", "-1 hours"]},
+             "as": "min_prior3d", "round": 6},
+            {"win": "count", "of": "event_id",
+             "partition_by": ["user_id"],
+             "order_by": [{"col": "event_id", "dir": "asc"}],
+             "frame": {"range": [-1000, 0]},
+             "as": "cnt_near_id"},
+        ],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "in",
+                   "val": ["click", "view", "purchase"]}],
+        "order_by": ["event_id"],
+        "limit": 800,
+    },
+    "dsl_window_nth_value": {
+        # nth_value (r8) under the aggregate-frame contract: cumulative
+        # default = "2nd-best seen so far" (NULL until two rows), full
+        # frame = per-partition 2nd/3rd best on every row. Total ORDER
+        # BY (value desc, event_id asc tiebreak) for determinism;
+        # value has no NULLs in the corpus, so engine-default null
+        # ordering never engages.
+        "select": [
+            "event_id", "user_id", "value",
+            {"win": "nth_value", "of": "value", "n": 2,
+             "partition_by": ["user_id"],
+             "order_by": [{"col": "value", "dir": "desc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "second_so_far", "round": 6},
+            {"win": "nth_value", "of": "value", "n": 3,
+             "partition_by": ["user_id"],
+             "order_by": [{"col": "value", "dir": "desc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "frame": {"rows": [None, None]},
+             "as": "third_best", "round": 6},
+        ],
+        "from": "events",
+        "order_by": ["event_id"],
+        "limit": 600,
+    },
     "dsl_scalar_select_share": {
         # SELECT-side scalar subquery (r7): per-type revenue alongside
         # the corpus-wide total — the ratio-to-total report shape.

@@ -723,21 +723,48 @@ def _join_clause_sql(
     return f" {kw} {jt_sql} ON " + " AND ".join(conds)
 
 
-def _frame_bound_sql(v: int | None, side: str) -> str:
+def _frame_bound_sql(v, side: str) -> str:
+    """One frame bound: int ROWS/numeric-RANGE offset, or a parsed
+    ("interval", n, unit) RANGE bound — ``INTERVAL n unitS``, a
+    spelling valid verbatim in Spark SQL and DuckDB."""
     if v is None:
         return f"UNBOUNDED {'PRECEDING' if side == 'lo' else 'FOLLOWING'}"
     if v == 0:
         return "CURRENT ROW"
+    if isinstance(v, tuple):
+        _, n, unit = v
+        return (f"INTERVAL {abs(n)} {unit.upper()}S "
+                f"{'PRECEDING' if n < 0 else 'FOLLOWING'}")
     return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
 
 
-def _window_sql(term: dict, dialect: str) -> str:
+def _window_sql(term: dict, dialect: str,
+                type_map: dict[str, T.DataType] | None = None) -> str:
     """Render a window term — same OVER clause text in both dialects.
     Twin of ``compiler._window_column`` (rank family: no frame; ntile(n);
-    offset: lag/lead(col, k); aggregates: explicit ROWS frame when given,
-    else the cumulative default)."""
-    fn, of, pb, specs, out_name, round_to, offset, buckets, frame = \
+    offset: lag/lead(col, k); aggregates: explicit ROWS/RANGE frame when
+    given, else the cumulative default). ``type_map`` mirrors the
+    compiler's RANGE order-key dtype refusals (interval bounds need a
+    timestamp key, numeric bounds an integral key) so the twins agree
+    on which shapes are legal; an untyped key (CTE-view output) is
+    left to the compiler's own check."""
+    fn, of, pb, specs, out_name, round_to, offset, buckets, frame, nth = \
         _parse_window_term(term)
+    if frame is not None and frame[0] == "range" and type_map is not None:
+        dtype = type_map.get(specs[0][0])
+        interval = any(isinstance(b, tuple) for b in frame[1:])
+        if dtype is not None:
+            if interval and not isinstance(
+                    dtype, (T.TimestampType, T.TimestampNTZType)):
+                raise QueryError(
+                    f"interval range bounds need a timestamp order_by "
+                    f"key (got {dtype.simpleString()}): {term!r}")
+            if not interval and not isinstance(
+                    dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                            T.LongType)):
+                raise QueryError(
+                    f"numeric range bounds need an integral order_by "
+                    f"key (got {dtype.simpleString()}): {term!r}")
     part = ", ".join(_ident(c, dialect) for c in pb)
     order = ", ".join(
         f"{_ident(c, dialect)} {d.upper()}" for c, d in specs
@@ -750,11 +777,15 @@ def _window_sql(term: dict, dialect: str) -> str:
     elif fn in ("lag", "lead"):
         call = f"{fn}({_ident(of, dialect)}, {offset})"
     else:
-        call = f"{fn}({_ident(of, dialect)})"
+        if fn == "nth_value":
+            call = f"nth_value({_ident(of, dialect)}, {nth})"
+        else:
+            call = f"{fn}({_ident(of, dialect)})"
         if frame is not None:
+            kind, flo, fhi = frame
             over += (
-                f" ROWS BETWEEN {_frame_bound_sql(frame[0], 'lo')}"
-                f" AND {_frame_bound_sql(frame[1], 'hi')}"
+                f" {kind.upper()} BETWEEN {_frame_bound_sql(flo, 'lo')}"
+                f" AND {_frame_bound_sql(fhi, 'hi')}"
             )
         else:
             over += " ROWS UNBOUNDED PRECEDING"
@@ -982,12 +1013,19 @@ def assemble_sql(
                             raise QueryError(
                                 f"correlate outer column {ok!r} must "
                                 f"be a selected output column: {t!r}")
-                    frm = q.get("from")
+                    frm = q.get("from", "events")
+                    if not isinstance(frm, str):
+                        # Mirror the compiler's refusal (compiler.py
+                        # correlated-scalar branch): a derived-table
+                        # FROM has no stable name for the shadow
+                        # alias, and the twins must agree on which
+                        # shapes are legal.
+                        raise QueryError(
+                            "correlated scalar select terms require "
+                            f"a named FROM table: {t!r}")
                     expr = "(" + _correlated_subselect_sql(
                         t["subquery"], pairs, "__sel_outer", type_map,
-                        dialect,
-                        shadow_table=frm if isinstance(frm, str)
-                        else None) + ")"
+                        dialect, shadow_table=frm) + ")"
                 else:
                     sub_sql = assemble_sql(t["subquery"], type_map,
                                            dialect, ts_is_millis,
@@ -1115,7 +1153,7 @@ def assemble_sql(
                 _is_agg_term(t) for t in q.get("select") or []
             ):
                 raise QueryError(f"window projections are row-level only: {term}")
-            select_terms.append(_window_sql(term, dialect))
+            select_terms.append(_window_sql(term, dialect, type_map))
             out_names.append(_parse_window_term(term)[4])
         elif _is_agg_term(term):
             select_terms.append(_agg_sql(term, dialect, type_map))

@@ -37,6 +37,7 @@ columns are named lowercase ``sum(col)`` / ``avg(col)`` / ``count(*)`` /
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -529,30 +530,90 @@ WINDOW_OFFSET_FNS = ("lag", "lead")
 #: the standard SQL gotcha both engines share). Callers use a total
 #: ORDER BY for determinism, like every aggregate window here.
 WINDOW_AGG_FNS = ("sum", "avg", "min", "max", "count",
-                  "first_value", "last_value")
+                  "first_value", "last_value", "nth_value")
+
+#: Interval units accepted in RANGE frame bounds — fixed-duration only
+#: (a month/year interval is calendar arithmetic and would break the
+#: engine's micros-offset twin), singular form, with micros-per-unit.
+_RANGE_UNITS = {"day": 86_400_000_000, "hour": 3_600_000_000,
+                "minute": 60_000_000, "second": 1_000_000}
+
+_INTERVAL_RE = re.compile(r"^(-?\d+)\s+(day|hour|minute|second)s?$")
+
+
+def _parse_range_bound(v, term: dict):
+    """One RANGE bound → None (UNBOUNDED) | int (numeric offset) |
+    ("interval", n, unit) for a fixed-duration time offset. Negative =
+    PRECEDING, 0 = CURRENT ROW, positive = FOLLOWING — same sign
+    convention as ROWS bounds."""
+    if v is None:
+        return None
+    if isinstance(v, int) and not isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        m = _INTERVAL_RE.match(v.strip().lower())
+        if not m:
+            raise QueryError(
+                f"bad interval range bound {v!r} (want '<n> "
+                f"day|hour|minute|second[s]'): {term!r}")
+        return ("interval", int(m.group(1)), m.group(2))
+    raise QueryError(
+        f"range bounds must be int, interval string or null: {term!r}")
+
+
+def _range_bound_micros(b) -> int | None:
+    """Canonical micros offset of a parsed RANGE bound (None stays
+    unbounded; plain ints are unit-less numeric offsets — caller must
+    not mix them with interval bounds)."""
+    if b is None:
+        return None
+    if isinstance(b, tuple):
+        return b[1] * _RANGE_UNITS[b[2]]
+    return b
 
 
 def _parse_frame(term: dict, fn: str) -> tuple | None:
-    """Validate an explicit ROWS frame: ``{"frame": {"rows": [lo, hi]}}``
-    with ints (negative = PRECEDING, 0 = CURRENT ROW, positive =
-    FOLLOWING) or null (UNBOUNDED). Aggregate windows only — rank/offset
-    functions define their own frame semantics."""
+    """Validate an explicit frame: ``{"frame": {"rows": [lo, hi]}}``
+    (ints; negative = PRECEDING, 0 = CURRENT ROW, positive = FOLLOWING,
+    null = UNBOUNDED) or ``{"frame": {"range": [lo, hi]}}`` (value-based
+    frame over the single ORDER BY key: int bounds on an integral key,
+    or '<n> days/hours/minutes/seconds' interval bounds on a timestamp
+    key). Aggregate windows only — rank/offset functions define their
+    own frame semantics. Returns ("rows"|"range", lo, hi)."""
     frame = term.get("frame")
     if frame is None:
         return None
     if fn not in WINDOW_AGG_FNS:
         raise QueryError(f"'frame' is only valid on aggregate windows: {term!r}")
-    rows = frame.get("rows") if isinstance(frame, dict) else None
-    if (not isinstance(frame, dict) or set(frame) != {"rows"}
-            or not isinstance(rows, (list, tuple)) or len(rows) != 2):
-        raise QueryError(f"frame must be {{'rows': [lo, hi]}}: {term!r}")
-    lo, hi = rows
-    for v in (lo, hi):
-        if v is not None and (not isinstance(v, int) or isinstance(v, bool)):
-            raise QueryError(f"frame bounds must be ints or null: {term!r}")
-    if lo is not None and hi is not None and lo > hi:
+    if not isinstance(frame, dict) or len(frame) != 1 \
+            or next(iter(frame)) not in ("rows", "range"):
+        raise QueryError(
+            f"frame must be {{'rows': [lo, hi]}} or "
+            f"{{'range': [lo, hi]}}: {term!r}")
+    kind, bounds = next(iter(frame.items()))
+    if not isinstance(bounds, (list, tuple)) or len(bounds) != 2:
+        raise QueryError(f"frame bounds must be a [lo, hi] pair: {term!r}")
+    lo, hi = bounds
+    if kind == "rows":
+        for v in (lo, hi):
+            if v is not None and (not isinstance(v, int)
+                                  or isinstance(v, bool)):
+                raise QueryError(
+                    f"frame bounds must be ints or null: {term!r}")
+        if lo is not None and hi is not None and lo > hi:
+            raise QueryError(f"frame lower bound exceeds upper: {term!r}")
+        return ("rows", lo, hi)
+    lo = _parse_range_bound(lo, term)
+    hi = _parse_range_bound(hi, term)
+    kinds = {("interval" if isinstance(b, tuple) else "num")
+             for b in (lo, hi) if b is not None and b != 0}
+    if len(kinds) > 1:
+        raise QueryError(
+            f"range frame mixes numeric and interval bounds: {term!r}")
+    lo_us, hi_us = _range_bound_micros(lo), _range_bound_micros(hi)
+    if lo_us is not None and hi_us is not None and lo_us > hi_us:
         raise QueryError(f"frame lower bound exceeds upper: {term!r}")
-    return (lo, hi)
+    return ("range", lo, hi)
 
 
 def _parse_window_term(term: dict) -> tuple:
@@ -606,15 +667,34 @@ def _parse_window_term(term: dict) -> tuple:
             raise QueryError(f"ntile needs a positive int 'buckets': {term!r}")
     elif buckets is not None:
         raise QueryError(f"'buckets' is only valid on ntile: {term!r}")
+    nth = term.get("n")
+    if fn == "nth_value":
+        if not isinstance(nth, int) or isinstance(nth, bool) or nth < 1:
+            raise QueryError(
+                f"nth_value needs a positive int 'n': {term!r}")
+    elif nth is not None:
+        raise QueryError(f"'n' is only valid on nth_value: {term!r}")
     frame = _parse_frame(term, fn)
+    if frame is not None and frame[0] == "range":
+        if len(specs) != 1 or specs[0][1] != "asc":
+            raise QueryError(
+                f"range frames need exactly one ascending order_by "
+                f"key: {term!r}")
+        if fn in ("first_value", "last_value", "nth_value"):
+            # Peers share a RANGE frame, so a positional pick among
+            # tied keys is engine-dependent — refuse rather than be
+            # nondeterministic (sum/avg/min/max/count are tie-safe).
+            raise QueryError(
+                f"positional window {fn} over a RANGE frame is "
+                f"nondeterministic among peers: {term!r}")
     return fn, of, pb, specs, term["as"], term.get("round"), offset, \
-        buckets, frame
+        buckets, frame, nth
 
 
 def _window_column(df: DataFrame, term: dict) -> Column:
     from pyspark.sql import Window
 
-    fn, of, pb, specs, out_name, round_to, offset, buckets, frame = \
+    fn, of, pb, specs, out_name, round_to, offset, buckets, frame, nth = \
         _parse_window_term(term)
     for c in (*pb, *(s[0] for s in specs), *([of] if of else [])):
         if c not in df.columns:
@@ -630,20 +710,68 @@ def _window_column(df: DataFrame, term: dict) -> Column:
     elif fn in WINDOW_OFFSET_FNS:
         e = getattr(F, fn)(F.col(of), offset).over(w)
     else:
-        # Aggregate window: explicit ROWS frame when given (moving
-        # aggregates), else the cumulative default; ties split by the
-        # (total) ORDER BY — callers include a unique tiebreak for
-        # determinism.
-        if frame is not None:
-            lo = Window.unboundedPreceding if frame[0] is None else frame[0]
-            hi = Window.unboundedFollowing if frame[1] is None else frame[1]
+        # Aggregate window: explicit ROWS/RANGE frame when given
+        # (moving aggregates), else the cumulative default; ties split
+        # by the (total) ORDER BY — callers include a unique tiebreak
+        # for determinism (RANGE frames are tie-safe by definition:
+        # peers share the frame).
+        if frame is not None and frame[0] == "range":
+            w = _range_window(df, pb, specs[0][0], frame, term)
+        elif frame is not None:
+            _, flo, fhi = frame
+            lo = Window.unboundedPreceding if flo is None else flo
+            hi = Window.unboundedFollowing if fhi is None else fhi
             w = w.rowsBetween(lo, hi)
         else:
             w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        e = getattr(F, fn)(F.col(of)).over(w)
+        if fn == "nth_value":
+            e = F.nth_value(F.col(of), nth).over(w)
+        else:
+            e = getattr(F, fn)(F.col(of)).over(w)
     if round_to is not None:
         e = F.round(e, round_to)
     return e.alias(out_name)
+
+
+def _range_window(df: DataFrame, pb: list, key: str, frame: tuple,
+                  term: dict):
+    """A RANGE frame window spec. Interval bounds: Spark's DataFrame
+    ``rangeBetween`` takes long offsets only, so the engine orders by
+    ``unix_micros(key)`` and bounds in micros — bit-exact to the SQL
+    twin's ``RANGE BETWEEN INTERVAL ...`` because the accepted units
+    (day/hour/minute/second) are fixed-duration, timestamps are
+    absolute micros in both engines, and ``unix_micros`` is a lossless
+    monotone map (no sub-second truncation). Numeric bounds: the key
+    must be integral; the frame is [key+lo, key+hi] inclusive, the
+    standard RANGE contract both engines share."""
+    from pyspark.sql import Window
+
+    _, lo, hi = frame
+    dtype = df.schema[key].dataType
+    interval = any(isinstance(b, tuple) for b in (lo, hi))
+    if interval:
+        if not isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            raise QueryError(
+                f"interval range bounds need a timestamp order_by "
+                f"key (got {dtype.simpleString()}): {term!r}")
+        # epoch_micros handles NTZ (casts to LTZ first) — exact and
+        # monotone because the session timezone is pinned UTC
+        # (session.py/catalog.py).
+        from query_planner_optimizer_spark.functions.timeexpr import \
+            epoch_micros
+        order = epoch_micros(key).asc()
+    else:
+        if not isinstance(dtype, (T.ByteType, T.ShortType,
+                                  T.IntegerType, T.LongType)):
+            raise QueryError(
+                f"numeric range bounds need an integral order_by "
+                f"key (got {dtype.simpleString()}): {term!r}")
+        order = F.col(key).asc()
+    lo_us, hi_us = _range_bound_micros(lo), _range_bound_micros(hi)
+    return Window.partitionBy(*pb).orderBy(order).rangeBetween(
+        Window.unboundedPreceding if lo_us is None else lo_us,
+        Window.unboundedFollowing if hi_us is None else hi_us,
+    )
 
 
 def validate_derived_from(sub: Any) -> None:

@@ -1157,7 +1157,8 @@ def q_profile_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     is stable, and the oracle checks every exact column + TRUE."""
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     src = events.select(*_PROFILE_EVENT_COLS)
-    ap = profile_table(src, distinct_mode="approx", rsd=0.05)
+    rsd = 0.05  # single source for the profile call AND the gate bound
+    ap = profile_table(src, distinct_mode="approx", rsd=rsd)
     ex = src.agg(*[F.count_distinct(F.col(c)).alias(c)
                    for c in _PROFILE_EVENT_COLS])
     ex_long = ex.select(F.explode(F.map_from_arrays(
@@ -1167,7 +1168,7 @@ def q_profile_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ap.join(F.broadcast(ex_long), "col_name")
     err = F.abs(F.col("n_distinct") - F.col("nd_exact"))
     bound = F.greatest(F.lit(3.0),
-                       F.lit(4 * 0.05) * F.col("nd_exact"))
+                       F.lit(4 * rsd) * F.col("nd_exact"))
     return j.select(
         "col_name", "n_rows", "n_null",
         F.col("nd_exact").alias("n_distinct"),

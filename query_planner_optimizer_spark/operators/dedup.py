@@ -902,8 +902,9 @@ def ngram_novelty(
 ) -> DataFrame:
     """Per-document n-gram novelty against a reference corpus — the
     memorization/novelty metric (what fraction of a generated or
-    held-out document's distinct word n-grams never appear in the
-    training reference). Returns
+    held-out document's word n-gram occurrences never appear in the
+    training reference; within-doc repeats each count, so a doc that
+    repeats one training shingle scores low). Returns
     ``(doc_id, n_ngrams, n_novel, novelty)`` with
     ``novelty = round(n_novel / n_ngrams, 6)``.
 

@@ -250,8 +250,14 @@ def _rollup_last_batch(path: str) -> int:
     -1 when absent (pre-r7 rollups, or non-streaming builds)."""
     marker = os.path.join(path, "_last_batch")
     if os.path.isfile(marker):
-        txt = open(marker).read().strip()
-        return int(txt) if txt else -1
+        with open(marker) as f:
+            txt = f.read().strip()
+        try:
+            return int(txt) if txt else -1
+        except ValueError:
+            # Corrupted marker = no marker: stale-marker recovery path,
+            # not a crash of the whole refresh.
+            return -1
     return -1
 
 

@@ -229,6 +229,45 @@ QUERIES = [
         ],
         "from": "events",
     }),
+    ("window_range_frames", {
+        # RANGE frames (r8): interval bounds over the ts_dt key
+        # (engine: unix_micros + rangeBetween micros; SQL twins:
+        # native RANGE BETWEEN INTERVAL ...), numeric bounds over the
+        # integral event_id key. COUNT/MIN/MAX only — order-exact.
+        "select": [
+            "event_id", "user_id",
+            {"win": "count", "of": "event_id", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"}],
+             "frame": {"range": ["-48 hours", 0]}, "as": "cnt_48h"},
+            {"win": "max", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"}],
+             "frame": {"range": ["-2 days", "2 days"]},
+             "as": "max_pm2d", "round": 6},
+            {"win": "min", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "event_id", "dir": "asc"}],
+             "frame": {"range": [-500, 500]}, "as": "min_near"},
+        ],
+        "from": "events",
+    }),
+    ("window_nth_value", {
+        # nth_value (r8): cumulative default = nth-so-far (NULL until
+        # n rows), full frame = per-partition nth on every row.
+        "select": [
+            "event_id", "user_id",
+            {"win": "nth_value", "of": "value", "n": 2,
+             "partition_by": ["user_id"],
+             "order_by": [{"col": "value", "dir": "desc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "as": "second_so_far", "round": 6},
+            {"win": "nth_value", "of": "value", "n": 3,
+             "partition_by": ["user_id"],
+             "order_by": [{"col": "value", "dir": "desc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "frame": {"rows": [None, None]},
+             "as": "third_best", "round": 6},
+        ],
+        "from": "events",
+    }),
     ("corr_subquery_above_user_avg", {
         # correlated scalar subquery: compiler decorrelates into a
         # grouped-agg join; SQL twin is natively correlated. round:6 on
@@ -657,10 +696,65 @@ def test_window_frame_and_ntile_rejections(catalog):
         wq({"win": "rank", **base, "frame": {"rows": [-1, 0]}}),
         wq({"win": "sum", "of": "value", **base, "frame": {"rows": [2, -2]}}),
         wq({"win": "sum", "of": "value", **base, "frame": {"rows": [0.5, 0]}}),
-        wq({"win": "sum", "of": "value", **base, "frame": {"range": [0, 1]}}),
+        wq({"win": "sum", "of": "value", **base,
+            "frame": {"rows": [0, 1], "range": [0, 1]}}),
         wq({"win": "ntile", **base}),
         wq({"win": "ntile", **base, "buckets": 0}),
         wq({"win": "sum", "of": "value", **base, "buckets": 4}),
+    ]
+    for q in bad:
+        with pytest.raises(QueryError):
+            compile_query(q, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(q, tm, dialect="duckdb")
+
+
+def test_window_range_frame_rejections(catalog):
+    """RANGE frame refusals, twin-identical: >1 or descending order
+    key, mixed numeric+interval bounds, malformed interval strings,
+    inverted interval bounds, positional functions over RANGE (peer
+    rows share the frame — a positional pick is nondeterministic),
+    interval bounds on an integral key, numeric bounds on a timestamp
+    or double key, and nth_value 'n' validation."""
+    tm = catalog.spark_type_map("events")
+
+    def wq(term):
+        return {"select": ["event_id", term], "from": "events"}
+
+    pb = {"partition_by": ["user_id"], "as": "x"}
+    ts1 = {**pb, "order_by": [{"col": "ts_dt", "dir": "asc"}]}
+    id1 = {**pb, "order_by": ["event_id"]}
+    bad = [
+        # two order keys / descending key
+        wq({"win": "sum", "of": "value", **pb,
+            "order_by": ["ts_dt", "event_id"],
+            "frame": {"range": ["-7 days", 0]}}),
+        wq({"win": "sum", "of": "value", **pb,
+            "order_by": [{"col": "ts_dt", "dir": "desc"}],
+            "frame": {"range": ["-7 days", 0]}}),
+        # mixed bound kinds, malformed interval, inverted intervals
+        wq({"win": "sum", "of": "value", **ts1,
+            "frame": {"range": ["-7 days", 5]}}),
+        wq({"win": "sum", "of": "value", **ts1,
+            "frame": {"range": ["-7 parsecs", 0]}}),
+        wq({"win": "sum", "of": "value", **ts1,
+            "frame": {"range": ["-1 hours", "-2 hours"]}}),
+        # positional fn over RANGE
+        wq({"win": "first_value", "of": "value", **ts1,
+            "frame": {"range": ["-7 days", 0]}}),
+        wq({"win": "nth_value", "of": "value", "n": 2, **ts1,
+            "frame": {"range": ["-7 days", 0]}}),
+        # dtype mismatches (both twins type-check the order key)
+        wq({"win": "count", "of": "event_id", **id1,
+            "frame": {"range": ["-7 days", 0]}}),
+        wq({"win": "count", "of": "event_id", **ts1,
+            "frame": {"range": [-5, 0]}}),
+        wq({"win": "count", "of": "event_id", **pb,
+            "order_by": ["value"], "frame": {"range": [-5, 0]}}),
+        # nth_value 'n' validation
+        wq({"win": "nth_value", "of": "value", **id1}),
+        wq({"win": "nth_value", "of": "value", "n": 0, **id1}),
+        wq({"win": "sum", "of": "value", "n": 2, **id1}),
     ]
     for q in bad:
         with pytest.raises(QueryError):
