@@ -1881,6 +1881,50 @@ def _plan_routed_cast_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: DSL twin of the hour-grain raw SQL routed below — the plain
+#: hour-grouped scan, whose assembled SQL is the shared oracle.
+_PLAN_HOUR_Q = {
+    "select": ["hour", {"COUNT": "*", "as": "cnt"},
+               {"SUM": "value", "as": "sv", "round": 6}],
+    "from": "events",
+    "group_by": ["hour"],
+}
+
+
+def _plan_routed_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SQL grouping by HOUR, routed at the Catalyst-analyzed-plan
+    level onto a rollup keyed (minute, event_type) — the r8 admission
+    of the former hour type-flavor refusal: hour's timestamp-vs-ntz
+    flavor follows the source parquet, so the flavor-blind RollupRouter
+    refuses minute→hour derivation, but the PlanRouter reads the actual
+    hour dtype from its view's schema and pins the derived cast to it
+    (router._TIME_DERIVE_TYPED). Every minute-string row belongs to
+    exactly one hour, so the truncation is exact; the cast parses the
+    flavor-independent wall-clock text under the UTC session. Raises if
+    the plan does not route."""
+    import tempfile
+
+    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    events = cat.table("events")
+    events.createOrReplaceTempView("events_plan_route_hour")
+    rollups = {"agg_minute_etype": {"keys": ["minute", "event_type"],
+                                    "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = tempfile.mkdtemp(prefix="qpo_plan_routed_hour_")
+    build_rollups(events, agg_dir, rollups)
+    router = PlanRouter(spark, agg_dir, rollups,
+                        view="events_plan_route_hour")
+    df, routed = router.sql(
+        "SELECT hour, count(*) AS cnt, round(sum(value), 6) AS sv "
+        "FROM events_plan_route_hour GROUP BY hour"
+    )
+    if not routed:
+        raise RuntimeError(f"expected a plan route: {router.last_reason}")
+    return df
+
+
 def _routed_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_groupby_min_max through prepare + route with MIN/MAX
     partials: the rollup stores min_/max_ columns (min-of-mins is
@@ -2281,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dsl_plan_routed_week_rollup"] = _plan_routed_week_rollup
     out["dsl_plan_routed_cast_filter"] = _plan_routed_cast_filter
     out["dsl_plan_routed_cast_between"] = _plan_routed_cast_between
+    out["dsl_plan_routed_hour"] = _plan_routed_hour
     out["stream_rollup_maintenance"] = _stream_rollup_maintenance
     out["dsl_routed_minmax_rollup"] = _routed_minmax_rollup
     out["dsl_routed_hll_rollup"] = _routed_hll_rollup
@@ -2359,6 +2404,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["dsl_plan_routed_cast_between"] = assemble_sql(
         _PLAN_BETWEEN_Q, _query_type_map(_PLAN_BETWEEN_Q),
+        dialect="duckdb", ts_is_millis=False
+    )
+    out["dsl_plan_routed_hour"] = assemble_sql(
+        _PLAN_HOUR_Q, _query_type_map(_PLAN_HOUR_Q),
         dialect="duckdb", ts_is_millis=False
     )
     out["stream_rollup_maintenance"] = out["dsl_daily_rollup"]

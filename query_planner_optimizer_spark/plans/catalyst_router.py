@@ -571,6 +571,21 @@ class PlanRouter:
             json.loads(frame._jdf.queryExecution().analyzed().toJSON())
             if frame is not None else None
         )
+        # Flavor-dependent derivations (router._TIME_DERIVE_TYPED):
+        # the PlanRouter can see the actual source schema — the frame's
+        # if given, else the registered view's — so it can pin hour's
+        # timestamp-vs-ntz flavor and admit the minute→hour derivation
+        # the flavor-blind RollupRouter refuses.
+        src_schema = None
+        if frame is not None:
+            src_schema = frame.schema
+        else:
+            try:
+                src_schema = spark.table(view).schema
+            except Exception:  # view not registered (yet) — stay refused
+                src_schema = None
+        if src_schema is not None and "hour" in src_schema.names:
+            self.router.time_dtypes["hour"] = src_schema["hour"].dataType
         #: why the last route_df refused (None after a successful route)
         self.last_reason: str | None = None
 

@@ -71,6 +71,20 @@ _TIME_DERIVE: dict[tuple[str, str], "object"] = {
         F.date_trunc("week", F.to_date(F.substring("minute", 1, 10)))),
 }
 
+#: Derivations that are exact ONLY when the caller pins the target
+#: dtype (``RollupRouter.time_dtypes``): ``hour``'s timestamp-vs-ntz
+#: flavor follows the source parquet, so a router that doesn't know
+#: the base frame's flavor must refuse (the r6 refusal) — but a caller
+#: that DOES know it (PlanRouter reads its view's schema) can admit
+#: the minute→hour truncation: every minute-string row belongs to
+#: exactly one hour, the wall-clock text is flavor-independent, and
+#: the final cast pins the exact source dtype (UTC session, so ltz and
+#: ntz parse identically).
+_TIME_DERIVE_TYPED: dict[tuple[str, str], "object"] = {
+    ("minute", "hour"): lambda dtype: F.concat(
+        F.substring("minute", 1, 13), F.lit(":00:00")).cast(dtype),
+}
+
 
 class RollupRouter:
     def __init__(self, spark: SparkSession, aggregates_dir: str,
@@ -98,6 +112,12 @@ class RollupRouter:
         self.fallbacks = 0
         #: name of the rollup chosen by the most recent route() call
         self.last_rollup: str | None = None
+        #: target dtypes for flavor-dependent derivations
+        #: (_TIME_DERIVE_TYPED): e.g. {"hour": <the base frame's hour
+        #: dtype>}. Empty = those derivations stay refused (a wrong
+        #: flavor would silently break bit-exactness; PlanRouter fills
+        #: this from its view's schema).
+        self.time_dtypes: dict[str, object] = {}
         # Heal any crash-interrupted refresh_rollups swap before the
         # first _available() scan, so a stranded ``.refresh_old`` aside
         # is renamed back instead of the rollup silently vanishing.
@@ -396,6 +416,9 @@ class RollupRouter:
             for want in plain - keys:
                 srcs = [(s, w) for (s, w) in _TIME_DERIVE
                         if w == want and s in keys]
+                if want in self.time_dtypes:
+                    srcs += [(s, w) for (s, w) in _TIME_DERIVE_TYPED
+                             if w == want and s in keys]
                 if not srcs:
                     ok = False
                     break
@@ -440,7 +463,11 @@ class RollupRouter:
         # Derived time-grain columns (minute->day, day->week, ...)
         # attach before filters/grouping reference them.
         for want, (src_key, _w) in derive.items():
-            df = df.withColumn(want, _TIME_DERIVE[(src_key, want)]())
+            if (src_key, want) in _TIME_DERIVE:
+                df = df.withColumn(want, _TIME_DERIVE[(src_key, want)]())
+            else:
+                df = df.withColumn(want, _TIME_DERIVE_TYPED[
+                    (src_key, want)](self.time_dtypes[want]))
         # Filters apply on rollup grouping keys (or grain derivations)
         # — legal because every filtered column is part of the rollup
         # grain by subsumption, unlike the reference's silent drop

@@ -422,6 +422,102 @@ def test_plan_router_refusals(spark, catalog, tmp_path):
         df.limit(1).collect()  # the fallback plan still executes
 
 
+def test_plan_router_hour_grain_typed_derivation(spark, catalog, tmp_path):
+    """r8 admission of the former hour type-flavor refusal: a GROUP BY
+    hour plan routes onto a (minute, event_type) rollup because the
+    PlanRouter pins the derived hour's dtype from the source schema
+    (router._TIME_DERIVE_TYPED). Routed result is bit-equal to the
+    unrouted plan, including the timestamp flavor."""
+    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    rollups = {"agg_minute_etype": {"keys": ["minute", "event_type"],
+                                    "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs_minute")
+    build_rollups(catalog.table("events"), agg_dir, rollups)
+    pr = PlanRouter(spark, agg_dir, rollups)
+    sql = ("SELECT hour, count(*) AS n, round(sum(value), 6) AS sv "
+           "FROM events GROUP BY hour")
+    df, routed = pr.sql(sql)
+    assert routed, pr.last_reason
+    want_dtype = catalog.table("events").schema["hour"].dataType
+    assert df.schema["hour"].dataType == want_dtype
+    assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
+
+
+def test_rollup_router_hour_flavor_refusal_and_pin(spark, catalog, tmp_path):
+    """The flavor-blind RollupRouter REFUSES minute→hour derivation
+    (hour's timestamp-vs-ntz flavor follows the source parquet; a
+    wrong-flavor rewrite would silently break bit-exactness) — and
+    ROUTES once the caller pins the dtype, matching the scan."""
+    from query_planner_optimizer_spark.dsl.compiler import compile_query
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    rollups = {"agg_minute_etype": {"keys": ["minute", "event_type"],
+                                    "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs_minute_dsl")
+    build_rollups(catalog.table("events"), agg_dir, rollups)
+    router = RollupRouter(spark, agg_dir, rollups)
+    q = {"select": ["hour", {"COUNT": "*", "as": "n"},
+                    {"SUM": "value", "as": "sv", "round": 6}],
+         "from": "events", "group_by": ["hour"]}
+    assert router.route(q) is None  # flavor unknown → principled refusal
+    router.time_dtypes["hour"] = \
+        catalog.table("events").schema["hour"].dataType
+    routed = router.route(q)
+    assert routed is not None
+    scan = compile_query(q, catalog)
+    # nullability differs (routed COUNT is a nullable partial-sum);
+    # names, dtypes — the hour flavor above all — and values must match
+    assert [(f.name, f.dataType) for f in routed.schema.fields] == \
+        [(f.name, f.dataType) for f in scan.schema.fields]
+    assert sorted(routed.collect()) == sorted(scan.collect())
+
+
+def test_plan_router_refusal_contract(spark, catalog, tmp_path):
+    """The pinned refusal contract (COVERAGE.md r8): every residual
+    refusal in the shapes audit is PRINCIPLED — each shape refuses the
+    route (never a wrong rewrite) and the fallback executes the
+    original plan correctly. Reference hazard analog: the reference's
+    pattern router silently DROPPED filters it couldn't serve
+    (query_engine.py:166-232); these refusals are that failure mode
+    done right."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    cases = [
+        # unrounded fractional SUM partial: the rollup's exact-decimal
+        # merge vs the scan's order-dependent double sum can differ by
+        # an ulp with no rounding step to absorb it
+        ("SELECT day, round(sum(value) / count(*), 6) AS r "
+         "FROM events GROUP BY day", "router"),
+        ("SELECT event_type, sum(value) AS sv FROM events "
+         "GROUP BY event_type HAVING count(*) > 100", "router"),
+        # expression grouping key: lower(event_type) is not a grain key
+        ("SELECT lower(event_type) AS e, count(*) AS n FROM events "
+         "GROUP BY lower(event_type)", "translate"),
+        # not representable in sum/count/min/max partials
+        ("SELECT day, count(DISTINCT user_id) AS du FROM events "
+         "GROUP BY day", "translate"),
+        ("SELECT day, round(stddev(value), 6) AS sd FROM events "
+         "GROUP BY day", "translate"),
+        ("SELECT day, round(median(value), 6) AS md FROM events "
+         "GROUP BY day", "translate"),
+        ("SELECT day, count(*) FILTER (WHERE value > 1) AS nf "
+         "FROM events GROUP BY day", "translate"),
+        # non-ISO literal keeps string-comparison semantics the date
+        # domain can't express ('2024-1-3' ≠ any fixed-width ISO day)
+        ("SELECT day, count(*) AS n FROM events "
+         "WHERE CAST(day AS STRING) = '2024-1-3' GROUP BY day",
+         "translate"),
+    ]
+    for sql, family in cases:
+        df, routed = pr.sql(sql)
+        assert not routed, sql
+        assert pr.last_reason.startswith(family), (sql, pr.last_reason)
+        # refuse-not-wrong: the fallback is the original plan and runs
+        assert df.count() >= 0
+
+
 def test_plan_router_date_literal_forms(spark, catalog, tmp_path):
     """DATE literals and string-to-date casts both coerce to the DSL's
     string spelling and route with pushdown-friendly typed filters."""
