@@ -2216,89 +2216,78 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-7 window (r6 VERDICT #1: evidence conversion again).
-    # -- Composition: ALL 32 entries with zero driver rows across
-    # -- CORRECTNESS_r01-r06 (the 6 simple-DSL shapes deferred from r6
-    # -- plus the 26 r6 additions: grouping dict, non-equi semi/anti,
-    # -- quantile/hist/HLL routing, BPE tokenizer, JPEG meta, profiler,
-    # -- skew/corr/winsorized/MAD, cross-split leakage, topk-trending,
-    # -- hist maintenance, plan-routed week/cast), plus 18 refresh
-    # -- slots from the 30-entry r3-stale backlog (entries whose last
-    # -- driver evidence predates the DECIMAL-sum and portable-hash
-    # -- hardening). The 12 r3-green entries deferred to r8:
-    # -- dsl_filter_like_notnull, dsl_hourly_day_between,
-    # -- dsl_join_anti_inactive_customers,
-    # -- dsl_join_semi_orders_with_lineitems, text_repetition,
-    # -- stream_enrich_dim, stream_sliding_rollup, analytics_json_props,
-    # -- analytics_embedding_centroids, analytics_topn_per_group,
-    # -- pipeline_chunk_documents, sample_split_assignments.
-    # simple-DSL shapes deferred from r6 (never driver-checked)
-    "dsl_orderby_nulls_last",
-    "dsl_string_functions",
-    "dsl_numeric_functions",
-    "dsl_mod_bucketing",
-    "dsl_filter_col_vs_col",
-    "dsl_topk_offset_page",
-    # grouping dict (ROLLUP/CUBE/GROUPING SETS) — r6-new
-    "dsl_grouping_rollup",
-    "dsl_grouping_sets",
-    "dsl_grouping_having",
-    # non-equi semi/anti joins — r6-new
-    "dsl_join_semi_nonequi",
-    "dsl_join_anti_nonequi",
-    # window distribution functions — r6-new
-    "dsl_window_distribution",
-    # quantile sketches + routing — r6-new
-    "dsl_pricing_quantiles",
-    "dsl_quantile_sketch",
-    "dsl_routed_hist_quantile",
-    "dsl_routed_pricing_quantile",
-    "dsl_routed_hll_rollup",
-    # plan-level router additions — r6-new
-    "dsl_plan_routed_week_rollup",
-    "dsl_plan_routed_cast_filter",
-    # BPE tokenizer training + segmentation — r6-new
-    "text_bpe_merges",
-    "text_bpe_segment",
-    # JPEG marker parsing — r6-new
-    "multimodal_jpeg_meta",
-    # streaming additions — r6-new
-    "stream_topk_trending",
-    "stream_hist_maintenance",
-    # profiling / stats analytics — r6-new
-    "analytics_profile_events",
-    "analytics_profile_documents",
-    "analytics_key_skew",
-    "analytics_corr_pairs",
-    "analytics_winsorized",
-    "analytics_mad_outliers",
-    # cross-split leakage — r6-new
-    "dedup_split_leakage",
-    "dedup_near_split_leakage",
-    # -- r3-stale refresh (last driver evidence r3, pre-hardening) --
-    "dsl_agg_filter_clause",
-    "dsl_where_or_not_tree",
-    "dsl_join_left_customer_orders",
-    "dedup_simhash_quality",
-    "dedup_embedding_cosine",
-    "sim_ann_recall",
-    "sim_ivf_recall",
-    "text_lang_id",
-    "text_pii_scrub",
-    # -- r7-new entries (zero driver rows; the remaining 9 r3-stale
-    # refreshes — relevance_bm25, stream_dedup/funnel/interval_join,
-    # analytics_quantiles/latest_per_key, temporal_range_join,
-    # pipeline_pack_sequences, sample_stratified_by_lang — defer to
-    # the r8 window: never-checked outranks re-showing r3-green) --
-    "dsl_plan_routed_cast_between",
-    "dsl_join_range_conjunct",
-    "analytics_profile_approx",
-    "pipeline_snapshot_diff",
-    "pipeline_corpus_card",
-    "dedup_best_of_cluster",
-    "sim_pq_recall",
-    "dsl_scalar_select_share",
-    "dsl_scalar_select_correlated",
+    # -- round-8 window (r7 VERDICT #1: finish the evidence program).
+    # -- Composition: the 2 entries with zero driver rows across
+    # -- r1-r7 (dsl_window_first_last, dedup_ngram_novelty — after
+    # -- this round every pre-r8 entry is driver-proven), the 3
+    # -- r8-new entries (RANGE frames, nth_value, hour plan-route),
+    # -- ALL 21 entries whose latest green is r3 (pre-DECIMAL-sum /
+    # -- portable-hash hardening: the 9 deferred from r7 plus the 12
+    # -- deferred from the r7 _PANEL comment), and 24 of the 44
+    # -- r4-green entries in registry order. Deferred to r9: the
+    # -- remaining 20 r4-green entries (relevance_tfidf,
+    # -- multimodal_features/frame_pipeline, stream_hourly_rollup,
+    # -- analytics_value_histogram/zscore/running_sum/lag_delta/
+    # -- distinct_users/rollup_counts/cube_counts/pivot/salted_agg,
+    # -- dsl_join_salted, pipeline_top_quality/line_dedup/
+    # -- pack_grouped, sample_hash_10pct/k_per_group,
+    # -- text_collocations) + the r5 backlog.
+    # never driver-checked (late-r7 adds)
+    "dsl_window_first_last",
+    "dedup_ngram_novelty",
+    # r8-new (never driver-checked)
+    "dsl_window_range_frame",
+    "dsl_window_nth_value",
+    "dsl_plan_routed_hour",
+    # -- r3-stale refresh: the 9 deferred from the r7 rotation --
+    "relevance_bm25",
+    "stream_dedup",
+    "stream_funnel",
+    "stream_interval_join",
+    "analytics_quantiles",
+    "analytics_latest_per_key",
+    "temporal_range_join",
+    "pipeline_pack_sequences",
+    "sample_stratified_by_lang",
+    # -- r3-stale refresh: the 12 deferred from r6's rotation --
+    "dsl_filter_like_notnull",
+    "dsl_hourly_day_between",
+    "dsl_join_anti_inactive_customers",
+    "dsl_join_semi_orders_with_lineitems",
+    "text_repetition",
+    "stream_enrich_dim",
+    "stream_sliding_rollup",
+    "analytics_json_props",
+    "analytics_embedding_centroids",
+    "analytics_topn_per_group",
+    "pipeline_chunk_documents",
+    "sample_split_assignments",
+    # -- r4-stale refresh (oldest remaining evidence), registry order;
+    # -- sample_mixture_weights fronted for the r8 fixed-floor work --
+    "dsl_case_agg",
+    "dsl_join_revenue_by_nation",
+    "dsl_tpch_q1_full",
+    "dsl_window_rank_running",
+    "dsl_scalar_subquery_above_avg",
+    "dsl_tpch_q3_shipping_priority",
+    "dsl_tpch_q5_local_supplier_volume",
+    "dsl_tpch_q6_forecast_revenue",
+    "dsl_tpch_q10_returned_items",
+    "dsl_tpch_q12_priority_split",
+    "dsl_pricing_summary",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cc_star",
+    "sim_lsh_topk",
+    "dedup_embedding_cosine_lsh",
+    "sim_ivf_topk",
+    "dedup_embedding_lsh_quality",
+    "text_oov_ratio",
+    "text_token_count",
+    "text_fingerprint",
+    "text_token_vocab",
+    "text_normalize_nfc",
+    "sample_mixture_weights",
 ]
 
 

@@ -341,8 +341,32 @@ def ivf_topk(
             .withColumn("crank", F.row_number().over(w))
         )
 
+    def assigned_cells(side: DataFrame,
+                       cents: list[list[float]]) -> DataFrame:
+        """Per-id BEST cell — the argmax via a partial-aggregable
+        min-struct (r8): map-side combine collapses the nlist-way join
+        fan-out before the shuffle, where the crank==1 window shuffled
+        and sorted all n·nlist joined rows. min(-csim, cell) picks the
+        same (max csim, lowest cell) as the window's (desc, asc) sort —
+        Spark normalizes -0.0 = 0.0 in orderings, so the negation
+        cannot reorder — and carries the vector through untouched."""
+        sim = _dot(F.col("_vec"), F.col("c_vec")) / (
+            F.col("_norm") * F.col("c_norm")
+        )
+        best = (
+            side.join(F.broadcast(centroid_df(cents)))
+            .withColumn("csim", sim)
+            .groupBy("id")
+            .agg(F.min(F.struct(
+                (-F.col("csim")).alias("ncsim"), F.col("cell"),
+                F.col("_vec"), F.col("_norm"))).alias("b"))
+        )
+        return best.select(
+            "id", F.col("b._vec").alias("_vec"),
+            F.col("b._norm").alias("_norm"), F.col("b.cell").alias("cell"))
+
     for _ in range(iters):
-        assigned = scored_cells(base, centroids).filter(F.col("crank") == 1)
+        assigned = assigned_cells(base, centroids)
         dims = [
             F.avg(F.element_at(F.col("_vec"), i + 1)).alias(f"d{i}")
             for i in range(dim)
@@ -351,11 +375,7 @@ def ivf_topk(
         for r in rows:
             centroids[r["cell"]] = [r[f"d{i}"] for i in range(dim)]
 
-    corpus = (
-        scored_cells(base, centroids)
-        .filter(F.col("crank") == 1)
-        .select("id", "_vec", "_norm", "cell")
-    )
+    corpus = assigned_cells(base, centroids)
 
     probes = (
         scored_cells(base.filter(F.col("id") < num_queries), centroids)
@@ -450,17 +470,22 @@ def pq_topk(
 
     def assign() -> DataFrame:
         # |sub|² is constant per (id, s): rank by |c|² − 2·dot alone.
-        # Deterministic tie-break toward the lower code id.
+        # Argmin via a partial-aggregable min-struct (r8): map-side
+        # combine collapses the ks-way join fan-out BEFORE the shuffle,
+        # where the former row_number window shuffled and sorted all
+        # n·m·ks joined rows. (adist, code) is a total order within
+        # each (id, s) group — codes are distinct, so ties are
+        # impossible and the pick is bit-identical to the sorted form
+        # (tie-break toward the lower code id kept by struct order).
         ad = F.col("c_n2") - 2.0 * _dot(F.col("sv"), F.col("c_vec"))
-        w = Window.partitionBy("id", "s").orderBy(
-            F.col("adist").asc(), F.col("code").asc())
-        return (
+        best = (
             sub.join(F.broadcast(book_df()), "s")
             .withColumn("adist", ad)
-            .withColumn("arank", F.row_number().over(w))
-            .filter(F.col("arank") == 1)
-            .select("id", "s", "code", "sv")
+            .groupBy("id", "s")
+            .agg(F.min(F.struct("adist", "code", "sv")).alias("b"))
         )
+        return best.select("id", "s", F.col("b.code").alias("code"),
+                           F.col("b.sv").alias("sv"))
 
     for _ in range(iters):
         dims = [F.avg(F.element_at(F.col("sv"), i + 1)).alias(f"d{i}")

@@ -12,7 +12,11 @@ flags:
 - any float divergence beyond 1e-9 relative (real bugs, not noise);
 - exact-value mismatches on non-float columns.
 
-Usage: python scripts/exactcheck.py [sf_dir] [--only=a,b] [--repo-session]
+Usage: python scripts/exactcheck.py [sf_dir] [--only=a,b] [--first=N]
+       [--repo-session]
+
+``--first=N`` checks the first N queries() entries in panel order —
+the driver's 50-entry correctness window is ``--first=50``.
 """
 
 from __future__ import annotations
@@ -127,6 +131,10 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    first = [int(f.split("=", 1)[1]) for f in flags
+             if f.startswith("--first=")]
+    if first:
+        qs = {n: f for i, (n, f) in enumerate(qs.items()) if i < first[0]}
     if only:
         qs = {n: f for n, f in qs.items() if any(s in n for s in only)}
     hard, notes = [], []

@@ -337,6 +337,13 @@ def main() -> int:
         # and sliding-window top-k (hopping counts + grain-bounded rank)
         "cube_day_etype": lambda spark, kk: _cube(spark, kk),
         "topk_trending": lambda spark, kk: _topk(spark, kk),
+        # r8 (r7 VERDICT #4): the flagship-pipeline 100x protocol —
+        # salted two-stage prefix sum (windows over levels/salt buckets
+        # only) and the score→gate→hash-dedup funnel
+        "token_budget": lambda spark, kk: docpipe.select_token_budget(
+            replicate_docs(spark, kk)),
+        "clean_corpus": lambda spark, kk: docpipe.clean_corpus(
+            replicate_docs(spark, kk)),
     }
     print(f"# scale smoke: 1x vs {k}x (sf0.1 base, local, noop sink)")
     for name, build in ops.items():

@@ -129,6 +129,25 @@ win_terms = st.sampled_from([
     {"win": "last_value", "of": "value", "partition_by": ["user_id"],
      "order_by": _WIN_OB, "frame": {"rows": [0, 2]},
      "as": "lv3", "round": 6},
+    # r8: RANGE frames — COUNT/MIN/MAX only (order-independent exact);
+    # interval bounds over the single ts_dt key, numeric over event_id
+    {"win": "count", "of": "event_id", "partition_by": ["user_id"],
+     "order_by": [{"col": "ts_dt", "dir": "asc"}],
+     "frame": {"range": ["-2 days", 0]}, "as": "cnt_2d"},
+    {"win": "max", "of": "value", "partition_by": ["user_id"],
+     "order_by": [{"col": "ts_dt", "dir": "asc"}],
+     "frame": {"range": ["-36 hours", "12 hours"]},
+     "as": "max_win", "round": 6},
+    {"win": "min", "of": "value", "partition_by": ["user_id"],
+     "order_by": [{"col": "event_id", "dir": "asc"}],
+     "frame": {"range": [-300, 300]}, "as": "min_near", "round": 6},
+    # r8: nth_value — cumulative default and full frame
+    {"win": "nth_value", "of": "value", "n": 2,
+     "partition_by": ["user_id"], "order_by": _WIN_OB,
+     "as": "nth2_sofar", "round": 6},
+    {"win": "nth_value", "of": "value", "n": 3,
+     "partition_by": ["user_id"], "order_by": _WIN_OB,
+     "frame": {"rows": [None, None]}, "as": "nth3_all", "round": 6},
 ])
 
 AGG_FUNCS = ("SUM", "AVG", "COUNT", "MIN", "MAX")
@@ -474,6 +493,16 @@ def composed_queries(draw) -> dict:
                         "op": draw(st.sampled_from(["gte", "lte"])),
                         "val": draw(st.integers(min_value=0,
                                                 max_value=100))}]
+    # r8 (r7 VERDICT #6): SELECT-side scalar subquery READING THE CTE —
+    # the one-row aggregate compiles against the view catalog and the
+    # SQL twin renders the subselect under the same WITH scope;
+    # integer-exact (SUM of COUNT aliases), so drift is a real bug.
+    if draw(st.booleans()):
+        fn = draw(st.sampled_from([{"SUM": "n", "as": "s"},
+                                   {"COUNT": "*", "as": "s"}]))
+        q["select"] = [*q["select"],
+                       {"subquery": {"select": [fn], "from": "v"},
+                        "as": "cte_scalar"}]
     return q
 
 
