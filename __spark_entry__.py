@@ -679,6 +679,46 @@ DSL_QUERIES: dict[str, dict] = {
         "where": [{"col": "event_type", "op": "in",
                    "val": ["click", "view"]}],
     },
+    "dsl_exists_lineitem": {
+        # Correlated EXISTS (r8) — the TPC-H Q4 spelling: count orders
+        # per priority that HAVE a large lineitem. Engine: LEFT SEMI
+        # join on the correlate pairs (the subquery projects only the
+        # renamed key, so the probe side joins a slim key set); oracle:
+        # natively correlated EXISTS wrapped in a derived table so the
+        # inner lineitem scan can never capture the outer reference.
+        "select": ["o_orderpriority", {"COUNT": "*", "as": "order_count"}],
+        "from": "orders",
+        "where": [
+            {"col": "o_orderdate", "op": "gte", "val": "1995-01-01"},
+            {"op": "exists", "val": {
+                "subquery": {
+                    "select": ["l_orderkey"],
+                    "from": "lineitem",
+                    "where": [{"col": "l_quantity", "op": "gt",
+                               "val": 45}]},
+                "correlate": [["o_orderkey", "l_orderkey"]]}},
+        ],
+        "group_by": ["o_orderpriority"],
+        "order_by": ["o_orderpriority"],
+    },
+    "dsl_not_exists_customers": {
+        # NOT EXISTS (r8) — the TPC-H Q22 spelling: per-segment count
+        # + avg balance of customers with NO big order. Engine: LEFT
+        # ANTI join — the sane NOT-IN-null-poisoning-free semantics
+        # both twins share (oracle renders NOT EXISTS, never NOT IN).
+        "select": ["c_mktsegment", {"COUNT": "*", "as": "n_quiet"},
+                   {"AVG": "c_acctbal", "as": "avg_bal", "round": 6}],
+        "from": "customer",
+        "where": [{"op": "not_exists", "val": {
+            "subquery": {
+                "select": ["o_custkey"],
+                "from": "orders",
+                "where": [{"col": "o_totalprice", "op": "gt",
+                           "val": 400000}]},
+            "correlate": [["c_custkey", "o_custkey"]]}}],
+        "group_by": ["c_mktsegment"],
+        "order_by": ["c_mktsegment"],
+    },
     "dsl_window_range_frame": {
         # RANGE window frames (r8): value-based frames over the single
         # ORDER BY key — the time-series moving-window shape ROWS
@@ -2239,6 +2279,8 @@ _PANEL = [
     "dsl_window_range_frame",
     "dsl_window_nth_value",
     "dsl_plan_routed_hour",
+    "dsl_exists_lineitem",
+    "dsl_not_exists_customers",
     # -- r3-stale refresh: the 9 deferred from the r7 rotation --
     "relevance_bm25",
     "stream_dedup",
@@ -2262,8 +2304,9 @@ _PANEL = [
     "analytics_topn_per_group",
     "pipeline_chunk_documents",
     "sample_split_assignments",
-    # -- r4-stale refresh (oldest remaining evidence), registry order;
-    # -- sample_mixture_weights fronted for the r8 fixed-floor work --
+    # -- r4-stale refresh (oldest remaining evidence), registry order
+    # -- (text_normalize_nfc + sample_mixture_weights displaced to r9
+    # -- by the late-r8 exists entries: never-checked outranks) --
     "dsl_case_agg",
     "dsl_join_revenue_by_nation",
     "dsl_tpch_q1_full",
@@ -2286,8 +2329,6 @@ _PANEL = [
     "text_token_count",
     "text_fingerprint",
     "text_token_vocab",
-    "text_normalize_nfc",
-    "sample_mixture_weights",
 ]
 
 

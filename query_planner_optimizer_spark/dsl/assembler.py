@@ -33,6 +33,7 @@ from query_planner_optimizer_spark.dsl.compiler import (
     QueryError,
     agg_decimal_scale,
     _is_agg_term,
+    _is_exists_leaf,
     _is_expr_term,
     _is_membership_leaf,
     _is_post_term,
@@ -44,6 +45,7 @@ from query_planner_optimizer_spark.dsl.compiler import (
     validate_derived_from,
     validate_join_nonequi,
     parse_grouping,
+    validate_exists_leaf,
     validate_membership_subquery,
     validate_with_clause,
 )
@@ -101,6 +103,12 @@ def _condition_sql(
         inner = _condition_sql(cond["not"], type_map, dialect,
                                outer_table, cte_names)
         return f"(NOT {inner})"
+    if _is_exists_leaf(cond):
+        # Mirrors the compiler's refusal: exists rewrites to semi/anti
+        # joins, which cannot sit under OR/NOT or inside HAVING.
+        raise QueryError(
+            "exists leaves are only supported as top-level WHERE "
+            f"conditions: {cond!r}")
     col_name = cond.get("col")
     if col_name not in type_map:
         raise QueryError(f"unknown filter column: {cond!r}")
@@ -241,6 +249,35 @@ def _membership_sql(
     return (f"NOT EXISTS (SELECT 1 FROM (SELECT {key} AS __mkey "
             f"FROM ({sub_sql}) AS __mi) AS __m "
             f"WHERE __m.__mkey = {_ident(col, dialect)})")
+
+
+def _exists_sql(
+    cond: dict, type_map: dict[str, T.DataType], dialect: str,
+    ts_is_millis: bool, outer_table: str,
+    cte_names: frozenset = frozenset(),
+) -> str:
+    """Render a top-level EXISTS / NOT EXISTS leaf — the twin of the
+    compiler's LEFT SEMI / LEFT ANTI rewrite. The subquery is wrapped
+    in a derived table (``AS __ex``), so every inner relation name is
+    enclosed and ``<outer_table>.<col>`` always resolves to the OUTER
+    scope, even when inner and outer scan the same table; identical
+    scoping text is valid in Spark SQL and DuckDB."""
+    sub, pairs = validate_exists_leaf(cond)
+    sub_sql = assemble_sql(sub, type_map, dialect, ts_is_millis,
+                           cte_names=cte_names)
+    names = dsl_output_names(sub)
+    for _, ik in pairs:
+        if ik not in names:
+            raise QueryError(
+                f"exists inner column {ik!r} not in subquery output "
+                f"{names}: {cond!r}")
+    on = " AND ".join(
+        f"__ex.{_ident(ik, dialect)} = "
+        f"{_ident(outer_table, dialect)}.{_ident(ok, dialect)}"
+        for ok, ik in pairs
+    )
+    neg = "NOT " if cond["op"] == "not_exists" else ""
+    return f"{neg}EXISTS (SELECT 1 FROM ({sub_sql}) AS __ex WHERE {on})"
 
 
 def _render_cond(
@@ -1234,10 +1271,14 @@ def assemble_sql(
     where_sql = ""
     if conds:
         outer = None if derived_from else table
+        ex_outer = "__src" if derived_from else table
         where_sql = " WHERE " + " AND ".join(
             _membership_sql(c, type_map, dialect, ts_is_millis,
                             cte_names=cte_names)
             if _is_membership_leaf(c)
+            else _exists_sql(c, type_map, dialect, ts_is_millis,
+                             ex_outer, cte_names=cte_names)
+            if _is_exists_leaf(c)
             else _condition_sql(c, type_map, dialect, outer_table=outer,
                                 cte_names=cte_names)
             for c in conds
@@ -1269,7 +1310,12 @@ def assemble_sql(
             for t in q.get("select") or []:
                 if _is_agg_term(t):
                     fname, col, out_name, round_to, _f = _parse_agg_term(t)
-                    if fname == "COUNT":
+                    if fname in ("COUNT", "COUNT_DISTINCT"):
+                        # Both are 0 (not NULL) over empty input — the
+                        # r7 fuzzer contract the engine's marker union
+                        # and DuckDB already follow (an r8 exists-draw
+                        # catch: NOT EXISTS can empty the input, and
+                        # this twin emitted NULL for COUNT_DISTINCT).
                         statics.append(
                             f"CAST(0 AS BIGINT) AS "
                             f"{_quote_ident(out_name, dialect)}")

@@ -412,6 +412,12 @@ SCALAR_SUBQUERY_OPS = ("eq", "neq", "lt", "lte", "gt", "gte")
 def _filter_condition(df: DataFrame, cond: dict) -> Column:
     col_name = cond.get("col")
     op = cond.get("op")
+    if op in ("exists", "not_exists"):
+        # Rewritten to LEFT SEMI/ANTI joins, which cannot sit under
+        # OR/NOT or in HAVING — only top-level WHERE conjuncts.
+        raise QueryError(
+            "exists leaves are only supported as top-level WHERE "
+            f"conditions: {cond!r}")
     if not isinstance(col_name, str) or col_name not in df.columns:
         raise QueryError(f"unknown filter column: {cond!r}")
     if op not in FILTER_OPS:
@@ -841,6 +847,53 @@ def _is_membership_leaf(cond: Any) -> bool:
     return (isinstance(cond, dict) and cond.get("op") in ("in", "not_in")
             and isinstance(cond.get("val"), dict)
             and "subquery" in cond["val"])
+
+
+def _is_exists_leaf(cond: Any) -> bool:
+    """WHERE leaf ``{"op": "exists"|"not_exists", "val": {"subquery":
+    <dsl>, "correlate": [[outer, inner], ...]}}``."""
+    return isinstance(cond, dict) and cond.get("op") in ("exists",
+                                                         "not_exists")
+
+
+def validate_exists_leaf(cond: dict) -> tuple[dict, list[tuple[str, str]]]:
+    """Shared twin validation of a correlated EXISTS / NOT EXISTS leaf
+    (the TPC-H Q4/Q21/Q22 spelling); returns (subquery, pairs).
+
+    Contract: top-level WHERE conjuncts only (the compiler rewrites to
+    LEFT SEMI / LEFT ANTI joins, which cannot sit under OR/NOT);
+    ``correlate`` pairs are REQUIRED — an uncorrelated EXISTS is a
+    degenerate whole-table keep/drop switch, better written as a
+    scalar COUNT comparison; ``order_by``/``limit`` are rejected (they
+    cannot change non-emptiness — dead weight refused like membership
+    subqueries). NOT EXISTS compiles to LEFT ANTI, so there is no
+    NOT-IN null-poisoning: a NULL outer key simply never matches."""
+    if "col" in cond:
+        raise QueryError(
+            f"exists leaves take no 'col' (correlation is the "
+            f"'correlate' pair list): {cond!r}")
+    val = cond.get("val")
+    if not isinstance(val, dict) or set(val) != {"subquery", "correlate"}:
+        raise QueryError(
+            "exists leaf needs {'subquery': <dsl>, 'correlate': "
+            f"[[outer, inner], ...]}}: {cond!r}")
+    sub = val["subquery"]
+    if not isinstance(sub, dict):
+        raise QueryError(f"exists subquery must be a DSL dict: {sub!r}")
+    if "order_by" in sub or "limit" in sub:
+        raise QueryError(
+            f"exists subqueries cannot carry order_by/limit: {sub!r}")
+    raw = val["correlate"]
+    if not isinstance(raw, list) or not raw:
+        raise QueryError(
+            f"exists needs a non-empty 'correlate' pair list: {cond!r}")
+    pairs: list[tuple[str, str]] = []
+    for p in raw:
+        if (not isinstance(p, (list, tuple)) or len(p) != 2
+                or not all(isinstance(x, str) for x in p)):
+            raise QueryError(f"bad 'correlate' pair: {p!r}")
+        pairs.append((p[0], p[1]))
+    return sub, pairs
 
 
 def validate_membership_subquery(cond: dict) -> dict:
@@ -1494,6 +1547,12 @@ def _try_eager_agg(q: dict, catalog) -> tuple | None:
             if cond.get("col") not in o_df.columns:
                 return None
             continue
+        if _is_exists_leaf(cond):
+            # The correlate pairs' outer columns must be probe-side;
+            # refusing outright keeps the rewrite provably sound (the
+            # exists semi-join would otherwise need to run before the
+            # eager aggregation).
+            return None
         refs = _cond_col_refs(cond)
         if not refs.issubset(set(o_df.columns) | {gk}):
             return None
@@ -1762,7 +1821,9 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     # post-join, as do membership columns produced by a join.
     all_conds = q.get("where") or []
     membership = [c for c in all_conds if _is_membership_leaf(c)]
-    conds = [c for c in all_conds if not _is_membership_leaf(c)]
+    exists_leaves = [c for c in all_conds if _is_exists_leaf(c)]
+    conds = [c for c in all_conds
+             if not _is_membership_leaf(c) and not _is_exists_leaf(c)]
     join_types = [j.get("type", "inner") for j in q.get("join") or []]
     pushable = all(t in ("inner", "left", "semi", "anti")
                    for t in join_types)
@@ -1785,6 +1846,39 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             df = _apply_membership(df, cond)
         else:
             deferred_membership.append(cond)
+
+    def _apply_exists(frame: DataFrame, cond: dict) -> DataFrame:
+        # Correlated EXISTS → LEFT SEMI on the correlate pairs (NOT
+        # EXISTS → LEFT ANTI): the inner frame projects ONLY the
+        # renamed correlate keys, so nothing else can collide and the
+        # probe side shuffles/broadcasts against a slim key set.
+        sub, pairs = validate_exists_leaf(cond)
+        sub_df = compile_query(sub, catalog)
+        for ok, ik in pairs:
+            if ok not in frame.columns:
+                raise QueryError(
+                    f"exists outer column {ok!r} not in scope: {cond!r}")
+            if ik not in sub_df.columns:
+                raise QueryError(
+                    f"exists inner column {ik!r} not in subquery "
+                    f"output: {cond!r}")
+        proj = sub_df.select(*[
+            F.col(ik).alias(f"__ex{i}") for i, (_, ik) in enumerate(pairs)
+        ])
+        jcond = None
+        for i, (ok, _) in enumerate(pairs):
+            c = frame[ok] == proj[f"__ex{i}"]
+            jcond = c if jcond is None else (jcond & c)
+        jtype = "left_semi" if cond["op"] == "exists" else "left_anti"
+        return frame.join(proj, jcond, jtype)
+
+    deferred_exists = []
+    for cond in exists_leaves:
+        sub, pairs = validate_exists_leaf(cond)
+        if pushable and all(ok in df.columns for ok, _ in pairs):
+            df = _apply_exists(df, cond)
+        else:
+            deferred_exists.append(cond)
 
     # JOIN — additive extension beyond the reference DSL (the spec
     # excludes joins, ``claude.md:141``; Spark supplies them natively).
@@ -1897,6 +1991,10 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         if cond["col"] not in df.columns:
             raise QueryError(f"unknown filter column: {cond!r}")
         df = _apply_membership(df, cond)
+    # Exists leaves not pushed before the joins apply here post-join —
+    # SQL WHERE semantics, same policy as deferred membership.
+    for cond in deferred_exists:
+        df = _apply_exists(df, cond)
     if conds:
         # Uncorrelated scalar subqueries ({"val": {"subquery": <dsl>}})
         # attach as broadcast one-row columns before the filter builds

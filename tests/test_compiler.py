@@ -268,6 +268,41 @@ QUERIES = [
         ],
         "from": "events",
     }),
+    ("exists_correlated", {
+        # r8: correlated EXISTS → LEFT SEMI on the correlate pairs;
+        # the SQL twin renders a natively correlated EXISTS wrapped in
+        # a derived table. Same-table inner scan (events EXISTS
+        # events) — the derived alias encloses the inner relation so
+        # the outer qualification resolves outward.
+        "select": ["event_type", {"COUNT": "*", "as": "n"}],
+        "from": "events",
+        "where": [
+            {"col": "value", "op": "lt", "val": 10},
+            {"op": "exists", "val": {
+                "subquery": {
+                    "select": ["user_id"],
+                    "from": "events",
+                    "where": [{"col": "value", "op": "gt", "val": 90}]},
+                "correlate": [["user_id", "user_id"]]}},
+        ],
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    }),
+    ("not_exists_correlated", {
+        # r8: NOT EXISTS → LEFT ANTI (no NOT-IN null-poisoning);
+        # two correlate pairs exercise the multi-key join condition.
+        "select": ["event_id", "user_id", "event_type"],
+        "from": "events",
+        "where": [{"op": "not_exists", "val": {
+            "subquery": {
+                "select": ["user_id", "event_type"],
+                "from": "events",
+                "where": [{"col": "value", "op": "gt", "val": 80}]},
+            "correlate": [["user_id", "user_id"],
+                          ["event_type", "event_type"]]}}],
+        "order_by": ["event_id"],
+        "limit": 300,
+    }),
     ("corr_subquery_above_user_avg", {
         # correlated scalar subquery: compiler decorrelates into a
         # grouped-agg join; SQL twin is natively correlated. round:6 on
@@ -701,6 +736,72 @@ def test_window_frame_and_ntile_rejections(catalog):
         wq({"win": "ntile", **base}),
         wq({"win": "ntile", **base, "buckets": 0}),
         wq({"win": "sum", "of": "value", **base, "buckets": 4}),
+    ]
+    for q in bad:
+        with pytest.raises(QueryError):
+            compile_query(q, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(q, tm, dialect="duckdb")
+
+
+def test_rollup_count_distinct_empty_input_twins(catalog, ddb, spark):
+    """r8 fuzzer catch (exists-draw × grouping-dict): a NOT EXISTS that
+    empties the input must still emit the () grand-total row with
+    COUNT and COUNT_DISTINCT both ZERO — the spark-dialect static
+    marker emitted NULL for COUNT_DISTINCT (the engine and DuckDB were
+    already right). All three paths compared."""
+    import pandas as pd
+
+    from .conftest import normalize
+
+    q = {"from": "events",
+         "select": ["event_type",
+                    {"COUNT_DISTINCT": "user_id", "as": "n_users"},
+                    {"COUNT": "*", "as": "n"}],
+         "group_by": {"rollup": ["event_type"]},
+         "where": [{"op": "not_exists", "val": {
+             "subquery": {"select": ["user_id"], "from": "events",
+                          "where": [{"col": "value", "op": "gt",
+                                     "val": 0}]},
+             "correlate": [["user_id", "user_id"]]}}]}
+    tm = catalog.spark_type_map("events")
+    got = compile_query(q, catalog).toPandas()
+    assert got.values.tolist() == [["ALL", 0, 0]]
+    via_sql = spark.sql(assemble_sql(q, tm, dialect="spark")).toPandas()
+    pd.testing.assert_frame_equal(normalize(got), normalize(via_sql),
+                                  check_dtype=False)
+    want = ddb.execute(assemble_sql(q, tm, dialect="duckdb")).fetchdf()
+    pd.testing.assert_frame_equal(normalize(got), normalize(want),
+                                  check_dtype=False)
+
+
+def test_exists_leaf_rejections(catalog):
+    """EXISTS refusals, twin-identical: 'col' on the leaf, missing or
+    empty correlate, malformed pairs, order_by/limit in the subquery,
+    nested under OR/NOT (semi/anti joins cannot express that
+    position), and uncorrelated exists (a degenerate whole-table
+    switch)."""
+    tm = catalog.spark_type_map("events")
+    sub = {"select": ["user_id"], "from": "events"}
+
+    def eq(leaf):
+        return {"select": ["event_id"], "from": "events", "where": [leaf]}
+
+    bad = [
+        eq({"op": "exists", "col": "user_id",
+            "val": {"subquery": sub, "correlate": [["user_id",
+                                                    "user_id"]]}}),
+        eq({"op": "exists", "val": {"subquery": sub}}),
+        eq({"op": "exists", "val": {"subquery": sub, "correlate": []}}),
+        eq({"op": "exists", "val": {"subquery": sub,
+                                    "correlate": [["user_id"]]}}),
+        eq({"op": "not_exists", "val": {
+            "subquery": {**sub, "limit": 5},
+            "correlate": [["user_id", "user_id"]]}}),
+        eq({"or": [{"op": "exists", "val": {
+            "subquery": sub,
+            "correlate": [["user_id", "user_id"]]}},
+            {"col": "value", "op": "lt", "val": 1}]}),
     ]
     for q in bad:
         with pytest.raises(QueryError):

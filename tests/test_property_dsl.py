@@ -277,6 +277,18 @@ def dsl_queries(draw) -> dict:
                                      "from": "events"},
                         "as": "corpus_n"}]
     where = draw(st.lists(bool_trees, min_size=0, max_size=3))
+    # r8: correlated EXISTS / NOT EXISTS — top-level conjuncts only
+    # (the compiler rewrites to semi/anti joins). The subquery filter
+    # varies so the semi/anti sets differ draw to draw.
+    if draw(st.integers(min_value=0, max_value=3)) == 0:
+        thr = draw(st.integers(min_value=0, max_value=100))
+        where.append({
+            "op": draw(st.sampled_from(["exists", "not_exists"])),
+            "val": {"subquery": {
+                "select": ["user_id"], "from": "events",
+                "where": [{"col": "value", "op": "gt", "val": thr}]},
+                "correlate": [["user_id", "user_id"]]},
+        })
     if where:
         q["where"] = where
     if grouped and draw(st.booleans()):
