@@ -605,6 +605,14 @@ DSL_QUERIES: dict[str, dict] = {
              "order_by": [{"col": "ts_dt", "dir": "asc"},
                           {"col": "event_id", "dir": "asc"}],
              "as": "prev_value", "round": 6},
+            # r8: explicit third-argument default — partition heads get
+            # the literal instead of NULL (identical call in both
+            # dialects).
+            {"win": "lag", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"},
+                          {"col": "event_id", "dir": "asc"}],
+             "default": 0.0,
+             "as": "prev_or_zero", "round": 6},
         ],
         "from": "events",
         "where": [{"col": "event_type", "op": "in",

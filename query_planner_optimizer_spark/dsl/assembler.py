@@ -785,8 +785,8 @@ def _window_sql(term: dict, dialect: str,
     timestamp key, numeric bounds an integral key) so the twins agree
     on which shapes are legal; an untyped key (CTE-view output) is
     left to the compiler's own check."""
-    fn, of, pb, specs, out_name, round_to, offset, buckets, frame, nth = \
-        _parse_window_term(term)
+    fn, of, pb, specs, out_name, round_to, offset, buckets, frame, nth, \
+        default = _parse_window_term(term)
     if frame is not None and frame[0] == "range" and type_map is not None:
         dtype = type_map.get(specs[0][0])
         interval = any(isinstance(b, tuple) for b in frame[1:])
@@ -812,7 +812,11 @@ def _window_sql(term: dict, dialect: str,
     elif fn in WINDOW_RANK_FNS:
         call = f"{fn}()"
     elif fn in ("lag", "lead"):
-        call = f"{fn}({_ident(of, dialect)}, {offset})"
+        if default is not None:
+            call = (f"{fn}({_ident(of, dialect)}, {offset}, "
+                    f"{_literal(default, None, dialect)})")
+        else:
+            call = f"{fn}({_ident(of, dialect)}, {offset})"
     else:
         if fn == "nth_value":
             call = f"nth_value({_ident(of, dialect)}, {nth})"

@@ -666,6 +666,15 @@ def _parse_window_term(term: dict) -> tuple:
         not isinstance(offset, int) or isinstance(offset, bool) or offset < 1
     ):
         raise QueryError(f"window offset must be a positive int: {term!r}")
+    default = term.get("default")
+    if default is not None:
+        if fn not in WINDOW_OFFSET_FNS:
+            raise QueryError(
+                f"'default' is only valid on lag/lead: {term!r}")
+        if isinstance(default, bool) or not isinstance(
+                default, (int, float, str)):
+            raise QueryError(
+                f"lag/lead 'default' must be a literal: {term!r}")
     buckets = term.get("buckets")
     if fn == "ntile":
         if not isinstance(buckets, int) or isinstance(buckets, bool) \
@@ -694,14 +703,14 @@ def _parse_window_term(term: dict) -> tuple:
                 f"positional window {fn} over a RANGE frame is "
                 f"nondeterministic among peers: {term!r}")
     return fn, of, pb, specs, term["as"], term.get("round"), offset, \
-        buckets, frame, nth
+        buckets, frame, nth, default
 
 
 def _window_column(df: DataFrame, term: dict) -> Column:
     from pyspark.sql import Window
 
-    fn, of, pb, specs, out_name, round_to, offset, buckets, frame, nth = \
-        _parse_window_term(term)
+    fn, of, pb, specs, out_name, round_to, offset, buckets, frame, nth, \
+        default = _parse_window_term(term)
     for c in (*pb, *(s[0] for s in specs), *([of] if of else [])):
         if c not in df.columns:
             raise QueryError(f"unknown column {c!r} in window term {term!r}")
@@ -714,7 +723,7 @@ def _window_column(df: DataFrame, term: dict) -> Column:
     elif fn in WINDOW_RANK_FNS:
         e = getattr(F, fn)().over(w)
     elif fn in WINDOW_OFFSET_FNS:
-        e = getattr(F, fn)(F.col(of), offset).over(w)
+        e = getattr(F, fn)(F.col(of), offset, default).over(w)
     else:
         # Aggregate window: explicit ROWS/RANGE frame when given
         # (moving aggregates), else the cumulative default; ties split

@@ -856,6 +856,9 @@ def test_window_range_frame_rejections(catalog):
         wq({"win": "nth_value", "of": "value", **id1}),
         wq({"win": "nth_value", "of": "value", "n": 0, **id1}),
         wq({"win": "sum", "of": "value", "n": 2, **id1}),
+        # 'default' is a lag/lead-only key, literal-valued
+        wq({"win": "sum", "of": "value", "default": 0, **id1}),
+        wq({"win": "lag", "of": "value", "default": [1], **id1}),
     ]
     for q in bad:
         with pytest.raises(QueryError):

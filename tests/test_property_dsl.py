@@ -141,6 +141,14 @@ win_terms = st.sampled_from([
     {"win": "min", "of": "value", "partition_by": ["user_id"],
      "order_by": [{"col": "event_id", "dir": "asc"}],
      "frame": {"range": [-300, 300]}, "as": "min_near", "round": 6},
+    # r8: lag/lead with an explicit default (partition heads/tails get
+    # the literal, not NULL)
+    {"win": "lag", "of": "value", "partition_by": ["user_id"],
+     "order_by": _WIN_OB, "offset": 2, "default": -1.5,
+     "as": "lag2_dflt", "round": 6},
+    {"win": "lead", "of": "value", "partition_by": ["user_id"],
+     "order_by": _WIN_OB, "default": 0.0,
+     "as": "lead_dflt", "round": 6},
     # r8: nth_value — cumulative default and full frame
     {"win": "nth_value", "of": "value", "n": 2,
      "partition_by": ["user_id"], "order_by": _WIN_OB,
