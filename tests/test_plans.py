@@ -530,6 +530,32 @@ def test_plan_router_date_literal_forms(spark, catalog, tmp_path):
         assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
 
 
+def test_exists_compiles_to_slim_semi_join(catalog):
+    """A correlated EXISTS must compile to a LEFT SEMI (NOT EXISTS →
+    LEFT ANTI) hash/sort-merge join whose build side carries ONLY the
+    renamed correlate key — never a nested-loop plan, never the
+    subquery's full row width through the shuffle."""
+    from query_planner_optimizer_spark.dsl.compiler import compile_query
+
+    q = {"select": ["o_orderpriority"],
+         "from": "orders",
+         "where": [{"op": "exists", "val": {
+             "subquery": {"select": ["l_orderkey"], "from": "lineitem",
+                          "where": [{"col": "l_quantity", "op": "gt",
+                                     "val": 45}]},
+             "correlate": [["o_orderkey", "l_orderkey"]]}}]}
+    plan = compile_query(q, catalog)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # lineitem scan pruned to the key + filter column only
+    import re
+    read = re.search(r"lineitem.*?ReadSchema: struct<([^>]*)>", plan)
+    if read:  # formatted scans present
+        cols = {c.split(":")[0] for c in read.group(1).split(",") if c}
+        assert cols <= {"l_orderkey", "l_quantity"}, cols
+
+
 def test_scalar_select_attaches_broadcast_one_row(catalog):
     """A SELECT-side scalar subquery must attach as a broadcast
     (one-row build side) — never a shuffle or nested-loop over the
