@@ -1764,6 +1764,31 @@ def _routed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _plan_route(spark: SparkSession, sf_dir: str, view: str,
+                rollups: dict, sql: str) -> DataFrame:
+    """Shared body of the dsl_plan_routed_* entries: build the given
+    rollups in a temp dir, register the events frame under an
+    ENTRY-PRIVATE view name (never clobbers the shared 'events' view
+    other entries may have registered against a different frame), run
+    the raw SQL through the Catalyst-plan-level router, and raise
+    unless the plan actually routed."""
+    import tempfile
+
+    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    cat = Catalog(spark, sf_dir, register_views=False)
+    events = cat.table("events")
+    events.createOrReplaceTempView(view)
+    agg_dir = tempfile.mkdtemp(prefix=f"qpo_{view}_")
+    build_rollups(events, agg_dir, rollups)
+    router = PlanRouter(spark, agg_dir, rollups, view=view)
+    df, routed = router.sql(sql)
+    if not routed:
+        raise RuntimeError(f"expected a plan route: {router.last_reason}")
+    return df
+
+
 def _plan_routed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dsl_daily_rollup as RAW SQL TEXT through the Catalyst-plan-level
     router (plans/catalyst_router.py): spark.sql's analyzed logical plan
@@ -1772,28 +1797,13 @@ def _plan_routed_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsl_daily_rollup. Proves the SparkSessionExtensions-rule altitude
     (reference query_engine.py:73-108) end-to-end from plain SQL.
     Raises if the plan does not route."""
-    import tempfile
-
-    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
-    from query_planner_optimizer_spark.prepare import build_rollups
-
-    cat = Catalog(spark, sf_dir, register_views=False)
-    events = cat.table("events")
-    # Entry-private view name: never clobbers the shared 'events' view
-    # other entries may have registered against a different frame.
-    events.createOrReplaceTempView("events_plan_route")
-    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
-                                 "aggs": {"value": ["sum", "count"]}}}
-    agg_dir = tempfile.mkdtemp(prefix="qpo_plan_routed_entry_")
-    build_rollups(events, agg_dir, rollups)
-    router = PlanRouter(spark, agg_dir, rollups, view="events_plan_route")
-    df, routed = router.sql(
+    return _plan_route(
+        spark, sf_dir, "events_plan_route",
+        {"agg_day_etype": {"keys": ["day", "event_type"],
+                           "aggs": {"value": ["sum", "count"]}}},
         "SELECT day, round(sum(value), 6) AS sum_value "
-        "FROM events_plan_route WHERE event_type = 'click' GROUP BY day"
+        "FROM events_plan_route WHERE event_type = 'click' GROUP BY day",
     )
-    if not routed:
-        raise RuntimeError(f"expected a plan route: {router.last_reason}")
-    return df
 
 
 #: DSL twin of the raw SQL probed through the plan router below — the
@@ -1817,28 +1827,14 @@ def _plan_routed_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless time-grain derivation (day→week navigation: every day-row
     belongs to exactly one week, so re-grouping the rollup by the
     derived Monday date is exact). Raises if the plan does not route."""
-    import tempfile
-
-    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
-    from query_planner_optimizer_spark.prepare import build_rollups
-
-    cat = Catalog(spark, sf_dir, register_views=False)
-    events = cat.table("events")
-    events.createOrReplaceTempView("events_plan_route_week")
-    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
-                                 "aggs": {"value": ["sum", "count"]}}}
-    agg_dir = tempfile.mkdtemp(prefix="qpo_plan_routed_week_")
-    build_rollups(events, agg_dir, rollups)
-    router = PlanRouter(spark, agg_dir, rollups,
-                        view="events_plan_route_week")
-    df, routed = router.sql(
+    return _plan_route(
+        spark, sf_dir, "events_plan_route_week",
+        {"agg_day_etype": {"keys": ["day", "event_type"],
+                           "aggs": {"value": ["sum", "count"]}}},
         "SELECT week, count(*) AS cnt, round(sum(value), 6) AS sv "
         "FROM events_plan_route_week "
-        "WHERE day BETWEEN '2024-01-02' AND '2024-01-15' GROUP BY week"
+        "WHERE day BETWEEN '2024-01-02' AND '2024-01-15' GROUP BY week",
     )
-    if not routed:
-        raise RuntimeError(f"expected a plan route: {router.last_reason}")
-    return df
 
 
 #: DSL twin of the cast-filtered raw SQL routed below: the plan router
@@ -1862,28 +1858,14 @@ def _plan_routed_cast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stringifies dates as fixed-width ISO, where lexicographic order IS
     chronological order — then the rollup serves it. Raises if the plan
     does not route."""
-    import tempfile
-
-    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
-    from query_planner_optimizer_spark.prepare import build_rollups
-
-    cat = Catalog(spark, sf_dir, register_views=False)
-    events = cat.table("events")
-    events.createOrReplaceTempView("events_plan_route_cast")
-    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
-                                 "aggs": {"value": ["sum", "count"]}}}
-    agg_dir = tempfile.mkdtemp(prefix="qpo_plan_routed_cast_")
-    build_rollups(events, agg_dir, rollups)
-    router = PlanRouter(spark, agg_dir, rollups,
-                        view="events_plan_route_cast")
-    df, routed = router.sql(
+    return _plan_route(
+        spark, sf_dir, "events_plan_route_cast",
+        {"agg_day_etype": {"keys": ["day", "event_type"],
+                           "aggs": {"value": ["sum", "count"]}}},
         "SELECT day, count(*) AS cnt, round(sum(value), 6) AS sv "
         "FROM events_plan_route_cast "
-        "WHERE CAST(day AS STRING) >= '2024-01-08' GROUP BY day"
+        "WHERE CAST(day AS STRING) >= '2024-01-08' GROUP BY day",
     )
-    if not routed:
-        raise RuntimeError(f"expected a plan route: {router.last_reason}")
-    return df
 
 
 _PLAN_BETWEEN_Q = {
@@ -1904,29 +1886,15 @@ def _plan_routed_cast_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     chronological order, the same argument as the eq/range/IN
     admissions — then the day-grain rollup serves it. Raises if the
     plan does not route."""
-    import tempfile
-
-    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
-    from query_planner_optimizer_spark.prepare import build_rollups
-
-    cat = Catalog(spark, sf_dir, register_views=False)
-    events = cat.table("events")
-    events.createOrReplaceTempView("events_plan_route_between")
-    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
-                                 "aggs": {"value": ["sum", "count"]}}}
-    agg_dir = tempfile.mkdtemp(prefix="qpo_plan_routed_between_")
-    build_rollups(events, agg_dir, rollups)
-    router = PlanRouter(spark, agg_dir, rollups,
-                        view="events_plan_route_between")
-    df, routed = router.sql(
+    return _plan_route(
+        spark, sf_dir, "events_plan_route_between",
+        {"agg_day_etype": {"keys": ["day", "event_type"],
+                           "aggs": {"value": ["sum", "count"]}}},
         "SELECT day, count(*) AS cnt, round(sum(value), 6) AS sv "
         "FROM events_plan_route_between "
         "WHERE CAST(day AS STRING) BETWEEN '2024-01-05' AND '2024-01-12' "
-        "GROUP BY day"
+        "GROUP BY day",
     )
-    if not routed:
-        raise RuntimeError(f"expected a plan route: {router.last_reason}")
-    return df
 
 
 #: DSL twin of the hour-grain raw SQL routed below — the plain
@@ -1950,27 +1918,13 @@ def _plan_routed_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one hour, so the truncation is exact; the cast parses the
     flavor-independent wall-clock text under the UTC session. Raises if
     the plan does not route."""
-    import tempfile
-
-    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
-    from query_planner_optimizer_spark.prepare import build_rollups
-
-    cat = Catalog(spark, sf_dir, register_views=False)
-    events = cat.table("events")
-    events.createOrReplaceTempView("events_plan_route_hour")
-    rollups = {"agg_minute_etype": {"keys": ["minute", "event_type"],
-                                    "aggs": {"value": ["sum", "count"]}}}
-    agg_dir = tempfile.mkdtemp(prefix="qpo_plan_routed_hour_")
-    build_rollups(events, agg_dir, rollups)
-    router = PlanRouter(spark, agg_dir, rollups,
-                        view="events_plan_route_hour")
-    df, routed = router.sql(
+    return _plan_route(
+        spark, sf_dir, "events_plan_route_hour",
+        {"agg_minute_etype": {"keys": ["minute", "event_type"],
+                              "aggs": {"value": ["sum", "count"]}}},
         "SELECT hour, count(*) AS cnt, round(sum(value), 6) AS sv "
-        "FROM events_plan_route_hour GROUP BY hour"
+        "FROM events_plan_route_hour GROUP BY hour",
     )
-    if not routed:
-        raise RuntimeError(f"expected a plan route: {router.last_reason}")
-    return df
 
 
 def _routed_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,6 +45,7 @@ from query_planner_optimizer_spark.dsl.compiler import (
     validate_derived_from,
     validate_join_nonequi,
     parse_grouping,
+    validate_exists_join_types,
     validate_exists_leaf,
     validate_membership_subquery,
     validate_with_clause,
@@ -266,7 +267,14 @@ def _exists_sql(
     sub_sql = assemble_sql(sub, type_map, dialect, ts_is_millis,
                            cte_names=cte_names)
     names = dsl_output_names(sub)
-    for _, ik in pairs:
+    for ok, ik in pairs:
+        if ok not in type_map:
+            # Best-effort mirror of the compiler's outer-scope check
+            # (the merged type_map cannot distinguish which TABLE a
+            # known column comes from; the compiler's frame check is
+            # the binding one).
+            raise QueryError(
+                f"exists outer column {ok!r} not in scope: {cond!r}")
         if ik not in names:
             raise QueryError(
                 f"exists inner column {ik!r} not in subquery output "
@@ -1225,6 +1233,15 @@ def assemble_sql(
             referenced.add(cond["col"])
         if cond.get("col2") is not None:
             referenced.add(cond["col2"])
+        if _is_exists_leaf(cond):
+            # Outer correlate columns are referenced by the rendered
+            # EXISTS predicate — a derived-time column (day/week/...)
+            # must trigger the CTE wrap exactly like a plain filter on
+            # it (r8 review catch: the oracle rendered `events.day`
+            # over the raw parquet view and crashed at bind time where
+            # the engine answered).
+            _sub, pairs = validate_exists_leaf(cond)
+            referenced.update(ok for ok, _ in pairs)
 
     for term in q.get("select") or []:
         if _is_expr_term(term):
@@ -1274,6 +1291,8 @@ def assemble_sql(
     conds = q.get("where") or []
     where_sql = ""
     if conds:
+        if any(_is_exists_leaf(c) for c in conds):
+            validate_exists_join_types(q)  # twin of the compiler's
         outer = None if derived_from else table
         ex_outer = "__src" if derived_from else table
         where_sql = " WHERE " + " AND ".join(

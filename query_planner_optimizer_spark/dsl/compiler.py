@@ -876,7 +876,16 @@ def validate_exists_leaf(cond: dict) -> tuple[dict, list[tuple[str, str]]]:
     scalar COUNT comparison; ``order_by``/``limit`` are rejected (they
     cannot change non-emptiness — dead weight refused like membership
     subqueries). NOT EXISTS compiles to LEFT ANTI, so there is no
-    NOT-IN null-poisoning: a NULL outer key simply never matches."""
+    NOT-IN null-poisoning: a NULL outer key simply never matches.
+
+    Outer correlate columns are OUTER-FROM-scoped by contract: the SQL
+    twin qualifies them by the outer FROM relation (an unqualified ref
+    would bind to the subquery's own output first), so a join-produced
+    column has no valid qualification — the engine enforces the scope
+    by applying the semi/anti join BEFORE the outer query's joins,
+    which also requires every join to be left-preserving (a right join
+    breaks the WHERE/pre-join commute and is refused in both twins by
+    :func:`validate_exists_join_types`)."""
     if "col" in cond:
         raise QueryError(
             f"exists leaves take no 'col' (correlation is the "
@@ -903,6 +912,19 @@ def validate_exists_leaf(cond: dict) -> tuple[dict, list[tuple[str, str]]]:
             raise QueryError(f"bad 'correlate' pair: {p!r}")
         pairs.append((p[0], p[1]))
     return sub, pairs
+
+
+def validate_exists_join_types(q: dict) -> None:
+    """Shared twin refusal: EXISTS applies before the outer query's
+    joins (see :func:`validate_exists_leaf`), which is only equivalent
+    to SQL's post-join WHERE when every join preserves left rows."""
+    bad = [j.get("type", "inner") for j in q.get("join") or []
+           if j.get("type", "inner") not in ("inner", "left", "semi",
+                                             "anti")]
+    if bad:
+        raise QueryError(
+            f"exists leaves cannot combine with {bad!r} joins (the "
+            "pre-join semi/anti rewrite would not commute)")
 
 
 def validate_membership_subquery(cond: dict) -> dict:
@@ -1881,13 +1903,15 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         jtype = "left_semi" if cond["op"] == "exists" else "left_anti"
         return frame.join(proj, jcond, jtype)
 
-    deferred_exists = []
+    if exists_leaves:
+        # Pre-join application ONLY (twin contract: the SQL side
+        # qualifies outer refs by the outer FROM relation, so
+        # join-produced outer columns are not expressible — refuse
+        # rather than diverge from the oracle).
+        validate_exists_join_types(q)
     for cond in exists_leaves:
         sub, pairs = validate_exists_leaf(cond)
-        if pushable and all(ok in df.columns for ok, _ in pairs):
-            df = _apply_exists(df, cond)
-        else:
-            deferred_exists.append(cond)
+        df = _apply_exists(df, cond)
 
     # JOIN — additive extension beyond the reference DSL (the spec
     # excludes joins, ``claude.md:141``; Spark supplies them natively).
@@ -2000,10 +2024,6 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         if cond["col"] not in df.columns:
             raise QueryError(f"unknown filter column: {cond!r}")
         df = _apply_membership(df, cond)
-    # Exists leaves not pushed before the joins apply here post-join —
-    # SQL WHERE semantics, same policy as deferred membership.
-    for cond in deferred_exists:
-        df = _apply_exists(df, cond)
     if conds:
         # Uncorrelated scalar subqueries ({"val": {"subquery": <dsl>}})
         # attach as broadcast one-row columns before the filter builds

@@ -326,20 +326,26 @@ def ivf_topk(
             rows, "cell int, c_vec array<double>, c_norm double"
         )
 
-    def scored_cells(side: DataFrame, cents: list[list[float]]) -> DataFrame:
-        """side × centroids with cosine sim and per-id rank (1 = best).
-        Deterministic tie-break toward the lower cell id."""
+    def _cell_scored(side: DataFrame,
+                     cents: list[list[float]]) -> DataFrame:
+        """side × centroids with the cosine similarity as ``csim`` —
+        the single definition both the rank path and the argmax path
+        score with (a formula change applies to training, corpus
+        assignment, and probing identically)."""
         sim = _dot(F.col("_vec"), F.col("c_vec")) / (
             F.col("_norm") * F.col("c_norm")
         )
+        return (side.join(F.broadcast(centroid_df(cents)))
+                .withColumn("csim", sim))
+
+    def scored_cells(side: DataFrame, cents: list[list[float]]) -> DataFrame:
+        """_cell_scored with a per-id rank (1 = best). Deterministic
+        tie-break toward the lower cell id."""
         w = Window.partitionBy("id").orderBy(
             F.col("csim").desc(), F.col("cell").asc()
         )
-        return (
-            side.join(F.broadcast(centroid_df(cents)))
-            .withColumn("csim", sim)
-            .withColumn("crank", F.row_number().over(w))
-        )
+        return _cell_scored(side, cents).withColumn(
+            "crank", F.row_number().over(w))
 
     def assigned_cells(side: DataFrame,
                        cents: list[list[float]]) -> DataFrame:
@@ -350,12 +356,8 @@ def ivf_topk(
         same (max csim, lowest cell) as the window's (desc, asc) sort —
         Spark normalizes -0.0 = 0.0 in orderings, so the negation
         cannot reorder — and carries the vector through untouched."""
-        sim = _dot(F.col("_vec"), F.col("c_vec")) / (
-            F.col("_norm") * F.col("c_norm")
-        )
         best = (
-            side.join(F.broadcast(centroid_df(cents)))
-            .withColumn("csim", sim)
+            _cell_scored(side, cents)
             .groupBy("id")
             .agg(F.min(F.struct(
                 (-F.col("csim")).alias("ncsim"), F.col("cell"),

@@ -255,9 +255,16 @@ def _rollup_last_batch(path: str) -> int:
         try:
             return int(txt) if txt else -1
         except ValueError:
-            # Corrupted marker = no marker: stale-marker recovery path,
-            # not a crash of the whole refresh.
-            return -1
+            # Refuse-not-wrong: a marker that EXISTS but doesn't parse
+            # means the fold history is unknowable — treating it as
+            # "never folded" (-1) would silently re-merge an
+            # already-applied batch (doubled sums). Raise with the
+            # recovery path instead of a bare int() ValueError.
+            raise RuntimeError(
+                f"corrupted _last_batch marker at {marker!r} "
+                f"(content {txt!r}): the rollup's fold history is "
+                "unknowable — rebuild the rollup (build_rollups) or "
+                "restore the marker before refreshing") from None
     return -1
 
 

@@ -744,6 +744,47 @@ def test_window_frame_and_ntile_rejections(catalog):
             assemble_sql(q, tm, dialect="duckdb")
 
 
+def test_exists_composes_with_derived_from_and_cte(catalog, ddb, spark):
+    """EXISTS corners: (a) outer FROM is a derived table — the SQL
+    twin qualifies outer refs by the derived alias __src; (b) the
+    exists SUBQUERY reads a CTE view — the engine compiles it against
+    the view catalog and the twin renders it under the same WITH
+    scope. Differential against DuckDB and spark.sql."""
+    import pandas as pd
+
+    from .conftest import normalize
+
+    tm = catalog.spark_type_map("events")
+    derived = {"from": {"select": ["user_id", {"COUNT": "*", "as": "n"}],
+                        "from": "events", "group_by": ["user_id"]},
+               "select": ["user_id", "n"],
+               "where": [{"op": "exists", "val": {
+                   "subquery": {"select": ["user_id"], "from": "events",
+                                "where": [{"col": "event_type",
+                                           "op": "eq",
+                                           "val": "purchase"}]},
+                   "correlate": [["user_id", "user_id"]]}}],
+               "order_by": ["user_id"], "limit": 50}
+    cte = {"with": {"v": {"select": ["user_id", "event_type"],
+                          "from": "events",
+                          "where": [{"col": "value", "op": "gt",
+                                     "val": 50}]}},
+           "select": ["event_type", {"COUNT": "*", "as": "n"}],
+           "from": "events",
+           "where": [{"op": "not_exists", "val": {
+               "subquery": {"select": ["user_id"], "from": "v"},
+               "correlate": [["user_id", "user_id"]]}}],
+           "group_by": ["event_type"], "order_by": ["event_type"]}
+    for q in (derived, cte):
+        got = compile_query(q, catalog).toPandas()
+        want = ddb.execute(assemble_sql(q, tm, dialect="duckdb")).fetchdf()
+        pd.testing.assert_frame_equal(normalize(got), normalize(want),
+                                      check_dtype=False)
+        via = spark.sql(assemble_sql(q, tm, dialect="spark")).toPandas()
+        pd.testing.assert_frame_equal(normalize(got), normalize(via),
+                                      check_dtype=False)
+
+
 def test_rollup_count_distinct_empty_input_twins(catalog, ddb, spark):
     """r8 fuzzer catch (exists-draw × grouping-dict): a NOT EXISTS that
     empties the input must still emit the () grand-total row with
@@ -773,6 +814,83 @@ def test_rollup_count_distinct_empty_input_twins(catalog, ddb, spark):
     want = ddb.execute(assemble_sql(q, tm, dialect="duckdb")).fetchdf()
     pd.testing.assert_frame_equal(normalize(got), normalize(want),
                                   check_dtype=False)
+
+
+def test_exists_derived_time_and_join_scope(catalog, ddb, spark):
+    """r8 review catches: (a) an exists correlate on a DERIVED-TIME
+    column (day) must trigger the oracle's time-CTE wrap — previously
+    the rendered EXISTS referenced events.day over the raw parquet
+    view and crashed at bind time while the engine answered; (b) an
+    exists correlate on a JOIN-PRODUCED column refuses in the engine
+    (outer correlates are outer-FROM-scoped — the SQL twin has no
+    valid qualification for join columns); (c) exists + right join
+    refuses in BOTH twins (pre-join rewrite wouldn't commute)."""
+    import pandas as pd
+
+    from .conftest import normalize
+
+    tm = catalog.spark_type_map("events")
+    day_q = {"select": ["event_type", {"COUNT": "*", "as": "n"}],
+             "from": "events",
+             "where": [{"op": "exists", "val": {
+                 "subquery": {"select": ["day"], "from": "events",
+                              "where": [{"col": "value", "op": "gt",
+                                         "val": 95}]},
+                 "correlate": [["day", "day"]]}}],
+             "group_by": ["event_type"], "order_by": ["event_type"]}
+    got = compile_query(day_q, catalog).toPandas()
+    want = ddb.execute(assemble_sql(day_q, tm, dialect="duckdb")).fetchdf()
+    pd.testing.assert_frame_equal(normalize(got), normalize(want),
+                                  check_dtype=False)
+
+    tm2 = {**catalog.spark_type_map("orders"),
+           **catalog.spark_type_map("customer"),
+           **catalog.spark_type_map("nation")}
+    join_col_q = {"select": ["o_orderpriority"],
+                  "from": "orders",
+                  "join": [{"table": "customer",
+                            "on": [["o_custkey", "c_custkey"]]}],
+                  "where": [{"op": "exists", "val": {
+                      "subquery": {"select": ["n_name"],
+                                   "from": "nation"},
+                      "correlate": [["c_mktsegment", "n_name"]]}}]}
+    with pytest.raises(QueryError, match="not in scope"):
+        compile_query(join_col_q, catalog)
+
+    right_q = {"select": ["o_orderpriority"],
+               "from": "orders",
+               "join": [{"table": "customer",
+                         "on": [["o_custkey", "c_custkey"]],
+                         "type": "right"}],
+               "where": [{"op": "exists", "val": {
+                   "subquery": {"select": ["o_custkey"],
+                                "from": "orders"},
+                   "correlate": [["o_custkey", "o_custkey"]]}}]}
+    with pytest.raises(QueryError, match="right"):
+        compile_query(right_q, catalog)
+    with pytest.raises(QueryError, match="right"):
+        assemble_sql(right_q, tm2, dialect="duckdb")
+
+
+def test_refresh_refuses_corrupt_batch_marker(spark, catalog, tmp_path):
+    """r8 review catch: a _last_batch marker that EXISTS but doesn't
+    parse makes the fold history unknowable — the reader must raise
+    with the recovery path, not return -1 (which would silently
+    re-fold an already-applied batch into doubled sums)."""
+    from query_planner_optimizer_spark.prepare import (
+        _rollup_last_batch,
+        build_rollups,
+    )
+
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs")
+    build_rollups(catalog.table("events"), agg_dir, rollups)
+    path = f"{agg_dir}/agg_day_etype.parquet"
+    with open(f"{path}/_last_batch", "w") as f:
+        f.write("garbage")
+    with pytest.raises(RuntimeError, match="corrupted _last_batch"):
+        _rollup_last_batch(path)
 
 
 def test_exists_leaf_rejections(catalog):
