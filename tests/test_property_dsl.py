@@ -290,12 +290,15 @@ def dsl_queries(draw) -> dict:
     # varies so the semi/anti sets differ draw to draw.
     if draw(st.integers(min_value=0, max_value=3)) == 0:
         thr = draw(st.integers(min_value=0, max_value=100))
+        # correlate on a plain key or a DERIVED-TIME column (the
+        # latter exercises the oracle's time-CTE wrap, an r8 catch)
+        key = draw(st.sampled_from(["user_id", "day"]))
         where.append({
             "op": draw(st.sampled_from(["exists", "not_exists"])),
             "val": {"subquery": {
-                "select": ["user_id"], "from": "events",
+                "select": [key], "from": "events",
                 "where": [{"col": "value", "op": "gt", "val": thr}]},
-                "correlate": [["user_id", "user_id"]]},
+                "correlate": [[key, key]]},
         })
     if where:
         q["where"] = where
