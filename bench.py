@@ -53,6 +53,10 @@ DSL_HEADLINE = [
     # the routed serving path re-executes in 0.09s. Benching it would
     # measure planner overhead, not the operator.)
     "dsl_grouping_rollup",
+    # r8 additions: correlated EXISTS (slim left-semi) and RANGE
+    # window frames (value-based moving windows).
+    "dsl_exists_lineitem",
+    "dsl_window_range_frame",
 ]
 
 #: Pipeline-operator headliners (always full computation).
