@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Long-run hypothesis fuzz over the DSL twin strategies — the same
+generators as tests/test_property_dsl.py at a much higher example
+count. Every semantic catch since round 5 came from these draws
+(grouping-dict empty-input COUNT_DISTINCT zeroing, the r8
+exists-empties-input marker bug), so burning spare wall-clock here has
+the best bug-per-minute rate in the repo.
+
+Usage: python scripts/longfuzz.py [examples-per-target]
+Exits non-zero on the first falsifying example (hypothesis prints it).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
+
+    import tests.test_property_dsl as P
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.session import get_spark
+    from tests.conftest import TABLES
+
+    spark = get_spark(app_name="qpo-longfuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = Catalog(spark, SF_DIR)
+    catalog.register_all()
+    ddb = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            ddb.execute(f"CREATE OR REPLACE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{path}')")
+
+    # (strategy, inner test, fixture args) — inner_test is the
+    # undecorated body behind each @given test.
+    targets = [
+        ("sql_twin", P.dsl_queries(),
+         P.test_compiler_equals_sql_twin.hypothesis.inner_test,
+         (spark, catalog)),
+        ("duckdb_oracle", P.dsl_queries(),
+         P.test_compiler_equals_duckdb_oracle.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("nested", P.nested_queries(),
+         P.test_nested_compiler_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("composed", P.composed_queries(),
+         P.test_composed_nesting_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("joins", P.join_queries(),
+         P.test_join_compiler_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("setops", P.setop_queries(),
+         P.test_setop_compiler_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+    ]
+    def make_body(inner, args):
+        # closure (not defaulted params — @given refuses defaults)
+        def body(q):
+            inner(q, *args)
+        return body
+
+    for name, strat, inner, args in targets:
+        t0 = time.time()
+        run = settings(max_examples=n, deadline=None,
+                       suppress_health_check=list(HealthCheck))(
+            given(q=strat)(make_body(inner, args)))
+        run()
+        print(f"{name}: {n} examples ok ({time.time() - t0:.0f}s)",
+              flush=True)
+    print("LONGFUZZ: all targets clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
