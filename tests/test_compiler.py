@@ -871,6 +871,25 @@ def test_exists_derived_time_and_join_scope(catalog, ddb, spark):
     with pytest.raises(QueryError, match="right"):
         assemble_sql(right_q, tm2, dialect="duckdb")
 
+    # and the LEGAL combination: exists on an outer-FROM column + an
+    # inner join (pre-join semi ≡ post-join WHERE under inner joins)
+    ok_q = {"select": ["c_mktsegment", {"COUNT": "*", "as": "n"}],
+            "from": "orders",
+            "join": [{"table": "customer",
+                      "on": [["o_custkey", "c_custkey"]]}],
+            "where": [{"op": "exists", "val": {
+                "subquery": {"select": ["l_orderkey"], "from": "lineitem",
+                             "where": [{"col": "l_quantity", "op": "gt",
+                                        "val": 47}]},
+                "correlate": [["o_orderkey", "l_orderkey"]]}}],
+            "group_by": ["c_mktsegment"], "order_by": ["c_mktsegment"]}
+    tm3 = {**tm2, **catalog.spark_type_map("lineitem")}
+    got = compile_query(ok_q, catalog).toPandas()
+    assert len(got) and got["n"].sum() > 0
+    want = ddb.execute(assemble_sql(ok_q, tm3, dialect="duckdb")).fetchdf()
+    pd.testing.assert_frame_equal(normalize(got), normalize(want),
+                                  check_dtype=False)
+
 
 def test_refresh_refuses_corrupt_batch_marker(spark, catalog, tmp_path):
     """r8 review catch: a _last_batch marker that EXISTS but doesn't
