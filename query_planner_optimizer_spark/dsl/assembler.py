@@ -648,10 +648,17 @@ def _agg_expr_sql(
         if fname == "SUM":
             expr = f"CAST(ROUND({sum_expr}, {round_to}) AS DOUBLE)"
         else:
+            # FLOOR(x·10^r + 0.5)/10^r, not ROUND(x, r): native double
+            # ROUND is engine-implementation-defined at half-boundaries
+            # (r8 longfuzz catch) — the explicit IEEE formula is
+            # bit-identical in both dialects and to the compiler twin.
             cnt = f"COUNT({target}){filter_sql}"
-            expr = (
-                f"ROUND(CAST({sum_expr} AS DOUBLE) / {cnt}, {round_to})"
-            )
+            # DOUBLE-cast literals: a bare `1000000.0` parses as
+            # DECIMAL in BOTH SQL dialects, which would drag the whole
+            # formula into engine-specific decimal arithmetic.
+            p = f"CAST({float(10 ** round_to)!r} AS DOUBLE)"
+            x = f"(CAST({sum_expr} AS DOUBLE) / {cnt})"
+            expr = (f"(FLOOR({x} * {p} + CAST(0.5 AS DOUBLE)) / {p})")
         return expr, out_name
     if fname == "COUNT" and col == "*":
         expr = "COUNT(*)"
@@ -1113,8 +1120,12 @@ def assemble_sql(
             raise QueryError(
                 f"post-aggregation terms require aggregates: {post_terms[0]!r}"
             )
+        # offset must hang off the OUTER query with order_by/limit —
+        # leaving it on the inner aggregate tripped the inner call's
+        # "offset requires order_by" refusal (r8 longfuzz catch:
+        # ungrouped post-term + total sort + LIMIT/OFFSET).
         inner_q = {k: v for k, v in q.items()
-                   if k not in ("order_by", "limit", "select")}
+                   if k not in ("order_by", "limit", "offset", "select")}
         inner_q["select"] = inner_select
         inner_sql = assemble_sql(inner_q, type_map, dialect, ts_is_millis,
                                  cte_names=cte_names)

@@ -52,18 +52,38 @@ class QueryError(ValueError):
     """Raised for malformed or unsupported DSL queries."""
 
 
-def agg_decimal_scale(round_to: int) -> int:
+def agg_decimal_scale(round_to: int = 0) -> int:
     """Scale of the DECIMAL(38, s) accumulator used for rounded SUM/AVG.
 
-    Fixed at 16 for every round_to ≤ 6 so ALL paths that might serve
+    Fixed at 12 for every round_to ≤ 6 so ALL paths that might serve
     the same query — raw scan (compiler), SQL twin (assembler, both
     dialects), and rollup partials merged by the router — accumulate at
     the IDENTICAL scale and therefore produce bit-identical sums
     (decimal addition is associative; mixing scales would reintroduce
-    path-dependent results). Falls back to round_to+10 for coarser
+    path-dependent results). Falls back to round_to+6 for coarser
     roundings, which never route.
+
+    Why 12, not 16 (r8 longfuzz catch): the per-row double→DECIMAL
+    cast is ENGINE-IMPLEMENTATION-DEFINED in its last representable
+    digits — Spark rounds the double's exact binary expansion
+    (BigDecimal HALF_UP) while DuckDB converts via the shortest
+    round-trip decimal, and at scale 16 the two disagree by one
+    16th-digit unit on roughly half of all full-precision doubles
+    (measured: ``0.2929`` stored as a double casts to
+    ...0001 in Spark vs ...0000 in DuckDB). Those per-row lottery
+    tickets normally cancel, but a quotient that sits EXACTLY on a
+    rounding boundary (constructible from low-precision source data:
+    2dp values → 4dp expressions → n-denominator averages) lets the
+    ±1e-16 noise decide the rounded digit. At scale 12 the cast has
+    ≥4 guard digits below any ≤8-frac-digit data value, so BOTH
+    conversion strategies recover the same decimal exactly, the sums
+    are noise-free, and even exact-boundary quotients round
+    identically (the final FLOOR(x·10^r + 0.5)/10^r is shared IEEE
+    arithmetic). Full-precision/large-magnitude data keeps the old
+    probabilistic guarantee: accumulated cast noise ≪ the rounding
+    grain by many orders of magnitude.
     """
-    return max(round_to + 10, 16)
+    return max(round_to + 6, 12)
 
 
 #: Aggregate functions exposed by the DSL. SUM/AVG/COUNT are the
@@ -2216,9 +2236,20 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                     if fname == "SUM":
                         e = F.round(s, round_to).cast("double")
                     else:
-                        e = F.round(
-                            s.cast("double") / F.count(target), round_to
-                        )
+                        # AVG's final round runs over the DOUBLE
+                        # quotient, and native ROUND(double, r) is
+                        # engine-implementation-defined exactly at
+                        # half-boundaries (Spark rounds the exact
+                        # binary expansion; DuckDB multiply-rounds —
+                        # r8 longfuzz catch, 0.024063 vs 0.024062).
+                        # FLOOR(x·10^r + 0.5)/10^r is pure IEEE
+                        # multiply/add/floor/divide — correctly-rounded
+                        # ops on identical inputs, so the twins agree
+                        # bit-for-bit by construction, and it equals
+                        # ROUND everywhere off the boundary.
+                        x = s.cast("double") / F.count(target)
+                        p = float(10 ** round_to)
+                        e = F.floor(x * F.lit(p) + F.lit(0.5)) / F.lit(p)
                     exprs.append(e.alias(out_name))
                     continue
                 e = AGG_FUNCS[fname](target)

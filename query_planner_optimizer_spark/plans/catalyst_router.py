@@ -328,28 +328,63 @@ def _agg_call(t: dict) -> tuple[str, str]:
     return fname, _attr_name(arg)
 
 
+def _avg_div(t: dict) -> str | None:
+    """``double(SUM(dec x)) / COUNT(x)`` → x, else None."""
+    if _cls(t["n"]) != "Divide":
+        return None
+    num = _strip_cast(_kid(t, "left"), "double")
+    den = _strip_cast(_kid(t, "right"), "double")
+    f1, c1 = _agg_call(num)
+    f2, c2 = _agg_call(den)
+    if f1 == "SUM" and f2 == "COUNT" and c1 == c2 and c1 != "*":
+        return c1
+    raise Unsupported("non-AVG aggregate division")
+
+
 def _agg_term(t: dict, alias: str) -> dict:
     """Alias child → DSL aggregate term. Accepts the plain forms
     (``sum(x)``, ``round(sum(x), k)``) and the engine's documented
     bit-stable idioms (``assembler._agg_expr_sql``):
-    ``CAST(ROUND(SUM(CAST(x AS DECIMAL)), k) AS DOUBLE)`` and
-    ``ROUND(CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE) / COUNT(x), k)``
-    — both map onto the same rounded decimal-partial measure the
-    router re-derives."""
+    ``CAST(ROUND(SUM(CAST(x AS DECIMAL)), k) AS DOUBLE)`` and the
+    rounded-AVG half-up formula
+    ``FLOOR(double(SUM(dec x))/COUNT(x) * 10^k + 0.5) / 10^k``
+    (plus its pre-r8 ``ROUND(... / COUNT(x), k)`` spelling) — all map
+    onto the same rounded decimal-partial measure the router
+    re-derives."""
+    import math
+
     round_to = None
     t = _strip_cast(t, "double")
     if _cls(t["n"]) == "Round":
         round_to = int(_literal_value(_kid(t, "scale")))
         t = _strip_cast(_kid(t, "child"), "double")
-    if _cls(t["n"]) == "Divide" and round_to is not None:
-        # decimal-AVG idiom: double(SUM(dec x)) / COUNT(x), then ROUND
+    if _cls(t["n"]) == "Divide" and round_to is None:
+        # FLOOR(x·p + 0.5) / p — the r8 AVG rounding idiom.
+        den = _kid(t, "right")
         num = _strip_cast(_kid(t, "left"), "double")
-        den = _strip_cast(_kid(t, "right"), "double")
-        f1, c1 = _agg_call(num)
-        f2, c2 = _agg_call(den)
-        if f1 == "SUM" and f2 == "COUNT" and c1 == c2 and c1 != "*":
-            return {"AVG": c1, "as": alias, "round": round_to}
-        raise Unsupported("non-AVG aggregate division")
+        if _cls(num["n"]) == "Floor":
+            p_out = _literal_value(den)
+            inner = _strip_cast(_kid(num, "child"), "double")
+            if (_cls(inner["n"]) != "Add"
+                    or not isinstance(p_out, (int, float))):
+                raise Unsupported("non-AVG floor expression")
+            half = _literal_value(_kid(inner, "right"))
+            mul = _strip_cast(_kid(inner, "left"), "double")
+            if (half != 0.5 or _cls(mul["n"]) != "Multiply"
+                    or _literal_value(_kid(mul, "right")) != p_out):
+                raise Unsupported("non-AVG floor expression")
+            r = math.log10(float(p_out))
+            if abs(r - round(r)) > 1e-9:
+                raise Unsupported("non-power-of-10 floor scale")
+            col = _avg_div(_strip_cast(_kid(mul, "left"), "double"))
+            if col is None:
+                raise Unsupported("non-AVG floor expression")
+            return {"AVG": col, "as": alias, "round": int(round(r))}
+    if _cls(t["n"]) == "Divide" and round_to is not None:
+        # pre-r8 decimal-AVG idiom: ROUND(double(SUM)/COUNT, k)
+        col = _avg_div(t)
+        if col is not None:
+            return {"AVG": col, "as": alias, "round": round_to}
     fname, col = _agg_call(t)
     term: dict = {fname: col, "as": alias}
     if round_to is not None:

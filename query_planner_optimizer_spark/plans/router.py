@@ -266,12 +266,15 @@ class RollupRouter:
                 return None
             # NULL (not error/NaN) when no non-null inputs — AVG semantics
             # under ANSI mode's divide-by-zero checks. Formula mirrors the
-            # compiler exactly: double(exact decimal sum) / count, THEN
-            # round — identical IEEE ops → identical bits.
+            # compiler exactly: double(exact decimal sum) / count, then
+            # the explicit FLOOR(x·10^r + 0.5)/10^r half-up (r8: native
+            # double ROUND is engine-defined at half-boundaries) —
+            # identical IEEE ops → identical bits.
             cnt = F.sum(f"count_{col}")
             avg = F.sum(f"sum_{col}").cast("double") / cnt
             if round_to is not None:
-                avg = F.round(avg, round_to)
+                p = float(10 ** round_to)
+                avg = F.floor(avg * F.lit(p) + F.lit(0.5)) / F.lit(p)
             return F.when(cnt > 0, avg)
         # MIN/MAX re-aggregate losslessly from stored partials (min of
         # mins ≡ min; order-independent exact, so no rounding idiom is

@@ -78,14 +78,19 @@ def rollup_frame(events: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
     query time — never store averages in a partial aggregate
     (reference got this right: prepare.py:190-195).
 
-    Fractional measures accumulate in DECIMAL(38, 16) — the SAME scale
-    the DSL's rounded aggregates use (``compiler.agg_decimal_scale``) —
-    so a query served from merged rollup partials is bit-identical to
-    the raw scan and to the SQL oracle: decimal addition is associative,
+    Fractional measures accumulate in DECIMAL(38, s) at the SAME scale
+    the DSL's rounded aggregates use (``compiler.agg_decimal_scale`` —
+    query-independent for every round_to the router serves) — so a
+    query served from merged rollup partials is bit-identical to the
+    raw scan and to the SQL oracle: decimal addition is associative,
     double addition is not. Integral measures stay integral (Spark SUM
     over longs is exact).
     """
     from pyspark.sql import types as T
+
+    from query_planner_optimizer_spark.dsl.compiler import (
+        agg_decimal_scale,
+    )
 
     exprs = [F.count(F.lit(1)).alias("n_rows")]
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -94,7 +99,7 @@ def rollup_frame(events: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
         if "sum" in funcs:
             src = F.col(col)
             if not isinstance(schema.get(col), integral):
-                src = src.cast(T.DecimalType(38, 16))
+                src = src.cast(T.DecimalType(38, agg_decimal_scale()))
             exprs.append(F.sum(src).alias(f"sum_{col}"))
         if "count" in funcs:
             exprs.append(F.count(col).alias(f"count_{col}"))

@@ -912,6 +912,72 @@ def test_refresh_refuses_corrupt_batch_marker(spark, catalog, tmp_path):
         _rollup_last_batch(path)
 
 
+def test_rounded_avg_boundary_twins(catalog, ddb, spark):
+    """r8 longfuzz catch: a rounded AVG whose quotient sits EXACTLY on
+    a rounding boundary (constructible from 2dp data → 4dp expression
+    → n-denominator average) must round identically in the engine and
+    both SQL dialects. Two defenses pinned here: per-row decimal casts
+    at scale 12 are EXACT for low-precision data in both engines
+    (scale 16 made them an engine-implementation lottery — Spark
+    rounds the exact binary expansion, DuckDB converts via the
+    shortest round-trip decimal), and the final rounding is the shared
+    IEEE formula FLOOR(x·10^r + 0.5)/10^r, not the engine-defined
+    native ROUND(double)."""
+    import pandas as pd
+
+    from .conftest import normalize
+
+    q = {"from": "events",
+         "select": ["day",
+                    {"AVG": {"op": "div",
+                             "args": [{"op": "sub",
+                                       "args": ["value", 50]}, 100]},
+                     "as": "avg_centered", "round": 6}],
+         "group_by": ["day"],
+         "where": [{"not": {"col": "event_type", "op": "eq",
+                            "val": "click"}}],
+         "order_by": ["day"]}
+    tm = catalog.spark_type_map("events")
+    got = compile_query(q, catalog).toPandas()
+    want = ddb.execute(assemble_sql(q, tm, dialect="duckdb")).fetchdf()
+    pd.testing.assert_frame_equal(normalize(got), normalize(want),
+                                  check_dtype=False, check_exact=True)
+    via = spark.sql(assemble_sql(q, tm, dialect="spark")).toPandas()
+    assert via["avg_centered"].dtype.kind == "f"  # not DECIMAL
+    pd.testing.assert_frame_equal(normalize(got), normalize(via),
+                                  check_dtype=False, check_exact=True)
+
+
+def test_post_term_with_offset_twins(catalog, ddb, spark):
+    """r8 longfuzz catch: post-aggregation terms + LIMIT/OFFSET — the
+    assembler's post wrapper stripped order_by/limit from the inner
+    aggregate but left OFFSET behind, tripping the inner call's
+    'offset requires order_by' refusal while the engine answered.
+    OFFSET must ride the OUTER query with ORDER BY/LIMIT."""
+    import pandas as pd
+
+    from .conftest import normalize
+
+    tm = catalog.spark_type_map("events")
+    base = {"from": "events",
+            "select": [{"COUNT": "*", "as": "cnt"},
+                       {"post": {"op": "add", "args": ["cnt", 2]},
+                        "as": "post_cnt"}],
+            "order_by": [{"col": "cnt", "dir": "asc"},
+                         {"col": "post_cnt", "dir": "asc"}],
+            "limit": 1, "offset": 1}
+    grouped = {**base, "group_by": ["event_type"], "limit": 3}
+    for q in (base, grouped):
+        got = compile_query(q, catalog).toPandas()
+        want = ddb.execute(assemble_sql(q, tm, dialect="duckdb")).fetchdf()
+        pd.testing.assert_frame_equal(normalize(got), normalize(want),
+                                      check_dtype=False)
+        via = spark.sql(assemble_sql(q, tm, dialect="spark")).toPandas()
+        pd.testing.assert_frame_equal(normalize(got), normalize(via),
+                                      check_dtype=False)
+    assert len(compile_query(grouped, catalog).toPandas()) == 3
+
+
 def test_exists_leaf_rejections(catalog):
     """EXISTS refusals, twin-identical: 'col' on the leaf, missing or
     empty correlate, malformed pairs, order_by/limit in the subquery,
