@@ -373,6 +373,11 @@ def _agg_term(t: dict, alias: str) -> dict:
             if (half != 0.5 or _cls(mul["n"]) != "Multiply"
                     or _literal_value(_kid(mul, "right")) != p_out):
                 raise Unsupported("non-AVG floor expression")
+            if not isinstance(p_out, (int, float)) or p_out <= 0:
+                # log10 raises ValueError (not Unsupported) on zero or
+                # negative divisors, which would crash PlanRouter.sql
+                # instead of falling back to the original plan.
+                raise Unsupported("non-positive floor scale")
             r = math.log10(float(p_out))
             if abs(r - round(r)) > 1e-9:
                 raise Unsupported("non-power-of-10 floor scale")
@@ -381,10 +386,16 @@ def _agg_term(t: dict, alias: str) -> dict:
                 raise Unsupported("non-AVG floor expression")
             return {"AVG": col, "as": alias, "round": int(round(r))}
     if _cls(t["n"]) == "Divide" and round_to is not None:
-        # pre-r8 decimal-AVG idiom: ROUND(double(SUM)/COUNT, k)
+        # pre-r8 decimal-AVG idiom: ROUND(double(SUM)/COUNT, k). The
+        # ORIGINAL plan rounds the double quotient with NATIVE Spark
+        # ROUND, not the r8 FLOOR half-up — flag the term so the rollup
+        # measure applies F.round too, keeping routed == unrouted
+        # bit-exact even at half-boundaries (where the two roundings
+        # legitimately differ).
         col = _avg_div(t)
         if col is not None:
-            return {"AVG": col, "as": alias, "round": round_to}
+            return {"AVG": col, "as": alias, "round": round_to,
+                    "__round_native__": True}
     fname, col = _agg_call(t)
     term: dict = {fname: col, "as": alias}
     if round_to is not None:

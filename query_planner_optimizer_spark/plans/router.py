@@ -226,6 +226,7 @@ class RollupRouter:
         schema: dict,
         round_to: int | None,
         keys: frozenset = frozenset(),
+        native_round: bool = False,
     ) -> Column | None:
         """Re-derive an aggregate from rollup partials, applying the SAME
         rounding transform as the compiler's scan path: rollup sums over
@@ -239,7 +240,19 @@ class RollupRouter:
             return None  # expression aggregates aren't in any rollup
         if fname == "COUNT" and col == "*":
             return F.sum("n_rows")
-        is_dec = isinstance(schema.get(f"sum_{col}"), T.DecimalType)
+        sum_dt = schema.get(f"sum_{col}")
+        is_dec = isinstance(sum_dt, T.DecimalType)
+        if (is_dec and round_to is not None
+                and sum_dt.scale != C.agg_decimal_scale(round_to)):
+            # Accumulator-scale mismatch: the stored partials were built
+            # under a DIFFERENT decimal scale than the scan path (and
+            # the SQL oracle) accumulate at — e.g. a rollup dir
+            # persisted before the r8 scale-16 → scale-12 migration, or
+            # a round_to coarser than the stored guard digits cover.
+            # Serving it would silently carry the old scale's cast
+            # noise against the new contract; refuse and let the raw
+            # scan answer (rebuild the rollup to re-admit the route).
+            return None
         if fname == "SUM" and f"sum_{col}" in schema:
             if is_dec and round_to is None:
                 # Unrounded fractional SUM: the routed value would be the
@@ -273,8 +286,18 @@ class RollupRouter:
             cnt = F.sum(f"count_{col}")
             avg = F.sum(f"sum_{col}").cast("double") / cnt
             if round_to is not None:
-                p = float(10 ** round_to)
-                avg = F.floor(avg * F.lit(p) + F.lit(0.5)) / F.lit(p)
+                if native_round:
+                    # The query being served spelled native
+                    # ROUND(double, k) (the PlanRouter's pre-r8 AVG
+                    # idiom, catalyst_router._agg_term) — its unrouted
+                    # plan rounds with Spark ROUND, so the routed
+                    # measure must too; serving FLOOR half-up here
+                    # would break routed == unrouted at the exact
+                    # half-boundaries where the two roundings differ.
+                    avg = F.round(avg, round_to)
+                else:
+                    p = float(10 ** round_to)
+                    avg = F.floor(avg * F.lit(p) + F.lit(0.5)) / F.lit(p)
             return F.when(cnt > 0, avg)
         # MIN/MAX re-aggregate losslessly from stored partials (min of
         # mins ≡ min; order-independent exact, so no rounding idiom is
@@ -386,6 +409,10 @@ class RollupRouter:
             return C._apply_order_limit(base.select(*proj), q, out_cols)
         qtable = q.get("from", "events")
         agg_terms = self._agg_terms(q)
+        # Raw term dicts, same filter as _agg_terms — carries the
+        # PlanRouter's __round_native__ spelling flag into _measure.
+        raw_terms = [t for t in (q.get("select") or [])
+                     if isinstance(t, dict)]
         if not agg_terms:
             return None  # plain row-level select can't come from a rollup
         if any(t[4] for t in agg_terms):
@@ -434,9 +461,12 @@ class RollupRouter:
             }
             measures = {}
             count_like = set()
-            for fname, col, out_name, round_to, _filt in agg_terms:
+            for (fname, col, out_name, round_to, _filt), raw in zip(
+                    agg_terms, raw_terms):
                 m = self._measure(fname, col, frame_schema, round_to,
-                                  keys=eff_keys)
+                                  keys=eff_keys,
+                                  native_round=bool(
+                                      raw.get("__round_native__")))
                 if m is None:
                     ok = False
                     break

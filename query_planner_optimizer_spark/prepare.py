@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from query_planner_optimizer_spark.catalog import augment_time_columns
 from query_planner_optimizer_spark.functions.histq import (
@@ -361,6 +362,27 @@ def refresh_rollups(
             continue
         existing = spark.read.parquet(path)
         measures = [c for c in existing.columns if c not in keys]
+        # Refuse-not-wrong (like the corrupted _last_batch guard): a
+        # rollup persisted under a DIFFERENT decimal accumulator scale
+        # (e.g. a pre-r8 DECIMAL(38,16) dir) must not be folded into —
+        # the union would widen silently and the merged partials would
+        # keep the old scale's cast noise against the current scan /
+        # oracle contract. The delta alone cannot rebuild it (it is only
+        # the appended rows), so raise and ask for a full rebuild.
+        from query_planner_optimizer_spark.dsl.compiler import (
+            agg_decimal_scale,
+        )
+
+        for f in existing.schema.fields:
+            if (f.name.startswith("sum_")
+                    and isinstance(f.dataType, T.DecimalType)
+                    and f.dataType.scale != agg_decimal_scale()):
+                raise ValueError(
+                    f"rollup {name!r} at {path!r} stores {f.name} as "
+                    f"DECIMAL(38, {f.dataType.scale}) but the current "
+                    f"accumulator scale is {agg_decimal_scale()} — "
+                    "refusing to fold (the merge would silently mix "
+                    "scales); rebuild the rollup with build_rollups()")
 
         def _merge_fn(c: str):
             # Partial-merge operator by measure kind: sums/counts add,

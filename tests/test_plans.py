@@ -796,3 +796,114 @@ def test_plan_router_nulls_ordering_admitted(spark, catalog, tmp_path):
         df, routed = pr.sql(sql)
         assert routed, (tail, pr.last_reason)
         assert df.collect() == spark.sql(sql).collect()
+
+
+def test_plan_router_pre_r8_avg_spelling_rounds_native(spark, tmp_path):
+    """The pre-r8 AVG spelling ROUND(double(SUM)/COUNT, k) rounds its
+    UNROUTED plan with native Spark ROUND (half-away-from-zero); the
+    routed measure must match bit-for-bit even at a negative
+    half-boundary, where native ROUND and the r8 FLOOR half-up idiom
+    legitimately differ (-0.125 -> -0.13 vs -0.12). Before the
+    __round_native__ flag the router served FLOOR for this spelling,
+    silently breaking routed == unrouted at exactly these points."""
+    from query_planner_optimizer_spark.plans.catalyst_router import PlanRouter
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    rows = [("2024-01-01", "click", -0.125)] * 8
+    ev = (spark.createDataFrame(
+            rows, "day string, event_type string, value double")
+          .withColumn("day", F.to_date("day")))
+    ev.createOrReplaceTempView("events_prev8")
+    rollups = {"agg_day_etype": {"keys": ["day", "event_type"],
+                                 "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs_prev8")
+    build_rollups(ev, agg_dir, rollups)
+    pr = PlanRouter(spark, agg_dir, rollups, view="events_prev8",
+                    table="events")
+    sql = ("SELECT day, CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(38, 12)))"
+           " AS DOUBLE) / COUNT(value), 2) AS DOUBLE) AS av "
+           "FROM events_prev8 GROUP BY day")
+    out, routed = pr.sql(sql)
+    assert routed, pr.last_reason
+    got = out.collect()
+    assert got == spark.sql(sql).collect()
+    assert got[0]["av"] == -0.13  # native half-away-from-zero
+    # The r8 DSL spelling of the same aggregate keeps the FLOOR half-up
+    # contract (toward +inf on negative halves) — both through the scan
+    # compiler and through the SAME rollup.
+    q = {"select": ["day", {"AVG": "value", "as": "av", "round": 2}],
+         "from": "events", "group_by": ["day"]}
+    routed_dsl = pr.router.route(q)
+    assert routed_dsl is not None
+    assert routed_dsl.collect()[0]["av"] == -0.12
+    # ... which is also what the r8 FLOOR spelling computes unrouted.
+    floor_sql = (
+        "SELECT day, FLOOR((CAST(SUM(CAST(value AS DECIMAL(38, 12))) "
+        "AS DOUBLE) / COUNT(value)) * CAST(100.0 AS DOUBLE) "
+        "+ CAST(0.5 AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS av "
+        "FROM events_prev8 GROUP BY day")
+    assert spark.sql(floor_sql).collect()[0]["av"] == -0.12
+
+
+def test_plan_router_negative_floor_scale_refuses(spark, catalog, tmp_path):
+    """A FLOOR expression shaped like the AVG idiom but with a
+    non-positive divisor must REFUSE (fall back to the original plan),
+    not crash with math.log10's ValueError."""
+    pr = _mk_plan_router(spark, catalog, tmp_path)
+    sql = ("SELECT day, FLOOR(CAST(SUM(CAST(value AS DECIMAL(38, 12))) "
+           "AS DOUBLE) / COUNT(value) * CAST(-100 AS DOUBLE) "
+           "+ CAST(0.5 AS DOUBLE)) / CAST(-100 AS DOUBLE) AS x "
+           "FROM events GROUP BY day")
+    df, routed = pr.sql(sql)
+    assert not routed
+    assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
+
+
+def test_stale_scale_rollup_refuses_route_and_fold(spark, tmp_path):
+    """A rollup dir persisted under a DIFFERENT decimal accumulator
+    scale (pre-r8 dirs stored DECIMAL(38,16); current contract is 12)
+    must (a) refuse to serve rounded SUM/AVG routes — the stale
+    partials carry the old scale's cast noise against the new scan /
+    oracle contract — and (b) refuse an incremental fold, which would
+    silently widen-and-mix scales (refuse-not-wrong, like the
+    corrupted _last_batch guard)."""
+    import pytest as _pytest
+
+    from query_planner_optimizer_spark.dsl.compiler import agg_decimal_scale
+    from query_planner_optimizer_spark.plans.router import RollupRouter
+    from query_planner_optimizer_spark.prepare import (
+        build_rollups, refresh_rollups,
+    )
+
+    events = spark.range(200).selectExpr(
+        "date_add(DATE'2024-01-01', CAST(id % 7 AS INT)) AS day",
+        "CAST(id % 3 AS STRING) AS event_type",
+        "CAST(id AS DOUBLE) / 8 AS value",
+    )
+    rollups = {"agg_d": {"keys": ["day", "event_type"],
+                         "aggs": {"value": ["sum", "count"]}}}
+    agg_dir = str(tmp_path / "aggs_stale")
+    build_rollups(events, agg_dir, rollups)
+    # Simulate a pre-migration dir: rewrite sum_value at scale 16.
+    path = f"{agg_dir}/agg_d.parquet"
+    stale = spark.read.parquet(path).withColumn(
+        "sum_value", F.col("sum_value").cast("decimal(38, 16)"))
+    tmp = f"{agg_dir}/agg_d_stale.parquet"
+    stale.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    assert agg_decimal_scale() == 12  # the contract this test pins
+
+    router = RollupRouter(spark, agg_dir, rollups)
+    rounded = {"select": ["day", {"AVG": "value", "as": "av", "round": 6}],
+               "from": "events", "group_by": ["day"]}
+    assert router.route(rounded) is None  # stale scale -> raw scan
+    # Scale-independent measures still route fine from the same dir.
+    counts = {"select": ["day", {"COUNT": "*", "as": "n"}],
+              "from": "events", "group_by": ["day"]}
+    assert router.route(counts) is not None
+
+    with _pytest.raises(ValueError, match="accumulator scale"):
+        refresh_rollups(spark, events.limit(10), agg_dir, rollups)
