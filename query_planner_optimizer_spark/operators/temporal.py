@@ -33,6 +33,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from query_planner_optimizer_spark.dsl.compiler import agg_decimal_scale
+from query_planner_optimizer_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up as _rs,
+)
+
 
 def asof_join(
     left: DataFrame,
@@ -179,9 +185,9 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", "ts",
-        F.round("value", 6).alias("purchase_value"),
+        round_half_up(F.col("value"), 6).alias("purchase_value"),
         "matched_ts",
-        F.round("matched_value", 6).alias("click_value"),
+        round_half_up(F.col("matched_value"), 6).alias("click_value"),
     )
 
 
@@ -221,7 +227,7 @@ def q_range_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", "ts",
-        F.round("value", 6).alias("purchase_value"),
+        round_half_up(F.col("value"), 6).alias("purchase_value"),
         "win_start", "win_end",
     )
 
@@ -266,15 +272,15 @@ def gapfill_resample(
     # associative, and an ulp drift straddling the ROUND(…, 6) boundary
     # diverges from the oracle (caught by the sf0.1 full sweep: one
     # bucket flipped 43.472812 vs 43.472813). Same idiom as the DSL
-    # compiler's rounded aggregates; the oracle mirrors it.
-    from pyspark.sql import types as T
-
-    dec = T.DecimalType(38, 16)
+    # compiler's rounded aggregates (scale-12 accumulator, FLOOR
+    # half-up for the AVG quotient — functions/rounding.py); the
+    # oracle mirrors it.
+    dec = T.DecimalType(38, agg_decimal_scale(6))
     dsum = F.sum(F.col(value_col).cast(dec))
     agg = events.groupBy(*gcols, bucket).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(dsum, 6).cast("double").alias("sum_value"),
-        F.round(dsum.cast("double") / F.count(F.lit(1)), 6)
+        round_half_up(dsum.cast("double") / F.count(F.lit(1)), 6)
         .alias("__avg"),
     )
     # The span guard lives INSIDE the __mx expression (a pruned side
@@ -322,16 +328,16 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_resample(events, group_cols=("event_type",))
 
 
-GAPFILL_ORACLE = """
+GAPFILL_ORACLE = f"""
 WITH agg AS (
     SELECT event_type,
            CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600
                AS bucket_start,
            COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 12))), 6) AS DOUBLE)
                AS sum_value,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(38, 16))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_v
+           {_rs('''CAST(SUM(CAST(value AS DECIMAL(38, 12))) AS DOUBLE)
+                 / COUNT(*)''', 6)} AS avg_v
     FROM events GROUP BY 1, 2
 ),
 spans AS (
@@ -390,7 +396,8 @@ def q_scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = Catalog(spark, sf_dir, register_views=False).table("events")
     changes = events.filter(F.col("event_type") == "signup").select(
-        "user_id", "event_id", "ts", F.round("value", 6).alias("value")
+        "user_id", "event_id", "ts",
+        round_half_up(F.col("value"), 6).alias("value")
     )
     return scd2_intervals(
         changes, key_col="user_id", ts_col="ts",
@@ -434,14 +441,14 @@ def ohlc_resample(
         group_expr = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
         bucket_out = F.col("bucket")
     tick = F.struct(F.col(ts_col), F.col(id_col), F.col(value_col))
-    dec = T.DecimalType(38, 16)
+    dec = T.DecimalType(38, agg_decimal_scale(4))
     agg = (
         events.groupBy(group_expr, F.col(key_col))
         .agg(
             F.min(tick).alias("__first"),
             F.max(tick).alias("__last"),
-            F.round(F.max(value_col), 6).alias("high"),
-            F.round(F.min(value_col), 6).alias("low"),
+            round_half_up(F.max(value_col), 6).alias("high"),
+            round_half_up(F.min(value_col), 6).alias("low"),
             F.count(value_col).alias("n_ticks"),
             F.round(F.sum(F.col(value_col).cast(dec)), 4)
             .cast("double").alias("volume"),
@@ -449,8 +456,8 @@ def ohlc_resample(
     )
     return agg.select(
         bucket_out, key_col,
-        F.round(F.col(f"__first.{value_col}"), 6).alias("open"),
-        F.round(F.col(f"__last.{value_col}"), 6).alias("close"),
+        round_half_up(F.col(f"__first.{value_col}"), 6).alias("open"),
+        round_half_up(F.col(f"__last.{value_col}"), 6).alias("close"),
         "high", "low", "n_ticks", "volume",
     )
 
@@ -477,7 +484,7 @@ def linear_attribution(
         pairs.join(n, "purchase_id")
         .select(
             "click_id", "purchase_id", "user_id",
-            F.round(
+            round_half_up(
                 F.col("purchase_value") / F.col("__n").cast("double"), 6
             ).alias("credit"),
         )
@@ -511,7 +518,7 @@ def entry_queries() -> dict[str, Callable]:
 
 
 def entry_oracles() -> dict[str, str]:
-    asof = """
+    asof = f"""
         WITH purchases AS (
             SELECT event_id, user_id, ts, value FROM events
             WHERE event_type = 'purchase'
@@ -524,14 +531,14 @@ def entry_oracles() -> dict[str, str]:
             ) WHERE rn = 1
         )
         SELECT p.event_id, p.user_id, p.ts,
-               ROUND(p.value, 6) AS purchase_value,
+               {_rs('p.value', 6)} AS purchase_value,
                c.ts AS matched_ts,
-               ROUND(c.value, 6) AS click_value
+               {_rs('c.value', 6)} AS click_value
         FROM purchases p
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND c.ts <= p.ts
     """
-    range_sql = """
+    range_sql = f"""
         WITH purchases AS (
             SELECT event_id, user_id, ts, value FROM events
             WHERE event_type = 'purchase'
@@ -549,15 +556,15 @@ def entry_oracles() -> dict[str, str]:
             FROM clicks
         )
         SELECT p.event_id, p.user_id, p.ts,
-               ROUND(p.value, 6) AS purchase_value,
+               {_rs('p.value', 6)} AS purchase_value,
                w.win_start, w.win_end
         FROM purchases p
         JOIN wins w
           ON p.user_id = w.user_id
          AND p.ts >= w.win_start AND p.ts < w.win_end
     """
-    scd2 = """
-        SELECT user_id, event_id, ROUND(value, 6) AS value,
+    scd2 = f"""
+        SELECT user_id, event_id, {_rs('value', 6)} AS value,
                ts AS valid_from,
                lead(ts) OVER w AS valid_to,
                (lead(ts) OVER w IS NULL) AS is_current
@@ -565,7 +572,7 @@ def entry_oracles() -> dict[str, str]:
         WHERE event_type = 'signup'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """
-    ohlc = """
+    ohlc = f"""
         WITH r AS (
             SELECT date_trunc('hour', ts) AS bucket, event_type, value,
                    row_number() OVER (
@@ -577,12 +584,12 @@ def entry_oracles() -> dict[str, str]:
             FROM events WHERE value IS NOT NULL
         )
         SELECT bucket, event_type,
-               ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
-               ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
-               ROUND(MAX(value), 6) AS high,
-               ROUND(MIN(value), 6) AS low,
+               {_rs('MAX(CASE WHEN rn_a = 1 THEN value END)', 6)} AS open,
+               {_rs('MAX(CASE WHEN rn_d = 1 THEN value END)', 6)} AS close,
+               {_rs('MAX(value)', 6)} AS high,
+               {_rs('MIN(value)', 6)} AS low,
                COUNT(value) AS n_ticks,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 4)
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 12))), 4)
                     AS DOUBLE) AS volume
         FROM r GROUP BY bucket, event_type
     """
@@ -590,11 +597,11 @@ def entry_oracles() -> dict[str, str]:
             "temporal_gapfill_hourly": GAPFILL_ORACLE,
             "temporal_scd2_intervals": scd2,
             "temporal_ohlc_hourly": ohlc,
-            "temporal_linear_attribution": """
+            "temporal_linear_attribution": f"""
         WITH pairs AS (
             SELECT c.event_id AS click_id, p.event_id AS purchase_id,
                    c.user_id,
-                   ROUND(p.value, 6) AS purchase_value
+                   {_rs('p.value', 6)} AS purchase_value
             FROM events c JOIN events p
               ON c.user_id = p.user_id
              AND p.ts >= c.ts
@@ -605,7 +612,7 @@ def entry_oracles() -> dict[str, str]:
             SELECT purchase_id, COUNT(*) AS nc FROM pairs GROUP BY 1
         )
         SELECT pairs.click_id, pairs.purchase_id, pairs.user_id,
-               ROUND(pairs.purchase_value / CAST(n.nc AS DOUBLE), 6)
+               {_rs('pairs.purchase_value / CAST(n.nc AS DOUBLE)', 6)}
                    AS credit
         FROM pairs JOIN n USING (purchase_id)
     """}
