@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from query_planner_optimizer_spark.catalog import Catalog
+from query_planner_optimizer_spark.dsl.compiler import agg_decimal_scale
+from query_planner_optimizer_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up as _rs,
+)
 from query_planner_optimizer_spark.functions.timeexpr import epoch_micros
 
 
@@ -36,6 +41,11 @@ def top_n_per_group(
     )
 
 
+#: Shared rounded-aggregate accumulator type (r8 boundary-exact
+#: contract — see functions/rounding.py and agg_decimal_scale).
+_DEC12 = T.DecimalType(38, agg_decimal_scale(6))
+
+
 def running_sum(
     df: DataFrame, part_col: str, order_cols: list[str], value_col: str,
 ) -> DataFrame:
@@ -44,7 +54,7 @@ def running_sum(
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.withColumn("running_sum", F.round(F.sum(value_col).over(w), 6))
+    return df.withColumn("running_sum", round_half_up(F.sum(value_col).over(w), 6))
 
 
 def lag_delta_seconds(
@@ -85,7 +95,7 @@ def group_quantiles(
     pct = F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs]))
     agg = df.groupBy(*group_cols).agg(pct.alias("__p"))
     outs = [
-        F.round(F.col("__p")[i], 6).alias(f"p{int(q * 100)}")
+        round_half_up(F.col("__p")[i], 6).alias(f"p{int(q * 100)}")
         for i, q in enumerate(qs)
     ]
     return agg.select(*group_cols, *outs)
@@ -99,7 +109,7 @@ def rollup_counts(
     (SURVEY.md §2.3) but native in both Spark and the oracle."""
     return df.rollup(*cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum(F.col(value_col).cast("decimal(38, 16)")), 6)
+        F.round(F.sum(F.col(value_col).cast(_DEC12)), 6)
         .cast("double").alias("sum_value"),
         # grouping() flags let callers distinguish a subtotal row from a
         # group whose key VALUE is NULL — a COALESCE-only sentinel
@@ -118,7 +128,7 @@ def cube_counts(
     §2.3) but native in both Spark and the oracle."""
     return df.cube(*cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum(F.col(value_col).cast("decimal(38, 16)")), 6)
+        F.round(F.sum(F.col(value_col).cast(_DEC12)), 6)
         .cast("double")
         .alias("sum_value"),
         *[F.grouping(c).alias(f"__g_{c}") for c in cols],
@@ -144,7 +154,7 @@ def grouping_sets_counts(
         [[F.col(c) for c in s] for s in sets], *[F.col(c) for c in cols]
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum(F.col(value_col).cast("decimal(38, 16)")), 6)
+        F.round(F.sum(F.col(value_col).cast(_DEC12)), 6)
         .cast("double")
         .alias("sum_value"),
         *[F.grouping(c).alias(f"__g_{c}") for c in cols],
@@ -164,9 +174,8 @@ def pivot_values(
     would force Spark's two-pass distinct-scan + collect of pivot keys.
     Sums accumulate in DECIMAL (same rationale as the DSL's rounded
     aggregates: double addition is partition-order-dependent)."""
-    dec = "decimal(38, 16)"
     measure = F.round(
-        F.sum(F.col(value_col).cast(dec)), 6
+        F.sum(F.col(value_col).cast(_DEC12)), 6
     ).cast("double")
     return (
         df.groupBy(group_col)
@@ -204,7 +213,7 @@ def zscore_outliers(
             & (F.col("__sd") > 0)
             & (F.abs(z) > z_threshold)
         )
-        .withColumn("zscore", F.round(z, 6))
+        .withColumn("zscore", round_half_up(z, 6))
         .drop("__mu", "__sd")
     )
 
@@ -249,7 +258,7 @@ def embedding_centroids(
     result is schema-stable for any dim and trivially SQL-comparable.
     """
     aggs = [
-        F.round(F.avg(F.col(vec_col)[i]), 6).alias(f"__c{i}")
+        round_half_up(F.avg(F.col(vec_col)[i]), 6).alias(f"__c{i}")
         for i in range(dim)
     ]
     wide = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_vectors"), *aggs)
@@ -280,8 +289,8 @@ def value_histogram(
         .groupBy(*group_cols, bin_col.alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.min(value_col), 6).alias("bin_min"),
-            F.round(F.max(value_col), 6).alias("bin_max"),
+            round_half_up(F.min(value_col), 6).alias("bin_min"),
+            round_half_up(F.max(value_col), 6).alias("bin_max"),
         )
     )
 
@@ -306,7 +315,7 @@ def json_props_rollup(
         .groupBy(*group_cols)
         .agg(
             F.sum("__f").alias(f"sum_{field}"),
-            F.round(F.avg("__f"), 6).alias(f"avg_{field}"),
+            round_half_up(F.avg("__f"), 6).alias(f"avg_{field}"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -378,7 +387,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
                      F.max(c).cast("double").alias(f"{c}__mx")]
             if kinds[c] == "num":
                 aggs.append(
-                    F.round(F.sum(F.col(c).cast(T.DecimalType(38, 16))),
+                    F.round(F.sum(F.col(c).cast(_DEC12)),
                             round_to).cast("double").alias(f"{c}__sm"))
         else:
             aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx"),
@@ -474,7 +483,7 @@ def corr_pairs(df: DataFrame, cols: list[str], scale: int = 3) -> DataFrame:
     row count.
     """
     unit = F.lit(float(10 ** scale))
-    q = {c: F.round(F.col(c).cast("double") * unit)
+    q = {c: round_half_up(F.col(c).cast("double") * unit, 0)
             .cast(T.DecimalType(38, 0)) for c in cols}
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     aggs = []
@@ -533,15 +542,15 @@ def winsorized_stats(
     pct = F.percentile(F.col(value_col),
                        F.array(F.lit(p_lo), F.lit(p_hi)))
     stats = df.groupBy(*group_cols).agg(
-        F.round(pct.getItem(0), 6).alias("p_lo"),
-        F.round(pct.getItem(1), 6).alias("p_hi"),
+        round_half_up(pct.getItem(0), 6).alias("p_lo"),
+        round_half_up(pct.getItem(1), 6).alias("p_hi"),
     )
     j = df.join(stats, group_cols)
     x = F.col(value_col)
     clipped = (F.when(x < F.col("p_lo"), F.col("p_lo"))
                .when(x > F.col("p_hi"), F.col("p_hi"))
                .otherwise(x))
-    dec = clipped.cast(T.DecimalType(38, 16))
+    dec = clipped.cast(_DEC12)
     return (
         j.groupBy(*group_cols, "p_lo", "p_hi")
         .agg(
@@ -550,7 +559,7 @@ def winsorized_stats(
             .alias("n_clip_lo"),
             F.sum(F.when(x > F.col("p_hi"), F.lit(1)).otherwise(F.lit(0)))
             .alias("n_clip_hi"),
-            F.round(F.sum(dec).cast("double") / F.count(x), 6)
+            round_half_up(F.sum(dec).cast("double") / F.count(x), 6)
             .alias("winsorized_mean"),
         )
         .select(*group_cols, "p_lo", "p_hi", "n_rows",
@@ -578,18 +587,18 @@ def mad_outliers(
     rows — never a per-row window over the table.
     """
     med = df.groupBy(*group_cols).agg(
-        F.round(F.percentile(F.col(value_col), F.lit(0.5)), 6)
+        round_half_up(F.percentile(F.col(value_col), F.lit(0.5)), 6)
         .alias("med"))
     j = df.join(med, group_cols).withColumn(
         "dev", F.abs(F.col(value_col) - F.col("med")))
     mad = j.groupBy(*group_cols).agg(
-        F.round(F.percentile(F.col("dev"), F.lit(0.5)), 6).alias("mad"))
+        round_half_up(F.percentile(F.col("dev"), F.lit(0.5)), 6).alias("mad"))
     return (
         j.join(mad, group_cols)
         .filter((F.col("mad") > 0)
                 & (F.col("dev") > F.lit(k) * F.col("mad")))
         .select(*group_cols, "event_id", value_col, "med", "mad",
-                F.round("dev", 6).alias("dev"))
+                round_half_up(F.col("dev"), 6).alias("dev"))
     )
 
 
@@ -598,9 +607,9 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(events, ["event_type"], "value")
 
 
-_MAD_OUTLIERS_SQL = """
+_MAD_OUTLIERS_SQL = f"""
     WITH m AS (
-        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+        SELECT event_type, {_rs('quantile_cont(value, 0.5)', 6)} AS med
         FROM events GROUP BY event_type
     ),
     d AS (
@@ -609,11 +618,11 @@ _MAD_OUTLIERS_SQL = """
         FROM events e JOIN m USING (event_type)
     ),
     s AS (
-        SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+        SELECT event_type, {_rs('quantile_cont(dev, 0.5)', 6)} AS mad
         FROM d GROUP BY event_type
     )
     SELECT d.event_type, d.event_id, d.value, d.med, s.mad,
-           ROUND(d.dev, 6) AS dev
+           {_rs('d.dev', 6)} AS dev
     FROM d JOIN s USING (event_type)
     WHERE s.mad > 0 AND d.dev > 3.0 * s.mad
 """
@@ -624,11 +633,11 @@ def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(events, ["event_type"], "value")
 
 
-_WINSORIZED_SQL = """
+_WINSORIZED_SQL = f"""
     WITH s AS (
         SELECT event_type,
-               ROUND(quantile_cont(value, 0.05), 6) AS p_lo,
-               ROUND(quantile_cont(value, 0.95), 6) AS p_hi
+               {_rs('quantile_cont(value, 0.05)', 6)} AS p_lo,
+               {_rs('quantile_cont(value, 0.95)', 6)} AS p_hi
         FROM events GROUP BY event_type
     )
     SELECT e.event_type, p_lo, p_hi,
@@ -637,11 +646,11 @@ _WINSORIZED_SQL = """
                AS n_clip_lo,
            CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
                AS n_clip_hi,
-           ROUND(CAST(SUM(CAST(
+           {_rs('''CAST(SUM(CAST(
                CASE WHEN value < p_lo THEN p_lo
                     WHEN value > p_hi THEN p_hi
-                    ELSE value END AS DECIMAL(38, 16))) AS DOUBLE)
-               / COUNT(value), 6) AS winsorized_mean
+                    ELSE value END AS DECIMAL(38, 12))) AS DOUBLE)
+               / COUNT(value)''', 6)} AS winsorized_mean
     FROM events e JOIN s USING (event_type)
     GROUP BY e.event_type, p_lo, p_hi
 """
@@ -739,7 +748,7 @@ def pct_change_daily(
     from pyspark.sql import functions as FF
     from pyspark.sql import types as TT
 
-    dec = TT.DecimalType(38, 16)
+    dec = _DEC12
     daily = events.groupBy(key_col, day_col).agg(
         FF.round(FF.sum(FF.col(value_col).cast(dec)), 4)
         .cast("double").alias("dv")
@@ -752,7 +761,7 @@ def pct_change_daily(
     return daily.select(
         key_col, day_col, "dv",
         FF.when(
-            prev != 0, FF.round((FF.col("dv") - prev) / prev, 6)
+            prev != 0, round_half_up((FF.col("dv") - prev) / prev, 6)
         ).alias("pct_change"),
     )
 
@@ -779,7 +788,7 @@ def stickiness_daily(
         dau.join(FF.broadcast(wau), "week")
         .select(
             "week", "day", "dau", "wau",
-            FF.round(
+            round_half_up(
                 FF.col("dau").cast("double") / FF.col("wau").cast("double"),
                 6,
             ).alias("stickiness"),
@@ -806,7 +815,7 @@ def centroid_similarity(
     )
 
     aggs = [
-        FF.round(FF.avg(FF.col(vec_col)[i]), 6).alias(f"__c{i}")
+        round_half_up(FF.avg(FF.col(vec_col)[i]), 6).alias(f"__c{i}")
         for i in range(dim)
     ]
     cents = df.groupBy(group_col).agg(*aggs).select(
@@ -820,7 +829,7 @@ def centroid_similarity(
     pairs = a.join(b, FF.col("label_a") < FF.col("label_b"))
     return pairs.select(
         "label_a", "label_b",
-        FF.round(
+        round_half_up(
             cosine_similarity(FF.col("__ca"), FF.col("__cb")), 6
         ).alias("cos_sim"),
     )
@@ -987,7 +996,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(38, 16)")), 2)
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC12)), 2)
         .cast("double")
         .alias("sum_price"),
     )
@@ -1004,7 +1013,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = Catalog(spark, sf_dir, register_views=False).table("events")
-    pre = events.withColumn("__vdec", F.col("value").cast("decimal(38, 16)"))
+    pre = events.withColumn("__vdec", F.col("value").cast(_DEC12))
     out = salted_groupby_agg(
         pre,
         ["event_type"],
@@ -1065,7 +1074,7 @@ def _corr_oracle(table: str, cols: list[str], scale: int = 3) -> str:
     final IEEE combine."""
     unit = float(10 ** scale)
     qsel = ", ".join(
-        f"CAST(ROUND(CAST({c} AS DOUBLE) * {unit}) AS HUGEINT) AS {c}"
+        f"CAST({_rs(f'CAST({c} AS DOUBLE) * {unit!r}', 0)} AS HUGEINT) AS {c}"
         for c in cols)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     moments, selects = [], []
@@ -1186,7 +1195,7 @@ def _profile_oracle_col(label: str, expr: str, kind: str) -> str:
             f"       COUNT(DISTINCT {expr}) AS n_distinct,\n")
     if kind in ("num", "ts"):
         avg = ("CASE WHEN COUNT({x}) > 0 THEN "
-               "CAST(ROUND(SUM(CAST({x} AS DECIMAL(38, 16))), 6) AS DOUBLE)"
+               "CAST(ROUND(SUM(CAST({x} AS DECIMAL(38, 12))), 6) AS DOUBLE)"
                " / COUNT({x}) END").format(x=expr) \
             if kind == "num" else "CAST(NULL AS DOUBLE)"
         body = (f"       CAST(MIN({expr}) AS DOUBLE) AS min_num,\n"
@@ -1275,11 +1284,11 @@ def entry_oracles() -> dict[str, str]:
             FROM orders
         ) WHERE rn <= 3
     """
-    run_sum = """
+    run_sum = f"""
         SELECT user_id, event_id,
-               ROUND(SUM(value) OVER (PARTITION BY user_id
+               {_rs('''SUM(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+                     ROWS UNBOUNDED PRECEDING)''', 6)} AS running_sum
         FROM events
     """
     lag_d = """
@@ -1292,11 +1301,11 @@ def entry_oracles() -> dict[str, str]:
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
         FROM events GROUP BY event_type
     """
-    quantiles = """
+    quantiles = f"""
         SELECT event_type,
-               ROUND(quantile_cont(value, 0.5), 6) AS p50,
-               ROUND(quantile_cont(value, 0.9), 6) AS p90,
-               ROUND(quantile_cont(value, 0.99), 6) AS p99
+               {_rs('quantile_cont(value, 0.5)', 6)} AS p50,
+               {_rs('quantile_cont(value, 0.9)', 6)} AS p90,
+               {_rs('quantile_cont(value, 0.99)', 6)} AS p99
         FROM events GROUP BY event_type
     """
     rollup = """
@@ -1310,7 +1319,7 @@ def entry_oracles() -> dict[str, str]:
                    GROUPING(CAST(ts AS DATE)) AS g_day,
                    GROUPING(event_type) AS g_etype,
                    COUNT(*) AS n_rows,
-                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6)
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 12))), 6)
                         AS DOUBLE) AS sum_value
             FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
         )
@@ -1326,7 +1335,7 @@ def entry_oracles() -> dict[str, str]:
                    GROUPING(CAST(ts AS DATE)) AS g_day,
                    GROUPING(event_type) AS g_etype,
                    COUNT(*) AS n_rows,
-                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6)
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 12))), 6)
                         AS DOUBLE) AS sum_value
             FROM events GROUP BY CUBE(CAST(ts AS DATE), event_type)
         )
@@ -1342,7 +1351,7 @@ def entry_oracles() -> dict[str, str]:
                    GROUPING(CAST(ts AS DATE)) AS g_day,
                    GROUPING(event_type) AS g_etype,
                    COUNT(*) AS n_rows,
-                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6)
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 12))), 6)
                         AS DOUBLE) AS sum_value
             FROM events
             GROUP BY GROUPING SETS ((CAST(ts AS DATE), event_type),
@@ -1350,7 +1359,7 @@ def entry_oracles() -> dict[str, str]:
         )
     """
     pivot_measures = ", ".join(
-        f"CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))) "
+        f"CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 12))) "
         f"FILTER (WHERE event_type = '{v}'), 6) AS DOUBLE) AS {v}"
         for v in PIVOT_EVENT_TYPES
     )
@@ -1358,13 +1367,13 @@ def entry_oracles() -> dict[str, str]:
         SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, {pivot_measures}
         FROM events GROUP BY CAST(ts AS DATE)
     """
-    zscore = """
+    zscore = f"""
         WITH stats AS (
             SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
             FROM events GROUP BY event_type
         )
         SELECT e.event_id, e.event_type, e.value,
-               ROUND((e.value - s.mu) / s.sd, 6) AS zscore
+               {_rs('(e.value - s.mu) / s.sd', 6)} AS zscore
         FROM events e JOIN stats s ON e.event_type = s.event_type
         WHERE s.sd IS NOT NULL AND s.sd > 0
           AND ABS((e.value - s.mu) / s.sd) > 3.0
@@ -1379,28 +1388,28 @@ def entry_oracles() -> dict[str, str]:
             FROM events
         ) WHERE rn = 1
     """
-    centroids = """
+    centroids = f"""
         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
                CAST(d.dim AS INTEGER) AS dim,
-               ROUND(AVG(embedding[d.dim + 1]), 6) AS centroid
+               {_rs('AVG(embedding[d.dim + 1])', 6)} AS centroid
         FROM embeddings
         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
         GROUP BY label, d.dim
     """
-    json_props = """
+    json_props = f"""
         SELECT event_type,
                CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER))
                     AS BIGINT) AS sum_k,
-               ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+               {_rs("AVG(CAST(json_extract(props, '$.k') AS INTEGER))", 6)}
                    AS avg_k,
                COUNT(*) AS n_rows
         FROM events GROUP BY event_type
     """
-    histogram = """
+    histogram = f"""
         SELECT event_type, CAST(floor(value / 10.0) AS INTEGER) AS bin,
                COUNT(*) AS n_rows,
-               ROUND(MIN(value), 6) AS bin_min,
-               ROUND(MAX(value), 6) AS bin_max
+               {_rs('MIN(value)', 6)} AS bin_min,
+               {_rs('MAX(value)', 6)} AS bin_max
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type, floor(value / 10.0)
     """
@@ -1408,10 +1417,10 @@ def entry_oracles() -> dict[str, str]:
         "analytics_json_props": json_props,
         "analytics_value_histogram": histogram,
         "analytics_latest_per_key": latest,
-        "analytics_centroid_similarity": """
+        "analytics_centroid_similarity": f"""
             WITH c0 AS (
                 SELECT label, d.i AS i,
-                       ROUND(AVG(embedding[d.i]), 6) AS v
+                       {_rs('AVG(embedding[d.i])', 6)} AS v
                 FROM embeddings
                 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
                 GROUP BY label, d.i
@@ -1421,13 +1430,13 @@ def entry_oracles() -> dict[str, str]:
                 GROUP BY label
             )
             SELECT a.label AS label_a, b.label AS label_b,
-                   ROUND(list_dot_product(a.cv, b.cv)
+                   {_rs('''list_dot_product(a.cv, b.cv)
                          / (sqrt(list_dot_product(a.cv, a.cv))
-                            * sqrt(list_dot_product(b.cv, b.cv))), 6)
+                            * sqrt(list_dot_product(b.cv, b.cv)))''', 6)}
                        AS cos_sim
             FROM c a JOIN c b ON a.label < b.label
         """,
-        "analytics_stickiness_daily": """
+        "analytics_stickiness_daily": f"""
             WITH base AS (
                 SELECT user_id AS u,
                        CAST(date_trunc('week', ts) AS DATE) AS week,
@@ -1442,20 +1451,20 @@ def entry_oracles() -> dict[str, str]:
                 SELECT week, COUNT(DISTINCT u) AS wau FROM base GROUP BY 1
             )
             SELECT dau.week, dau.day, dau.dau, wau.wau,
-                   ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE),
-                         6) AS stickiness
+                   {_rs('CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)', 6)}
+                       AS stickiness
             FROM dau JOIN wau USING (week)
         """,
-        "analytics_pct_change_daily": """
+        "analytics_pct_change_daily": f"""
             WITH daily AS (
                 SELECT event_type, CAST(ts AS DATE) AS day,
-                       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 4)
+                       CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 12))), 4)
                             AS DOUBLE) AS dv
                 FROM events GROUP BY 1, 2
             )
             SELECT event_type, day, dv,
                    CASE WHEN lag(dv) OVER w <> 0 THEN
-                        ROUND((dv - lag(dv) OVER w) / lag(dv) OVER w, 6)
+                        {_rs('(dv - lag(dv) OVER w) / lag(dv) OVER w', 6)}
                    END AS pct_change
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
@@ -1513,7 +1522,7 @@ def entry_oracles() -> dict[str, str]:
         "analytics_pivot_day_by_type": pivot,
         "analytics_salted_agg": """
         SELECT event_type, COUNT(*) AS n_rows,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6)
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 12))), 6)
                     AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type
     """,
@@ -1521,7 +1530,7 @@ def entry_oracles() -> dict[str, str]:
         # the selective-salting rewrite is semantics-preserving.
         "dsl_join_salted": """
         SELECT c_mktsegment, COUNT(*) AS n_orders,
-               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38, 16))), 2)
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38, 12))), 2)
                     AS DOUBLE) AS sum_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment

@@ -24,6 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from query_planner_optimizer_spark.dsl.compiler import agg_decimal_scale
+from query_planner_optimizer_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up as _rs,
+)
 from query_planner_optimizer_spark.functions.timeexpr import epoch_micros
 
 #: Driver testdata events schema (TESTDATA.md) — needed explicitly for
@@ -62,7 +67,7 @@ def hourly_rollup(
         df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(38, 16)")), 6)
+            F.round(F.sum(F.col("value").cast(f"decimal(38, {agg_decimal_scale(6)})")), 6)
             .cast("double").alias("sum_value"),
         )
         .select(
@@ -95,7 +100,7 @@ def sliding_rollup(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(38, 16)")), 6)
+            F.round(F.sum(F.col("value").cast(f"decimal(38, {agg_decimal_scale(6)})")), 6)
             .cast("double").alias("sum_value"),
         )
         .select(
@@ -175,7 +180,7 @@ def sessionize(
             # DECIMAL accumulation: same ulp-at-the-ROUND-boundary
             # hazard the sf0.1 sweep caught in gapfill — per-session
             # double sums are usually tiny but not provably safe.
-            F.round(F.sum(F.col("value").cast("decimal(38, 16)")), 6)
+            F.round(F.sum(F.col("value").cast(f"decimal(38, {agg_decimal_scale(6)})")), 6)
             .cast("double").alias("sum_value"),
         )
         .select(
@@ -262,7 +267,7 @@ def interval_join(
         (epoch_micros("purchase_ts") - epoch_micros("click_ts")).alias(
             "delay_us"
         ),
-        F.round("purchase_value", 6).alias("purchase_value"),
+        round_half_up(F.col("purchase_value"), 6).alias("purchase_value"),
     )
 
 
@@ -398,7 +403,7 @@ def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = enrich_stream(cat.table("events"), cat.table("customer"))
     return out.select(
         "event_id", "user_id", "event_type", "c_mktsegment",
-        F.round("c_acctbal", 6).alias("c_acctbal"),
+        round_half_up(F.col("c_acctbal"), 6).alias("c_acctbal"),
     )
 
 
@@ -426,7 +431,7 @@ def entry_oracles() -> dict[str, str]:
     hourly = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type, COUNT(*) AS n_events,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6) AS DOUBLE)
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 12))), 6) AS DOUBLE)
                    AS sum_value
         FROM events GROUP BY 1, 2
     """
@@ -456,7 +461,7 @@ def entry_oracles() -> dict[str, str]:
             FROM flagged
         )
         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6) AS DOUBLE)
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 12))), 6) AS DOUBLE)
                    AS sum_value
         FROM numbered GROUP BY user_id, session_id
     """
@@ -475,24 +480,24 @@ def entry_oracles() -> dict[str, str]:
             FROM events, unnest([0, 1, 2, 3]) AS t(k)
         )
         SELECT window_start, event_type, COUNT(*) AS n_events,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 16))), 6) AS DOUBLE)
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38, 12))), 6) AS DOUBLE)
                    AS sum_value
         FROM expanded GROUP BY 1, 2
     """
-    ijoin = """
+    ijoin = f"""
         SELECT c.event_id AS click_id, p.event_id AS purchase_id,
                c.user_id,
                epoch_us(p.ts) - epoch_us(c.ts) AS delay_us,
-               ROUND(p.value, 6) AS purchase_value
+               {_rs('p.value', 6)} AS purchase_value
         FROM events c JOIN events p
           ON c.user_id = p.user_id
          AND p.ts >= c.ts
          AND p.ts < c.ts + INTERVAL '30 minutes'
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     """
-    enrich = """
+    enrich = f"""
         SELECT e.event_id, e.user_id, e.event_type,
-               c.c_mktsegment, ROUND(c.c_acctbal, 6) AS c_acctbal
+               c.c_mktsegment, {_rs('c.c_acctbal', 6)} AS c_acctbal
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     """
     return {
