@@ -37,6 +37,10 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from query_planner_optimizer_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up as _rs,
+)
 from query_planner_optimizer_spark.functions.textexpr import (
     shingles_from_tokens,
     tokens,
@@ -122,7 +126,7 @@ def jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", round_half_up(F.col("jaccard"), 6).alias("jaccard"))
     )
 
 
@@ -602,7 +606,7 @@ def minhash_lsh_pairs(
         .join(db, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", round_half_up(F.col("jaccard"), 6).alias("jaccard"))
     )
 
 
@@ -931,7 +935,7 @@ def ngram_novelty(
             F.sum(F.col("__seen").isNull().cast("long")).alias("n_novel"),
         )
         .withColumn("novelty",
-                    F.round(F.col("n_novel") / F.col("n_ngrams"), 6))
+                    round_half_up(F.col("n_novel") / F.col("n_ngrams"), 6))
     )
 
 
@@ -1373,7 +1377,7 @@ def _minhash_lsh_oracle(
             JOIN hs0 hb ON cand.doc_b = hb.doc_id
         )
         SELECT doc_a, doc_b,
-               ROUND(CAST(c AS DOUBLE) / CAST(sa + sb - c AS DOUBLE), 6)
+               {_rs('CAST(c AS DOUBLE) / CAST(sa + sb - c AS DOUBLE)', 6)}
                    AS jaccard
         FROM v
         WHERE CAST(c AS DOUBLE) / CAST(sa + sb - c AS DOUBLE)
@@ -1452,7 +1456,7 @@ def entry_oracles() -> dict[str, str]:
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
-               ROUND(CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE), 6)
+               {_rs('CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE)', 6)}
                    AS jaccard
         FROM common
         JOIN sizes sa ON common.doc_a = sa.doc_id
@@ -1656,8 +1660,8 @@ def entry_oracles() -> dict[str, str]:
         )
         SELECT e.doc_id, COUNT(*) AS n_ngrams,
                COUNT(CASE WHEN r.sh IS NULL THEN 1 END) AS n_novel,
-               ROUND(COUNT(CASE WHEN r.sh IS NULL THEN 1 END)
-                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+               {_rs('''COUNT(CASE WHEN r.sh IS NULL THEN 1 END)
+                     / CAST(COUNT(*) AS DOUBLE)''', 6)} AS novelty
         FROM ev e LEFT JOIN ref r ON e.sh = r.sh
         GROUP BY e.doc_id ORDER BY e.doc_id
     """

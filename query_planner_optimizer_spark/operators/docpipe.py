@@ -18,6 +18,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from query_planner_optimizer_spark.dsl.compiler import agg_decimal_scale
+from query_planner_optimizer_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up as _rs,
+)
 from query_planner_optimizer_spark.operators import text as T
 
 QUALITY_MIN = 0.5
@@ -76,7 +81,7 @@ def top_quality_fraction(
     6dp values, 10 orders of magnitude past double error).
     """
     scored = T.with_quality_score(docs).select(
-        "doc_id", group_col, F.round("quality_score", 6).alias("q")
+        "doc_id", group_col, round_half_up(F.col("quality_score"), 6).alias("q")
     )
     cut = scored.groupBy(group_col).agg(
         F.percentile(F.col("q"), F.lit(1.0 - keep_frac)).alias("__cut"),
@@ -136,7 +141,7 @@ def select_token_budget(
     """
     scored = T.with_quality_score(docs).select(
         "doc_id",
-        F.round("quality_score", 6).alias("quality_score"),
+        round_half_up(F.col("quality_score"), 6).alias("quality_score"),
         "n_tokens",
     ).withColumn("__salt", F.expr(f"doc_id DIV {int(salt_width)}"))
     lvl = scored.groupBy("quality_score").agg(
@@ -584,13 +589,14 @@ def corpus_card(docs: DataFrame, group_col: str = "source") -> DataFrame:
     Scale: one shuffle on the group key; per-group COUNT(DISTINCT
     digest) rides the same Expand Spark uses for mixed distinct
     aggregates — with few provenance buckets the reduce side is tiny.
-    ``avg_quality`` accumulates in DECIMAL(38,16) then rounds (the
+    ``avg_quality`` accumulates in DECIMAL then rounds half-up (the
     bit-portability discipline every unordered rounded mean follows).
     """
     from pyspark.sql import types as PT
 
     scored = T.with_lang_id(T.with_quality_score(docs))
-    dec = F.col("quality_score").cast(PT.DecimalType(38, 16))
+    dec = F.col("quality_score").cast(
+        PT.DecimalType(38, agg_decimal_scale(6)))
     return (
         scored.select(
             F.col(group_col), "n_tokens", "quality_score", "lang_pred",
@@ -600,7 +606,8 @@ def corpus_card(docs: DataFrame, group_col: str = "source") -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.sum("__q").cast("double") / F.count(F.lit(1)), 6)
+            round_half_up(
+                F.sum("__q").cast("double") / F.count(F.lit(1)), 6)
              .alias("avg_quality"),
             F.count(F.when(F.col("lang_pred") == "en", 1))
              .alias("n_english"),
@@ -767,7 +774,7 @@ def entry_oracles() -> dict[str, str]:
     top_quality = f"""
         WITH q AS ({quality}),
         scored AS (
-            SELECT d.doc_id, d.lang, ROUND(q.quality_score, 6) AS qs
+            SELECT d.doc_id, d.lang, {_rs('q.quality_score', 6)} AS qs
             FROM documents d JOIN q ON d.doc_id = q.doc_id
         ),
         cut AS (
@@ -783,7 +790,7 @@ def entry_oracles() -> dict[str, str]:
     token_budget = f"""
         WITH q AS ({quality}),
         scored AS (
-            SELECT doc_id, ROUND(quality_score, 6) AS quality_score,
+            SELECT doc_id, {_rs('quality_score', 6)} AS quality_score,
                    n_tokens
             FROM q
         ),
@@ -891,8 +898,8 @@ def entry_oracles() -> dict[str, str]:
         )
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-               ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(38, 16)))
-                          AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+               {_rs('''CAST(SUM(CAST(quality_score AS DECIMAL(38, 12)))
+                          AS DOUBLE) / COUNT(*)''', 6)} AS avg_quality,
                COUNT(CASE WHEN lang_pred = 'en' THEN 1 END) AS n_english,
                COUNT(*) - COUNT(DISTINCT h) AS n_dupes
         FROM j GROUP BY source ORDER BY source

@@ -90,7 +90,7 @@ def tfidf_scores(
         .agg(
             F.count(F.lit(1)).alias("n_matched_terms"),
             F.round(F.sum((F.col("tf") * F.col("idf"))
-                           .cast("decimal(38, 16)")), 6)
+                           .cast("decimal(38, 12)")), 6)
             .cast("double").alias("score"),
         )
     )
@@ -146,7 +146,7 @@ def bm25_scores(
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_matched_terms"),
-        F.round(F.sum(F.col("contrib").cast("decimal(38, 16)")), 6)
+        F.round(F.sum(F.col("contrib").cast("decimal(38, 12)")), 6)
         .cast("double").alias("score"),
     )
 
@@ -202,7 +202,7 @@ def entry_oracles() -> dict[str, str]:
         SELECT tf.doc_id, COUNT(*) AS n_matched_terms,
                CAST(ROUND(SUM(CAST(
                    tf.tf * ln(CAST(stats.n_docs AS DOUBLE) / dfreq.df)
-               AS DECIMAL(38, 16))), 6) AS DOUBLE) AS score
+               AS DECIMAL(38, 12))), 6) AS DOUBLE) AS score
         FROM tf JOIN dfreq USING (term), stats
         GROUP BY tf.doc_id
     """
@@ -214,7 +214,7 @@ def entry_oracles() -> dict[str, str]:
                    * (tf.tf * {BM25_K1 + 1.0})
                    / (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
                       + {BM25_B} * CAST(lens.dl AS DOUBLE) / stats.avgdl))
-               AS DECIMAL(38, 16))), 6) AS DOUBLE) AS score
+               AS DECIMAL(38, 12))), 6) AS DOUBLE) AS score
         FROM tf
         JOIN dfreq USING (term)
         JOIN lens ON tf.doc_id = lens.doc_id, stats
