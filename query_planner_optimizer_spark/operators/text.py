@@ -19,6 +19,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from query_planner_optimizer_spark.dsl.compiler import agg_decimal_scale
+from query_planner_optimizer_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up as _rs,
+)
 from query_planner_optimizer_spark.functions.textexpr import tokens
 
 #: Tiny per-language stopword sets for the n-gram/stopword language-ID
@@ -92,9 +97,9 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return (
         df.withColumn("n_tokens", n_tokens)
-        .withColumn("punct_ratio", F.round(punct_ratio, 6))
-        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
-        .withColumn("quality_score", F.round(score, 6))
+        .withColumn("punct_ratio", round_half_up(punct_ratio, 6))
+        .withColumn("stopword_ratio", round_half_up(stop_ratio, 6))
+        .withColumn("quality_score", round_half_up(score, 6))
         .drop("__toks")
     )
 
@@ -195,8 +200,8 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return (
         staged.withColumn("n_tokens", n)
-        .withColumn("dup_3gram_ratio", F.round(dup3, 6))
-        .withColumn("top_token_ratio", F.round(top_ratio, 6))
+        .withColumn("dup_3gram_ratio", round_half_up(dup3, 6))
+        .withColumn("top_token_ratio", round_half_up(top_ratio, 6))
         .withColumn(
             "repetitive",
             (dup3 > F.lit(REPETITION_DUP3_MAX))
@@ -366,7 +371,7 @@ def bigram_collocations(
         .crossJoin(F.broadcast(total))
         .select(
             "tok_a", "tok_b", "n_pair", "n_a", "n_b",
-            F.round(lift, 6).alias("lift"),
+            round_half_up(lift, 6).alias("lift"),
         )
     )
 
@@ -403,7 +408,7 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("n_words", F.size(toks).cast("long"))
         .withColumn("n_sentences", n_sents.cast("long"))
         .withColumn("n_syllables", n_syll.cast("long"))
-        .withColumn("flesch_score", F.round(score, 4))
+        .withColumn("flesch_score", round_half_up(score, 4))
     )
 
 
@@ -468,8 +473,9 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
-            F.sum(F.col("__prob").cast(T.DecimalType(38, 16)))
+        round_half_up(
+            F.sum(F.col("__prob").cast(
+                T.DecimalType(38, agg_decimal_scale(6))))
             .cast("double") / F.count(F.lit(1)),
             6,
         ).alias("lm_score"),
@@ -552,7 +558,7 @@ def oov_ratio(
         )
         .select(
             "doc_id", "n_tokens", "n_oov",
-            F.round(
+            round_half_up(
                 F.col("n_oov")
                 / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
                 6,
@@ -694,7 +700,7 @@ def vocab_coverage_curve(
         "k",
         covered.cast("long").alias("covered_tokens"),
         F.lit(int(total)).alias("total_tokens"),
-        F.round(
+        round_half_up(
             covered.cast("double") / F.lit(float(total)), 6
         ).alias("coverage"),
     )
@@ -984,11 +990,11 @@ def entry_oracles() -> dict[str, str]:
             FROM documents
         )
         SELECT doc_id, n_tokens,
-               ROUND(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
-               ROUND(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
-               ROUND(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               {_rs('CAST(punct AS DOUBLE) / greatest(n_chars, 1)', 6)} AS punct_ratio,
+               {_rs('CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)', 6)} AS stopword_ratio,
+               {_rs('''0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
                      + 0.3 * (1.0 - CAST(punct AS DOUBLE) / greatest(n_chars, 1))
-                     + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 5.0, 1.0), 6)
+                     + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 5.0, 1.0)''', 6)}
                    AS quality_score
         FROM base
     """
@@ -1032,12 +1038,12 @@ def entry_oracles() -> dict[str, str]:
             FROM t
         )
         SELECT doc_id, n AS n_tokens,
-               ROUND(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)
-                     / greatest(len(tg), 1), 6) AS dup_3gram_ratio,
-               ROUND(CASE WHEN n > 0 THEN
+               {_rs('''1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)
+                     / greatest(len(tg), 1)''', 6)} AS dup_3gram_ratio,
+               {_rs('''CASE WHEN n > 0 THEN
                    CAST(list_max(list_transform(list_distinct(tk),
                         t2 -> len(list_filter(tk, x -> x = t2)))) AS DOUBLE) / n
-               ELSE 0.0 END, 6) AS top_token_ratio,
+               ELSE 0.0 END''', 6)} AS top_token_ratio,
                (1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)
                      / greatest(len(tg), 1)) > {REPETITION_DUP3_MAX}
                OR (CASE WHEN n > 0 THEN
@@ -1078,9 +1084,8 @@ def entry_oracles() -> dict[str, str]:
         SELECT d.doc_id,
                COALESCE(c.n_tokens, 0) AS n_tokens,
                COALESCE(c.n_oov, 0) AS n_oov,
-               ROUND(COALESCE(c.n_oov, 0)
-                     / CAST(greatest(COALESCE(c.n_tokens, 0), 1) AS DOUBLE),
-                     6) AS oov_rate
+               {_rs('''COALESCE(c.n_oov, 0)
+                     / CAST(greatest(COALESCE(c.n_tokens, 0), 1) AS DOUBLE)''', 6)} AS oov_rate
         FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id
     """
     return {
@@ -1126,9 +1131,8 @@ def entry_oracles() -> dict[str, str]:
             total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM uni)
             SELECT p.tok_a, p.tok_b, p.n_pair,
                    ua.n AS n_a, ub.n AS n_b,
-                   ROUND(CAST(p.n_pair AS DOUBLE) * CAST(t.n_total AS DOUBLE)
-                         / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)),
-                         6) AS lift
+                   {_rs('''CAST(p.n_pair AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                         / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))''', 6)} AS lift
             FROM pair_counts p
             JOIN uni ua ON p.tok_a = ua.tok
             JOIN uni ub ON p.tok_b = ub.tok
@@ -1154,9 +1158,9 @@ def entry_oracles() -> dict[str, str]:
                         + (ks.k - lv.words_before) * lv.c, tot.total)
                         AS BIGINT) AS covered_tokens,
                    tot.total AS total_tokens,
-                   ROUND(CAST(COALESCE(lv.tokens_before
+                   {_rs('''CAST(COALESCE(lv.tokens_before
                         + (ks.k - lv.words_before) * lv.c, tot.total)
-                        AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+                        AS DOUBLE) / CAST(tot.total AS DOUBLE)''', 6)}
                        AS coverage
             FROM ks
             LEFT JOIN lv ON lv.words_before < ks.k
@@ -1171,7 +1175,7 @@ def entry_oracles() -> dict[str, str]:
                    CAST(greatest(len(regexp_extract_all(lower(text),
                         '[aeiouy]+')), greatest(len({toks}), 1))
                         AS BIGINT) AS n_syllables,
-                   ROUND(206.835
+                   {_rs(f'''206.835
                      - 1.015 * (CAST(greatest(len({toks}), 1) AS DOUBLE)
                         / CAST(greatest(len(regexp_extract_all(text,
                             '[.!?]+')), 1) AS DOUBLE))
@@ -1179,8 +1183,7 @@ def entry_oracles() -> dict[str, str]:
                             len(regexp_extract_all(lower(text),
                                 '[aeiouy]+')),
                             greatest(len({toks}), 1)) AS DOUBLE)
-                        / CAST(greatest(len({toks}), 1) AS DOUBLE)),
-                     4) AS flesch_score
+                        / CAST(greatest(len({toks}), 1) AS DOUBLE))''', 4)} AS flesch_score
             FROM documents
         """,
         # Bigram-LM fluency: each P(b|a) is ONE double division (IEEE-
@@ -1214,8 +1217,8 @@ def entry_oracles() -> dict[str, str]:
                 JOIN first_counts f USING (tok_a)
             )
             SELECT doc_id, COUNT(*) AS n_bigrams,
-                   ROUND(CAST(SUM(CAST(prob AS DECIMAL(38, 16))) AS DOUBLE)
-                         / COUNT(*), 6) AS lm_score
+                   {_rs('''CAST(SUM(CAST(prob AS DECIMAL(38, 12))) AS DOUBLE)
+                         / COUNT(*)''', 6)} AS lm_score
             FROM scored GROUP BY doc_id
         """,
         "text_bpe_merges": _bpe_oracle(),
