@@ -31,6 +31,10 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from query_planner_optimizer_spark.functions.rounding import (
+    round_half_up,
+    sql_round_half_up as _rs,
+)
 from query_planner_optimizer_spark.functions.vector import as_double_array, dot
 
 DEFAULT_K = 10
@@ -81,7 +85,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
+        .select("qid", "nid", "rank", round_half_up(F.col("sim"), 6).alias("sim"))
     )
 
 
@@ -171,7 +175,7 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
+        .select("qid", "nid", "rank", round_half_up(F.col("sim"), 6).alias("sim"))
     )
 
 
@@ -275,7 +279,7 @@ def embedding_neardup_pairs(
     return (
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= F.lit(threshold))
-        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        .select("id_a", "id_b", round_half_up(F.col("sim"), 6).alias("sim"))
     )
 
 
@@ -331,10 +335,15 @@ def ivf_topk(
         """side × centroids with the cosine similarity as ``csim`` —
         the single definition both the rank path and the argmax path
         score with (a formula change applies to training, corpus
-        assignment, and probing identically)."""
-        sim = _dot(F.col("_vec"), F.col("c_vec")) / (
-            F.col("_norm") * F.col("c_norm")
-        )
+        assignment, and probing identically). The zero-norm guard maps
+        a degenerate (all-zero) vector to csim 0.0 instead of NaN
+        (Spark's non-ANSI 0.0/0.0): NaN would sort LARGEST under the
+        rank window but last under the min-struct argmin, and the two
+        argmax spellings must agree on every input."""
+        sim = F.when(F.col("_norm") > 0,
+                     _dot(F.col("_vec"), F.col("c_vec")) / (
+                         F.col("_norm") * F.col("c_norm"))
+                     ).otherwise(F.lit(0.0))
         return (side.join(F.broadcast(centroid_df(cents)))
                 .withColumn("csim", sim))
 
@@ -355,7 +364,14 @@ def ivf_topk(
         and sorted all n·nlist joined rows. min(-csim, cell) picks the
         same (max csim, lowest cell) as the window's (desc, asc) sort —
         Spark normalizes -0.0 = 0.0 in orderings, so the negation
-        cannot reorder — and carries the vector through untouched."""
+        cannot reorder — and carries the vector through untouched.
+
+        NaN equivalence note: Spark sorts NaN LARGEST, so the window's
+        csim-desc would rank a NaN csim first while min(-csim) would
+        rank it last. A NaN csim needs a zero-norm vector, which
+        `_cell_scored`'s guarded division already maps to csim 0.0
+        (never NaN), so both argmin spellings pick identical cells on
+        every input — degenerate vectors included."""
         best = (
             _cell_scored(side, cents)
             .groupBy("id")
@@ -398,7 +414,7 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
+        .select("qid", "nid", "rank", round_half_up(F.col("sim"), 6).alias("sim"))
     )
 
 
@@ -532,7 +548,7 @@ def pq_topk(
         rer.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("qid", F.col("id").alias("nid"), "rank",
-                F.round("sim", 6).alias("sim"))
+                round_half_up(F.col("sim"), 6).alias("sim"))
     )
     # The persist served the in-function Lloyd collects; release it so
     # repeated calls in one long-lived session (the 216-entry driver
@@ -809,7 +825,8 @@ def quantize_embeddings(
     scale = F.when(mx == F.lit(0.0), F.lit(1.0)).otherwise(
         mx / F.lit(127.0)
     )
-    qv = F.transform(v, lambda x: F.round(x / scale).cast("long"))
+    qv = F.transform(
+        v, lambda x: round_half_up(x / scale, 0).cast("long"))
     return df.select(
         F.col(id_col).alias("vec_id"),
         scale.alias("scale"),
@@ -858,7 +875,7 @@ def quantized_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "nid", "rank", F.round("qsim", 6).alias("qsim"))
+        .select("qid", "nid", "rank", round_half_up(F.col("qsim"), 6).alias("qsim"))
     )
 
 
@@ -868,7 +885,7 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd = quantize_embeddings(_emb(spark, sf_dir))
     return qd.select(
         "vec_id",
-        F.round("scale", 9).alias("scale"),
+        round_half_up(F.col("scale"), 9).alias("scale"),
         F.posexplode("qvec").alias("pos", "qval"),
     )
 
@@ -878,7 +895,7 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Shared quantization CTE (DuckDB replay of quantize_embeddings).
-_QUANT_CTE = """
+_QUANT_CTE = f"""
     v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
@@ -892,7 +909,7 @@ _QUANT_CTE = """
     ),
     q AS (
         SELECT vec_id, scale,
-               list_transform(e, x -> CAST(ROUND(x / scale) AS BIGINT))
+               list_transform(e, x -> CAST({_rs('x / scale', 0)} AS BIGINT))
                    AS qv
         FROM s
     )
@@ -1069,7 +1086,7 @@ def _lsh_topk_oracle(
             JOIN n a ON cand.qid = a.vec_id
             JOIN n b ON cand.nid = b.vec_id
         )
-        SELECT qid, nid, rank, ROUND(sim, 6) AS sim FROM (
+        SELECT qid, nid, rank, {_rs('sim', 6)} AS sim FROM (
             SELECT qid, nid, sim,
                    CAST(row_number() OVER (PARTITION BY qid
                         ORDER BY sim DESC, nid ASC) AS INTEGER) AS rank
@@ -1094,7 +1111,7 @@ def _neardup_lsh_oracle(
             WHERE a.vec_id < b.vec_id
         )
         SELECT id_a, id_b,
-               ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS sim
+               {_rs('list_dot_product(a.e, b.e) / (a.nrm * b.nrm)', 6)} AS sim
         FROM cand
         JOIN n a ON cand.id_a = a.vec_id
         JOIN n b ON cand.id_b = b.vec_id
@@ -1115,7 +1132,7 @@ def entry_oracles() -> dict[str, str]:
             FROM n q JOIN n c ON q.vec_id <> c.vec_id
             WHERE q.vec_id < {DEFAULT_NUM_QUERIES}
         )
-        SELECT qid, nid, rank, ROUND(sim, 6) AS sim FROM (
+        SELECT qid, nid, rank, {_rs('sim', 6)} AS sim FROM (
             SELECT qid, nid, sim,
                    CAST(row_number() OVER (PARTITION BY qid
                         ORDER BY sim DESC, nid ASC) AS INTEGER) AS rank
@@ -1128,7 +1145,7 @@ def entry_oracles() -> dict[str, str]:
         ),
         n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS sim
+               {_rs('list_dot_product(a.e, b.e) / (a.nrm * b.nrm)', 6)} AS sim
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
               >= {NEARDUP_THRESHOLD}
@@ -1170,7 +1187,7 @@ def entry_oracles() -> dict[str, str]:
             "dedup_semantic_clusters": _semantic_dedup_oracle(),
             "sim_quantize_int8": f"""
         WITH {_QUANT_CTE}
-        SELECT vec_id, ROUND(scale, 9) AS scale,
+        SELECT vec_id, {_rs('scale', 9)} AS scale,
                UNNEST(list_transform(qv, (x, i) ->
                       {{'pos': i - 1, 'qval': x}}), recursive := true)
         FROM q
@@ -1193,7 +1210,7 @@ def entry_oracles() -> dict[str, str]:
             FROM n2 a JOIN n2 b ON a.vec_id <> b.vec_id
             WHERE a.vec_id < {{nq}}
         )
-        SELECT qid, nid, rank, ROUND(qsim, 6) AS qsim FROM (
+        SELECT qid, nid, rank, {_rs('qsim', 6)} AS qsim FROM (
             SELECT qid, nid, qsim,
                    CAST(row_number() OVER (PARTITION BY qid
                         ORDER BY qsim DESC, nid ASC) AS INTEGER) AS rank
