@@ -835,6 +835,13 @@ def _window_sql(term: dict, dialect: str,
     else:
         if fn == "nth_value":
             call = f"nth_value({_ident(of, dialect)}, {nth})"
+        elif round_to is not None and fn in ("sum", "avg"):
+            # Twin of the compiler's rounded window SUM/AVG (r9):
+            # DECIMAL accumulation makes the framed sum association-
+            # order-free in both engines; AVG's double quotient rounds
+            # through the shared FLOOR half-up formula.
+            dec = f"DECIMAL(38, {agg_decimal_scale(round_to)})"
+            call = f"SUM(CAST({_ident(of, dialect)} AS {dec}))"
         else:
             call = f"{fn}({_ident(of, dialect)})"
         if frame is not None:
@@ -845,9 +852,27 @@ def _window_sql(term: dict, dialect: str,
             )
         else:
             over += " ROWS UNBOUNDED PRECEDING"
+        if round_to is not None and fn in ("sum", "avg"):
+            s = f"{call} OVER ({over})"
+            if fn == "sum":
+                expr = f"CAST(ROUND({s}, {round_to}) AS DOUBLE)"
+            else:
+                cnt = f"COUNT({_ident(of, dialect)}) OVER ({over})"
+                p = f"CAST({float(10 ** round_to)!r} AS DOUBLE)"
+                x = f"(CAST({s} AS DOUBLE) / {cnt})"
+                expr = f"(FLOOR({x} * {p} + CAST(0.5 AS DOUBLE)) / {p})"
+            return f"{expr} AS {_quote_ident(out_name, dialect)}"
     expr = f"{call} OVER ({over})"
     if round_to is not None:
-        expr = f"ROUND({expr}, {round_to})"
+        if fn in WINDOW_RANK_FNS or fn == "ntile":
+            # Integer-valued: native ROUND is exact in both engines.
+            expr = f"ROUND({expr}, {round_to})"
+        else:
+            # Raw-value pick: the shared half-up formula (twin of the
+            # compiler; all literals DOUBLE-cast — a bare 0.5 parses
+            # as DECIMAL in both dialects).
+            p = f"CAST({float(10 ** round_to)!r} AS DOUBLE)"
+            expr = f"(FLOOR(({expr}) * {p} + CAST(0.5 AS DOUBLE)) / {p})"
     return f"{expr} AS {_quote_ident(out_name, dialect)}"
 
 

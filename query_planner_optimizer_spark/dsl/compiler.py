@@ -761,10 +761,36 @@ def _window_column(df: DataFrame, term: dict) -> Column:
             w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         if fn == "nth_value":
             e = F.nth_value(F.col(of), nth).over(w)
+        elif round_to is not None and fn in ("sum", "avg"):
+            # Rounded window SUM/AVG follow the SAME boundary-exact
+            # contract as grouped aggregates (r9, closing the r8 gap):
+            # the sum accumulates in DECIMAL — both engines evaluate
+            # framed window aggregates in engine-chosen association
+            # order (segment trees vs running folds), and decimal
+            # addition is the only order-free spelling — and AVG's
+            # final round over the DOUBLE quotient uses the shared
+            # FLOOR(x·10^r + 0.5)/10^r formula, since native
+            # ROUND(double) is engine-defined at half-boundaries and
+            # an n-denominator quotient can land exactly on one.
+            dec = T.DecimalType(38, agg_decimal_scale(round_to))
+            s = F.sum(F.col(of).cast(dec)).over(w)
+            if fn == "sum":
+                return F.round(s, round_to).cast("double").alias(out_name)
+            x = s.cast("double") / F.count(F.col(of)).over(w)
+            p = float(10 ** round_to)
+            e = F.floor(x * F.lit(p) + F.lit(0.5)) / F.lit(p)
+            return e.alias(out_name)
         else:
             e = getattr(F, fn)(F.col(of)).over(w)
     if round_to is not None:
-        e = F.round(e, round_to)
+        if fn in WINDOW_RANK_FNS or fn == "ntile":
+            # Integer-valued: native ROUND is exact in both engines.
+            e = F.round(e, round_to)
+        else:
+            # Raw-value pick (min/max/first/last/nth/lag/lead): the
+            # shared half-up formula, mirrored by the SQL twin.
+            p = float(10 ** round_to)
+            e = F.floor(e * F.lit(p) + F.lit(0.5)) / F.lit(p)
     return e.alias(out_name)
 
 

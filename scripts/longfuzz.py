@@ -6,7 +6,7 @@ count. Every semantic catch since round 5 came from these draws
 exists-empties-input marker bug), so burning spare wall-clock here has
 the best bug-per-minute rate in the repo.
 
-Usage: python scripts/longfuzz.py [examples-per-target]
+Usage: python scripts/longfuzz.py [examples-per-target] [target-substr,...]
 Exits non-zero on the first falsifying example (hypothesis prints it).
 """
 
@@ -64,6 +64,16 @@ def main() -> int:
         ("setops", P.setop_queries(),
          P.test_setop_compiler_equals_duckdb.hypothesis.inner_test,
          (spark, catalog, ddb)),
+        # r9: window frames (ROWS/RANGE bounds × fns × rounds) — the
+        # rounded-SUM/AVG-over-frames surface the r9 DECIMAL+FLOOR
+        # window contract covers; association order and boundary
+        # quotients are only settled by draws.
+        ("windows", P.window_frame_queries(),
+         P.test_window_frames_equal_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("windows_twin", P.window_frame_queries(),
+         P.test_window_frames_equal_sql_twin.hypothesis.inner_test,
+         (spark, catalog)),
     ]
     def make_body(inner, args):
         # closure (not defaulted params — @given refuses defaults)
@@ -71,7 +81,10 @@ def main() -> int:
             inner(q, *args)
         return body
 
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     for name, strat, inner, args in targets:
+        if only and not any(s in name for s in only):
+            continue
         t0 = time.time()
         run = settings(max_examples=n, deadline=None,
                        suppress_health_check=list(HealthCheck))(
