@@ -2218,79 +2218,80 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-8 window (r7 VERDICT #1: finish the evidence program).
-    # -- Composition: the 2 entries with zero driver rows across
-    # -- r1-r7 (dsl_window_first_last, dedup_ngram_novelty — after
-    # -- this round every pre-r8 entry is driver-proven), the 3
-    # -- r8-new entries (RANGE frames, nth_value, hour plan-route),
-    # -- ALL 21 entries whose latest green is r3 (pre-DECIMAL-sum /
-    # -- portable-hash hardening: the 9 deferred from r7 plus the 12
-    # -- deferred from the r7 _PANEL comment), and 24 of the 44
-    # -- r4-green entries in registry order. Deferred to r9: the
-    # -- remaining 20 r4-green entries (relevance_tfidf,
-    # -- multimodal_features/frame_pipeline, stream_hourly_rollup,
-    # -- analytics_value_histogram/zscore/running_sum/lag_delta/
-    # -- distinct_users/rollup_counts/cube_counts/pivot/salted_agg,
-    # -- dsl_join_salted, pipeline_top_quality/line_dedup/
-    # -- pack_grouped, sample_hash_10pct/k_per_group,
-    # -- text_collocations) + the r5 backlog.
-    # never driver-checked (late-r7 adds)
-    "dsl_window_first_last",
-    "dedup_ngram_novelty",
-    # r8-new (never driver-checked)
-    "dsl_window_range_frame",
-    "dsl_window_nth_value",
-    "dsl_plan_routed_hour",
-    "dsl_exists_lineitem",
-    "dsl_not_exists_customers",
-    # -- r3-stale refresh: the 9 deferred from the r7 rotation --
-    "relevance_bm25",
-    "stream_dedup",
-    "stream_funnel",
-    "stream_interval_join",
-    "analytics_quantiles",
-    "analytics_latest_per_key",
-    "temporal_range_join",
-    "pipeline_pack_sequences",
-    "sample_stratified_by_lang",
-    # -- r3-stale refresh: the 12 deferred from r6's rotation --
-    "dsl_filter_like_notnull",
-    "dsl_hourly_day_between",
-    "dsl_join_anti_inactive_customers",
-    "dsl_join_semi_orders_with_lineitems",
-    "text_repetition",
-    "stream_enrich_dim",
-    "stream_sliding_rollup",
-    "analytics_json_props",
-    "analytics_embedding_centroids",
-    "analytics_topn_per_group",
-    "pipeline_chunk_documents",
-    "sample_split_assignments",
-    # -- r4-stale refresh (oldest remaining evidence), registry order
-    # -- (text_normalize_nfc + sample_mixture_weights displaced to r9
-    # -- by the late-r8 exists entries: never-checked outranks) --
-    "dsl_case_agg",
-    "dsl_join_revenue_by_nation",
-    "dsl_tpch_q1_full",
-    "dsl_window_rank_running",
-    "dsl_scalar_subquery_above_avg",
-    "dsl_tpch_q3_shipping_priority",
-    "dsl_tpch_q5_local_supplier_volume",
-    "dsl_tpch_q6_forecast_revenue",
-    "dsl_tpch_q10_returned_items",
-    "dsl_tpch_q12_priority_split",
-    "dsl_pricing_summary",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cc_star",
-    "sim_lsh_topk",
-    "dedup_embedding_cosine_lsh",
-    "sim_ivf_topk",
-    "dedup_embedding_lsh_quality",
-    "text_oov_ratio",
-    "text_token_count",
-    "text_fingerprint",
-    "text_token_vocab",
+    # -- round-9 window (r8 VERDICT #2: rotate onto the stale tail).
+    # -- Composition: ALL 22 entries whose latest driver green is r4
+    # -- (the oldest evidence in the registry — includes the two
+    # -- displaced from r8: text_normalize_nfc, sample_mixture_weights)
+    # -- plus 28 of the 50 r5-green entries, chosen to front the
+    # -- surfaces THIS round changed: every operator family whose
+    # -- engine+oracle rounding migrated to the shared FLOOR half-up /
+    # -- scale-12 contract (dedup, pipeline, sim, stream, temporal,
+    # -- text), the rollup/router entries behind the r9 scale-stamp
+    # -- guard and the pre-r8-AVG native-round flag
+    # -- (dsl_routed_*/dsl_plan_routed_daily), and the rounded-AVG DSL
+    # -- shapes. Deferred to r10: the 22 remaining r5-green entries
+    # -- (dsl_case_projection, dsl_count_col, dsl_count_distinct_users,
+    # -- dsl_day_in_coercion, dsl_distinct_pairs, dsl_except_segments,
+    # -- dsl_expr_projection, dsl_filter_between, dsl_filter_eq,
+    # -- dsl_filter_gauntlet, dsl_filter_in, dsl_filter_neq,
+    # -- dsl_filter_not_in, dsl_filter_range_ops,
+    # -- dsl_groupby_count_star, dsl_groupby_min_max,
+    # -- dsl_intersect_segments, dsl_join_brand_pricing,
+    # -- dsl_join_tree_having_mix, dsl_multikey_orderby,
+    # -- dsl_topk_limit, dsl_union_segments — all filter/set-op/plain
+    # -- shapes untouched since r5 and unaffected by the r9 diffs).
+    # -- r4-green refresh (oldest evidence), registry order --
+    "analytics_cube_counts",
+    "analytics_distinct_users",
+    "analytics_lag_delta",
+    "analytics_pivot_day_by_type",
+    "analytics_rollup_counts",
+    "analytics_running_sum",
+    "analytics_salted_agg",
+    "analytics_value_histogram",
+    "analytics_zscore_outliers",
+    "dsl_join_salted",
+    "multimodal_features",
+    "multimodal_frame_pipeline",
+    "pipeline_line_dedup",
+    "pipeline_pack_grouped",
+    "pipeline_top_quality",
+    "relevance_tfidf",
+    "sample_hash_10pct",
+    "sample_k_per_group",
+    "sample_mixture_weights",
+    "stream_hourly_rollup",
+    "text_collocations",
+    "text_normalize_nfc",
+    # -- r5-green refresh: the 28 fronting this round's changes --
+    "dedup_connected_components",
+    "dedup_decontaminate",
+    "dedup_exact",
+    "dedup_minhash_bucket_cap",
+    "dedup_minhash_quality",
+    "dedup_ngram_jaccard",
+    "pipeline_clean_corpus",
+    "pipeline_token_budget",
+    "sim_cosine_topk",
+    "stream_heavy_hitters",
+    "stream_sessionize",
+    "temporal_asof_join",
+    "text_quality_score",
+    "text_strip_markup",
+    "dsl_routed_daily_rollup",
+    "dsl_routed_incremental_rollup",
+    "dsl_plan_routed_daily_rollup",
+    "dsl_groupby_avg",
+    "dsl_median_value",
+    "dsl_groupby_stddev_var",
+    "dsl_daily_rollup",
+    "dsl_weekly_rollup",
+    "dsl_minute_rollup",
+    "dsl_ungrouped_agg",
+    "dsl_groupby_sum",
+    "dsl_tpch_q4_priority_exists",
+    "dsl_scalar_subquery_small_orders",
+    "dsl_having_group_gate",
 ]
 
 
