@@ -52,6 +52,38 @@ KNOWN_TABLES = (
 DERIVED_TIME_COLUMNS = ("ts_dt", "day", "week", "hour", "minute")
 
 
+#: Session-lifetime reader caches (r9 fixed-floor audit): re-calling
+#: ``spark.read.parquet`` on the same path re-lists files and re-reads
+#: footers — ~0.13 s of per-query driver-side cost at ANY data scale —
+#: even though the returned frame is an immutable plan template. One
+#: frame per (session, path) serves every query. ONLY immutable inputs
+#: route through here (driver testdata); mutable dirs (rollup folds,
+#: prepare output) keep fresh reads so their swap protocols see new
+#: file listings.
+_PARQUET_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+#: spread() memo: keyed by the input frame's identity (safe — the
+#: cached entry holds a strong ref, so the id cannot be recycled);
+#: avoids re-running the df.rdd partition probe (a full plan→RDD
+#: conversion, ~0.1 s) on every query over the same cached reader.
+_SPREAD_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+#: Catalog.table cross-instance cache (augmented frames), same
+#: immutability contract as _PARQUET_CACHE.
+_AUGMENTED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def cached_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with a session-lifetime frame cache —
+    for immutable inputs only (see ``_PARQUET_CACHE``)."""
+    key = (id(spark), os.path.abspath(path))
+    df = _PARQUET_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _PARQUET_CACHE[key] = df
+    return df
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition a NARROW input ahead of a CPU-heavy map
     stage (tokenization, shingling, vector math).
@@ -76,10 +108,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     from query_planner_optimizer_spark.session import default_parallelism
 
+    hit = _SPREAD_CACHE.get(id(df))
+    if hit is not None and hit[0] is df:
+        return hit[1]
     target = min_partitions or default_parallelism()
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target).cache()
+    out = df if df.rdd.getNumPartitions() >= target \
+        else df.repartition(target).cache()
+    _SPREAD_CACHE[id(df)] = (df, out)
+    return out
 
 
 def augment_time_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -256,12 +292,22 @@ class Catalog:
                 self._cache[name] = df
                 return df
             raise KeyError(f"unknown table {name!r}: no {path} and no registered view")
-        nano_cols = _nano_timestamp_columns(path)
-        if nano_cols:
-            self._ensure_nanos_conf()
-        df = self.spark.read.parquet(path)
-        df = _restore_nano_timestamps(df, nano_cols)
-        df = augment_time_columns(df)
+        # Cross-instance cache for IMMUTABLE testdata paths: entry
+        # callables build a fresh Catalog per call, so the instance
+        # cache alone re-pays footer reads + augment construction on
+        # every query (r9 fixed-floor audit). Override paths (prepared
+        # dirs, rollups) are mutable and always re-read.
+        mkey = (id(self.spark), os.path.abspath(path))
+        df = None if name in self.overrides else _AUGMENTED_CACHE.get(mkey)
+        if df is None:
+            nano_cols = _nano_timestamp_columns(path)
+            if nano_cols:
+                self._ensure_nanos_conf()
+            df = self.spark.read.parquet(path)
+            df = _restore_nano_timestamps(df, nano_cols)
+            df = augment_time_columns(df)
+            if name not in self.overrides:
+                _AUGMENTED_CACHE[mkey] = df
         if self.register_views:
             df.createOrReplaceTempView(name)
         self._cache[name] = df

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from query_planner_optimizer_spark.catalog import Catalog
+from query_planner_optimizer_spark.catalog import Catalog, cached_parquet
 from query_planner_optimizer_spark.dsl.compiler import agg_decimal_scale
 from query_planner_optimizer_spark.functions.rounding import (
     round_half_up,
@@ -836,7 +836,7 @@ def centroid_similarity(
 
 
 def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return centroid_similarity(emb)
 
 
@@ -1050,7 +1050,7 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = cached_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return embedding_centroids(emb)
 
 
@@ -1146,7 +1146,7 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_planner_optimizer_spark.catalog import spread
-    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = spread(cached_parquet(spark, f"{sf_dir}/documents.parquet"))
     return profile_table(docs.select(
         "doc_id", "text", "lang", "source", "n_chars"))
 

@@ -808,11 +808,11 @@ def simhash_quality(df: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from query_planner_optimizer_spark.catalog import spread
+    from query_planner_optimizer_spark.catalog import cached_parquet, spread
 
     # CPU-bound tokenization/shingling: spread the (often single-file)
     # local input across cores before the map stage.
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread(cached_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -773,17 +773,17 @@ def sample_resize_frames(
 # --------------------------------------------------------------------------
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from query_planner_optimizer_spark.catalog import spread
+    from query_planner_optimizer_spark.catalog import cached_parquet, spread
 
-    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = spread(cached_parquet(spark, f"{sf_dir}/documents.parquet"))
     media = to_media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "text")
     return extract_features(media)
 
 
 def q_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from query_planner_optimizer_spark.catalog import spread
+    from query_planner_optimizer_spark.catalog import cached_parquet, spread
 
-    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = spread(cached_parquet(spark, f"{sf_dir}/documents.parquet"))
     media = to_media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), "text")
     return sample_resize_frames(media)
 
@@ -798,10 +798,10 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk, or the PCM reshape breaks the hash."""
     from collections.abc import Iterator
 
-    from query_planner_optimizer_spark.catalog import spread
+    from query_planner_optimizer_spark.catalog import cached_parquet, spread
 
     docs = spread(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cached_parquet(spark, f"{sf_dir}/documents.parquet")
     ).select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -834,10 +834,10 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, and let the SQL oracle recompute every field."""
     from collections.abc import Iterator
 
-    from query_planner_optimizer_spark.catalog import spread
+    from query_planner_optimizer_spark.catalog import cached_parquet, spread
 
     docs = spread(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cached_parquet(spark, f"{sf_dir}/documents.parquet")
     ).select("doc_id")
     brands = (b"isom", b"mp42", b"qt  ")
 
@@ -869,10 +869,10 @@ def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     and let the SQL oracle recompute every field."""
     from collections.abc import Iterator
 
-    from query_planner_optimizer_spark.catalog import spread
+    from query_planner_optimizer_spark.catalog import cached_parquet, spread
 
     docs = spread(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cached_parquet(spark, f"{sf_dir}/documents.parquet")
     ).select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

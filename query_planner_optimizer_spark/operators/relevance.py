@@ -159,9 +159,9 @@ _SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
 
 def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from query_planner_optimizer_spark.catalog import spread
+    from query_planner_optimizer_spark.catalog import cached_parquet, spread
 
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread(cached_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from query_planner_optimizer_spark.catalog import cached_parquet
+
 #: Bucket space; fractions resolve to whole buckets (granularity 1e-6).
 BUCKETS = 1_000_000
 
@@ -283,7 +285,7 @@ def epoch_shuffle(
 # --------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cached_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def q_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -747,11 +747,11 @@ def ann_recall_summary(df: DataFrame, **kw) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from query_planner_optimizer_spark.catalog import spread
+    from query_planner_optimizer_spark.catalog import cached_parquet, spread
 
     # CPU-bound vector math: spread the (often single-file) local input
     # across cores before scoring.
-    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return spread(cached_parquet(spark, f"{sf_dir}/embeddings.parquet"))
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

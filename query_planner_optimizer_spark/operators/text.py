@@ -568,11 +568,11 @@ def oov_ratio(
 
 
 def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from query_planner_optimizer_spark.catalog import spread
+    from query_planner_optimizer_spark.catalog import cached_parquet, spread
 
     # CPU-bound text expressions: spread the (often single-file) local
     # input across cores before the map stage.
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread(cached_parquet(spark, f"{sf_dir}/documents.parquet"))
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
