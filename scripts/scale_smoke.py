@@ -285,6 +285,72 @@ def main() -> int:
                             ["day", "event_type"],
                             {"value": ["sum", "count", "hist"]})
 
+    def _exists_skew(spark, kk):
+        """r9 (r8 VERDICT #4): correlated EXISTS under correlate-key
+        skew. lineitem replicates k× and ~1% of the replicated rows
+        remap onto ONE hot orderkey, so the semi-join's build input has
+        a single key carrying ~k·6k rows — the regime AQE's skew-join
+        splitting (session.py) exists for. The build function also
+        asserts the compiled plan keeps a hash-based LEFT SEMI (no
+        BroadcastNestedLoopJoin): the exists rewrite joins on pure
+        equi-keys, so a BNLJ would mean the rewrite regressed."""
+        from query_planner_optimizer_spark.catalog import Catalog
+        from query_planner_optimizer_spark.dsl.compiler import compile_query
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        hot = 1  # an orderkey present in the base orders table
+        if kk > 1:
+            reps = spark.range(kk).withColumnRenamed("id", "__rep")
+            orders = (
+                orders.crossJoin(reps)
+                .withColumn(
+                    "o_orderkey",
+                    F.when(F.col("__rep") == 0, F.col("o_orderkey"))
+                    .otherwise(
+                        F.col("o_orderkey") * kk + F.col("__rep")),
+                )
+                .drop("__rep")
+            )
+            li = (
+                li.crossJoin(reps)
+                .withColumn(
+                    "l_orderkey",
+                    F.when(
+                        F.pmod(F.xxhash64("l_orderkey", "__rep"),
+                               F.lit(100)) == 0,
+                        F.lit(hot),
+                    ).otherwise(
+                        F.col("l_orderkey") * kk + F.col("__rep")),
+                )
+                .drop("__rep")
+            )
+        orders.createOrReplaceTempView("orders")
+        li.createOrReplaceTempView("lineitem")
+        cat = Catalog(spark, "/nonexistent-use-views",
+                      register_views=False)
+        q = {
+            "select": ["o_orderkey", "o_totalprice"],
+            "from": "orders",
+            "where": [{"op": "exists", "val": {
+                "subquery": {
+                    "select": ["l_orderkey"], "from": "lineitem",
+                    "where": [{"col": "l_quantity", "op": "gt",
+                               "val": 30}]},
+                "correlate": [["o_orderkey", "l_orderkey"]]}}],
+        }
+        df = compile_query(q, cat)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # The k×-replication crossJoin above is itself a (deliberate,
+        # harness-side) BNLJ against the 100-row reps range — the
+        # assert targets the SEMI join node only: it must be hash- or
+        # sort-based, never nested-loop/cartesian.
+        semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+        assert semi_lines, plan
+        for ln in semi_lines:
+            assert "NestedLoop" not in ln and "Cartesian" not in ln, ln
+        return df
+
     ops = {
         "line_dedup": lambda spark, kk: docpipe.line_dedup(
             replicate_docs(spark, kk), line_tokens=3),
@@ -344,6 +410,9 @@ def main() -> int:
             replicate_docs(spark, kk)),
         "clean_corpus": lambda spark, kk: docpipe.clean_corpus(
             replicate_docs(spark, kk)),
+        # r9 (r8 VERDICT #4): correlated-EXISTS semi-join with a hot
+        # correlate key — no-BNLJ plan assert + sublinear time bar
+        "exists_semi_skew": _exists_skew,
     }
     print(f"# scale smoke: 1x vs {k}x (sf0.1 base, local, noop sink)")
     for name, build in ops.items():
