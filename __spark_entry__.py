@@ -765,6 +765,38 @@ DSL_QUERIES: dict[str, dict] = {
         "order_by": ["event_id"],
         "limit": 800,
     },
+    "dsl_window_range_sum_avg": {
+        # Rounded SUM/AVG over RANGE frames (r9): the surface the r8
+        # entry deliberately excluded, admitted now that framed window
+        # SUM/AVG follow the boundary-exact contract — the sum
+        # accumulates in DECIMAL(38,12) inside the frame (engines fold
+        # frames in engine-chosen association order; decimal addition
+        # is order-free) and AVG's double quotient rounds through the
+        # shared FLOOR half-up formula (compiler._window_column /
+        # assembler._window_sql twins). A trailing-7-day revenue sum
+        # and a ±36-hour centered average per user — the time-series
+        # smoothing shape a metrics pipeline runs at 100 TB (frame
+        # state is bounded by the interval, never the partition).
+        "select": [
+            "event_id", "user_id", "value",
+            {"win": "sum", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"}],
+             "frame": {"range": ["-7 days", 0]},
+             "as": "sum_7d", "round": 6},
+            {"win": "avg", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "ts_dt", "dir": "asc"}],
+             "frame": {"range": ["-36 hours", "36 hours"]},
+             "as": "avg_3d_centered", "round": 6},
+            {"win": "sum", "of": "value", "partition_by": ["user_id"],
+             "order_by": [{"col": "event_id", "dir": "asc"}],
+             "frame": {"range": [-500, 500]},
+             "as": "sum_near_id", "round": 6},
+        ],
+        "from": "events",
+        "where": [{"col": "event_type", "op": "neq", "val": "error"}],
+        "order_by": ["event_id"],
+        "limit": 900,
+    },
     "dsl_window_nth_value": {
         # nth_value (r8) under the aggregate-frame contract: cumulative
         # default = "2nd-best seen so far" (NULL until two rows), full
@@ -2240,6 +2272,10 @@ _PANEL = [
     # -- dsl_join_tree_having_mix, dsl_multikey_orderby,
     # -- dsl_topk_limit, dsl_union_segments — all filter/set-op/plain
     # -- shapes untouched since r5 and unaffected by the r9 diffs).
+    # -- r9-new (never driver-checked; outranks refreshes — the
+    # -- rounded-SUM/AVG-over-RANGE-frames surface landed this round;
+    # -- displaced dsl_having_group_gate to r10) --
+    "dsl_window_range_sum_avg",
     # -- r4-green refresh (oldest evidence), registry order --
     "analytics_cube_counts",
     "analytics_distinct_users",
@@ -2291,7 +2327,6 @@ _PANEL = [
     "dsl_groupby_sum",
     "dsl_tpch_q4_priority_exists",
     "dsl_scalar_subquery_small_orders",
-    "dsl_having_group_gate",
 ]
 
 
