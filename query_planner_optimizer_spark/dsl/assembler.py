@@ -25,6 +25,9 @@ from pyspark.sql import types as T
 
 from query_planner_optimizer_spark.catalog import DERIVED_TIME_COLUMNS, duckdb_time_cte
 from query_planner_optimizer_spark.functions import histq as _HQ
+from query_planner_optimizer_spark.functions.rounding import (
+    sql_round_half_up as _rs,
+)
 from query_planner_optimizer_spark.dsl.compiler import (
     AGG_FUNCS,
     ARITH_OPS,
@@ -535,8 +538,11 @@ def _agg_out_type(
 ) -> T.DataType:
     if fname in ("COUNT", "COUNT_DISTINCT", "APPROX_COUNT_DISTINCT"):
         return T.LongType()
-    if round_to is not None and fname in ("SUM", "AVG"):
-        return T.DoubleType()  # DECIMAL accumulate, cast back to DOUBLE
+    if round_to is not None:
+        # Every rounded non-COUNT aggregate is DOUBLE in both twins
+        # (DECIMAL-accumulated SUM/AVG cast back; MIN/MAX & co through
+        # the shared FLOOR half-up formula, which divides by 10^r).
+        return T.DoubleType()
     if fname in ("AVG", "STDDEV_SAMP", "VAR_SAMP", "MEDIAN") \
             or fname in _HQ.APPROX_QUANTILES:
         return T.DoubleType()
@@ -586,7 +592,10 @@ def derived_output_types(
             out[t["as"]] = (T.DoubleType() if t.get("round") is not None
                             else next(iter(sub_types.values())))
         elif _is_expr_term(t):
-            out[t["as"]] = _expr_type(t["expr"], inner_map)
+            # A rounded expr term is DOUBLE in both twins (the shared
+            # FLOOR half-up formula divides by 10^r).
+            out[t["as"]] = (T.DoubleType() if t.get("round") is not None
+                            else _expr_type(t["expr"], inner_map))
         elif _is_agg_term(t):
             fname, col, out_name, round_to, _filt = _parse_agg_term(t)
             out[out_name] = _agg_out_type(fname, col, round_to, inner_map)
@@ -682,7 +691,7 @@ def _agg_expr_sql(
             cums, _HQ.APPROX_QUANTILES[fname], lo, hi, nb,
             dialect=dialect)
         if round_to is not None:
-            expr = f"ROUND({expr}, {round_to})"
+            expr = _rs(expr, round_to)
         return expr, out_name
     elif fname == "APPROX_COUNT_DISTINCT":
         # Engine-only DataSketches-HLL surface: both dialects DO have a
@@ -706,7 +715,12 @@ def _agg_expr_sql(
         # that breaks value-hash comparison. Pin the oracle to BIGINT.
         expr = f"CAST({expr} AS BIGINT)"
     if round_to is not None:
-        expr = f"ROUND({expr}, {round_to})"
+        if fname in ("COUNT", "COUNT_DISTINCT"):
+            expr = f"ROUND({expr}, {round_to})"  # integer: exact
+        else:
+            # Twin of the compiler: rounded MIN/MAX/MEDIAN/STDDEV/VAR
+            # doubles go through the shared half-up formula.
+            expr = _rs(expr, round_to)
     return expr, out_name
 
 
@@ -1113,10 +1127,10 @@ def assemble_sql(
                                            cte_names=cte_names)
                     expr = f"({sub_sql})"
                 if t.get("round") is not None:
-                    # CAST like the compiler: round over an integral
-                    # scalar stays BIGINT in Spark but is DOUBLE in
-                    # DuckDB — pin both dialects to DOUBLE.
-                    expr = f"CAST(ROUND({expr}, {t['round']}) AS DOUBLE)"
+                    # Shared half-up formula (twin of the compiler);
+                    # the DOUBLE cast pins integral scalars in both
+                    # dialects.
+                    expr = f"CAST({_rs(expr, t['round'])} AS DOUBLE)"
                 parts.append(f"{expr} AS {_ident(t['as'], dialect)}")
                 out_names.append(t["as"])
             else:
@@ -1181,7 +1195,7 @@ def assemble_sql(
                 validate_post_term(t, avail)
                 expr = _post_sql(t["post"])
                 if t.get("round") is not None:
-                    expr = f"ROUND({expr}, {t['round']})"
+                    expr = _rs(expr, t["round"])
                 outer_terms.append(
                     f"{expr} AS {_quote_ident(t['as'], dialect)}")
                 final_names.append(t["as"])
@@ -1228,7 +1242,9 @@ def assemble_sql(
                 )
             rendered = _num_expr_sql(term["expr"], dialect, type_map)
             if term.get("round") is not None:
-                rendered = f"ROUND({rendered}, {int(term['round'])})"
+                # Shared half-up formula, twin of the compiler's
+                # rounded expr projection (always DOUBLE).
+                rendered = _rs(rendered, int(term["round"]))
             select_terms.append(
                 f"{rendered} AS {_quote_ident(term['as'], dialect)}"
             )

@@ -46,6 +46,7 @@ from pyspark.sql import types as T
 
 from query_planner_optimizer_spark.catalog import Catalog
 from query_planner_optimizer_spark.functions import histq as _HQ
+from query_planner_optimizer_spark.functions.rounding import round_half_up
 
 
 class QueryError(ValueError):
@@ -212,7 +213,9 @@ def _post_column(term: dict) -> Column:
 
     col = build(term["post"])
     if term.get("round") is not None:
-        col = F.round(col, term["round"])
+        # Post trees divide (ratio-of-sums) — a rounded DOUBLE, so the
+        # shared half-up formula, twin of the assembler's rendering.
+        col = round_half_up(col, term["round"])
     return col.alias(term["as"])
 
 
@@ -1850,13 +1853,13 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                     # SQL twin's ROUND returns DOUBLE.
                     df = df.withColumn(
                         t["as"],
-                        F.round(F.col(t["as"]),
-                                t["round"]).cast("double"))
+                        round_half_up(F.col(t["as"]),
+                                      t["round"]).cast("double"))
             else:
                 sdf = compile_query(t["subquery"], catalog)
                 col = F.col(sdf.columns[0])
                 if t.get("round") is not None:
-                    col = F.round(col, t["round"]).cast("double")
+                    col = round_half_up(col, t["round"]).cast("double")
                 df = df.crossJoin(
                     F.broadcast(sdf.select(col.alias(t["as"]))))
         return _apply_order_limit(df.select(*names), q, names)
@@ -2244,7 +2247,7 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                     hist_cums[key], _HQ.APPROX_QUANTILES[fname],
                     lo, hi, nb)
                 if round_to is not None:
-                    e = F.round(e, round_to)
+                    e = round_half_up(e, round_to)
                 hist_posts.append((out_name, e))
                 continue
             else:
@@ -2280,7 +2283,15 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                     continue
                 e = AGG_FUNCS[fname](target)
             if round_to is not None:
-                e = F.round(e, round_to)
+                if fname in ("COUNT", "COUNT_DISTINCT"):
+                    e = F.round(e, round_to)  # integer: native is exact
+                else:
+                    # MIN/MAX pick raw doubles; MEDIAN/STDDEV/VAR
+                    # produce interpolated/derived doubles — all can
+                    # sit exactly on a half-boundary (a median of two
+                    # 6dp values IS a 7dp half), where native ROUND is
+                    # engine-defined. Shared formula in both twins.
+                    e = round_half_up(e, round_to)
             exprs.append(e.alias(out_name))
         return exprs
 
@@ -2492,7 +2503,7 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             if _is_expr_term(t):
                 e = _num_expr(df, t["expr"])
                 if t.get("round") is not None:
-                    e = F.round(e, t["round"])
+                    e = round_half_up(e, t["round"])
                 proj.append(e.alias(t["as"]))
                 out_columns.append(t["as"])
             elif _is_win_term(t):

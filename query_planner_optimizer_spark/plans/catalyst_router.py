@@ -400,6 +400,13 @@ def _agg_term(t: dict, alias: str) -> dict:
     term: dict = {fname: col, "as": alias}
     if round_to is not None:
         term["round"] = round_to
+        if fname in ("MIN", "MAX"):
+            # A matched ``round(min(x), k)`` plan rounds NATIVELY over
+            # the raw aggregate; the DSL scan path (and the router's
+            # default measure) use the r9 FLOOR half-up. Flag it so the
+            # rollup measure mirrors the plan being served — same
+            # routed == unrouted pin as the pre-r8 AVG spelling.
+            term["__round_native__"] = True
     return term
 
 

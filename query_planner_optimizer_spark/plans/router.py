@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from query_planner_optimizer_spark.dsl import compiler as C
 from query_planner_optimizer_spark.functions import histq as _HQ
+from query_planner_optimizer_spark.functions.rounding import round_half_up
 
 
 #: Lossless time-grain derivations: (rollup key, wanted column) →
@@ -300,14 +301,24 @@ class RollupRouter:
                     avg = F.floor(avg * F.lit(p) + F.lit(0.5)) / F.lit(p)
             return F.when(cnt > 0, avg)
         # MIN/MAX re-aggregate losslessly from stored partials (min of
-        # mins ≡ min; order-independent exact, so no rounding idiom is
-        # needed for bit-equality with the scan path).
+        # mins ≡ min, order-independent exact), so the routed value
+        # matches the scan bit-for-bit as long as the ROUNDING spelling
+        # matches: the DSL scan path rounds through the shared FLOOR
+        # half-up (r9), while a PlanRouter-matched raw-SQL plan rounds
+        # NATIVELY (catalyst_router flags it) — mirror whichever the
+        # query being served actually computes.
         if fname == "MIN" and f"min_{col}" in schema:
             e = F.min(f"min_{col}")
-            return F.round(e, round_to) if round_to is not None else e
+            if round_to is None:
+                return e
+            return (F.round(e, round_to) if native_round
+                    else round_half_up(e, round_to))
         if fname == "MAX" and f"max_{col}" in schema:
             e = F.max(f"max_{col}")
-            return F.round(e, round_to) if round_to is not None else e
+            if round_to is None:
+                return e
+            return (F.round(e, round_to) if native_round
+                    else round_half_up(e, round_to))
         # Aggregates over a GROUPING KEY of the rollup need no stored
         # partial: the rollup's key column carries every distinct value
         # the base group contains, so MIN/MAX/COUNT(DISTINCT) over the
@@ -346,7 +357,8 @@ class RollupRouter:
             # route otherwise (functions/histq.py).
             e = _HQ.routed_quantile_cached(
                 f"hist_{col}", _HQ.APPROX_QUANTILES[fname], lo, hi, nb)
-            return F.round(e, round_to) if round_to is not None else e
+            return (round_half_up(e, round_to)
+                    if round_to is not None else e)
         return None
 
     def route(self, q: dict) -> DataFrame | None:

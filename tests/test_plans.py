@@ -349,6 +349,32 @@ def test_plan_router_count_star_bit_equal(spark, catalog, tmp_path):
     assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
 
 
+def test_plan_router_rounded_minmax_native_spelling(
+        spark, catalog, tmp_path):
+    """A raw-SQL ROUND(MIN(x), k) plan rounds NATIVELY over the raw
+    aggregate; the routed measure must mirror that spelling
+    (catalyst_router flags __round_native__ on MIN/MAX, the same
+    routed == unrouted pin as the pre-r8 AVG idiom). Coarse round_to=2
+    so half-boundaries are REACHABLE from the 6dp-ish corpus values —
+    the regime where native ROUND and the r9 FLOOR half-up differ."""
+    from query_planner_optimizer_spark.plans.catalyst_router import (
+        PlanRouter,
+    )
+    from query_planner_optimizer_spark.prepare import build_rollups
+
+    rollups = {"agg_day_mm": {"keys": ["day"],
+                              "aggs": {"value": ["sum", "count",
+                                                 "min", "max"]}}}
+    agg_dir = str(tmp_path / "aggs_mm")
+    build_rollups(catalog.table("events"), agg_dir, rollups)
+    pr = PlanRouter(spark, agg_dir, rollups)
+    sql = ("SELECT day, round(min(value), 2) AS mn, "
+           "round(max(value), 2) AS mx FROM events GROUP BY day")
+    df, routed = pr.sql(sql)
+    assert routed, pr.last_reason
+    assert sorted(df.collect()) == sorted(spark.sql(sql).collect())
+
+
 def test_plan_router_equals_dsl_router(spark, catalog, tmp_path):
     """The SAME query through the SQL-text path (PlanRouter) and the DSL
     path (RollupRouter) returns identical rows — both reduce to one

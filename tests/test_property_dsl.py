@@ -77,6 +77,16 @@ agg_terms = st.sampled_from([
     # String-function aggregate target (integral inference pins DuckDB's
     # HUGEINT SUM to BIGINT).
     {"SUM": {"fn": "length", "args": ["props"]}, "as": "sum_plen"},
+    # r9: COARSE rounds (round_to < the data's decimal precision) —
+    # the regime where values/medians/quotients can sit exactly on a
+    # half-boundary, which the shared FLOOR half-up contract now
+    # covers for every non-COUNT aggregate (not just SUM/AVG).
+    {"MIN": "value", "as": "min_r2", "round": 2},
+    {"MAX": "value", "as": "max_r3", "round": 3},
+    {"MEDIAN": "value", "as": "med_r2", "round": 2},
+    {"AVG": "value", "as": "avg_r2", "round": 2},
+    {"SUM": "value", "as": "sum_r2", "round": 2},
+    {"STDDEV_SAMP": "value", "as": "sd_r4", "round": 4},
 ])
 
 #: Row-level computed projections over the r5 expression grammar
@@ -102,6 +112,13 @@ expr_terms = st.sampled_from([
     {"expr": {"fn": "lower", "args": [{"fn": "trim",
                                        "args": ["event_type"]}]},
      "as": "lo_trim"},
+    # r9: ROUNDED expr projections — n-denominator divisions whose
+    # quotients can sit exactly on a half-boundary; both twins compute
+    # the shared FLOOR half-up formula (always DOUBLE).
+    {"expr": {"op": "div", "args": ["value", 3]}, "as": "third",
+     "round": 4},
+    {"expr": {"op": "mul", "args": ["value", 7]}, "as": "v7",
+     "round": 2},
 ])
 
 #: Window projections incl. the r5 frame/ntile grammar.
