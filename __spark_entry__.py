@@ -277,6 +277,27 @@ DSL_QUERIES: dict[str, dict] = {
         "group_by": ["event_type"],
         "order_by": [{"col": "event_type", "dir": "asc"}],
     },
+    "dsl_coarse_rounds": {
+        # r9: rounds COARSER than the data's precision (round 2 over
+        # ~6dp values) — the regime where a value, median, or quotient
+        # can sit EXACTLY on a half-boundary, where native double
+        # ROUND is engine-implementation-defined. Every non-COUNT
+        # rounded aggregate computes the shared FLOOR half-up formula
+        # in the engine and in both SQL dialects (r9 contract
+        # completion), so this entry's hash is stable by construction,
+        # not by data luck.
+        "select": ["event_type",
+                   {"MIN": "value", "as": "min_r2", "round": 2},
+                   {"MAX": "value", "as": "max_r2", "round": 2},
+                   {"MEDIAN": "value", "as": "med_r2", "round": 2},
+                   {"AVG": "value", "as": "avg_r2", "round": 2},
+                   {"SUM": "value", "as": "sum_r2", "round": 2},
+                   {"STDDEV_SAMP": "value", "as": "sd_r3", "round": 3},
+                   {"COUNT": "*", "as": "n_rows"}],
+        "from": "events",
+        "group_by": ["event_type"],
+        "order_by": [{"col": "event_type", "dir": "asc"}],
+    },
     "dsl_agg_filter_clause": {
         # SQL FILTER (WHERE ...) on individual aggregates — conditional
         # aggregation in one scan pass instead of N filtered subqueries
@@ -2274,8 +2295,10 @@ _PANEL = [
     # -- shapes untouched since r5 and unaffected by the r9 diffs).
     # -- r9-new (never driver-checked; outranks refreshes — the
     # -- rounded-SUM/AVG-over-RANGE-frames surface landed this round;
-    # -- displaced dsl_having_group_gate to r10) --
+    # -- displaced dsl_having_group_gate and
+    # -- dsl_scalar_subquery_small_orders to r10) --
     "dsl_window_range_sum_avg",
+    "dsl_coarse_rounds",
     # -- r4-green refresh (oldest evidence), registry order --
     "analytics_cube_counts",
     "analytics_distinct_users",
@@ -2326,7 +2349,6 @@ _PANEL = [
     "dsl_ungrouped_agg",
     "dsl_groupby_sum",
     "dsl_tpch_q4_priority_exists",
-    "dsl_scalar_subquery_small_orders",
 ]
 
 
