@@ -1577,7 +1577,9 @@ def test_expr_projection_round_option(catalog, ddb):
          "order_by": ["event_id"], "limit": 50}
     df = compile_query(q, catalog)
     sql = assemble_sql(q, tm, dialect="duckdb")
-    assert "ROUND(" in sql
+    # r9: rounded expr projections spell the shared FLOOR half-up
+    # formula, not native ROUND (engine-defined at half-boundaries).
+    assert "FLOOR(" in sql and "ROUND(" not in sql
     assert_matches_duckdb(df, ddb, sql, ordered=True)
 
 
