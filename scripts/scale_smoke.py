@@ -285,6 +285,55 @@ def main() -> int:
                             ["day", "event_type"],
                             {"value": ["sum", "count", "hist"]})
 
+    def _events_userscaled(spark, kk):
+        """events replicated k× with user_id remapped per replica: the
+        USER POPULATION scales k× while per-user event density stays
+        constant — the honest regime for per-key window operators
+        (keeping user_id would instead deepen every partition k× AND
+        quadratically fan out interval-join matches, conflating plan
+        cost with output size)."""
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        if kk == 1:
+            return ev
+        reps = spark.range(kk).withColumnRenamed("id", "__rep")
+        return (
+            ev.crossJoin(reps)
+            .withColumn("event_id", F.col("event_id") * kk + F.col("__rep"))
+            .withColumn("user_id", F.col("user_id") * kk + F.col("__rep"))
+            .drop("__rep")
+        )
+
+    def _asof(spark, kk):
+        """r9: as-of join (union + per-key carry window) at k× users.
+        The carry window is linear-with-sort per user partition, so k×
+        users → ~k× cost; the union never shuffles more than once."""
+        from query_planner_optimizer_spark.operators.temporal import (
+            asof_join,
+        )
+        ev = _events_userscaled(spark, kk)
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value")
+        return asof_join(purchases, clicks, on="user_id",
+                         tolerance_us=3_600_000_000)
+
+    def _deep_asof(spark, kk):
+        """Adversarial variant: user_id KEPT, so every per-user carry
+        partition deepens k× (one window partition holds k× rows) —
+        the single-hot-entity regime. Sort-bound k log k per
+        partition is the pass bar."""
+        from query_planner_optimizer_spark.operators.temporal import (
+            asof_join,
+        )
+        ev = replicate_events(spark, kk)
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value")
+        return asof_join(purchases, clicks, on="user_id",
+                         tolerance_us=3_600_000_000)
+
     def _exists_skew(spark, kk):
         """r9 (r8 VERDICT #4): correlated EXISTS under correlate-key
         skew. lineitem replicates k× and ~1% of the replicated rows
@@ -413,6 +462,10 @@ def main() -> int:
         # r9 (r8 VERDICT #4): correlated-EXISTS semi-join with a hot
         # correlate key — no-BNLJ plan assert + sublinear time bar
         "exists_semi_skew": _exists_skew,
+        # r9: as-of join at k× users (wide) and k×-deeper per-user
+        # partitions (adversarial)
+        "asof_join_users": _asof,
+        "asof_join_deep": _deep_asof,
     }
     print(f"# scale smoke: 1x vs {k}x (sf0.1 base, local, noop sink)")
     for name, build in ops.items():
