@@ -62,11 +62,13 @@ DERIVED_TIME_COLUMNS = ("ts_dt", "day", "week", "hour", "minute")
 #: file listings.
 _PARQUET_CACHE: dict[tuple[int, str], DataFrame] = {}
 
-#: spread() memo: keyed by the input frame's identity (safe — the
-#: cached entry holds a strong ref, so the id cannot be recycled);
-#: avoids re-running the df.rdd partition probe (a full plan→RDD
-#: conversion, ~0.1 s) on every query over the same cached reader.
-_SPREAD_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+#: spread() memo: keyed by the input frame's identity AND the resolved
+#: partition target (safe — the cached entry holds a strong ref, so the
+#: id cannot be recycled); avoids re-running the df.rdd partition probe
+#: (a full plan→RDD conversion, ~0.1 s) on every query over the same
+#: cached reader. The target is part of the key so a caller passing a
+#: custom ``min_partitions`` never sees a memo built for the default.
+_SPREAD_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
 
 #: Catalog.table cross-instance cache (augmented frames), same
 #: immutability contract as _PARQUET_CACHE.
@@ -82,6 +84,34 @@ def cached_parquet(spark: SparkSession, path: str) -> DataFrame:
         df = spark.read.parquet(path)
         _PARQUET_CACHE[key] = df
     return df
+
+
+def invalidate_reader_caches(path: str | None = None) -> None:
+    """Evict session-lifetime reader caches.
+
+    The caches assume their paths are immutable for the session; any
+    code path that WRITES under a directory previously served from a
+    cache must call this (with the written path, or with ``None`` to
+    drop everything) so later reads observe the fresh file listing and
+    schema. With ``path``, every cached entry at or below that abspath
+    is evicted; ``_SPREAD_CACHE`` memos are dropped wholesale either
+    way (they key on frame identity, which we cannot map back to a
+    path, and rebuilding a memo costs one partition probe).
+    """
+    _SPREAD_CACHE.clear()
+    if path is None:
+        _PARQUET_CACHE.clear()
+        _AUGMENTED_CACHE.clear()
+        return
+    root = os.path.abspath(path)
+    for cache in (_PARQUET_CACHE, _AUGMENTED_CACHE):
+        stale = [
+            k for k in cache
+            if k[1] == root or k[1].startswith(root + os.sep)
+            or root.startswith(k[1] + os.sep)
+        ]
+        for k in stale:
+            del cache[k]
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -108,13 +138,13 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     from query_planner_optimizer_spark.session import default_parallelism
 
-    hit = _SPREAD_CACHE.get(id(df))
+    target = min_partitions or default_parallelism()
+    hit = _SPREAD_CACHE.get((id(df), target))
     if hit is not None and hit[0] is df:
         return hit[1]
-    target = min_partitions or default_parallelism()
     out = df if df.rdd.getNumPartitions() >= target \
         else df.repartition(target).cache()
-    _SPREAD_CACHE[id(df)] = (df, out)
+    _SPREAD_CACHE[(id(df), target)] = (df, out)
     return out
 
 

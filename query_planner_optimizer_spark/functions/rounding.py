@@ -26,6 +26,21 @@ accumulator scale is 12.
 SQL-literal gotcha: a bare ``0.5`` parses as DECIMAL in BOTH dialects,
 dragging the whole expression into engine-specific decimal arithmetic —
 the SQL spelling must CAST every literal to DOUBLE.
+
+Magnitude bound (r10, advisor note): Spark's ``FLOOR(double)`` returns
+BIGINT (saturating at ±2^63−1 ≈ ±9.22e18) while DuckDB's returns
+DOUBLE, so the bit-for-bit twin guarantee holds only while
+``|x·10^r + 0.5| < 2^63``, i.e. ``|x| ≲ 9.2e18 / 10^r`` (9.2e12 at
+6dp). Beyond that Spark saturates where DuckDB keeps the (already
+integer-valued — every double ≥ 2^53 is an integer, so rounding is the
+identity there) double. All repo twins operate far inside the bound:
+source measures are ≤1e6-scale, SUM paths accumulate in DECIMAL and
+round natively, and the fuzz value strategies draw |x| ≤ 1e6 (pinned in
+``tests/test_property_dsl.py``). We deliberately do NOT cast FLOOR's
+result back to DOUBLE to widen the bound: ``CAST(FLOOR(...) AS DOUBLE)``
+changes nothing inside the bound (longs ≤ 2^53 are exact doubles, and
+2^53..2^63 longs re-quantize identically on both engines) but would
+imply a guarantee past 2^63 that saturation already broke.
 """
 
 from __future__ import annotations

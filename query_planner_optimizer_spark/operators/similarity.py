@@ -339,8 +339,13 @@ def ivf_topk(
         a degenerate (all-zero) vector to csim 0.0 instead of NaN
         (Spark's non-ANSI 0.0/0.0): NaN would sort LARGEST under the
         rank window but last under the min-struct argmin, and the two
-        argmax spellings must agree on every input."""
-        sim = F.when(F.col("_norm") > 0,
+        argmax spellings must agree on every input. The guard covers
+        the FULL denominator: ``centroid_df`` already maps a zero-norm
+        centroid to c_norm 1.0, but that is a constructor convention —
+        guarding c_norm here too keeps the no-NaN invariant local to
+        the one expression that divides, surviving any future centroid
+        source that skips the constructor."""
+        sim = F.when((F.col("_norm") > 0) & (F.col("c_norm") > 0),
                      _dot(F.col("_vec"), F.col("c_vec")) / (
                          F.col("_norm") * F.col("c_norm"))
                      ).otherwise(F.lit(0.0))

@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from query_planner_optimizer_spark.catalog import augment_time_columns
+from query_planner_optimizer_spark.catalog import (
+    augment_time_columns,
+    invalidate_reader_caches,
+)
 from query_planner_optimizer_spark.functions.histq import (
     HIST_BINS, bin_index_col,
 )
@@ -246,6 +249,7 @@ def build_rollups(
         )
         writer.parquet(os.path.join(agg_dir, f"{name}.parquet"))
         written.append(name)
+    invalidate_reader_caches(agg_dir)
     return written
 
 
@@ -441,6 +445,7 @@ def refresh_rollups(
         os.rename(tmp, path)
         shutil.rmtree(aside, ignore_errors=True)
         refreshed.append(name)
+    invalidate_reader_caches(agg_dir)
     return refreshed
 
 
@@ -527,6 +532,7 @@ def compact(
     else:
         out = df.repartition(n)
         out.write.mode("overwrite").parquet(out_path)
+    invalidate_reader_caches(out_path)
     return n
 
 
@@ -562,6 +568,7 @@ def sort_layout(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+    invalidate_reader_caches(out_path)
 
 
 @dataclass

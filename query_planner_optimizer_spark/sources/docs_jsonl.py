@@ -83,8 +83,13 @@ def jsonl_to_parquet(
     """Landing → curated: parse JSONL once, write zstd parquet. Returns
     the number of clean rows written. One distributed job, no driver
     materialization."""
+    from query_planner_optimizer_spark.catalog import (
+        invalidate_reader_caches,
+    )
+
     clean = read_docs_jsonl(spark, jsonl_path)
     clean.write.mode("overwrite").option("compression", "zstd").parquet(
         parquet_path
     )
+    invalidate_reader_caches(parquet_path)
     return spark.read.parquet(parquet_path).count()
