@@ -74,6 +74,17 @@ def main() -> int:
         ("windows_twin", P.window_frame_queries(),
          P.test_window_frames_equal_sql_twin.hypothesis.inner_test,
          (spark, catalog)),
+        # r10: rounded SUM/AVG through the eager-agg single-join
+        # rewrite (DECIMAL partials across the join + re-aggregation,
+        # Q18 membership fusion, alias-HAVING) — with a fires-exactly-
+        # when-pushable assert so draws never silently miss the
+        # rewrite.
+        ("eageragg", P.eager_agg_queries(),
+         P.test_eager_agg_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("eageragg_twin", P.eager_agg_queries(),
+         P.test_eager_agg_equals_sql_twin.hypothesis.inner_test,
+         (spark, catalog)),
     ]
     def make_body(inner, args):
         # closure (not defaulted params — @given refuses defaults)

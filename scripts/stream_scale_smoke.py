@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""100× scale smoke for the STATEFUL streaming pair (r10, r9 VERDICT
+ask #4): funnel_stream / heavy_hitters_stream (applyInPandasWithState)
+at 1× vs K× replicated events, in the two adversarial regimes the r9
+as-of protocol established:
+
+- funnel_wide  — user population scales K× (state-row-count regime):
+  state rows must equal distinct users exactly, time ~linear in rows.
+- funnel_deep  — user_id KEPT and ~1% of replicated rows remapped onto
+  ONE hot user (the r9 exists protocol): per-key batches deepen K× but
+  state rows stay FLAT at the base user count; the per-user walk is
+  vectorized per STAGE, so depth costs a mask+min, not a Python loop.
+- hh_capped    — heavy hitters with the item domain scaled K× under a
+  small capacity (1024): state must stay at one row per GROUP with
+  memory bounded by capacity·groups, REGARDLESS of item cardinality —
+  the entire point of the space-saving sketch at stream scale.
+
+Each case writes the replicated input as a multi-file parquet dir and
+replays it as a micro-batched stream (maxFilesPerTrigger) under
+Trigger.AvailableNow, so state genuinely persists across batches.
+Asserts state-row exactness from StreamingQueryProgress stateOperators
+metrics; prints wall times + state memory for SCALE.md.
+
+Usage: python scripts/stream_scale_smoke.py [K] [--only=a,b]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TMP = os.path.join(REPO, ".scale_tmp", "stream")
+
+
+def replicate(spark, k: int, mode: str):
+    """events replicated k×. mode='wide' remaps user_id per replica
+    (k× keys); mode='deep' keeps user_id and funnels ~1% of replicated
+    rows onto user 1 (single-hot-key regime, r9 exists protocol)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    if k == 1:
+        return ev
+    reps = spark.range(k).withColumnRenamed("id", "__rep")
+    out = ev.crossJoin(reps).withColumn(
+        "event_id", F.col("event_id") * k + F.col("__rep")
+    )
+    if mode == "wide":
+        out = out.withColumn(
+            "user_id", F.col("user_id") * k + F.col("__rep")
+        )
+    else:
+        out = out.withColumn(
+            "user_id",
+            F.when(
+                F.pmod(F.xxhash64("event_id"), F.lit(100)) == 0, F.lit(1)
+            ).otherwise(F.col("user_id")),
+        )
+    return out.drop("__rep")
+
+
+def run_stream(spark, src_dir: str, build, name: str,
+               files_per_trigger: int = 4):
+    """Replay src_dir as a micro-batched stream through the stateful
+    operator; returns (wall_s, max_state_rows, max_state_bytes,
+    n_batches)."""
+    from query_planner_optimizer_spark.streaming.windows import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    ckpt = os.path.join(TMP, f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src_dir)
+    )
+    t0 = time.perf_counter()
+    q = (
+        build(src)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    wall = time.perf_counter() - t0
+    rows = bytes_ = batches = 0
+    for p in q.recentProgress:
+        for so in p.get("stateOperators") or []:
+            rows = max(rows, so.get("numRowsTotal", 0))
+            bytes_ = max(bytes_, so.get("memoryUsedBytes", 0))
+        if (p.get("numInputRows") or 0) > 0:
+            batches += 1
+    return wall, rows, bytes_, batches
+
+
+def write_input(df, path: str, n_files: int = 12) -> None:
+    shutil.rmtree(path, ignore_errors=True)
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def main() -> int:
+    k = 100
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        else:
+            k = int(a)
+
+    from pyspark.sql import functions as F
+
+    from query_planner_optimizer_spark.session import get_spark
+    from query_planner_optimizer_spark.streaming import stateful
+
+    spark = get_spark(app_name="qpo-stream-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(TMP, exist_ok=True)
+
+    def funnel(src):
+        return stateful.funnel_stream(src)
+
+    def hh(src):
+        return stateful.heavy_hitters_stream(src, capacity=1024)
+
+    cases = {
+        "funnel_wide": ("wide", funnel),
+        "funnel_deep": ("deep", funnel),
+        "hh_capped": ("wide", hh),
+    }
+    print(f"# stateful-streaming scale smoke: 1x vs {k}x "
+          f"(sf0.1 events base, availableNow micro-batches, noop sink)")
+    for name, (mode, build) in cases.items():
+        if only and name not in only:
+            continue
+        results = {}
+        for kk in (1, k):
+            df = replicate(spark, kk, mode)
+            src_dir = os.path.join(TMP, f"in_{name}_{kk}")
+            write_input(df, src_dir)
+            n_users = df.select("user_id").distinct().count()
+            n_groups = df.select("event_type").distinct().count()
+            wall, rows, bytes_, batches = run_stream(
+                spark, src_dir, build, f"{name}_{kk}"
+            )
+            # State-row exactness: one state row per funnel USER / per
+            # heavy-hitter GROUP — never per event, never per item.
+            expect = n_groups if name.startswith("hh") else n_users
+            assert rows == expect, (name, kk, rows, expect)
+            results[kk] = (wall, rows, bytes_, batches)
+            print(f"{name} {kk}x: {wall:.2f}s  state_rows={rows} "
+                  f"(= {'groups' if name.startswith('hh') else 'users'}) "
+                  f"state_mem={bytes_ / 1e6:.2f}MB  batches={batches}",
+                  flush=True)
+        w1, _, b1, _ = results[1]
+        wk, _, bk, _ = results[k]
+        print(f"{name}: time ratio {wk / max(w1, 1e-9):.1f}x for {k}x "
+              f"rows; state_mem ratio {bk / max(b1, 1):.1f}x", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -812,6 +812,130 @@ def test_join_compiler_equals_duckdb(q, spark, catalog, ddb):
     )
 
 
+# ---- r10: rounded aggregates above the eager-agg join rewrite ----
+
+_EAGER_PUSHABLE = ("sum_qty", "sum_price", "sum_disc", "n_items",
+                   "n_rows", "min_q", "max_p")
+
+
+@st.composite
+def eager_agg_queries(draw) -> dict:
+    """orders ⋈ lineitem grouped queries targeting the _try_eager_agg
+    surface (Yan & Larson rewrite): DECIMAL partials for rounded SUMs
+    carried through the join and re-aggregated, COUNT/MIN/MAX
+    partials, SUM over expressions, alias-HAVING, and the Q18
+    membership-subquery fusion. A drawn minority adds an AVG term (the
+    rewrite refuses it — the unrewritten rounded-through-join path is
+    differentialized too). The tests assert the rewrite FIRES exactly
+    when every term is in the pushable family, so the campaign can
+    never silently fuzz the unrewritten plan only."""
+    names = draw(st.lists(st.sampled_from(_EAGER_PUSHABLE),
+                          min_size=1, max_size=3, unique=True))
+    terms: list[dict] = []
+    for p in names:
+        if p == "sum_qty":
+            terms.append({"SUM": "l_quantity", "as": "sum_qty",
+                          "round": draw(st.sampled_from([0, 2, 4]))})
+        elif p == "sum_price":
+            terms.append({"SUM": "l_extendedprice", "as": "sum_price",
+                          "round": draw(st.sampled_from([2, 6]))})
+        elif p == "sum_disc":
+            terms.append({"SUM": {"op": "mul", "args": [
+                "l_extendedprice",
+                {"op": "sub", "args": [1, "l_discount"]}]},
+                "as": "sum_disc", "round": 2})
+        elif p == "n_items":
+            terms.append({"COUNT": "l_partkey", "as": "n_items"})
+        elif p == "n_rows":
+            terms.append({"COUNT": "*", "as": "n_rows"})
+        elif p == "min_q":
+            terms.append({"MIN": "l_quantity", "as": "min_q"})
+        else:
+            terms.append({"MAX": "l_extendedprice", "as": "max_p"})
+    if draw(st.integers(min_value=0, max_value=3)) == 0:
+        terms.append({"AVG": "l_extendedprice", "as": "avg_p",
+                      "round": 6})
+    keys = draw(st.sampled_from([
+        ["o_orderpriority"], ["o_orderstatus"],
+        ["o_orderpriority", "o_orderstatus"], ["o_custkey"]]))
+    q: dict = {"select": [*keys, *terms], "from": "orders",
+               "join": [{"table": "lineitem",
+                         "on": [["o_orderkey", "l_orderkey"]]}],
+               "group_by": list(keys),
+               "order_by": list(keys)}
+    where = []
+    if draw(st.booleans()):
+        where.append({"col": "o_totalprice",
+                      "op": draw(st.sampled_from(["lt", "gte"])),
+                      "val": draw(st.integers(min_value=1000,
+                                              max_value=400000))})
+    if draw(st.booleans()):
+        # Q18 fusion: membership over the same (T, gk) — must fold
+        # into the partial frame, not re-aggregate lineitem.
+        where.append({"col": "o_orderkey", "op": "in",
+                      "val": {"subquery": {
+                          "select": ["l_orderkey",
+                                     {"SUM": "l_quantity", "as": "qty",
+                                      "round": 2}],
+                          "from": "lineitem",
+                          "group_by": ["l_orderkey"],
+                          "having": [{"col": "qty", "op": "gt",
+                                      "val": draw(st.integers(
+                                          min_value=10,
+                                          max_value=200))}]}}})
+    if where:
+        q["where"] = where
+    if draw(st.booleans()) and any(
+            isinstance(t, dict) and t.get("as") == "sum_qty"
+            for t in terms):
+        q["having"] = [{"col": "sum_qty", "op": "gt",
+                        "val": draw(st.integers(min_value=0,
+                                                max_value=500))}]
+    return q
+
+
+def _eager_expected(q: dict) -> bool:
+    """By strategy construction the ONLY refusal trigger is an AVG
+    term; everything else drawn is inside the rewrite's guards."""
+    return not any(isinstance(t, dict) and "AVG" in t
+                   for t in q["select"])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=eager_agg_queries())
+def test_eager_agg_equals_duckdb(q, spark, catalog, ddb):
+    from query_planner_optimizer_spark.dsl.compiler import _try_eager_agg
+
+    assert (_try_eager_agg(q, catalog) is not None) == _eager_expected(q), q
+    got = compile_query(q, catalog).toPandas()
+    tm = {**catalog.spark_type_map("orders"),
+          **catalog.spark_type_map("lineitem")}
+    sql = assemble_sql(q, tm, dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=eager_agg_queries())
+def test_eager_agg_equals_sql_twin(q, spark, catalog):
+    got = compile_query(q, catalog).toPandas()
+    tm = {**catalog.spark_type_map("orders"),
+          **catalog.spark_type_map("lineitem")}
+    sql = assemble_sql(q, tm, dialect="spark")
+    want = spark.sql(sql).toPandas()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
 @st.composite
 def setop_queries(draw) -> dict:
     """Random set-op queries: UNION/INTERSECT/EXCEPT [ALL] over (a)
