@@ -2271,84 +2271,86 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-9 window (r8 VERDICT #2: rotate onto the stale tail).
-    # -- Composition: ALL 22 entries whose latest driver green is r4
-    # -- (the oldest evidence in the registry — includes the two
-    # -- displaced from r8: text_normalize_nfc, sample_mixture_weights)
-    # -- plus 28 of the 50 r5-green entries, chosen to front the
-    # -- surfaces THIS round changed: every operator family whose
-    # -- engine+oracle rounding migrated to the shared FLOOR half-up /
-    # -- scale-12 contract (dedup, pipeline, sim, stream, temporal,
-    # -- text), the rollup/router entries behind the r9 scale-stamp
-    # -- guard and the pre-r8-AVG native-round flag
-    # -- (dsl_routed_*/dsl_plan_routed_daily), and the rounded-AVG DSL
-    # -- shapes. Deferred to r10: the 22 remaining r5-green entries
-    # -- (dsl_case_projection, dsl_count_col, dsl_count_distinct_users,
-    # -- dsl_day_in_coercion, dsl_distinct_pairs, dsl_except_segments,
-    # -- dsl_expr_projection, dsl_filter_between, dsl_filter_eq,
-    # -- dsl_filter_gauntlet, dsl_filter_in, dsl_filter_neq,
-    # -- dsl_filter_not_in, dsl_filter_range_ops,
-    # -- dsl_groupby_count_star, dsl_groupby_min_max,
-    # -- dsl_intersect_segments, dsl_join_brand_pricing,
-    # -- dsl_join_tree_having_mix, dsl_multikey_orderby,
-    # -- dsl_topk_limit, dsl_union_segments — all filter/set-op/plain
-    # -- shapes untouched since r5 and unaffected by the r9 diffs).
-    # -- r9-new (never driver-checked; outranks refreshes — the
-    # -- rounded-SUM/AVG-over-RANGE-frames surface landed this round;
-    # -- displaced dsl_having_group_gate and
-    # -- dsl_scalar_subquery_small_orders to r10) --
-    "dsl_window_range_sum_avg",
-    "dsl_coarse_rounds",
-    # -- r4-green refresh (oldest evidence), registry order --
-    "analytics_cube_counts",
-    "analytics_distinct_users",
-    "analytics_lag_delta",
-    "analytics_pivot_day_by_type",
-    "analytics_rollup_counts",
-    "analytics_running_sum",
-    "analytics_salted_agg",
-    "analytics_value_histogram",
-    "analytics_zscore_outliers",
-    "dsl_join_salted",
-    "multimodal_features",
-    "multimodal_frame_pipeline",
-    "pipeline_line_dedup",
-    "pipeline_pack_grouped",
-    "pipeline_top_quality",
-    "relevance_tfidf",
-    "sample_hash_10pct",
-    "sample_k_per_group",
-    "sample_mixture_weights",
-    "stream_hourly_rollup",
-    "text_collocations",
-    "text_normalize_nfc",
-    # -- r5-green refresh: the 28 fronting this round's changes --
-    "dedup_connected_components",
-    "dedup_decontaminate",
-    "dedup_exact",
-    "dedup_minhash_bucket_cap",
-    "dedup_minhash_quality",
-    "dedup_ngram_jaccard",
-    "pipeline_clean_corpus",
+    # -- round-10 window (r9 VERDICT #1: retire the r5-stale evidence
+    # -- tail). Composition: ALL 24 entries whose latest driver green
+    # -- is r5 — the oldest evidence in the registry after the r9
+    # -- rotation (the 22 filter/set-op/plain shapes named in the r9
+    # -- panel comment plus the two displaced entries
+    # -- dsl_having_group_gate and dsl_scalar_subquery_small_orders) —
+    # -- then 26 refreshes: first the entries whose PLANS this round
+    # -- changed (pipeline_token_budget's one-scan restructure; the
+    # -- multiply-referenced-CTE materialization behind
+    # -- dsl_cte_above_avg_days / dsl_tpch_q15_top_supplier and the
+    # -- other CTE shapes; the eager-agg surface dsl_tpch_q18 the r10
+    # -- fuzz campaign exercises), then the oldest r6-green entries in
+    # -- registry order. Deferred to r11: the 25 remaining r6-green
+    # -- entries (sim_quantize_int8, sim_quantized_topk, text_bigram_lm,
+    # -- text_readability, text_vocab_coverage, multimodal_audio_meta,
+    # -- multimodal_video_meta, stream_windowed_distinct,
+    # -- analytics_retention_cohorts, analytics_new_vs_returning,
+    # -- analytics_power_user_curve, analytics_pct_change_daily,
+    # -- analytics_stickiness_daily, analytics_centroid_similarity,
+    # -- analytics_grouping_sets, temporal_gapfill_hourly,
+    # -- temporal_scd2_intervals, temporal_ohlc_hourly,
+    # -- temporal_linear_attribution, pipeline_curation_funnel,
+    # -- pipeline_boilerplate_report, sample_epoch_shuffle,
+    # -- sample_temperature_mixture, stream_rollup_maintenance,
+    # -- dsl_routed_minmax_rollup). After this round no entry's latest
+    # -- green is older than r6 (24 + 26 = 50; 24 r5 + 25 r6 + 1 r9
+    # -- re-check of the restructured token_budget).
+    # -- r5-green (the full stale tail, registry order) --
+    "dsl_filter_eq",
+    "dsl_filter_gauntlet",
+    "dsl_filter_neq",
+    "dsl_filter_in",
+    "dsl_expr_projection",
+    "dsl_case_projection",
+    "dsl_filter_not_in",
+    "dsl_filter_between",
+    "dsl_filter_range_ops",
+    "dsl_groupby_count_star",
+    "dsl_count_col",
+    "dsl_count_distinct_users",
+    "dsl_intersect_segments",
+    "dsl_except_segments",
+    "dsl_union_segments",
+    "dsl_distinct_pairs",
+    "dsl_groupby_min_max",
+    "dsl_multikey_orderby",
+    "dsl_topk_limit",
+    "dsl_having_group_gate",
+    "dsl_day_in_coercion",
+    "dsl_join_brand_pricing",
+    "dsl_join_tree_having_mix",
+    "dsl_scalar_subquery_small_orders",
+    # -- changed-plan refreshes (r10 diffs land under these entries) --
     "pipeline_token_budget",
-    "sim_cosine_topk",
-    "stream_heavy_hitters",
-    "stream_sessionize",
-    "temporal_asof_join",
-    "text_quality_score",
-    "text_strip_markup",
-    "dsl_routed_daily_rollup",
-    "dsl_routed_incremental_rollup",
-    "dsl_plan_routed_daily_rollup",
-    "dsl_groupby_avg",
-    "dsl_median_value",
-    "dsl_groupby_stddev_var",
-    "dsl_daily_rollup",
-    "dsl_weekly_rollup",
-    "dsl_minute_rollup",
-    "dsl_ungrouped_agg",
-    "dsl_groupby_sum",
-    "dsl_tpch_q4_priority_exists",
+    "dsl_cte_above_avg_days",
+    "dsl_tpch_q15_top_supplier",
+    "dsl_cte_chain_user_type",
+    "dsl_cte_join_semi",
+    "dsl_tpch_q18_large_orders",
+    "dsl_tpch_q22_untapped_accounts",
+    # -- r6-green refresh (oldest remaining evidence), registry order --
+    "dsl_window_frames_ntile",
+    "dsl_tpch_q14_promo_share",
+    "dsl_tpch_q19_disjunctive",
+    "dsl_tpch_q17_small_quantity",
+    "dsl_corr_price_per_line",
+    "dsl_corr_join_subquery",
+    "dsl_corr_above_user_avg",
+    "dsl_tpch_q13_cust_distribution",
+    "dsl_tpch_q7_volume_shipping",
+    "dsl_tpch_q9_product_profit",
+    "dsl_tpch_q8_market_share",
+    "dsl_covariance_by_hand",
+    "dsl_window_over_aggregate",
+    "dsl_setop_derived_from",
+    "dsl_having_inline_agg",
+    "dedup_duplicate_spans",
+    "dedup_report",
+    "dedup_remove_spans",
+    "dedup_semantic_clusters",
 ]
 
 

@@ -27,6 +27,7 @@ scalars, so the state store stays tiny regardless of event volume.
 
 from __future__ import annotations
 
+import heapq
 from collections.abc import Iterator
 from typing import Any
 
@@ -206,18 +207,37 @@ def _ss_merge(
     """Merge a batch's per-item counts into a space-saving counter dict
     (item -> [count, err]) — the mergeable-summaries formulation: an
     unseen item under a full counter evicts the current minimum and
-    inherits its count as overestimation error."""
+    inherits its count as overestimation error.
+
+    The eviction minimum comes from a lazy-deletion heap (r10): the
+    first cut scanned all ``capacity`` counters per eviction, which the
+    capped regime hits once per unseen item — O(items·capacity) per
+    batch, measured 100× slower than linear at the 100× smoke
+    (scripts/stream_scale_smoke.py). The heap keeps the identical
+    (count, item) eviction order — stale entries (an updated or evicted
+    item's old count) are skipped on pop — so results are bit-identical
+    to the scan form at every capacity."""
+    heap = [(ce[0], i) for i, ce in counter.items()]
+    heapq.heapify(heap)
     for item, c in batch_counts.items():
         ent = counter.get(item)
         if ent is not None:
             ent[0] += int(c)
+            heapq.heappush(heap, (ent[0], item))
         elif len(counter) < capacity:
             counter[item] = [int(c), 0]
+            heapq.heappush(heap, (int(c), item))
         else:
-            evict = min(counter, key=lambda i: (counter[i][0], i))
-            m = counter[evict][0]
-            del counter[evict]
-            counter[item] = [m + int(c), m]
+            while True:
+                cnt, i = heap[0]
+                cur = counter.get(i)
+                if cur is not None and cur[0] == cnt:
+                    break
+                heapq.heappop(heap)  # stale: updated or evicted
+            heapq.heappop(heap)
+            del counter[i]
+            counter[item] = [cnt + int(c), cnt]
+            heapq.heappush(heap, (cnt + int(c), item))
 
 
 def _ss_topk(grp: Any, counter: dict[int, list[int]], k: int) -> pd.DataFrame:
