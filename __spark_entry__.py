@@ -1393,6 +1393,39 @@ DSL_QUERIES.update({
                      {"col": "o_orderkey", "dir": "asc"}],
         "limit": 100,
     },
+    # r10: the eager-agg rewrite's full pushable surface in ONE entry
+    # (Yan & Larson partials through the single inner join —
+    # compiler._try_eager_agg): rounded SUM over an expression and a
+    # column (DECIMAL partials re-aggregated above the join),
+    # COUNT(*)/COUNT(col)/MIN/MAX partials, the Q18 membership fusion
+    # (the subquery folds onto the SAME partial frame — lineitem is
+    # scanned once), and alias-HAVING on the re-aggregated output.
+    # This is the exact shape the r10 eageragg longfuzz campaign
+    # draws, pinned as driver-checked evidence; the fires-on-this-
+    # shape invariant is asserted in tests/test_plans.py.
+    "dsl_eager_agg_rounded": {
+        "select": ["o_orderpriority",
+                   {"SUM": {"op": "mul", "args": [
+                       "l_extendedprice",
+                       {"op": "sub", "args": [1, "l_discount"]}]},
+                    "as": "disc_rev", "round": 2},
+                   {"SUM": "l_quantity", "as": "sum_qty", "round": 2},
+                   {"COUNT": "l_partkey", "as": "n_items"},
+                   {"COUNT": "*", "as": "n_rows"},
+                   {"MIN": "l_quantity", "as": "min_q"},
+                   {"MAX": "l_extendedprice", "as": "max_price"}],
+        "from": "orders",
+        "join": [{"table": "lineitem",
+                  "on": [["o_orderkey", "l_orderkey"]]}],
+        "where": [{"col": "o_orderkey", "op": "in", "val": {"subquery": {
+            "select": ["l_orderkey",
+                       {"SUM": "l_quantity", "as": "qty", "round": 2}],
+            "from": "lineitem", "group_by": ["l_orderkey"],
+            "having": [{"col": "qty", "op": "gt", "val": 77}]}}}],
+        "group_by": ["o_orderpriority"],
+        "having": [{"col": "n_rows", "op": "gt", "val": 1}],
+        "order_by": ["o_orderpriority"],
+    },
     # TPC-H Q7 (volume shipping): the full composition test — CTE views
     # rename the twice-joined nation dim (the DSL has no table aliases;
     # views ARE the alias mechanism), a derived FROM computes the year
@@ -2295,9 +2328,10 @@ _PANEL = [
     # -- temporal_linear_attribution, pipeline_curation_funnel,
     # -- pipeline_boilerplate_report, sample_epoch_shuffle,
     # -- sample_temperature_mixture, stream_rollup_maintenance,
-    # -- dsl_routed_minmax_rollup). After this round no entry's latest
-    # -- green is older than r6 (24 + 26 = 50; 24 r5 + 25 r6 + 1 r9
-    # -- re-check of the restructured token_budget).
+    # -- dsl_routed_minmax_rollup, dedup_semantic_clusters — 26 total).
+    # -- After this round no entry's latest green is older than r6
+    # -- (24 r5 + 1 r10-new + 24 r6 + 1 r9 re-check of the
+    # -- restructured token_budget = 50).
     # -- r5-green (the full stale tail, registry order) --
     "dsl_filter_eq",
     "dsl_filter_gauntlet",
@@ -2323,6 +2357,8 @@ _PANEL = [
     "dsl_join_brand_pricing",
     "dsl_join_tree_having_mix",
     "dsl_scalar_subquery_small_orders",
+    # -- r10-new (never driver-checked; outranks refreshes) --
+    "dsl_eager_agg_rounded",
     # -- changed-plan refreshes (r10 diffs land under these entries) --
     "pipeline_token_budget",
     "dsl_cte_above_avg_days",
@@ -2350,7 +2386,6 @@ _PANEL = [
     "dedup_duplicate_spans",
     "dedup_report",
     "dedup_remove_spans",
-    "dedup_semantic_clusters",
 ]
 
 

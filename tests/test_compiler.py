@@ -1648,6 +1648,28 @@ def test_eager_agg_fires_on_q18_single_scan(catalog, ddb):
                           ordered=True)
 
 
+def test_eager_agg_fires_on_registry_entry(catalog, ddb):
+    """The r10 driver entry `dsl_eager_agg_rounded` pins the rewrite's
+    full pushable surface (rounded column + expression SUMs, COUNT,
+    MIN/MAX, membership fusion, alias-HAVING): the rewrite must FIRE
+    on it and aggregate lineitem exactly once, and the result must
+    match the DuckDB oracle — importing the real entry spec so the
+    pinned shape can never drift from what the driver checks."""
+    import __spark_entry__ as E
+    from query_planner_optimizer_spark.dsl.compiler import _try_eager_agg
+
+    q = E.DSL_QUERIES["dsl_eager_agg_rounded"]
+    assert _try_eager_agg(q, catalog) is not None
+    df = compile_query(q, catalog)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # one lineitem Relation node: count a column the query never
+    # references (l_partkey itself appears in COUNT partials too)
+    assert plan.count("l_linenumber") == 1, plan
+    tm = _merged_map(catalog, "orders", "lineitem")
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
+
+
 def test_eager_agg_exact_with_duplicate_probe_keys(catalog, ddb, spark):
     """Dup-safety: when the probe side repeats a join key, each probe
     row re-contributes the per-key partial — identical to aggregating
