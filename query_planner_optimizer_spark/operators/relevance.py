@@ -42,26 +42,55 @@ BM25_B = 0.75
 DEFAULT_QUERY_TERMS = ("spark", "window", "customer", "stream")
 
 
+#: One-tokenize frame memo (r10): keyed like catalog._SPREAD_CACHE on
+#: the input frame's identity (+ the scoring signature); the held
+#: strong ref keeps id() stable. Entries pass the session-cached
+#: reader frame, so the persist below materializes once per session.
+_PRE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _matched_tokens(
+    docs: DataFrame, terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """Narrow per-doc frame (doc_id, dl, __m = tokens ∩ terms) off ONE
+    tokenization pass, persisted + memoized. Both consumers — the tf
+    aggregation (explode __m) and BM25's corpus scalars (count/avg dl
+    over EVERY doc; the array filter keeps zero-match rows) — derive
+    from it, so the corpus is tokenized once per session instead of
+    once per consumer per call (r10: the sf1 protocol showed bm25's
+    engine time was 2× this tokenize cost; at 100 TB a second
+    full-corpus tokenize pass is the whole bill). The persisted rows
+    carry a handful of matched terms, never the full token arrays."""
+    key = (id(docs), tuple(terms), id_col, text_col)
+    hit = _PRE_CACHE.get(key)
+    if hit is not None and hit[0] is docs:
+        return hit[1]
+    tlit = F.array(*[F.lit(t) for t in terms])
+    pre = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").alias("dl"),
+        F.filter("__toks", lambda t: F.array_contains(tlit, t)).alias("__m"),
+    ).persist()
+    _PRE_CACHE[key] = (docs, pre)
+    return pre
+
+
 def _term_stats(
     docs: DataFrame, terms: list[str], id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
     """(tf-with-dl, per-term doc freq) shared by both scorers. The term
-    filter applies to the exploded token stream pre-shuffle (codegen'd
-    isin over a literal array), and the document length piggybacks on
-    the tf aggregation (dl is constant per doc, so max() through the
-    same shuffle is exact) — the corpus is tokenized ONCE for scoring
-    instead of once per consumer, and no doc-keyed lengths join exists
-    at all. At 100 TB that's one fewer full-corpus pass and one fewer
-    corpus-wide shuffle."""
-    toked = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
-    )
+    filter applies map-side on the token arrays pre-shuffle (codegen'd
+    array filter over a literal array — same multiset as exploding then
+    filtering), and the document length piggybacks on the tf
+    aggregation (dl is constant per doc, so max() through the same
+    shuffle is exact) — no doc-keyed lengths join exists at all. At
+    100 TB that's one fewer full-corpus pass and one fewer corpus-wide
+    shuffle."""
+    pre = _matched_tokens(docs, terms, id_col, text_col)
     tf = (
-        toked.select(
-            "doc_id", F.size("__toks").alias("dl"),
-            F.explode("__toks").alias("term"),
-        )
-        .filter(F.col("term").isin(list(terms)))
+        pre.select("doc_id", "dl", F.explode("__m").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
@@ -110,10 +139,11 @@ def bm25_scores(
     score)."""
     tf, dfreq = _term_stats(docs, list(terms), id_col, text_col)
     # Corpus scalars need EVERY document (zero-match docs count toward
-    # N and avgdl) — one dedicated tokenize pass reduced to two longs.
-    stats = docs.select(
-        F.size(tokens(F.col(text_col))).alias("dl")
-    ).agg(
+    # N and avgdl) — served from the same one-tokenize frame, reduced
+    # to two longs; partition layout matches the old dedicated pass, so
+    # the double-avg partial order (and thus every bit of avgdl) is
+    # unchanged.
+    stats = _matched_tokens(docs, list(terms), id_col, text_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
