@@ -111,6 +111,9 @@ LEVEL_SALT_WIDTH = 65536
 #: per invocation. The held strong ref keeps id() stable.
 _FUSED_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
 
+#: line_dedup's exploded+hashed lines frame, same memo discipline.
+_LINES_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
 
 def select_token_budget(
     docs: DataFrame, budget: int = TOKEN_BUDGET,
@@ -399,6 +402,19 @@ def line_dedup(
         )
         sep = "\n"
     hashed = lines.withColumn("h", F.md5("line"))
+    # Two consumers read the exploded+hashed lines (the doc-frequency
+    # aggregation and the join probe); without a barrier each re-runs
+    # the tokenize/explode scan (r10 sf1 protocol: ~half the engine
+    # time). Persist once, memoized per input frame like the other
+    # session caches. With AQE electing a broadcast for the removal
+    # set, the probe side then never shuffles at all.
+    lkey = (id(docs), id_col, text_col, line_tokens)
+    hit = _LINES_CACHE.get(lkey)
+    if hit is not None and hit[0] is docs:
+        hashed = hit[1]
+    else:
+        hashed = hashed.persist()
+        _LINES_CACHE[lkey] = (docs, hashed)
     removal = (
         hashed.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))
