@@ -233,10 +233,14 @@ def main() -> None:
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
+        if not os.path.exists(p):
+            continue
+        # A Spark-written table is a DIRECTORY of part files; DuckDB
+        # needs the glob form for those (driver testdata is flat files).
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
+        )
     oracle_sqls = entry_mod.oracle_sql()
     covered = [n for n in (*DSL_HEADLINE, *OPERATOR_HEADLINE)
                if n in oracle_sqls]
