@@ -857,9 +857,15 @@ def eager_agg_queries(draw) -> dict:
                       "round": 6})
     keys = draw(st.sampled_from([
         ["o_orderpriority"], ["o_orderstatus"],
-        ["o_orderpriority", "o_orderstatus"], ["o_custkey"]]))
+        ["o_orderpriority", "o_orderstatus"], ["o_custkey"],
+        ["o_custkey", "o_orderpriority"]]))
+    # A drawn minority uses a LEFT join — the rewrite must REFUSE it
+    # (left-preserved rows have no partials), and the unrewritten
+    # null-extended aggregate semantics (COUNT→0, SUM/MIN/MAX→NULL)
+    # get differentialized across both twins.
+    jtype = draw(st.sampled_from(["inner", "inner", "inner", "left"]))
     q: dict = {"select": [*keys, *terms], "from": "orders",
-               "join": [{"table": "lineitem",
+               "join": [{"table": "lineitem", "type": jtype,
                          "on": [["o_orderkey", "l_orderkey"]]}],
                "group_by": list(keys),
                "order_by": list(keys)}
@@ -895,8 +901,11 @@ def eager_agg_queries(draw) -> dict:
 
 
 def _eager_expected(q: dict) -> bool:
-    """By strategy construction the ONLY refusal trigger is an AVG
-    term; everything else drawn is inside the rewrite's guards."""
+    """By strategy construction the ONLY refusal triggers are an AVG
+    term and a non-inner join; everything else drawn is inside the
+    rewrite's guards."""
+    if q["join"][0].get("type", "inner") != "inner":
+        return False
     return not any(isinstance(t, dict) and "AVG" in t
                    for t in q["select"])
 
