@@ -260,20 +260,42 @@ def heavy_hitters_batch(
     k: int = HH_K,
     capacity: int = HH_CAPACITY,
 ) -> DataFrame:
-    """Batch twin of the streaming sketch: one shuffle on the group,
-    whole history as a single batch — with ``capacity >= distinct
+    """Batch twin of the streaming sketch: with ``capacity >= distinct
     items`` the result is the EXACT top-k (count desc, item asc), which
-    is what the SQL oracle states."""
+    is what the SQL oracle states.
+
+    Scale shape (r10, sf1 protocol finding): the per-item counting runs
+    JVM-side as a partial-combined ``groupBy(group, item).count()`` —
+    the raw corpus never crosses into Python. The Python stage (the
+    space-saving walk, kept so batch and stream share ONE sketch
+    definition) sees one row per DISTINCT item per group, i.e. the
+    aggregated summary, which at any scale is the sketch's own input
+    size, not the event volume. Feeding exact per-item counts in one
+    merge is the same semantics as before (the whole history was one
+    ``value_counts`` batch); the merge order is pinned to
+    (count desc, item asc) so the under-capacity regime is
+    deterministic too, where the old raw-rows form inherited pandas
+    tie order from shuffle arrival."""
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         counter: dict[int, list[int]] = {}
-        _ss_merge(counter, pdf[item_col].value_counts(), capacity)
+        ordered = pdf.sort_values(
+            ["__c", item_col], ascending=[False, True]
+        )
+        _ss_merge(
+            counter,
+            pd.Series(ordered["__c"].values, index=ordered[item_col]),
+            capacity,
+        )
         return _ss_topk(key[0], counter, k)
 
-    return (
+    counts = (
         events.select(group_col, item_col)
-        .groupBy(group_col)
-        .applyInPandas(run, schema=HH_OUTPUT_SCHEMA)
+        .groupBy(group_col, item_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return counts.groupBy(group_col).applyInPandas(
+        run, schema=HH_OUTPUT_SCHEMA
     )
 
 
