@@ -1402,7 +1402,8 @@ DSL_QUERIES.update({
     # scanned once), and alias-HAVING on the re-aggregated output.
     # This is the exact shape the r10 eageragg longfuzz campaign
     # draws, pinned as driver-checked evidence; the fires-on-this-
-    # shape invariant is asserted in tests/test_plans.py.
+    # shape invariant is asserted in tests/test_compiler.py
+    # (test_eager_agg_fires_on_registry_entry).
     "dsl_eager_agg_rounded": {
         "select": ["o_orderpriority",
                    {"SUM": {"op": "mul", "args": [

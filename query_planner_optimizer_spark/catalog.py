@@ -74,6 +74,76 @@ _SPREAD_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
 #: immutability contract as _PARQUET_CACHE.
 _AUGMENTED_CACHE: dict[tuple[int, str], DataFrame] = {}
 
+#: Every FrameMemo registers itself here so invalidate_reader_caches
+#: can clear (and unpersist) all persisted-frame memos repo-wide.
+_FRAME_MEMOS: list["FrameMemo"] = []
+
+
+class FrameMemo:
+    """Bounded session memo for PERSISTED derived frames (the fused
+    token-budget frame, BM25's tokenize pass, multiply-referenced CTE
+    materializations, …).
+
+    Discipline shared by every instance:
+
+    - Entries hold ``(anchor, frame)`` where ``anchor`` is the input
+      frame the derivation read (identity-checked on ``get`` so a
+      recycled ``id()`` can never serve a stale hit) and ``frame`` is
+      the persisted derived frame — the ONLY thing this memo ever
+      unpersists (anchors are often the session-cached reader frames,
+      which other queries share).
+    - LRU-bounded: beyond ``cap`` entries the oldest is evicted AND
+      unpersisted, so a long session passing fresh frames per call
+      cannot grow executor storage or the driver dict unboundedly.
+    - ``invalidate_reader_caches`` clears every registered memo
+      wholesale (frame-identity keys cannot be mapped back to paths —
+      the same rationale as ``_SPREAD_CACHE``), unpersisting as it
+      goes, so a write+invalidate under a previously-read dir can
+      never be served a stale persisted derivation.
+    """
+
+    def __init__(self, cap: int = 32):
+        from collections import OrderedDict
+
+        self._d: "dict[tuple, tuple]" = OrderedDict()
+        self._cap = int(cap)
+        _FRAME_MEMOS.append(self)
+
+    @staticmethod
+    def _unpersist(frame) -> None:
+        try:
+            frame.unpersist()
+        except Exception:  # session torn down / never persisted
+            pass
+
+    def get(self, key: tuple, anchor=None):
+        hit = self._d.get(key)
+        if hit is None:
+            return None
+        a, frame = hit
+        if a is not anchor:
+            return None
+        self._d.move_to_end(key)
+        return frame
+
+    def put(self, key: tuple, anchor, frame):
+        old = self._d.pop(key, None)
+        if old is not None and old[1] is not frame:
+            self._unpersist(old[1])
+        self._d[key] = (anchor, frame)
+        while len(self._d) > self._cap:
+            _, (_, evicted) = self._d.popitem(last=False)
+            self._unpersist(evicted)
+        return frame
+
+    def clear(self) -> None:
+        for _, frame in self._d.values():
+            self._unpersist(frame)
+        self._d.clear()
+
+    def __len__(self) -> int:
+        return len(self._d)
+
 
 def cached_parquet(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` with a session-lifetime frame cache —
@@ -94,11 +164,16 @@ def invalidate_reader_caches(path: str | None = None) -> None:
     cache must call this (with the written path, or with ``None`` to
     drop everything) so later reads observe the fresh file listing and
     schema. With ``path``, every cached entry at or below that abspath
-    is evicted; ``_SPREAD_CACHE`` memos are dropped wholesale either
-    way (they key on frame identity, which we cannot map back to a
-    path, and rebuilding a memo costs one partition probe).
+    is evicted; ``_SPREAD_CACHE`` and every registered ``FrameMemo``
+    (persisted derived frames keyed on frame identity — docpipe's
+    fused/lines memos, relevance's tokenize memo, the DSL compiler's
+    multiply-referenced-CTE memo) are dropped wholesale either way,
+    unpersisting as they go: frame-identity keys cannot be mapped back
+    to a path, and rebuilding a memo costs one derivation.
     """
     _SPREAD_CACHE.clear()
+    for memo in _FRAME_MEMOS:
+        memo.clear()
     if path is None:
         _PARQUET_CACHE.clear()
         _AUGMENTED_CACHE.clear()

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from query_planner_optimizer_spark.catalog import Catalog
+from query_planner_optimizer_spark.catalog import FrameMemo as _FrameMemo
 from query_planner_optimizer_spark.functions import histq as _HQ
 from query_planner_optimizer_spark.functions.rounding import round_half_up
 
@@ -863,11 +864,18 @@ def validate_derived_from(sub: Any) -> None:
 
 
 #: Persisted multiply-referenced CTE frames, memoized per (session,
-#: data_dir, view spec) so the bench's warm re-compiles share one
-#: materialization instead of persisting a fresh copy per call. Only
-#: override-free catalogs route here (override paths — rollup folds,
-#: prepared dirs — are mutable, and a memoized persist would go stale).
-_CTE_CACHE: dict[tuple, DataFrame] = {}
+#: data_dir, view spec + the resolved definitions of every sibling CTE
+#: the view's spec transitively references, in definition order) so the
+#: bench's warm re-compiles share one materialization instead of
+#: persisting a fresh copy per call. The sibling-closure component is
+#: load-bearing (r10 advisor): two queries can carry the SAME view spec
+#: over DIFFERENT sibling-view definitions (or over a sibling view vs
+#: the base table it shadows — closure membership encodes which), and
+#: their compiled frames differ. Only override-free catalogs route here
+#: (override paths — rollup folds, prepared dirs — are mutable, and a
+#: memoized persist would go stale); ``invalidate_reader_caches``
+#: clears + unpersists the memo (FrameMemo contract).
+_CTE_CACHE = _FrameMemo()
 
 
 def _count_view_refs(obj, name: str) -> int:
@@ -886,6 +894,43 @@ def _count_view_refs(obj, name: str) -> int:
         for v in obj:
             n += _count_view_refs(v, name)
     return n
+
+
+def _collect_table_refs(obj, acc: set) -> None:
+    """All table/view names a DSL fragment references (every string
+    under a ``from``/``table`` key, recursing like _count_view_refs)."""
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            if k in ("from", "table") and isinstance(v, str):
+                acc.add(v)
+            else:
+                _collect_table_refs(v, acc)
+    elif isinstance(obj, (list, tuple)):
+        for v in obj:
+            _collect_table_refs(v, acc)
+
+
+def _sibling_closure(vq: dict, earlier: dict) -> list:
+    """The transitive closure of earlier-sibling CTE definitions that
+    ``vq``'s compilation can observe, as ``[name, spec]`` pairs in
+    DEFINITION order. Order is part of the identity: with views
+    ``{b: X, a: …b…}`` vs ``{a: …b…, b: X}``, ``a`` resolves ``b`` to
+    the view in the first and to the shadowed base table in the second
+    (define-before-use), so the same member set in a different order
+    compiles differently. Names absent from ``earlier`` resolve to
+    base tables under ``data_dir`` (already in the cache key)."""
+    closure: set[str] = set()
+    pending: set[str] = set()
+    _collect_table_refs(vq, pending)
+    while pending:
+        n = pending.pop()
+        if n in closure or n not in earlier:
+            continue
+        closure.add(n)
+        refs: set[str] = set()
+        _collect_table_refs(earlier[n], refs)
+        pending |= refs - closure
+    return [[n, earlier[n]] for n in earlier if n in closure]
 
 
 class _ViewCatalog:
@@ -908,26 +953,31 @@ class _ViewCatalog:
     def __init__(self, base, views: dict, multi_ref: set[str] = frozenset()):
         self._base = base
         self._frames: dict[str, DataFrame] = {}
+        earlier: dict[str, dict] = {}
         for name, vq in views.items():  # pre-validated by the caller
             df = compile_query(vq, self)
             if name in multi_ref:
-                df = self._materialized(base, vq, df)
+                df = self._materialized(base, vq, earlier, df)
             self._frames[name] = df
+            earlier[name] = vq
 
     @staticmethod
-    def _materialized(base, vq: dict, df: DataFrame) -> DataFrame:
+    def _materialized(base, vq: dict, earlier: dict, df: DataFrame) -> DataFrame:
         if getattr(base, "overrides", None):
             return df.persist()  # mutable inputs: correct, not memoized
         try:
             key = (
                 id(base.spark), base.data_dir,
-                json.dumps(vq, sort_keys=True, default=str),
+                json.dumps(
+                    {"vq": vq, "siblings": _sibling_closure(vq, earlier)},
+                    sort_keys=True, default=str,
+                ),
             )
         except (TypeError, AttributeError):
             return df.persist()
         hit = _CTE_CACHE.get(key)
         if hit is None:
-            hit = _CTE_CACHE[key] = df.persist()
+            hit = _CTE_CACHE.put(key, None, df.persist())
         return hit
 
     def table(self, name: str) -> DataFrame:

@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from query_planner_optimizer_spark.catalog import FrameMemo
 from query_planner_optimizer_spark.dsl.compiler import agg_decimal_scale
 from query_planner_optimizer_spark.functions.rounding import (
     round_half_up,
@@ -105,14 +106,15 @@ TOKEN_BUDGET = 12_000
 LEVEL_SALT_WIDTH = 65536
 
 #: select_token_budget's fused (scored + windowed) frame, memoized per
-#: (input-frame identity, salt_width) like catalog._SPREAD_CACHE: the
-#: entry/bench paths pass the SAME cached reader frame on every call,
-#: so the persist below materializes once per session instead of once
-#: per invocation. The held strong ref keeps id() stable.
-_FUSED_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
+#: (input-frame identity, salt_width): the entry/bench paths pass the
+#: SAME cached reader frame on every call, so the persist below
+#: materializes once per session instead of once per invocation. A
+#: catalog.FrameMemo — anchor-identity-checked, LRU-bounded (evictions
+#: unpersist), cleared by invalidate_reader_caches.
+_FUSED_CACHE = FrameMemo()
 
 #: line_dedup's exploded+hashed lines frame, same memo discipline.
-_LINES_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_LINES_CACHE = FrameMemo()
 
 
 def select_token_budget(
@@ -172,16 +174,13 @@ def select_token_budget(
     )
     wb = Window.partitionBy("quality_score", "__salt")
     fkey = (id(docs), int(salt_width))
-    hit = _FUSED_CACHE.get(fkey)
-    if hit is not None and hit[0] is docs:
-        fused = hit[1]
-    else:
-        fused = scored.select(
+    fused = _FUSED_CACHE.get(fkey, anchor=docs)
+    if fused is None:
+        fused = _FUSED_CACHE.put(fkey, docs, scored.select(
             "doc_id", "quality_score", "n_tokens", "__salt",
             F.sum("n_tokens").over(wd).alias("__in_salt_cum"),
             F.sum("n_tokens").over(wb).alias("__bucket_tokens"),
-        ).persist()
-        _FUSED_CACHE[fkey] = (docs, fused)
+        ).persist())
     # Per-(level, salt) totals read off the fused frame (every row of a
     # bucket carries the identical total), then level totals from
     # bucket totals — aggregation trees only, no second corpus scan.
@@ -409,12 +408,11 @@ def line_dedup(
     # session caches. With AQE electing a broadcast for the removal
     # set, the probe side then never shuffles at all.
     lkey = (id(docs), id_col, text_col, line_tokens)
-    hit = _LINES_CACHE.get(lkey)
-    if hit is not None and hit[0] is docs:
-        hashed = hit[1]
+    memo = _LINES_CACHE.get(lkey, anchor=docs)
+    if memo is None:
+        hashed = _LINES_CACHE.put(lkey, docs, hashed.persist())
     else:
-        hashed = hashed.persist()
-        _LINES_CACHE[lkey] = (docs, hashed)
+        hashed = memo
     removal = (
         hashed.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))

@@ -32,6 +32,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from query_planner_optimizer_spark.catalog import FrameMemo
 from query_planner_optimizer_spark.functions.textexpr import tokens
 
 BM25_K1 = 1.2
@@ -42,11 +43,12 @@ BM25_B = 0.75
 DEFAULT_QUERY_TERMS = ("spark", "window", "customer", "stream")
 
 
-#: One-tokenize frame memo (r10): keyed like catalog._SPREAD_CACHE on
-#: the input frame's identity (+ the scoring signature); the held
-#: strong ref keeps id() stable. Entries pass the session-cached
-#: reader frame, so the persist below materializes once per session.
-_PRE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+#: One-tokenize frame memo (r10): keyed on the input frame's identity
+#: (+ the scoring signature), anchor-identity-checked. Entries pass the
+#: session-cached reader frame, so the persist below materializes once
+#: per session. A catalog.FrameMemo — LRU-bounded (evictions
+#: unpersist), cleared by invalidate_reader_caches.
+_PRE_CACHE = FrameMemo()
 
 
 def _matched_tokens(
@@ -62,9 +64,9 @@ def _matched_tokens(
     full-corpus tokenize pass is the whole bill). The persisted rows
     carry a handful of matched terms, never the full token arrays."""
     key = (id(docs), tuple(terms), id_col, text_col)
-    hit = _PRE_CACHE.get(key)
-    if hit is not None and hit[0] is docs:
-        return hit[1]
+    hit = _PRE_CACHE.get(key, anchor=docs)
+    if hit is not None:
+        return hit
     tlit = F.array(*[F.lit(t) for t in terms])
     pre = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
@@ -73,8 +75,7 @@ def _matched_tokens(
         F.size("__toks").alias("dl"),
         F.filter("__toks", lambda t: F.array_contains(tlit, t)).alias("__m"),
     ).persist()
-    _PRE_CACHE[key] = (docs, pre)
-    return pre
+    return _PRE_CACHE.put(key, docs, pre)
 
 
 def _term_stats(

@@ -2230,3 +2230,70 @@ def test_grouping_empty_input_grand_total(catalog, ddb, spark):
     nonempty = {**with_unit, "where": []}
     rows2 = compile_query(nonempty, catalog).collect()
     assert sum(1 for r in rows2 if r.event_type == "ALL") == 1
+
+
+def _cte_shared_view_query(sibling_where_val: str) -> dict:
+    """Same multiply-referenced view spec (``v``: FROM + scalar
+    subquery = 2 refs) over a sibling CTE ``w`` whose definition
+    varies — the r10 advisor's _CTE_CACHE under-keying scenario."""
+    return {
+        "with": {
+            "w": {"select": ["user_id", "value"], "from": "events",
+                  "where": [{"col": "event_type", "op": "eq",
+                             "val": sibling_where_val}]},
+            "v": {"select": ["user_id",
+                             {"SUM": "value", "as": "tv", "round": 4}],
+                  "from": "w", "group_by": ["user_id"]},
+        },
+        "select": ["user_id", "tv"],
+        "from": "v",
+        "where": [{"col": "tv", "op": "gt",
+                   "val": {"subquery": {
+                       "select": [{"AVG": "tv", "as": "a", "round": 6}],
+                       "from": "v"}}}],
+        "order_by": ["user_id"],
+    }
+
+
+def test_cte_cache_keyed_on_sibling_definitions(catalog, ddb):
+    """Two queries in ONE session share the identical multi-ref view
+    spec but different sibling-CTE definitions: each must compile to
+    its own frame (pre-r11 the memo served the first materialization
+    to both — silently wrong results)."""
+    from query_planner_optimizer_spark.dsl.assembler import assemble_sql
+
+    tm = catalog.spark_type_map("events")
+    for val in ("click", "purchase"):
+        q = _cte_shared_view_query(val)
+        assert_matches_duckdb(
+            compile_query(q, catalog), ddb,
+            assemble_sql(q, tm, dialect="duckdb"), ordered=True)
+
+
+def test_cte_cache_keyed_on_base_table_shadowing(catalog, ddb):
+    """Same multi-ref view spec where the referenced name (``orders``)
+    resolves to the BASE table in one query and a shadowing sibling CTE
+    (built from ``events``) in the other — closure membership must
+    split the cache key."""
+    tm = catalog.spark_type_map("orders")
+    view_v = {"select": ["o_custkey",
+                         {"SUM": "o_totalprice", "as": "tv",
+                          "round": 4}],
+              "from": "orders", "group_by": ["o_custkey"]}
+    tail = {"select": ["o_custkey", "tv"], "from": "v",
+            "where": [{"col": "tv", "op": "gt",
+                       "val": {"subquery": {
+                           "select": [{"AVG": "tv", "as": "a",
+                                       "round": 6}],
+                           "from": "v"}}}],
+            "order_by": ["o_custkey"]}
+    q_base = {"with": {"v": view_v}, **tail}
+    shadow = {"select": [{"expr": "user_id", "as": "o_custkey"},
+                         {"expr": "value", "as": "o_totalprice"}],
+              "from": "events"}
+    q_shadow = {"with": {"orders": shadow, "v": view_v}, **tail}
+    merged = {**tm, **catalog.spark_type_map("events")}
+    for q in (q_base, q_shadow):
+        assert_matches_duckdb(
+            compile_query(q, catalog), ddb,
+            assemble_sql(q, merged, dialect="duckdb"), ordered=True)

@@ -119,3 +119,61 @@ def test_refresh_rollups_invalidates_agg_dir(spark, tmp_path):
     # Re-read sees the fresh build.
     assert cached_parquet(spark, rollup_path).count() > 0
     invalidate_reader_caches(str(tmp_path))
+
+
+def test_frame_memo_anchor_and_cap(spark):
+    """FrameMemo contract: anchor identity gates hits; the LRU cap
+    evicts (and unpersists) oldest; clear() empties."""
+    from query_planner_optimizer_spark.catalog import FrameMemo
+
+    memo = FrameMemo(cap=2)
+    a = spark.range(3)
+    f1 = spark.range(1).persist()
+    memo.put(("k1",), a, f1)
+    assert memo.get(("k1",), anchor=a) is f1
+    # A different anchor object under the same key must MISS (recycled
+    # id() safety).
+    assert memo.get(("k1",), anchor=spark.range(3)) is None
+    f2, f3 = spark.range(2).persist(), spark.range(4).persist()
+    memo.put(("k2",), a, f2)
+    memo.put(("k3",), a, f3)  # evicts k1 (cap=2) and unpersists f1
+    assert len(memo) == 2
+    assert memo.get(("k1",), anchor=a) is None
+    assert f1.storageLevel.useMemory is False
+    assert memo.get(("k3",), anchor=a) is f3
+    memo.clear()
+    assert len(memo) == 0
+    assert f3.storageLevel.useMemory is False
+
+
+def test_invalidate_clears_cte_memo(spark, tmp_path):
+    """A write+invalidate under a previously-read dir must not be
+    served a stale persisted CTE materialization (r10 advisor): the
+    multiply-referenced view memo is registered with
+    invalidate_reader_caches and cleared wholesale."""
+    from query_planner_optimizer_spark.dsl.compiler import (
+        _CTE_CACHE,
+        compile_query,
+    )
+
+    path = str(tmp_path / "events.parquet")
+    _write_events(spark, path, 10)
+    q = {"with": {"v": {"select": ["user_id",
+                                   {"COUNT": "*", "as": "n"}],
+                        "from": "events", "group_by": ["user_id"]}},
+         "select": ["user_id", "n"], "from": "v",
+         "where": [{"col": "n", "op": "gte",
+                    "val": {"subquery": {
+                        "select": [{"MIN": "n", "as": "m"}],
+                        "from": "v"}}}]}
+    c1 = Catalog(spark, str(tmp_path), register_views=False)
+    total1 = compile_query(q, c1).agg({"n": "sum"}).collect()[0][0]
+    assert total1 == 10
+    assert len(_CTE_CACHE) >= 1
+    _write_events(spark, path, 25)
+    invalidate_reader_caches(path)
+    assert len(_CTE_CACHE) == 0
+    c2 = Catalog(spark, str(tmp_path), register_views=False)
+    total2 = compile_query(q, c2).agg({"n": "sum"}).collect()[0][0]
+    assert total2 == 25
+    invalidate_reader_caches(str(tmp_path))
