@@ -1765,6 +1765,58 @@ DSL_QUERIES.update({
         "group_by": ["name_bucket"],
         "order_by": [{"col": "name_bucket", "dir": "asc"}],
     },
+    # r11: window functions OVER a joined frame — partition key from
+    # the build side (c_mktsegment), value/order columns from the probe
+    # side; a rounded running SUM (DECIMAL-accumulated + shared FLOOR),
+    # a rank, and a cross-side LAG with a default. Pins the surface the
+    # r11 windowjoin fuzz campaign draws (windows were previously only
+    # drawn over single-table frames).
+    "dsl_window_over_join": {
+        "select": [
+            "o_orderkey", "c_mktsegment", "o_totalprice",
+            {"win": "sum", "of": "o_totalprice",
+             "partition_by": ["c_mktsegment"],
+             "order_by": [{"col": "o_orderkey", "dir": "asc"}],
+             "as": "seg_running", "round": 2},
+            {"win": "rank", "partition_by": ["c_mktsegment"],
+             "order_by": [{"col": "o_totalprice", "dir": "desc"},
+                          {"col": "o_orderkey", "dir": "asc"}],
+             "as": "seg_rank"},
+            {"win": "lag", "of": "c_acctbal",
+             "partition_by": ["c_mktsegment"],
+             "order_by": [{"col": "o_orderkey", "dir": "asc"}],
+             "offset": 1, "default": 0.0, "as": "prev_bal",
+             "round": 2},
+        ],
+        "from": "orders",
+        "join": [{"table": "customer", "on": [["o_custkey", "c_custkey"]],
+                  "hint": "broadcast"}],
+        "where": [{"col": "o_totalprice", "op": "gte", "val": 100000}],
+        "order_by": ["o_orderkey"],
+        "limit": 500,
+    },
+    # r11: set op over GROUPED CTE legs — one multiply-referenced
+    # grouped view feeding both EXCEPT legs with nested average gates
+    # (types averaging ≥49 minus types averaging ≥50 = the 49-50 band),
+    # exercising the persisted-CTE materialization + sibling-closure
+    # cache key. Per-type averages cluster around 50 at EVERY testdata
+    # scale (uniform values), so the band is non-empty at sf0.001/0.01/
+    # 0.1 — the result bites, not an empty-frame hash. Pins the r11
+    # setopcte fuzz surface.
+    "dsl_setop_grouped_cte": {
+        "with": {"per_type": {
+            "select": ["event_type",
+                       {"SUM": "value", "as": "tot", "round": 4},
+                       {"AVG": "value", "as": "avg_v", "round": 6}],
+            "from": "events", "group_by": ["event_type"]}},
+        "except": [
+            {"select": ["event_type"], "from": "per_type",
+             "where": [{"col": "avg_v", "op": "gte", "val": 49}]},
+            {"select": ["event_type"], "from": "per_type",
+             "where": [{"col": "avg_v", "op": "gte", "val": 50}]},
+        ],
+        "order_by": ["event_type"],
+    },
 })
 
 
@@ -2305,88 +2357,80 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-10 window (r9 VERDICT #1: retire the r5-stale evidence
-    # -- tail). Composition: ALL 24 entries whose latest driver green
-    # -- is r5 — the oldest evidence in the registry after the r9
-    # -- rotation (the 22 filter/set-op/plain shapes named in the r9
-    # -- panel comment plus the two displaced entries
-    # -- dsl_having_group_gate and dsl_scalar_subquery_small_orders) —
-    # -- then 26 refreshes: first the entries whose PLANS this round
-    # -- changed (pipeline_token_budget's one-scan restructure; the
-    # -- multiply-referenced-CTE materialization behind
-    # -- dsl_cte_above_avg_days / dsl_tpch_q15_top_supplier and the
-    # -- other CTE shapes; the eager-agg surface dsl_tpch_q18 the r10
-    # -- fuzz campaign exercises), then the oldest r6-green entries in
-    # -- registry order. Deferred to r11: the 25 remaining r6-green
-    # -- entries (sim_quantize_int8, sim_quantized_topk, text_bigram_lm,
-    # -- text_readability, text_vocab_coverage, multimodal_audio_meta,
-    # -- multimodal_video_meta, stream_windowed_distinct,
-    # -- analytics_retention_cohorts, analytics_new_vs_returning,
-    # -- analytics_power_user_curve, analytics_pct_change_daily,
-    # -- analytics_stickiness_daily, analytics_centroid_similarity,
-    # -- analytics_grouping_sets, temporal_gapfill_hourly,
-    # -- temporal_scd2_intervals, temporal_ohlc_hourly,
-    # -- temporal_linear_attribution, pipeline_curation_funnel,
-    # -- pipeline_boilerplate_report, sample_epoch_shuffle,
-    # -- sample_temperature_mixture, stream_rollup_maintenance,
-    # -- dsl_routed_minmax_rollup, dedup_semantic_clusters — 26 total).
-    # -- After this round no entry's latest green is older than r6
-    # -- (24 r5 + 1 r10-new + 24 r6 + 1 r9 re-check of the
-    # -- restructured token_budget = 50).
-    # -- r5-green (the full stale tail, registry order) --
-    "dsl_filter_eq",
-    "dsl_filter_gauntlet",
-    "dsl_filter_neq",
-    "dsl_filter_in",
-    "dsl_expr_projection",
-    "dsl_case_projection",
-    "dsl_filter_not_in",
-    "dsl_filter_between",
-    "dsl_filter_range_ops",
-    "dsl_groupby_count_star",
-    "dsl_count_col",
-    "dsl_count_distinct_users",
-    "dsl_intersect_segments",
-    "dsl_except_segments",
-    "dsl_union_segments",
-    "dsl_distinct_pairs",
-    "dsl_groupby_min_max",
-    "dsl_multikey_orderby",
-    "dsl_topk_limit",
-    "dsl_having_group_gate",
-    "dsl_day_in_coercion",
-    "dsl_join_brand_pricing",
-    "dsl_join_tree_having_mix",
-    "dsl_scalar_subquery_small_orders",
-    # -- r10-new (never driver-checked; outranks refreshes) --
-    "dsl_eager_agg_rounded",
-    # -- changed-plan refreshes (r10 diffs land under these entries) --
-    "pipeline_token_budget",
+    # -- round-11 window (r10 VERDICT #1: finish the staleness
+    # -- rotation). Composition: the 2 r11-new entries (never
+    # -- driver-checked — the window-over-join and setop-over-grouped-
+    # -- CTE surfaces the r11 fuzz campaigns draw), then ALL 26
+    # -- entries whose latest driver green is r6 — the oldest evidence
+    # -- in the registry after the r10 rotation (the list the r10
+    # -- panel comment deferred; its "25" was an arithmetic slip, the
+    # -- set always had 26 members) — then 9 changed-code refreshes
+    # -- (the r11 CTE-memo sibling-closure key + FrameMemo migration
+    # -- touch the multiply-referenced-CTE shapes, token_budget,
+    # -- line_dedup, tfidf/bm25, and the r10-late heavy-hitter
+    # -- restructure's streaming entry), then the 13 oldest r7-green
+    # -- entries in registry order. Deferred to r12: the remaining 37
+    # -- r7-green entries (dsl_grouping_having, dsl_pricing_quantiles,
+    # -- dsl_quantile_sketch, dsl_mod_bucketing, dsl_numeric_functions,
+    # -- dsl_filter_col_vs_col, dsl_topk_offset_page, and the
+    # -- analytics_/text_/sim_/dedup_/multimodal_/pipeline_/stream_
+    # -- r7 families — see COVERAGE.md's rotation table). After this
+    # -- round no entry's latest green is older than r7
+    # -- (2 new + 26 r6 + 9 changed + 13 r7 = 50).
+    # -- r11-new (never driver-checked; outranks refreshes) --
+    "dsl_window_over_join",
+    "dsl_setop_grouped_cte",
+    # -- r6-green (the full stale tail, registry order) --
+    "sim_quantize_int8",
+    "sim_quantized_topk",
+    "text_bigram_lm",
+    "text_readability",
+    "text_vocab_coverage",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
+    "stream_windowed_distinct",
+    "analytics_retention_cohorts",
+    "analytics_new_vs_returning",
+    "analytics_power_user_curve",
+    "analytics_pct_change_daily",
+    "analytics_stickiness_daily",
+    "analytics_centroid_similarity",
+    "analytics_grouping_sets",
+    "temporal_gapfill_hourly",
+    "temporal_scd2_intervals",
+    "temporal_ohlc_hourly",
+    "temporal_linear_attribution",
+    "pipeline_curation_funnel",
+    "pipeline_boilerplate_report",
+    "sample_epoch_shuffle",
+    "sample_temperature_mixture",
+    "stream_rollup_maintenance",
+    "dsl_routed_minmax_rollup",
+    "dedup_semantic_clusters",
+    # -- changed-code refreshes (r11 diffs land under these entries) --
     "dsl_cte_above_avg_days",
     "dsl_tpch_q15_top_supplier",
     "dsl_cte_chain_user_type",
     "dsl_cte_join_semi",
-    "dsl_tpch_q18_large_orders",
-    "dsl_tpch_q22_untapped_accounts",
-    # -- r6-green refresh (oldest remaining evidence), registry order --
-    "dsl_window_frames_ntile",
-    "dsl_tpch_q14_promo_share",
-    "dsl_tpch_q19_disjunctive",
-    "dsl_tpch_q17_small_quantity",
-    "dsl_corr_price_per_line",
-    "dsl_corr_join_subquery",
-    "dsl_corr_above_user_avg",
-    "dsl_tpch_q13_cust_distribution",
-    "dsl_tpch_q7_volume_shipping",
-    "dsl_tpch_q9_product_profit",
-    "dsl_tpch_q8_market_share",
-    "dsl_covariance_by_hand",
-    "dsl_window_over_aggregate",
-    "dsl_setop_derived_from",
-    "dsl_having_inline_agg",
-    "dedup_duplicate_spans",
-    "dedup_report",
-    "dedup_remove_spans",
+    "pipeline_token_budget",
+    "pipeline_line_dedup",
+    "relevance_tfidf",
+    "relevance_bm25",
+    "stream_heavy_hitters",
+    # -- r7-green refresh (oldest remaining evidence), registry order --
+    "dsl_orderby_nulls_last",
+    "dsl_string_functions",
+    "dsl_agg_filter_clause",
+    "dsl_where_or_not_tree",
+    "dsl_join_semi_nonequi",
+    "dsl_join_anti_nonequi",
+    "dsl_join_range_conjunct",
+    "dsl_join_left_customer_orders",
+    "dsl_window_distribution",
+    "dsl_scalar_select_share",
+    "dsl_scalar_select_correlated",
+    "dsl_grouping_rollup",
+    "dsl_grouping_sets",
 ]
 
 
@@ -2432,15 +2476,14 @@ def _query_type_map(
     its own structural inference, so they are skipped here."""
     views = q.get("with") or {}
     view_names = view_names | frozenset(views)
-    for kw in ("union", "intersect", "except"):
-        if kw in q:
-            out: dict[str, T.DataType] = {}
-            for c in q[kw]:
-                out.update(_query_type_map(c, view_names))
-            return out
     type_map: dict[str, T.DataType] = {}
     for vq in views.values():
         type_map.update(_query_type_map(vq, view_names))
+    for kw in ("union", "intersect", "except"):
+        if kw in q:
+            for c in q[kw]:
+                type_map.update(_query_type_map(c, view_names))
+            return type_map
     frm = q.get("from", "events")
     if isinstance(frm, dict):
         type_map.update(_query_type_map(frm, view_names))

@@ -85,6 +85,22 @@ def main() -> int:
         ("eageragg_twin", P.eager_agg_queries(),
          P.test_eager_agg_equals_sql_twin.hypothesis.inner_test,
          (spark, catalog)),
+        # r11: window functions over a JOINED frame (partition/value
+        # columns spanning both join sides) and set ops over grouped
+        # CTE legs (shared multi-ref views → the persisted-CTE memo and
+        # its sibling-closure cache key churn under distinct specs).
+        ("windowjoin", P.window_join_queries(),
+         P.test_window_join_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("windowjoin_twin", P.window_join_queries(),
+         P.test_window_join_equals_sql_twin.hypothesis.inner_test,
+         (spark, catalog)),
+        ("setopcte", P.setop_cte_queries(),
+         P.test_setop_cte_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("setopcte_twin", P.setop_cte_queries(),
+         P.test_setop_cte_equals_sql_twin.hypothesis.inner_test,
+         (spark, catalog)),
     ]
     def make_body(inner, args):
         # closure (not defaulted params — @given refuses defaults)

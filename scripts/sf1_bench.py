@@ -16,6 +16,12 @@ and its oracle_sql() in DuckDB over the same parquet, at BOTH scales
 in one process. Prints a markdown table for SCALE.md.
 
 Usage: python scripts/sf1_bench.py [--rebuild] [--only=a,b]
+                                   [--k=N] [--entries=a,b,...]
+
+--k=N sets the replication factor (default 10 → "sf1"; 30 → "sf3"),
+building .scale_tmp/sf{N/10} the same way (r10 VERDICT ask #6: promote
+the sf3 protocol to the bench suite). --entries replaces the default
+WATCH+CONTROLS list wholesale.
 """
 
 from __future__ import annotations
@@ -31,8 +37,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SF1 = os.path.join(REPO, ".scale_tmp", "sf1")
 K = 10
+for _a in sys.argv[1:]:
+    if _a.startswith("--k="):
+        K = int(_a.split("=", 1)[1])
+SF_LABEL = f"sf{K / 10:g}"
+SF1 = os.path.join(REPO, ".scale_tmp", SF_LABEL)
 
 #: r9 VERDICT watch-list + floor-dominated controls.
 WATCH = [
@@ -98,9 +108,12 @@ def build_sf1(spark, rebuild: bool) -> None:
 def main() -> int:
     rebuild = "--rebuild" in sys.argv
     only = None
+    entries = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--entries="):
+            entries = a.split("=", 1)[1].split(",")
 
     import duckdb
 
@@ -121,7 +134,9 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    names = [n for n in (*WATCH, *CONTROLS) if not only or n in only]
+    names = [n for n in (entries if entries is not None
+                         else (*WATCH, *CONTROLS))
+             if not only or n in only]
 
     def engine_times(name: str, sf_dir: str) -> tuple[float, float]:
         def once() -> float:
@@ -145,7 +160,7 @@ def main() -> int:
         return statistics.median(once() for _ in range(3))
 
     results: dict[str, dict] = {}
-    for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+    for sf_label, sf_dir in (("sf0.1", SF01), (SF_LABEL, SF1)):
         con = duckdb.connect()
         for t in TABLES:
             p = os.path.join(sf_dir, f"{t}.parquet")
@@ -165,12 +180,13 @@ def main() -> int:
                   f"{ew / max(ow, 1e-9):.2f}", flush=True)
         con.close()
 
-    print("\n| entry | engine sf0.1 | oracle sf0.1 | ratio sf0.1 "
-          "| engine sf1 | oracle sf1 | ratio sf1 | ratio falls? |")
+    print(f"\n| entry | engine sf0.1 | oracle sf0.1 | ratio sf0.1 "
+          f"| engine {SF_LABEL} | oracle {SF_LABEL} | ratio {SF_LABEL} "
+          f"| ratio falls? |")
     print("|---|---|---|---|---|---|---|---|")
     for name in names:
         (e1, o1) = results[name]["sf0.1"]
-        (e2, o2) = results[name]["sf1"]
+        (e2, o2) = results[name][SF_LABEL]
         r1, r2 = e1 / max(o1, 1e-9), e2 / max(o2, 1e-9)
         tag = "watch" if name in WATCH else "control"
         print(f"| `{name}` ({tag}) | {e1:.2f} s | {o1:.2f} s | {r1:.2f} "

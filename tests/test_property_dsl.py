@@ -1002,6 +1002,193 @@ def test_setop_compiler_equals_duckdb(q, spark, catalog, ddb):
     )
 
 
+# ---- r11: window functions OVER a joined frame ---------------------------
+
+
+@st.composite
+def _window_join_term(draw) -> dict:
+    """One window projection over the orders⋈customer join: partition
+    keys and value columns drawn from BOTH join sides, ordered by the
+    (unique post-join) o_orderkey so every function is deterministic.
+    Covers rank-family, offset fns, picks, and rounded SUM/AVG frames —
+    the full r8/r9 window grammar, but over a joined input (never
+    drawn before r11)."""
+    fn = draw(st.sampled_from(
+        ["sum", "avg", "count", "min", "max", "lag", "lead",
+         "rank", "row_number", "first_value", "last_value"]))
+    term: dict = {"win": fn,
+                  "partition_by": [draw(st.sampled_from(
+                      ["c_mktsegment", "o_orderstatus"]))],
+                  "as": draw(st.sampled_from(["wj1", "wj2"]))}
+    ob = [{"col": "o_orderkey", "dir": "asc"}]
+    roundable = True
+    if fn in ("rank", "row_number"):
+        term["order_by"] = ob
+        roundable = False
+    elif fn in ("lag", "lead"):
+        term.update(of=draw(st.sampled_from(
+            ["o_totalprice", "c_acctbal"])), order_by=ob,
+            offset=draw(st.integers(min_value=1, max_value=3)))
+        if draw(st.booleans()):
+            term["default"] = draw(st.sampled_from([-1.5, 0.0, 42.25]))
+    elif fn in ("first_value", "last_value"):
+        term.update(of="o_totalprice", order_by=ob,
+                    frame=draw(_rows_frame()))
+    else:
+        term["of"] = draw(st.sampled_from(["o_totalprice", "c_acctbal"]))
+        if draw(st.booleans()):
+            term.update(order_by=ob, frame=draw(_rows_frame()))
+        else:
+            term["order_by"] = ob
+        roundable = fn != "count"
+    if roundable and draw(st.booleans()):
+        term["round"] = draw(st.sampled_from([2, 4, 6]))
+    return term
+
+
+@st.composite
+def window_join_queries(draw) -> dict:
+    """orders ⋈ customer (equi, optional broadcast hint) with 1-2
+    window projections whose partition/value columns span both sides.
+    Inner joins only: the DSL's window order contract requires
+    non-null order keys, and a null-extending join under engine-default
+    NULL ordering (Spark NULLS FIRST vs DuckDB NULLS LAST) would
+    differentialize the engines' defaults, not this compiler."""
+    join: dict = {"table": "customer", "on": [["o_custkey", "c_custkey"]]}
+    if draw(st.booleans()):
+        join["hint"] = "broadcast"
+    q: dict = {"select": ["o_orderkey", "c_mktsegment", "o_totalprice"],
+               "from": "orders", "join": [join]}
+    q["select"] += draw(st.lists(
+        _window_join_term(), min_size=1, max_size=2,
+        unique_by=lambda t: t["as"]))
+    if draw(st.booleans()):
+        q["where"] = [{"col": "o_totalprice",
+                       "op": draw(st.sampled_from(["lt", "gte"])),
+                       "val": draw(st.integers(min_value=1000,
+                                               max_value=400000))}]
+    q["order_by"] = ["o_orderkey"]
+    if draw(st.booleans()):
+        q["limit"] = draw(st.integers(min_value=10, max_value=400))
+    return q
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=window_join_queries())
+def test_window_join_equals_duckdb(q, spark, catalog, ddb):
+    got = compile_query(q, catalog).toPandas()
+    tm = {**catalog.spark_type_map("orders"),
+          **catalog.spark_type_map("customer")}
+    sql = assemble_sql(q, tm, dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=window_join_queries())
+def test_window_join_equals_sql_twin(q, spark, catalog):
+    got = compile_query(q, catalog).toPandas()
+    tm = {**catalog.spark_type_map("orders"),
+          **catalog.spark_type_map("customer")}
+    sql = assemble_sql(q, tm, dialect="spark")
+    want = spark.sql(sql).toPandas()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+# ---- r11: set ops over GROUPED CTE legs -----------------------------------
+
+
+@st.composite
+def setop_cte_queries(draw) -> dict:
+    """UNION/INTERSECT/EXCEPT [ALL] whose legs read grouped-aggregate
+    CTE views. Half the draws share ONE view across both legs — a
+    multiply-referenced CTE, exercising the persisted-frame memo and
+    its r11 sibling-closure cache key under churn (hundreds of distinct
+    specs → FrameMemo evictions mid-campaign); the other half defines
+    two sibling views with independently drawn filters. The aggregate
+    term is drawn ONCE per query so both legs project identical types
+    (a COUNT leg set-opped against a rounded-SUM leg would
+    differentialize the engines' numeric-coercion defaults, not this
+    compiler)."""
+    kw = draw(st.sampled_from(["union", "intersect", "except"]))
+    agg = draw(st.sampled_from([
+        {"COUNT": "*", "as": "n"},
+        {"SUM": "value", "as": "n", "round": 4},
+        {"AVG": "value", "as": "n", "round": 6},
+        {"MIN": "value", "as": "n", "round": 2}]))
+
+    def grouped_view() -> dict:
+        v: dict = {"select": ["event_type", dict(agg)],
+                   "from": "events", "group_by": ["event_type"]}
+        w = draw(st.lists(conditions, min_size=0, max_size=1))
+        if w:
+            v["where"] = w
+        return v
+
+    if draw(st.booleans()):
+        withs = {"g1": grouped_view()}
+        srcs = ("g1", "g1")
+    else:
+        withs = {"g1": grouped_view(), "g2": grouped_view()}
+        srcs = ("g1", "g2")
+
+    def leg(src: str) -> dict:
+        c: dict = {"select": ["event_type", "n"], "from": src}
+        if draw(st.booleans()):
+            c["where"] = [{"col": "n",
+                           "op": draw(st.sampled_from(["gt", "lte"])),
+                           "val": draw(st.integers(min_value=0,
+                                                   max_value=300))}]
+        return c
+
+    q: dict = {"with": withs, kw: [leg(srcs[0]), leg(srcs[1])]}
+    if draw(st.booleans()):
+        q["all"] = True
+    q["order_by"] = [{"col": "event_type", "dir": "asc"},
+                     {"col": "n", "dir": "asc"}]
+    return q
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=setop_cte_queries())
+def test_setop_cte_equals_duckdb(q, spark, catalog, ddb):
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=setop_cte_queries())
+def test_setop_cte_equals_sql_twin(q, spark, catalog):
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="spark")
+    want = spark.sql(sql).toPandas()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
 # ---- operator property tests vs pure-python references -------------------
 
 @st.composite
