@@ -1043,7 +1043,17 @@ DSL_QUERIES: dict[str, dict] = {
         "from": "customer",
         "join": [
             {"table": "orders", "on": [["c_custkey", "o_custkey"]]},
-            {"table": "lineitem", "on": [["o_orderkey", "l_orderkey"]]},
+            # shuffle_hash (r11): the statistics-based planner elects a
+            # BROADCAST of lineitem here (its projected-column estimate
+            # sits under the 32m threshold at bench scales), which
+            # serializes a multi-million-row hash build on one thread —
+            # the single largest cost in the sf1 profile (4.3 s → 2.1 s
+            # warm with the hint). Partitioned hash join is also the
+            # 100-TB-correct strategy for a fact⋈fact edge: both sides
+            # hash-partition on the key, build is parallel and bounded
+            # per task; dims below keep their broadcast hints.
+            {"table": "lineitem", "on": [["o_orderkey", "l_orderkey"]],
+             "hint": "shuffle_hash"},
             {"table": "supplier", "on": [["l_suppkey", "s_suppkey"],
                                          ["c_nationkey", "s_nationkey"]]},
             {"table": "nation", "on": [["s_nationkey", "n_nationkey"]],

@@ -68,10 +68,10 @@ def replicate(spark, k: int, mode: str):
 
 
 def run_stream(spark, src_dir: str, build, name: str,
-               files_per_trigger: int = 4):
+               files_per_trigger: int = 4, output_mode: str = "update"):
     """Replay src_dir as a micro-batched stream through the stateful
     operator; returns (wall_s, max_state_rows, max_state_bytes,
-    n_batches)."""
+    n_batches, out_rows)."""
     from query_planner_optimizer_spark.streaming.windows import (
         EVENTS_STREAM_SCHEMA,
     )
@@ -88,25 +88,36 @@ def run_stream(spark, src_dir: str, build, name: str,
         build(src)
         .writeStream.format("noop")
         .option("checkpointLocation", ckpt)
-        .outputMode("update")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(1800)
     wall = time.perf_counter() - t0
-    rows = bytes_ = batches = 0
+    rows = bytes_ = batches = out_rows = 0
     for p in q.recentProgress:
         for so in p.get("stateOperators") or []:
             rows = max(rows, so.get("numRowsTotal", 0))
             bytes_ = max(bytes_, so.get("memoryUsedBytes", 0))
         if (p.get("numInputRows") or 0) > 0:
             batches += 1
-    return wall, rows, bytes_, batches
+        out_rows += (p.get("sink") or {}).get("numOutputRows", 0) or 0
+    return wall, rows, bytes_, batches, out_rows
 
 
-def write_input(df, path: str, n_files: int = 12) -> None:
+def write_input(df, path: str, n_files: int = 12,
+                time_ordered: bool = False) -> None:
     shutil.rmtree(path, ignore_errors=True)
-    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    if time_ordered:
+        # Range-partition on event time so part-file order ≈ time
+        # order: the availableNow replay then advances the watermark
+        # batch by batch, which is what lets the interval join EVICT
+        # state (a randomly-ordered replay jumps the watermark to
+        # near-max in batch 1 and drops the rest as late).
+        df.repartitionByRange(n_files, "ts").write.mode(
+            "overwrite").parquet(path)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
 
 
 def main() -> int:
@@ -133,33 +144,75 @@ def main() -> int:
     def hh(src):
         return stateful.heavy_hitters_stream(src, capacity=1024)
 
+    from query_planner_optimizer_spark.streaming import windows as W
+
+    IJ_WINDOW, IJ_WM = "30 minutes", "10 minutes"
+
+    def ij(src):
+        return W.interval_join(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "purchase"),
+            window=IJ_WINDOW, watermark=IJ_WM,
+        )
+
+    # (mode, build, output_mode, time_ordered): the stream-stream
+    # interval join emits in APPEND mode over a time-ordered replay —
+    # see write_input — so the watermark advances per batch and state
+    # eviction is observable.
     cases = {
-        "funnel_wide": ("wide", funnel),
-        "funnel_deep": ("deep", funnel),
-        "hh_capped": ("wide", hh),
+        "funnel_wide": ("wide", funnel, "update", False),
+        "funnel_deep": ("deep", funnel, "update", False),
+        "hh_capped": ("wide", hh, "update", False),
+        "interval_join": ("wide", ij, "append", True),
     }
     print(f"# stateful-streaming scale smoke: 1x vs {k}x "
           f"(sf0.1 events base, availableNow micro-batches, noop sink)")
-    for name, (mode, build) in cases.items():
+    for name, (mode, build, omode, ordered) in cases.items():
         if only and name not in only:
             continue
         results = {}
         for kk in (1, k):
             df = replicate(spark, kk, mode)
             src_dir = os.path.join(TMP, f"in_{name}_{kk}")
-            write_input(df, src_dir)
+            write_input(df, src_dir, time_ordered=ordered)
             n_users = df.select("user_id").distinct().count()
             n_groups = df.select("event_type").distinct().count()
-            wall, rows, bytes_, batches = run_stream(
-                spark, src_dir, build, f"{name}_{kk}"
+            wall, rows, bytes_, batches, out_rows = run_stream(
+                spark, src_dir, build, f"{name}_{kk}", output_mode=omode
             )
-            # State-row exactness: one state row per funnel USER / per
-            # heavy-hitter GROUP — never per event, never per item.
-            expect = n_groups if name.startswith("hh") else n_users
-            assert rows == expect, (name, kk, rows, expect)
+            if name == "interval_join":
+                # Watermark eviction: join state retains only rows
+                # inside the interval+watermark horizon — a vanishing
+                # fraction of the month-long input. Without eviction
+                # the stream-stream join retains EVERY click+purchase
+                # row (~40% of input) forever.
+                sides = df.filter(
+                    F.col("event_type").isin("click", "purchase")
+                ).count()
+                assert rows < 0.2 * sides, (name, kk, rows, sides)
+                # Completeness under the ordered replay: streamed
+                # emissions must equal the batch twin exactly (the
+                # SAME interval_join code with watermark=None).
+                batch_n = W.interval_join(
+                    spark.read.parquet(src_dir).filter(
+                        F.col("event_type") == "click"),
+                    spark.read.parquet(src_dir).filter(
+                        F.col("event_type") == "purchase"),
+                    window=IJ_WINDOW, watermark=None,
+                ).count()
+                assert out_rows == batch_n, (name, kk, out_rows, batch_n)
+                label = f"(< 20% of {sides} side rows; out=={batch_n})"
+            else:
+                # State-row exactness: one state row per funnel USER /
+                # per heavy-hitter GROUP — never per event, never per
+                # item.
+                expect = n_groups if name.startswith("hh") else n_users
+                assert rows == expect, (name, kk, rows, expect)
+                label = ("(= groups)" if name.startswith("hh")
+                         else "(= users)")
             results[kk] = (wall, rows, bytes_, batches)
             print(f"{name} {kk}x: {wall:.2f}s  state_rows={rows} "
-                  f"(= {'groups' if name.startswith('hh') else 'users'}) "
+                  f"{label} "
                   f"state_mem={bytes_ / 1e6:.2f}MB  batches={batches}",
                   flush=True)
         w1, _, b1, _ = results[1]
