@@ -116,6 +116,17 @@ def write_input(df, path: str, n_files: int = 12,
         # near-max in batch 1 and drops the rest as late).
         df.repartitionByRange(n_files, "ts").write.mode(
             "overwrite").parquet(path)
+        # FileStreamSource replays files in MODIFICATION-TIME order,
+        # and the writer stamps every part file within the same
+        # second — same-mtime order is unspecified, which scrambles
+        # the ranges (observed: ~half the joins dropped as late).
+        # Re-stamp mtimes ascending in part-name (= ts-range) order.
+        parts = sorted(
+            f for f in os.listdir(path) if f.startswith("part-")
+        )
+        base = time.time() - len(parts) * 2
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(path, f), (base + i * 2, base + i * 2))
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(path)
 
@@ -174,7 +185,14 @@ def main() -> int:
         for kk in (1, k):
             df = replicate(spark, kk, mode)
             src_dir = os.path.join(TMP, f"in_{name}_{kk}")
-            write_input(df, src_dir, time_ordered=ordered)
+            # The interval case needs enough micro-batches that the
+            # never-evicted FINAL batch is a small fraction of the
+            # stream: state after batch b ≈ batch b's side rows (+ the
+            # watermark horizon) — eviction of batch b happens in
+            # b+1 — so 48 files / 4 per trigger = 12 batches puts the
+            # per-batch share near 8%.
+            write_input(df, src_dir, n_files=48 if ordered else 12,
+                        time_ordered=ordered)
             n_users = df.select("user_id").distinct().count()
             n_groups = df.select("event_type").distinct().count()
             wall, rows, bytes_, batches, out_rows = run_stream(
