@@ -1775,6 +1775,52 @@ DSL_QUERIES.update({
         "group_by": ["name_bucket"],
         "order_by": [{"col": "name_bucket", "dir": "asc"}],
     },
+    # r11: full TPC-H Q21 shape (waiting suppliers) — the reference's
+    # DSL cannot express it (claude.md:141 excludes joins entirely);
+    # here it pins the r11 non-equi correlate extension: EXISTS /
+    # NOT EXISTS whose correlation carries a `<>` pair next to the
+    # equality ("another supplier on the same order"). The testdata's
+    # slim lineitem has no receipt/commit dates, so Q21's "late"
+    # predicate is adapted to l_returnflag = 'R' (returned lines);
+    # the plan shape is exact Q21: two self-semi/anti joins on
+    # l_orderkey (hash joins — the eq pair is required by the
+    # grammar) with the neq pair as a residual condition, then three
+    # dimension joins and a top-k. Engine: LEFT SEMI + LEFT ANTI
+    # against slim 2-column projections of lineitem; oracle: natively
+    # correlated EXISTS / NOT EXISTS.
+    "dsl_tpch_q21_waiting_suppliers": {
+        "select": ["s_name", {"COUNT": "*", "as": "numwait"}],
+        "from": "lineitem",
+        "where": [
+            {"col": "l_returnflag", "op": "eq", "val": "R"},
+            {"op": "exists", "val": {
+                "subquery": {
+                    "select": ["l_orderkey", "l_suppkey"],
+                    "from": "lineitem"},
+                "correlate": [["l_orderkey", "l_orderkey"],
+                              ["l_suppkey", "l_suppkey", "neq"]]}},
+            {"op": "not_exists", "val": {
+                "subquery": {
+                    "select": ["l_orderkey", "l_suppkey"],
+                    "from": "lineitem",
+                    "where": [{"col": "l_returnflag", "op": "eq",
+                               "val": "R"}]},
+                "correlate": [["l_orderkey", "l_orderkey"],
+                              ["l_suppkey", "l_suppkey", "neq"]]}},
+        ],
+        "join": [
+            {"table": "orders", "on": [["l_orderkey", "o_orderkey"]],
+             "where": [{"col": "o_orderstatus", "op": "eq", "val": "F"}]},
+            {"table": "supplier", "on": [["l_suppkey", "s_suppkey"]],
+             "hint": "broadcast"},
+            {"table": "nation", "on": [["s_nationkey", "n_nationkey"]],
+             "hint": "broadcast"},
+        ],
+        "group_by": ["s_name"],
+        "order_by": [{"col": "numwait", "dir": "desc"},
+                     {"col": "s_name", "dir": "asc"}],
+        "limit": 100,
+    },
     # r11: window functions OVER a joined frame — partition key from
     # the build side (c_mktsegment), value/order columns from the probe
     # side; a rounded running SUM (DECIMAL-accumulated + shared FLOOR),
@@ -2368,9 +2414,10 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: latest green round.
 _PANEL = [
     # -- round-11 window (r10 VERDICT #1: finish the staleness
-    # -- rotation). Composition: the 2 r11-new entries (never
+    # -- rotation). Composition: the 3 r11-new entries (never
     # -- driver-checked — the window-over-join and setop-over-grouped-
-    # -- CTE surfaces the r11 fuzz campaigns draw), then ALL 26
+    # -- CTE surfaces the r11 fuzz campaigns draw, plus the non-equi-
+    # -- correlate TPC-H Q21 shape), then ALL 26
     # -- entries whose latest driver green is r6 — the oldest evidence
     # -- in the registry after the r10 rotation (the list the r10
     # -- panel comment deferred; its "25" was an arithmetic slip, the
@@ -2378,16 +2425,21 @@ _PANEL = [
     # -- (the r11 CTE-memo sibling-closure key + FrameMemo migration
     # -- touch the multiply-referenced-CTE shapes, token_budget,
     # -- line_dedup, tfidf/bm25, and the r10-late heavy-hitter
-    # -- restructure's streaming entry), then the 13 oldest r7-green
-    # -- entries in registry order. Deferred to r12: the remaining 37
-    # -- r7-green entries (dsl_grouping_having, dsl_pricing_quantiles,
+    # -- restructure's streaming entry), then the 12 oldest r7-green
+    # -- entries in registry order. Deferred to r12: the remaining 38
+    # -- r7-green entries (dsl_grouping_sets — bumped when q21 joined
+    # -- mid-round — dsl_grouping_having, dsl_pricing_quantiles,
     # -- dsl_quantile_sketch, dsl_mod_bucketing, dsl_numeric_functions,
     # -- dsl_filter_col_vs_col, dsl_topk_offset_page, and the
     # -- analytics_/text_/sim_/dedup_/multimodal_/pipeline_/stream_
     # -- r7 families — see COVERAGE.md's rotation table). After this
     # -- round no entry's latest green is older than r7
-    # -- (2 new + 26 r6 + 9 changed + 13 r7 = 50).
-    # -- r11-new (never driver-checked; outranks refreshes) --
+    # -- (3 new + 26 r6 + 9 changed + 12 r7 = 50).
+    # -- r11-new (never driver-checked; outranks refreshes). q21
+    # -- joined mid-round (the non-equi correlate extension), bumping
+    # -- the last r7-green refresh (dsl_grouping_sets) to r12 so the
+    # -- window stays 50: 3 new + 26 r6 + 9 changed + 12 r7 = 50.
+    "dsl_tpch_q21_waiting_suppliers",
     "dsl_window_over_join",
     "dsl_setop_grouped_cte",
     # -- r6-green (the full stale tail, registry order) --
@@ -2440,7 +2492,6 @@ _PANEL = [
     "dsl_scalar_select_share",
     "dsl_scalar_select_correlated",
     "dsl_grouping_rollup",
-    "dsl_grouping_sets",
 ]
 
 

@@ -270,7 +270,7 @@ def _exists_sql(
     sub_sql = assemble_sql(sub, type_map, dialect, ts_is_millis,
                            cte_names=cte_names)
     names = dsl_output_names(sub)
-    for ok, ik in pairs:
+    for ok, ik, _pop in pairs:
         if ok not in type_map:
             # Best-effort mirror of the compiler's outer-scope check
             # (the merged type_map cannot distinguish which TABLE a
@@ -282,10 +282,12 @@ def _exists_sql(
             raise QueryError(
                 f"exists inner column {ik!r} not in subquery output "
                 f"{names}: {cond!r}")
+    sql_ops = {"eq": "=", "neq": "<>", "lt": "<", "lte": "<=",
+               "gt": ">", "gte": ">="}
     on = " AND ".join(
-        f"__ex.{_ident(ik, dialect)} = "
-        f"{_ident(outer_table, dialect)}.{_ident(ok, dialect)}"
-        for ok, ik in pairs
+        f"{_ident(outer_table, dialect)}.{_ident(ok, dialect)} "
+        f"{sql_ops[pop]} __ex.{_ident(ik, dialect)}"
+        for ok, ik, pop in pairs
     )
     neg = "NOT " if cond["op"] == "not_exists" else ""
     return f"{neg}EXISTS (SELECT 1 FROM ({sub_sql}) AS __ex WHERE {on})"
@@ -1293,7 +1295,7 @@ def assemble_sql(
             # over the raw parquet view and crashed at bind time where
             # the engine answered).
             _sub, pairs = validate_exists_leaf(cond)
-            referenced.update(ok for ok, _ in pairs)
+            referenced.update(ok for ok, _ik, _pop in pairs)
 
     for term in q.get("select") or []:
         if _is_expr_term(term):

@@ -1018,9 +1018,16 @@ def _is_exists_leaf(cond: Any) -> bool:
                                                          "not_exists")
 
 
-def validate_exists_leaf(cond: dict) -> tuple[dict, list[tuple[str, str]]]:
+#: Comparison ops a correlate pair may carry ("eq" is the default).
+EXISTS_PAIR_OPS = ("eq", "neq", "lt", "lte", "gt", "gte")
+
+
+def validate_exists_leaf(
+    cond: dict,
+) -> tuple[dict, list[tuple[str, str, str]]]:
     """Shared twin validation of a correlated EXISTS / NOT EXISTS leaf
-    (the TPC-H Q4/Q21/Q22 spelling); returns (subquery, pairs).
+    (the TPC-H Q4/Q21/Q22 spelling); returns
+    (subquery, [(outer, inner, op), ...]).
 
     Contract: top-level WHERE conjuncts only (the compiler rewrites to
     LEFT SEMI / LEFT ANTI joins, which cannot sit under OR/NOT);
@@ -1030,6 +1037,22 @@ def validate_exists_leaf(cond: dict) -> tuple[dict, list[tuple[str, str]]]:
     cannot change non-emptiness — dead weight refused like membership
     subqueries). NOT EXISTS compiles to LEFT ANTI, so there is no
     NOT-IN null-poisoning: a NULL outer key simply never matches.
+
+    Pairs are 2-lists ``[outer, inner]`` (equality) or 3-lists
+    ``[outer, inner, op]`` with op in :data:`EXISTS_PAIR_OPS`,
+    rendered ``outer <op> inner`` (TPC-H Q21's
+    ``l2.l_suppkey <> l1.l_suppkey`` is ``["l_suppkey", "l_suppkey",
+    "neq"]``). At least one pair must be an equality: the semi/anti
+    rewrite then stays a hash join with the non-equi pair as a residual
+    condition; an all-non-equi correlation would force a
+    nested-loop join — a scale hazard refused in both twins. At most
+    ONE non-equi pair is accepted: DuckDB 1.0.0 (the oracle engine)
+    mis-decorrelates a correlated EXISTS carrying two or more
+    inequality correlations (measured: eq+neq+lt over events returns 4
+    rows where the equivalent explicit semi join — and Spark — return
+    981; each single-inequality shape agrees with its semi join), so a
+    wider correlation has no trustworthy oracle and is refused in both
+    twins rather than silently gated rows-only.
 
     Outer correlate columns are OUTER-FROM-scoped by contract: the SQL
     twin qualifies them by the outer FROM relation (an unqualified ref
@@ -1058,12 +1081,27 @@ def validate_exists_leaf(cond: dict) -> tuple[dict, list[tuple[str, str]]]:
     if not isinstance(raw, list) or not raw:
         raise QueryError(
             f"exists needs a non-empty 'correlate' pair list: {cond!r}")
-    pairs: list[tuple[str, str]] = []
+    pairs: list[tuple[str, str, str]] = []
     for p in raw:
-        if (not isinstance(p, (list, tuple)) or len(p) != 2
+        if (not isinstance(p, (list, tuple)) or len(p) not in (2, 3)
                 or not all(isinstance(x, str) for x in p)):
             raise QueryError(f"bad 'correlate' pair: {p!r}")
-        pairs.append((p[0], p[1]))
+        op = p[2] if len(p) == 3 else "eq"
+        if op not in EXISTS_PAIR_OPS:
+            raise QueryError(
+                f"bad 'correlate' op {op!r} (one of {EXISTS_PAIR_OPS}): "
+                f"{p!r}")
+        pairs.append((p[0], p[1], op))
+    if not any(op == "eq" for _, _, op in pairs):
+        raise QueryError(
+            "exists needs at least one equality 'correlate' pair (an "
+            f"all-non-equi correlation is a nested-loop join): {cond!r}")
+    n_nonequi = sum(1 for _, _, op in pairs if op != "eq")
+    if n_nonequi > 1:
+        raise QueryError(
+            "exists accepts at most one non-equi 'correlate' pair "
+            "(DuckDB 1.0.0 mis-decorrelates a correlated EXISTS with "
+            f"two or more inequality correlations): {cond!r}")
     return sub, pairs
 
 
@@ -2049,7 +2087,7 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         # probe side shuffles/broadcasts against a slim key set.
         sub, pairs = validate_exists_leaf(cond)
         sub_df = compile_query(sub, catalog)
-        for ok, ik in pairs:
+        for ok, ik, _pop in pairs:
             if ok not in frame.columns:
                 raise QueryError(
                     f"exists outer column {ok!r} not in scope: {cond!r}")
@@ -2058,11 +2096,18 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
                     f"exists inner column {ik!r} not in subquery "
                     f"output: {cond!r}")
         proj = sub_df.select(*[
-            F.col(ik).alias(f"__ex{i}") for i, (_, ik) in enumerate(pairs)
+            F.col(ik).alias(f"__ex{i}")
+            for i, (_, ik, _pop) in enumerate(pairs)
         ])
+        # `outer <op> inner` per pair; the guaranteed eq pair keeps
+        # this a hash semi/anti join, non-equi pairs ride as residual
+        # join conditions (TPC-H Q21's `l2.l_suppkey <> l1.l_suppkey`).
+        ops = {"eq": Column.__eq__, "neq": Column.__ne__,
+               "lt": Column.__lt__, "lte": Column.__le__,
+               "gt": Column.__gt__, "gte": Column.__ge__}
         jcond = None
-        for i, (ok, _) in enumerate(pairs):
-            c = frame[ok] == proj[f"__ex{i}"]
+        for i, (ok, _, pop) in enumerate(pairs):
+            c = ops[pop](frame[ok], proj[f"__ex{i}"])
             jcond = c if jcond is None else (jcond & c)
         jtype = "left_semi" if cond["op"] == "exists" else "left_anti"
         return frame.join(proj, jcond, jtype)

@@ -303,6 +303,44 @@ QUERIES = [
         "order_by": ["event_id"],
         "limit": 300,
     }),
+    ("exists_nonequi_pair", {
+        # r11: non-equi correlate pair — "another event of a DIFFERENT
+        # type by the same user" (the TPC-H Q21 correlation shape,
+        # `l2.l_suppkey <> l1.l_suppkey`). The required eq pair keeps
+        # the semi join hashable; the neq rides as a residual join
+        # condition. Exactly ONE non-equi pair — DuckDB 1.0.0
+        # mis-decorrelates two-plus-inequality EXISTS (see
+        # validate_exists_leaf), so wider shapes are refused.
+        "select": ["event_type", {"COUNT": "*", "as": "n"}],
+        "from": "events",
+        "where": [
+            {"col": "value", "op": "lt", "val": 30},
+            {"op": "exists", "val": {
+                "subquery": {"select": ["user_id", "event_type"],
+                             "from": "events",
+                             "where": [{"col": "value", "op": "gt",
+                                        "val": 70}]},
+                "correlate": [["user_id", "user_id"],
+                              ["event_type", "event_type", "neq"]]}},
+        ],
+        "group_by": ["event_type"],
+        "order_by": ["event_type"],
+    }),
+    ("not_exists_nonequi_pair", {
+        # r11: LEFT ANTI with a gt residual — keeps each user's
+        # maximal-value rows ("no same-user event with a bigger
+        # value"), a per-user argmax via anti join.
+        "select": ["event_id", "user_id", {"COUNT": "*", "as": "n"}],
+        "from": "events",
+        "where": [{"op": "not_exists", "val": {
+            "subquery": {"select": ["user_id", "value"],
+                         "from": "events"},
+            "correlate": [["user_id", "user_id"],
+                          ["value", "value", "lt"]]}}],
+        "group_by": ["event_id", "user_id"],
+        "order_by": ["event_id"],
+        "limit": 300,
+    }),
     ("corr_subquery_above_user_avg", {
         # correlated scalar subquery: compiler decorrelates into a
         # grouped-agg join; SQL twin is natively correlated. round:6 on
@@ -1005,6 +1043,24 @@ def test_exists_leaf_rejections(catalog):
             "subquery": sub,
             "correlate": [["user_id", "user_id"]]}},
             {"col": "value", "op": "lt", "val": 1}]}),
+        # r11 non-equi extension refusals: unknown pair op, a
+        # correlation with NO equality pair (the semi/anti rewrite
+        # would degenerate to a nested-loop join — a scale hazard),
+        # and MORE than one non-equi pair (DuckDB 1.0.0
+        # mis-decorrelates two-plus-inequality EXISTS — measured
+        # wrong answers, so no trustworthy oracle).
+        eq({"op": "exists", "val": {
+            "subquery": sub,
+            "correlate": [["user_id", "user_id", "like"]]}}),
+        eq({"op": "exists", "val": {
+            "subquery": sub,
+            "correlate": [["user_id", "user_id", "neq"]]}}),
+        eq({"op": "exists", "val": {
+            "subquery": {"select": ["user_id", "event_type", "value"],
+                         "from": "events"},
+            "correlate": [["user_id", "user_id"],
+                          ["event_type", "event_type", "neq"],
+                          ["value", "value", "lt"]]}}),
     ]
     for q in bad:
         with pytest.raises(QueryError):
