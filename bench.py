@@ -57,6 +57,9 @@ DSL_HEADLINE = [
     # window frames (value-based moving windows).
     "dsl_exists_lineitem",
     "dsl_window_range_frame",
+    # r11: non-equi correlate (full TPC-H Q21 shape — self semi/anti
+    # on l_orderkey with a <> residual, three dim joins, top-k).
+    "dsl_tpch_q21_waiting_suppliers",
 ]
 
 #: Pipeline-operator headliners (always full computation).

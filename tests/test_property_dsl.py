@@ -310,12 +310,24 @@ def dsl_queries(draw) -> dict:
         # correlate on a plain key or a DERIVED-TIME column (the
         # latter exercises the oracle's time-CTE wrap, an r8 catch)
         key = draw(st.sampled_from(["user_id", "day"]))
+        sel = [key]
+        corr: list = [[key, key]]
+        # r11: optionally ONE non-equi pair (the TPC-H Q21 shape;
+        # grammar caps at one — DuckDB 1.0.0 mis-decorrelates
+        # EXISTS with 2+ inequality correlations, so wider draws
+        # would fuzz the oracle's bug, not the engine)
+        ne = draw(st.sampled_from(
+            [None, ("event_type", "neq"), ("value", "lt"),
+             ("value", "gt"), ("value", "lte"), ("value", "gte")]))
+        if ne is not None and ne[0] != key:
+            sel.append(ne[0])
+            corr.append([ne[0], ne[0], ne[1]])
         where.append({
             "op": draw(st.sampled_from(["exists", "not_exists"])),
             "val": {"subquery": {
-                "select": [key], "from": "events",
+                "select": sel, "from": "events",
                 "where": [{"col": "value", "op": "gt", "val": thr}]},
-                "correlate": [[key, key]]},
+                "correlate": corr},
         })
     if where:
         q["where"] = where
