@@ -1793,12 +1793,18 @@ DSL_QUERIES.update({
         "from": "lineitem",
         "where": [
             {"col": "l_returnflag", "op": "eq", "val": "R"},
+            # shuffle_hash on both self-correlations and the orders
+            # edge: every one is fact⋈fact — the stats-based planner's
+            # projected estimates elect broadcasts at sf1 (6M-row
+            # single-threaded hash builds, the q5 defect); hash-join on
+            # the shared l_orderkey shuffle is the 100-TB strategy.
             {"op": "exists", "val": {
                 "subquery": {
                     "select": ["l_orderkey", "l_suppkey"],
                     "from": "lineitem"},
                 "correlate": [["l_orderkey", "l_orderkey"],
-                              ["l_suppkey", "l_suppkey", "neq"]]}},
+                              ["l_suppkey", "l_suppkey", "neq"]],
+                "hint": "shuffle_hash"}},
             {"op": "not_exists", "val": {
                 "subquery": {
                     "select": ["l_orderkey", "l_suppkey"],
@@ -1806,11 +1812,13 @@ DSL_QUERIES.update({
                     "where": [{"col": "l_returnflag", "op": "eq",
                                "val": "R"}]},
                 "correlate": [["l_orderkey", "l_orderkey"],
-                              ["l_suppkey", "l_suppkey", "neq"]]}},
+                              ["l_suppkey", "l_suppkey", "neq"]],
+                "hint": "shuffle_hash"}},
         ],
         "join": [
             {"table": "orders", "on": [["l_orderkey", "o_orderkey"]],
-             "where": [{"col": "o_orderstatus", "op": "eq", "val": "F"}]},
+             "where": [{"col": "o_orderstatus", "op": "eq", "val": "F"}],
+             "hint": "shuffle_hash"},
             {"table": "supplier", "on": [["l_suppkey", "s_suppkey"]],
              "hint": "broadcast"},
             {"table": "nation", "on": [["s_nationkey", "n_nationkey"]],

@@ -1067,10 +1067,18 @@ def validate_exists_leaf(
             f"exists leaves take no 'col' (correlation is the "
             f"'correlate' pair list): {cond!r}")
     val = cond.get("val")
-    if not isinstance(val, dict) or set(val) != {"subquery", "correlate"}:
+    if (not isinstance(val, dict)
+            or not {"subquery", "correlate"} <= set(val)
+            or set(val) - {"subquery", "correlate", "hint"}):
         raise QueryError(
             "exists leaf needs {'subquery': <dsl>, 'correlate': "
-            f"[[outer, inner], ...]}}: {cond!r}")
+            f"[[outer, inner], ...], 'hint'?: str}}: {cond!r}")
+    if val.get("hint") not in (None, "broadcast", "shuffle_hash", "merge"):
+        # Physical-only knob for the semi/anti rewrite (the SQL twin
+        # ignores it): shuffle_hash is the scale-correct choice when
+        # the inner side is another fact table — a broadcast of a
+        # multi-million-row build is a single-threaded hash build.
+        raise QueryError(f"unknown exists hint {val['hint']!r}: {cond!r}")
     sub = val["subquery"]
     if not isinstance(sub, dict):
         raise QueryError(f"exists subquery must be a DSL dict: {sub!r}")
@@ -2099,6 +2107,8 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             F.col(ik).alias(f"__ex{i}")
             for i, (_, ik, _pop) in enumerate(pairs)
         ])
+        if cond["val"].get("hint"):
+            proj = proj.hint(cond["val"]["hint"])
         # `outer <op> inner` per pair; the guaranteed eq pair keeps
         # this a hash semi/anti join, non-equi pairs ride as residual
         # join conditions (TPC-H Q21's `l2.l_suppkey <> l1.l_suppkey`).
