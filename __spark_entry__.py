@@ -2422,10 +2422,11 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: latest green round.
 _PANEL = [
     # -- round-11 window (r10 VERDICT #1: finish the staleness
-    # -- rotation). Composition: the 3 r11-new entries (never
+    # -- rotation). Composition: the 4 r11-new entries (never
     # -- driver-checked — the window-over-join and setop-over-grouped-
-    # -- CTE surfaces the r11 fuzz campaigns draw, plus the non-equi-
-    # -- correlate TPC-H Q21 shape), then ALL 26
+    # -- CTE surfaces the r11 fuzz campaigns draw, the non-equi-
+    # -- correlate TPC-H Q21 shape, and the left-outer interval
+    # -- join), then ALL 26
     # -- entries whose latest driver green is r6 — the oldest evidence
     # -- in the registry after the r10 rotation (the list the r10
     # -- panel comment deferred; its "25" was an arithmetic slip, the
@@ -2433,21 +2434,24 @@ _PANEL = [
     # -- (the r11 CTE-memo sibling-closure key + FrameMemo migration
     # -- touch the multiply-referenced-CTE shapes, token_budget,
     # -- line_dedup, tfidf/bm25, and the r10-late heavy-hitter
-    # -- restructure's streaming entry), then the 12 oldest r7-green
-    # -- entries in registry order. Deferred to r12: the remaining 38
-    # -- r7-green entries (dsl_grouping_sets — bumped when q21 joined
-    # -- mid-round — dsl_grouping_having, dsl_pricing_quantiles,
+    # -- restructure's streaming entry), then the 11 oldest r7-green
+    # -- entries in registry order. Deferred to r12: the remaining 39
+    # -- r7-green entries (dsl_grouping_sets and dsl_grouping_rollup —
+    # -- bumped when the mid-round entries joined —
+    # -- dsl_grouping_having, dsl_pricing_quantiles,
     # -- dsl_quantile_sketch, dsl_mod_bucketing, dsl_numeric_functions,
     # -- dsl_filter_col_vs_col, dsl_topk_offset_page, and the
     # -- analytics_/text_/sim_/dedup_/multimodal_/pipeline_/stream_
     # -- r7 families — see COVERAGE.md's rotation table). After this
     # -- round no entry's latest green is older than r7
-    # -- (3 new + 26 r6 + 9 changed + 12 r7 = 50).
-    # -- r11-new (never driver-checked; outranks refreshes). q21
-    # -- joined mid-round (the non-equi correlate extension), bumping
-    # -- the last r7-green refresh (dsl_grouping_sets) to r12 so the
-    # -- window stays 50: 3 new + 26 r6 + 9 changed + 12 r7 = 50.
+    # -- (4 new + 26 r6 + 9 changed + 11 r7 = 50).
+    # -- r11-new (never driver-checked; outranks refreshes). q21 and
+    # -- the left-outer interval join joined mid-round, bumping the
+    # -- last two r7-green refreshes (dsl_grouping_sets,
+    # -- dsl_grouping_rollup) to r12 so the window stays 50:
+    # -- 4 new + 26 r6 + 9 changed + 11 r7 = 50.
     "dsl_tpch_q21_waiting_suppliers",
+    "stream_interval_join_left",
     "dsl_window_over_join",
     "dsl_setop_grouped_cte",
     # -- r6-green (the full stale tail, registry order) --
@@ -2499,7 +2503,6 @@ _PANEL = [
     "dsl_window_distribution",
     "dsl_scalar_select_share",
     "dsl_scalar_select_correlated",
-    "dsl_grouping_rollup",
 ]
 
 

@@ -271,6 +271,57 @@ def interval_join(
     )
 
 
+def interval_join_left(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """LEFT OUTER interval join: every click, attributed to each
+    purchase within ``window`` after it — or emitted ONCE with NULL
+    purchase columns if none arrives. The outer variant is what an
+    attribution pipeline actually ships: unconverted clicks are the
+    denominator of any conversion rate, and dropping them (inner join)
+    silently biases the metric.
+
+    In streaming mode the unmatched-click emission is watermark-driven:
+    a click's NULL row can only be emitted once the purchase-side
+    watermark passes ``click_ts + window`` (before that a matching
+    purchase could still arrive), so outer results trail the stream by
+    the interval + watermark delay — bounded state, bounded lateness,
+    same eviction contract as the inner form. Batch mode (the twin the
+    oracle checks) is a plain left join with the interval condition.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if watermark is not None:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (c["c_user"] == p["p_user"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] < c["click_ts"] + F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("c_user").alias("user_id"),
+        (epoch_micros("purchase_ts") - epoch_micros("click_ts")).alias(
+            "delay_us"
+        ),
+        round_half_up(F.col("purchase_value"), 6).alias("purchase_value"),
+    )
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,
@@ -396,6 +447,16 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return interval_join_left(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+
+
 def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_planner_optimizer_spark.catalog import Catalog
 
@@ -423,6 +484,7 @@ def entry_queries():
         "stream_sessionize": q_sessionize,
         "stream_dedup": q_dedup_events,
         "stream_interval_join": q_interval_join,
+        "stream_interval_join_left": q_interval_join_left,
         "stream_windowed_distinct": q_windowed_distinct,
     }
 
@@ -530,4 +592,21 @@ def entry_oracles() -> dict[str, str]:
         "stream_sessionize": sessions,
         "stream_dedup": dedup,
         "stream_interval_join": ijoin,
+        # LEFT OUTER variant: clicks with no purchase in-window emit
+        # once with NULL purchase columns (unconverted clicks are the
+        # conversion-rate denominator). delay_us/purchase_value are
+        # NULL on unmatched rows — numeric columns, so the hash
+        # compare's null handling is engine-portable (no NaT/None
+        # stringification divergence).
+        "stream_interval_join_left": f"""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS delay_us,
+               {_rs('p.value', 6)} AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts < c.ts + INTERVAL '30 minutes'
+    """,
     }

@@ -128,6 +128,75 @@ def test_streaming_interval_join_equals_batch(spark, events_stream_dir):
     )
 
 
+def test_interval_join_left_matches_oracle(spark, ddb):
+    df = windows.q_interval_join_left(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, windows.entry_oracles()["stream_interval_join_left"])
+
+
+def test_streaming_interval_join_left_horizon(spark, events_stream_dir):
+    """LEFT OUTER stream-stream interval join: matched rows equal the
+    batch twin exactly; NULL rows (unconverted clicks) are
+    watermark-driven — a click's NULL row emits only once the
+    purchase watermark passes click_ts + interval, so clicks near the
+    stream's end stay stranded in state at termination. Asserts:
+    (a) matched == batch matched, (b) streamed NULLs ⊆ batch NULLs,
+    (c) every batch NULL older than max_ts − (delay + interval +
+    margin) was emitted — the horizon contract, not a lossy join."""
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(windows.read_events_stream(spark, events_stream_dir))
+    stream_df = windows.interval_join_left(sc, sp, watermark="2 hours")
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("interval_join_left_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM interval_join_left_test").toPandas()
+
+    batch_src = spark.read.parquet(events_stream_dir)
+    bc, bp = split(batch_src)
+    batch = windows.interval_join_left(bc, bp).toPandas()
+
+    gm = got[got.purchase_id.notna()]
+    bm = batch[batch.purchase_id.notna()]
+    assert len(gm) == len(bm) > 0
+    pd.testing.assert_frame_equal(
+        normalize(gm), normalize(bm), check_dtype=False
+    )
+
+    gn = set(got[got.purchase_id.isna()].click_id)
+    bn_df = batch[batch.purchase_id.isna()]
+    bn = set(bn_df.click_id)
+    assert gn <= bn  # never an unmatched row the batch twin lacks
+    # horizon: every unconverted click old enough that the final
+    # watermark provably passed click_ts + interval must have emitted.
+    # The global watermark is the MIN across the two watermarked
+    # inputs (multipleWatermarkPolicy=min), each max-seen-ts − delay —
+    # NOT global max ts (first draft used that and missed by the
+    # click/purchase tail gap).
+    import datetime
+
+    max_c = bc.agg(F.max("ts")).collect()[0][0]
+    max_p = bp.agg(F.max("ts")).collect()[0][0]
+    wm_final = min(max_c, max_p) - datetime.timedelta(hours=2)
+    horizon = wm_final - datetime.timedelta(minutes=31)  # interval + 1m
+    click_ts = dict(zip(
+        bc.select("event_id", "ts").toPandas().event_id,
+        bc.select("event_id", "ts").toPandas().ts,
+    ))
+    owed = {cid for cid in bn if click_ts[cid] < horizon}
+    assert owed and owed <= gn
+
+
 def test_enrich_matches_oracle(spark, ddb):
     df = windows.q_enrich_stream(spark, SF_DIR)
     assert_matches_duckdb(df, ddb, windows.entry_oracles()["stream_enrich_dim"])
