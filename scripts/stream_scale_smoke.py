@@ -166,6 +166,13 @@ def main() -> int:
             window=IJ_WINDOW, watermark=IJ_WM,
         )
 
+    def ijl(src):
+        return W.interval_join_left(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "purchase"),
+            window=IJ_WINDOW, watermark=IJ_WM,
+        )
+
     # (mode, build, output_mode, time_ordered): the stream-stream
     # interval join emits in APPEND mode over a time-ordered replay —
     # see write_input — so the watermark advances per batch and state
@@ -175,6 +182,7 @@ def main() -> int:
         "funnel_deep": ("deep", funnel, "update", False),
         "hh_capped": ("wide", hh, "update", False),
         "interval_join": ("wide", ij, "append", True),
+        "interval_join_left": ("wide", ijl, "append", True),
     }
     print(f"# stateful-streaming scale smoke: 1x vs {k}x "
           f"(sf0.1 events base, availableNow micro-batches, noop sink)")
@@ -198,7 +206,47 @@ def main() -> int:
             wall, rows, bytes_, batches, out_rows = run_stream(
                 spark, src_dir, build, f"{name}_{kk}", output_mode=omode
             )
-            if name == "interval_join":
+            if name == "interval_join_left":
+                sides = df.filter(
+                    F.col("event_type").isin("click", "purchase")
+                ).count()
+                # Same eviction bound as the inner case: outer state is
+                # the same join state, NULL emission happens AT
+                # eviction so it adds no retained rows.
+                assert rows < 0.2 * sides, (name, kk, rows, sides)
+                # Horizon-exact output count: matches (== inner batch
+                # twin) + one NULL row per unmatched click whose
+                # click_ts + interval the final watermark passed.
+                # wm_final = min over sides of (max ts − delay)
+                # (multipleWatermarkPolicy=min).
+                src_b = spark.read.parquet(src_dir)
+                bc = src_b.filter(F.col("event_type") == "click")
+                bp = src_b.filter(F.col("event_type") == "purchase")
+                inner_n = W.interval_join(
+                    bc, bp, window=IJ_WINDOW, watermark=None).count()
+                left = W.interval_join_left(
+                    bc, bp, window=IJ_WINDOW, watermark=None)
+                import datetime
+
+                max_c = bc.agg(F.max("ts")).collect()[0][0]
+                max_p = bp.agg(F.max("ts")).collect()[0][0]
+                wm = min(max_c, max_p) - datetime.timedelta(minutes=10)
+                horizon = wm - datetime.timedelta(minutes=30)
+                owed = (
+                    left.filter(F.col("purchase_id").isNull())
+                    .join(bc.select(F.col("event_id").alias("click_id"),
+                                    F.col("ts").alias("cts")), "click_id")
+                    .filter(F.col("cts") < F.lit(horizon))
+                    .count()
+                )
+                assert inner_n + owed <= out_rows <= inner_n + (
+                    left.count() - inner_n), (name, kk, out_rows,
+                                              inner_n, owed)
+                label = (f"(< 20% of {sides} side rows; "
+                         f"out {out_rows} in [{inner_n + owed}, "
+                         f"{left.count()}]; nulls emitted="
+                         f"{out_rows - inner_n})")
+            elif name == "interval_join":
                 # Watermark eviction: join state retains only rows
                 # inside the interval+watermark horizon — a vanishing
                 # fraction of the month-long input. Without eviction

@@ -322,12 +322,18 @@ def dsl_queries(draw) -> dict:
         if ne is not None and ne[0] != key:
             sel.append(ne[0])
             corr.append([ne[0], ne[0], ne[1]])
+        val = {"subquery": {
+            "select": sel, "from": "events",
+            "where": [{"col": "value", "op": "gt", "val": thr}]},
+            "correlate": corr}
+        # physical-only knob: exercised so hinted plans (shuffle_hash
+        # semi/anti instead of broadcast) stay semantics-identical
+        hint = draw(st.sampled_from([None, "shuffle_hash", "broadcast"]))
+        if hint:
+            val["hint"] = hint
         where.append({
             "op": draw(st.sampled_from(["exists", "not_exists"])),
-            "val": {"subquery": {
-                "select": sel, "from": "events",
-                "where": [{"col": "value", "op": "gt", "val": thr}]},
-                "correlate": corr},
+            "val": val,
         })
     if where:
         q["where"] = where
