@@ -1672,6 +1672,36 @@ DSL_QUERIES.update({
     # VIEW's output column (semi join = events of high-total users):
     # the view's inferred output types flow into the join filter's
     # literal typing.
+    # r11: FULL OUTER join — two sparse grouped CTE legs (hot clicks /
+    # cheap purchases per day) full-joined on the day key: days with
+    # only one side present null-extend the other (at sf0.001: 5 both
+    # / 13 left-only / 5 right-only — the null-extension bites at
+    # every scale, not an all-matched degenerate). USING-form key
+    # coalesces in both engines (standard outer-USING semantics ≡
+    # Spark's key-list join), so `day` is never NULL and the ORDER BY
+    # needs no null-placement pin; the COUNT columns carry the NULLs.
+    "dsl_join_full_outer_days": {
+        "with": {
+            "hot_clicks": {
+                "select": ["day", {"COUNT": "*", "as": "n_clicks"}],
+                "from": "events",
+                "where": [{"col": "event_type", "op": "eq",
+                           "val": "click"},
+                          {"col": "value", "op": "gt", "val": 95}],
+                "group_by": ["day"]},
+            "big_buys": {
+                "select": ["day", {"COUNT": "*", "as": "n_purchases"}],
+                "from": "events",
+                "where": [{"col": "event_type", "op": "eq",
+                           "val": "purchase"},
+                          {"col": "value", "op": "lt", "val": 5}],
+                "group_by": ["day"]},
+        },
+        "select": ["day", "n_clicks", "n_purchases"],
+        "from": "hot_clicks",
+        "join": [{"table": "big_buys", "on": ["day"], "type": "full"}],
+        "order_by": ["day"],
+    },
     "dsl_cte_join_semi": {
         "with": {"user_totals": {
             "select": ["user_id", {"SUM": "value", "as": "tv",
@@ -2422,11 +2452,11 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: latest green round.
 _PANEL = [
     # -- round-11 window (r10 VERDICT #1: finish the staleness
-    # -- rotation). Composition: the 4 r11-new entries (never
+    # -- rotation). Composition: the 5 r11-new entries (never
     # -- driver-checked — the window-over-join and setop-over-grouped-
     # -- CTE surfaces the r11 fuzz campaigns draw, the non-equi-
-    # -- correlate TPC-H Q21 shape, and the left-outer interval
-    # -- join), then ALL 26
+    # -- correlate TPC-H Q21 shape, the left-outer interval join,
+    # -- and the FULL OUTER join surface), then ALL 26
     # -- entries whose latest driver green is r6 — the oldest evidence
     # -- in the registry after the r10 rotation (the list the r10
     # -- panel comment deferred; its "25" was an arithmetic slip, the
@@ -2434,17 +2464,18 @@ _PANEL = [
     # -- (the r11 CTE-memo sibling-closure key + FrameMemo migration
     # -- touch the multiply-referenced-CTE shapes, token_budget,
     # -- line_dedup, tfidf/bm25, and the r10-late heavy-hitter
-    # -- restructure's streaming entry), then the 11 oldest r7-green
-    # -- entries in registry order. Deferred to r12: the remaining 39
-    # -- r7-green entries (dsl_grouping_sets and dsl_grouping_rollup —
-    # -- bumped when the mid-round entries joined —
+    # -- restructure's streaming entry), then the 10 oldest r7-green
+    # -- entries in registry order. Deferred to r12: the remaining 40
+    # -- r7-green entries (dsl_grouping_sets, dsl_grouping_rollup and
+    # -- dsl_scalar_select_correlated — bumped when the mid-round
+    # -- entries joined —
     # -- dsl_grouping_having, dsl_pricing_quantiles,
     # -- dsl_quantile_sketch, dsl_mod_bucketing, dsl_numeric_functions,
     # -- dsl_filter_col_vs_col, dsl_topk_offset_page, and the
     # -- analytics_/text_/sim_/dedup_/multimodal_/pipeline_/stream_
     # -- r7 families — see COVERAGE.md's rotation table). After this
     # -- round no entry's latest green is older than r7
-    # -- (4 new + 26 r6 + 9 changed + 11 r7 = 50).
+    # -- (5 new + 26 r6 + 9 changed + 10 r7 = 50).
     # -- r11-new (never driver-checked; outranks refreshes). q21 and
     # -- the left-outer interval join joined mid-round, bumping the
     # -- last two r7-green refreshes (dsl_grouping_sets,
@@ -2452,6 +2483,7 @@ _PANEL = [
     # -- 4 new + 26 r6 + 9 changed + 11 r7 = 50.
     "dsl_tpch_q21_waiting_suppliers",
     "stream_interval_join_left",
+    "dsl_join_full_outer_days",
     "dsl_window_over_join",
     "dsl_setop_grouped_cte",
     # -- r6-green (the full stale tail, registry order) --
@@ -2502,7 +2534,6 @@ _PANEL = [
     "dsl_join_left_customer_orders",
     "dsl_window_distribution",
     "dsl_scalar_select_share",
-    "dsl_scalar_select_correlated",
 ]
 
 

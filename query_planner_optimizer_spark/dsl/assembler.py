@@ -745,6 +745,10 @@ def _join_clause_sql(
         "inner": "JOIN",
         "left": "LEFT JOIN",
         "right": "RIGHT JOIN",
+        # FULL OUTER (r11): USING-form keys coalesce in BOTH dialects
+        # (standard outer-USING semantics, matched by Spark's key-list
+        # DataFrame join), so the twins agree on the merged key column.
+        "full": "FULL JOIN",
         "semi": "SEMI JOIN" if dialect == "duckdb" else "LEFT SEMI JOIN",
         "anti": "ANTI JOIN" if dialect == "duckdb" else "LEFT ANTI JOIN",
     }

@@ -2141,7 +2141,15 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
     for jspec in q.get("join") or []:
         jt = jspec.get("table")
         right = catalog.table(jt)
+        # "full" (r11): FULL OUTER — both-side null-extension. Plain
+        # WHERE applies post-join in both twins (compile order below),
+        # membership stays deferred (pushable excludes it), exists
+        # leaves refuse it (validate_exists_join_types — pre-join
+        # semi/anti would drop the right-unmatched rows the full join
+        # must null-extend), and non-equi conjuncts refuse it
+        # (validate_join_nonequi).
         jtype = {"inner": "inner", "left": "left", "right": "right",
+                 "full": "full_outer",
                  "semi": "left_semi", "anti": "left_anti"}.get(
                      jspec.get("type", "inner"))
         if jtype is None:

@@ -38,6 +38,26 @@ JOIN_QUERIES = [
                   "type": "semi"}],
         "group_by": ["o_orderstatus"],
     }),
+    ("join_full_outer", {
+        # r11: FULL OUTER with differently-named keys + pre-join filter
+        # on the joined table — events whose customer the filter
+        # removed null-extend into a NULL-segment group; zero-event
+        # customers null-extend the event columns (COUNT(value) vs
+        # COUNT(*) exposes both). Explicit NULLS placement: Spark
+        # (ASC→FIRST) and DuckDB (ASC→LAST) defaults disagree and the
+        # NULL group key is the point of the test.
+        "select": ["c_mktsegment",
+                   {"COUNT": "value", "as": "n_event_rows"},
+                   {"COUNT": "*", "as": "n_rows"}],
+        "from": "events",
+        "join": [{"table": "customer", "on": [["user_id", "c_custkey"]],
+                  "type": "full",
+                  "where": [{"col": "c_acctbal", "op": "gt",
+                             "val": 2000}]}],
+        "group_by": ["c_mktsegment"],
+        "order_by": [{"col": "c_mktsegment", "dir": "asc",
+                      "nulls": "last"}],
+    }),
     ("anti_join", {
         "select": [{"COUNT": "*", "as": "n_customers_without_orders"}],
         "from": "customer",

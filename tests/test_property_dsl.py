@@ -750,6 +750,31 @@ def join_queries(draw) -> dict:
         return {"select": sel, "from": "customer",
                 "order_by": ["c_custkey"],
                 "limit": draw(st.integers(min_value=5, max_value=100))}
+    if draw(st.integers(min_value=0, max_value=5)) == 5:
+        # r11: FULL OUTER — a drawn pre-join balance gate makes both
+        # null-extension directions non-empty (filtered-away customers
+        # null-extend their orders; gated-in zero-order customers
+        # null-extend the order columns); COUNT(col) vs COUNT(*)
+        # exposes both, and the NULL group key's placement is pinned
+        # explicitly (Spark/DuckDB ASC defaults disagree).
+        return {
+            "select": ["c_mktsegment",
+                       {"COUNT": "o_orderkey", "as": "n_orders"},
+                       {"COUNT": "*", "as": "n_rows"}],
+            "from": "orders",
+            "join": [{"table": "customer",
+                      "on": [["o_custkey", "c_custkey"]],
+                      "type": "full",
+                      "where": [{"col": "c_acctbal",
+                                 "op": draw(st.sampled_from(["gt",
+                                                             "lt"])),
+                                 "val": draw(st.integers(
+                                     min_value=0, max_value=8000))}]}],
+            "group_by": ["c_mktsegment"],
+            "order_by": [{"col": "c_mktsegment", "dir": "asc",
+                          "nulls": draw(st.sampled_from(["first",
+                                                         "last"]))}],
+        }
     if draw(st.integers(min_value=0, max_value=3)) == 0:
         jtype = draw(st.sampled_from(["semi", "anti", "inner", "left"]))
         op = draw(st.sampled_from(["lt", "lte", "gt", "gte"]))
@@ -821,7 +846,12 @@ def join_queries(draw) -> dict:
 @given(q=join_queries())
 def test_join_compiler_equals_duckdb(q, spark, catalog, ddb):
     got = compile_query(q, catalog).toPandas()
-    sql = assemble_sql(q, catalog.spark_type_map("orders"), dialect="duckdb")
+    # merged map: the strategy draws from/join/subquery references
+    # across the orders/customer/nation star only.
+    tm = catalog.spark_type_map("orders")
+    tm.update(catalog.spark_type_map("customer"))
+    tm.update(catalog.spark_type_map("nation"))
+    sql = assemble_sql(q, tm, dialect="duckdb")
     want = ddb.execute(sql).fetchdf()
     assert sorted(got.columns) == sorted(want.columns), (q, sql)
     pd.testing.assert_frame_equal(
