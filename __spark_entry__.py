@@ -2476,11 +2476,12 @@ _PANEL = [
     # -- r7 families — see COVERAGE.md's rotation table). After this
     # -- round no entry's latest green is older than r7
     # -- (5 new + 26 r6 + 9 changed + 10 r7 = 50).
-    # -- r11-new (never driver-checked; outranks refreshes). q21 and
-    # -- the left-outer interval join joined mid-round, bumping the
-    # -- last two r7-green refreshes (dsl_grouping_sets,
-    # -- dsl_grouping_rollup) to r12 so the window stays 50:
-    # -- 4 new + 26 r6 + 9 changed + 11 r7 = 50.
+    # -- r11-new (never driver-checked; outranks refreshes). q21, the
+    # -- left-outer interval join, and the full-outer join joined
+    # -- mid-round, bumping the last three r7-green refreshes
+    # -- (dsl_grouping_sets, dsl_grouping_rollup,
+    # -- dsl_scalar_select_correlated) to r12 so the window stays 50:
+    # -- 5 new + 26 r6 + 9 changed + 10 r7 = 50.
     "dsl_tpch_q21_waiting_suppliers",
     "stream_interval_join_left",
     "dsl_join_full_outer_days",

@@ -282,8 +282,7 @@ def _exists_sql(
             raise QueryError(
                 f"exists inner column {ik!r} not in subquery output "
                 f"{names}: {cond!r}")
-    sql_ops = {"eq": "=", "neq": "<>", "lt": "<", "lte": "<=",
-               "gt": ">", "gte": ">="}
+    sql_ops = {**_NONEQUI_SQL, "eq": "="}  # one table with join conds
     on = " AND ".join(
         f"{_ident(outer_table, dialect)}.{_ident(ok, dialect)} "
         f"{sql_ops[pop]} __ex.{_ident(ik, dialect)}"

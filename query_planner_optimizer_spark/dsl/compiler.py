@@ -2112,9 +2112,9 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         # `outer <op> inner` per pair; the guaranteed eq pair keeps
         # this a hash semi/anti join, non-equi pairs ride as residual
         # join conditions (TPC-H Q21's `l2.l_suppkey <> l1.l_suppkey`).
-        ops = {"eq": Column.__eq__, "neq": Column.__ne__,
-               "lt": Column.__lt__, "lte": Column.__le__,
-               "gt": Column.__gt__, "gte": Column.__ge__}
+        # One op table with the join-cond path (_NONEQUI_OPS) so the
+        # two surfaces can never drift.
+        ops = {**_NONEQUI_OPS, "eq": lambda a, b: a == b}
         jcond = None
         for i, (ok, _, pop) in enumerate(pairs):
             c = ops[pop](frame[ok], proj[f"__ex{i}"])

@@ -222,6 +222,7 @@ def interval_join(
     purchases: DataFrame,
     window: str = "30 minutes",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval (attribution) join: every purchase within
     ``window`` AFTER a same-user click, emitted as
@@ -260,7 +261,7 @@ def interval_join(
         & (p["purchase_ts"] >= c["click_ts"])
         & (p["purchase_ts"] < c["click_ts"] + F.expr(f"INTERVAL {window}"))
     )
-    return c.join(p, cond).select(
+    return c.join(p, cond, how).select(
         F.col("click_id"),
         F.col("purchase_id"),
         F.col("c_user").alias("user_id"),
@@ -291,35 +292,11 @@ def interval_join_left(
     the interval + watermark delay — bounded state, bounded lateness,
     same eviction contract as the inner form. Batch mode (the twin the
     oracle checks) is a plain left join with the interval condition.
+    Same plan as :func:`interval_join` but for the join type — one
+    body, so the condition/projection can never drift between twins.
     """
-    c = clicks.select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    p = purchases.select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    )
-    if watermark is not None:
-        c = c.withWatermark("click_ts", watermark)
-        p = p.withWatermark("purchase_ts", watermark)
-    cond = (
-        (c["c_user"] == p["p_user"])
-        & (p["purchase_ts"] >= c["click_ts"])
-        & (p["purchase_ts"] < c["click_ts"] + F.expr(f"INTERVAL {window}"))
-    )
-    return c.join(p, cond, "left_outer").select(
-        F.col("click_id"),
-        F.col("purchase_id"),
-        F.col("c_user").alias("user_id"),
-        (epoch_micros("purchase_ts") - epoch_micros("click_ts")).alias(
-            "delay_us"
-        ),
-        round_half_up(F.col("purchase_value"), 6).alias("purchase_value"),
-    )
+    return interval_join(clicks, purchases, window=window,
+                         watermark=watermark, how="left_outer")
 
 
 def enrich_stream(

@@ -227,11 +227,21 @@ def main() -> int:
                 left = W.interval_join_left(
                     bc, bp, window=IJ_WINDOW, watermark=None)
                 import datetime
+                import re
+
+                def _minutes(spec: str) -> int:
+                    m = re.fullmatch(r"(\d+) minutes?", spec)
+                    assert m, f"smoke expects minute-granular spec: {spec}"
+                    return int(m.group(1))
 
                 max_c = bc.agg(F.max("ts")).collect()[0][0]
                 max_p = bp.agg(F.max("ts")).collect()[0][0]
-                wm = min(max_c, max_p) - datetime.timedelta(minutes=10)
-                horizon = wm - datetime.timedelta(minutes=30)
+                wm = min(max_c, max_p) - datetime.timedelta(
+                    minutes=_minutes(IJ_WM))
+                # interval + 1m margin (boundary-exact eviction is not
+                # contractual; the unit-test twin uses the same margin)
+                horizon = wm - datetime.timedelta(
+                    minutes=_minutes(IJ_WINDOW) + 1)
                 owed = (
                     left.filter(F.col("purchase_id").isNull())
                     .join(bc.select(F.col("event_id").alias("click_id"),

@@ -189,10 +189,9 @@ def test_streaming_interval_join_left_horizon(spark, events_stream_dir):
     max_p = bp.agg(F.max("ts")).collect()[0][0]
     wm_final = min(max_c, max_p) - datetime.timedelta(hours=2)
     horizon = wm_final - datetime.timedelta(minutes=31)  # interval + 1m
-    click_ts = dict(zip(
-        bc.select("event_id", "ts").toPandas().event_id,
-        bc.select("event_id", "ts").toPandas().ts,
-    ))
+    cp = bc.select("event_id", "ts").toPandas()  # ONE collect: two
+    # independent jobs carry no cross-job row-order guarantee
+    click_ts = dict(zip(cp.event_id, cp.ts))
     owed = {cid for cid in bn if click_ts[cid] < horizon}
     assert owed and owed <= gn
 
