@@ -1183,6 +1183,32 @@ def setop_cte_queries(draw) -> dict:
             v["where"] = w
         return v
 
+    if draw(st.integers(min_value=0, max_value=4)) == 4:
+        # r11: FULL OUTER over two grouped CTE legs on the group key —
+        # the generative twin of dsl_join_full_outer_days.
+        # Independently drawn leg filters vary which event_types each
+        # side carries, so both null-extension directions fire across
+        # draws; the USING key coalesces (never NULL), so ordering on
+        # it needs no null-placement pin, while the leg columns carry
+        # the NULLs.
+        def leg_view(alias: str) -> dict:
+            v: dict = {"select": ["event_type", {**dict(agg),
+                                                 "as": alias}],
+                       "from": "events", "group_by": ["event_type"]}
+            w = draw(st.lists(conditions, min_size=0, max_size=1))
+            if w:
+                v["where"] = w
+            return v
+
+        return {
+            "with": {"ga": leg_view("na"), "gb": leg_view("nb")},
+            "select": ["event_type", "na", "nb"],
+            "from": "ga",
+            "join": [{"table": "gb", "on": ["event_type"],
+                      "type": "full"}],
+            "order_by": [{"col": "event_type", "dir": "asc"}],
+        }
+
     if draw(st.booleans()):
         withs = {"g1": grouped_view()}
         srcs = ("g1", "g1")
