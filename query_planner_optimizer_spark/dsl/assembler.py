@@ -838,7 +838,9 @@ def _window_sql(term: dict, dialect: str,
                     f"key (got {dtype.simpleString()}): {term!r}")
     part = ", ".join(_ident(c, dialect) for c in pb)
     order = ", ".join(
-        f"{_ident(c, dialect)} {d.upper()}" for c, d in specs
+        f"{_ident(c, dialect)} {d.upper()}"
+        + (f" NULLS {n.upper()}" if n else "")
+        for c, d, n in specs
     )
     over = f"PARTITION BY {part} ORDER BY {order}"
     if fn == "ntile":
@@ -1306,7 +1308,7 @@ def assemble_sql(
         elif _is_win_term(term):
             _fn, of, pb, specs, *_rest = _parse_window_term(term)
             referenced.update(pb)
-            referenced.update(c for c, _d in specs)
+            referenced.update(c for c, _d, _n in specs)
             if of:
                 referenced.add(of)
         elif _is_agg_term(term):

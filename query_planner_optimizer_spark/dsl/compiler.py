@@ -671,12 +671,20 @@ def _parse_window_term(term: dict) -> tuple:
     specs = []
     for spec in ob:
         if isinstance(spec, str):
-            specs.append((spec, "asc"))
+            specs.append((spec, "asc", None))
         elif isinstance(spec, dict) and isinstance(spec.get("col"), str):
             d = (spec.get("dir") or "asc").lower()
             if d not in ("asc", "desc"):
                 raise QueryError(f"bad window order dir: {spec!r}")
-            specs.append((spec["col"], d))
+            # "nulls" (r11): explicit placement, same knob as the
+            # query-level ORDER BY — required for windows over
+            # null-extending (outer) joins where the engines' default
+            # placements (Spark FIRST, DuckDB LAST) would change the
+            # frame contents, not just the display order.
+            n = spec.get("nulls")
+            if n is not None and n not in ("first", "last"):
+                raise QueryError(f"bad window nulls placement: {spec!r}")
+            specs.append((spec["col"], d, n))
         else:
             raise QueryError(f"bad window order_by entry: {spec!r}")
     of = term.get("of")
@@ -719,6 +727,13 @@ def _parse_window_term(term: dict) -> tuple:
             raise QueryError(
                 f"range frames need exactly one ascending order_by "
                 f"key: {term!r}")
+        if specs[0][2] is not None:
+            # RANGE frames are value-relative: a NULL key row has no
+            # value to offset from, and the engines disagree on what
+            # its frame holds — refuse rather than diverge.
+            raise QueryError(
+                f"nulls placement on a RANGE-framed order key is "
+                f"engine-dependent: {term!r}")
         if fn in ("first_value", "last_value", "nth_value"):
             # Peers share a RANGE frame, so a positional pick among
             # tied keys is engine-dependent — refuse rather than be
@@ -738,9 +753,17 @@ def _window_column(df: DataFrame, term: dict) -> Column:
     for c in (*pb, *(s[0] for s in specs), *([of] if of else [])):
         if c not in df.columns:
             raise QueryError(f"unknown column {c!r} in window term {term!r}")
-    sort_cols = [
-        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in specs
-    ]
+    def _sort(c: str, d: str, n: str | None) -> Column:
+        col = F.col(c)
+        if d == "desc":
+            return (col.desc() if n is None
+                    else col.desc_nulls_first() if n == "first"
+                    else col.desc_nulls_last())
+        return (col.asc() if n is None
+                else col.asc_nulls_first() if n == "first"
+                else col.asc_nulls_last())
+
+    sort_cols = [_sort(c, d, n) for c, d, n in specs]
     w = Window.partitionBy(*pb).orderBy(*sort_cols)
     if fn == "ntile":
         e = F.ntile(buckets).over(w)

@@ -1099,6 +1099,16 @@ def test_window_range_frame_rejections(catalog):
             "frame": {"range": ["-7 parsecs", 0]}}),
         wq({"win": "sum", "of": "value", **ts1,
             "frame": {"range": ["-1 hours", "-2 hours"]}}),
+        # r11: nulls placement on a RANGE-framed key (a NULL key row
+        # has no value to offset from — engine-dependent frame) and
+        # bad nulls spelling
+        wq({"win": "sum", "of": "value", **pb,
+            "order_by": [{"col": "ts_dt", "dir": "asc",
+                          "nulls": "last"}],
+            "frame": {"range": ["-7 days", 0]}}),
+        wq({"win": "sum", "of": "value", **pb,
+            "order_by": [{"col": "ts_dt", "dir": "asc",
+                          "nulls": "whenever"}]}),
         # positional fn over RANGE
         wq({"win": "first_value", "of": "value", **ts1,
             "frame": {"range": ["-7 days", 0]}}),

@@ -58,6 +58,32 @@ JOIN_QUERIES = [
         "order_by": [{"col": "c_mktsegment", "dir": "asc",
                       "nulls": "last"}],
     }),
+    ("window_over_full_outer", {
+        # r11: window over a null-extending frame — the window-order
+        # `nulls` knob pins frame contents (engine defaults disagree);
+        # rank + cumulative sum are tie-safe among the NULL-keyed
+        # peers. The fuzz branch draws this shape generatively; this
+        # pin keeps one deterministic instance in CI.
+        "select": ["o_orderkey", "c_custkey", "c_mktsegment",
+                   "o_totalprice",
+                   {"win": "rank", "partition_by": ["c_mktsegment"],
+                    "order_by": [{"col": "o_orderkey", "dir": "asc",
+                                  "nulls": "last"}],
+                    "as": "seg_rank"},
+                   {"win": "sum", "of": "o_totalprice",
+                    "partition_by": ["c_mktsegment"],
+                    "order_by": [{"col": "o_orderkey", "dir": "desc",
+                                  "nulls": "first"}],
+                    "as": "seg_running", "round": 2}],
+        "from": "orders",
+        "join": [{"table": "customer", "on": [["o_custkey", "c_custkey"]],
+                  "type": "full",
+                  "where": [{"col": "c_acctbal", "op": "gt",
+                             "val": 4000}]}],
+        "order_by": [{"col": "o_orderkey", "dir": "asc", "nulls": "last"},
+                     {"col": "c_custkey", "dir": "asc", "nulls": "last"}],
+        "limit": 300,
+    }),
     ("anti_join", {
         "select": [{"COUNT": "*", "as": "n_customers_without_orders"}],
         "from": "customer",

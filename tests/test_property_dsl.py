@@ -1098,10 +1098,47 @@ def _window_join_term(draw) -> dict:
 def window_join_queries(draw) -> dict:
     """orders ⋈ customer (equi, optional broadcast hint) with 1-2
     window projections whose partition/value columns span both sides.
-    Inner joins only: the DSL's window order contract requires
-    non-null order keys, and a null-extending join under engine-default
-    NULL ordering (Spark NULLS FIRST vs DuckDB NULLS LAST) would
-    differentialize the engines' defaults, not this compiler."""
+    Mostly inner joins; an r11 branch draws windows OVER A FULL OUTER
+    frame, made twin-safe by the new window-order `nulls` knob
+    (engine-default NULL placement disagrees and would change frame
+    contents) and by restricting to tie-safe functions (rank family +
+    cumulative aggregates — NULL-keyed rows are peers, so row_number/
+    lag among them is nondeterministic in BOTH engines)."""
+    if draw(st.integers(min_value=0, max_value=3)) == 3:
+        term = dict(draw(st.sampled_from([
+            {"win": "rank", "as": "w"},
+            {"win": "dense_rank", "as": "w"},
+            {"win": "sum", "of": "o_totalprice", "as": "w", "round": 2},
+            {"win": "count", "of": "o_orderkey", "as": "w"},
+            {"win": "max", "of": "o_totalprice", "as": "w", "round": 2},
+        ])))
+        term["partition_by"] = ["c_mktsegment"]
+        term["order_by"] = [
+            {"col": "o_orderkey",
+             "dir": draw(st.sampled_from(["asc", "desc"])),
+             "nulls": draw(st.sampled_from(["first", "last"]))}]
+        return {
+            # (o_orderkey, c_custkey) is a total order across all
+            # three row classes: matched / orders-only (unique
+            # o_orderkey) / customer-only (NULL o_orderkey, unique
+            # c_custkey) — the ordered compare needs it.
+            "select": ["o_orderkey", "c_custkey", "c_mktsegment",
+                       "o_totalprice", term],
+            "from": "orders",
+            "join": [{"table": "customer",
+                      "on": [["o_custkey", "c_custkey"]],
+                      "type": "full",
+                      "where": [{"col": "c_acctbal",
+                                 "op": draw(st.sampled_from(["gt",
+                                                             "lt"])),
+                                 "val": draw(st.integers(
+                                     min_value=0, max_value=8000))}]}],
+            "order_by": [{"col": "o_orderkey", "dir": "asc",
+                          "nulls": "last"},
+                         {"col": "c_custkey", "dir": "asc",
+                          "nulls": "last"}],
+            "limit": draw(st.integers(min_value=50, max_value=400)),
+        }
     join: dict = {"table": "customer", "on": [["o_custkey", "c_custkey"]]}
     if draw(st.booleans()):
         join["hint"] = "broadcast"
