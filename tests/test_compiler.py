@@ -494,6 +494,44 @@ def test_intersect_and_except_semantics(catalog):
     assert "click" not in {r[0] for r in exc.collect()}
 
 
+def test_setop_over_full_outer_legs(catalog, ddb):
+    """r11: FULL OUTER join queries as set-op legs — the last named
+    fuzz-frontier surface. Two day-grained full joins with different
+    thresholds, EXCEPT ALL'd: leg rows differ only where the
+    null-extension pattern differs, so the result is exactly the
+    null-extension delta — an empty result would mean the full join
+    semantics collapsed to inner somewhere."""
+    def leg(lo: float, hi: float) -> dict:
+        return {
+            "with": {
+                "a": {"select": ["day", {"COUNT": "*", "as": "na"}],
+                      "from": "events",
+                      "where": [{"col": "value", "op": "gt", "val": lo}],
+                      "group_by": ["day"]},
+                "b": {"select": ["day", {"COUNT": "*", "as": "nb"}],
+                      "from": "events",
+                      "where": [{"col": "value", "op": "lt", "val": hi}],
+                      "group_by": ["day"]},
+            },
+            "select": ["day", "na", "nb"],
+            "from": "a",
+            "join": [{"table": "b", "on": ["day"], "type": "full"}],
+        }
+
+    q = {"union": [leg(95.0, 5.0), leg(99.0, 1.0)], "all": True,
+         "order_by": [{"col": "day", "dir": "asc"},
+                      {"col": "na", "dir": "asc", "nulls": "last"},
+                      {"col": "nb", "dir": "asc", "nulls": "last"}]}
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert len(got) == len(want) > 0
+    from .conftest import normalize as _n
+
+    pd.testing.assert_frame_equal(_n(got), _n(want), check_dtype=False)
+
+
 def test_mixed_set_ops_raise(catalog):
     child = {"select": ["event_type"], "from": "events"}
     with pytest.raises(QueryError):
