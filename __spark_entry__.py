@@ -1911,6 +1911,77 @@ DSL_QUERIES.update({
         ],
         "order_by": ["event_type"],
     },
+    # r12: set ops × FULL OUTER × windows in ONE query — pins the r12
+    # `setopfow` fuzz surface (the last undrawn composite: null-
+    # extension × frame contents × distinct semantics). Both UNION legs
+    # full-outer-join sparse grouped CTEs on the (week, day) USING keys
+    # (coalesced, never NULL) and share the LEFT view — a multiply-
+    # referenced CTE through the sibling-closure FrameMemo. The running
+    # window partitions by week with `day` as the unique in-partition
+    # tiebreak (the grammar's ROWS-cumulative total-order contract) and
+    # orders first by the NULL-EXTENDED n_clicks with an explicit
+    # `nulls` pin — engine-default placement disagrees and would
+    # reorder the accumulation. The views carry STRUCTURALLY disjoint
+    # day ranges (clicks 01–20, buys 10–28, views 13–25), so both
+    # null-extension directions fire at EVERY testdata scale by
+    # construction — a value-threshold sparsifier saturates by sf0.01
+    # (every day has a >99.99-value click there).
+    "dsl_setop_fullouter_window": {
+        "with": {
+            "hot_clicks_wd": {
+                "select": ["week", "day", {"COUNT": "*", "as": "n_clicks"}],
+                "from": "events",
+                "where": [{"col": "event_type", "op": "eq",
+                           "val": "click"},
+                          {"col": "value", "op": "gt", "val": 95},
+                          {"col": "day", "op": "between",
+                           "val": ["2024-01-01", "2024-01-20"]}],
+                "group_by": ["week", "day"]},
+            "cheap_buys_wd": {
+                "select": ["week", "day", {"COUNT": "*", "as": "n_other"}],
+                "from": "events",
+                "where": [{"col": "event_type", "op": "eq",
+                           "val": "purchase"},
+                          {"col": "value", "op": "lt", "val": 5},
+                          {"col": "day", "op": "between",
+                           "val": ["2024-01-10", "2024-01-28"]}],
+                "group_by": ["week", "day"]},
+            "cheap_views_wd": {
+                "select": ["week", "day", {"COUNT": "*", "as": "n_other"}],
+                "from": "events",
+                "where": [{"col": "event_type", "op": "eq",
+                           "val": "view"},
+                          {"col": "value", "op": "lt", "val": 3},
+                          {"col": "day", "op": "between",
+                           "val": ["2024-01-13", "2024-01-25"]}],
+                "group_by": ["week", "day"]},
+        },
+        "union": [
+            {"select": ["week", "day", "n_clicks", "n_other",
+                        {"win": "sum", "of": "n_other", "as": "run_other",
+                         "round": 2, "partition_by": ["week"],
+                         "order_by": [{"col": "n_clicks", "dir": "desc",
+                                       "nulls": "last"},
+                                      {"col": "day", "dir": "asc"}]}],
+             "from": "hot_clicks_wd",
+             "join": [{"table": "cheap_buys_wd",
+                       "on": ["week", "day"], "type": "full"}]},
+            {"select": ["week", "day", "n_clicks", "n_other",
+                        {"win": "sum", "of": "n_other", "as": "run_other",
+                         "round": 2, "partition_by": ["week"],
+                         "order_by": [{"col": "n_clicks", "dir": "desc",
+                                       "nulls": "last"},
+                                      {"col": "day", "dir": "asc"}]}],
+             "from": "hot_clicks_wd",
+             "join": [{"table": "cheap_views_wd",
+                       "on": ["week", "day"], "type": "full"}]},
+        ],
+        "order_by": [{"col": "week", "dir": "asc"},
+                     {"col": "day", "dir": "asc"},
+                     {"col": "n_clicks", "dir": "asc", "nulls": "last"},
+                     {"col": "n_other", "dir": "asc", "nulls": "last"},
+                     {"col": "run_other", "dir": "asc", "nulls": "last"}],
+    },
 })
 
 
@@ -2451,90 +2522,71 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-11 window (r10 VERDICT #1: finish the staleness
-    # -- rotation). Composition: the 5 r11-new entries (never
-    # -- driver-checked — the window-over-join and setop-over-grouped-
-    # -- CTE surfaces the r11 fuzz campaigns draw, the non-equi-
-    # -- correlate TPC-H Q21 shape, the left-outer interval join,
-    # -- and the FULL OUTER join surface), then ALL 26
-    # -- entries whose latest driver green is r6 — the oldest evidence
-    # -- in the registry after the r10 rotation (the list the r10
-    # -- panel comment deferred; its "25" was an arithmetic slip, the
-    # -- set always had 26 members) — then 9 changed-code refreshes
-    # -- (the r11 CTE-memo sibling-closure key + FrameMemo migration
-    # -- touch the multiply-referenced-CTE shapes, token_budget,
-    # -- line_dedup, tfidf/bm25, and the r10-late heavy-hitter
-    # -- restructure's streaming entry), then the 10 oldest r7-green
-    # -- entries in registry order. Deferred to r12: the remaining 40
-    # -- r7-green entries (dsl_grouping_sets, dsl_grouping_rollup and
-    # -- dsl_scalar_select_correlated — bumped when the mid-round
-    # -- entries joined —
-    # -- dsl_grouping_having, dsl_pricing_quantiles,
-    # -- dsl_quantile_sketch, dsl_mod_bucketing, dsl_numeric_functions,
-    # -- dsl_filter_col_vs_col, dsl_topk_offset_page, and the
-    # -- analytics_/text_/sim_/dedup_/multimodal_/pipeline_/stream_
-    # -- r7 families — see COVERAGE.md's rotation table). After this
-    # -- round no entry's latest green is older than r7
-    # -- (5 new + 26 r6 + 9 changed + 10 r7 = 50).
-    # -- r11-new (never driver-checked; outranks refreshes). q21, the
-    # -- left-outer interval join, and the full-outer join joined
-    # -- mid-round, bumping the last three r7-green refreshes
-    # -- (dsl_grouping_sets, dsl_grouping_rollup,
-    # -- dsl_scalar_select_correlated) to r12 so the window stays 50:
-    # -- 5 new + 26 r6 + 9 changed + 10 r7 = 50.
-    "dsl_tpch_q21_waiting_suppliers",
-    "stream_interval_join_left",
-    "dsl_join_full_outer_days",
-    "dsl_window_over_join",
-    "dsl_setop_grouped_cte",
-    # -- r6-green (the full stale tail, registry order) --
-    "sim_quantize_int8",
-    "sim_quantized_topk",
-    "text_bigram_lm",
-    "text_readability",
-    "text_vocab_coverage",
-    "multimodal_audio_meta",
-    "multimodal_video_meta",
-    "stream_windowed_distinct",
-    "analytics_retention_cohorts",
-    "analytics_new_vs_returning",
-    "analytics_power_user_curve",
-    "analytics_pct_change_daily",
-    "analytics_stickiness_daily",
-    "analytics_centroid_similarity",
-    "analytics_grouping_sets",
-    "temporal_gapfill_hourly",
-    "temporal_scd2_intervals",
-    "temporal_ohlc_hourly",
-    "temporal_linear_attribution",
-    "pipeline_curation_funnel",
-    "pipeline_boilerplate_report",
-    "sample_epoch_shuffle",
-    "sample_temperature_mixture",
-    "stream_rollup_maintenance",
-    "dsl_routed_minmax_rollup",
-    "dedup_semantic_clusters",
-    # -- changed-code refreshes (r11 diffs land under these entries) --
-    "dsl_cte_above_avg_days",
-    "dsl_tpch_q15_top_supplier",
-    "dsl_cte_chain_user_type",
-    "dsl_cte_join_semi",
-    "pipeline_token_budget",
-    "pipeline_line_dedup",
-    "relevance_tfidf",
-    "relevance_bm25",
-    "stream_heavy_hitters",
-    # -- r7-green refresh (oldest remaining evidence), registry order --
-    "dsl_orderby_nulls_last",
-    "dsl_string_functions",
-    "dsl_agg_filter_clause",
-    "dsl_where_or_not_tree",
-    "dsl_join_semi_nonequi",
-    "dsl_join_anti_nonequi",
-    "dsl_join_range_conjunct",
-    "dsl_join_left_customer_orders",
-    "dsl_window_distribution",
-    "dsl_scalar_select_share",
+    # -- round-12 window (r11 VERDICT #1: finish the rotation).
+    # -- Composition: ALL 40 entries whose latest driver green is
+    # -- r7 (recomputed this round by replaying CORRECTNESS_r01-r11
+    # -- against the 230-entry registry: histogram r7=40, r8=49,
+    # -- r9=46, r10=45, r11=50, never-checked=0) + the 10 oldest
+    # -- r8-green entries in registry order. After this round no
+    # -- registry entry's latest driver green is older than r8 —
+    # -- exactly the r11 gate. r12-new entries added mid-round are
+    # -- fronted here, bumping r8 refreshes from the tail so the
+    # -- window stays 50 (40 r7 + 10 r8 = 50).
+    # -- r12-new (never driver-checked; outranks refreshes). Joining
+    # -- mid-round bumped the last r8 refresh (dsl_exists_lineitem)
+    # -- to r13 so the window stays 50: 1 new + 40 r7 + 9 r8 = 50.
+    "dsl_setop_fullouter_window",
+    # -- r7-green (the full stale tail, registry order) --
+    "dsl_scalar_select_correlated",
+    "dsl_grouping_rollup",
+    "dsl_grouping_sets",
+    "dsl_grouping_having",
+    "dsl_pricing_quantiles",
+    "dsl_quantile_sketch",
+    "dsl_mod_bucketing",
+    "dsl_numeric_functions",
+    "dsl_filter_col_vs_col",
+    "dsl_topk_offset_page",
+    "dedup_simhash_quality",
+    "dedup_split_leakage",
+    "dedup_near_split_leakage",
+    "dedup_best_of_cluster",
+    "dedup_embedding_cosine",
+    "sim_ann_recall",
+    "sim_ivf_recall",
+    "sim_pq_recall",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_bpe_merges",
+    "text_bpe_segment",
+    "multimodal_jpeg_meta",
+    "stream_topk_trending",
+    "analytics_profile_events",
+    "analytics_profile_documents",
+    "analytics_profile_approx",
+    "analytics_key_skew",
+    "analytics_corr_pairs",
+    "analytics_winsorized",
+    "analytics_mad_outliers",
+    "pipeline_snapshot_diff",
+    "pipeline_corpus_card",
+    "dsl_plan_routed_week_rollup",
+    "dsl_plan_routed_cast_filter",
+    "dsl_plan_routed_cast_between",
+    "dsl_routed_hll_rollup",
+    "dsl_routed_hist_quantile",
+    "dsl_routed_pricing_quantile",
+    "stream_hist_maintenance",
+    # -- r8-green refresh (oldest remaining evidence), registry order --
+    "dsl_case_agg",
+    "dsl_filter_like_notnull",
+    "dsl_hourly_day_between",
+    "dsl_join_revenue_by_nation",
+    "dsl_join_anti_inactive_customers",
+    "dsl_join_semi_orders_with_lineitems",
+    "dsl_tpch_q1_full",
+    "dsl_window_rank_running",
+    "dsl_window_first_last",
 ]
 
 

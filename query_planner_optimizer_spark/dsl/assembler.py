@@ -40,6 +40,7 @@ from query_planner_optimizer_spark.dsl.compiler import (
     _is_expr_term,
     _is_membership_leaf,
     _is_post_term,
+    _check_order_spec_keys,
     _is_win_term,
     _parse_agg_term,
     _parse_window_term,
@@ -1051,6 +1052,12 @@ def assemble_sql(
                     out.append(t.get("as"))
                 elif isinstance(t, dict) and "subquery" in t:
                     out.append(t.get("as"))
+                elif _is_win_term(t):
+                    # r12 fuzz catch (setop × full-outer × windows):
+                    # window terms in set-op children previously leaked
+                    # the raw term dict into child_out, crashing the
+                    # shared ORDER BY alias resolver.
+                    out.append(_parse_window_term(t)[4])
                 elif _is_agg_term(t):
                     out.append(_parse_agg_term(t)[2])
                 else:
@@ -1481,6 +1488,7 @@ def _append_order_limit(
             if isinstance(spec, str):
                 name, direction = spec, "ASC"
             else:
+                _check_order_spec_keys(spec)
                 name, direction = spec.get("col"), (spec.get("dir") or "asc").upper()
                 nulls = spec.get("nulls")
             if nulls is not None and nulls not in ("first", "last"):

@@ -646,6 +646,19 @@ def _parse_frame(term: dict, fn: str) -> tuple | None:
     return ("range", lo, hi)
 
 
+def _check_order_spec_keys(spec: dict) -> None:
+    """Refuse unknown keys in a dict order-by spec (r11 ADVICE): a
+    misspelled knob (e.g. ``'null': 'last'``) would otherwise fall back
+    to engine-default NULL placement and surface as a confusing twin
+    hash mismatch instead of a QueryError at validation time — same
+    strict key-set policy as ``validate_exists_leaf``."""
+    extra = set(spec) - {"col", "dir", "nulls"}
+    if extra:
+        raise QueryError(
+            f"unknown order-by spec keys {sorted(extra)!r} "
+            f"(allowed: col, dir, nulls): {spec!r}")
+
+
 def _parse_window_term(term: dict) -> tuple:
     """Validate a window term → (fn, of, partition_by, order_specs,
     out_name, round_to, offset). ``order_specs`` is [(col, "asc"|"desc")].
@@ -673,6 +686,7 @@ def _parse_window_term(term: dict) -> tuple:
         if isinstance(spec, str):
             specs.append((spec, "asc", None))
         elif isinstance(spec, dict) and isinstance(spec.get("col"), str):
+            _check_order_spec_keys(spec)
             d = (spec.get("dir") or "asc").lower()
             if d not in ("asc", "desc"):
                 raise QueryError(f"bad window order dir: {spec!r}")
@@ -2736,6 +2750,7 @@ def _apply_order_limit(df: DataFrame, q: dict, out_columns: list[str]) -> DataFr
             if isinstance(spec, str):
                 name, direction = spec, "asc"
             else:
+                _check_order_spec_keys(spec)
                 name, direction = spec.get("col"), (spec.get("dir") or "asc").lower()
                 nulls = spec.get("nulls")
             if nulls is not None and nulls not in ("first", "last"):

@@ -101,6 +101,16 @@ def main() -> int:
         ("setopcte_twin", P.setop_cte_queries(),
          P.test_setop_cte_equals_sql_twin.hypothesis.inner_test,
          (spark, catalog)),
+        # r12: set ops × FULL OUTER × windows in one draw — the last
+        # undrawn composite (r11 VERDICT #4): null-extension × frame
+        # contents × distinct semantics, the class that forced the r11
+        # window-order nulls knob.
+        ("setopfow", P.setop_fullouter_window_queries(),
+         P.test_setop_fullouter_window_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("setopfow_twin", P.setop_fullouter_window_queries(),
+         P.test_setop_fullouter_window_equals_sql_twin.hypothesis.inner_test,
+         (spark, catalog)),
     ]
     def make_body(inner, args):
         # closure (not defaulted params — @given refuses defaults)

@@ -9,11 +9,13 @@ user_id partitioning) beats MergingSessionsExec's sort-based merge at
 scale. Measure both at sf0.1 and a replicated sf1 before touching the
 operator.
 
-Usage: python scripts/sessionize_probe.py [K]   (default K=10)
+Usage: python scripts/sessionize_probe.py [K] [--rebuild]
+(default K=10; --rebuild discards the cached replicated dataset)
 """
 from __future__ import annotations
 
 import os
+import shutil
 import statistics
 import sys
 import time
@@ -32,7 +34,9 @@ from query_planner_optimizer_spark.streaming.windows import (  # noqa: E402
     sessionize,
 )
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+REBUILD = "--rebuild" in sys.argv
+_args = [a for a in sys.argv[1:] if a != "--rebuild"]
+K = int(_args[0]) if _args else 10
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -77,9 +81,18 @@ def main():
     ev1 = (ev01.crossJoin(reps)
            .withColumn("event_id", F.col("event_id") * K + F.col("__rep"))
            .drop("__rep"))
+    # Write-then-rename so a crashed run can't leave a partial dir the
+    # next invocation silently reuses (r11 ADVICE); --rebuild forces a
+    # rewrite after testdata changes. Spark's _SUCCESS marker gates the
+    # reuse: a dir without it is treated as stale and rebuilt.
     tmp = os.path.join(REPO, ".scale_tmp", f"sessionize_k{K}")
-    if not os.path.isdir(tmp):
-        ev1.repartition(16).write.mode("overwrite").parquet(tmp)
+    complete = os.path.isfile(os.path.join(tmp, "_SUCCESS"))
+    if REBUILD or not complete:
+        staging = tmp + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        ev1.repartition(16).write.mode("overwrite").parquet(staging)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.rename(staging, tmp)
     ev1 = spark.read.parquet(tmp)
 
     for label, events in (("sf0.1", ev01), (f"k={K}", ev1)):

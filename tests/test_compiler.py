@@ -1147,6 +1147,11 @@ def test_window_range_frame_rejections(catalog):
         wq({"win": "sum", "of": "value", **pb,
             "order_by": [{"col": "ts_dt", "dir": "asc",
                           "nulls": "whenever"}]}),
+        # r12 (ADVICE): misspelled knob key must refuse, not silently
+        # fall back to engine-default NULL placement
+        wq({"win": "sum", "of": "value", **pb,
+            "order_by": [{"col": "ts_dt", "dir": "asc",
+                          "null": "last"}]}),
         # positional fn over RANGE
         wq({"win": "first_value", "of": "value", **ts1,
             "frame": {"range": ["-7 days", 0]}}),
@@ -1273,6 +1278,17 @@ def test_orderby_nulls_placement(catalog, ddb):
         compile_query(bad, catalog)
     with pytest.raises(QueryError):
         assemble_sql(bad, catalog.spark_type_map("events"), dialect="duckdb")
+    # r12 (ADVICE): a MISSPELLED knob key ("null" for "nulls") must be
+    # a QueryError at validation time in BOTH twins, not a silent
+    # fall-back to engine-default placement that surfaces as a twin
+    # hash mismatch over null-extending frames.
+    typo = {"select": ["event_id"], "from": "events",
+            "order_by": [{"col": "event_id", "null": "last"}]}
+    with pytest.raises(QueryError, match="unknown order-by spec keys"):
+        compile_query(typo, catalog)
+    with pytest.raises(QueryError, match="unknown order-by spec keys"):
+        assemble_sql(typo, catalog.spark_type_map("events"),
+                     dialect="duckdb")
 
 
 def test_join_strategy_hints_reach_the_plan(spark, catalog):

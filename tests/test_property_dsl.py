@@ -1300,6 +1300,132 @@ def test_setop_cte_equals_sql_twin(q, spark, catalog):
     )
 
 
+# ---- r12: set ops × FULL OUTER × windows in ONE draw ----------------------
+
+
+@st.composite
+def setop_fullouter_window_queries(draw) -> dict:
+    """r12 (r11 VERDICT #4): the last undrawn composite — set ops whose
+    legs are windows OVER null-extending FULL OUTER frames. Each leg
+    full-outer-joins two grouped CTE views on (event_type, day) — the
+    USING keys coalesce so join keys never carry NULL; the per-side
+    aggregates (na/nb) do — then projects a window over that frame.
+    Tie-safe window functions only (rank family + default-RANGE
+    cumulative aggregates: NULL-keyed and tied rows are frame peers in
+    both engines) and any nullable window order key carries an explicit
+    `nulls` pin — exactly the surface class (null-extension × frame
+    contents × distinct semantics) that forced the r11 nulls knob into
+    existence. Both legs share the agg and window terms so the set op
+    compares identical projections; leg filters draw independently so
+    both null-extension directions and leg-vs-leg differences fire.
+    Half the draws share the left view across legs (multiply-referenced
+    CTE → FrameMemo churn under the sibling-closure key)."""
+    kw = draw(st.sampled_from(["union", "intersect", "except"]))
+    agg = draw(st.sampled_from([
+        {"COUNT": "*"},
+        {"SUM": "value", "round": 4},
+        {"MIN": "value", "round": 2},
+    ]))
+    win = dict(draw(st.sampled_from([
+        {"win": "rank", "as": "w"},
+        {"win": "dense_rank", "as": "w"},
+        {"win": "sum", "of": "nb", "as": "w", "round": 2},
+        {"win": "count", "of": "nb", "as": "w"},
+        {"win": "max", "of": "na", "as": "w", "round": 2},
+    ])))
+    win["partition_by"] = ["event_type"]
+    # The cumulative default frame is ROWS UNBOUNDED PRECEDING..CURRENT
+    # in both twins, so aggregate windows need a TOTAL in-partition
+    # order (the grammar's documented caller contract). `day` is unique
+    # within an event_type partition (each view groups by (event_type,
+    # day); the full join keeps key uniqueness), so it serves as the
+    # unique key / tiebreak. The null-extended `na` as primary key
+    # carries an explicit `nulls` pin — engine-default placement
+    # disagrees and would reorder the ROWS accumulation.
+    ranky = win["win"] in ("rank", "dense_rank")
+    variant = draw(st.integers(min_value=0, max_value=2 if ranky else 1))
+    d = draw(st.sampled_from(["asc", "desc"]))
+    if variant == 0:
+        win["order_by"] = [{"col": "day", "dir": d}]
+    elif variant == 1:
+        win["order_by"] = [
+            {"col": "na", "dir": d,
+             "nulls": draw(st.sampled_from(["first", "last"]))},
+            {"col": "day", "dir": "asc"}]
+    else:
+        # rank family only: ties are peers, no tiebreak needed.
+        win["order_by"] = [
+            {"col": "na", "dir": d,
+             "nulls": draw(st.sampled_from(["first", "last"]))}]
+
+    def side_view(alias: str) -> dict:
+        v: dict = {"select": ["event_type", "day", {**agg, "as": alias}],
+                   "from": "events", "group_by": ["event_type", "day"]}
+        w = draw(st.lists(conditions, min_size=0, max_size=1))
+        if w:
+            v["where"] = w
+        return v
+
+    withs = {"va": side_view("na"), "vb": side_view("nb")}
+    if draw(st.booleans()):
+        withs["vd"] = side_view("nb")
+        legs = [("va", "vb"), ("va", "vd")]  # shared left view
+    else:
+        withs["vc"] = side_view("na")
+        withs["vd"] = side_view("nb")
+        legs = [("va", "vb"), ("vc", "vd")]
+
+    def leg(lv: str, rv: str) -> dict:
+        return {"select": ["event_type", "day", "na", "nb", dict(win)],
+                "from": lv,
+                "join": [{"table": rv, "on": ["event_type", "day"],
+                          "type": "full"}]}
+
+    q: dict = {"with": withs, kw: [leg(*legs[0]), leg(*legs[1])]}
+    if draw(st.booleans()):
+        q["all"] = True
+    # Total order over the projection: the coalesced USING keys are
+    # never NULL; the aggregate and window columns pin placement.
+    q["order_by"] = [
+        {"col": "event_type", "dir": "asc"},
+        {"col": "day", "dir": "asc"},
+        {"col": "na", "dir": "asc", "nulls": "last"},
+        {"col": "nb", "dir": "asc", "nulls": "last"},
+        {"col": "w", "dir": "asc", "nulls": "last"},
+    ]
+    return q
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=setop_fullouter_window_queries())
+def test_setop_fullouter_window_equals_duckdb(q, spark, catalog, ddb):
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=setop_fullouter_window_queries())
+def test_setop_fullouter_window_equals_sql_twin(q, spark, catalog):
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="spark")
+    want = spark.sql(sql).toPandas()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
 # ---- operator property tests vs pure-python references -------------------
 
 @st.composite
