@@ -1859,6 +1859,165 @@ DSL_QUERIES.update({
                      {"col": "s_name", "dir": "asc"}],
         "limit": 100,
     },
+    # r12: the four remaining TPC-H shapes, completing all 22. The
+    # testdata has no partsupp table (TESTDATA.md), so Q2/Q11/Q16/Q20
+    # are ADAPTED over the (l_partkey, l_suppkey) lineitem bridge —
+    # the plan shapes (correlated-min equality, HAVING vs a scaled
+    # global scalar, count-distinct with an excluded-supplier anti
+    # join, nested grouped-threshold semi chain) are the point, not
+    # the literal columns. Reference analog: the challenge spec's
+    # ad-analytics queries exercise none of these; they extend the
+    # additive TPC-H surface (SURVEY §2.5).
+    #
+    # Q2 (min-cost supplier): lineitems priced exactly at their part's
+    # global minimum price, for BRASS-free mid-size parts, suppliers
+    # restricted to EUROPE via the dim chain. The correlated MIN
+    # decorrelates into a per-partkey aggregate equi-join (one row per
+    # partkey through the shuffle); MIN is an exact pick (no
+    # accumulation), so eq-comparison against it is deterministic in
+    # both engines without rounding. Dims broadcast; the per-part MIN
+    # side aggregates BEFORE its join (shuffle carries one row per
+    # partkey, not the fact table).
+    "dsl_tpch_q2_min_cost_supplier": {
+        "select": ["s_acctbal", "s_name", "n_name", "p_partkey",
+                   "p_name", "l_extendedprice"],
+        "from": "lineitem",
+        "join": [
+            {"table": "part", "on": [["l_partkey", "p_partkey"]],
+             "where": [{"col": "p_size", "op": "between",
+                        "val": [10, 25]},
+                       {"col": "p_type", "op": "eq", "val": "LARGE"}],
+             "hint": "broadcast"},
+            {"table": "supplier", "on": [["l_suppkey", "s_suppkey"]],
+             "hint": "broadcast"},
+            {"table": "nation", "on": [["s_nationkey", "n_nationkey"]],
+             "hint": "broadcast"},
+            {"table": "region", "on": [["n_regionkey", "r_regionkey"]],
+             "where": [{"col": "r_name", "op": "eq", "val": "EUROPE"}],
+             "hint": "broadcast"},
+        ],
+        # shuffle_hash on the decorrelated per-partkey MIN (r12 hint
+        # extension): its aggregate side has one row per DISTINCT
+        # l_partkey — it grows with |part|, so a stats-elected
+        # broadcast is the q5/q21 single-threaded-build defect class
+        # at 100 TB. Local cost is noise; the shuffled build
+        # parallelizes at scale.
+        "where": [{"col": "l_extendedprice", "op": "eq",
+                   "val": {"subquery": {
+                       "select": [{"MIN": "l_extendedprice",
+                                   "as": "min_price"}],
+                       "from": "lineitem"},
+                       "correlate": [["l_partkey", "l_partkey"]],
+                       "hint": "shuffle_hash"}}],
+        "order_by": [{"col": "s_acctbal", "dir": "desc"},
+                     {"col": "n_name", "dir": "asc"},
+                     {"col": "s_name", "dir": "asc"},
+                     {"col": "p_partkey", "dir": "asc"}],
+        "limit": 100,
+    },
+    # Q11 (important parts): per-part inventory value over the bridge
+    # restricted to one nation's suppliers (semi join), kept only when
+    # it exceeds a fraction of the GLOBAL value — grouped HAVING
+    # against a scaled uncorrelated scalar subquery over the SAME CTE
+    # (multiply-referenced through the FrameMemo). Both the per-part
+    # and global SUMs round through the shared DECIMAL contract so the
+    # threshold comparison is boundary-exact in both engines.
+    "dsl_tpch_q11_important_parts": {
+        "with": {"nat_bridge": {
+            "select": ["l_partkey",
+                       {"expr": {"op": "mul",
+                                 "args": ["l_extendedprice",
+                                          "l_quantity"]},
+                        "as": "pv"}],
+            "from": "lineitem",
+            "join": [{"table": "supplier",
+                      "on": [["l_suppkey", "s_suppkey"]],
+                      "type": "semi",
+                      "where": [{"col": "s_nationkey", "op": "in",
+                                 "val": [3, 7, 11]}],
+                      "hint": "broadcast"}]}},
+        "select": ["l_partkey", "part_value"],
+        "from": {"select": ["l_partkey",
+                            {"SUM": "pv", "as": "part_value",
+                             "round": 2}],
+                 "from": "nat_bridge",
+                 "group_by": ["l_partkey"]},
+        # Q16-style HAVING ≡ WHERE over the derived aggregate (the
+        # grammar's HAVING takes literals only; the scalar-subquery
+        # threshold rides the WHERE path, which supports scaled
+        # uncorrelated subqueries — same plan either way).
+        "where": [{"col": "part_value", "op": "gt",
+                   "val": {"subquery": {
+                       "select": [{"SUM": "pv", "as": "tot",
+                                   "round": 2}],
+                       "from": "nat_bridge"},
+                       "scale": 0.001}}],
+        "order_by": [{"col": "part_value", "dir": "desc"},
+                     {"col": "l_partkey", "dir": "asc"}],
+    },
+    # Q16 (supplier diversity per part class): how many DISTINCT
+    # suppliers ship each (brand, size) class, excluding one brand and
+    # one type and — the Q16 NOT IN — suppliers with negative account
+    # balance (the s_comment complaints analog this schema carries),
+    # via an ANTI join whose right side filters BEFORE the anti
+    # (broadcast: the excluded set is tiny). COUNT(DISTINCT) forces
+    # the two-phase distinct aggregate over the (brand, size) shuffle.
+    "dsl_tpch_q16_supplier_diversity": {
+        "select": ["p_brand", "p_size",
+                   {"COUNT_DISTINCT": "l_suppkey", "as": "supplier_cnt"}],
+        "from": "lineitem",
+        "join": [
+            {"table": "part", "on": [["l_partkey", "p_partkey"]],
+             "where": [{"col": "p_brand", "op": "neq",
+                        "val": "Brand#13"},
+                       {"col": "p_type", "op": "neq", "val": "PROMO"},
+                       {"col": "p_size", "op": "in",
+                        "val": [1, 4, 9, 16, 25, 36, 49]}],
+             "hint": "broadcast"},
+            {"table": "supplier", "on": [["l_suppkey", "s_suppkey"]],
+             "type": "anti",
+             "where": [{"col": "s_acctbal", "op": "lt", "val": 0}],
+             "hint": "broadcast"},
+        ],
+        "group_by": ["p_brand", "p_size"],
+        "order_by": [{"col": "supplier_cnt", "dir": "desc"},
+                     {"col": "p_brand", "dir": "asc"},
+                     {"col": "p_size", "dir": "asc"}],
+    },
+    # Q20 (promotion-eligible suppliers): suppliers of selected
+    # nations holding a heavy position in any green part — a semi join
+    # into a grouped CTE (per-(supplier, part) shipped quantity over a
+    # part-name semi filter, HAVING-style threshold applied as a
+    # pre-join filter on the CTE's aggregate output). The nested
+    # grouped-threshold semi chain is Q20's plan shape; the quantity
+    # threshold stands in for partsupp's 0.5*availqty correlate.
+    "dsl_tpch_q20_promo_suppliers": {
+        "with": {"heavy_pairs": {
+            "select": ["l_suppkey", "l_partkey",
+                       {"SUM": "l_quantity", "as": "qty", "round": 2}],
+            "from": "lineitem",
+            "join": [{"table": "part",
+                      "on": [["l_partkey", "p_partkey"]],
+                      "type": "semi",
+                      "where": [{"col": "p_name", "op": "like",
+                                 "val": "red%"}]}],
+            "group_by": ["l_suppkey", "l_partkey"]}},
+        "select": ["s_name", "s_acctbal"],
+        "from": "supplier",
+        # shuffle_hash: heavy_pairs has one row per (supplier, part)
+        # bridge pair — it grows with the fact table, so broadcasting
+        # it into the semi join is the q5 defect class at 100 TB
+        # (supplier, the outer, is the SMALL side, but left-semi can
+        # only broadcast the right).
+        "join": [{"table": "heavy_pairs",
+                  "on": [["s_suppkey", "l_suppkey"]],
+                  "type": "semi",
+                  "where": [{"col": "qty", "op": "gt", "val": 60}],
+                  "hint": "shuffle_hash"}],
+        "where": [{"col": "s_nationkey", "op": "in",
+                   "val": [1, 5, 9, 13, 17, 21]}],
+        "order_by": [{"col": "s_name", "dir": "asc"}],
+    },
     # r11: window functions OVER a joined frame — partition key from
     # the build side (c_mktsegment), value/order columns from the probe
     # side; a rounded running SUM (DECIMAL-accumulated + shared FLOOR),
@@ -2532,10 +2691,17 @@ _PANEL = [
     # -- exactly the r11 gate. r12-new entries added mid-round are
     # -- fronted here, bumping r8 refreshes from the tail so the
     # -- window stays 50 (40 r7 + 10 r8 = 50).
-    # -- r12-new (never driver-checked; outranks refreshes). Joining
-    # -- mid-round bumped the last r8 refresh (dsl_exists_lineitem)
-    # -- to r13 so the window stays 50: 1 new + 40 r7 + 9 r8 = 50.
+    # -- r12-new (never driver-checked; outranks refreshes). The five
+    # -- mid-round entries bumped the last five r8 refreshes
+    # -- (dsl_exists_lineitem, dsl_window_first_last,
+    # -- dsl_window_rank_running, dsl_tpch_q1_full,
+    # -- dsl_join_semi_orders_with_lineitems) to r13 so the window
+    # -- stays 50: 5 new + 40 r7 + 5 r8 = 50.
     "dsl_setop_fullouter_window",
+    "dsl_tpch_q2_min_cost_supplier",
+    "dsl_tpch_q11_important_parts",
+    "dsl_tpch_q16_supplier_diversity",
+    "dsl_tpch_q20_promo_suppliers",
     # -- r7-green (the full stale tail, registry order) --
     "dsl_scalar_select_correlated",
     "dsl_grouping_rollup",
@@ -2583,10 +2749,6 @@ _PANEL = [
     "dsl_hourly_day_between",
     "dsl_join_revenue_by_nation",
     "dsl_join_anti_inactive_customers",
-    "dsl_join_semi_orders_with_lineitems",
-    "dsl_tpch_q1_full",
-    "dsl_window_rank_running",
-    "dsl_window_first_last",
 ]
 
 

@@ -1402,19 +1402,33 @@ def validate_subquery_val(val: dict) -> list[tuple[str, str]]:
     correlation pairs ([] when uncorrelated). Shared by both twins.
 
     Shape: ``{"subquery": <dsl>, "correlate": [[outer, inner], ...],
-    "scale": <number>}`` — ``correlate`` and ``scale`` optional.
-    ``scale`` multiplies the scalar (TPC-H Q17's ``0.2 * avg(...)``).
-    A correlated subquery's WHERE may not itself contain subqueries
-    (one level of correlation, like the reference's one-level DSL)."""
-    extra = set(val) - {"subquery", "correlate", "scale"}
+    "scale": <number>, "hint": <join strategy>}`` — ``correlate``,
+    ``scale`` and ``hint`` optional. ``scale`` multiplies the scalar
+    (TPC-H Q17's ``0.2 * avg(...)``). ``hint`` (r12) steers the
+    DECORRELATION join the same way exists hints do — needed when the
+    per-key aggregate side scales with a base table (Q2's per-partkey
+    MIN grows with |part|: a stats-elected broadcast is a
+    single-threaded hash build that dies at 100 TB — the q5/q21
+    defect class). Plan-only: the SQL twin renders the natively
+    correlated subquery and ignores it. A correlated subquery's WHERE
+    may not itself contain subqueries (one level of correlation, like
+    the reference's one-level DSL)."""
+    extra = set(val) - {"subquery", "correlate", "scale", "hint"}
     if extra:
         raise QueryError(f"unknown subquery value keys: {sorted(extra)}")
     validate_scalar_subquery(val["subquery"])
     scale = val.get("scale")
     if scale is not None and not isinstance(scale, (int, float)):
         raise QueryError(f"subquery 'scale' must be a number: {scale!r}")
+    hint = val.get("hint")
+    if hint not in (None, "broadcast", "shuffle_hash", "merge"):
+        raise QueryError(f"unknown scalar-subquery hint {hint!r}: {val!r}")
     corr = val.get("correlate")
     if corr is None:
+        if hint is not None:
+            raise QueryError(
+                "scalar-subquery 'hint' needs 'correlate' (an "
+                f"uncorrelated scalar is a one-row broadcast): {val!r}")
         return []
     if not isinstance(corr, list) or not corr:
         raise QueryError(f"'correlate' needs a non-empty pair list: {corr!r}")
@@ -1500,6 +1514,11 @@ def _join_correlated_scalar(
         *[F.col(ik).alias(f"{name}_k{i}") for i, ik in enumerate(ikeys)],
         F.col(agg_out).alias(f"{name}_raw"),
     )
+    if val.get("hint"):
+        # r12: steer the decorrelation join (see validate_subquery_val)
+        # — broadcast() for broadcast, plan hint otherwise.
+        keyed = (F.broadcast(keyed) if val["hint"] == "broadcast"
+                 else keyed.hint(val["hint"]))
     key_of = {ik: f"{name}_k{i}" for i, ik in enumerate(ikeys)}
     cond = None
     for ok, ik in pairs:

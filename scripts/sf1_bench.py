@@ -133,6 +133,11 @@ def main() -> int:
     build_sf1(spark, rebuild)
 
     qs = entry.queries()
+    # bench-only callables (production-hash twins with no oracle row,
+    # e.g. dedup_minhash_xxh) — timeable here for engine-absolute
+    # trend rows (r11 VERDICT #5).
+    import bench as bench_mod
+    qs = {**qs, **bench_mod._bench_only()}
     oracles = entry.oracle_sql()
     names = [n for n in (entries if entries is not None
                          else (*WATCH, *CONTROLS))
@@ -156,8 +161,13 @@ def main() -> int:
         warm = statistics.median(once() for _ in range(3))
         return cold, warm
 
-    def oracle_times(name: str, sf_dir: str, con) -> float:
-        sql = oracles[name]
+    def oracle_times(name: str, sf_dir: str, con) -> float | None:
+        # rows-only entries (engine-specific hash families, e.g.
+        # dedup_minhash_xxh) have no oracle row — engine-absolute
+        # trend only (r11 VERDICT #5).
+        sql = oracles.get(name)
+        if sql is None:
+            return None
 
         def once() -> float:
             t0 = time.perf_counter()
@@ -183,9 +193,11 @@ def main() -> int:
             _cold, ew = engine_times(name, sf_dir)
             ow = oracle_times(name, sf_dir, con)
             results.setdefault(name, {})[sf_label] = (ew, ow)
-            print(f"{sf_label} {name}: engine_warm {ew:.2f}s  "
-                  f"oracle_warm {ow:.2f}s  ratio "
-                  f"{ew / max(ow, 1e-9):.2f}", flush=True)
+            otxt = ("oracle_warm -- (no oracle)" if ow is None
+                    else f"oracle_warm {ow:.2f}s  ratio "
+                         f"{ew / max(ow, 1e-9):.2f}")
+            print(f"{sf_label} {name}: engine_warm {ew:.2f}s  {otxt}",
+                  flush=True)
         con.close()
 
     print(f"\n| entry | engine sf0.1 | oracle sf0.1 | ratio sf0.1 "
@@ -195,15 +207,20 @@ def main() -> int:
     for name in names:
         (e1, o1) = results[name]["sf0.1"]
         (e2, o2) = results[name][SF_LABEL]
-        r1, r2 = e1 / max(o1, 1e-9), e2 / max(o2, 1e-9)
         tag = "watch" if name in WATCH else "control"
+        if o1 is None or o2 is None:
+            print(f"| `{name}` ({tag}) | {e1:.2f} s | -- | -- "
+                  f"| {e2:.2f} s | -- | -- | (engine-absolute) |")
+            continue
+        r1, r2 = e1 / max(o1, 1e-9), e2 / max(o2, 1e-9)
         print(f"| `{name}` ({tag}) | {e1:.2f} s | {o1:.2f} s | {r1:.2f} "
               f"| {e2:.2f} s | {o2:.2f} s | {r2:.2f} "
               f"| {'YES' if r2 < r1 else 'NO'} |")
     payload = {
         n: {k: {"engine_warm": round(v[0], 4),
-                "oracle_warm": round(v[1], 4),
-                "ratio": round(v[0] / max(v[1], 1e-9), 3)}
+                "oracle_warm": None if v[1] is None else round(v[1], 4),
+                "ratio": None if v[1] is None
+                else round(v[0] / max(v[1], 1e-9), 3)}
             for k, v in d.items()}
         for n, d in results.items()
     }

@@ -1312,6 +1312,51 @@ def test_join_strategy_hints_reach_the_plan(spark, catalog):
         compile_query(q, catalog)
 
 
+def test_scalar_subquery_hint_reaches_the_plan(spark, catalog, ddb):
+    """r12: the correlated-scalar 'hint' steers the DECORRELATION join
+    (the per-key aggregate side grows with a base table — TPC-H Q2's
+    per-partkey MIN — so a stats-elected broadcast is the q5 defect
+    class at 100 TB). Plan-only: the oracle result is identical with
+    and without; uncorrelated scalars refuse it (one-row broadcast)."""
+    def q_with(hint):
+        val = {"subquery": {
+                   "select": [{"MIN": "l_extendedprice",
+                               "as": "mn"}],
+                   "from": "lineitem"},
+               "correlate": [["l_partkey", "l_partkey"]]}
+        if hint is not None:
+            val["hint"] = hint
+        return {"select": ["l_orderkey", "l_partkey", "l_extendedprice"],
+                "from": "lineitem",
+                "where": [{"col": "l_extendedprice", "op": "eq",
+                           "val": val}],
+                "order_by": ["l_orderkey", "l_partkey"]}
+
+    def plan_of(hint):
+        return compile_query(q_with(hint), catalog)._jdf \
+            .queryExecution().executedPlan().toString()
+
+    assert "ShuffledHashJoin" in plan_of("shuffle_hash")
+    assert "SortMergeJoin" in plan_of("merge")
+    assert "BroadcastHashJoin" in plan_of("broadcast")
+    # hinted and unhinted twins agree with the oracle
+    got = compile_query(q_with("shuffle_hash"), catalog).toPandas()
+    sql = assemble_sql(q_with(None), catalog.spark_type_map("lineitem"),
+                       dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(QueryError, match="hint"):
+        compile_query(
+            {"select": ["l_orderkey"], "from": "lineitem",
+             "where": [{"col": "l_extendedprice", "op": "gt",
+                        "val": {"subquery": {
+                            "select": [{"AVG": "l_extendedprice",
+                                        "as": "a"}],
+                            "from": "lineitem"},
+                            "hint": "shuffle_hash"}}]},
+            catalog)
+
+
 def test_post_aggregation_terms(catalog, ddb):
     """Post-aggregation expressions: grouped ratio-of-sums vs oracle;
     rejections (no aggregates, unknown reference, missing alias)."""
