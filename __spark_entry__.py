@@ -1936,22 +1936,22 @@ DSL_QUERIES.update({
                       "where": [{"col": "s_nationkey", "op": "in",
                                  "val": [3, 7, 11]}],
                       "hint": "broadcast"}]}},
-        "select": ["l_partkey", "part_value"],
-        "from": {"select": ["l_partkey",
-                            {"SUM": "pv", "as": "part_value",
-                             "round": 2}],
-                 "from": "nat_bridge",
-                 "group_by": ["l_partkey"]},
-        # Q16-style HAVING ≡ WHERE over the derived aggregate (the
-        # grammar's HAVING takes literals only; the scalar-subquery
-        # threshold rides the WHERE path, which supports scaled
-        # uncorrelated subqueries — same plan either way).
-        "where": [{"col": "part_value", "op": "gt",
-                   "val": {"subquery": {
-                       "select": [{"SUM": "pv", "as": "tot",
-                                   "round": 2}],
-                       "from": "nat_bridge"},
-                       "scale": 0.001}}],
+        "select": ["l_partkey",
+                   {"SUM": "pv", "as": "part_value", "round": 2}],
+        "from": "nat_bridge",
+        "group_by": ["l_partkey"],
+        # Native Q11 HAVING (r12 extension): an UNCORRELATED scalar
+        # subquery with `scale` as the HAVING threshold — the compiler
+        # broadcast-crossJoins the one-row global SUM onto the
+        # aggregated frame; the oracle renders HAVING ... > (0.001 *
+        # (SELECT ...)) natively. Correlated HAVING refuses in both
+        # twins.
+        "having": [{"col": "part_value", "op": "gt",
+                    "val": {"subquery": {
+                        "select": [{"SUM": "pv", "as": "tot",
+                                    "round": 2}],
+                        "from": "nat_bridge"},
+                        "scale": 0.001}}],
         "order_by": [{"col": "part_value", "dir": "desc"},
                      {"col": "l_partkey", "dir": "asc"}],
     },

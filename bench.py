@@ -60,6 +60,16 @@ DSL_HEADLINE = [
     # r11: non-equi correlate (full TPC-H Q21 shape — self semi/anti
     # on l_orderkey with a <> residual, three dim joins, top-k).
     "dsl_tpch_q21_waiting_suppliers",
+    # r12: the four partsupp-adapted shapes completing all 22 TPC-H
+    # queries (correlated-MIN eq w/ shuffle_hash decorrelation, scaled
+    # global threshold, count-distinct + anti join, nested grouped-
+    # threshold semi chain). Covered-set delta vs r11: +4 entries,
+    # ~2 s engine warm at sf0.1 — net the delta out when comparing
+    # engine_warm_covered round-over-round.
+    "dsl_tpch_q2_min_cost_supplier",
+    "dsl_tpch_q11_important_parts",
+    "dsl_tpch_q16_supplier_diversity",
+    "dsl_tpch_q20_promo_suppliers",
 ]
 
 #: Pipeline-operator headliners (always full computation).

@@ -953,6 +953,14 @@ def assemble_sql(
         outer_where = []
         hid = 0
         for cond in q["having"]:
+            if isinstance(cond, dict) \
+                    and isinstance(cond.get("val"), dict) \
+                    and "subquery" in cond["val"]:
+                # r12 twin refusal (see compiler gmode having): subtotal
+                # rows make a global-threshold compare set-relative.
+                raise QueryError(
+                    "scalar-subquery HAVING is not supported with "
+                    f"rollup/cube/grouping sets: {cond!r}")
             if isinstance(cond, dict) and "agg" in cond:
                 term = cond["agg"]
                 if "col" in cond:
@@ -1437,6 +1445,36 @@ def assemble_sql(
         # Group keys resolve case-insensitively, matching the compiler
         # twin's _resolve_order_col behavior.
         keys_by_lower = {k.lower(): k for k in group_by}
+
+        def _having_scalar_sql(expr: str, cond: dict) -> str:
+            # r12: UNCORRELATED scalar-subquery threshold in HAVING
+            # (TPC-H Q11's fraction-of-global) — renders the nested
+            # SELECT natively; the compiler twin broadcast-crossJoins
+            # the one-row scalar onto the aggregated frame. Correlated
+            # HAVING refuses in both twins (the aggregated frame has
+            # no table name to qualify outer references by).
+            from query_planner_optimizer_spark.dsl.compiler import (
+                SCALAR_SUBQUERY_OPS,
+                validate_subquery_val,
+            )
+
+            val = cond["val"]
+            op = cond.get("op")
+            if op not in SCALAR_SUBQUERY_OPS or op not in _OP_SQL:
+                raise QueryError(
+                    f"op {op!r} does not support a scalar subquery: "
+                    f"{cond!r}")
+            if validate_subquery_val(val):
+                raise QueryError(
+                    f"correlated subqueries are not supported in "
+                    f"HAVING: {cond!r}")
+            sub_sql = assemble_sql(val["subquery"], type_map, dialect,
+                                   ts_is_millis, cte_names=cte_names)
+            rhs = f"({sub_sql})"
+            if val.get("scale") is not None:
+                rhs = f"({_literal(val['scale'], None, dialect)} * {rhs})"
+            return f"{expr} {_OP_SQL[op]} {rhs}"
+
         parts = []
         for cond in having:
             if isinstance(cond, dict) and "agg" in cond:
@@ -1457,15 +1495,24 @@ def assemble_sql(
                 expr, _ = _agg_expr_sql(
                     {**term, "as": "__hv"}, dialect, type_map
                 )
-                parts.append(_render_cond(expr, cond, None, dialect))
+                if isinstance(cond.get("val"), dict) \
+                        and "subquery" in cond["val"]:
+                    parts.append(_having_scalar_sql(expr, cond))
+                else:
+                    parts.append(_render_cond(expr, cond, None, dialect))
                 continue
             name = str(cond.get("col"))
             expr = agg_expr_by_alias.get(name.lower())
             if expr is not None:
-                parts.append(_render_cond(expr, cond, None, dialect))
+                if isinstance(cond.get("val"), dict) \
+                        and "subquery" in cond["val"]:
+                    parts.append(_having_scalar_sql(expr, cond))
+                else:
+                    parts.append(_render_cond(expr, cond, None, dialect))
             elif name.lower() in keys_by_lower:
                 resolved = dict(cond, col=keys_by_lower[name.lower()])
-                parts.append(_condition_sql(resolved, type_map, dialect))
+                parts.append(_condition_sql(resolved, type_map, dialect,
+                                            cte_names=cte_names))
             else:
                 raise QueryError(
                     f"having column {name!r} is neither an aggregate"

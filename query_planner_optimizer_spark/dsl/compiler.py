@@ -2539,13 +2539,23 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
         # arrive here pre-normalized to their hidden aliases.
         if not norm_having:
             return frame
+        # r12: UNCORRELATED scalar-subquery thresholds in HAVING
+        # (TPC-H Q11's fraction-of-global-value) — the scalar
+        # broadcast-crossJoins onto the aggregated frame exactly like
+        # the WHERE path (one row; never a shuffle of the groups).
+        # Correlated HAVING refuses via the shared attach machinery
+        # (outer_table=None): the aggregated frame has no table name
+        # for the SQL twin to qualify outer references by.
+        frame, conds2, hidden = _attach_scalar_subqueries(
+            frame, norm_having, catalog)
         combined = None
-        for cond in norm_having:
+        for cond in conds2:
             resolved = dict(cond)
             resolved["col"] = _resolve_order_col(str(cond.get("col")), columns)
             c = _filter_condition(frame, resolved)
             combined = c if combined is None else (combined & c)
-        return frame.filter(combined)
+        out = frame.filter(combined)
+        return out.drop(*hidden) if hidden else out
 
     if gmode:
         # ROLLUP / CUBE / GROUPING SETS (r6): multi-set aggregation in
@@ -2648,6 +2658,15 @@ def compile_query(q: dict, catalog: Catalog) -> DataFrame:
             by_lower = {k.lower(): k for k in gflat}
             combined = None
             for cond in norm_having:
+                if isinstance(cond.get("val"), dict) \
+                        and "subquery" in cond["val"]:
+                    # r12: subtotal rows make a global-threshold
+                    # comparison grouping-set-relative (the subtotal's
+                    # aggregate spans a different grain) — ambiguous,
+                    # refused in both twins.
+                    raise QueryError(
+                        "scalar-subquery HAVING is not supported with "
+                        f"rollup/cube/grouping sets: {cond!r}")
                 name = str(cond.get("col", ""))
                 key = by_lower.get(name.lower())
                 if key is not None:

@@ -1623,6 +1623,67 @@ def test_cte_rejections(catalog):
             assemble_sql(b, tm, dialect="duckdb")
 
 
+def test_having_scalar_subquery_threshold(catalog, ddb, spark):
+    """r12: UNCORRELATED scalar-subquery thresholds in HAVING (the
+    TPC-H Q11 shape — group value > fraction × global value). Both
+    twins vs DuckDB; inline-agg form; refusals: correlated-in-HAVING
+    and gmode × subquery, in BOTH twins."""
+    tm = catalog.spark_type_map("events")
+    q = {"select": ["event_type",
+                    {"SUM": "value", "as": "sv", "round": 2}],
+         "from": "events", "group_by": ["event_type"],
+         "having": [{"col": "sv", "op": "gt",
+                     "val": {"subquery": {
+                         "select": [{"SUM": "value", "as": "tot",
+                                     "round": 2}],
+                         "from": "events"},
+                         "scale": 0.2}}],
+         "order_by": ["event_type"]}
+    df = compile_query(q, catalog)
+    assert df.columns == ["event_type", "sv"]  # hidden scalar dropped
+    assert_matches_duckdb(df, ddb, assemble_sql(q, tm, dialect="duckdb"),
+                          ordered=True)
+    # spark-dialect twin agrees too
+    got = df.toPandas()
+    want = spark.sql(assemble_sql(q, tm, dialect="spark")).toPandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # inline-agg HAVING with a subquery threshold
+    q2 = {"select": ["event_type", {"COUNT": "*", "as": "n"}],
+          "from": "events", "group_by": ["event_type"],
+          "having": [{"agg": {"AVG": "value", "round": 6}, "op": "lt",
+                      "val": {"subquery": {
+                          "select": [{"AVG": "value", "as": "a",
+                                      "round": 6}],
+                          "from": "events"},
+                          "scale": 1.01}}],
+          "order_by": ["event_type"]}
+    assert_matches_duckdb(compile_query(q2, catalog), ddb,
+                          assemble_sql(q2, tm, dialect="duckdb"),
+                          ordered=True)
+    bad = [
+        # correlated subquery in HAVING
+        {"select": ["event_type", {"SUM": "value", "as": "sv"}],
+         "from": "events", "group_by": ["event_type"],
+         "having": [{"col": "sv", "op": "gt",
+                     "val": {"subquery": {
+                         "select": [{"SUM": "value", "as": "s"}],
+                         "from": "events"},
+                         "correlate": [["event_type", "event_type"]]}}]},
+        # subquery HAVING under rollup
+        {"select": ["event_type", {"SUM": "value", "as": "sv"}],
+         "from": "events", "group_by": {"rollup": ["event_type"]},
+         "having": [{"col": "sv", "op": "gt",
+                     "val": {"subquery": {
+                         "select": [{"SUM": "value", "as": "s"}],
+                         "from": "events"}, "scale": 0.5}}]},
+    ]
+    for b in bad:
+        with pytest.raises(QueryError):
+            compile_query(b, catalog)
+        with pytest.raises(QueryError):
+            assemble_sql(b, tm, dialect="duckdb")
+
+
 def test_having_inline_aggregates(catalog, ddb):
     """HAVING over aggregates not in the select list — grouped and
     ungrouped, plus rejection of malformed 'agg' conditions."""

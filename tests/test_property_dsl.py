@@ -335,6 +335,29 @@ def dsl_queries(draw) -> dict:
             "op": draw(st.sampled_from(["exists", "not_exists"])),
             "val": val,
         })
+    # r12: correlated WHERE-scalar (the q17/q2 shape) with the new
+    # decorrelation-hint knob — value vs a per-key aggregate, scaled
+    # or not. AVG rides the shared DECIMAL round contract; MIN/MAX
+    # are exact picks. Hints are physical-only: every hinted draw
+    # must match the natively correlated oracle bit-for-bit.
+    if draw(st.integers(min_value=0, max_value=3)) == 0:
+        fn = draw(st.sampled_from(["AVG", "MIN", "MAX"]))
+        agg_t = {fn: "value", "as": "s"}
+        if fn == "AVG":
+            agg_t["round"] = 6
+        ckey = draw(st.sampled_from(["user_id", "event_type"]))
+        sval: dict = {"subquery": {"select": [agg_t], "from": "events"},
+                      "correlate": [[ckey, ckey]]}
+        if draw(st.booleans()):
+            sval["scale"] = draw(st.sampled_from([0.2, 0.5, 1.5]))
+        hint = draw(st.sampled_from(
+            [None, "shuffle_hash", "broadcast", "merge"]))
+        if hint:
+            sval["hint"] = hint
+        where.append({"col": "value",
+                      "op": draw(st.sampled_from(["lt", "lte", "gt",
+                                                  "gte"])),
+                      "val": sval})
     if where:
         q["where"] = where
     if grouped and draw(st.booleans()):
