@@ -2691,13 +2691,15 @@ _PANEL = [
     # -- exactly the r11 gate. r12-new entries added mid-round are
     # -- fronted here, bumping r8 refreshes from the tail so the
     # -- window stays 50 (40 r7 + 10 r8 = 50).
-    # -- r12-new (never driver-checked; outranks refreshes). The five
-    # -- mid-round entries bumped the last five r8 refreshes
+    # -- r12-new (never driver-checked; outranks refreshes). The six
+    # -- mid-round entries bumped the last six r8 refreshes
     # -- (dsl_exists_lineitem, dsl_window_first_last,
     # -- dsl_window_rank_running, dsl_tpch_q1_full,
-    # -- dsl_join_semi_orders_with_lineitems) to r13 so the window
-    # -- stays 50: 5 new + 40 r7 + 5 r8 = 50.
+    # -- dsl_join_semi_orders_with_lineitems,
+    # -- dsl_join_anti_inactive_customers) to r13 so the window
+    # -- stays 50: 6 new + 40 r7 + 4 r8 = 50.
     "dsl_setop_fullouter_window",
+    "stream_interval_join_full",
     "dsl_tpch_q2_min_cost_supplier",
     "dsl_tpch_q11_important_parts",
     "dsl_tpch_q16_supplier_diversity",
@@ -2748,7 +2750,6 @@ _PANEL = [
     "dsl_filter_like_notnull",
     "dsl_hourly_day_between",
     "dsl_join_revenue_by_nation",
-    "dsl_join_anti_inactive_customers",
 ]
 
 

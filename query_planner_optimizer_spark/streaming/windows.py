@@ -261,10 +261,14 @@ def interval_join(
         & (p["purchase_ts"] >= c["click_ts"])
         & (p["purchase_ts"] < c["click_ts"] + F.expr(f"INTERVAL {window}"))
     )
+    # user_id coalesces across sides: identical to c_user for inner
+    # and left (their click side is always present) and required for
+    # the FULL OUTER form, where purchase-only rows carry a NULL click
+    # side — one projection, so no drift across the three variants.
     return c.join(p, cond, how).select(
         F.col("click_id"),
         F.col("purchase_id"),
-        F.col("c_user").alias("user_id"),
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         (epoch_micros("purchase_ts") - epoch_micros("click_ts")).alias(
             "delay_us"
         ),
@@ -297,6 +301,31 @@ def interval_join_left(
     """
     return interval_join(clicks, purchases, window=window,
                          watermark=watermark, how="left_outer")
+
+
+def interval_join_full(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """FULL OUTER interval join (r12): both unmatched directions emit
+    once — unconverted clicks with NULL purchase columns (the
+    conversion-rate denominator, as in the left form) AND orphan
+    purchases with NULL click columns (purchases no click can claim:
+    the attribution-coverage gap an ads pipeline audits). ``user_id``
+    coalesces across sides so it is never NULL.
+
+    Streaming mode: Structured Streaming supports full outer
+    stream-stream joins under the same contract as the outer forms —
+    watermarks on both sides + the interval bound; each side's NULL
+    emission waits until the OTHER side's watermark passes its
+    interval horizon, so state and lateness stay bounded exactly as in
+    the inner form. Batch mode (the oracle twin) is a plain FULL JOIN
+    with the interval condition. Same body as :func:`interval_join`,
+    so condition/projection can never drift between variants."""
+    return interval_join(clicks, purchases, window=window,
+                         watermark=watermark, how="full_outer")
 
 
 def enrich_stream(
@@ -434,6 +463,16 @@ def q_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    events = Catalog(spark, sf_dir, register_views=False).table("events")
+    return interval_join_full(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+
+
 def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_planner_optimizer_spark.catalog import Catalog
 
@@ -462,6 +501,7 @@ def entry_queries():
         "stream_dedup": q_dedup_events,
         "stream_interval_join": q_interval_join,
         "stream_interval_join_left": q_interval_join_left,
+        "stream_interval_join_full": q_interval_join_full,
         "stream_windowed_distinct": q_windowed_distinct,
     }
 
@@ -582,6 +622,22 @@ def entry_oracles() -> dict[str, str]:
                {_rs('p.value', 6)} AS purchase_value
         FROM (SELECT * FROM events WHERE event_type = 'click') c
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts < c.ts + INTERVAL '30 minutes'
+    """,
+        # FULL OUTER variant (r12): adds the purchase-only direction —
+        # orphan purchases (no click within the preceding window) emit
+        # once with NULL click columns; user_id coalesces so it is
+        # never NULL. All nullable outputs are numeric, so the hash
+        # compare's NULL handling stays engine-portable.
+        "stream_interval_join_full": f"""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               COALESCE(c.user_id, p.user_id) AS user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS delay_us,
+               {_rs('p.value', 6)} AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND p.ts >= c.ts
          AND p.ts < c.ts + INTERVAL '30 minutes'

@@ -196,6 +196,80 @@ def test_streaming_interval_join_left_horizon(spark, events_stream_dir):
     assert owed and owed <= gn
 
 
+def test_interval_join_full_matches_oracle(spark, ddb):
+    df = windows.q_interval_join_full(spark, SF_DIR)
+    assert_matches_duckdb(
+        df, ddb, windows.entry_oracles()["stream_interval_join_full"])
+
+
+def test_streaming_interval_join_full_horizon(spark, events_stream_dir):
+    """FULL OUTER stream-stream interval join (r12): matched rows equal
+    the batch twin; BOTH NULL directions are watermark-driven. Click
+    NULLs (unconverted) emit once the purchase watermark passes
+    click_ts + interval — same horizon as the left form. Purchase
+    NULLs (orphans) emit once the click watermark passes purchase_ts:
+    the interval condition only admits clicks AT OR BEFORE the
+    purchase, so no future click can claim an old purchase and the
+    orphan horizon needs no interval subtraction. Asserts: matched ==
+    batch matched; streamed NULLs ⊆ batch NULLs per direction; every
+    batch NULL beyond its horizon was emitted."""
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(windows.read_events_stream(spark, events_stream_dir))
+    stream_df = windows.interval_join_full(sc, sp, watermark="2 hours")
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("interval_join_full_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM interval_join_full_test").toPandas()
+
+    batch_src = spark.read.parquet(events_stream_dir)
+    bc, bp = split(batch_src)
+    batch = windows.interval_join_full(bc, bp).toPandas()
+
+    gm = got[got.purchase_id.notna() & got.click_id.notna()]
+    bm = batch[batch.purchase_id.notna() & batch.click_id.notna()]
+    assert len(gm) == len(bm) > 0
+    pd.testing.assert_frame_equal(
+        normalize(gm), normalize(bm), check_dtype=False
+    )
+
+    import datetime
+
+    max_c = bc.agg(F.max("ts")).collect()[0][0]
+    max_p = bp.agg(F.max("ts")).collect()[0][0]
+    wm_final = min(max_c, max_p) - datetime.timedelta(hours=2)
+
+    # click-NULL direction (unconverted clicks)
+    gn_c = set(got[got.purchase_id.isna()].click_id)
+    bn_c = set(batch[batch.purchase_id.isna()].click_id)
+    assert gn_c <= bn_c
+    horizon_c = wm_final - datetime.timedelta(minutes=31)
+    cp = bc.select("event_id", "ts").toPandas()
+    click_ts = dict(zip(cp.event_id, cp.ts))
+    owed_c = {cid for cid in bn_c if click_ts[cid] < horizon_c}
+    assert owed_c and owed_c <= gn_c
+
+    # purchase-NULL direction (orphan purchases)
+    gn_p = set(got[got.click_id.isna()].purchase_id)
+    bn_p = set(batch[batch.click_id.isna()].purchase_id)
+    assert gn_p <= bn_p
+    horizon_p = wm_final - datetime.timedelta(minutes=1)
+    pp = bp.select("event_id", "ts").toPandas()
+    purchase_ts = dict(zip(pp.event_id, pp.ts))
+    owed_p = {pid for pid in bn_p if purchase_ts[pid] < horizon_p}
+    assert owed_p and owed_p <= gn_p
+
+
 def test_enrich_matches_oracle(spark, ddb):
     df = windows.q_enrich_stream(spark, SF_DIR)
     assert_matches_duckdb(df, ddb, windows.entry_oracles()["stream_enrich_dim"])
