@@ -173,6 +173,13 @@ def main() -> int:
             window=IJ_WINDOW, watermark=IJ_WM,
         )
 
+    def ijf(src):
+        return W.interval_join_full(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "purchase"),
+            window=IJ_WINDOW, watermark=IJ_WM,
+        )
+
     # (mode, build, output_mode, time_ordered): the stream-stream
     # interval join emits in APPEND mode over a time-ordered replay —
     # see write_input — so the watermark advances per batch and state
@@ -183,6 +190,7 @@ def main() -> int:
         "hh_capped": ("wide", hh, "update", False),
         "interval_join": ("wide", ij, "append", True),
         "interval_join_left": ("wide", ijl, "append", True),
+        "interval_join_full": ("wide", ijf, "append", True),
     }
     print(f"# stateful-streaming scale smoke: 1x vs {k}x "
           f"(sf0.1 events base, availableNow micro-batches, noop sink)")
@@ -255,6 +263,62 @@ def main() -> int:
                 label = (f"(< 20% of {sides} side rows; "
                          f"out {out_rows} in [{inner_n + owed}, "
                          f"{left.count()}]; nulls emitted="
+                         f"{out_rows - inner_n})")
+            elif name == "interval_join_full":
+                # r12: same join state as inner/left (NULL emission in
+                # BOTH directions happens at eviction — no extra
+                # retained rows); output band adds the purchase-only
+                # owed set, whose horizon is the watermark itself (the
+                # interval admits only clicks at-or-before a purchase,
+                # so no future click can claim an old purchase).
+                sides = df.filter(
+                    F.col("event_type").isin("click", "purchase")
+                ).count()
+                assert rows < 0.2 * sides, (name, kk, rows, sides)
+                src_b = spark.read.parquet(src_dir)
+                bc = src_b.filter(F.col("event_type") == "click")
+                bp = src_b.filter(F.col("event_type") == "purchase")
+                inner_n = W.interval_join(
+                    bc, bp, window=IJ_WINDOW, watermark=None).count()
+                full = W.interval_join_full(
+                    bc, bp, window=IJ_WINDOW, watermark=None)
+                import datetime
+                import re
+
+                def _minutes(spec: str) -> int:
+                    m = re.fullmatch(r"(\d+) minutes?", spec)
+                    assert m, f"smoke expects minute-granular spec: {spec}"
+                    return int(m.group(1))
+
+                max_c = bc.agg(F.max("ts")).collect()[0][0]
+                max_p = bp.agg(F.max("ts")).collect()[0][0]
+                wm = min(max_c, max_p) - datetime.timedelta(
+                    minutes=_minutes(IJ_WM))
+                h_click = wm - datetime.timedelta(
+                    minutes=_minutes(IJ_WINDOW) + 1)
+                h_purch = wm - datetime.timedelta(minutes=1)
+                owed_c = (
+                    full.filter(F.col("purchase_id").isNull())
+                    .join(bc.select(F.col("event_id").alias("click_id"),
+                                    F.col("ts").alias("cts")), "click_id")
+                    .filter(F.col("cts") < F.lit(h_click))
+                    .count()
+                )
+                owed_p = (
+                    full.filter(F.col("click_id").isNull())
+                    .join(bp.select(
+                        F.col("event_id").alias("purchase_id"),
+                        F.col("ts").alias("pts")), "purchase_id")
+                    .filter(F.col("pts") < F.lit(h_purch))
+                    .count()
+                )
+                assert inner_n + owed_c + owed_p <= out_rows \
+                    <= full.count(), (name, kk, out_rows, inner_n,
+                                      owed_c, owed_p)
+                label = (f"(< 20% of {sides} side rows; "
+                         f"out {out_rows} in "
+                         f"[{inner_n + owed_c + owed_p}, "
+                         f"{full.count()}]; nulls emitted="
                          f"{out_rows - inner_n})")
             elif name == "interval_join":
                 # Watermark eviction: join state retains only rows
