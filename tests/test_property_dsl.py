@@ -393,6 +393,21 @@ def dsl_queries(draw) -> dict:
                 "op": draw(st.sampled_from(["gt", "gte", "lt", "lte"])),
                 "val": draw(st.integers(min_value=0, max_value=500)),
             })
+        # r12: UNCORRELATED scalar-subquery threshold in HAVING (the
+        # Q11 fraction-of-global shape) — plain-list group_by only
+        # (gmode × subquery refuses in both twins). COUNT on both
+        # sides: integer aggregate × an exactly-representable scale
+        # keeps the comparison ulp-free across engines.
+        if cnt_aliases and isinstance(gb, list) and gb \
+                and draw(st.booleans()):
+            having.append({
+                "col": draw(st.sampled_from(cnt_aliases)),
+                "op": draw(st.sampled_from(["gt", "lte"])),
+                "val": {"subquery": {
+                    "select": [{"COUNT": "*", "as": "tot"}],
+                    "from": "events"},
+                    "scale": draw(st.sampled_from([0.25, 0.5, 0.125]))},
+            })
         if having:
             q["having"] = having
     if draw(st.booleans()):
