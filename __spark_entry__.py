@@ -2070,6 +2070,35 @@ DSL_QUERIES.update({
         ],
         "order_by": ["event_type"],
     },
+    # r12: RIGHT OUTER join driver evidence (grammar row previously
+    # pytest-only). The left side is a CTE-gated order subset (top-
+    # level WHERE applies POST-join in both twins — SQL semantics — so
+    # a plain filter would kill the null-extended rows; the structural
+    # gate keeps them): customers with no qualifying order null-extend
+    # the order columns (57 / 538 / 5,518 customers at
+    # sf0.001/0.01/0.1). COUNT(col)-vs-COUNT(*) exposes the
+    # null-extension; c_mktsegment (right side, preserved) is never
+    # NULL so the ORDER BY needs no placement pin. Unhinted: the
+    # preserved side of a right-outer cannot be the broadcast build
+    # side, so AQE elects the strategy.
+    "dsl_join_right_outer_customers": {
+        "with": {"big_orders": {
+            "select": ["o_orderkey", "o_custkey", "o_totalprice"],
+            "from": "orders",
+            "where": [{"col": "o_totalprice", "op": "gt",
+                       "val": 450000}]}},
+        "select": ["c_mktsegment",
+                   {"COUNT": "o_orderkey", "as": "n_big_orders"},
+                   {"COUNT": "*", "as": "n_rows"},
+                   {"SUM": "o_totalprice", "as": "big_total",
+                    "round": 2}],
+        "from": "big_orders",
+        "join": [{"table": "customer",
+                  "on": [["o_custkey", "c_custkey"]],
+                  "type": "right"}],
+        "group_by": ["c_mktsegment"],
+        "order_by": ["c_mktsegment"],
+    },
     # r12: set ops × FULL OUTER × windows in ONE query — pins the r12
     # `setopfow` fuzz surface (the last undrawn composite: null-
     # extension × frame contents × distinct semantics). Both UNION legs
@@ -2691,14 +2720,15 @@ _PANEL = [
     # -- exactly the r11 gate. r12-new entries added mid-round are
     # -- fronted here, bumping r8 refreshes from the tail so the
     # -- window stays 50 (40 r7 + 10 r8 = 50).
-    # -- r12-new (never driver-checked; outranks refreshes). The six
-    # -- mid-round entries bumped the last six r8 refreshes
+    # -- r12-new (never driver-checked; outranks refreshes). The seven
+    # -- mid-round entries bumped the last seven r8 refreshes
     # -- (dsl_exists_lineitem, dsl_window_first_last,
     # -- dsl_window_rank_running, dsl_tpch_q1_full,
     # -- dsl_join_semi_orders_with_lineitems,
-    # -- dsl_join_anti_inactive_customers) to r13 so the window
-    # -- stays 50: 6 new + 40 r7 + 4 r8 = 50.
+    # -- dsl_join_anti_inactive_customers, dsl_join_revenue_by_nation)
+    # -- to r13 so the window stays 50: 7 new + 40 r7 + 3 r8 = 50.
     "dsl_setop_fullouter_window",
+    "dsl_join_right_outer_customers",
     "stream_interval_join_full",
     "dsl_tpch_q2_min_cost_supplier",
     "dsl_tpch_q11_important_parts",
@@ -2749,7 +2779,6 @@ _PANEL = [
     "dsl_case_agg",
     "dsl_filter_like_notnull",
     "dsl_hourly_day_between",
-    "dsl_join_revenue_by_nation",
 ]
 
 

@@ -813,6 +813,28 @@ def join_queries(draw) -> dict:
                           "nulls": draw(st.sampled_from(["first",
                                                          "last"]))}],
         }
+    if draw(st.integers(min_value=0, max_value=5)) == 5:
+        # r12: RIGHT OUTER — the left side is a CTE-gated order subset
+        # (top-level WHERE applies post-join in both twins, so a plain
+        # filter would kill the null-extended rows); unmatched
+        # customers null-extend the order columns at every threshold.
+        thr = draw(st.integers(min_value=400000, max_value=500000))
+        return {
+            "with": {"big_orders": {
+                "select": ["o_orderkey", "o_custkey", "o_totalprice"],
+                "from": "orders",
+                "where": [{"col": "o_totalprice", "op": "gt",
+                           "val": thr}]}},
+            "select": ["c_mktsegment",
+                       {"COUNT": "o_orderkey", "as": "n_big"},
+                       {"COUNT": "*", "as": "n_rows"}],
+            "from": "big_orders",
+            "join": [{"table": "customer",
+                      "on": [["o_custkey", "c_custkey"]],
+                      "type": "right"}],
+            "group_by": ["c_mktsegment"],
+            "order_by": ["c_mktsegment"],
+        }
     if draw(st.integers(min_value=0, max_value=3)) == 0:
         jtype = draw(st.sampled_from(["semi", "anti", "inner", "left"]))
         op = draw(st.sampled_from(["lt", "lte", "gt", "gte"]))
