@@ -2710,75 +2710,70 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-12 window (r11 VERDICT #1: finish the rotation).
-    # -- Composition: ALL 40 entries whose latest driver green is
-    # -- r7 (recomputed this round by replaying CORRECTNESS_r01-r11
-    # -- against the 230-entry registry: histogram r7=40, r8=49,
-    # -- r9=46, r10=45, r11=50, never-checked=0) + the 10 oldest
-    # -- r8-green entries in registry order. After this round no
-    # -- registry entry's latest driver green is older than r8 —
-    # -- exactly the r11 gate. r12-new entries added mid-round are
-    # -- fronted here, bumping r8 refreshes from the tail so the
-    # -- window stays 50 (40 r7 + 10 r8 = 50).
-    # -- r12-new (never driver-checked; outranks refreshes). The seven
-    # -- mid-round entries bumped the last seven r8 refreshes
-    # -- (dsl_exists_lineitem, dsl_window_first_last,
-    # -- dsl_window_rank_running, dsl_tpch_q1_full,
-    # -- dsl_join_semi_orders_with_lineitems,
-    # -- dsl_join_anti_inactive_customers, dsl_join_revenue_by_nation)
-    # -- to r13 so the window stays 50: 7 new + 40 r7 + 3 r8 = 50.
-    "dsl_setop_fullouter_window",
-    "dsl_join_right_outer_customers",
-    "stream_interval_join_full",
-    "dsl_tpch_q2_min_cost_supplier",
-    "dsl_tpch_q11_important_parts",
-    "dsl_tpch_q16_supplier_diversity",
-    "dsl_tpch_q20_promo_suppliers",
-    # -- r7-green (the full stale tail, registry order) --
-    "dsl_scalar_select_correlated",
-    "dsl_grouping_rollup",
-    "dsl_grouping_sets",
-    "dsl_grouping_having",
-    "dsl_pricing_quantiles",
-    "dsl_quantile_sketch",
-    "dsl_mod_bucketing",
-    "dsl_numeric_functions",
-    "dsl_filter_col_vs_col",
-    "dsl_topk_offset_page",
-    "dedup_simhash_quality",
-    "dedup_split_leakage",
-    "dedup_near_split_leakage",
-    "dedup_best_of_cluster",
-    "dedup_embedding_cosine",
-    "sim_ann_recall",
-    "sim_ivf_recall",
-    "sim_pq_recall",
-    "text_lang_id",
-    "text_pii_scrub",
-    "text_bpe_merges",
-    "text_bpe_segment",
-    "multimodal_jpeg_meta",
-    "stream_topk_trending",
-    "analytics_profile_events",
-    "analytics_profile_documents",
-    "analytics_profile_approx",
-    "analytics_key_skew",
-    "analytics_corr_pairs",
-    "analytics_winsorized",
-    "analytics_mad_outliers",
-    "pipeline_snapshot_diff",
-    "pipeline_corpus_card",
-    "dsl_plan_routed_week_rollup",
-    "dsl_plan_routed_cast_filter",
-    "dsl_plan_routed_cast_between",
-    "dsl_routed_hll_rollup",
-    "dsl_routed_hist_quantile",
-    "dsl_routed_pricing_quantile",
-    "stream_hist_maintenance",
-    # -- r8-green refresh (oldest remaining evidence), registry order --
-    "dsl_case_agg",
-    "dsl_filter_like_notnull",
-    "dsl_hourly_day_between",
+    # -- round-13 window (r12 VERDICT #1: continue the rotation).
+    # -- Composition: 3 r13-new entries (never driver-checked) + ALL
+    # -- 46 entries whose latest driver green is r8 (recomputed this
+    # -- round by replaying CORRECTNESS_r01-r12 against the registry:
+    # -- histogram r8=46, r9=46, r10=45, r11=50, r12=50,
+    # -- never-checked=0) + the first r9-green entry in registry order
+    # -- (dsl_groupby_sum) to fill the 50th slot. After this round no
+    # -- registry entry's latest driver green is older than r9 —
+    # -- exactly the r12 gate.
+    # -- r13-new: incremental shard-vs-corpus dedup family
+    # -- (operators/incremental.py — persisted band-bucket/digest
+    # -- index a daily shard joins against; VERDICT r12 ask #3).
+    "dedup_incremental_shard",
+    "dedup_incremental_exact",
+    "dedup_index_stats",
+    # -- r8-green (the full stale cohort, registry order) --
+    "dsl_join_revenue_by_nation",
+    "dsl_join_anti_inactive_customers",
+    "dsl_join_semi_orders_with_lineitems",
+    "dsl_tpch_q1_full",
+    "dsl_window_rank_running",
+    "dsl_window_first_last",
+    "dsl_exists_lineitem",
+    "dsl_not_exists_customers",
+    "dsl_window_range_frame",
+    "dsl_window_nth_value",
+    "dsl_scalar_subquery_above_avg",
+    "dsl_tpch_q3_shipping_priority",
+    "dsl_tpch_q5_local_supplier_volume",
+    "dsl_tpch_q6_forecast_revenue",
+    "dsl_tpch_q10_returned_items",
+    "dsl_tpch_q12_priority_split",
+    "dsl_pricing_summary",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cc_star",
+    "dedup_ngram_novelty",
+    "sim_lsh_topk",
+    "dedup_embedding_cosine_lsh",
+    "sim_ivf_topk",
+    "dedup_embedding_lsh_quality",
+    "text_oov_ratio",
+    "text_token_count",
+    "text_fingerprint",
+    "text_token_vocab",
+    "text_repetition",
+    "stream_enrich_dim",
+    "stream_sliding_rollup",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_funnel",
+    "analytics_json_props",
+    "analytics_latest_per_key",
+    "analytics_embedding_centroids",
+    "analytics_topn_per_group",
+    "analytics_quantiles",
+    "temporal_range_join",
+    "pipeline_pack_sequences",
+    "pipeline_chunk_documents",
+    "sample_split_assignments",
+    "sample_stratified_by_lang",
+    "dsl_plan_routed_hour",
+    # -- r9-green refresh (oldest remaining evidence), registry order --
+    "dsl_groupby_sum",
 ]
 
 

@@ -16,6 +16,7 @@ def _modules():
         analytics,
         dedup,
         docpipe,
+        incremental,
         multimodal,
         relevance,
         sampling,
@@ -27,7 +28,7 @@ def _modules():
 
     return (
         dedup, similarity, text, relevance, multimodal, windows, stateful,
-        analytics, temporal, docpipe, sampling,
+        analytics, temporal, docpipe, sampling, incremental,
     )
 
 

@@ -487,6 +487,79 @@ def minhash_signatures(
     return ds.select("doc_id", _minhash_sig(F.col("hs"), k).alias("sig"))
 
 
+def banded_signature_frame(
+    ds: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, band, bsig) — the LSH banding of a per-doc shingle-hash
+    frame (``ds`` = output of :func:`_doc_shingle_hashes`). Factored out
+    of :func:`minhash_lsh_pairs` so the persisted-index builder and the
+    incremental shard probe (operators/incremental.py) band with the
+    EXACT same plan as the full-corpus path — the incremental result's
+    equality to the full recompute depends on byte-identical band keys.
+
+    Band key = one hash of the band's r signature values (cheaper to
+    shuffle/compare than the concatenated key); portable mode keys on
+    md5 of the '|'-joined row hashes (the oracle rebuilds it verbatim).
+    """
+    r = k // bands
+    sig = ds.select(
+        "doc_id", _minhash_sig(F.col("hs"), k, portable=portable).alias("sig")
+    )
+    if portable:
+        def _bsig(bi: int) -> Column:
+            return F.md5(
+                F.concat_ws(
+                    "|", *[F.col("sig")[bi * r + j] for j in range(r)]
+                )
+            )
+    else:
+        def _bsig(bi: int) -> Column:
+            return F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)])
+
+    band_arrays = F.array(
+        *[
+            F.struct(F.lit(bi).alias("band"), _bsig(bi).alias("bsig"))
+            for bi in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_arrays).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
+    )
+
+
+def verify_candidate_pairs(
+    cand: DataFrame,
+    ds_a: DataFrame,
+    ds_b: DataFrame,
+    threshold: float,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Candidate-proportional exact-Jaccard verification: two hash-joins
+    attach shingle-hash arrays from ``ds_a``/``ds_b`` (each a
+    (doc_id, hs) frame), then array_intersect counts the overlap — work
+    ∝ |candidates|·shingles. Shared by the full-corpus and incremental
+    paths so verification math stays one implementation."""
+    da = ds_a.select(F.col("doc_id").alias(a_col), F.col("hs").alias("hs_a"))
+    db = ds_b.select(F.col("doc_id").alias(b_col), F.col("hs").alias("hs_b"))
+    common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    jac = common.cast("double") / (
+        F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - common
+    ).cast("double")
+    return (
+        cand.join(da, a_col)
+        .join(db, b_col)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select(
+            a_col, b_col, round_half_up(F.col("jaccard"), 6).alias("jaccard")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -526,7 +599,6 @@ def minhash_lsh_pairs(
     degenerate groups are better handled by the exact-dedup pass that
     precedes LSH in any real pipeline. None (default) disables.
     """
-    r = k // bands
     # The per-doc shingle-hash arrays feed signature computation AND
     # (when verifying) the intersection counts — persist once instead of
     # re-tokenizing the corpus. Footprint is (doc_id, array<long>), far
@@ -540,32 +612,7 @@ def minhash_lsh_pairs(
         # hash lineage before the cache fills.
         ds = ds.persist()
         ds.count()
-    sig = ds.select(
-        "doc_id", _minhash_sig(F.col("hs"), k, portable=portable).alias("sig")
-    )
-    # Band key = one hash of the band's r signature values (cheaper to
-    # shuffle/compare than the concatenated key); portable mode keys on
-    # md5 of the '|'-joined row hashes (the oracle rebuilds it verbatim).
-    if portable:
-        def _bsig(bi: int) -> Column:
-            return F.md5(
-                F.concat_ws(
-                    "|", *[F.col("sig")[bi * r + j] for j in range(r)]
-                )
-            )
-    else:
-        def _bsig(bi: int) -> Column:
-            return F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)])
-
-    band_arrays = F.array(
-        *[
-            F.struct(F.lit(bi).alias("band"), _bsig(bi).alias("bsig"))
-            for bi in range(bands)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(band_arrays).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
-    )
+    banded = banded_signature_frame(ds, k, bands, portable=portable)
     if max_bucket_size is not None:
         keep = (
             banded.groupBy("band", "bsig")
@@ -589,25 +636,12 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # Candidate-proportional exact verification: two hash-joins attach
-    # the shingle-hash arrays, then array_intersect counts the overlap —
-    # work ∝ |candidates|·shingles, never the full inverted-index
-    # self-join (that's the whole point of LSH). Jaccard over 64-bit
-    # shingle hashes equals Jaccard over shingle strings up to hash
-    # collisions (~2^-64 per pair).
-    da = ds.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    db = ds.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
-    jac = common.cast("double") / (
-        F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - common
-    ).cast("double")
-    return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("doc_a", "doc_b", round_half_up(F.col("jaccard"), 6).alias("jaccard"))
-    )
+    # Candidate-proportional exact verification — work ∝
+    # |candidates|·shingles, never the full inverted-index self-join
+    # (that's the whole point of LSH). Jaccard over 64-bit shingle
+    # hashes equals Jaccard over shingle strings up to hash collisions
+    # (~2^-64 per pair).
+    return verify_candidate_pairs(cand, ds, ds, threshold)
 
 
 def portable_hash60(c: Column) -> Column:
@@ -1312,19 +1346,16 @@ _SQL_SHINGLES = f"""
 """
 
 
-def _minhash_lsh_oracle(
+def _portable_banded_cte(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
-    threshold: float = 0.2,
-    max_bucket_size: int | None = None,
+    src: str = "documents",
 ) -> str:
-    """DuckDB replay of the PORTABLE MinHash-LSH path: same md5 shingle
-    hashes, same k lexicographic-min signature rows, same '|'-joined
-    band keys, same banded candidate join, same exact-Jaccard
-    verification — a full differential oracle for an approximate
-    algorithm, possible because the hash family is engine-portable.
-    ``max_bucket_size`` replays the engine's hot-bucket drop (buckets
-    over the cap excluded before the candidate self-join)."""
+    """The hs0/sig/banded0 CTE chain of the portable MinHash-LSH oracle
+    (md5 shingle hashes → k lexicographic-min signature rows →
+    '|'-joined band keys), parameterized by source relation so the
+    incremental-index oracles (operators/incremental.py) replay the
+    identical banding over a corpus subset."""
     r = k // bands
     sig_items = ",\n                ".join(
         f"list_min(list_transform(hs, h -> md5('{i}:' || h)))"
@@ -1340,10 +1371,10 @@ def _minhash_lsh_oracle(
         for bi in range(bands)
     )
     return f"""
-        WITH hs0 AS (
+        hs0 AS (
             SELECT doc_id,
                    list_transform({_SQL_SHINGLES}, s -> md5(s)) AS hs
-            FROM documents
+            FROM {src}
         ),
         sig AS (
             SELECT doc_id, hs, [
@@ -1355,7 +1386,24 @@ def _minhash_lsh_oracle(
             FROM (SELECT doc_id, unnest([
                 {band_items}
             ]) AS u FROM sig)
-        ),
+        )"""
+
+
+def _minhash_lsh_oracle(
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.2,
+    max_bucket_size: int | None = None,
+) -> str:
+    """DuckDB replay of the PORTABLE MinHash-LSH path: same md5 shingle
+    hashes, same k lexicographic-min signature rows, same '|'-joined
+    band keys, same banded candidate join, same exact-Jaccard
+    verification — a full differential oracle for an approximate
+    algorithm, possible because the hash family is engine-portable.
+    ``max_bucket_size`` replays the engine's hot-bucket drop (buckets
+    over the cap excluded before the candidate self-join)."""
+    return f"""
+        WITH {_portable_banded_cte(k, bands)},
         banded AS (
             SELECT banded0.* FROM banded0
             {"JOIN (SELECT band, bsig FROM banded0 GROUP BY band, bsig"

@@ -1,0 +1,387 @@
+"""Incremental shard-vs-corpus deduplication via a persisted index.
+
+Every other dedup path (dedup.py: minhash_lsh_pairs, exact_dedup)
+re-processes the whole corpus. At 100 TB with daily ingest the
+operation a real pipeline runs far more often is: *given a NEW shard,
+which of its documents duplicate something already in the corpus?* —
+without re-tokenizing/re-signaturing 100 TB. (No reference analog —
+additive, like the rest of the dedup family; the reference engine
+(`claude.md:92-143`) has no dedup surface at all.)
+
+Design:
+
+- :func:`build_dedup_index` persists THREE parquet datasets at prepare
+  time, all derived from shapes ``minhash_lsh_pairs`` already computes:
+
+  * ``bands/``     — (band, bsig, doc_id): the LSH band-bucket index.
+  * ``shingles/``  — (doc_id, hs array): per-doc shingle hashes, the
+    verification side-input (exact-Jaccard check of candidates).
+  * ``digests/``   — (content_hash, doc_id): sha2-256 content digests
+    for exact incremental dedup.
+
+  Index size is O(corpus docs): 8 band rows + 1 array row + 1 digest
+  row per document — longs/hex only, never text. At 100 TB of corpus
+  text the index is ~3 orders of magnitude smaller (SCALE.md r13 has
+  the measured ratio).
+
+- :func:`incremental_minhash_pairs` signatures ONLY the shard, bands
+  it with the exact same plan as the full-corpus path
+  (``banded_signature_frame`` is shared code), then equi-joins the
+  persisted band index on (band, bsig). A daily shard is tiny relative
+  to the corpus, so the shard side is broadcast — the corpus index is
+  scanned once, map-side, with NO shuffle of index rows. Candidates
+  are verified with the shared ``verify_candidate_pairs`` (corpus
+  shingle arrays come from the index, shard arrays in-flight).
+  The result is EXACTLY the full-corpus recompute restricted to
+  corpus×shard pairs: same band keys → same candidates, same shingle
+  hashes → same Jaccard (equality pinned in
+  tests/test_incremental_dedup.py, and the driver entry's oracle IS
+  the full recompute restricted to cross pairs).
+
+- :func:`append_shard_to_index` appends the processed shard's bands /
+  shingles / digests, so tomorrow's shard dedups against
+  corpus ∪ today. Two-day sequence ≡ full recompute: pinned in tests.
+
+- :func:`incremental_exact_dups` joins the shard's sha2 digests
+  against ``digests/`` (broadcast shard side) — the daily exact-dup
+  gate that precedes LSH in a real pipeline.
+
+Cluster notes (local[32] here, 1000 executors in design): in
+production ``bands/`` would be written bucketed by ``bsig`` (Spark
+bucketed table) so repeated probes need no index-side shuffle even
+when the shard is too big to broadcast; with a broadcast shard the
+plan already touches each index partition exactly once. The builder
+clusters rows by (band, bsig) (repartition + sortWithinPartitions) so
+row-group stats stay tight for engines that runtime-filter.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_planner_optimizer_spark.operators.dedup import (
+    DEFAULT_NGRAM,
+    MINHASH_BANDS,
+    MINHASH_K,
+    _doc_shingle_hashes,
+    _docs,
+    _minhash_lsh_oracle,
+    _portable_banded_cte,
+    banded_signature_frame,
+    verify_candidate_pairs,
+)
+
+#: doc_id offset for synthesized "re-crawl" shadow documents in the
+#: exact-incremental driver entry (same convention as dedup._REP_SHADOW).
+RECRAWL_SHADOW = 10_000_000
+
+
+def build_dedup_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    portable: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus dedup index (bands/ shingles/ digests/).
+
+    One pass over the corpus text: tokenize → shingle-hash arrays
+    (map-side, dedup.py:_doc_shingle_hashes), written as ``shingles/``;
+    signatures+banding on top of that lineage as ``bands/``; sha2
+    digests as ``digests/``. The corpus text itself is never written —
+    the index carries only longs / hex strings.
+
+    ``mode="append"`` is how :func:`append_shard_to_index` folds a
+    processed shard in; zstd + snappy-default parquet, clustered by the
+    probe key so bucket rows for one (band, bsig) are contiguous.
+    """
+    named = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ds = _doc_shingle_hashes(named, "doc_id", "text", n, portable=portable)
+    # The banded frame re-reads ds lineage; at index-build scale that is
+    # one extra tokenize pass over the shard/corpus being indexed —
+    # persist to pay it once (arrays of longs, far smaller than text).
+    ds = ds.persist()
+    try:
+        ds.write.mode(mode).parquet(os.path.join(index_dir, "shingles"))
+        (
+            banded_signature_frame(ds, k, bands, portable=portable)
+            .repartition("band", "bsig")
+            .sortWithinPartitions("band", "bsig")
+            .write.mode(mode)
+            .parquet(os.path.join(index_dir, "bands"))
+        )
+    finally:
+        ds.unpersist()
+    (
+        named.select(
+            F.sha2(F.col("text"), 256).alias("content_hash"), F.col("doc_id")
+        )
+        .write.mode(mode)
+        .parquet(os.path.join(index_dir, "digests"))
+    )
+
+
+def incremental_minhash_pairs(
+    spark: SparkSession,
+    shard: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.5,
+    portable: bool = False,
+    broadcast_shard: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between a NEW shard and the indexed corpus:
+    (corpus_id, shard_id, jaccard), jaccard ≥ threshold.
+
+    Only the shard is tokenized/signatured; the corpus contributes its
+    persisted band index (candidate generation) and shingle arrays
+    (verification). Equal by construction to
+    ``minhash_lsh_pairs(corpus ∪ shard)`` restricted to cross pairs —
+    the band keys and shingle hashes are computed by the same shared
+    code, so a candidate (c, s) collides on a band in one path iff it
+    does in the other.
+
+    ``broadcast_shard`` (default True): a daily shard ≪ corpus, so the
+    shard's banded frame and shingle arrays broadcast — the index scan
+    never shuffles. Pass False when the shard itself is huge; the join
+    degrades gracefully to a shuffled hash join on (band, bsig).
+    """
+    named = shard.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    ds_s = _doc_shingle_hashes(named, "doc_id", "text", n, portable=portable)
+    # Candidate generation + verification both consume the shard arrays;
+    # eager persist (same rationale as minhash_lsh_pairs).
+    ds_s = ds_s.persist()
+    ds_s.count()
+    probe = banded_signature_frame(ds_s, k, bands, portable=portable)
+    if broadcast_shard:
+        probe = F.broadcast(probe)
+    idx = spark.read.parquet(os.path.join(index_dir, "bands"))
+    cand = (
+        idx.alias("c")
+        .join(
+            probe.alias("s"),
+            (F.col("c.band") == F.col("s.band"))
+            & (F.col("c.bsig") == F.col("s.bsig")),
+        )
+        .select(
+            F.col("c.doc_id").alias("corpus_id"),
+            F.col("s.doc_id").alias("shard_id"),
+        )
+        .distinct()
+    )
+    ds_c = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    shard_side = F.broadcast(ds_s) if broadcast_shard else ds_s
+    return verify_candidate_pairs(
+        cand, ds_c, shard_side, threshold, a_col="corpus_id", b_col="shard_id"
+    )
+
+
+def incremental_exact_dups(
+    spark: SparkSession,
+    shard: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index_dir: str = "",
+    broadcast_shard: bool = True,
+) -> DataFrame:
+    """Shard documents whose content already exists in the corpus:
+    (shard_id, corpus_keep_id, content_hash). ``corpus_keep_id`` is the
+    smallest corpus doc_id holding that content — the canonical survivor
+    the shard row would be deduped against.
+
+    Plan: shard digests (map-side sha2, broadcast) ⋈ persisted
+    ``digests/`` — the corpus side streams through one map-side join,
+    then a candidate-proportional min-aggregation picks the keeper.
+    """
+    sh = shard.select(
+        F.sha2(F.col(text_col), 256).alias("content_hash"),
+        F.col(id_col).alias("shard_id"),
+    )
+    if broadcast_shard:
+        sh = F.broadcast(sh)
+    idx = spark.read.parquet(os.path.join(index_dir, "digests"))
+    return (
+        idx.join(sh, "content_hash")
+        .groupBy("shard_id", "content_hash")
+        .agg(F.min("doc_id").alias("corpus_keep_id"))
+        .select("shard_id", "corpus_keep_id", "content_hash")
+    )
+
+
+def append_shard_to_index(
+    shard: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    portable: bool = False,
+) -> None:
+    """Fold a processed shard into the index (parquet append) so the
+    next shard dedups against corpus ∪ this one. Append-only — no
+    rewrite of existing index files; compaction is a normal parquet
+    maintenance job, orthogonal to correctness."""
+    build_dedup_index(
+        shard, index_dir, id_col, text_col, n, k, bands,
+        portable=portable, mode="append",
+    )
+
+
+def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """One-row accounting of the persisted index: row counts and
+    distinct-key counts per dataset. The driver entry's oracle
+    recomputes every cell from the corpus definition in SQL, so this
+    doubles as an end-to-end check that the index write path loses /
+    duplicates nothing."""
+    bands = spark.read.parquet(os.path.join(index_dir, "bands"))
+    shingles = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    digests = spark.read.parquet(os.path.join(index_dir, "digests"))
+    b = bands.agg(
+        F.count(F.lit(1)).alias("band_rows"),
+        F.countDistinct("band", "bsig").alias("distinct_buckets"),
+    )
+    s = shingles.agg(F.count(F.lit(1)).alias("indexed_docs"))
+    d = digests.agg(
+        F.count(F.lit(1)).alias("digest_rows"),
+        F.countDistinct("content_hash").alias("distinct_digests"),
+    )
+    return b.crossJoin(s).crossJoin(d)
+
+
+# ---------------------------------------------------------------------------
+# Driver entries. Corpus/shard split: shard = doc_id % 8 == 0 (~1/8 of
+# the table), corpus = the rest — deterministic and SQL-expressible, so
+# the oracle can replay the split. The index is built per (sf_dir,
+# portable) once per process and cached (bench/selfcheck run many
+# entries in one process; rebuilding identical parquet each time would
+# only measure tmpfs).
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[tuple[str, bool], str] = {}
+
+
+def _corpus_pred():
+    # Built lazily: Column construction needs an active SparkContext,
+    # and this module imports before any session exists (pytest
+    # collection, driver import).
+    return F.col("doc_id") % 8 != 0
+
+
+def _shard_pred():
+    return F.col("doc_id") % 8 == 0
+
+
+def _corpus_index(spark: SparkSession, sf_dir: str, portable: bool) -> str:
+    key = (os.path.abspath(sf_dir), portable)
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="qpo_dedup_index_")
+        build_dedup_index(
+            _docs(spark, sf_dir).filter(_corpus_pred()), d, portable=portable
+        )
+        _INDEX_CACHE[key] = d
+    return _INDEX_CACHE[key]
+
+
+def q_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-vs-corpus near-dup pairs through the persisted index,
+    portable md5 family → full DuckDB oracle: the oracle recomputes the
+    WHOLE corpus∪shard LSH (dedup._minhash_lsh_oracle) and restricts to
+    cross pairs — proving index-join ≡ full recompute end-to-end."""
+    idx = _corpus_index(spark, sf_dir, portable=True)
+    shard = _docs(spark, sf_dir).filter(_shard_pred())
+    return incremental_minhash_pairs(
+        spark, shard, idx, threshold=0.2, portable=True
+    )
+
+
+def q_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental dedup of a synthetic daily shard: the true
+    shard rows (doc_id % 8 == 0) plus re-crawled copies of corpus docs
+    (doc_id % 40 == 1, id + 10M, text unchanged — the duplicate class a
+    daily crawl actually produces). Every re-crawl must land on its
+    corpus keeper; true-shard rows match only if their content already
+    exists in the corpus."""
+    idx = _corpus_index(spark, sf_dir, portable=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = docs.filter(_corpus_pred() & (F.col("doc_id") % 40 == 1)).select(
+        (F.col("doc_id") + RECRAWL_SHADOW).alias("doc_id"), "text"
+    )
+    shard = docs.filter(_shard_pred()).unionByName(recrawl)
+    return incremental_exact_dups(spark, shard, index_dir=idx)
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _corpus_index(spark, sf_dir, portable=True)
+    return index_stats(spark, idx)
+
+
+def entry_queries() -> dict[str, Callable]:
+    return {
+        "dedup_incremental_shard": q_incremental_shard,
+        "dedup_incremental_exact": q_incremental_exact,
+        "dedup_index_stats": q_index_stats,
+    }
+
+
+def entry_oracles() -> dict[str, str]:
+    lsh = _minhash_lsh_oracle(threshold=0.2)
+    incr_shard = f"""
+        WITH pairs AS ({lsh})
+        SELECT CASE WHEN doc_a % 8 <> 0 THEN doc_a ELSE doc_b END
+                   AS corpus_id,
+               CASE WHEN doc_a % 8 = 0 THEN doc_a ELSE doc_b END
+                   AS shard_id,
+               jaccard
+        FROM pairs
+        WHERE (doc_a % 8 = 0) <> (doc_b % 8 = 0)
+    """
+    incr_exact = f"""
+        WITH shard AS (
+            SELECT doc_id AS shard_id, text FROM documents
+            WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT doc_id + {RECRAWL_SHADOW} AS shard_id, text
+            FROM documents WHERE doc_id % 8 <> 0 AND doc_id % 40 = 1
+        )
+        SELECT s.shard_id, MIN(c.doc_id) AS corpus_keep_id,
+               sha256(s.text) AS content_hash
+        FROM shard s
+        JOIN documents c
+          ON c.doc_id % 8 <> 0 AND sha256(c.text) = sha256(s.text)
+        GROUP BY s.shard_id, sha256(s.text)
+    """
+    stats = f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 8 <> 0
+        ),
+        {_portable_banded_cte(src="corpus")}
+        SELECT (SELECT COUNT(*) FROM banded0) AS band_rows,
+               (SELECT COUNT(DISTINCT (band, bsig)) FROM banded0)
+                   AS distinct_buckets,
+               (SELECT COUNT(*) FROM corpus) AS indexed_docs,
+               (SELECT COUNT(*) FROM corpus) AS digest_rows,
+               (SELECT COUNT(DISTINCT sha256(text)) FROM corpus)
+                   AS distinct_digests
+    """
+    return {
+        "dedup_incremental_shard": incr_shard,
+        "dedup_incremental_exact": incr_exact,
+        "dedup_index_stats": stats,
+    }

@@ -111,6 +111,21 @@ def main() -> int:
         ("setopfow_twin", P.setop_fullouter_window_queries(),
          P.test_setop_fullouter_window_equals_sql_twin.hypothesis.inner_test,
          (spark, catalog)),
+        # r13: the two genuinely undrawn composites from the r12 queue —
+        # correlated SELECT-side scalars over a JOINED outer frame, and
+        # HAVING-scalar-subquery thresholds over derived/CTE FROM legs.
+        ("scalarjoin", P.scalar_join_queries(),
+         P.test_scalar_join_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("scalarjoin_twin", P.scalar_join_queries(),
+         P.test_scalar_join_equals_sql_twin.hypothesis.inner_test,
+         (spark, catalog)),
+        ("havingsub", P.having_sub_derived_queries(),
+         P.test_having_sub_derived_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("havingsub_twin", P.having_sub_derived_queries(),
+         P.test_having_sub_derived_equals_sql_twin.hypothesis.inner_test,
+         (spark, catalog)),
     ]
     def make_body(inner, args):
         # closure (not defaulted params — @given refuses defaults)

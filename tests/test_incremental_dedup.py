@@ -1,0 +1,162 @@
+"""Incremental shard-vs-corpus dedup (operators/incremental.py).
+
+The load-bearing property: joining a NEW shard against the persisted
+index must equal the full-corpus recompute restricted to cross pairs —
+on the xxhash64 SCALE path, not just the portable oracle family (the
+driver entry covers that one end-to-end). Plus: the append path (two
+daily shards in sequence ≡ one full recompute), the exact-digest path
+vs a brute-force text join, and the broadcast plan audit for the probe
+join (standing broadcast-defect discipline).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_planner_optimizer_spark.operators import incremental as inc
+from query_planner_optimizer_spark.operators.dedup import minhash_lsh_pairs
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+
+
+def _cross_pairs_full(docs, corpus_pred, threshold):
+    """Full-corpus recompute (xxhash scale path) restricted to pairs
+    with exactly one side in the corpus; normalized to
+    (corpus_id, shard_id, jaccard) for comparison."""
+    full = minhash_lsh_pairs(docs, threshold=threshold)
+    in_corpus_a = corpus_pred(F.col("doc_a"))
+    in_corpus_b = corpus_pred(F.col("doc_b"))
+    return (
+        full.filter(in_corpus_a != in_corpus_b)
+        .select(
+            F.when(in_corpus_a, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("corpus_id"),
+            F.when(in_corpus_a, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("shard_id"),
+            "jaccard",
+        )
+    )
+
+
+def test_incremental_equals_full_recompute_xxhash(spark, docs):
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d = tempfile.mkdtemp(prefix="qpo_incr_test_")
+    inc.build_dedup_index(corpus, d)
+    got = inc.incremental_minhash_pairs(spark, shard, d, threshold=0.2)
+    want = _cross_pairs_full(
+        docs, lambda c: c % 8 != 0, threshold=0.2
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    assert len(g) > 0, "split produced no cross pairs — test is vacuous"
+
+
+def test_append_two_shard_sequence_equals_full(spark, docs):
+    """Day 1: corpus = %4 ∈ {1,2,3}... split into three generations:
+    corpus (%4 != 0), shard1 (%8 == 0), shard2 (%8 == 4). Processing
+    shard1 against the corpus index, appending it, then processing
+    shard2 must together yield every cross-GENERATION pair of the full
+    recompute (shard-internal pairs are the next full-corpus job's
+    business, by design)."""
+    gen = F.col("doc_id") % 8
+    corpus = docs.filter((gen != 0) & (gen != 4))
+    s1 = docs.filter(gen == 0)
+    s2 = docs.filter(gen == 4)
+    d = tempfile.mkdtemp(prefix="qpo_incr_append_")
+    inc.build_dedup_index(corpus, d)
+    day1 = inc.incremental_minhash_pairs(spark, s1, d, threshold=0.2)
+    day1_rows = sorted(map(tuple, day1.collect()))
+    inc.append_shard_to_index(s1, d)
+    day2 = inc.incremental_minhash_pairs(spark, s2, d, threshold=0.2)
+    day2_rows = sorted(map(tuple, day2.collect()))
+
+    full = minhash_lsh_pairs(docs, threshold=0.2)
+    ga, gb = (F.col("doc_a") % 8), (F.col("doc_b") % 8)
+    gen_a = F.when(ga == 0, 1).when(ga == 4, 2).otherwise(0)
+    gen_b = F.when(gb == 0, 1).when(gb == 4, 2).otherwise(0)
+    cross = full.withColumn("ga", gen_a).withColumn("gb", gen_b).filter(
+        F.col("ga") != F.col("gb")
+    )
+    # Normalize to (earlier-generation id, later-generation id, jaccard).
+    want = cross.select(
+        F.when(F.col("ga") < F.col("gb"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("corpus_id"),
+        F.when(F.col("ga") < F.col("gb"), F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("shard_id"),
+        "jaccard",
+    )
+    w = sorted(map(tuple, want.collect()))
+    assert sorted(day1_rows + day2_rows) == w
+
+
+def test_incremental_exact_matches_bruteforce(spark, docs):
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0).unionByName(
+        corpus.filter(F.col("doc_id") % 20 == 1).select(
+            (F.col("doc_id") + inc.RECRAWL_SHADOW).alias("doc_id"), "text"
+        )
+    )
+    d = tempfile.mkdtemp(prefix="qpo_incr_exact_")
+    inc.build_dedup_index(corpus, d)
+    got = inc.incremental_exact_dups(spark, shard, index_dir=d)
+    want = (
+        shard.alias("s")
+        .join(corpus.alias("c"), F.col("s.text") == F.col("c.text"))
+        .groupBy(F.col("s.doc_id").alias("shard_id"))
+        .agg(F.min("c.doc_id").alias("corpus_keep_id"))
+    )
+    g = sorted((r.shard_id, r.corpus_keep_id) for r in got.collect())
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    assert len(g) > 0
+
+
+def test_probe_join_broadcasts_shard(spark, docs):
+    """Standing broadcast-defect audit: the candidate join must scan
+    the persisted band index with a BROADCAST of the shard side — no
+    shuffle of index rows (at 100 TB the index is the big side)."""
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d = tempfile.mkdtemp(prefix="qpo_incr_plan_")
+    inc.build_dedup_index(corpus, d)
+    plan = inc.incremental_minhash_pairs(
+        spark, shard, d, threshold=0.2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # The index side must never be broadcast (it scales with the corpus):
+    # every broadcast exchange in the plan builds from the shard lineage,
+    # which after the eager persist shows as InMemoryTableScan.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_index_stats_consistent(spark, docs):
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    d = tempfile.mkdtemp(prefix="qpo_incr_stats_")
+    inc.build_dedup_index(corpus, d)
+    row = inc.index_stats(spark, d).collect()[0]
+    n = corpus.count()
+    assert row.indexed_docs == n
+    assert row.band_rows == 8 * n
+    assert row.digest_rows == n
+    assert 0 < row.distinct_digests <= n
+    assert 0 < row.distinct_buckets <= row.band_rows

@@ -1486,6 +1486,177 @@ def test_setop_fullouter_window_equals_sql_twin(q, spark, catalog):
     )
 
 
+# ---- r13: correlated SELECT-side scalars × joins in one draw --------------
+# (r12 VERDICT #4 / builder queue #3 — the first genuinely undrawn
+# composite: the outer FROM is itself a JOIN while a SELECT-side scalar
+# correlates into a third table. Exercises outer-reference scoping when
+# the decorrelated group-agg join must key on the JOINED frame, and the
+# SQL twin's correlated subselect quals must survive the join aliasing.)
+
+
+@st.composite
+def scalar_join_queries(draw) -> dict:
+    """customer ⋈ nation (optionally broadcast-hinted), with one or two
+    correlated SELECT-side scalar subqueries into orders (COUNT — 0 for
+    customers with no qualifying orders — and optionally a gated
+    rounded MAX, NULL for empty groups). A drawn outer WHERE on either
+    join side checks pre-/post-join filter placement under the scalar
+    rewrite; ORDER BY the unique customer key keeps LIMIT total."""
+    thr = draw(st.integers(min_value=50000, max_value=450000))
+    scalars: list = [{
+        "subquery": {"select": [{"COUNT": "*", "as": "c"}],
+                     "from": "orders",
+                     "where": [{"col": "o_totalprice", "op": "gt",
+                                "val": thr}]},
+        "correlate": [["c_custkey", "o_custkey"]],
+        "as": "n_big"}]
+    if draw(st.booleans()):
+        scalars.append({
+            "subquery": {"select": [{"MAX": "o_totalprice", "as": "m",
+                                     "round": 4}],
+                         "from": "orders",
+                         "where": [{"col": "o_totalprice", "op": "gt",
+                                    "val": thr}]},
+            "correlate": [["c_custkey", "o_custkey"]],
+            "as": "max_big"})
+    join: dict = {"table": "nation", "on": [["c_nationkey",
+                                             "n_nationkey"]]}
+    if draw(st.booleans()):
+        join["hint"] = "broadcast"
+    q: dict = {
+        "select": ["c_custkey", "n_name", *scalars],
+        "from": "customer",
+        "join": [join],
+        "order_by": ["c_custkey"],
+        "limit": draw(st.integers(min_value=5, max_value=100)),
+    }
+    wside = draw(st.sampled_from(["none", "cust", "dim"]))
+    if wside == "cust":
+        q["where"] = [{"col": "c_acctbal",
+                       "op": draw(st.sampled_from(["gt", "lt"])),
+                       "val": draw(st.integers(min_value=-500,
+                                               max_value=8000))}]
+    elif wside == "dim":
+        q["where"] = [{"col": "n_name", "op": "neq",
+                       "val": draw(st.sampled_from(
+                           ["FRANCE", "GERMANY", "CHINA"]))}]
+    return q
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=scalar_join_queries())
+def test_scalar_join_equals_duckdb(q, spark, catalog, ddb):
+    got = compile_query(q, catalog).toPandas()
+    tm = catalog.spark_type_map("customer")
+    tm.update(catalog.spark_type_map("nation"))
+    tm.update(catalog.spark_type_map("orders"))
+    sql = assemble_sql(q, tm, dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=scalar_join_queries())
+def test_scalar_join_equals_sql_twin(q, spark, catalog):
+    got = compile_query(q, catalog).toPandas()
+    tm = catalog.spark_type_map("customer")
+    tm.update(catalog.spark_type_map("nation"))
+    tm.update(catalog.spark_type_map("orders"))
+    sql = assemble_sql(q, tm, dialect="spark")
+    want = spark.sql(sql).toPandas()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+# ---- r13: HAVING-scalar-subquery thresholds over derived-FROM legs --------
+# (the second undrawn composite from the r12 queue: the r12 grammar
+# drew having-subqueries only over base-table FROMs; a derived/CTE FROM
+# means the outer aggregation — and its HAVING rewrite — runs over a
+# frame the compiler itself built.)
+
+
+@st.composite
+def having_sub_derived_queries(draw) -> dict:
+    """FROM = derived table or CTE (per-key COUNT over events), outer
+    re-groups by the inner count and gates n_groups with an
+    UNCORRELATED scalar-subquery threshold (COUNT of a drawn event
+    type, scaled by a binary-exact fraction so the comparison is
+    ulp-free in both engines — the r12 Q11-shape contract)."""
+    key = draw(st.sampled_from(["user_id", "event_type", "day"]))
+    inner: dict = {"select": [key, {"COUNT": "*", "as": "n"}],
+                   "from": "events", "group_by": [key]}
+    if draw(st.booleans()):
+        inner["where"] = [{"col": "event_type", "op": "neq",
+                           "val": draw(st.sampled_from(ETYPES))}]
+    having: list = [{
+        "col": "n_groups",
+        "op": draw(st.sampled_from(["gt", "gte", "lt", "lte"])),
+        "val": {"subquery": {
+            "select": [{"COUNT": "*", "as": "tot"}],
+            "from": "events",
+            "where": [{"col": "event_type", "op": "eq",
+                       "val": draw(st.sampled_from(ETYPES))}]},
+            "scale": draw(st.sampled_from(
+                [0.03125, 0.015625, 0.0078125]))},
+    }]
+    if draw(st.booleans()):
+        # compose with a plain inline-aggregate HAVING condition
+        having.append({"agg": {"COUNT": "*"}, "op": "gte",
+                       "val": draw(st.integers(min_value=0,
+                                               max_value=5))})
+    outer: dict = {
+        "select": ["n", {"COUNT": "*", "as": "n_groups"}],
+        "group_by": ["n"],
+        "having": having,
+        "order_by": [{"col": "n", "dir": "asc"}],
+    }
+    if draw(st.booleans()):
+        outer["with"] = {"v": inner}
+        outer["from"] = "v"
+    else:
+        outer["from"] = inner
+    return outer
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=having_sub_derived_queries())
+def test_having_sub_derived_equals_duckdb(q, spark, catalog, ddb):
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=having_sub_derived_queries())
+def test_having_sub_derived_equals_sql_twin(q, spark, catalog):
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="spark")
+    want = spark.sql(sql).toPandas()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
 # ---- operator property tests vs pure-python references -------------------
 
 @st.composite
