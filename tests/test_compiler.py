@@ -2523,3 +2523,80 @@ def test_cte_cache_keyed_on_base_table_shadowing(catalog, ddb):
         assert_matches_duckdb(
             compile_query(q, catalog), ddb,
             assemble_sql(q, merged, dialect="duckdb"), ordered=True)
+
+
+# --- r13 (VERDICT r12 #7): pin the float-normalized join key the
+# decorrelated correlated-MIN edge relies on (the Q2 plan equi-joins on
+# a DOUBLE measure; Spark wraps it in knownfloatingpointnormalized(
+# normalizenanandzero(...)) so -0.0 and +0.0 HASH identically — without
+# that, rows whose price equals their group MIN with opposite zero sign
+# would silently vanish from the join even though eq-semantics match).
+
+
+def test_correlated_min_eq_float_normalization(spark, ddb, tmp_path):
+    import math
+
+    import duckdb as _duck
+
+    rows = [
+        # part 1: MIN is -0.0; the +0.0 row must ALSO survive (IEEE
+        # -0.0 == +0.0) — the case hash-join normalization exists for.
+        (1, 1, -0.0),
+        (1, 2, 0.0),
+        (1, 3, 5.0),
+        # part 2: display-equal but ulp-distinct doubles must NOT
+        # cross-match: min is exactly 0.3, the 0.1+0.2 row loses.
+        (2, 1, 0.1 + 0.2),
+        (2, 2, 0.3),
+        # part 3: adjacent representable doubles around 1.0.
+        (3, 1, math.nextafter(1.0, 2.0)),
+        (3, 2, 1.0),
+        # part 4: lone -0.0 group — self-match through the hash join.
+        (4, 1, -0.0),
+    ]
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+    ])
+    path = str(tmp_path / "lineitem.parquet")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    from query_planner_optimizer_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path), register_views=False)
+    q = {
+        "select": ["l_partkey", "l_suppkey", "l_extendedprice"],
+        "from": "lineitem",
+        "where": [{"col": "l_extendedprice", "op": "eq",
+                   "val": {"subquery": {
+                       "select": [{"MIN": "l_extendedprice",
+                                   "as": "m"}],
+                       "from": "lineitem"},
+                       "correlate": [["l_partkey", "l_partkey"]],
+                       "hint": "shuffle_hash"}}],
+        "order_by": ["l_partkey", "l_suppkey"],
+    }
+    df = compile_query(q, cat)
+    # Document the reliance: the decorrelated edge must be a real
+    # equi-join on the normalized double (if a future engine version
+    # stops normalizing, this assert — not a silent empty join in Q2 —
+    # is what fails).
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "knownfloatingpointnormalized" in plan.lower()
+
+    got = sorted(map(tuple, df.collect()))
+    con = _duck.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * "
+                f"FROM read_parquet('{path}/*.parquet')")
+    want = sorted(map(tuple, con.execute(
+        assemble_sql(q, cat.spark_type_map("lineitem"),
+                     dialect="duckdb")).fetchall()))
+    assert got == want
+    keys = [(r[0], r[1]) for r in got]
+    # parts 1 (both zero-sign rows), 2 (exact 0.3 only), 3 (1.0 only),
+    # 4 (lone -0.0): the exact survivor set, pinned.
+    assert keys == [(1, 1), (1, 2), (2, 2), (3, 2), (4, 1)]

@@ -807,6 +807,148 @@ def test_streaming_heavy_hitters_late_data(spark, tmp_path_factory):
         assert r["est_count"] - r["max_err"] <= t <= r["est_count"]
 
 
+# --- r13 (VERDICT r12 #5): checkpoint recovery for the PYTHON-state
+# operators. The JVM state store restore (dedup, maintenance) was
+# already kill-tested; applyInPandasWithState restores GroupState
+# through a different codepath (pickled Python rows rehydrated from the
+# checkpoint into a fresh GroupState), so each operator gets its own
+# stop-and-restart proof: run 1 processes the older half, the query
+# OBJECT is discarded, a brand-new query on the same checkpoint
+# processes the newer half — emissions must equal the uninterrupted
+# batch twin over the full history, which is only possible if the
+# per-key state came back from the checkpoint, not memory.
+
+
+def _fb_sink(out_dir: str):
+    """foreachBatch sink tagging rows with the micro-batch id (parquet
+    sink can't do update mode; memory sink can't recover a checkpoint).
+    batch ids continue monotonically across restarts, so max-__bid per
+    key = the final snapshot."""
+    def fn(batch_df, batch_id):
+        batch_df.withColumn("__bid", F.lit(batch_id)).write.mode(
+            "append").parquet(out_dir)
+    return fn
+
+
+def _two_time_halves(spark, tmp_path):
+    """events split at the median event time into run-1 / run-2 files
+    (chronological across runs, as any real replayed stream is)."""
+    from query_planner_optimizer_spark.catalog import Catalog
+    from query_planner_optimizer_spark.functions.timeexpr import epoch_micros
+
+    events = Catalog(spark, SF_DIR, register_views=False).table(
+        "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ts_us = epoch_micros("ts")
+    q50 = events.select(
+        F.percentile_approx(ts_us, 0.5, 10000).alias("q")
+    ).collect()[0]["q"]
+    src = str(tmp_path / "src")
+    events.filter(ts_us <= q50).coalesce(1).write.mode("append").parquet(src)
+    later = events.filter(ts_us > q50)
+    return events, src, later, q50
+
+
+def test_funnel_checkpoint_recovery(spark, tmp_path):
+    """funnel_stream across a restart: users whose stage-1 match lives
+    in run 1 and stage-2 event arrives in run 2 can only complete if the
+    (completed, match timestamps) tuple was restored from the
+    checkpointed GroupState."""
+    from query_planner_optimizer_spark.streaming import stateful
+
+    events, src, later, q50 = _two_time_halves(spark, tmp_path)
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = stateful.funnel_stream(
+            spark.readStream.schema(windows.EVENTS_STREAM_SCHEMA)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_fb_sink(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()                                       # older half
+    later.coalesce(1).write.mode("append").parquet(src)
+    run_once()                                       # RESTART: newer half
+
+    emitted = spark.read.parquet(out).toPandas()
+    assert emitted["__bid"].nunique() >= 2           # both runs emitted
+    final = (
+        emitted.sort_values(["user_id", "__bid"])
+        .drop_duplicates("user_id", keep="last")
+        .drop(columns="__bid")
+        .reset_index(drop=True)
+    )
+    batch = stateful.funnel_batch(events).toPandas()
+    pd.testing.assert_frame_equal(
+        normalize(final), normalize(batch), check_dtype=False
+    )
+    # The restart mattered: some user re-emitted in run 2 (its events
+    # straddle the cut) while its FIRST-stage match timestamp predates
+    # the cut — a reset (non-restored) walk re-matching over run-2 data
+    # alone could only find later first-matches. The batch-twin frame
+    # equality above then pins every such timestamp.
+    last_bid = emitted["__bid"].max()
+    run2_users = set(emitted.loc[emitted["__bid"] == last_bid, "user_id"])
+    early_first = set(
+        emitted.loc[emitted["view_ts"].notna()
+                    & (emitted["view_ts"].astype("int64") // 1000
+                       <= q50), "user_id"]
+    )
+    assert run2_users & early_first
+
+
+def test_heavy_hitters_checkpoint_recovery(spark, tmp_path):
+    """heavy_hitters_stream across a restart: in the exact regime the
+    final snapshot must equal the batch twin over the FULL history —
+    run 2 alone undercounts every item seen in run 1, so equality
+    proves the counter arrays were rehydrated from the checkpoint."""
+    from query_planner_optimizer_spark.streaming import stateful
+
+    events, src, later, _q50 = _two_time_halves(spark, tmp_path)
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = stateful.heavy_hitters_stream(
+            spark.readStream.schema(windows.EVENTS_STREAM_SCHEMA)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_fb_sink(out))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    later.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    emitted = spark.read.parquet(out).toPandas()
+    assert emitted["__bid"].nunique() >= 2
+    final = emitted.sort_values("__bid").drop_duplicates(
+        ["grp", "rank"], keep="last"
+    )
+    batch = stateful.heavy_hitters_batch(
+        spark.read.schema(windows.EVENTS_STREAM_SCHEMA).parquet(src)
+    ).toPandas()
+    key = ["grp", "rank", "item", "est_count", "max_err"]
+    pd.testing.assert_frame_equal(
+        final[key].sort_values(["grp", "rank"]).reset_index(drop=True),
+        batch[key].sort_values(["grp", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_streaming_rollup_maintenance_equals_rebuild(spark, tmp_path):
     """Streamed-in rollup (two forced micro-batches through foreachBatch
     + refresh_rollups) is BIT-identical to a one-shot rebuild, and the
