@@ -2722,9 +2722,14 @@ _PANEL = [
     # -- r13-new: incremental shard-vs-corpus dedup family
     # -- (operators/incremental.py — persisted band-bucket/digest
     # -- index a daily shard joins against; VERDICT r12 ask #3).
+    # -- 4 new + 46 r8 = 50 exactly; the planned r9 refresh
+    # -- (dsl_groupby_sum, first r9 entry in registry order) is bumped
+    # -- to r14 by the append entry — the rotation gate (nothing older
+    # -- than r9 after r13) is unaffected.
     "dedup_incremental_shard",
     "dedup_incremental_exact",
     "dedup_index_stats",
+    "dedup_incremental_append",
     # -- r8-green (the full stale cohort, registry order) --
     "dsl_join_revenue_by_nation",
     "dsl_join_anti_inactive_customers",
@@ -2772,8 +2777,6 @@ _PANEL = [
     "sample_split_assignments",
     "sample_stratified_by_lang",
     "dsl_plan_routed_hour",
-    # -- r9-green refresh (oldest remaining evidence), registry order --
-    "dsl_groupby_sum",
 ]
 
 

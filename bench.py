@@ -116,6 +116,12 @@ OPERATOR_HEADLINE = [
     # for its bound gate, which would mismeasure the fast mode)
     "pipeline_corpus_card",
     "profile_events_hll",
+    # r13: incremental shard-vs-corpus dedup — cold pays the one-time
+    # index build (cached per process), warm measures the probe join a
+    # daily-ingest pipeline actually re-runs; the oracle has no index
+    # and recomputes the full corpus LSH every time, which is precisely
+    # the cost the persisted index exists to avoid.
+    "dedup_incremental_shard",
 ]
 
 

@@ -351,6 +351,7 @@ def dedup_clusters(
     n: int = DEFAULT_NGRAM,
     threshold: float = DEFAULT_JACCARD_THRESHOLD,
     cc_method: str = "propagation",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Full near-dup grouping: exact Jaccard pairs → connected
     components → (doc_id, cluster_id, cluster_size, is_canonical).
@@ -360,11 +361,17 @@ def dedup_clusters(
     The cluster_size join shuffles (cluster_id, count) pairs; at corpus
     scale cluster counts are tiny relative to docs, so AQE marks the
     count side broadcast-able.
+
+    ``stats`` passes through to :func:`connected_components` (receives
+    ``{"rounds": N}``) — the scale-telemetry hook
+    ``scripts/cc_trend.py`` uses to show propagation rounds stay FLAT
+    as the corpus grows (near-dup graphs are clique-dense: diameter,
+    hence rounds, is set by cluster shape, not corpus size).
     """
     pairs = jaccard_pairs(df, id_col, text_col, n, threshold)
     comp = connected_components(
         pairs.select("doc_a", "doc_b"), df.select(id_col), vid=id_col,
-        method=cc_method,
+        method=cc_method, stats=stats,
     )
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")

@@ -19,10 +19,18 @@ Design:
   * ``digests/``   — (content_hash, doc_id): sha2-256 content digests
     for exact incremental dedup.
 
-  Index size is O(corpus docs): 8 band rows + 1 array row + 1 digest
-  row per document — longs/hex only, never text. At 100 TB of corpus
-  text the index is ~3 orders of magnitude smaller (SCALE.md r13 has
-  the measured ratio).
+  Index size: ``bands/`` + ``digests/`` are O(1) rows per document
+  (8 band keys + 1 digest) — a small constant fraction of the corpus.
+  ``shingles/`` is O(tokens per document) and in the default xxhash64
+  mode costs ~8 high-entropy bytes per distinct shingle — the same
+  order as the compressed text itself (measured ratios in SCALE.md
+  r13; the portable md5 mode, hex strings, runs ~4× that and exists
+  for oracle-checkability, not production). The trade is storage ≈
+  O(corpus) for never re-READING or re-TOKENIZING the corpus text on
+  any future shard; pipelines that only need candidate generation
+  (re-verify from raw text on the candidate subset, which is
+  candidate-proportional I/O) can skip ``shingles/`` entirely via
+  ``verify=False``.
 
 - :func:`incremental_minhash_pairs` signatures ONLY the shard, bands
   it with the exact same plan as the full-corpus path
@@ -90,8 +98,15 @@ def build_dedup_index(
     bands: int = MINHASH_BANDS,
     portable: bool = False,
     mode: str = "overwrite",
+    write_shingles: bool = True,
 ) -> None:
     """Persist the corpus dedup index (bands/ shingles/ digests/).
+
+    ``write_shingles=False`` skips the verification side-input (the
+    only O(tokens)-sized dataset — see module docstring): candidate
+    generation and exact dedup still work; verification then needs
+    ``verify=False`` on the probe plus a caller-side exact check over
+    raw text restricted to the candidates.
 
     One pass over the corpus text: tokenize → shingle-hash arrays
     (map-side, dedup.py:_doc_shingle_hashes), written as ``shingles/``;
@@ -110,7 +125,9 @@ def build_dedup_index(
     # persist to pay it once (arrays of longs, far smaller than text).
     ds = ds.persist()
     try:
-        ds.write.mode(mode).parquet(os.path.join(index_dir, "shingles"))
+        if write_shingles:
+            ds.write.mode(mode).parquet(
+                os.path.join(index_dir, "shingles"))
         (
             banded_signature_frame(ds, k, bands, portable=portable)
             .repartition("band", "bsig")
@@ -141,6 +158,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.5,
     portable: bool = False,
     broadcast_shard: bool = True,
+    verify: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between a NEW shard and the indexed corpus:
     (corpus_id, shard_id, jaccard), jaccard ≥ threshold.
@@ -183,6 +201,11 @@ def incremental_minhash_pairs(
         )
         .distinct()
     )
+    if not verify:
+        # Candidates only (banding recall, no Jaccard gate) — for
+        # indexes built with write_shingles=False; the caller verifies
+        # against raw text on this candidate-proportional subset.
+        return cand
     ds_c = spark.read.parquet(os.path.join(index_dir, "shingles"))
     shard_side = F.broadcast(ds_s) if broadcast_shard else ds_s
     return verify_candidate_pairs(
@@ -332,11 +355,45 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_stats(spark, idx)
 
 
+def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-day ingest sequence through ONE evolving index: day 1's
+    shard (doc_id % 8 == 0) dedups against the corpus (% 8 ∉ {0, 4}),
+    is appended, then day 2's shard (% 8 == 4) dedups against
+    corpus ∪ day 1. Output: (day, corpus_id, shard_id, jaccard). The
+    oracle recomputes the WHOLE corpus LSH and restricts to
+    cross-generation pairs with day = the later generation — proving
+    the parquet-append path loses/duplicates nothing, end-to-end under
+    the driver's hash. A fresh index per call: append is stateful, so
+    this entry never shares the cached single-shot index."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    gen = F.col("doc_id") % 8
+    corpus = docs.filter((gen != 0) & (gen != 4))
+    s1 = docs.filter(gen == 0)
+    s2 = docs.filter(gen == 4)
+    d = tempfile.mkdtemp(prefix="qpo_incr_append_entry_")
+    build_dedup_index(corpus, d, portable=True)
+    day1 = incremental_minhash_pairs(
+        spark, s1, d, threshold=0.2, portable=True
+    ).select(F.lit(1).alias("day"), "corpus_id", "shard_id", "jaccard")
+    # Day-1 results must be frozen BEFORE the append mutates the index
+    # the lazy plan reads (same files-on-disk discipline a real daily
+    # pipeline has: process, then fold in).
+    day1 = day1.localCheckpoint(eager=True)
+    append_shard_to_index(s1, d, portable=True)
+    day2 = incremental_minhash_pairs(
+        spark, s2, d, threshold=0.2, portable=True
+    ).select(F.lit(2).alias("day"), "corpus_id", "shard_id", "jaccard")
+    return day1.unionByName(day2)
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "dedup_incremental_shard": q_incremental_shard,
         "dedup_incremental_exact": q_incremental_exact,
         "dedup_index_stats": q_index_stats,
+        "dedup_incremental_append": q_incremental_append,
     }
 
 
@@ -380,8 +437,28 @@ def entry_oracles() -> dict[str, str]:
                (SELECT COUNT(DISTINCT sha256(text)) FROM corpus)
                    AS distinct_digests
     """
+    # Two-day append: gen 0 = corpus, 1 = day-1 shard (% 8 == 0),
+    # 2 = day-2 shard (% 8 == 4). A cross-generation pair surfaces on
+    # the LATER side's day; corpus_id is the earlier-generation doc.
+    incr_append = f"""
+        WITH pairs AS ({lsh}),
+        tagged AS (
+            SELECT doc_a, doc_b, jaccard,
+                   CASE doc_a % 8 WHEN 0 THEN 1 WHEN 4 THEN 2
+                        ELSE 0 END AS ga,
+                   CASE doc_b % 8 WHEN 0 THEN 1 WHEN 4 THEN 2
+                        ELSE 0 END AS gb
+            FROM pairs
+        )
+        SELECT CASE WHEN ga > gb THEN ga ELSE gb END AS day,
+               CASE WHEN ga < gb THEN doc_a ELSE doc_b END AS corpus_id,
+               CASE WHEN ga < gb THEN doc_b ELSE doc_a END AS shard_id,
+               jaccard
+        FROM tagged WHERE ga <> gb
+    """
     return {
         "dedup_incremental_shard": incr_shard,
         "dedup_incremental_exact": incr_exact,
         "dedup_index_stats": stats,
+        "dedup_incremental_append": incr_append,
     }

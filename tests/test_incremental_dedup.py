@@ -149,6 +149,30 @@ def test_probe_join_broadcasts_shard(spark, docs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_candidates_only_path_superset(spark, docs):
+    """write_shingles=False + verify=False: the slim index (no
+    O(tokens) dataset) must yield a candidate set that is a SUPERSET of
+    the verified pairs from the full index — banding recall is
+    unchanged; only the Jaccard gate moves to the caller."""
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d_slim = tempfile.mkdtemp(prefix="qpo_incr_slim_")
+    d_full = tempfile.mkdtemp(prefix="qpo_incr_full_")
+    inc.build_dedup_index(corpus, d_slim, write_shingles=False)
+    inc.build_dedup_index(corpus, d_full)
+    assert not os.path.exists(os.path.join(d_slim, "shingles"))
+    cand = inc.incremental_minhash_pairs(
+        spark, shard, d_slim, threshold=0.2, verify=False
+    )
+    assert set(cand.columns) == {"corpus_id", "shard_id"}
+    cand_set = set(map(tuple, cand.collect()))
+    verified = inc.incremental_minhash_pairs(
+        spark, shard, d_full, threshold=0.2
+    )
+    ver_set = {(r.corpus_id, r.shard_id) for r in verified.collect()}
+    assert ver_set <= cand_set
+
+
 def test_index_stats_consistent(spark, docs):
     corpus = docs.filter(F.col("doc_id") % 8 != 0)
     d = tempfile.mkdtemp(prefix="qpo_incr_stats_")
