@@ -1316,6 +1316,33 @@ def q_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: id offset for the exact-first funnel's re-crawl shadows — NEGATIVE
+#: (doc_id - 20M) so the shadow WINS the min-id exact survivorship and
+#: the downstream cluster report provably reflects the exact stage
+#: (shadow ids replace their originals as members/canonicals — a
+#: skipped or broken exact pass produces different clusters, sizes,
+#: and ids, so the driver hash discriminates the whole composition).
+_EXF_SHADOW = 20_000_000
+
+
+def q_exact_first_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator ORDER the r13 CC scale note documents (SCALE.md:
+    clique-heavy exact-dup input must hit exact_dedup BEFORE near-dup
+    clustering): corpus = documents ∪ re-crawl shadows (doc_id % 5 ==
+    2, id − 20M, text unchanged), stage 1 = exact survivorship (min id
+    per sha2), stage 2 = near-dup clustering over the survivors only.
+    One digest shuffle collapses every exact clique; the quadratic
+    pair join runs on the deduplicated corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    shadows = docs.filter(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") - _EXF_SHADOW).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(shadows)
+    keep = exact_dedup(corpus).select(F.col("keep_id").alias("doc_id"))
+    survivors = corpus.join(keep, "doc_id", "left_semi")
+    return dedup_clusters(survivors, threshold=0.2)
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "dedup_exact": q_exact_dedup,
@@ -1341,6 +1368,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_near_split_leakage": q_near_split_leakage,
         "dedup_best_of_cluster": q_best_of_cluster,
         "dedup_ngram_novelty": q_ngram_novelty,
+        "dedup_exact_first_clusters": q_exact_first_clusters,
     }
 
 
@@ -1617,6 +1645,61 @@ def entry_oracles() -> dict[str, str]:
                lab.doc_id = lab.cluster_id AS is_canonical
         FROM lab JOIN sz USING (cluster_id)
     """
+    # Exact-first funnel: survivors (min id per digest, shadows win via
+    # the negative offset) feed the SAME transitive-closure shape the
+    # plain clusters oracle uses — over docs2, not documents.
+    exact_first = f"""
+        WITH RECURSIVE corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id - {_EXF_SHADOW} AS doc_id, text
+            FROM documents WHERE doc_id % 5 = 2
+        ),
+        surv_ids AS (
+            SELECT MIN(doc_id) AS doc_id FROM corpus
+            GROUP BY sha256(text)
+        ),
+        docs2 AS (
+            SELECT c.doc_id, c.text FROM corpus c
+            JOIN surv_ids USING (doc_id)
+        ),
+        sh AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM docs2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM common
+            JOIN sizes sa ON common.doc_a = sa.doc_id
+            JOIN sizes sb ON common.doc_b = sb.doc_id
+            WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE)
+                  >= 0.2
+        ),
+        und AS (
+            SELECT doc_a AS n, doc_b AS m FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM docs2
+            UNION
+            SELECT e.m, r.label FROM reach r JOIN und e ON r.node = e.n
+        ),
+        lab AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sz AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM lab GROUP BY cluster_id
+        )
+        SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+               lab.doc_id = lab.cluster_id AS is_canonical
+        FROM lab JOIN sz USING (cluster_id)
+    """
     sh4 = f"""
         CASE WHEN len(tk) >= 4 THEN
             list_distinct(list_transform(range(1, len(tk) - 2),
@@ -1734,6 +1817,7 @@ def entry_oracles() -> dict[str, str]:
             "dedup_connected_components": clusters,
             # star-method twin: identical clusters, identical oracle
             "dedup_cc_star": clusters,
+            "dedup_exact_first_clusters": exact_first,
             "dedup_decontaminate": decontam,
             "dedup_duplicate_spans": dup_spans,
             "dedup_remove_spans": """

@@ -265,6 +265,63 @@ def append_shard_to_index(
     )
 
 
+def ingest_gate(
+    shard: DataFrame,
+    digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """New-content gate: shard rows whose sha2 digest does NOT already
+    exist in the corpus digest index — (doc_id, content_hash) of the
+    genuinely-new documents a daily ingest should admit.
+
+    The body is batch/streaming-shared: with a STREAMING ``shard``
+    (readStream over the landing directory) this is a stream-static
+    LEFT ANTI join — stateless (no watermark, no state store), each
+    micro-batch anti-joins the static index; Spark re-plans the static
+    side per batch, so an index refreshed between batches is picked up
+    (tests/test_incremental_dedup.py runs the real readStream twin and
+    pins streaming ≡ batch)."""
+    sh = shard.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("content_hash"),
+    )
+    return sh.join(
+        digests.select("content_hash"), "content_hash", "left_anti"
+    ).select("doc_id", "content_hash")
+
+
+def compact_index(spark: SparkSession, index_dir: str,
+                  target_files: int = 8) -> None:
+    """Parquet-maintenance job for an append-grown index: rewrite each
+    dataset into ``target_files`` files (bands re-clustered by the
+    probe key). Append-only ingestion (append_shard_to_index) produces
+    one small file set per day; compaction restores scan efficiency
+    without touching semantics — rebuild-equality pinned in tests
+    (probe results bit-identical before/after). Staged write +
+    atomic-ish swap so a crash mid-compaction leaves either the old or
+    the new dataset, never a mix."""
+    import shutil
+
+    for name, cluster in (("bands", ("band", "bsig")),
+                          ("shingles", ()), ("digests", ())):
+        src = os.path.join(index_dir, name)
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        if cluster:
+            df = df.repartition(target_files, *cluster) \
+                   .sortWithinPartitions(*cluster)
+        else:
+            df = df.repartition(target_files)
+        staged = src + ".compact"
+        df.write.mode("overwrite").parquet(staged)
+        old = src + ".old"
+        os.rename(src, old)
+        os.rename(staged, src)
+        shutil.rmtree(old)
+
+
 def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """One-row accounting of the persisted index: row counts and
     distinct-key counts per dataset. The driver entry's oracle
@@ -388,12 +445,30 @@ def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day1.unionByName(day2)
 
 
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the streaming new-content gate (same shared body
+    the readStream twin runs — see ingest_gate): the daily shard is
+    true-new docs (% 8 == 0) plus re-crawl copies of corpus docs
+    (% 40 == 1, id + 10M, text unchanged); only the true-new rows may
+    pass. The digest side reads the PERSISTED index, so this also
+    exercises parquet-roundtripped digests in anti-join position."""
+    idx = _corpus_index(spark, sf_dir, portable=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = docs.filter(_corpus_pred() & (F.col("doc_id") % 40 == 1)).select(
+        (F.col("doc_id") + RECRAWL_SHADOW).alias("doc_id"), "text"
+    )
+    shard = docs.filter(_shard_pred()).unionByName(recrawl)
+    digests = spark.read.parquet(os.path.join(idx, "digests"))
+    return ingest_gate(shard, digests)
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "dedup_incremental_shard": q_incremental_shard,
         "dedup_incremental_exact": q_incremental_exact,
         "dedup_index_stats": q_index_stats,
         "dedup_incremental_append": q_incremental_append,
+        "stream_incremental_ingest": q_stream_ingest,
     }
 
 
@@ -456,9 +531,26 @@ def entry_oracles() -> dict[str, str]:
                jaccard
         FROM tagged WHERE ga <> gb
     """
+    stream_ingest = f"""
+        WITH shard AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT doc_id + {RECRAWL_SHADOW} AS doc_id, text
+            FROM documents WHERE doc_id % 8 <> 0 AND doc_id % 40 = 1
+        ),
+        corpus_hashes AS (
+            SELECT DISTINCT sha256(text) AS content_hash
+            FROM documents WHERE doc_id % 8 <> 0
+        )
+        SELECT s.doc_id, sha256(s.text) AS content_hash
+        FROM shard s
+        WHERE sha256(s.text) NOT IN (SELECT content_hash
+                                     FROM corpus_hashes)
+    """
     return {
         "dedup_incremental_shard": incr_shard,
         "dedup_incremental_exact": incr_exact,
         "dedup_index_stats": stats,
         "dedup_incremental_append": incr_append,
+        "stream_incremental_ingest": stream_ingest,
     }

@@ -173,6 +173,87 @@ def test_candidates_only_path_superset(spark, docs):
     assert ver_set <= cand_set
 
 
+def test_streaming_ingest_gate_equals_batch(spark, docs, tmp_path):
+    """ingest_gate's shared body through a REAL readStream (file
+    source, 2 files → 2 micro-batches, availableNow) must admit
+    exactly the batch twin's rows: the stream-static LEFT ANTI join is
+    stateless, so streaming ≡ batch with no watermark caveats."""
+    import pyspark.sql.types as T
+
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    d = tempfile.mkdtemp(prefix="qpo_ingest_idx_")
+    inc.build_dedup_index(corpus, d)
+    digests = spark.read.parquet(os.path.join(d, "digests"))
+
+    shard = docs.filter(F.col("doc_id") % 8 == 0).unionByName(
+        corpus.filter(F.col("doc_id") % 16 == 1).select(
+            (F.col("doc_id") + inc.RECRAWL_SHADOW).alias("doc_id"),
+            "text",
+        )
+    )
+    src = str(tmp_path / "landing")
+    shard.filter(F.col("doc_id") < 400).coalesce(1).write.mode(
+        "append").parquet(src)
+    shard.filter(F.col("doc_id") >= 400).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = inc.ingest_gate(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        digests,
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("ingest_gate_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.content_hash)
+           for r in spark.sql("SELECT * FROM ingest_gate_t").collect()}
+    want = {(r.doc_id, r.content_hash)
+            for r in inc.ingest_gate(shard, digests).collect()}
+    assert got == want
+    # the re-crawl shadows were gated out, the true-new docs admitted
+    assert all(i < inc.RECRAWL_SHADOW for i, _ in got)
+    assert len(got) > 0
+
+
+def test_compaction_preserves_probe_results(spark, docs):
+    """compact_index is pure maintenance: after two appends produce a
+    many-small-files index, compaction must leave probe results (near
+    -dup pairs AND the exact gate) bit-identical, with fewer files."""
+    gen = F.col("doc_id") % 8
+    corpus = docs.filter((gen != 0) & (gen != 4))
+    s1 = docs.filter(gen == 0)
+    s2 = docs.filter(gen == 4)
+    d = tempfile.mkdtemp(prefix="qpo_incr_compact_")
+    inc.build_dedup_index(corpus, d)
+    inc.append_shard_to_index(s1, d)
+
+    def n_files(name):
+        p = os.path.join(d, name)
+        return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+
+    before_files = n_files("bands")
+    assert before_files >= 2          # build + one append
+    pairs_before = sorted(map(tuple, inc.incremental_minhash_pairs(
+        spark, s2, d, threshold=0.2).collect()))
+    exact_before = sorted(map(tuple, inc.incremental_exact_dups(
+        spark, s2, index_dir=d).collect()))
+    inc.compact_index(spark, d, target_files=1)
+    assert n_files("bands") == 1
+    pairs_after = sorted(map(tuple, inc.incremental_minhash_pairs(
+        spark, s2, d, threshold=0.2).collect()))
+    exact_after = sorted(map(tuple, inc.incremental_exact_dups(
+        spark, s2, index_dir=d).collect()))
+    assert pairs_before == pairs_after
+    assert exact_before == exact_after
+
+
 def test_index_stats_consistent(spark, docs):
     corpus = docs.filter(F.col("doc_id") % 8 != 0)
     d = tempfile.mkdtemp(prefix="qpo_incr_stats_")
