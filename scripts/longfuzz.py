@@ -126,6 +126,21 @@ def main() -> int:
         ("havingsub_twin", P.having_sub_derived_queries(),
          P.test_having_sub_derived_equals_sql_twin.hypothesis.inner_test,
          (spark, catalog)),
+        # r13 late (r14 queue pre-executed): set ops over JOINED legs,
+        # and windows over a derived FROM whose inner leg carries a
+        # HAVING-scalar-subquery threshold.
+        ("setopjoin", P.setop_join_queries(),
+         P.test_setop_join_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("setopjoin_twin", P.setop_join_queries(),
+         P.test_setop_join_equals_sql_twin.hypothesis.inner_test,
+         (spark, catalog)),
+        ("windhaving", P.window_derived_having_queries(),
+         P.test_window_derived_having_equals_duckdb.hypothesis.inner_test,
+         (spark, catalog, ddb)),
+        ("windhaving_twin", P.window_derived_having_queries(),
+         P.test_window_derived_having_equals_sql_twin.hypothesis.inner_test,
+         (spark, catalog)),
     ]
     def make_body(inner, args):
         # closure (not defaulted params — @given refuses defaults)

@@ -1657,6 +1657,152 @@ def test_having_sub_derived_equals_sql_twin(q, spark, catalog):
     )
 
 
+# ---- r13 late (r14 queue #3, pre-executed): set ops over JOINED legs ------
+# (each set-op child carries its own join — child-plan aliasing, join
+# hints, and pre-join dim filters all meet the set-op dedup/column-
+# unification machinery in one draw.)
+
+
+@st.composite
+def setop_join_queries(draw) -> dict:
+    kw = draw(st.sampled_from(["union", "intersect", "except"]))
+
+    def leg() -> dict:
+        join: dict = {"table": "customer",
+                      "on": [["o_custkey", "c_custkey"]]}
+        if draw(st.booleans()):
+            join["hint"] = "broadcast"
+        if draw(st.booleans()):
+            # pre-join dim filter (join-side WHERE applies before the
+            # join in both twins)
+            join["where"] = [{"col": "c_acctbal", "op": "gt",
+                              "val": draw(st.integers(min_value=0,
+                                                      max_value=5000))}]
+        c: dict = {
+            "select": ["c_mktsegment", {"COUNT": "*", "as": "n"}],
+            "from": "orders",
+            "join": [join],
+            "group_by": ["c_mktsegment"],
+        }
+        if draw(st.booleans()):
+            c["where"] = [{"col": "o_totalprice",
+                           "op": draw(st.sampled_from(["lt", "gte"])),
+                           "val": draw(st.integers(min_value=1000,
+                                                   max_value=300000))}]
+        return c
+
+    q: dict = {kw: [leg(), leg()]}
+    if draw(st.booleans()):
+        q["all"] = True
+    q["order_by"] = [{"col": "c_mktsegment", "dir": "asc"},
+                     {"col": "n", "dir": "asc"}]
+    return q
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=setop_join_queries())
+def test_setop_join_equals_duckdb(q, spark, catalog, ddb):
+    got = compile_query(q, catalog).toPandas()
+    tm = catalog.spark_type_map("orders")
+    tm.update(catalog.spark_type_map("customer"))
+    sql = assemble_sql(q, tm, dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=setop_join_queries())
+def test_setop_join_equals_sql_twin(q, spark, catalog):
+    got = compile_query(q, catalog).toPandas()
+    tm = catalog.spark_type_map("orders")
+    tm.update(catalog.spark_type_map("customer"))
+    sql = assemble_sql(q, tm, dialect="spark")
+    want = spark.sql(sql).toPandas()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+# ---- r13 late: windows over a derived FROM whose inner leg carries a
+# HAVING-scalar-subquery threshold — the two newest grammar features
+# meeting in one plan (the window input frame is itself the product of
+# the decorrelated-threshold rewrite).
+
+
+@st.composite
+def window_derived_having_queries(draw) -> dict:
+    inner: dict = {"select": ["user_id", {"COUNT": "*", "as": "n"},
+                              {"SUM": "value", "as": "sv", "round": 6}],
+                   "from": "events", "group_by": ["user_id"]}
+    if draw(st.booleans()):
+        inner["where"] = [{"col": "event_type", "op": "neq",
+                           "val": draw(st.sampled_from(ETYPES))}]
+    inner["having"] = [{
+        "col": "n",
+        "op": draw(st.sampled_from(["gt", "lte"])),
+        "val": {"subquery": {
+            "select": [{"COUNT": "*", "as": "tot"}],
+            "from": "events",
+            "where": [{"col": "event_type", "op": "eq",
+                       "val": draw(st.sampled_from(ETYPES))}]},
+            "scale": draw(st.sampled_from(
+                [0.03125, 0.015625, 0.0078125]))},
+    }]
+    fn = draw(st.sampled_from(["sum", "count", "min", "max", "avg"]))
+    term: dict = {"win": fn, "of": draw(st.sampled_from(["sv", "n"])),
+                  "partition_by": ["n"],
+                  "order_by": [{"col": "user_id", "dir": "asc"}],
+                  "as": "w"}
+    if fn in ("sum", "avg"):
+        term["round"] = 6
+    outer: dict = {"select": ["user_id", "n", "sv", term],
+                   "order_by": ["user_id"]}
+    if draw(st.booleans()):
+        outer["with"] = {"v": inner}
+        outer["from"] = "v"
+    else:
+        outer["from"] = inner
+    return outer
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=window_derived_having_queries())
+def test_window_derived_having_equals_duckdb(q, spark, catalog, ddb):
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="duckdb")
+    want = ddb.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=window_derived_having_queries())
+def test_window_derived_having_equals_sql_twin(q, spark, catalog):
+    got = compile_query(q, catalog).toPandas()
+    sql = assemble_sql(q, catalog.spark_type_map("events"),
+                       dialect="spark")
+    want = spark.sql(sql).toPandas()
+    assert sorted(got.columns) == sorted(want.columns), (q, sql)
+    pd.testing.assert_frame_equal(
+        normalize(got), normalize(want),
+        check_dtype=False, check_exact=False, rtol=1e-6,
+    )
+
+
 # ---- operator property tests vs pure-python references -------------------
 
 @st.composite
