@@ -26,6 +26,7 @@ round similarity to 6 dp.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -288,6 +289,95 @@ IVF_NPROBE = 4
 IVF_ITERS = 2
 
 
+def _centroid_frame(spark: SparkSession,
+                    cents: list[list[float]]) -> DataFrame:
+    rows = []
+    for ci, c in enumerate(cents):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        rows.append((ci, [float(x) for x in c], cn))
+    return spark.createDataFrame(
+        rows, "cell int, c_vec array<double>, c_norm double"
+    )
+
+
+def _cell_scored(side: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """side × centroids with the cosine similarity as ``csim`` — the
+    single definition the rank path, the argmax path, the persisted
+    index builder, and the shard append all score with (a formula
+    change applies everywhere identically). The zero-norm guard maps a
+    degenerate (all-zero) vector to csim 0.0 instead of NaN (Spark's
+    non-ANSI 0.0/0.0): NaN would sort LARGEST under the rank window
+    but last under the min-struct argmin, and the two argmax spellings
+    must agree on every input. The guard covers the FULL denominator:
+    ``_centroid_frame`` already maps a zero-norm centroid to c_norm
+    1.0, but that is a constructor convention — guarding c_norm here
+    too keeps the no-NaN invariant local to the one expression that
+    divides, surviving any future centroid source that skips the
+    constructor (e.g. centroids read back from a persisted index)."""
+    sim = F.when((F.col("_norm") > 0) & (F.col("c_norm") > 0),
+                 _dot(F.col("_vec"), F.col("c_vec")) / (
+                     F.col("_norm") * F.col("c_norm"))
+                 ).otherwise(F.lit(0.0))
+    return (side.join(F.broadcast(_centroid_frame(side.sparkSession,
+                                                  cents)))
+            .withColumn("csim", sim))
+
+
+def _scored_cells(side: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """_cell_scored with a per-id rank (1 = best). Deterministic
+    tie-break toward the lower cell id."""
+    w = Window.partitionBy("id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc()
+    )
+    return _cell_scored(side, cents).withColumn(
+        "crank", F.row_number().over(w))
+
+
+def _assigned_cells(side: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Per-id BEST cell — the argmax via a partial-aggregable
+    min-struct (r8): map-side combine collapses the nlist-way join
+    fan-out before the shuffle, where the crank==1 window shuffled
+    and sorted all n·nlist joined rows. min(-csim, cell) picks the
+    same (max csim, lowest cell) as the window's (desc, asc) sort —
+    Spark normalizes -0.0 = 0.0 in orderings, so the negation
+    cannot reorder — and carries the vector through untouched.
+
+    NaN equivalence note: Spark sorts NaN LARGEST, so the window's
+    csim-desc would rank a NaN csim first while min(-csim) would
+    rank it last. A NaN csim needs a zero-norm vector, which
+    `_cell_scored`'s guarded division already maps to csim 0.0
+    (never NaN), so both argmin spellings pick identical cells on
+    every input — degenerate vectors included."""
+    best = (
+        _cell_scored(side, cents)
+        .groupBy("id")
+        .agg(F.min(F.struct(
+            (-F.col("csim")).alias("ncsim"), F.col("cell"),
+            F.col("_vec"), F.col("_norm"))).alias("b"))
+    )
+    return best.select(
+        "id", F.col("b._vec").alias("_vec"),
+        F.col("b._norm").alias("_norm"), F.col("b.cell").alias("cell"))
+
+
+def _train_ivf_centroids(base: DataFrame, dim: int, nlist: int,
+                         iters: int) -> list[list[float]]:
+    """``iters`` Lloyd rounds as DataFrame jobs; only the nlist×dim
+    centroid matrix ever reaches the driver (bounded collects)."""
+    seed_rows = base.orderBy("id").limit(nlist).collect()
+    centroids = [list(r["_vec"]) for r in seed_rows]
+    for _ in range(iters):
+        assigned = _assigned_cells(base, centroids)
+        dims = [
+            F.avg(F.element_at(F.col("_vec"), i + 1)).alias(f"d{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("cell").agg(*dims).collect()
+        for r in rows:
+            centroids[r["cell"]] = [r[f"d{i}"] for i in range(dim)]
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -313,95 +403,15 @@ def ivf_topk(
     ``nprobe == nlist`` this degenerates to exact brute force (tested
     invariant); recall < 1 otherwise is the accepted trade.
     """
-    spark = df.sparkSession
     base = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"), "_vec", "_norm"
     ).persist()
 
-    seed_rows = base.orderBy("id").limit(nlist).collect()
-    centroids = [list(r["_vec"]) for r in seed_rows]
-
-    def centroid_df(cents: list[list[float]]) -> DataFrame:
-        rows = []
-        for ci, c in enumerate(cents):
-            cn = math.sqrt(sum(x * x for x in c)) or 1.0
-            rows.append((ci, [float(x) for x in c], cn))
-        return spark.createDataFrame(
-            rows, "cell int, c_vec array<double>, c_norm double"
-        )
-
-    def _cell_scored(side: DataFrame,
-                     cents: list[list[float]]) -> DataFrame:
-        """side × centroids with the cosine similarity as ``csim`` —
-        the single definition both the rank path and the argmax path
-        score with (a formula change applies to training, corpus
-        assignment, and probing identically). The zero-norm guard maps
-        a degenerate (all-zero) vector to csim 0.0 instead of NaN
-        (Spark's non-ANSI 0.0/0.0): NaN would sort LARGEST under the
-        rank window but last under the min-struct argmin, and the two
-        argmax spellings must agree on every input. The guard covers
-        the FULL denominator: ``centroid_df`` already maps a zero-norm
-        centroid to c_norm 1.0, but that is a constructor convention —
-        guarding c_norm here too keeps the no-NaN invariant local to
-        the one expression that divides, surviving any future centroid
-        source that skips the constructor."""
-        sim = F.when((F.col("_norm") > 0) & (F.col("c_norm") > 0),
-                     _dot(F.col("_vec"), F.col("c_vec")) / (
-                         F.col("_norm") * F.col("c_norm"))
-                     ).otherwise(F.lit(0.0))
-        return (side.join(F.broadcast(centroid_df(cents)))
-                .withColumn("csim", sim))
-
-    def scored_cells(side: DataFrame, cents: list[list[float]]) -> DataFrame:
-        """_cell_scored with a per-id rank (1 = best). Deterministic
-        tie-break toward the lower cell id."""
-        w = Window.partitionBy("id").orderBy(
-            F.col("csim").desc(), F.col("cell").asc()
-        )
-        return _cell_scored(side, cents).withColumn(
-            "crank", F.row_number().over(w))
-
-    def assigned_cells(side: DataFrame,
-                       cents: list[list[float]]) -> DataFrame:
-        """Per-id BEST cell — the argmax via a partial-aggregable
-        min-struct (r8): map-side combine collapses the nlist-way join
-        fan-out before the shuffle, where the crank==1 window shuffled
-        and sorted all n·nlist joined rows. min(-csim, cell) picks the
-        same (max csim, lowest cell) as the window's (desc, asc) sort —
-        Spark normalizes -0.0 = 0.0 in orderings, so the negation
-        cannot reorder — and carries the vector through untouched.
-
-        NaN equivalence note: Spark sorts NaN LARGEST, so the window's
-        csim-desc would rank a NaN csim first while min(-csim) would
-        rank it last. A NaN csim needs a zero-norm vector, which
-        `_cell_scored`'s guarded division already maps to csim 0.0
-        (never NaN), so both argmin spellings pick identical cells on
-        every input — degenerate vectors included."""
-        best = (
-            _cell_scored(side, cents)
-            .groupBy("id")
-            .agg(F.min(F.struct(
-                (-F.col("csim")).alias("ncsim"), F.col("cell"),
-                F.col("_vec"), F.col("_norm"))).alias("b"))
-        )
-        return best.select(
-            "id", F.col("b._vec").alias("_vec"),
-            F.col("b._norm").alias("_norm"), F.col("b.cell").alias("cell"))
-
-    for _ in range(iters):
-        assigned = assigned_cells(base, centroids)
-        dims = [
-            F.avg(F.element_at(F.col("_vec"), i + 1)).alias(f"d{i}")
-            for i in range(dim)
-        ]
-        rows = assigned.groupBy("cell").agg(*dims).collect()
-        for r in rows:
-            centroids[r["cell"]] = [r[f"d{i}"] for i in range(dim)]
-
-    corpus = assigned_cells(base, centroids)
+    centroids = _train_ivf_centroids(base, dim, nlist, iters)
+    corpus = _assigned_cells(base, centroids)
 
     probes = (
-        scored_cells(base.filter(F.col("id") < num_queries), centroids)
+        _scored_cells(base.filter(F.col("id") < num_queries), centroids)
         .filter(F.col("crank") <= nprobe)
         .select(F.col("id").alias("qid"), F.col("_vec").alias("q_vec"),
                 F.col("_norm").alias("q_norm"), "cell")
@@ -420,6 +430,120 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", round_half_up(F.col("sim"), 6).alias("sim"))
+    )
+
+
+def build_ann_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nlist: int = IVF_NLIST,
+    iters: int = IVF_ITERS,
+) -> None:
+    """Persist an IVF index: ``centroids/`` (cell, c_vec, c_norm —
+    nlist rows) and ``postings/`` (cell, id, _vec, _norm), clustered by
+    cell so a probe scans contiguous row groups. The incremental twin
+    of operators/incremental.py's dedup index: train once over the
+    corpus, then every future shard APPENDS assignments
+    (:func:`append_to_ann_index`) without re-training or re-reading
+    the corpus, and queries probe the persisted postings
+    (:func:`ann_index_topk`). Postings carry the vectors (needed for
+    exact rerank) — index size ≈ the embedding table itself, the
+    standard IVF trade."""
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm"
+    ).persist()
+    try:
+        cents = _train_ivf_centroids(base, dim, nlist, iters)
+        _centroid_frame(df.sparkSession, cents).write.mode(
+            "overwrite").parquet(os.path.join(index_dir, "centroids"))
+        (
+            _assigned_cells(base, cents)
+            .select("cell", "id", "_vec", "_norm")
+            .repartition("cell").sortWithinPartitions("cell", "id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+    finally:
+        base.unpersist()
+
+
+def _read_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
+    # Bounded collect: nlist rows (same class as the training seeds).
+    rows = spark.read.parquet(
+        os.path.join(index_dir, "centroids")).orderBy("cell").collect()
+    return [list(r["c_vec"]) for r in rows]
+
+
+def append_to_ann_index(
+    spark: SparkSession,
+    shard: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign a NEW shard's vectors to the EXISTING centroids (no
+    re-train — the standard daily-ingest move; centroid drift is
+    accepted until a periodic full rebuild) and append the postings.
+    Work is shard-proportional: the corpus postings are never read."""
+    cents = _read_centroids(spark, index_dir)
+    base = with_norm(shard, vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm"
+    )
+    (
+        _assigned_cells(base, cents)
+        .select("cell", "id", "_vec", "_norm")
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = DEFAULT_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Top-k over the persisted postings for an arbitrary query frame:
+    score queries against the stored centroids (broadcast, nlist
+    rows), take each query's ``nprobe`` best cells, equi-join postings
+    on cell, exact rerank, per-query window top-k. With ``nprobe ==
+    nlist`` (full probe) the result is EXACTLY brute-force cosine
+    top-k over every indexed vector — the invariant the driver entry's
+    oracle states across a build + append sequence."""
+    cents = _read_centroids(spark, index_dir)
+    qs = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm"
+    )
+    probes = (
+        _scored_cells(qs, cents)
+        .filter(F.col("crank") <= nprobe)
+        .select(F.col("id").alias("qid"), F.col("_vec").alias("q_vec"),
+                F.col("_norm").alias("q_norm"), "cell")
+    )
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    scored = (
+        postings.join(F.broadcast(probes), "cell")
+        .filter(F.col("qid") != F.col("id"))
+        .withColumn(
+            "sim",
+            _dot(F.col("q_vec"), F.col("_vec"))
+            / (F.col("q_norm") * F.col("_norm")),
+        )
+        .select("qid", F.col("id").alias("nid"), "sim")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank",
+                round_half_up(F.col("sim"), 6).alias("sim"))
     )
 
 
@@ -791,6 +915,25 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_emb(spark, sf_dir), nprobe=IVF_NLIST)
 
 
+def q_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest ANN: build the IVF index over the corpus (vec_id %
+    8 != 0), APPEND the shard (% 8 == 0) against the frozen centroids,
+    then answer the standard query set with a FULL probe — provably
+    equal to brute-force cosine top-k over the whole table, so the
+    entry shares the exact sim_cosine_topk oracle (two different
+    physical paths — broadcast brute force vs persisted-index
+    build+append+probe — one hash-checked answer, the cc/cc_star
+    precedent). Fresh index per call: append is stateful."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="qpo_ann_index_")
+    build_ann_index(emb.filter(F.col("vec_id") % 8 != 0), d)
+    append_to_ann_index(spark, emb.filter(F.col("vec_id") % 8 == 0), d)
+    queries = emb.filter(F.col("vec_id") < DEFAULT_NUM_QUERIES)
+    return ann_index_topk(spark, queries, d, nprobe=IVF_NLIST)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_summary(_emb(spark, sf_dir))
 
@@ -1028,6 +1171,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_semantic_clusters": q_semantic_dedup,  # LSH+CC, full oracle
         "sim_quantize_int8": q_quantize_int8,  # int8 storage format
         "sim_quantized_topk": q_quantized_topk,  # quantized ANN, full oracle
+        "sim_incremental_index": q_incremental_ann,  # build+append+probe
     }
 
 
@@ -1187,6 +1331,9 @@ def entry_oracles() -> dict[str, str]:
     return {"sim_cosine_topk": cosine, "dedup_embedding_cosine": neardup,
             # full-probe IVF ≡ brute force — same oracle as cosine_topk
             "sim_ivf_topk": cosine,
+            # persisted-index build + shard append + full probe ≡ the
+            # same brute force (third physical path, one answer)
+            "sim_incremental_index": cosine,
             "sim_lsh_topk": _lsh_topk_oracle(),
             "dedup_embedding_cosine_lsh": _neardup_lsh_oracle(),
             "dedup_semantic_clusters": _semantic_dedup_oracle(),

@@ -265,3 +265,73 @@ def test_index_stats_consistent(spark, docs):
     assert row.digest_rows == n
     assert 0 < row.distinct_digests <= n
     assert 0 < row.distinct_buckets <= row.band_rows
+
+
+# ---- incremental ANN index (similarity.py build/append/probe) -------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+
+
+def test_ann_index_full_probe_equals_bruteforce(spark, emb):
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    d = tempfile.mkdtemp(prefix="qpo_ann_test_")
+    S.build_ann_index(emb.filter(F.col("vec_id") % 8 != 0), d)
+    S.append_to_ann_index(spark, emb.filter(F.col("vec_id") % 8 == 0), d)
+    got = S.ann_index_topk(
+        spark, emb.filter(F.col("vec_id") < 20), d, nprobe=S.IVF_NLIST
+    )
+    want = S.cosine_topk(emb, num_queries=20)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+
+def test_ann_append_freezes_centroids_and_adds_postings(spark, emb):
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    corpus = emb.filter(F.col("vec_id") % 8 != 0)
+    shard = emb.filter(F.col("vec_id") % 8 == 0)
+    d = tempfile.mkdtemp(prefix="qpo_ann_append_")
+    S.build_ann_index(corpus, d)
+    cents_before = sorted(map(tuple, spark.read.parquet(
+        os.path.join(d, "centroids")).select("cell", "c_norm").collect()))
+    n_before = spark.read.parquet(os.path.join(d, "postings")).count()
+    S.append_to_ann_index(spark, shard, d)
+    cents_after = sorted(map(tuple, spark.read.parquet(
+        os.path.join(d, "centroids")).select("cell", "c_norm").collect()))
+    n_after = spark.read.parquet(os.path.join(d, "postings")).count()
+    assert cents_before == cents_after          # no re-train on append
+    assert n_before == corpus.count()
+    assert n_after == n_before + shard.count()  # exactly the shard added
+    # every posting lands in exactly one cell (no dup/loss through the
+    # append): ids unique across the postings dataset
+    posts = spark.read.parquet(os.path.join(d, "postings"))
+    assert posts.select("id").distinct().count() == n_after
+
+
+def test_ann_partial_probe_is_subset_quality(spark, emb):
+    """nprobe < nlist returns k rows per query whose sims are bounded
+    by the full-probe (exact) result — structure sanity for the pruned
+    path over the persisted index."""
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    d = tempfile.mkdtemp(prefix="qpo_ann_partial_")
+    S.build_ann_index(emb, d)
+    part = S.ann_index_topk(
+        spark, emb.filter(F.col("vec_id") < 10), d, nprobe=4
+    ).toPandas()
+    full = S.ann_index_topk(
+        spark, emb.filter(F.col("vec_id") < 10), d, nprobe=S.IVF_NLIST
+    ).toPandas()
+    assert set(part["qid"]) == set(full["qid"])
+    for qid, grp in part.groupby("qid"):
+        fbest = full[full["qid"] == qid]["sim"].max()
+        assert (grp["sim"] <= fbest + 1e-9).all()
