@@ -624,6 +624,24 @@ def q_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_ratio(docs, token_vocab(docs))
 
 
+def q_incremental_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard lexical fit against a PERSISTED corpus vocabulary — the
+    incremental-index pattern (operators/incremental.py) applied to
+    the text family: the corpus (doc_id % 8 != 0) vocabulary is built
+    once and written as parquet; the daily shard (% 8 == 0) scores its
+    OOV rate by reading the vocab back. Work is shard-proportional —
+    the corpus is never re-tokenized — and the vocab file is the small
+    O(distinct tokens) artifact a real pipeline snapshots per release."""
+    import tempfile
+
+    docs = _load_documents(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d = tempfile.mkdtemp(prefix="qpo_vocab_index_")
+    token_vocab(corpus).write.mode("overwrite").parquet(d)
+    return oov_ratio(shard, spark.read.parquet(d))
+
+
 def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_normalized_text(_load_documents(spark, sf_dir)).select(
         "doc_id", "text_nfc"
@@ -956,6 +974,7 @@ def entry_queries() -> dict[str, Callable]:
         "text_vocab_coverage": q_vocab_coverage,
         "text_bpe_merges": q_bpe_merges,
         "text_bpe_segment": q_bpe_segment,
+        "text_incremental_oov": q_incremental_oov,
     }
 
 
@@ -1088,8 +1107,37 @@ def entry_oracles() -> dict[str, str]:
                      / CAST(greatest(COALESCE(c.n_tokens, 0), 1) AS DOUBLE)''', 6)} AS oov_rate
         FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id
     """
+    incr_oov = f"""
+        WITH tok_c AS (
+            SELECT doc_id, unnest({toks}) AS token FROM documents
+            WHERE doc_id % 8 <> 0
+        ),
+        vocab AS (
+            SELECT token FROM tok_c GROUP BY token
+            HAVING COUNT(DISTINCT doc_id) >= {VOCAB_MIN_DOC_FREQ}
+        ),
+        tok_s AS (
+            SELECT doc_id, unnest({toks}) AS token FROM documents
+            WHERE doc_id % 8 = 0
+        ),
+        counted AS (
+            SELECT t.doc_id, COUNT(*) AS n_tokens,
+                   COUNT(*) FILTER (WHERE v.token IS NULL) AS n_oov
+            FROM tok_s t LEFT JOIN vocab v ON t.token = v.token
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(c.n_tokens, 0) AS n_tokens,
+               COALESCE(c.n_oov, 0) AS n_oov,
+               {_rs('''COALESCE(c.n_oov, 0)
+                     / CAST(greatest(COALESCE(c.n_tokens, 0), 1)
+                            AS DOUBLE)''', 6)} AS oov_rate
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 8 = 0) d
+        LEFT JOIN counted c ON d.doc_id = c.doc_id
+    """
     return {
         "text_oov_ratio": oov,
+        "text_incremental_oov": incr_oov,
         "text_token_count": token_count,
         "text_quality_score": quality,
         "text_lang_id": lang_id,
