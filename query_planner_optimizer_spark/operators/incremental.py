@@ -322,6 +322,87 @@ def compact_index(spark: SparkSession, index_dir: str,
         shutil.rmtree(old)
 
 
+def daily_ingest(
+    spark: SparkSession,
+    shard: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """The one-call daily gate: classify every shard document against
+    the persisted index as ``exact_dup`` (content already in the
+    corpus, match_id = the corpus keeper), ``near_dup`` (best LSH
+    -verified match ≥ threshold; match_id = highest-jaccard corpus doc,
+    ties to the lower id; score = that jaccard), or ``new``. Exact
+    beats near (a verbatim re-crawl is an exact dup even though it
+    also near-matches). Returns (doc_id, status, match_id, score) —
+    the admit/reject report a real ingest writes next to the shard.
+
+    Composition of the two probes this module already proves
+    (digest anti/semi join + band-index probe); one extra
+    shard-proportional aggregation picks the best near match.
+    """
+    sh_ids = shard.select(F.col(id_col).alias("doc_id"))
+    exact = incremental_exact_dups(
+        spark, shard, id_col, text_col, index_dir=index_dir
+    ).select(
+        F.col("shard_id").alias("doc_id"),
+        F.col("corpus_keep_id").alias("match_id"),
+    )
+    pairs = incremental_minhash_pairs(
+        spark, shard, index_dir, id_col, text_col,
+        threshold=threshold, portable=portable,
+    )
+    # Best near match per shard doc: max jaccard, ties to the LOWER
+    # corpus id — max(struct(jaccard, -corpus_id)) is the
+    # partial-aggregable argmax (the assigned_cells precedent).
+    best = (
+        pairs.groupBy("shard_id")
+        .agg(F.max(F.struct(
+            F.col("jaccard"), (-F.col("corpus_id")).alias("nid")
+        )).alias("b"))
+        .select(
+            F.col("shard_id").alias("doc_id"),
+            (-F.col("b.nid")).alias("match_id"),
+            F.col("b.jaccard").alias("score"),
+        )
+    )
+    e = exact.select(
+        "doc_id", F.lit("exact_dup").alias("status"),
+        "match_id", F.lit(1.0).alias("score"),
+    )
+    n = (
+        best.join(exact.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit("near_dup").alias("status"),
+                "match_id", "score")
+    )
+    matched = e.select("doc_id").unionByName(n.select("doc_id"))
+    fresh = sh_ids.join(matched, "doc_id", "left_anti").select(
+        "doc_id", F.lit("new").alias("status"),
+        F.lit(None).cast("long").alias("match_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return e.unionByName(n).unionByName(fresh)
+
+
+def q_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the one-call gate: the daily shard is true-new
+    docs (% 8 == 0, which may still NEAR-match corpus docs) plus
+    verbatim re-crawls (% 40 == 1, id + 10M → exact_dup class). All
+    three statuses are populated at sf0.01, and the oracle recomputes
+    the whole classification from the corpus definition (full LSH
+    recompute restricted to cross pairs + digest join + precedence)."""
+    idx = _corpus_index(spark, sf_dir, portable=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = docs.filter(
+        _corpus_pred() & (F.col("doc_id") % 40 == 1)
+    ).select((F.col("doc_id") + RECRAWL_SHADOW).alias("doc_id"), "text")
+    shard = docs.filter(_shard_pred()).unionByName(recrawl)
+    return daily_ingest(spark, shard, idx, threshold=0.2, portable=True)
+
+
 def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """One-row accounting of the persisted index: row counts and
     distinct-key counts per dataset. The driver entry's oracle
@@ -469,6 +550,7 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_index_stats": q_index_stats,
         "dedup_incremental_append": q_incremental_append,
         "stream_incremental_ingest": q_stream_ingest,
+        "pipeline_daily_ingest": q_daily_ingest,
     }
 
 
@@ -547,10 +629,66 @@ def entry_oracles() -> dict[str, str]:
         WHERE sha256(s.text) NOT IN (SELECT content_hash
                                      FROM corpus_hashes)
     """
+    # One-call gate: exact (digest join, min-id keeper) beats near
+    # (best cross pair: jaccard desc, corpus_id asc), rest is new.
+    # Re-crawl shadows are exact by construction (their content IS a
+    # corpus doc), so the shadow side needs no LSH replay.
+    daily = f"""
+        WITH pairs AS ({lsh}),
+        shard AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0
+            UNION ALL
+            SELECT doc_id + {RECRAWL_SHADOW} AS doc_id, text
+            FROM documents WHERE doc_id % 8 <> 0 AND doc_id % 40 = 1
+        ),
+        exact AS (
+            SELECT s.shard_id AS doc_id, MIN(c.doc_id) AS match_id
+            FROM (SELECT doc_id AS shard_id, sha256(text) AS h
+                  FROM shard) s
+            JOIN (SELECT doc_id, sha256(text) AS h FROM documents
+                  WHERE doc_id % 8 <> 0) c USING (h)
+            GROUP BY s.shard_id
+        ),
+        cross_pairs AS (
+            SELECT CASE WHEN doc_a % 8 <> 0 THEN doc_a ELSE doc_b END
+                       AS corpus_id,
+                   CASE WHEN doc_a % 8 = 0 THEN doc_a ELSE doc_b END
+                       AS shard_id,
+                   jaccard
+            FROM pairs WHERE (doc_a % 8 = 0) <> (doc_b % 8 = 0)
+        ),
+        best AS (
+            SELECT shard_id AS doc_id, corpus_id AS match_id,
+                   jaccard AS score
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY shard_id
+                      ORDER BY jaccard DESC, corpus_id ASC) AS rn
+                  FROM cross_pairs) WHERE rn = 1
+        ),
+        e AS (
+            SELECT doc_id, 'exact_dup' AS status, match_id,
+                   CAST(1.0 AS DOUBLE) AS score FROM exact
+        ),
+        n AS (
+            SELECT b.doc_id, 'near_dup' AS status, b.match_id, b.score
+            FROM best b
+            WHERE b.doc_id NOT IN (SELECT doc_id FROM exact)
+        )
+        SELECT * FROM e
+        UNION ALL SELECT * FROM n
+        UNION ALL
+        SELECT s.doc_id, 'new' AS status,
+               CAST(NULL AS BIGINT) AS match_id,
+               CAST(NULL AS DOUBLE) AS score
+        FROM shard s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM exact)
+          AND s.doc_id NOT IN (SELECT doc_id FROM best)
+    """
     return {
         "dedup_incremental_shard": incr_shard,
         "dedup_incremental_exact": incr_exact,
         "dedup_index_stats": stats,
         "dedup_incremental_append": incr_append,
         "stream_incremental_ingest": stream_ingest,
+        "pipeline_daily_ingest": daily,
     }

@@ -547,6 +547,45 @@ def ann_index_topk(
     )
 
 
+def retrain_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    dim: int = 64,
+    nlist: int = IVF_NLIST,
+    iters: int = IVF_ITERS,
+) -> None:
+    """Periodic index maintenance: re-train centroids over EVERYTHING
+    currently indexed (original corpus + every appended shard) and
+    re-assign all postings — the job that repairs centroid drift after
+    many frozen-centroid appends. Staged write + swap (the
+    compact_index discipline: a crash leaves old or new, never a mix).
+    Full-probe results are INVARIANT under retrain (both before and
+    after equal brute force over the same vectors — pinned in pytest);
+    what changes is pruned-probe quality, which is the point."""
+    import shutil
+
+    posts_path = os.path.join(index_dir, "postings")
+    base = spark.read.parquet(posts_path).select(
+        "id", "_vec", "_norm").persist()
+    try:
+        cents = _train_ivf_centroids(base, dim, nlist, iters)
+        for name, df in (
+            ("centroids", _centroid_frame(spark, cents)),
+            ("postings", _assigned_cells(base, cents)
+                .select("cell", "id", "_vec", "_norm")
+                .repartition("cell").sortWithinPartitions("cell", "id")),
+        ):
+            src = os.path.join(index_dir, name)
+            staged = src + ".retrain"
+            df.write.mode("overwrite").parquet(staged)
+            old = src + ".old"
+            os.rename(src, old)
+            os.rename(staged, src)
+            shutil.rmtree(old)
+    finally:
+        base.unpersist()
+
+
 PQ_M = 8        #: subspaces (dim 64 → 8 dims per subvector)
 PQ_KS = 32      #: codes per subspace codebook (5-bit codes)
 PQ_ITERS = 2    #: Lloyd rounds per subspace

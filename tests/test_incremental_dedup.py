@@ -335,3 +335,68 @@ def test_ann_partial_probe_is_subset_quality(spark, emb):
     for qid, grp in part.groupby("qid"):
         fbest = full[full["qid"] == qid]["sim"].max()
         assert (grp["sim"] <= fbest + 1e-9).all()
+
+
+def test_ann_retrain_full_probe_invariant(spark, emb):
+    """Periodic re-train migrates every posting to fresh centroids;
+    FULL-probe results must be invariant (both before and after equal
+    brute force over the same vectors), centroids must actually change
+    (drift repaired), and no posting may be lost or duplicated."""
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    d = tempfile.mkdtemp(prefix="qpo_ann_retrain_")
+    S.build_ann_index(emb.filter(F.col("vec_id") % 8 != 0), d)
+    S.append_to_ann_index(spark, emb.filter(F.col("vec_id") % 8 == 0), d)
+    q = emb.filter(F.col("vec_id") < 15)
+    before = sorted(map(tuple, S.ann_index_topk(
+        spark, q, d, nprobe=S.IVF_NLIST).collect()))
+    cents_before = spark.read.parquet(
+        os.path.join(d, "centroids")).collect()
+    n_before = spark.read.parquet(os.path.join(d, "postings")).count()
+    S.retrain_ann_index(spark, d)
+    after = sorted(map(tuple, S.ann_index_topk(
+        spark, q, d, nprobe=S.IVF_NLIST).collect()))
+    assert before == after and len(after) > 0
+    posts = spark.read.parquet(os.path.join(d, "postings"))
+    assert posts.count() == n_before
+    assert posts.select("id").distinct().count() == n_before
+    cents_after = spark.read.parquet(
+        os.path.join(d, "centroids")).collect()
+    # re-training over corpus+shard moves at least one centroid (the
+    # original training never saw the shard)
+    assert sorted(map(tuple, cents_before)) != sorted(
+        map(tuple, cents_after))
+
+
+def test_daily_ingest_classification(spark, docs):
+    """One-call gate: exact beats near; every shard doc gets exactly
+    one status; matches agree with the two probes run separately."""
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0).unionByName(
+        corpus.filter(F.col("doc_id") % 20 == 1).select(
+            (F.col("doc_id") + inc.RECRAWL_SHADOW).alias("doc_id"),
+            "text")
+    )
+    d = tempfile.mkdtemp(prefix="qpo_daily_ingest_")
+    inc.build_dedup_index(corpus, d)
+    rep = inc.daily_ingest(spark, shard, d, threshold=0.2).toPandas()
+    assert len(rep) == shard.count()
+    assert rep["doc_id"].is_unique
+    exact_ids = {r.shard_id for r in inc.incremental_exact_dups(
+        spark, shard, index_dir=d).collect()}
+    near = inc.incremental_minhash_pairs(
+        spark, shard, d, threshold=0.2).toPandas()
+    near_ids = set(near["shard_id"]) - exact_ids
+    got_exact = set(rep[rep["status"] == "exact_dup"]["doc_id"])
+    got_near = set(rep[rep["status"] == "near_dup"]["doc_id"])
+    assert got_exact == exact_ids
+    assert got_near == near_ids
+    assert (rep[rep["status"] == "exact_dup"]["score"] == 1.0).all()
+    # near match_id/score = the max-jaccard (tie: lower corpus id) pair
+    for did in got_near:
+        cand = near[near["shard_id"] == did].sort_values(
+            ["jaccard", "corpus_id"], ascending=[False, True]).iloc[0]
+        row = rep[rep["doc_id"] == did].iloc[0]
+        assert row["match_id"] == cand["corpus_id"]
+        assert abs(row["score"] - cand["jaccard"]) < 1e-9
+    assert rep[rep["status"] == "new"]["match_id"].isna().all()
