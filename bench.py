@@ -122,6 +122,9 @@ OPERATOR_HEADLINE = [
     # and recomputes the full corpus LSH every time, which is precisely
     # the cost the persisted index exists to avoid.
     "dedup_incremental_shard",
+    # r13 late: the one-call composite gate (exact + near + new) over
+    # the same cached index.
+    "pipeline_daily_ingest",
 ]
 
 
