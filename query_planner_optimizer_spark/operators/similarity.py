@@ -986,6 +986,32 @@ def q_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_INDEX_CACHE: dict[str, str] = {}
 
 
+def q_incremental_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build + frozen-centroid append + RETRAIN (centroids re-fit over
+    everything indexed, postings migrated) + full probe — still
+    provably brute force, making the maintenance job driver-checked
+    end-to-end (fourth physical path onto the sim_cosine_topk oracle).
+    Cached per (process, sf_dir): the whole construction is
+    deterministic and idempotent."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _ANN_RETRAIN_CACHE:
+        d = tempfile.mkdtemp(prefix="qpo_ann_retrain_")
+        build_ann_index(emb.filter(F.col("vec_id") % 8 != 0), d)
+        append_to_ann_index(
+            spark, emb.filter(F.col("vec_id") % 8 == 0), d)
+        retrain_ann_index(spark, d)
+        _ANN_RETRAIN_CACHE[key] = d
+    queries = emb.filter(F.col("vec_id") < DEFAULT_NUM_QUERIES)
+    return ann_index_topk(spark, queries, _ANN_RETRAIN_CACHE[key],
+                          nprobe=IVF_NLIST)
+
+
+_ANN_RETRAIN_CACHE: dict[str, str] = {}
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_summary(_emb(spark, sf_dir))
 
@@ -1224,6 +1250,7 @@ def entry_queries() -> dict[str, Callable]:
         "sim_quantize_int8": q_quantize_int8,  # int8 storage format
         "sim_quantized_topk": q_quantized_topk,  # quantized ANN, full oracle
         "sim_incremental_index": q_incremental_ann,  # build+append+probe
+        "sim_incremental_retrain": q_incremental_retrain,  # +retrain
     }
 
 
@@ -1386,6 +1413,8 @@ def entry_oracles() -> dict[str, str]:
             # persisted-index build + shard append + full probe ≡ the
             # same brute force (third physical path, one answer)
             "sim_incremental_index": cosine,
+            # + retrain/migration: fourth path, same answer
+            "sim_incremental_retrain": cosine,
             "sim_lsh_topk": _lsh_topk_oracle(),
             "dedup_embedding_cosine_lsh": _neardup_lsh_oracle(),
             "dedup_semantic_clusters": _semantic_dedup_oracle(),
