@@ -130,6 +130,26 @@ def jaccard_pairs(
     )
 
 
+def _pinner(df_example: DataFrame, checkpoint_dir: str | None):
+    """Per-round lineage pin for iterative loops. Default:
+    ``localCheckpoint`` — blocks live in executor storage, which is
+    the right (cheap) choice on local[32] and for short loops, but
+    executor loss on a real cluster destroys them mid-job (a
+    localCheckpointed RDD cannot recompute: its lineage was
+    truncated). ``checkpoint_dir=`` switches every pin to a RELIABLE
+    ``checkpoint()`` against that directory (HDFS/S3/NFS on a
+    cluster): blocks are re-readable from storage after any executor
+    failure, making multi-hour CC jobs survivable — the standard
+    Spark iterative-algorithm discipline (GraphX checkpoints the same
+    way). Survival under block loss where localCheckpoint cannot is
+    pinned in tests/test_operators.py."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    sc = df_example.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -139,6 +159,7 @@ def connected_components(
     max_iter: int = 25,
     method: str = "propagation",
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a similar-pair edge set: the transitive
     closure step that turns pairwise near-dup hits into dedup groups
@@ -171,15 +192,20 @@ def connected_components(
     uses to show rounds stay flat as the graph grows.
 
     Scale notes: the iterated frames carry (node, label)/(u, v) longs
-    only — document text never enters the loop. Each round ends in
-    ``localCheckpoint`` to truncate the growing lineage (iterative
-    plans otherwise re-derive every prior round at each action and the
-    optimizer pass itself becomes the bottleneck).
+    only — document text never enters the loop. Each round ends in a
+    lineage pin (iterative plans otherwise re-derive every prior round
+    at each action and the optimizer pass itself becomes the
+    bottleneck): ``localCheckpoint`` by default, or a RELIABLE
+    ``checkpoint()`` when ``checkpoint_dir`` is given — the cluster
+    deployment knob that makes the loop survive executor loss (see
+    :func:`_pinner`).
     """
     if method == "star":
-        return _cc_star(edges, vertices, src, dst, vid, max_iter, stats)
+        return _cc_star(edges, vertices, src, dst, vid, max_iter, stats,
+                        checkpoint_dir)
     if method != "propagation":
         raise ValueError(f"unknown method {method!r}")
+    pin = _pinner(edges, checkpoint_dir)
     und = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
     ).unionByName(
@@ -188,11 +214,11 @@ def connected_components(
     # Materialize the edge list once: it is re-read every round, and the
     # upstream pair generation is itself a multi-shuffle job (id pairs
     # only — tiny relative to the corpus, cheap to pin).
-    und = und.localCheckpoint(eager=True)
+    und = pin(und)
     labels = vertices.select(
         F.col(vid).alias("n"), F.col(vid).cast("long").alias("label")
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = pin(labels)
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
@@ -204,11 +230,10 @@ def connected_components(
         neighbor = und.join(labels, "n").select(
             F.col("m").alias("n"), "label"
         )
-        new_labels = (
+        new_labels = pin(
             labels.unionByName(neighbor)
             .groupBy("n")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
@@ -254,19 +279,22 @@ def _cc_star(
     vid: str,
     max_iter: int,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Large-star/small-star alternation (Kiveris et al. 2014). The
     edge set converges to a star forest — every node directly attached
     to its component minimum — in O(log n) alternations; convergence is
     an EXACT edge-set equality check (count + subtract-empty), not a
-    checksum, so a non-converged return is impossible."""
-    e = (
+    checksum, so a non-converged return is impossible. Per-round
+    lineage pins honor ``checkpoint_dir`` (reliable checkpoints — see
+    :func:`_pinner`)."""
+    pin = _pinner(edges, checkpoint_dir)
+    e = pin(
         edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def large_star(ed: DataFrame) -> DataFrame:
@@ -312,7 +340,7 @@ def _cc_star(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
+        new_e = pin(small_star(large_star(e)))
         same_count = new_e.count() == e.count()
         if same_count and new_e.exceptAll(e).isEmpty():
             e = new_e

@@ -54,18 +54,35 @@ Design:
   against ``digests/`` (broadcast shard side) — the daily exact-dup
   gate that precedes LSH in a real pipeline.
 
-Cluster notes (local[32] here, 1000 executors in design): in
-production ``bands/`` would be written bucketed by ``bsig`` (Spark
-bucketed table) so repeated probes need no index-side shuffle even
-when the shard is too big to broadcast; with a broadcast shard the
-plan already touches each index partition exactly once. The builder
-clusters rows by (band, bsig) (repartition + sortWithinPartitions) so
-row-group stats stay tight for engines that runtime-filter.
+Cluster notes (local[32] here, 1000 executors in design): with a
+broadcast shard the plan touches each index partition exactly once
+(zero index-side shuffle, plan-audited). For shards too big to
+broadcast — a backfill, a merged week of crawls —
+``build_dedup_index(bucket_bands=N)`` writes ``bands/`` as a Spark
+BUCKETED table (``bucketBy(N, band, bsig)``, one file per bucket):
+the non-broadcast probe (``broadcast_shard=False``) then sort-merge
+-joins against the bucketed scan with the Exchange on the SHARD side
+only — the corpus-sized index is never shuffled, at any shard size
+(plan-audited in tests/test_incremental_dedup.py). The plain layout
+still clusters rows by (band, bsig) (repartition +
+sortWithinPartitions) so row-group stats stay tight.
+
+Crash discipline: ``mode="append"`` stages all three datasets under
+``_staging_<token>/`` and publishes them through a ``_pending_*.json``
+marker (per-file atomic renames); a crash anywhere leaves either a
+referenced-by-nothing staging dir (garbage-collected on next touch) or
+a marker whose publish is completed idempotently by
+:func:`repair_index`, which every entry point runs first. A torn
+append can therefore never serve a partially-indexed shard.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import shutil
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,6 +104,135 @@ from query_planner_optimizer_spark.operators.dedup import (
 #: exact-incremental driver entry (same convention as dedup._REP_SHADOW).
 RECRAWL_SHADOW = 10_000_000
 
+#: One-slot cache of the current probe's persisted shard-shingle frame
+#: (see incremental_minhash_pairs docstring — bounds cached blocks at
+#: one shard per process instead of accumulating per call).
+_SHARD_CACHE: list = []
+
+
+def _retire_previous_shard_cache(ds_s) -> None:
+    while _SHARD_CACHE:
+        prev = _SHARD_CACHE.pop()
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — session already gone is fine
+            pass
+    _SHARD_CACHE.append(ds_s)
+
+
+def _bucketspec_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "bands_bucketspec.json")
+
+
+def _load_bucketspec(index_dir: str) -> dict | None:
+    p = _bucketspec_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _bands_table_name(index_dir: str) -> str:
+    digest = hashlib.md5(
+        os.path.abspath(index_dir).encode()).hexdigest()[:12]
+    return f"qpo_bands_{digest}"
+
+
+def _ensure_bands_table(spark: SparkSession, index_dir: str,
+                        spec: dict) -> str:
+    """Session-catalog registration of the bucketed bands table. The
+    bucket layout lives in the FILES (bucket ids are encoded in the
+    part-file names Spark wrote); the catalog entry only re-declares
+    the spec, so a fresh session re-registers with one DDL and reads
+    the existing files bucketed."""
+    tbl = _bands_table_name(index_dir)
+    if not spark.catalog.tableExists(tbl):
+        path = os.path.abspath(os.path.join(index_dir, "bands"))
+        spark.sql(
+            f"CREATE TABLE {tbl} ({spec['schema_ddl']}) USING PARQUET "
+            f"CLUSTERED BY (band, bsig) SORTED BY (band, bsig) "
+            f"INTO {spec['buckets']} BUCKETS LOCATION '{path}'"
+        )
+    # Appends/compactions change the files under the table's location
+    # behind the catalog's back (rename-based publish) — drop any
+    # cached file listing before handing the table out.
+    spark.catalog.refreshTable(tbl)
+    return tbl
+
+
+def _write_bands_bucketed(bands_df: DataFrame, index_dir: str,
+                          path: str, n_buckets: int,
+                          table_name: str | None = None) -> None:
+    """Bucketed parquet write via saveAsTable (the only API that
+    stamps bucket ids into file names). ``repartition(n, keys)`` uses
+    the same hash partitioning as the bucket assignment, so each task
+    holds exactly one bucket → one file per bucket. Dropping a staging
+    table afterwards is metadata-only (external table, files kept)."""
+    spark = bands_df.sparkSession
+    tbl = table_name or _bands_table_name(index_dir)
+    if spark.catalog.tableExists(tbl):
+        spark.sql(f"DROP TABLE {tbl}")
+    (
+        bands_df.repartition(n_buckets, "band", "bsig")
+        .write.format("parquet")
+        .bucketBy(n_buckets, "band", "bsig")
+        .sortBy("band", "bsig")
+        .option("path", os.path.abspath(path))
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+
+
+def repair_index(index_dir: str) -> None:
+    """Complete or garbage-collect a torn append (crash mid-publish).
+
+    Invariants the staged-append protocol gives us: a ``_pending_*``
+    marker is written only AFTER all staged files are fully on disk,
+    and every marker lists exactly the files to publish. So on entry:
+    (1) for each marker, finish its publish idempotently — each listed
+    file is renamed into the live dataset unless it already arrived;
+    (2) any ``_staging_*`` dir with no surviving marker is pre-marker
+    garbage (referenced by nothing) and is removed. Every read/build
+    entry point calls this first, so a broken index heals on next
+    touch instead of silently serving a partially-indexed shard."""
+    if not os.path.isdir(index_dir):
+        return
+    for name in sorted(os.listdir(index_dir)):
+        if not (name.startswith("_pending_") and name.endswith(".json")):
+            continue
+        marker = os.path.join(index_dir, name)
+        with open(marker) as f:
+            plan = json.load(f)
+        stg_root = os.path.join(index_dir, plan["staging"])
+        for dataset, files in plan["files"].items():
+            live = os.path.join(index_dir, dataset)
+            os.makedirs(live, exist_ok=True)
+            for fn in files:
+                dst = os.path.join(live, fn)
+                if os.path.exists(dst):
+                    continue  # published before the crash
+                src = os.path.join(stg_root, dataset, fn)
+                if not os.path.exists(src):
+                    raise RuntimeError(
+                        f"torn append in {index_dir}: {dataset}/{fn} is "
+                        f"in neither staging nor the live dataset — the "
+                        f"index needs a rebuild"
+                    )
+                os.rename(src, dst)
+        shutil.rmtree(stg_root, ignore_errors=True)
+        os.remove(marker)
+    for name in os.listdir(index_dir):
+        if name.startswith("_staging_"):
+            # No marker references it (all markers were just consumed):
+            # a crash before the marker write — safe to drop.
+            shutil.rmtree(os.path.join(index_dir, name),
+                          ignore_errors=True)
+
+
+def _data_files(path: str) -> list[str]:
+    return [f for f in os.listdir(path)
+            if not f.startswith(("_", "."))]
+
 
 def build_dedup_index(
     df: DataFrame,
@@ -99,6 +245,7 @@ def build_dedup_index(
     portable: bool = False,
     mode: str = "overwrite",
     write_shingles: bool = True,
+    bucket_bands: int | None = None,
 ) -> None:
     """Persist the corpus dedup index (bands/ shingles/ digests/).
 
@@ -114,12 +261,30 @@ def build_dedup_index(
     digests as ``digests/``. The corpus text itself is never written —
     the index carries only longs / hex strings.
 
+    ``bucket_bands=N`` writes ``bands/`` as a Spark BUCKETED table
+    (``bucketBy(N, band, bsig)``) instead of the clustered plain
+    layout: the non-broadcast probe then joins with zero index-side
+    shuffle (see module docstring). The spec is recorded in
+    ``bands_bucketspec.json`` so appends keep the layout and probes in
+    a fresh session re-register the table.
+
     ``mode="append"`` is how :func:`append_shard_to_index` folds a
-    processed shard in; zstd + snappy-default parquet, clustered by the
-    probe key so bucket rows for one (band, bsig) are contiguous.
+    processed shard in. Appends are CRASH-SAFE: all three datasets are
+    staged completely, then published through a marker file with
+    per-file renames — :func:`repair_index` (run by every entry point)
+    completes a torn publish idempotently, so the index never serves a
+    shard whose bands arrived but whose digests didn't.
     """
     named = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     ds = _doc_shingle_hashes(named, "doc_id", "text", n, portable=portable)
+    digests_df = named.select(
+        F.sha2(F.col("text"), 256).alias("content_hash"), F.col("doc_id")
+    )
+    if mode == "append":
+        repair_index(index_dir)
+        _staged_append(ds, digests_df, index_dir, k, bands,
+                       portable=portable, write_shingles=write_shingles)
+        return
     # The banded frame re-reads ds lineage; at index-build scale that is
     # one extra tokenize pass over the shard/corpus being indexed —
     # persist to pay it once (arrays of longs, far smaller than text).
@@ -128,22 +293,93 @@ def build_dedup_index(
         if write_shingles:
             ds.write.mode(mode).parquet(
                 os.path.join(index_dir, "shingles"))
-        (
-            banded_signature_frame(ds, k, bands, portable=portable)
-            .repartition("band", "bsig")
-            .sortWithinPartitions("band", "bsig")
-            .write.mode(mode)
-            .parquet(os.path.join(index_dir, "bands"))
-        )
+        bands_df = banded_signature_frame(ds, k, bands, portable=portable)
+        if bucket_bands is not None:
+            _write_bands_bucketed(
+                bands_df, index_dir,
+                os.path.join(index_dir, "bands"), bucket_bands)
+            schema_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in bands_df.schema.fields
+            )
+            with open(_bucketspec_path(index_dir), "w") as f:
+                json.dump({"buckets": bucket_bands,
+                           "cols": ["band", "bsig"],
+                           "schema_ddl": schema_ddl}, f)
+        else:
+            if os.path.exists(_bucketspec_path(index_dir)):
+                # overwrite rebuild back to the plain layout: drop the
+                # stale spec so probes don't read a non-bucketed dir as
+                # a bucketed table
+                os.remove(_bucketspec_path(index_dir))
+            (
+                bands_df
+                .repartition("band", "bsig")
+                .sortWithinPartitions("band", "bsig")
+                .write.mode(mode)
+                .parquet(os.path.join(index_dir, "bands"))
+            )
     finally:
         ds.unpersist()
-    (
-        named.select(
-            F.sha2(F.col("text"), 256).alias("content_hash"), F.col("doc_id")
-        )
-        .write.mode(mode)
-        .parquet(os.path.join(index_dir, "digests"))
-    )
+    digests_df.write.mode(mode).parquet(os.path.join(index_dir, "digests"))
+
+
+def _staged_append(
+    ds: DataFrame,
+    digests_df: DataFrame,
+    index_dir: str,
+    k: int,
+    bands: int,
+    portable: bool,
+    write_shingles: bool,
+) -> None:
+    """Crash-safe shard append: stage bands/shingles/digests completely
+    under ``_staging_<token>/``, write the ``_pending_<token>.json``
+    marker (the commit point), then publish via :func:`repair_index`'s
+    idempotent per-file renames. If the live index is bucketed, the
+    staged bands are written with the SAME bucket spec (bucket ids are
+    carried in the file names, so renamed files keep their buckets)."""
+    spark = ds.sparkSession
+    token = uuid.uuid4().hex[:12]
+    stg_name = f"_staging_{token}"
+    stg_root = os.path.join(index_dir, stg_name)
+    spec = _load_bucketspec(index_dir)
+    ds = ds.persist()
+    try:
+        datasets = []
+        if write_shingles and os.path.isdir(
+                os.path.join(index_dir, "shingles")):
+            ds.write.mode("overwrite").parquet(
+                os.path.join(stg_root, "shingles"))
+            datasets.append("shingles")
+        bands_df = banded_signature_frame(ds, k, bands, portable=portable)
+        if spec is not None:
+            stg_tbl = f"{_bands_table_name(index_dir)}_stg_{token}"
+            _write_bands_bucketed(
+                bands_df, index_dir, os.path.join(stg_root, "bands"),
+                spec["buckets"], table_name=stg_tbl)
+            spark.sql(f"DROP TABLE {stg_tbl}")
+        else:
+            (
+                bands_df.repartition("band", "bsig")
+                .sortWithinPartitions("band", "bsig")
+                .write.mode("overwrite")
+                .parquet(os.path.join(stg_root, "bands"))
+            )
+        datasets.append("bands")
+    finally:
+        ds.unpersist()
+    digests_df.write.mode("overwrite").parquet(
+        os.path.join(stg_root, "digests"))
+    datasets.append("digests")
+    files = {name: _data_files(os.path.join(stg_root, name))
+             for name in datasets}
+    marker = os.path.join(index_dir, f"_pending_{token}.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"staging": stg_name, "files": files}, f)
+    os.replace(tmp, marker)  # commit point
+    repair_index(index_dir)
 
 
 def incremental_minhash_pairs(
@@ -173,21 +409,39 @@ def incremental_minhash_pairs(
 
     ``broadcast_shard`` (default True): a daily shard ≪ corpus, so the
     shard's banded frame and shingle arrays broadcast — the index scan
-    never shuffles. Pass False when the shard itself is huge; the join
-    degrades gracefully to a shuffled hash join on (band, bsig).
+    never shuffles. Pass False when the shard itself is too big to
+    broadcast (a backfill): on a BUCKETED index (``build_dedup_index
+    (bucket_bands=N)``) the probe sort-merge-joins the bucketed scan
+    with the Exchange on the shard side only — STILL zero index-side
+    shuffle; on a plain index it degrades to a shuffled hash join.
+
+    Cache lifetime: the shard shingle frame is persisted eagerly
+    (candidate generation + verification both consume it) and held in
+    a one-slot module cache — each call unpersists the PREVIOUS call's
+    shard, so repeated daily/bench invocations in one process bound
+    cached shard blocks at one shard instead of accumulating. A caller
+    still holding the previous call's un-materialized result simply
+    recomputes the (shard-sized) lineage.
     """
+    repair_index(index_dir)
     named = shard.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     ds_s = _doc_shingle_hashes(named, "doc_id", "text", n, portable=portable)
     # Candidate generation + verification both consume the shard arrays;
-    # eager persist (same rationale as minhash_lsh_pairs).
+    # eager persist (same rationale as minhash_lsh_pairs), one-slot
+    # lifetime (see docstring).
     ds_s = ds_s.persist()
+    _retire_previous_shard_cache(ds_s)
     ds_s.count()
     probe = banded_signature_frame(ds_s, k, bands, portable=portable)
     if broadcast_shard:
         probe = F.broadcast(probe)
-    idx = spark.read.parquet(os.path.join(index_dir, "bands"))
+    spec = _load_bucketspec(index_dir)
+    if not broadcast_shard and spec is not None:
+        idx = spark.table(_ensure_bands_table(spark, index_dir, spec))
+    else:
+        idx = spark.read.parquet(os.path.join(index_dir, "bands"))
     cand = (
         idx.alias("c")
         .join(
@@ -230,6 +484,7 @@ def incremental_exact_dups(
     ``digests/`` — the corpus side streams through one map-side join,
     then a candidate-proportional min-aggregation picks the keeper.
     """
+    repair_index(index_dir)
     sh = shard.select(
         F.sha2(F.col(text_col), 256).alias("content_hash"),
         F.col(id_col).alias("shard_id"),
@@ -291,31 +546,76 @@ def ingest_gate(
     ).select("doc_id", "content_hash")
 
 
+def _repair_swap_leftovers(src: str) -> None:
+    """Heal the artifacts of a crashed staged-swap (compact/retrain
+    style: write ``src.compact``, rename ``src``→``src.old``, rename
+    staged→``src``, rm old). Cases: (a) ``.old`` exists and ``src`` is
+    missing — crashed BETWEEN the two renames, the dangerous window:
+    restore the old dataset; (b) ``.old`` and ``src`` both exist —
+    crashed before the final cleanup: the swap completed, drop the old
+    copy; (c) ``.compact`` exists alongside ``src`` — crashed before
+    or during the first rename: the staged copy may be incomplete,
+    drop it (the next compaction rebuilds it)."""
+    old, staged = src + ".old", src + ".compact"
+    if os.path.exists(old) and not os.path.exists(src):
+        os.rename(old, src)
+    elif os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(staged):
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def compact_index(spark: SparkSession, index_dir: str,
                   target_files: int = 8) -> None:
     """Parquet-maintenance job for an append-grown index: rewrite each
     dataset into ``target_files`` files (bands re-clustered by the
-    probe key). Append-only ingestion (append_shard_to_index) produces
-    one small file set per day; compaction restores scan efficiency
-    without touching semantics — rebuild-equality pinned in tests
-    (probe results bit-identical before/after). Staged write +
-    atomic-ish swap so a crash mid-compaction leaves either the old or
-    the new dataset, never a mix."""
-    import shutil
+    probe key; a BUCKETED bands dataset is rewritten with its recorded
+    bucket spec instead — one file per bucket). Append-only ingestion
+    (append_shard_to_index) produces one small file set per day;
+    compaction restores scan efficiency without touching semantics —
+    rebuild-equality pinned in tests (probe results bit-identical
+    before/after).
 
+    Crash discipline: staged write, then a two-rename swap per
+    dataset. Each dataset is atomic-per-rename, but a crash BETWEEN
+    the renames briefly leaves the dataset absent at ``src`` — that
+    window (and a crash before the final cleanup) is healed on the
+    next compact/repair entry by :func:`_repair_swap_leftovers`, which
+    restores the ``.old`` copy or finishes the cleanup instead of
+    silently skipping the dataset."""
+    repair_index(index_dir)
+    spec = _load_bucketspec(index_dir)
     for name, cluster in (("bands", ("band", "bsig")),
                           ("shingles", ()), ("digests", ())):
         src = os.path.join(index_dir, name)
+        _repair_swap_leftovers(src)
         if not os.path.exists(src):
             continue
-        df = spark.read.parquet(src)
-        if cluster:
-            df = df.repartition(target_files, *cluster) \
-                   .sortWithinPartitions(*cluster)
-        else:
-            df = df.repartition(target_files)
         staged = src + ".compact"
-        df.write.mode("overwrite").parquet(staged)
+        if name == "bands" and spec is not None:
+            # Rewrite with the same bucket spec (bucket ids live in the
+            # file names, so the swapped-in files stay a valid bucketed
+            # table at the same location). The live table's metadata
+            # only records path + spec — both unchanged by the swap.
+            # Read the FILES, not the table: reading via the bucketed
+            # table makes Catalyst drop the aligning repartition as
+            # redundant (the metadata "satisfies" it) while the
+            # bucketed scan itself is auto-disabled for a plain write,
+            # leaving arbitrary partitions that each split per bucket —
+            # files-per-bucket would GROW instead of compacting.
+            stg_tbl = _bands_table_name(index_dir) + "_compact"
+            df = spark.read.parquet(src)
+            _write_bands_bucketed(df, index_dir, staged,
+                                  spec["buckets"], table_name=stg_tbl)
+            spark.sql(f"DROP TABLE {stg_tbl}")
+        else:
+            df = spark.read.parquet(src)
+            if cluster:
+                df = df.repartition(target_files, *cluster) \
+                       .sortWithinPartitions(*cluster)
+            else:
+                df = df.repartition(target_files)
+            df.write.mode("overwrite").parquet(staged)
         old = src + ".old"
         os.rename(src, old)
         os.rename(staged, src)
@@ -409,6 +709,7 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     recomputes every cell from the corpus definition in SQL, so this
     doubles as an end-to-end check that the index write path loses /
     duplicates nothing."""
+    repair_index(index_dir)
     bands = spark.read.parquet(os.path.join(index_dir, "bands"))
     shingles = spark.read.parquet(os.path.join(index_dir, "shingles"))
     digests = spark.read.parquet(os.path.join(index_dir, "digests"))
@@ -469,6 +770,34 @@ def q_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = _docs(spark, sf_dir).filter(_shard_pred())
     return incremental_minhash_pairs(
         spark, shard, idx, threshold=0.2, portable=True
+    )
+
+
+_BUCKETED_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BACKFILL physical path onto the same cross-pairs oracle as
+    dedup_incremental_shard: a BUCKETED band index (bucketBy(8, band,
+    bsig) saved table) probed with ``broadcast_shard=False`` — the
+    sort-merge join shuffles the shard side only; zero index-side
+    shuffle (plan pinned in tests/test_incremental_dedup.py). Third
+    physical plan, one hash-checked answer (the cc/cc_star and
+    sim_incremental_* precedent)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _BUCKETED_INDEX_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="qpo_dedup_bktindex_")
+        build_dedup_index(
+            _docs(spark, sf_dir).filter(_corpus_pred()), d,
+            portable=True, bucket_bands=8,
+        )
+        _BUCKETED_INDEX_CACHE[key] = d
+    shard = _docs(spark, sf_dir).filter(_shard_pred())
+    return incremental_minhash_pairs(
+        spark, shard, _BUCKETED_INDEX_CACHE[key], threshold=0.2,
+        portable=True, broadcast_shard=False,
     )
 
 
@@ -546,6 +875,7 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry_queries() -> dict[str, Callable]:
     return {
         "dedup_incremental_shard": q_incremental_shard,
+        "dedup_incremental_bucketed": q_incremental_bucketed,
         "dedup_incremental_exact": q_incremental_exact,
         "dedup_index_stats": q_index_stats,
         "dedup_incremental_append": q_incremental_append,
@@ -686,6 +1016,9 @@ def entry_oracles() -> dict[str, str]:
     """
     return {
         "dedup_incremental_shard": incr_shard,
+        # bucketed saved-table index + non-broadcast SMJ probe: a
+        # different physical plan computing the same cross pairs
+        "dedup_incremental_bucketed": incr_shard,
         "dedup_incremental_exact": incr_exact,
         "dedup_index_stats": stats,
         "dedup_incremental_append": incr_append,

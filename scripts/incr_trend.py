@@ -70,6 +70,57 @@ def main() -> int:
         n_c, n_s = corpus.count(), shard.count()
         print(f"| {n_c} | {n_s} | {build_s:.1f} | {min(times):.2f} "
               f"| {pairs} |", flush=True)
+
+    # ---- bucketed index, NON-broadcast probe (the backfill case) ----
+    # A merged/backfill shard too big to broadcast (banded frame +
+    # shingle arrays ≫ the 10 MB default broadcast threshold) probes a
+    # bucketBy(16, band, bsig) index with broadcast_shard=False: the
+    # sort-merge join shuffles the SHARD side only (plan-audited in
+    # tests). Two claims measured: (a) probe time stays flat as the
+    # CORPUS/index grows 9× under a fixed big shard; (b) at a fixed
+    # corpus, probe time is proportional to the SHARD.
+    print("", flush=True)
+    print("bucketed bands (16 buckets), broadcast_shard=False:",
+          flush=True)
+    print("| corpus docs | shard docs | build s | probe s (min of 2) "
+          "| pairs |", flush=True)
+    print("|---|---|---|---|---|", flush=True)
+
+    def big_shard(docs, corpus, mod):
+        # fresh docs (even ids < 40k at mod density) + re-crawls
+        return docs.filter((F.col("doc_id") % mod == 0)
+                           & (F.col("doc_id") < 40_000)).unionByName(
+            corpus.filter((F.col("doc_id") % 7 == 1)
+                          & (F.col("doc_id") < 40_000)).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        )
+
+    def probe_row(docs, corpus, shard):
+        d = tempfile.mkdtemp(prefix="qpo_incr_bkt_trend_")
+        t0 = time.perf_counter()
+        inc.build_dedup_index(corpus, d, bucket_bands=16)
+        build_s = time.perf_counter() - t0
+        times, pairs = [], None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pairs = inc.incremental_minhash_pairs(
+                spark, shard, d, threshold=0.2,
+                broadcast_shard=False).count()
+            times.append(time.perf_counter() - t0)
+        print(f"| {corpus.count()} | {shard.count()} | {build_s:.1f} "
+              f"| {min(times):.2f} | {pairs} |", flush=True)
+
+    # (a) fixed big shard (~20k fresh + ~0.7k re-crawl), corpus 1x/3x/9x
+    for n in SCALES:
+        docs = synth_docs(spark, n)
+        corpus = docs.filter(F.col("doc_id") % 8 != 0)
+        probe_row(docs, corpus, big_shard(docs, corpus, mod=2))
+
+    # (b) fixed corpus (3x), shard 5k → 10k → 20k
+    docs = synth_docs(spark, SCALES[1])
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    for mod in (8, 4, 2):
+        probe_row(docs, corpus, big_shard(docs, corpus, mod=mod))
     return 0
 
 

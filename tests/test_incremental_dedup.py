@@ -301,19 +301,21 @@ def test_ann_append_freezes_centroids_and_adds_postings(spark, emb):
     shard = emb.filter(F.col("vec_id") % 8 == 0)
     d = tempfile.mkdtemp(prefix="qpo_ann_append_")
     S.build_ann_index(corpus, d)
+    cents_path, posts_path = S.ann_paths(d)
     cents_before = sorted(map(tuple, spark.read.parquet(
-        os.path.join(d, "centroids")).select("cell", "c_norm").collect()))
-    n_before = spark.read.parquet(os.path.join(d, "postings")).count()
+        cents_path).select("cell", "c_norm").collect()))
+    n_before = spark.read.parquet(posts_path).count()
     S.append_to_ann_index(spark, shard, d)
+    assert S.ann_paths(d) == (cents_path, posts_path)  # same version
     cents_after = sorted(map(tuple, spark.read.parquet(
-        os.path.join(d, "centroids")).select("cell", "c_norm").collect()))
-    n_after = spark.read.parquet(os.path.join(d, "postings")).count()
+        cents_path).select("cell", "c_norm").collect()))
+    n_after = spark.read.parquet(posts_path).count()
     assert cents_before == cents_after          # no re-train on append
     assert n_before == corpus.count()
     assert n_after == n_before + shard.count()  # exactly the shard added
     # every posting lands in exactly one cell (no dup/loss through the
     # append): ids unique across the postings dataset
-    posts = spark.read.parquet(os.path.join(d, "postings"))
+    posts = spark.read.parquet(posts_path)
     assert posts.select("id").distinct().count() == n_after
 
 
@@ -350,18 +352,22 @@ def test_ann_retrain_full_probe_invariant(spark, emb):
     q = emb.filter(F.col("vec_id") < 15)
     before = sorted(map(tuple, S.ann_index_topk(
         spark, q, d, nprobe=S.IVF_NLIST).collect()))
-    cents_before = spark.read.parquet(
-        os.path.join(d, "centroids")).collect()
-    n_before = spark.read.parquet(os.path.join(d, "postings")).count()
+    cents_path0, posts_path0 = S.ann_paths(d)
+    cents_before = spark.read.parquet(cents_path0).collect()
+    n_before = spark.read.parquet(posts_path0).count()
     S.retrain_ann_index(spark, d)
     after = sorted(map(tuple, S.ann_index_topk(
         spark, q, d, nprobe=S.IVF_NLIST).collect()))
     assert before == after and len(after) > 0
-    posts = spark.read.parquet(os.path.join(d, "postings"))
+    cents_path1, posts_path1 = S.ann_paths(d)
+    # retrain publishes a NEW version and flips the pointer atomically;
+    # the old version dir is gone (no stale generation to mis-pair)
+    assert posts_path1 != posts_path0
+    assert not os.path.exists(os.path.dirname(posts_path0))
+    posts = spark.read.parquet(posts_path1)
     assert posts.count() == n_before
     assert posts.select("id").distinct().count() == n_before
-    cents_after = spark.read.parquet(
-        os.path.join(d, "centroids")).collect()
+    cents_after = spark.read.parquet(cents_path1).collect()
     # re-training over corpus+shard moves at least one centroid (the
     # original training never saw the shard)
     assert sorted(map(tuple, cents_before)) != sorted(
@@ -400,3 +406,183 @@ def test_daily_ingest_classification(spark, docs):
         assert row["match_id"] == cand["corpus_id"]
         assert abs(row["score"] - cand["jaccard"]) < 1e-9
     assert rep[rep["status"] == "new"]["match_id"].isna().all()
+
+
+# ---- bucketed band index (non-broadcast probe path) ------------------------
+
+
+def test_bucketed_probe_no_index_side_shuffle(spark, docs):
+    """The 100-TB backfill case: a shard too big to broadcast probes a
+    BUCKETED bands table with a sort-merge join whose Exchange is on
+    the SHARD side only — the corpus-sized index is scanned bucketed
+    (SelectedBucketsCount in the scan) and never shuffled. Results
+    must be bit-identical to the broadcast probe on a plain index."""
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d_plain = tempfile.mkdtemp(prefix="qpo_incr_plainidx_")
+    d_bkt = tempfile.mkdtemp(prefix="qpo_incr_bktidx_")
+    inc.build_dedup_index(corpus, d_plain)
+    inc.build_dedup_index(corpus, d_bkt, bucket_bands=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = inc.incremental_minhash_pairs(
+            spark, shard, d_bkt, threshold=0.2, broadcast_shard=False)
+        rows = sorted(map(tuple, got.collect()))
+        # Plan audit on the candidate-only probe (the join under test):
+        cand = inc.incremental_minhash_pairs(
+            spark, shard, d_bkt, threshold=0.2, broadcast_shard=False,
+            verify=False)
+        cand.collect()  # finalize AQE
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount" in plan  # index scanned bucketed
+        # Same candidate plan on the PLAIN index shuffles BOTH sides;
+        # the bucketed plan must have exactly one fewer exchange (the
+        # index side's) — the zero-index-side-shuffle claim, counted.
+        cand_plain = inc.incremental_minhash_pairs(
+            spark, shard, d_plain, threshold=0.2, broadcast_shard=False,
+            verify=False)
+        cand_plain.collect()
+        plan_plain = cand_plain._jdf.queryExecution() \
+            .executedPlan().toString()
+        # toString of an AdaptiveSparkPlan repeats the tree under
+        # "== Initial Plan ==" — count exchanges in the FINAL plan only.
+        n_bkt = plan.split("== Initial Plan ==")[0] \
+            .count("Exchange hashpartitioning")
+        n_plain = plan_plain.split("== Initial Plan ==")[0] \
+            .count("Exchange hashpartitioning")
+        assert n_bkt == n_plain - 1, (n_bkt, n_plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    want = sorted(map(tuple, inc.incremental_minhash_pairs(
+        spark, shard, d_plain, threshold=0.2).collect()))
+    assert rows == want and len(rows) > 0
+
+
+def test_bucketed_append_and_compact_preserve_results(spark, docs):
+    """Appends to a bucketed index keep the bucket layout (staged
+    bucketed write, renamed files keep their bucket ids) and
+    compaction rewrites it with the same spec — probe results
+    bit-identical throughout, non-broadcast path included."""
+    gen = F.col("doc_id") % 8
+    corpus = docs.filter((gen != 0) & (gen != 4))
+    s1 = docs.filter(gen == 0)
+    s2 = docs.filter(gen == 4)
+    d = tempfile.mkdtemp(prefix="qpo_incr_bktappend_")
+    inc.build_dedup_index(corpus, d, bucket_bands=4)
+    inc.append_shard_to_index(s1, d)
+    want = sorted(map(tuple, inc.incremental_minhash_pairs(
+        spark, s2, d, threshold=0.2).collect()))
+    got_sm = sorted(map(tuple, inc.incremental_minhash_pairs(
+        spark, s2, d, threshold=0.2, broadcast_shard=False).collect()))
+    assert got_sm == want and len(want) > 0
+    inc.compact_index(spark, d)
+    after = sorted(map(tuple, inc.incremental_minhash_pairs(
+        spark, s2, d, threshold=0.2, broadcast_shard=False).collect()))
+    assert after == want
+    # compaction left one file per bucket, bucket ids in the names
+    files = [f for f in os.listdir(os.path.join(d, "bands"))
+             if f.endswith(".parquet")]
+    assert len(files) == 4
+
+
+# ---- crash-safety: torn append + crashed compaction swap -------------------
+
+
+def test_torn_append_is_repaired_on_next_touch(spark, docs, monkeypatch):
+    """Crash after the marker write but before any publish: the next
+    entry-point call must complete the publish idempotently and the
+    probe must see the whole shard — never bands without digests."""
+    gen = F.col("doc_id") % 8
+    corpus = docs.filter((gen != 0) & (gen != 4))
+    s1 = docs.filter(gen == 0)
+    s2 = docs.filter(gen == 4)
+    d = tempfile.mkdtemp(prefix="qpo_incr_torn_")
+    inc.build_dedup_index(corpus, d)
+    # Simulate the crash: stage + marker, but suppress the publish.
+    monkeypatch.setattr(inc, "repair_index", lambda _d: None)
+    inc.append_shard_to_index(s1, d)
+    monkeypatch.undo()
+    markers = [f for f in os.listdir(d) if f.startswith("_pending_")]
+    stagings = [f for f in os.listdir(d) if f.startswith("_staging_")]
+    assert len(markers) == 1 and len(stagings) == 1
+    # Partially publish one bands file by hand (crash mid-publish).
+    with open(os.path.join(d, markers[0])) as f:
+        import json as _json
+        plan = _json.load(f)
+    first = plan["files"]["bands"][0]
+    os.rename(os.path.join(d, plan["staging"], "bands", first),
+              os.path.join(d, "bands", first))
+    # Next probe heals the index and sees corpus ∪ s1.
+    got = sorted(map(tuple, inc.incremental_minhash_pairs(
+        spark, s2, d, threshold=0.2).collect()))
+    assert not [f for f in os.listdir(d) if f.startswith(("_pending_",
+                                                          "_staging_"))]
+    d_ref = tempfile.mkdtemp(prefix="qpo_incr_torn_ref_")
+    inc.build_dedup_index(corpus.unionByName(s1), d_ref)
+    want = sorted(map(tuple, inc.incremental_minhash_pairs(
+        spark, s2, d_ref, threshold=0.2).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_compact_crash_between_renames_is_restored(spark, docs):
+    """The ADVICE-flagged window: a crash between os.rename(src, old)
+    and os.rename(staged, src) leaves the dataset MISSING at src. A
+    re-run of compact_index must restore it (not skip it) and finish
+    the compaction with probe results intact."""
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d = tempfile.mkdtemp(prefix="qpo_incr_crashcompact_")
+    inc.build_dedup_index(corpus, d)
+    want = sorted(map(tuple, inc.incremental_minhash_pairs(
+        spark, shard, d, threshold=0.2).collect()))
+    # Crash state (a): src renamed away, staged copy incomplete/absent.
+    src = os.path.join(d, "digests")
+    os.rename(src, src + ".old")
+    assert not os.path.exists(src)
+    inc.compact_index(spark, d, target_files=1)
+    assert os.path.exists(src)
+    got = sorted(map(tuple, inc.incremental_minhash_pairs(
+        spark, shard, d, threshold=0.2).collect()))
+    assert got == want
+    # Crash state (b): stale .compact + completed swap leftovers heal too.
+    os.makedirs(os.path.join(d, "bands.compact"), exist_ok=True)
+    os.makedirs(os.path.join(d, "bands.old"), exist_ok=True)
+    inc.compact_index(spark, d, target_files=1)
+    assert not os.path.exists(os.path.join(d, "bands.compact"))
+    assert not os.path.exists(os.path.join(d, "bands.old"))
+    got2 = sorted(map(tuple, inc.incremental_minhash_pairs(
+        spark, shard, d, threshold=0.2).collect()))
+    assert got2 == want
+
+
+# ---- ANN postings partition pruning ----------------------------------------
+
+
+def test_ann_pruned_probe_reads_only_probed_cells(spark, emb):
+    """nprobe < nlist must PARTITION-PRUNE the postings scan: the
+    executed plan's postings FileScan carries a PartitionFilters entry
+    on cell, and the number of scanned partitions is bounded by the
+    probed-cell union — at 100 TB this is reading nprobe/nlist of the
+    index instead of all of it."""
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    d = tempfile.mkdtemp(prefix="qpo_ann_prune_")
+    S.build_ann_index(emb, d)
+    got = S.ann_index_topk(
+        spark, emb.filter(F.col("vec_id") < 10), d, nprobe=4)
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the postings scan must carry a non-empty partition filter on cell
+    import re
+    pf = [m for m in re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+          if "cell" in m]
+    assert pf, plan
+    # full probe (nprobe == nlist) stays provably brute-force
+    full = S.ann_index_topk(
+        spark, emb.filter(F.col("vec_id") < 10), d, nprobe=S.IVF_NLIST)
+    want = S.cosine_topk(emb, num_queries=10)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, want.collect()))

@@ -3,6 +3,8 @@ oracle-checked where SQL-expressible, semantics-checked otherwise."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1249,3 +1251,85 @@ def test_split_leakage_report_semantics(spark):
         assert r.n_splits == len(set(r.splits.split(",")))
         assert r.n_splits > 1
         assert r.splits == ",".join(sorted(r.splits.split(",")))
+
+
+def test_reliable_checkpoint_survives_block_loss(spark, tmp_path):
+    """The cluster-deployment knob (checkpoint_dir=) must make the CC
+    loop survive losing every cached block — the executor-failure mode
+    that destroys a localCheckpoint-pinned loop (its lineage is
+    truncated, so lost blocks are unrecomputable). Kill-test: drop all
+    persistent RDD blocks created by each variant, then re-read."""
+    sc = spark.sparkContext
+
+    def new_rdd_ids(before):
+        jmap = sc._jsc.getPersistentRDDs()
+        return {int(r) for r in jmap.keySet().toArray()} - before
+
+    def drop(ids):
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            if int(rid) in ids:
+                jmap.get(rid).unpersist(True)
+
+    def snapshot():
+        return {int(r)
+                for r in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    df = spark.range(0, 5000).selectExpr("id", "id % 7 AS g")
+
+    # (a) localCheckpoint CANNOT survive: blocks gone → unrecomputable.
+    before = snapshot()
+    lc = df.localCheckpoint(eager=True)
+    assert lc.count() == 5000
+    drop(new_rdd_ids(before))
+    with pytest.raises(Exception, match="(?i)checkpoint|block"):
+        lc.count()
+
+    # (b) the reliable-checkpoint CC run survives the same kill and
+    # matches the default run's labels exactly.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)]       # 20 two-node comps
+        + [(100, 101), (101, 102), (102, 103)],      # one chain
+        "doc_a long, doc_b long",
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in range(0, 42)] + [(i,) for i in range(100, 104)]
+        + [(999,)],                                  # singleton
+        "doc_id long",
+    )
+    want = sorted(map(tuple, dedup.connected_components(
+        edges, verts).collect()))
+    ckpt = str(tmp_path / "cc_ckpt")
+    before = snapshot()
+    got_df = dedup.connected_components(
+        edges, verts, checkpoint_dir=ckpt)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+    # reliable checkpoint files actually exist on disk
+    files = [os.path.join(r, f) for r, _d, fs in os.walk(ckpt) for f in fs]
+    assert files, "no reliable checkpoint data written"
+    drop(new_rdd_ids(before))
+    assert sorted(map(tuple, got_df.collect())) == want  # survives
+
+    # star method honors the knob too
+    got_star = sorted(map(tuple, dedup.connected_components(
+        edges, verts, method="star",
+        checkpoint_dir=str(tmp_path / "cc_ckpt_star")).collect()))
+    assert got_star == want
+
+
+def test_multiprobe_beats_single_probe(emb):
+    """The 1-bit probe fan-out must (a) keep every single-probe
+    candidate (the 0-flip key is always probed, so per-query best sim
+    can only improve) and (b) clear the quantified recall gate,
+    including structural dominance over single-probe."""
+    single = similarity.lsh_topk(emb).toPandas()
+    multi = similarity.lsh_multiprobe_topk(emb).toPandas()
+    s_best = single[single["rank"] == 1].set_index("qid")["sim"]
+    m_best = multi[multi["rank"] == 1].set_index("qid")["sim"]
+    for qid, s in s_best.items():
+        assert m_best.get(qid, -1.0) >= s - 1e-12
+    row = similarity.multiprobe_recall_summary(emb).collect()[0]
+    assert row.n_queries == 20
+    assert row.avg_recall_ge_80 and row.min_recall_ge_40
+    assert row.multi_ge_single_avg
