@@ -2710,73 +2710,76 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-13 window (r12 VERDICT #1: continue the rotation).
-    # -- Composition: 3 r13-new entries (never driver-checked) + ALL
-    # -- 46 entries whose latest driver green is r8 (recomputed this
-    # -- round by replaying CORRECTNESS_r01-r12 against the registry:
-    # -- histogram r8=46, r9=46, r10=45, r11=50, r12=50,
-    # -- never-checked=0) + the first r9-green entry in registry order
-    # -- (dsl_groupby_sum) to fill the 50th slot. After this round no
-    # -- registry entry's latest driver green is older than r9 —
-    # -- exactly the r12 gate.
-    # -- r13-new: incremental shard-vs-corpus dedup family
-    # -- (operators/incremental.py — persisted band-bucket/digest
-    # -- index a daily shard joins against; VERDICT r12 ask #3).
-    # -- 4 new + 46 r8 = 50 exactly; the planned r9 refresh
-    # -- (dsl_groupby_sum, first r9 entry in registry order) is bumped
-    # -- to r14 by the append entry — the rotation gate (nothing older
-    # -- than r9 after r13) is unaffected.
-    "dedup_incremental_shard",
-    "dedup_incremental_exact",
-    "dedup_index_stats",
-    "dedup_incremental_append",
-    # -- r8-green (the full stale cohort, registry order) --
-    "dsl_join_revenue_by_nation",
-    "dsl_join_anti_inactive_customers",
-    "dsl_join_semi_orders_with_lineitems",
-    "dsl_tpch_q1_full",
-    "dsl_window_rank_running",
-    "dsl_window_first_last",
-    "dsl_exists_lineitem",
-    "dsl_not_exists_customers",
-    "dsl_window_range_frame",
-    "dsl_window_nth_value",
-    "dsl_scalar_subquery_above_avg",
-    "dsl_tpch_q3_shipping_priority",
-    "dsl_tpch_q5_local_supplier_volume",
-    "dsl_tpch_q6_forecast_revenue",
-    "dsl_tpch_q10_returned_items",
-    "dsl_tpch_q12_priority_split",
-    "dsl_pricing_summary",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cc_star",
-    "dedup_ngram_novelty",
-    "sim_lsh_topk",
-    "dedup_embedding_cosine_lsh",
-    "sim_ivf_topk",
-    "dedup_embedding_lsh_quality",
-    "text_oov_ratio",
-    "text_token_count",
-    "text_fingerprint",
-    "text_token_vocab",
-    "text_repetition",
-    "stream_enrich_dim",
-    "stream_sliding_rollup",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_funnel",
-    "analytics_json_props",
-    "analytics_latest_per_key",
-    "analytics_embedding_centroids",
-    "analytics_topn_per_group",
-    "analytics_quantiles",
-    "temporal_range_join",
-    "pipeline_pack_sequences",
-    "pipeline_chunk_documents",
-    "sample_split_assignments",
-    "sample_stratified_by_lang",
-    "dsl_plan_routed_hour",
+    # -- round-14 window (r13 VERDICT #1: front every never-driver-
+    # -- checked entry, then refresh the r9 cohort).
+    # -- Composition: 8 never-checked entries — the 6 r13-late ones the
+    # -- r13 window couldn't reach (dedup_exact_first_clusters,
+    # -- sim_incremental_index, sim_incremental_retrain,
+    # -- text_incremental_oov, stream_incremental_ingest,
+    # -- pipeline_daily_ingest) plus the 3 r14-new entries (the two
+    # -- multiprobe gates and the bucketed non-broadcast probe path) —
+    # -- followed by the FIRST 41 of the 46 r9-green entries in
+    # -- registry order (histogram recomputed this round by replaying
+    # -- CORRECTNESS_r01–r13: r9=46, r10=45, r11=50, r12=50, r13=50,
+    # -- never-checked=9 incl. the 3 new). 9 + 41 = 50 exactly.
+    # -- Honest arithmetic on the r13 gate ("nothing older than r10
+    # -- after r14"): 9 + 46 = 55 candidates > 50 slots, so the gate
+    # -- is infeasible by 5 this round; the LAST 5 r9 entries in
+    # -- registry order (sample_k_per_group, sample_mixture_weights,
+    # -- dsl_routed_daily_rollup, dsl_routed_incremental_rollup,
+    # -- dsl_plan_routed_daily_rollup) carry to the r15 window front.
+    # -- never-driver-checked --
+    "dedup_exact_first_clusters",
+    "sim_incremental_index",
+    "sim_incremental_retrain",
+    "text_incremental_oov",
+    "stream_incremental_ingest",
+    "pipeline_daily_ingest",
+    "sim_multiprobe_topk",
+    "sim_multiprobe_recall",
+    "dedup_incremental_bucketed",
+    # -- r9-green (first 41 of the stale cohort, registry order) --
+    "dsl_groupby_sum",
+    "dsl_groupby_avg",
+    "dsl_coarse_rounds",
+    "dsl_groupby_stddev_var",
+    "dsl_ungrouped_agg",
+    "dsl_daily_rollup",
+    "dsl_weekly_rollup",
+    "dsl_minute_rollup",
+    "dsl_window_range_sum_avg",
+    "dsl_median_value",
+    "dsl_tpch_q4_priority_exists",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_bucket_cap",
+    "dedup_minhash_quality",
+    "dedup_connected_components",
+    "dedup_decontaminate",
+    "sim_cosine_topk",
+    "text_quality_score",
+    "text_normalize_nfc",
+    "text_strip_markup",
+    "text_collocations",
+    "multimodal_features",
+    "multimodal_frame_pipeline",
+    "stream_hourly_rollup",
+    "stream_sessionize",
+    "analytics_value_histogram",
+    "analytics_zscore_outliers",
+    "analytics_running_sum",
+    "analytics_lag_delta",
+    "analytics_distinct_users",
+    "analytics_rollup_counts",
+    "analytics_cube_counts",
+    "analytics_pivot_day_by_type",
+    "analytics_salted_agg",
+    "dsl_join_salted",
+    "temporal_asof_join",
+    "pipeline_clean_corpus",
+    "pipeline_top_quality",
+    "pipeline_pack_grouped",
+    "sample_hash_10pct",
 ]
 
 
