@@ -586,3 +586,65 @@ def test_ann_pruned_probe_reads_only_probed_cells(spark, emb):
     want = S.cosine_topk(emb, num_queries=10)
     assert sorted(map(tuple, full.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_streaming_daily_ingest_foreachbatch_equals_sequential(
+        spark, docs, tmp_path):
+    """Deployment shape for the one-call gate: readStream over the
+    landing dir + foreachBatch(classify with daily_ingest, THEN fold
+    the shard in with append_shard_to_index). Two micro-batches must
+    produce exactly the two sequential batch days' reports — day 2's
+    classification sees corpus ∪ day 1 through the evolving index."""
+    gen = F.col("doc_id") % 8
+    corpus = docs.filter((gen != 0) & (gen != 4))
+    s1 = docs.filter(gen == 0)
+    s2 = docs.filter(gen == 4)
+    d_stream = tempfile.mkdtemp(prefix="qpo_daily_stream_")
+    d_ref = tempfile.mkdtemp(prefix="qpo_daily_ref_")
+    inc.build_dedup_index(corpus, d_stream)
+    inc.build_dedup_index(corpus, d_ref)
+
+    # Sequential batch reference: classify day 1, append, classify day 2.
+    want1 = sorted(map(tuple, inc.daily_ingest(
+        spark, s1, d_ref, threshold=0.2).collect()))
+    inc.append_shard_to_index(s1, d_ref)
+    want2 = sorted(map(tuple, inc.daily_ingest(
+        spark, s2, d_ref, threshold=0.2).collect()))
+
+    # Streaming run: one landing file per day, one micro-batch each.
+    src = str(tmp_path / "landing_daily")
+    s1.coalesce(1).write.mode("append").parquet(src)
+    s2.coalesce(1).write.mode("append").parquet(src)
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    reports = []
+
+    def handle(bdf, _bid):
+        rep = sorted(map(tuple, inc.daily_ingest(
+            spark, bdf, d_stream, threshold=0.2).collect()))
+        inc.append_shard_to_index(bdf, d_stream)
+        reports.append(rep)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "daily_ckpt"))
+        .start()
+    )
+    q.awaitTermination(240)
+    assert len(reports) == 2
+    # Key each batch report by its shard generation (file order is a
+    # listing property, not a semantic one).
+    by_gen = {}
+    for rep in reports:
+        gens = {doc % 8 for doc, _s, _m, _sc in rep}
+        assert len(gens) == 1
+        by_gen[gens.pop()] = rep
+    assert by_gen[0] == want1
+    assert by_gen[4] == want2
+    assert len(want1) > 0 and len(want2) > 0
