@@ -629,13 +629,23 @@ def _write_ann_version(
     return version
 
 
-def _drop_stale_ann_versions(index_dir: str, keep: str) -> None:
+def _drop_stale_ann_versions(index_dir: str, keep: str,
+                             keep_versions: int = 1) -> None:
+    """Retention for superseded index versions. ``keep_versions=1``
+    (default) removes everything but the live version right after the
+    pointer flip; ``keep_versions=N`` retains the N-1 most recent
+    superseded versions (by mtime) so in-flight readers that resolved
+    their paths pre-flip never race a deletion — the production
+    deferred-deletion policy (a retention choice, not a correctness
+    one: the CURRENT pointer is already atomic)."""
     import shutil
 
-    for name in os.listdir(index_dir):
-        if name.startswith("v_") and name != keep:
-            shutil.rmtree(os.path.join(index_dir, name),
-                          ignore_errors=True)
+    stale = [name for name in os.listdir(index_dir)
+             if name.startswith("v_") and name != keep]
+    stale.sort(key=lambda n: os.path.getmtime(os.path.join(index_dir, n)),
+               reverse=True)
+    for name in stale[max(keep_versions - 1, 0):]:
+        shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
 
 
 def build_ann_index(
@@ -769,6 +779,7 @@ def retrain_ann_index(
     dim: int = 64,
     nlist: int = IVF_NLIST,
     iters: int = IVF_ITERS,
+    keep_versions: int = 1,
 ) -> None:
     """Periodic index maintenance: re-train centroids over EVERYTHING
     currently indexed (original corpus + every appended shard) and
@@ -781,12 +792,15 @@ def retrain_ann_index(
     leaves the pointer at a complete old version or a complete new
     one, never new centroids paired with postings whose cells came
     from the old centroids. The old version is removed after the flip
-    (an in-flight reader that resolved its paths pre-flip can race the
-    removal; a production deployment would defer deletion by a
-    read-timeout, which is a retention policy, not a correctness one).
+    by default; pass ``keep_versions=N`` to retain the N-1 most recent
+    superseded versions so in-flight readers that resolved their paths
+    pre-flip never race a deletion (a retention policy, not a
+    correctness one).
     Full-probe results are INVARIANT under retrain (both before and
     after equal brute force over the same vectors — pinned in pytest);
-    what changes is pruned-probe quality, which is the point."""
+    what changes is pruned-probe quality, which is the point.
+    ``keep_versions=N`` retains the N-1 most recent superseded
+    versions for in-flight readers (deferred deletion)."""
     _, posts_path = ann_paths(index_dir)
     base = spark.read.parquet(posts_path).select(
         "id", "_vec", "_norm").persist()
@@ -796,7 +810,8 @@ def retrain_ann_index(
     finally:
         base.unpersist()
     _flip_ann_current(index_dir, version)
-    _drop_stale_ann_versions(index_dir, keep=version)
+    _drop_stale_ann_versions(index_dir, keep=version,
+                             keep_versions=keep_versions)
 
 
 PQ_M = 8        #: subspaces (dim 64 → 8 dims per subvector)

@@ -648,3 +648,23 @@ def test_streaming_daily_ingest_foreachbatch_equals_sequential(
     assert by_gen[0] == want1
     assert by_gen[4] == want2
     assert len(want1) > 0 and len(want2) > 0
+
+
+def test_ann_retrain_keep_versions_defers_deletion(spark, emb):
+    """keep_versions=2 retains the superseded version dir after the
+    pointer flip (deferred deletion for in-flight readers); the live
+    paths resolve to the NEW version and old files remain readable."""
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    d = tempfile.mkdtemp(prefix="qpo_ann_keepv_")
+    S.build_ann_index(emb.filter(F.col("vec_id") % 8 != 0), d)
+    cents0, posts0 = S.ann_paths(d)
+    S.retrain_ann_index(spark, d, keep_versions=2)
+    cents1, posts1 = S.ann_paths(d)
+    assert posts1 != posts0
+    assert os.path.exists(posts0)      # superseded version retained
+    assert spark.read.parquet(posts0).count() > 0  # still readable
+    # a second retrain with the default policy prunes down to live only
+    S.retrain_ann_index(spark, d)
+    versions = [n for n in os.listdir(d) if n.startswith("v_")]
+    assert len(versions) == 1
