@@ -2716,18 +2716,20 @@ _PANEL = [
     # -- r13 window couldn't reach (dedup_exact_first_clusters,
     # -- sim_incremental_index, sim_incremental_retrain,
     # -- text_incremental_oov, stream_incremental_ingest,
-    # -- pipeline_daily_ingest) plus the 3 r14-new entries (the two
-    # -- multiprobe gates and the bucketed non-broadcast probe path) —
-    # -- followed by the FIRST 41 of the 46 r9-green entries in
-    # -- registry order (histogram recomputed this round by replaying
-    # -- CORRECTNESS_r01–r13: r9=46, r10=45, r11=50, r12=50, r13=50,
-    # -- never-checked=9 incl. the 3 new). 9 + 41 = 50 exactly.
+    # -- pipeline_daily_ingest) plus the 4 r14-new entries (the two
+    # -- multiprobe gates, the bucketed non-broadcast probe path, and
+    # -- the reliable-checkpoint CC path) — followed by the FIRST 40
+    # -- of the 46 r9-green entries in registry order (histogram
+    # -- recomputed this round by replaying CORRECTNESS_r01–r13:
+    # -- r9=46, r10=45, r11=50, r12=50, r13=50, never-checked=10
+    # -- incl. the 4 new). 10 + 40 = 50 exactly.
     # -- Honest arithmetic on the r13 gate ("nothing older than r10
-    # -- after r14"): 9 + 46 = 55 candidates > 50 slots, so the gate
-    # -- is infeasible by 5 this round; the LAST 5 r9 entries in
-    # -- registry order (sample_k_per_group, sample_mixture_weights,
-    # -- dsl_routed_daily_rollup, dsl_routed_incremental_rollup,
-    # -- dsl_plan_routed_daily_rollup) carry to the r15 window front.
+    # -- after r14"): 10 + 46 = 56 candidates > 50 slots, so the gate
+    # -- is infeasible by 6 this round; the LAST 6 r9 entries in
+    # -- registry order (sample_hash_10pct, sample_k_per_group,
+    # -- sample_mixture_weights, dsl_routed_daily_rollup,
+    # -- dsl_routed_incremental_rollup, dsl_plan_routed_daily_rollup)
+    # -- carry to the r15 window front.
     # -- never-driver-checked --
     "dedup_exact_first_clusters",
     "sim_incremental_index",
@@ -2738,7 +2740,8 @@ _PANEL = [
     "sim_multiprobe_topk",
     "sim_multiprobe_recall",
     "dedup_incremental_bucketed",
-    # -- r9-green (first 41 of the stale cohort, registry order) --
+    "dedup_cc_reliable",
+    # -- r9-green (first 40 of the stale cohort, registry order) --
     "dsl_groupby_sum",
     "dsl_groupby_avg",
     "dsl_coarse_rounds",
@@ -2779,7 +2782,6 @@ _PANEL = [
     "pipeline_clean_corpus",
     "pipeline_top_quality",
     "pipeline_pack_grouped",
-    "sample_hash_10pct",
 ]
 
 

@@ -380,6 +380,7 @@ def dedup_clusters(
     threshold: float = DEFAULT_JACCARD_THRESHOLD,
     cc_method: str = "propagation",
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full near-dup grouping: exact Jaccard pairs → connected
     components → (doc_id, cluster_id, cluster_size, is_canonical).
@@ -399,7 +400,7 @@ def dedup_clusters(
     pairs = jaccard_pairs(df, id_col, text_col, n, threshold)
     comp = connected_components(
         pairs.select("doc_a", "doc_b"), df.select(id_col), vid=id_col,
-        method=cc_method, stats=stats,
+        method=cc_method, stats=stats, checkpoint_dir=checkpoint_dir,
     )
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -934,6 +935,19 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                           cc_method="star")
 
 
+def q_dedup_clusters_reliable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering with every per-round lineage pin a RELIABLE
+    checkpoint (the cluster-deployment knob, kill-tested in
+    tests/test_operators.py) — third physical path onto the shared
+    recursive-CTE oracle, proving the knob changes fault tolerance,
+    not answers."""
+    import tempfile
+
+    return dedup_clusters(
+        _docs(spark, sf_dir), threshold=0.2,
+        checkpoint_dir=tempfile.mkdtemp(prefix="qpo_cc_reliable_"))
+
+
 def decontaminate(
     train: DataFrame,
     evalset: DataFrame,
@@ -1388,6 +1402,7 @@ def entry_queries() -> dict[str, Callable]:
         ),
         "dedup_connected_components": q_dedup_clusters,
         "dedup_cc_star": q_dedup_clusters_star,
+        "dedup_cc_reliable": q_dedup_clusters_reliable,
         "dedup_decontaminate": q_decontaminate,
         "dedup_duplicate_spans": q_duplicate_spans,
         "dedup_report": q_dedup_report,
@@ -1843,6 +1858,8 @@ def entry_oracles() -> dict[str, str]:
             "dedup_minhash_quality": minhash_q,
             "dedup_simhash_quality": simhash_q,
             "dedup_connected_components": clusters,
+            # reliable-checkpoint pins: third path, same answer
+            "dedup_cc_reliable": clusters,
             # star-method twin: identical clusters, identical oracle
             "dedup_cc_star": clusters,
             "dedup_exact_first_clusters": exact_first,
