@@ -820,44 +820,11 @@ PQ_ITERS = 2    #: Lloyd rounds per subspace
 PQ_SHORTLIST = 100  #: ADC candidates per query re-ranked exactly
 
 
-def pq_topk(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    m: int = PQ_M,
-    ks: int = PQ_KS,
-    k: int = DEFAULT_K,
-    num_queries: int = DEFAULT_NUM_QUERIES,
-    iters: int = PQ_ITERS,
-    shortlist: int = PQ_SHORTLIST,
-) -> DataFrame:
-    """Product-quantization ANN (Jégou et al., TPAMI 2011): the
-    memory-bounded scale path past int8 — each unit vector compresses
-    to ``m`` sub-codebook codes (m·log2(ks) bits: 5 bytes/vector here
-    vs 256 for float32×64), search is ADC (asymmetric distance: exact
-    query subvectors against a per-query lookup table of code
-    distances), and the ADC ``shortlist`` re-ranks EXACTLY — the
-    standard production shape (IVF-PQ shortlists feeding a rerank).
-
-    Spark-first layout: codebooks are a broadcast frame (m·ks rows —
-    the only driver-side collects are the ks seed rows and the m·ks
-    centroid updates per Lloyd round); the corpus shuffles only
-    ``(id, s, code)`` triples; the LUT (num_queries·m·ks rows)
-    broadcasts; exact vectors are fetched ONLY for shortlist members
-    (num_queries·shortlist rows). On unit vectors L2² = 2 − 2·cos, and
-    the per-query constants Σ|q_s|² drop out of the ranking, so ADC
-    scores reduce to Σ_s (|c|² − 2·q_s·c) — cheapest possible form.
-    """
-    spark = df.sparkSession
-    d_sub = dim // m
-    if d_sub * m != dim:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    unit = with_norm(df, vec_col).select(
-        F.col(id_col).alias("id"),
-        F.transform("_vec", lambda x: x / F.col("_norm")).alias("u"),
-    ).persist()
-    sub = unit.select(
+def _pq_subvectors(unit: DataFrame, m: int, d_sub: int) -> DataFrame:
+    """(id, s, sv): each unit vector split into its m subvectors —
+    map-side explode, shared by PQ training, query LUTs, and both the
+    flat-PQ and IVF-PQ search paths."""
+    return unit.select(
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(s).alias("s"),
@@ -866,6 +833,21 @@ def pq_topk(
         ])).alias("p"),
     ).select("id", "p.s", "p.sv")
 
+
+def _pq_train_books(
+    spark: SparkSession,
+    unit: DataFrame,
+    sub: DataFrame,
+    m: int,
+    ks: int,
+    d_sub: int,
+    iters: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd-train the per-subspace codebooks and return
+    (books_frame, codes): the broadcastable (s, code, c_vec, c_n2)
+    codebook frame and the final corpus assignments (id, s, code).
+    Factored out of :func:`pq_topk` so IVF-PQ composes the exact same
+    training (byte-identical codebooks for identical inputs)."""
     seeds = unit.orderBy("id").limit(ks).collect()
     books: dict[tuple[int, int], list[float]] = {}
     for j, r in enumerate(seeds):
@@ -907,13 +889,54 @@ def pq_topk(
         for r in assign().groupBy("s", "code").agg(*dims).collect():
             books[(r["s"], r["code"])] = [r[f"d{i}"] for i in range(d_sub)]
 
-    codes = assign().select("id", "s", "code")
+    return book_df(), assign().select("id", "s", "code")
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    k: int = DEFAULT_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+    iters: int = PQ_ITERS,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): the
+    memory-bounded scale path past int8 — each unit vector compresses
+    to ``m`` sub-codebook codes (m·log2(ks) bits: 5 bytes/vector here
+    vs 256 for float32×64), search is ADC (asymmetric distance: exact
+    query subvectors against a per-query lookup table of code
+    distances), and the ADC ``shortlist`` re-ranks EXACTLY — the
+    standard production shape (IVF-PQ shortlists feeding a rerank).
+
+    Spark-first layout: codebooks are a broadcast frame (m·ks rows —
+    the only driver-side collects are the ks seed rows and the m·ks
+    centroid updates per Lloyd round); the corpus shuffles only
+    ``(id, s, code)`` triples; the LUT (num_queries·m·ks rows)
+    broadcasts; exact vectors are fetched ONLY for shortlist members
+    (num_queries·shortlist rows). On unit vectors L2² = 2 − 2·cos, and
+    the per-query constants Σ|q_s|² drop out of the ranking, so ADC
+    scores reduce to Σ_s (|c|² − 2·q_s·c) — cheapest possible form.
+    """
+    spark = df.sparkSession
+    d_sub = dim // m
+    if d_sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    unit = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.transform("_vec", lambda x: x / F.col("_norm")).alias("u"),
+    ).persist()
+    sub = _pq_subvectors(unit, m, d_sub)
+    books, codes = _pq_train_books(spark, unit, sub, m, ks, d_sub, iters)
 
     # Per-query LUT: partial ADC distance for every (s, code).
     q_sub = sub.filter(F.col("id") < num_queries).select(
         F.col("id").alias("qid"), "s", F.col("sv").alias("qv"))
     lut = (
-        q_sub.join(F.broadcast(book_df()), "s")
+        q_sub.join(F.broadcast(books), "s")
         .select("qid", "s", "code",
                 (F.col("c_n2")
                  - 2.0 * _dot(F.col("qv"), F.col("c_vec"))).alias("pd"))
@@ -993,6 +1016,156 @@ def pq_recall_summary(
         F.count(F.lit(1)).alias("n_queries"),
         (F.avg("recall") >= PQ_RECALL_AVG_BOUND).alias("avg_recall_ge_50"),
         (F.min("recall") >= PQ_RECALL_MIN_BOUND).alias("min_recall_ge_10"),
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    k: int = DEFAULT_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+    ivf_iters: int = IVF_ITERS,
+    pq_iters: int = PQ_ITERS,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """IVF-PQ (Jégou et al., TPAMI 2011 §V): the standard production
+    ANN composition — an IVF coarse quantizer prunes the CANDIDATE set
+    to the ``nprobe`` probed cells, PQ codes make the scan inside
+    those cells memory-bounded (ADC over m small codes instead of
+    dim floats), the ADC ``shortlist`` re-ranks exactly. The two
+    halves are this module's existing, separately-gated machinery
+    composed: :func:`_train_ivf_centroids`/:func:`_assigned_cells`
+    for the coarse level, :func:`_pq_train_books` (shared verbatim
+    with :func:`pq_topk`) for the codes. Global codebooks over unit
+    vectors (not per-cell residual codebooks — the simpler textbook
+    variant; honest trade: residual PQ buys more recall per byte at
+    the cost of nlist× codebook state).
+
+    Invariant (pinned in pytest): ``nprobe == nlist`` and ``shortlist
+    >= corpus`` degenerates to exact brute-force cosine top-k — every
+    pair survives the cell filter, and the exact rerank then ranks
+    everything. The pruned configuration is quality-gated by
+    :func:`ivfpq_recall_summary`.
+
+    Scale shape: corpus vectors cross the shuffle once for cell
+    assignment and once as (id, s, code) triples; the ADC join keys
+    candidates (cell-pruned, not all-pairs) against a BROADCAST
+    per-query LUT; exact vectors are fetched only for shortlist
+    members.
+    """
+    spark = df.sparkSession
+    d_sub = dim // m
+    if d_sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm").persist()
+    unit = base.select(
+        "id", F.transform("_vec", lambda x: x / F.col("_norm")).alias("u")
+    ).persist()
+
+    cents = _train_ivf_centroids(base, dim, nlist, ivf_iters)
+    cells = _assigned_cells(base, cents).select("id", "cell")
+    sub = _pq_subvectors(unit, m, d_sub)
+    books, codes = _pq_train_books(spark, unit, sub, m, ks, d_sub,
+                                   pq_iters)
+
+    probes = (
+        _scored_cells(base.filter(F.col("id") < num_queries), cents)
+        .filter(F.col("crank") <= nprobe)
+        .select(F.col("id").alias("qid"), "cell")
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("qid") != F.col("id"))
+        .select("qid", "id")
+    )
+    q_sub = sub.filter(F.col("id") < num_queries).select(
+        F.col("id").alias("qid"), "s", F.col("sv").alias("qv"))
+    lut = (
+        q_sub.join(F.broadcast(books), "s")
+        .select("qid", "s", "code",
+                (F.col("c_n2")
+                 - 2.0 * _dot(F.col("qv"), F.col("c_vec"))).alias("pd"))
+    )
+    adc = (
+        cand.join(codes, "id")
+        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .groupBy("qid", "id").agg(F.sum("pd").alias("adist"))
+    )
+    ws = Window.partitionBy("qid").orderBy(
+        F.col("adist").asc(), F.col("id").asc())
+    short = (
+        adc.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= shortlist)
+        .select("qid", "id")
+    )
+    qv = unit.filter(F.col("id") < num_queries).select(
+        F.col("id").alias("qid"), F.col("u").alias("q_u"))
+    rer = (
+        short.join(unit, "id").join(F.broadcast(qv), "qid")
+        .withColumn("sim", _dot(F.col("q_u"), F.col("u")))
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("id").asc())
+    out = (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("id").alias("nid"), "rank",
+                round_half_up(F.col("sim"), 6).alias("sim"))
+    )
+    # Same cache discipline as pq_topk: the persists served the
+    # in-function Lloyd collects; release so repeated calls don't
+    # accumulate (the returned lazy plan recomputes the cheap lineage).
+    unit.unpersist(blocking=False)
+    base.unpersist(blocking=False)
+    return out
+
+
+#: IVF-PQ gate bounds: the composition prunes twice (cells, then ADC
+#: shortlist), so its recall sits at or under plain-PQ's. Measured
+#: avg 0.815/0.795, min 0.400/0.400 at sf0.001/sf0.01 (pruned config:
+#: nprobe=4/16, shortlist=100); asserted conservatively like the
+#: PQ/IVF gates (codebooks train on float avgs — recall wiggles).
+IVFPQ_RECALL_AVG_BOUND = 0.50
+IVFPQ_RECALL_MIN_BOUND = 0.10
+
+
+def ivfpq_recall_summary(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = DEFAULT_K,
+    num_queries: int = DEFAULT_NUM_QUERIES,
+) -> DataFrame:
+    """One-row quantified-recall assertion for the PRUNED IVF-PQ path
+    (nprobe < nlist, bounded shortlist), same oracle scheme as the
+    IVF/PQ gates."""
+    exact = cosine_topk(df, id_col, vec_col, k=k, num_queries=num_queries)
+    approx = ivfpq_topk(df, id_col, vec_col, k=k, num_queries=num_queries)
+    hits = (
+        exact.select("qid", "nid")
+        .join(approx.select("qid", "nid"), ["qid", "nid"])
+        .groupBy("qid").agg(F.count(F.lit(1)).alias("hit"))
+    )
+    per_q = (
+        exact.groupBy("qid").agg(F.count(F.lit(1)).alias("k_eff"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            (F.coalesce(F.col("hit"), F.lit(0))
+             / F.col("k_eff")).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("recall") >= IVFPQ_RECALL_AVG_BOUND).alias("avg_recall_ge_50"),
+        (F.min("recall") >= IVFPQ_RECALL_MIN_BOUND).alias("min_recall_ge_10"),
     )
 
 
@@ -1264,6 +1437,22 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_recall_summary(_emb(spark, sf_dir))
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-PROBE + FULL-SHORTLIST IVF-PQ: nprobe == nlist admits every
+    pair past the cell filter and an unbounded shortlist makes the
+    exact rerank rank everything — provably brute force, so the whole
+    composition (coarse training, cell assignment, PQ codes, LUT, ADC,
+    shortlist, rerank) is exercised under the sim_cosine_topk oracle
+    (the sim_ivf_topk precedent). The PRUNED config is gated by
+    sim_ivfpq_recall."""
+    emb = _emb(spark, sf_dir)
+    return ivfpq_topk(emb, nprobe=IVF_NLIST, shortlist=1 << 40)
+
+
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_recall_summary(_emb(spark, sf_dir))
+
+
 def q_neardup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_lsh_quality(_emb(spark, sf_dir))
 
@@ -1493,6 +1682,8 @@ def entry_queries() -> dict[str, Callable]:
         "sim_incremental_retrain": q_incremental_retrain,  # +retrain
         "sim_multiprobe_topk": q_multiprobe_topk,  # 1-bit flips, full oracle
         "sim_multiprobe_recall": q_multiprobe_recall,  # recall-vs-cost gate
+        "sim_ivfpq_topk": q_ivfpq_topk,  # full-probe+shortlist ≡ brute force
+        "sim_ivfpq_recall": q_ivfpq_recall,  # pruned-path recall gate
     }
 
 
@@ -1685,6 +1876,7 @@ def entry_oracles() -> dict[str, str]:
         f"SELECT CAST({DEFAULT_NUM_QUERIES} AS BIGINT) AS n_queries, "
         f"true AS avg_recall_ge_50, true AS min_recall_ge_10"
     )
+    ivfpq_recall = pq_recall  # same asserted shape and bounds
     # Near-dup LSH quality gate: the exact-pair count cell is a real SQL
     # recomputation; the booleans state the asserted outcome.
     neardup_q = f"""
@@ -1706,6 +1898,8 @@ def entry_oracles() -> dict[str, str]:
             "sim_incremental_index": cosine,
             # + retrain/migration: fourth path, same answer
             "sim_incremental_retrain": cosine,
+            # IVF-PQ full-probe + unbounded shortlist ≡ brute force
+            "sim_ivfpq_topk": cosine,
             "sim_lsh_topk": _lsh_topk_oracle(),
             "sim_multiprobe_topk": _multiprobe_topk_oracle(),
             "sim_multiprobe_recall": multiprobe_recall,
@@ -1745,5 +1939,5 @@ def entry_oracles() -> dict[str, str]:
     """.replace("{nq}", str(DEFAULT_NUM_QUERIES)).replace(
                 "{k}", str(DEFAULT_K)),
             "sim_ann_recall": recall, "sim_ivf_recall": ivf_recall,
-            "sim_pq_recall": pq_recall,
+            "sim_pq_recall": pq_recall, "sim_ivfpq_recall": ivfpq_recall,
             "dedup_embedding_lsh_quality": neardup_q}

@@ -1333,3 +1333,21 @@ def test_multiprobe_beats_single_probe(emb):
     assert row.n_queries == 20
     assert row.avg_recall_ge_80 and row.min_recall_ge_40
     assert row.multi_ge_single_avg
+
+
+def test_ivfpq_full_probe_full_shortlist_equals_brute_force(emb):
+    """nprobe == nlist admits every pair past the cell filter and an
+    unbounded shortlist reranks everything exactly — the composition
+    must degenerate to brute-force cosine top-k bit-for-bit."""
+    got = similarity.ivfpq_topk(
+        emb, nprobe=similarity.IVF_NLIST, shortlist=1 << 40)
+    want = similarity.cosine_topk(emb)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+
+def test_ivfpq_pruned_recall_gate(emb):
+    row = similarity.ivfpq_recall_summary(emb).collect()[0]
+    assert row.n_queries == 20
+    assert row.avg_recall_ge_50 and row.min_recall_ge_10
