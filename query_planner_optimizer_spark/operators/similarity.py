@@ -25,6 +25,7 @@ round similarity to 6 dp.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 from collections.abc import Callable
@@ -579,6 +580,13 @@ def _ann_current_path(index_dir: str) -> str:
     return os.path.join(index_dir, "CURRENT")
 
 
+def _ann_version_dir(index_dir: str) -> str:
+    cur = _ann_current_path(index_dir)
+    with open(cur) as f:
+        version = f.read().strip()
+    return os.path.join(index_dir, version)
+
+
 def ann_paths(index_dir: str) -> tuple[str, str]:
     """Resolve the live (centroids, postings) dataset paths through the
     ``CURRENT`` version pointer. The pointer is one small file whose
@@ -587,10 +595,7 @@ def ann_paths(index_dir: str) -> tuple[str, str]:
     the pointer with a single atomic ``os.replace`` — readers see
     either the old index or the new one, never centroids from one
     generation paired with postings from another."""
-    cur = _ann_current_path(index_dir)
-    with open(cur) as f:
-        version = f.read().strip()
-    vdir = os.path.join(index_dir, version)
+    vdir = _ann_version_dir(index_dir)
     return os.path.join(vdir, "centroids"), os.path.join(vdir, "postings")
 
 
@@ -1169,6 +1174,242 @@ def ivfpq_recall_summary(
     )
 
 
+# --------------------------------------------------------------------------
+# Persisted IVF-PQ index: the production serving artifact. Unlike
+# build_ann_index's postings (full vectors — index ≈ the embedding
+# table), this index stores only packed PQ codes per vector (~m bytes)
+# plus the m·ks codebooks and nlist centroids: 4-30× smaller, the
+# layout that actually fits a 100 TB corpus's index in cluster RAM /
+# fast storage. Exact rerank REFINES from the source table on the
+# shortlist ids only (candidate-proportional fetch — the standard
+# "ANN index + feature-store refine" split). Same CURRENT-pointer
+# versioning as the flat index (atomic publish); appends encode with
+# FROZEN centroids + codebooks (shard-proportional); retrain = rebuild
+# from the store, by design (the index carries codes, not vectors).
+# --------------------------------------------------------------------------
+
+
+def _pq_encode(sub: DataFrame, books: DataFrame) -> DataFrame:
+    """(id, s, code): nearest-codebook assignment under FROZEN books —
+    the append-path twin of the final assignment inside
+    :func:`_pq_train_books` (same min-struct argmin, same tie-break),
+    minus the training loop."""
+    ad = F.col("c_n2") - 2.0 * _dot(F.col("sv"), F.col("c_vec"))
+    best = (
+        sub.join(F.broadcast(books), "s")
+        .withColumn("adist", ad)
+        .groupBy("id", "s")
+        .agg(F.min(F.struct("adist", "code")).alias("b"))
+    )
+    return best.select("id", "s", F.col("b.code").alias("code"))
+
+
+def _pack_codes(codes: DataFrame) -> DataFrame:
+    """(id, codes array<int> ordered by subspace): one row per vector —
+    the storage shape (m small ints instead of m rows)."""
+    return (
+        codes.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("p"))
+        .select("id", F.transform("p", lambda x: x["code"]).alias("codes"))
+    )
+
+
+def _ivfpq_meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "META.json")
+
+
+def _write_ivfpq_version(
+    spark: SparkSession,
+    cents: list[list[float]],
+    books: DataFrame,
+    cells: DataFrame,
+    packed: DataFrame,
+    index_dir: str,
+) -> str:
+    import uuid
+
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    vdir = os.path.join(index_dir, version)
+    _centroid_frame(spark, cents).write.mode("overwrite").parquet(
+        os.path.join(vdir, "centroids"))
+    books.write.mode("overwrite").parquet(os.path.join(vdir, "books"))
+    (
+        cells.join(packed, "id")
+        .select("cell", "id", "codes")
+        .repartition("cell").sortWithinPartitions("id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(os.path.join(vdir, "codes"))
+    )
+    return version
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nlist: int = IVF_NLIST,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    ivf_iters: int = IVF_ITERS,
+    pq_iters: int = PQ_ITERS,
+) -> None:
+    """Persist the IVF-PQ serving index under a CURRENT-pointer version
+    dir: ``centroids/`` (nlist rows), ``books/`` (m·ks codebook rows),
+    and ``codes/`` (id, codes array<int>) PARTITIONED BY cell — probes
+    partition-prune to the probed cells exactly like the flat index.
+    ``META.json`` records (dim, m, ks, nlist) so probes and appends
+    need no out-of-band knowledge."""
+    spark = df.sparkSession
+    d_sub = dim // m
+    if d_sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    base = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm").persist()
+    unit = base.select(
+        "id", F.transform("_vec", lambda x: x / F.col("_norm")).alias("u")
+    ).persist()
+    try:
+        cents = _train_ivf_centroids(base, dim, nlist, ivf_iters)
+        cells = _assigned_cells(base, cents).select("id", "cell")
+        sub = _pq_subvectors(unit, m, d_sub)
+        books, codes = _pq_train_books(spark, unit, sub, m, ks, d_sub,
+                                       pq_iters)
+        version = _write_ivfpq_version(
+            spark, cents, books, cells, _pack_codes(codes), index_dir)
+    finally:
+        unit.unpersist()
+        base.unpersist()
+    tmp = _ivfpq_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"dim": dim, "m": m, "ks": ks, "nlist": nlist}, f)
+    os.replace(tmp, _ivfpq_meta_path(index_dir))
+    _flip_ann_current(index_dir, version)
+    _drop_stale_ann_versions(index_dir, keep=version)
+
+
+def _load_ivfpq_meta(index_dir: str) -> dict:
+    with open(_ivfpq_meta_path(index_dir)) as f:
+        return json.load(f)
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession,
+    shard: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Encode a NEW shard against the FROZEN centroids and codebooks
+    (no re-train — codebook drift is accepted until a periodic rebuild
+    from the store) and append its packed codes into the current
+    version's cell partitions. Shard-proportional: corpus codes are
+    never read."""
+    meta = _load_ivfpq_meta(index_dir)
+    vdir = _ann_version_dir(index_dir)
+    cents = _read_centroids(spark, index_dir)
+    books = spark.read.parquet(os.path.join(vdir, "books"))
+    d_sub = meta["dim"] // meta["m"]
+    base = with_norm(shard, vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm")
+    unit = base.select(
+        "id", F.transform("_vec", lambda x: x / F.col("_norm")).alias("u"))
+    cells = _assigned_cells(base, cents).select("id", "cell")
+    packed = _pack_codes(
+        _pq_encode(_pq_subvectors(unit, meta["m"], d_sub), books))
+    (
+        cells.join(packed, "id")
+        .select("cell", "id", "codes")
+        .write.mode("append").partitionBy("cell")
+        .parquet(os.path.join(vdir, "codes"))
+    )
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    source: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = DEFAULT_K,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Serve top-k from the persisted IVF-PQ index: score queries
+    against the stored centroids, partition-prune ``codes/`` to the
+    batch's probed cells (bounded collect, ≤ nlist values), ADC-score
+    the unpacked codes against a broadcast per-query LUT, shortlist,
+    then REFINE — exact cosine rerank joining the ``source`` table on
+    the shortlist ids only (candidate-proportional store fetch).
+    With ``nprobe == nlist`` and an unbounded shortlist the refine
+    ranks every vector exactly: provably brute force, the invariant
+    the driver entry's oracle states across a build + append sequence."""
+    meta = _load_ivfpq_meta(index_dir)
+    vdir = _ann_version_dir(index_dir)
+    cents = _read_centroids(spark, index_dir)
+    books = spark.read.parquet(os.path.join(vdir, "books"))
+    d_sub = meta["dim"] // meta["m"]
+
+    q_base = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("id"), "_vec", "_norm")
+    probes = (
+        _scored_cells(q_base, cents)
+        .filter(F.col("crank") <= nprobe)
+        .select(F.col("id").alias("qid"), "cell")
+    )
+    probed_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect())
+    codes = (
+        spark.read.parquet(os.path.join(vdir, "codes"))
+        .filter(F.col("cell").isin(probed_cells))
+        .select("cell", "id", F.posexplode("codes").alias("s", "code"))
+    )
+    q_unit = q_base.select(
+        "id", F.transform("_vec", lambda x: x / F.col("_norm")).alias("u"))
+    q_sub = _pq_subvectors(q_unit, meta["m"], d_sub).select(
+        F.col("id").alias("qid"), "s", F.col("sv").alias("qv"))
+    lut = (
+        q_sub.join(F.broadcast(books), "s")
+        .select("qid", "s", "code",
+                (F.col("c_n2")
+                 - 2.0 * _dot(F.col("qv"), F.col("c_vec"))).alias("pd"))
+    )
+    adc = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("qid") != F.col("id"))
+        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .groupBy("qid", "id").agg(F.sum("pd").alias("adist"))
+    )
+    ws = Window.partitionBy("qid").orderBy(
+        F.col("adist").asc(), F.col("id").asc())
+    short = (
+        adc.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= shortlist)
+        .select("qid", "id")
+    )
+    # Refine: exact vectors come from the STORE, shortlist ids only.
+    store = with_norm(source, vec_col).select(
+        F.col(id_col).alias("id"), "_vec", F.col("_norm").alias("n_norm"))
+    qv = q_base.select(F.col("id").alias("qid"),
+                       F.col("_vec").alias("q_vec"),
+                       F.col("_norm").alias("q_norm"))
+    rer = (
+        short.join(store, "id").join(F.broadcast(qv), "qid")
+        .withColumn("sim", _dot(F.col("q_vec"), F.col("_vec"))
+                    / (F.col("q_norm") * F.col("n_norm")))
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("id").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("id").alias("nid"), "rank",
+                round_half_up(F.col("sim"), 6).alias("sim"))
+    )
+
+
 #: Conservative recall bounds asserted by :func:`ann_recall_summary`
 #: (measured on the driver testdata: LSH avg 0.85-0.90, min 0.6-0.7 at
 #: sf0.001/sf0.01 with planes=4, tables=16 — headroom on both bounds).
@@ -1453,6 +1694,36 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_recall_summary(_emb(spark, sf_dir))
 
 
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ serving index, driver-checked end-to-end:
+    build over the corpus (vec_id % 8 != 0), APPEND the shard
+    (% 8 == 0) with frozen centroids + codebooks, then answer the
+    standard query set with a FULL probe and unbounded shortlist —
+    the refine from the store ranks every vector exactly, so the
+    whole path (coarse train, PQ train, packed codes, cell-pruned
+    scan, ADC, store refine) shares the sim_cosine_topk oracle (the
+    sim_incremental_index precedent for the flat index). Cached per
+    (process, sf_dir): construction is deterministic and idempotent,
+    warm runs measure the probe."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _IVFPQ_INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="qpo_ivfpq_index_")
+        build_ivfpq_index(emb.filter(F.col("vec_id") % 8 != 0), d)
+        append_to_ivfpq_index(
+            spark, emb.filter(F.col("vec_id") % 8 == 0), d)
+        _IVFPQ_INDEX_CACHE[key] = d
+    queries = emb.filter(F.col("vec_id") < DEFAULT_NUM_QUERIES)
+    return ivfpq_index_topk(
+        spark, queries, _IVFPQ_INDEX_CACHE[key], source=emb,
+        nprobe=IVF_NLIST, shortlist=1 << 40)
+
+
 def q_neardup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_lsh_quality(_emb(spark, sf_dir))
 
@@ -1684,6 +1955,7 @@ def entry_queries() -> dict[str, Callable]:
         "sim_multiprobe_recall": q_multiprobe_recall,  # recall-vs-cost gate
         "sim_ivfpq_topk": q_ivfpq_topk,  # full-probe+shortlist ≡ brute force
         "sim_ivfpq_recall": q_ivfpq_recall,  # pruned-path recall gate
+        "sim_ivfpq_index": q_ivfpq_index,  # persisted codes-only index
     }
 
 
@@ -1900,6 +2172,8 @@ def entry_oracles() -> dict[str, str]:
             "sim_incremental_retrain": cosine,
             # IVF-PQ full-probe + unbounded shortlist ≡ brute force
             "sim_ivfpq_topk": cosine,
+            # persisted codes-only index, build+append+full probe+refine
+            "sim_ivfpq_index": cosine,
             "sim_lsh_topk": _lsh_topk_oracle(),
             "sim_multiprobe_topk": _multiprobe_topk_oracle(),
             "sim_multiprobe_recall": multiprobe_recall,

@@ -668,3 +668,85 @@ def test_ann_retrain_keep_versions_defers_deletion(spark, emb):
     S.retrain_ann_index(spark, d)
     versions = [n for n in os.listdir(d) if n.startswith("v_")]
     assert len(versions) == 1
+
+
+# ---- persisted IVF-PQ index (codes-only serving artifact) ------------------
+
+
+def test_ivfpq_index_full_probe_equals_bruteforce(spark, emb):
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    d = tempfile.mkdtemp(prefix="qpo_ivfpq_idx_")
+    S.build_ivfpq_index(emb.filter(F.col("vec_id") % 8 != 0), d)
+    S.append_to_ivfpq_index(spark, emb.filter(F.col("vec_id") % 8 == 0), d)
+    got = S.ivfpq_index_topk(
+        spark, emb.filter(F.col("vec_id") < 20), d, source=emb,
+        nprobe=S.IVF_NLIST, shortlist=1 << 40)
+    want = S.cosine_topk(emb, num_queries=20)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_ivfpq_index_append_frozen_and_small(spark, emb):
+    """Append must not move centroids or codebooks (frozen encode),
+    must add exactly the shard's code rows, and the codes-only index
+    must be a small fraction of the flat full-vector postings — the
+    memory-bounded-serving claim, asserted in bytes."""
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    def tree_bytes(p):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _d, fs in os.walk(p) for f in fs)
+
+    corpus = emb.filter(F.col("vec_id") % 8 != 0)
+    shard = emb.filter(F.col("vec_id") % 8 == 0)
+    d = tempfile.mkdtemp(prefix="qpo_ivfpq_append_")
+    S.build_ivfpq_index(corpus, d)
+    vdir = S._ann_version_dir(d)
+    books0 = sorted(map(tuple, spark.read.parquet(
+        os.path.join(vdir, "books")).collect()))
+    cents0 = sorted(map(tuple, spark.read.parquet(
+        os.path.join(vdir, "centroids")).select("cell", "c_norm").collect()))
+    n0 = spark.read.parquet(os.path.join(vdir, "codes")).count()
+    S.append_to_ivfpq_index(spark, shard, d)
+    assert S._ann_version_dir(d) == vdir          # same version
+    books1 = sorted(map(tuple, spark.read.parquet(
+        os.path.join(vdir, "books")).collect()))
+    cents1 = sorted(map(tuple, spark.read.parquet(
+        os.path.join(vdir, "centroids")).select("cell", "c_norm").collect()))
+    codes = spark.read.parquet(os.path.join(vdir, "codes"))
+    assert books1 == books0 and cents1 == cents0  # frozen encode
+    assert codes.count() == n0 + shard.count()
+    assert codes.select("id").distinct().count() == n0 + shard.count()
+    # every packed row carries exactly m codes
+    assert codes.filter(F.size("codes") != S.PQ_M).count() == 0
+    # codes-only index ≪ flat full-vector postings on the same data
+    d_flat = tempfile.mkdtemp(prefix="qpo_flat_idx_")
+    S.build_ann_index(corpus, d_flat)
+    _, flat_posts = S.ann_paths(d_flat)
+    flat_b = tree_bytes(flat_posts)
+    code_b = tree_bytes(os.path.join(vdir, "codes"))
+    assert code_b < 0.25 * flat_b, (code_b, flat_b)
+
+
+def test_ivfpq_index_pruned_probe_partition_filters(spark, emb):
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    d = tempfile.mkdtemp(prefix="qpo_ivfpq_prune_")
+    S.build_ivfpq_index(emb, d)
+    got = S.ivfpq_index_topk(
+        spark, emb.filter(F.col("vec_id") < 10), d, source=emb, nprobe=4)
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+    pf = [m for m in re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+          if "cell" in m]
+    assert pf, plan
+    # pruned sims bounded by the full probe's best per query
+    full = S.ivfpq_index_topk(
+        spark, emb.filter(F.col("vec_id") < 10), d, source=emb,
+        nprobe=S.IVF_NLIST, shortlist=1 << 40).toPandas()
+    part = got.toPandas()
+    for qid, grp in part.groupby("qid"):
+        fbest = full[full["qid"] == qid]["sim"].max()
+        assert (grp["sim"] <= fbest + 1e-9).all()
