@@ -1038,6 +1038,7 @@ def ivfpq_topk(
     ivf_iters: int = IVF_ITERS,
     pq_iters: int = PQ_ITERS,
     shortlist: int = PQ_SHORTLIST,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ (Jégou et al., TPAMI 2011 §V): the standard production
     ANN composition — an IVF coarse quantizer prunes the CANDIDATE set
@@ -1047,16 +1048,23 @@ def ivfpq_topk(
     halves are this module's existing, separately-gated machinery
     composed: :func:`_train_ivf_centroids`/:func:`_assigned_cells`
     for the coarse level, :func:`_pq_train_books` (shared verbatim
-    with :func:`pq_topk`) for the codes. Global codebooks over unit
-    vectors (not per-cell residual codebooks — the simpler textbook
-    variant; honest trade: residual PQ buys more recall per byte at
-    the cost of nlist× codebook state).
+    with :func:`pq_topk`) for the codes.
 
-    Invariant (pinned in pytest): ``nprobe == nlist`` and ``shortlist
-    >= corpus`` degenerates to exact brute-force cosine top-k — every
-    pair survives the cell filter, and the exact rerank then ranks
-    everything. The pruned configuration is quality-gated by
-    :func:`ivfpq_recall_summary`.
+    ``residual=False``: global codebooks over the unit vectors — the
+    simpler variant. ``residual=True``: classical IVFADC — PQ encodes
+    the COARSE RESIDUAL ``u − ĉ(cell)`` (ĉ = the unit-normalized cell
+    centroid; one GLOBAL residual codebook set, as in the paper).
+    Residuals concentrate near zero so the same m·ks codes quantize
+    them finer, buying shortlist recall at identical code bytes; the
+    cost is per-(query, probed-cell) LUTs — num_queries·nprobe·m·ks
+    rows, still a broadcast — because the query's residual differs in
+    every probed cell.
+
+    Invariant (pinned in pytest, both variants): ``nprobe == nlist``
+    and ``shortlist >= corpus`` degenerates to exact brute-force
+    cosine top-k — every pair survives the cell filter, and the exact
+    rerank then ranks everything. Pruned configurations are
+    quality-gated by :func:`ivfpq_recall_summary`.
 
     Scale shape: corpus vectors cross the shuffle once for cell
     assignment and once as (id, s, code) triples; the ADC join keys
@@ -1076,8 +1084,20 @@ def ivfpq_topk(
 
     cents = _train_ivf_centroids(base, dim, nlist, ivf_iters)
     cells = _assigned_cells(base, cents).select("id", "cell")
-    sub = _pq_subvectors(unit, m, d_sub)
-    books, codes = _pq_train_books(spark, unit, sub, m, ks, d_sub,
+    chat = _centroid_frame(spark, cents).select(
+        "cell",
+        F.transform("c_vec", lambda x: x / F.col("c_norm")).alias("chat"),
+    )
+    if residual:
+        enc_unit = (
+            cells.join(unit, "id").join(F.broadcast(chat), "cell")
+            .select("id", F.zip_with(
+                "u", "chat", lambda a, b: a - b).alias("u"))
+        )
+    else:
+        enc_unit = unit
+    sub = _pq_subvectors(enc_unit, m, d_sub)
+    books, codes = _pq_train_books(spark, enc_unit, sub, m, ks, d_sub,
                                    pq_iters)
 
     probes = (
@@ -1088,19 +1108,56 @@ def ivfpq_topk(
     cand = (
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("qid") != F.col("id"))
-        .select("qid", "id")
+        .select("qid", "id", "cell")
     )
-    q_sub = sub.filter(F.col("id") < num_queries).select(
-        F.col("id").alias("qid"), "s", F.col("sv").alias("qv"))
-    lut = (
-        q_sub.join(F.broadcast(books), "s")
-        .select("qid", "s", "code",
-                (F.col("c_n2")
-                 - 2.0 * _dot(F.col("qv"), F.col("c_vec"))).alias("pd"))
-    )
+    if residual:
+        # Per-(query, probed-cell) residual subvectors → LUT keyed on
+        # (qid, cell, s, code); a corpus code was written under its
+        # own cell, which is exactly the cell the candidate join
+        # matched on, so the lookup is consistent by construction.
+        q_res = (
+            probes.join(
+                unit.filter(F.col("id") < num_queries)
+                .select(F.col("id").alias("qid"), "u"), "qid")
+            .join(F.broadcast(chat), "cell")
+            .select("qid", "cell", F.zip_with(
+                "u", "chat", lambda a, b: a - b).alias("u"))
+        )
+        q_sub = q_res.select(
+            "qid", "cell",
+            F.explode(F.array(*[
+                F.struct(F.lit(s).alias("s"),
+                         F.slice("u", s * d_sub + 1, d_sub).alias("sv"))
+                for s in range(m)
+            ])).alias("p"),
+        ).select("qid", "cell", "p.s", F.col("p.sv").alias("qv"))
+        # Unlike the non-residual path, |r_q,s|² must STAY in the ADC
+        # term: one query's residual norm differs per probed cell, so
+        # dropping it would bias ranking ACROSS cells. With it, adist
+        # = Σ_s ||r_s − c_s||² — the true residual-space distance.
+        lut = (
+            q_sub.join(F.broadcast(books), "s")
+            .select("qid", "cell", "s", "code",
+                    (F.col("c_n2")
+                     - 2.0 * _dot(F.col("qv"), F.col("c_vec"))
+                     + _dot(F.col("qv"), F.col("qv")))
+                    .alias("pd"))
+        )
+        lut_keys = ["qid", "cell", "s", "code"]
+    else:
+        q_sub = sub.filter(F.col("id") < num_queries).select(
+            F.col("id").alias("qid"), "s", F.col("sv").alias("qv"))
+        lut = (
+            q_sub.join(F.broadcast(books), "s")
+            .select("qid", "s", "code",
+                    (F.col("c_n2")
+                     - 2.0 * _dot(F.col("qv"), F.col("c_vec")))
+                    .alias("pd"))
+        )
+        lut_keys = ["qid", "s", "code"]
     adc = (
         cand.join(codes, "id")
-        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .join(F.broadcast(lut), lut_keys)
         .groupBy("qid", "id").agg(F.sum("pd").alias("adist"))
     )
     ws = Window.partitionBy("qid").orderBy(
@@ -1694,6 +1751,21 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_recall_summary(_emb(spark, sf_dir))
 
 
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIDUAL (classical IVFADC) variant under the same
+    degeneracy: full probe + unbounded shortlist ≡ brute force, so the
+    per-cell residual encode, the per-(query, cell) LUTs, and the
+    cross-cell ADC distance (|r_q|² kept — see ivfpq_topk) are all
+    exercised under the sim_cosine_topk oracle. At driver scales the
+    pruned residual and global variants are provably identical
+    (candidates < shortlist ⇒ ADC never cuts), so the pruned-path
+    discriminating measurement lives in scripts/ann_prune_trend.py
+    with a BINDING shortlist instead of a vacuous second recall gate."""
+    emb = _emb(spark, sf_dir)
+    return ivfpq_topk(emb, nprobe=IVF_NLIST, shortlist=1 << 40,
+                      residual=True)
+
+
 _IVFPQ_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1956,6 +2028,7 @@ def entry_queries() -> dict[str, Callable]:
         "sim_ivfpq_topk": q_ivfpq_topk,  # full-probe+shortlist ≡ brute force
         "sim_ivfpq_recall": q_ivfpq_recall,  # pruned-path recall gate
         "sim_ivfpq_index": q_ivfpq_index,  # persisted codes-only index
+        "sim_ivfpq_residual_topk": q_ivfpq_residual_topk,  # IVFADC residual
     }
 
 
@@ -2174,6 +2247,8 @@ def entry_oracles() -> dict[str, str]:
             "sim_ivfpq_topk": cosine,
             # persisted codes-only index, build+append+full probe+refine
             "sim_ivfpq_index": cosine,
+            # residual (IVFADC) variant under the same degeneracy
+            "sim_ivfpq_residual_topk": cosine,
             "sim_lsh_topk": _lsh_topk_oracle(),
             "sim_multiprobe_topk": _multiprobe_topk_oracle(),
             "sim_multiprobe_recall": multiprobe_recall,

@@ -118,6 +118,55 @@ def main() -> int:
                   f"| {min(times):.2f} | {rows} |", flush=True)
     emb.unpersist()
 
+    # ---- 1b. IVF-PQ ADC quality: global vs residual codebooks, with
+    # a BINDING shortlist (at driver scales candidates < shortlist, so
+    # ADC ranking is bypassed and the two variants are provably
+    # identical — the discriminating regime needs the shortlist to
+    # actually cut). Two data regimes: UNCLUSTERED (residual energy >
+    # unit energy — residual PQ should HURT) and CLUSTERED (residuals
+    # concentrate — residual PQ should win). --------------------------
+    def clustered_embeddings(n: int, centers: int = 16,
+                             noise_scale: float = 0.15):
+        center = F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda i: (F.pmod(F.xxhash64(
+                (F.col("vec_id") % centers).cast("long"), i),
+                F.lit(2000)).cast("double") / 1000.0 - 1.0))
+        noise = F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda i: (F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit(7)),
+                              F.lit(2000)).cast("double") / 1000.0 - 1.0)
+            * noise_scale)
+        return (spark.range(n).select(F.col("id").alias("vec_id"))
+                .repartition(32)
+                .withColumn("embedding",
+                            F.zip_with(center, noise, lambda a, b: a + b)))
+
+    for regime, frame in (("unclustered", synth_embeddings(spark, 50_000)),
+                          ("clustered", clustered_embeddings(50_000))):
+        emb2 = frame.persist()
+        emb2.count()
+        exact = S.cosine_topk(emb2, num_queries=20)
+        exact_set = {(r.qid, r.nid) for r in exact.collect()}
+        k_eff = {}
+        for qid, _ in exact_set:
+            k_eff[qid] = k_eff.get(qid, 0) + 1
+        print("", flush=True)
+        print(f"IVF-PQ ADC quality, 50k {regime} vectors, nprobe=4/16, "
+              "BINDING shortlist=25:", flush=True)
+        print("| codebooks | avg recall | min recall |", flush=True)
+        print("|---|---|---|", flush=True)
+        for name, kw in (("global", {}), ("residual", {"residual": True})):
+            got = {(r.qid, r.nid) for r in S.ivfpq_topk(
+                emb2, num_queries=20, shortlist=25, **kw).collect()}
+            per_q = {}
+            for qid, nid in got & exact_set:
+                per_q[qid] = per_q.get(qid, 0) + 1
+            rec = [per_q.get(q, 0) / n for q, n in k_eff.items()]
+            print(f"| {name} | {sum(rec) / len(rec):.3f} "
+                  f"| {min(rec):.3f} |", flush=True)
+        emb2.unpersist()
+
     # ---- 2. multiprobe LSH recall-vs-cost (real sf0.1 embeddings) ---
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     real = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")

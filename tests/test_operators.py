@@ -1351,3 +1351,15 @@ def test_ivfpq_pruned_recall_gate(emb):
     row = similarity.ivfpq_recall_summary(emb).collect()[0]
     assert row.n_queries == 20
     assert row.avg_recall_ge_50 and row.min_recall_ge_10
+
+
+def test_ivfpq_residual_full_probe_equals_brute_force(emb):
+    """The residual (IVFADC) variant must satisfy the same degeneracy:
+    full probe + unbounded shortlist ≡ exact brute force — covering
+    the per-(query, cell) LUT path and the kept |r_q|^2 term."""
+    got = similarity.ivfpq_topk(
+        emb, nprobe=similarity.IVF_NLIST, shortlist=1 << 40,
+        residual=True)
+    want = similarity.cosine_topk(emb)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
