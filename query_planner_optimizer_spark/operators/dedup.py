@@ -32,6 +32,7 @@ positives after verification, recall measured).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -142,12 +143,41 @@ def _pinner(df_example: DataFrame, checkpoint_dir: str | None):
     failure, making multi-hour CC jobs survivable — the standard
     Spark iterative-algorithm discipline (GraphX checkpoints the same
     way). Survival under block loss where localCheckpoint cannot is
-    pinned in tests/test_operators.py."""
+    pinned in tests/test_operators.py.
+
+    Disk discipline (reliable mode): each pin writes under its own
+    ``pin-<seq>/`` subdir (``setCheckpointDir`` is per-pin — the
+    context-global mutation lasts only until the next pin; one
+    iterative job per session at a time is the assumption, as with
+    GraphX). Pins marked ``evolving=True`` (the loop's one evolving
+    frame) keep only the TWO most recent generations on disk:
+    generation N may still be read right after N+1's pin (the star
+    loop's convergence ``exceptAll``), generation N-1 cannot be, so
+    it is deleted — a thousand-round job holds O(1) superseded
+    rounds instead of all of them. Non-evolving pins (edge lists
+    read every round) live for the whole loop."""
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint(eager=True)
+        return lambda df, evolving=False: df.localCheckpoint(eager=True)
+    import shutil
+
     sc = df_example.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
-    return lambda df: df.checkpoint(eager=True)
+    state = {"seq": 0, "evolving_dirs": []}
+
+    def pin(df: DataFrame, evolving: bool = False) -> DataFrame:
+        state["seq"] += 1
+        rdir = os.path.join(checkpoint_dir, f"pin-{state['seq']:05d}")
+        sc.setCheckpointDir(rdir)
+        out = df.checkpoint(eager=True)
+        if evolving:
+            state["evolving_dirs"].append(rdir)
+            # eager => the new generation is fully on disk; anything
+            # older than the previous generation is unreachable.
+            while len(state["evolving_dirs"]) > 2:
+                shutil.rmtree(state["evolving_dirs"].pop(0),
+                              ignore_errors=True)
+        return out
+
+    return pin
 
 
 def connected_components(
@@ -218,7 +248,7 @@ def connected_components(
     labels = vertices.select(
         F.col(vid).alias("n"), F.col(vid).cast("long").alias("label")
     )
-    labels = pin(labels)
+    labels = pin(labels, evolving=True)
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
@@ -233,7 +263,8 @@ def connected_components(
         new_labels = pin(
             labels.unionByName(neighbor)
             .groupBy("n")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label")),
+            evolving=True,
         )
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
@@ -294,7 +325,8 @@ def _cc_star(
                      F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .distinct()
+        .distinct(),
+        evolving=True,
     )
 
     def large_star(ed: DataFrame) -> DataFrame:
@@ -340,7 +372,7 @@ def _cc_star(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        new_e = pin(small_star(large_star(e)))
+        new_e = pin(small_star(large_star(e)), evolving=True)
         same_count = new_e.count() == e.count()
         if same_count and new_e.exceptAll(e).isEmpty():
             e = new_e
@@ -935,17 +967,30 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                           cc_method="star")
 
 
+#: One-slot reuse of the reliable-checkpoint dir: each invocation wipes
+#: and reuses the SAME per-process dir instead of leaking a fresh
+#: mkdtemp per call. Contract (same as incremental._SHARD_CACHE): the
+#: previous call's returned frame must be consumed before the next
+#: call — driver/bench/pytest all collect eagerly.
+_CC_RELIABLE_CKPT: list = []
+
+
 def q_dedup_clusters_reliable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering with every per-round lineage pin a RELIABLE
     checkpoint (the cluster-deployment knob, kill-tested in
     tests/test_operators.py) — third physical path onto the shared
     recursive-CTE oracle, proving the knob changes fault tolerance,
     not answers."""
+    import shutil
     import tempfile
 
+    if not _CC_RELIABLE_CKPT:
+        _CC_RELIABLE_CKPT.append(tempfile.mkdtemp(prefix="qpo_cc_reliable_"))
+    ckpt = _CC_RELIABLE_CKPT[0]
+    for name in os.listdir(ckpt):  # superseded pins from the last call
+        shutil.rmtree(os.path.join(ckpt, name), ignore_errors=True)
     return dedup_clusters(
-        _docs(spark, sf_dir), threshold=0.2,
-        checkpoint_dir=tempfile.mkdtemp(prefix="qpo_cc_reliable_"))
+        _docs(spark, sf_dir), threshold=0.2, checkpoint_dir=ckpt)
 
 
 def decontaminate(

@@ -70,10 +70,19 @@ sortWithinPartitions) so row-group stats stay tight.
 Crash discipline: ``mode="append"`` stages all three datasets under
 ``_staging_<token>/`` and publishes them through a ``_pending_*.json``
 marker (per-file atomic renames); a crash anywhere leaves either a
-referenced-by-nothing staging dir (garbage-collected on next touch) or
-a marker whose publish is completed idempotently by
-:func:`repair_index`, which every entry point runs first. A torn
-append can therefore never serve a partially-indexed shard.
+referenced-by-nothing staging dir (garbage-collected once it is older
+than :data:`STAGING_GC_GRACE_SECONDS` — never while a live append may
+still be staging it) or a marker whose publish is completed
+idempotently by :func:`repair_index`, which every entry point runs
+first. A torn append can therefore never serve a partially-indexed
+shard.
+
+Concurrency contract: one WRITER per index at a time (appends and
+compactions are not a multi-writer commit protocol); any number of
+concurrent READERS — the repair pass every reader runs is idempotent
+and tolerates a concurrent repairer at each step, and appends are
+validated against the recorded build params (``_indexspec.json``) so
+a mismatched append fails loudly instead of corrupting probes.
 """
 
 from __future__ import annotations
@@ -122,6 +131,57 @@ def _retire_previous_shard_cache(ds_s) -> None:
 
 def _bucketspec_path(index_dir: str) -> str:
     return os.path.join(index_dir, "bands_bucketspec.json")
+
+
+def _indexspec_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_indexspec.json")
+
+
+def _load_indexspec(index_dir: str) -> dict | None:
+    p = _indexspec_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _validate_append_params(index_dir: str, n: int, k: int, bands: int,
+                            portable: bool,
+                            bucket_bands: int | None) -> None:
+    """An append with signature parameters different from the index it
+    appends to would mix incompatible band signatures into ``bands/``
+    and silently corrupt probe results — raise instead. The build-time
+    params are recorded in ``_indexspec.json``; a pre-r15 index without
+    one skips the check (nothing recorded to compare against). An
+    explicit ``bucket_bands`` on an append must match the on-disk
+    bucketspec (the layout always comes from the spec, never the
+    argument)."""
+    bspec = _load_bucketspec(index_dir)
+    if bucket_bands is not None and (
+            bspec is None or bspec["buckets"] != bucket_bands):
+        have = "a plain (non-bucketed) layout" if bspec is None else (
+            f"{bspec['buckets']} buckets")
+        raise ValueError(
+            f"append requested bucket_bands={bucket_bands} but the index "
+            f"at {index_dir} has {have}; appends always keep the built "
+            f"layout — drop the argument or rebuild with the new spec"
+        )
+    spec = _load_indexspec(index_dir)
+    if spec is None:
+        return
+    got = {"n": n, "k": k, "bands": bands, "portable": portable}
+    mismatched = {key: (val, spec.get(key))
+                  for key, val in got.items() if spec.get(key) != val}
+    if mismatched:
+        detail = ", ".join(
+            f"{key}: append={a!r} vs index={b!r}"
+            for key, (a, b) in sorted(mismatched.items()))
+        raise ValueError(
+            f"append params mismatch the index at {index_dir} ({detail}); "
+            f"mixing band signatures from different (n, k, bands, "
+            f"portable) silently corrupts probes — use the build-time "
+            f"params or rebuild"
+        )
 
 
 def _load_bucketspec(index_dir: str) -> dict | None:
@@ -183,6 +243,16 @@ def _write_bands_bucketed(bands_df: DataFrame, index_dir: str,
     )
 
 
+#: Grace period (seconds) before an unreferenced ``_staging_*`` dir is
+#: garbage-collected by :func:`repair_index`. A marker-less staging dir
+#: is EITHER pre-marker garbage from a crash OR an append currently
+#: mid-staging in another process — mtime age is the only way to tell
+#: them apart, so only dirs older than this are dropped. A crashed
+#: append's garbage still heals on the first touch after the grace
+#: window; an in-flight append is never destroyed under it.
+STAGING_GC_GRACE_SECONDS = 3600.0
+
+
 def repair_index(index_dir: str) -> None:
     """Complete or garbage-collect a torn append (crash mid-publish).
 
@@ -191,18 +261,33 @@ def repair_index(index_dir: str) -> None:
     and every marker lists exactly the files to publish. So on entry:
     (1) for each marker, finish its publish idempotently — each listed
     file is renamed into the live dataset unless it already arrived;
-    (2) any ``_staging_*`` dir with no surviving marker is pre-marker
-    garbage (referenced by nothing) and is removed. Every read/build
+    (2) any ``_staging_*`` dir with no surviving marker AND older than
+    :data:`STAGING_GC_GRACE_SECONDS` is pre-marker garbage (referenced
+    by nothing) and is removed — younger dirs are left alone because
+    they may be another process's append mid-staging. Every read/build
     entry point calls this first, so a broken index heals on next
-    touch instead of silently serving a partially-indexed shard."""
+    touch instead of silently serving a partially-indexed shard.
+
+    Concurrency contract: WRITES (appends/compactions) require a
+    single writer per index — the staged-rename publish is not a
+    multi-writer commit protocol. Concurrent READERS are safe,
+    including two probes repairing the same marker at once: every
+    publish step here tolerates the other repairer having already
+    done it (rename races resolve by re-checking the destination,
+    marker/staging removal tolerates already-gone)."""
     if not os.path.isdir(index_dir):
         return
+    import time
+
     for name in sorted(os.listdir(index_dir)):
         if not (name.startswith("_pending_") and name.endswith(".json")):
             continue
         marker = os.path.join(index_dir, name)
-        with open(marker) as f:
-            plan = json.load(f)
+        try:
+            with open(marker) as f:
+                plan = json.load(f)
+        except FileNotFoundError:
+            continue  # a concurrent repairer finished this marker
         stg_root = os.path.join(index_dir, plan["staging"])
         for dataset, files in plan["files"].items():
             live = os.path.join(index_dir, dataset)
@@ -212,21 +297,37 @@ def repair_index(index_dir: str) -> None:
                 if os.path.exists(dst):
                     continue  # published before the crash
                 src = os.path.join(stg_root, dataset, fn)
-                if not os.path.exists(src):
+                try:
+                    os.rename(src, dst)
+                except FileNotFoundError:
+                    # Lost the rename race to a concurrent repairer —
+                    # fine iff the file did land in the live dataset.
+                    if os.path.exists(dst):
+                        continue
                     raise RuntimeError(
                         f"torn append in {index_dir}: {dataset}/{fn} is "
                         f"in neither staging nor the live dataset — the "
                         f"index needs a rebuild"
-                    )
-                os.rename(src, dst)
+                    ) from None
         shutil.rmtree(stg_root, ignore_errors=True)
-        os.remove(marker)
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass  # concurrent repairer removed it
+    now = time.time()
     for name in os.listdir(index_dir):
         if name.startswith("_staging_"):
             # No marker references it (all markers were just consumed):
-            # a crash before the marker write — safe to drop.
-            shutil.rmtree(os.path.join(index_dir, name),
-                          ignore_errors=True)
+            # either pre-marker crash garbage or an append another
+            # process is staging RIGHT NOW — only age can distinguish,
+            # so GC strictly after the grace window.
+            path = os.path.join(index_dir, name)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age > STAGING_GC_GRACE_SECONDS:
+                shutil.rmtree(path, ignore_errors=True)
 
 
 def _data_files(path: str) -> list[str]:
@@ -282,6 +383,9 @@ def build_dedup_index(
     )
     if mode == "append":
         repair_index(index_dir)
+        _validate_append_params(index_dir, n=n, k=k, bands=bands,
+                                portable=portable,
+                                bucket_bands=bucket_bands)
         _staged_append(ds, digests_df, index_dir, k, bands,
                        portable=portable, write_shingles=write_shingles)
         return
@@ -322,6 +426,13 @@ def build_dedup_index(
     finally:
         ds.unpersist()
     digests_df.write.mode(mode).parquet(os.path.join(index_dir, "digests"))
+    # Record the signature params so future appends can be validated
+    # against the layout they must match (see _validate_append_params).
+    tmp = _indexspec_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n": n, "k": k, "bands": bands, "portable": portable,
+                   "write_shingles": write_shingles}, f)
+    os.replace(tmp, _indexspec_path(index_dir))
 
 
 def _staged_append(

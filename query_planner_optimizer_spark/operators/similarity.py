@@ -661,11 +661,15 @@ def build_ann_index(
     dim: int = 64,
     nlist: int = IVF_NLIST,
     iters: int = IVF_ITERS,
+    keep_versions: int = 1,
 ) -> None:
     """Persist an IVF index: ``centroids/`` (cell, c_vec, c_norm —
     nlist rows) and ``postings/`` (id, _vec, _norm) PARTITIONED BY
     cell, both under a version dir published via the ``CURRENT``
-    pointer (see :func:`ann_paths`). The incremental twin of
+    pointer (see :func:`ann_paths`). ``keep_versions=N`` retains the
+    N-1 most recent superseded versions after the flip so in-flight
+    readers never race a deletion (same knob as
+    :func:`retrain_ann_index`). The incremental twin of
     operators/incremental.py's dedup index: train once over the
     corpus, then every future shard APPENDS assignments
     (:func:`append_to_ann_index`) without re-training or re-reading
@@ -683,7 +687,8 @@ def build_ann_index(
     finally:
         base.unpersist()
     _flip_ann_current(index_dir, version)
-    _drop_stale_ann_versions(index_dir, keep=version)
+    _drop_stale_ann_versions(index_dir, keep=version,
+                             keep_versions=keep_versions)
 
 
 def _read_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
@@ -1024,6 +1029,25 @@ def pq_recall_summary(
     )
 
 
+#: Broadcast-LUT guard: the per-query ADC LUT has num_queries·m·ks
+#: rows (residual variant: ×nprobe). A gate-scale batch broadcasts;
+#: a batch whose estimated LUT exceeds this bound takes a shuffled
+#: join instead — identical results (broadcast is a strategy hint,
+#: not a semantic), no multi-GB broadcast built silently. Default
+#: ≈ the rows of a 100k-query batch at m=8, ks=16 — comfortably
+#: under spark's 8 GB broadcast-table hard cap at 16 B/row.
+MAX_LUT_ROWS = 4_000_000
+
+
+def _bounded_broadcast(side: DataFrame, est_rows: int,
+                       max_rows: int) -> DataFrame:
+    """Broadcast only when the estimated row count is within bound;
+    above it, return the frame un-hinted so the join shuffles (same
+    results, executor-memory-safe). Pinned in tests: both paths
+    produce identical top-k."""
+    return F.broadcast(side) if est_rows <= max_rows else side
+
+
 def ivfpq_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1039,6 +1063,7 @@ def ivfpq_topk(
     pq_iters: int = PQ_ITERS,
     shortlist: int = PQ_SHORTLIST,
     residual: bool = False,
+    max_lut_rows: int = MAX_LUT_ROWS,
 ) -> DataFrame:
     """IVF-PQ (Jégou et al., TPAMI 2011 §V): the standard production
     ANN composition — an IVF coarse quantizer prunes the CANDIDATE set
@@ -1057,8 +1082,10 @@ def ivfpq_topk(
     Residuals concentrate near zero so the same m·ks codes quantize
     them finer, buying shortlist recall at identical code bytes; the
     cost is per-(query, probed-cell) LUTs — num_queries·nprobe·m·ks
-    rows, still a broadcast — because the query's residual differs in
-    every probed cell.
+    rows — because the query's residual differs in every probed cell.
+    Either variant's LUT broadcasts only while its estimated rows stay
+    under ``max_lut_rows``; a larger query batch takes a shuffled join
+    with identical results (see :data:`MAX_LUT_ROWS`).
 
     Invariant (pinned in pytest, both variants): ``nprobe == nlist``
     and ``shortlist >= corpus`` degenerates to exact brute-force
@@ -1144,6 +1171,7 @@ def ivfpq_topk(
                     .alias("pd"))
         )
         lut_keys = ["qid", "cell", "s", "code"]
+        lut_est = num_queries * nprobe * m * ks
     else:
         q_sub = sub.filter(F.col("id") < num_queries).select(
             F.col("id").alias("qid"), "s", F.col("sv").alias("qv"))
@@ -1155,9 +1183,10 @@ def ivfpq_topk(
                     .alias("pd"))
         )
         lut_keys = ["qid", "s", "code"]
+        lut_est = num_queries * m * ks
     adc = (
         cand.join(codes, "id")
-        .join(F.broadcast(lut), lut_keys)
+        .join(_bounded_broadcast(lut, lut_est, max_lut_rows), lut_keys)
         .groupBy("qid", "id").agg(F.sum("pd").alias("adist"))
     )
     ws = Window.partitionBy("qid").orderBy(
@@ -1272,6 +1301,9 @@ def _pack_codes(codes: DataFrame) -> DataFrame:
 
 
 def _ivfpq_meta_path(index_dir: str) -> str:
+    # Legacy top-level location (pre-r15 indexes only); current builds
+    # commit META.json INSIDE each version dir so geometry and codes
+    # flip together with the single CURRENT replace.
     return os.path.join(index_dir, "META.json")
 
 
@@ -1282,6 +1314,7 @@ def _write_ivfpq_version(
     cells: DataFrame,
     packed: DataFrame,
     index_dir: str,
+    meta: dict,
 ) -> str:
     import uuid
 
@@ -1297,6 +1330,13 @@ def _write_ivfpq_version(
         .write.mode("overwrite").partitionBy("cell")
         .parquet(os.path.join(vdir, "codes"))
     )
+    # META.json lives in the version dir: a rebuild that changes
+    # (dim, m, ks, nlist) publishes geometry and codes in the SAME
+    # CURRENT flip — no window where new meta decodes old codes.
+    tmp = os.path.join(vdir, "META.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(vdir, "META.json"))
     return version
 
 
@@ -1311,13 +1351,18 @@ def build_ivfpq_index(
     ks: int = PQ_KS,
     ivf_iters: int = IVF_ITERS,
     pq_iters: int = PQ_ITERS,
+    keep_versions: int = 1,
 ) -> None:
     """Persist the IVF-PQ serving index under a CURRENT-pointer version
     dir: ``centroids/`` (nlist rows), ``books/`` (m·ks codebook rows),
     and ``codes/`` (id, codes array<int>) PARTITIONED BY cell — probes
     partition-prune to the probed cells exactly like the flat index.
-    ``META.json`` records (dim, m, ks, nlist) so probes and appends
-    need no out-of-band knowledge."""
+    ``META.json`` records (dim, m, ks, nlist) INSIDE the version dir,
+    so a geometry-changing rebuild commits meta + codes atomically with
+    the one CURRENT flip. ``keep_versions=N`` retains the N-1 most
+    recent superseded versions so in-flight readers that resolved
+    their paths pre-flip never race a deletion (same deferred-deletion
+    policy as :func:`retrain_ann_index`)."""
     spark = df.sparkSession
     d_sub = dim // m
     if d_sub * m != dim:
@@ -1334,20 +1379,23 @@ def build_ivfpq_index(
         books, codes = _pq_train_books(spark, unit, sub, m, ks, d_sub,
                                        pq_iters)
         version = _write_ivfpq_version(
-            spark, cents, books, cells, _pack_codes(codes), index_dir)
+            spark, cents, books, cells, _pack_codes(codes), index_dir,
+            meta={"dim": dim, "m": m, "ks": ks, "nlist": nlist})
     finally:
         unit.unpersist()
         base.unpersist()
-    tmp = _ivfpq_meta_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"dim": dim, "m": m, "ks": ks, "nlist": nlist}, f)
-    os.replace(tmp, _ivfpq_meta_path(index_dir))
     _flip_ann_current(index_dir, version)
-    _drop_stale_ann_versions(index_dir, keep=version)
+    _drop_stale_ann_versions(index_dir, keep=version,
+                             keep_versions=keep_versions)
 
 
 def _load_ivfpq_meta(index_dir: str) -> dict:
-    with open(_ivfpq_meta_path(index_dir)) as f:
+    """Resolve META through the CURRENT version dir (meta commits with
+    the codes it describes); falls back to the legacy top-level
+    location for pre-r15 indexes."""
+    vmeta = os.path.join(_ann_version_dir(index_dir), "META.json")
+    path = vmeta if os.path.exists(vmeta) else _ivfpq_meta_path(index_dir)
+    with open(path) as f:
         return json.load(f)
 
 
@@ -1393,12 +1441,15 @@ def ivfpq_index_topk(
     k: int = DEFAULT_K,
     nprobe: int = IVF_NPROBE,
     shortlist: int = PQ_SHORTLIST,
+    max_lut_rows: int = MAX_LUT_ROWS,
 ) -> DataFrame:
     """Serve top-k from the persisted IVF-PQ index: score queries
     against the stored centroids, partition-prune ``codes/`` to the
     batch's probed cells (bounded collect, ≤ nlist values), ADC-score
-    the unpacked codes against a broadcast per-query LUT, shortlist,
-    then REFINE — exact cosine rerank joining the ``source`` table on
+    the unpacked codes against a per-query LUT (broadcast while the
+    batch's estimated LUT rows stay under ``max_lut_rows``, a shuffled
+    join with identical results above it), shortlist, then REFINE —
+    exact cosine rerank joining the ``source`` table on
     the shortlist ids only (candidate-proportional store fetch).
     With ``nprobe == nlist`` and an unbounded shortlist the refine
     ranks every vector exactly: provably brute force, the invariant
@@ -1416,8 +1467,15 @@ def ivfpq_index_topk(
         .filter(F.col("crank") <= nprobe)
         .select(F.col("id").alias("qid"), "cell")
     )
-    probed_cells = sorted(
-        r["cell"] for r in probes.select("cell").distinct().collect())
+    # One bounded job yields both the probed-cell manifest (≤ nlist
+    # values — drives partition pruning) and the batch's query count
+    # (drives the LUT broadcast-vs-join decision).
+    stats = probes.agg(
+        F.collect_set("cell").alias("cells"),
+        F.countDistinct("qid").alias("nq"),
+    ).collect()[0]
+    probed_cells = sorted(stats["cells"])
+    lut_est = int(stats["nq"]) * meta["m"] * meta["ks"]
     codes = (
         spark.read.parquet(os.path.join(vdir, "codes"))
         .filter(F.col("cell").isin(probed_cells))
@@ -1436,7 +1494,8 @@ def ivfpq_index_topk(
     adc = (
         codes.join(F.broadcast(probes), "cell")
         .filter(F.col("qid") != F.col("id"))
-        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .join(_bounded_broadcast(lut, lut_est, max_lut_rows),
+              ["qid", "s", "code"])
         .groupBy("qid", "id").agg(F.sum("pd").alias("adist"))
     )
     ws = Window.partitionBy("qid").orderBy(

@@ -750,3 +750,132 @@ def test_ivfpq_index_pruned_probe_partition_filters(spark, emb):
     for qid, grp in part.groupby("qid"):
         fbest = full[full["qid"] == qid]["sim"].max()
         assert (grp["sim"] <= fbest + 1e-9).all()
+
+
+# ---- r15 hardening: GC grace, append validation, versioned META ------------
+
+
+def test_staging_gc_respects_grace_period(spark, docs):
+    """A marker-less _staging_* dir may be another process's append
+    mid-staging: repair must leave it alone until it is older than
+    the grace window, then GC it."""
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    d = tempfile.mkdtemp(prefix="qpo_incr_grace_")
+    inc.build_dedup_index(corpus, d)
+    young = os.path.join(d, "_staging_young")
+    os.makedirs(os.path.join(young, "bands"))
+    inc.repair_index(d)
+    assert os.path.isdir(young)  # inside the grace window: untouched
+    old_age = inc.STAGING_GC_GRACE_SECONDS + 60
+    import time
+    past = time.time() - old_age
+    os.utime(young, (past, past))
+    inc.repair_index(d)
+    assert not os.path.exists(young)  # aged out: pre-marker garbage
+
+
+def test_append_param_mismatch_raises(spark, docs):
+    """An append whose signature params differ from the recorded build
+    params would mix incompatible band signatures — must fail loudly,
+    not corrupt probes. bucket_bands on an append must match the
+    on-disk layout."""
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d = tempfile.mkdtemp(prefix="qpo_incr_speccheck_")
+    inc.build_dedup_index(corpus, d)
+    with pytest.raises(ValueError, match="append params mismatch"):
+        inc.append_shard_to_index(shard, d, k=inc.MINHASH_K * 2)
+    with pytest.raises(ValueError, match="append params mismatch"):
+        inc.append_shard_to_index(shard, d, portable=True)
+    with pytest.raises(ValueError, match="bucket_bands"):
+        inc.build_dedup_index(shard, d, mode="append", bucket_bands=4)
+    # matching params still append fine
+    inc.append_shard_to_index(shard, d)
+    probe = docs.filter(F.col("doc_id") % 8 == 4)
+    assert inc.incremental_minhash_pairs(
+        spark, probe, d, threshold=0.2).count() > 0
+
+
+def test_ivfpq_meta_commits_inside_version_dir(spark, emb):
+    """META.json lives in the version dir and flips with CURRENT: a
+    geometry-changing rebuild can never pair new meta with old codes.
+    Legacy top-level META still resolves (fallback)."""
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    d = tempfile.mkdtemp(prefix="qpo_ivfpq_meta_")
+    S.build_ivfpq_index(emb, d, m=8)
+    vdir = S._ann_version_dir(d)
+    assert os.path.exists(os.path.join(vdir, "META.json"))
+    assert not os.path.exists(os.path.join(d, "META.json"))
+    assert S._load_ivfpq_meta(d)["m"] == 8
+    # geometry-changing rebuild: meta follows the flip atomically
+    S.build_ivfpq_index(emb, d, m=4)
+    vdir2 = S._ann_version_dir(d)
+    assert vdir2 != vdir
+    assert S._load_ivfpq_meta(d)["m"] == 4
+    got = S.ivfpq_index_topk(
+        spark, emb.filter(F.col("vec_id") < 10), d, source=emb,
+        nprobe=S.IVF_NLIST, shortlist=1 << 40)
+    want = S.cosine_topk(emb, num_queries=10)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # legacy fallback: a pre-r15 index with top-level META only
+    os.rename(os.path.join(vdir2, "META.json"),
+              os.path.join(d, "META.json"))
+    assert S._load_ivfpq_meta(d)["m"] == 4
+
+
+def test_ivfpq_build_keep_versions_defers_deletion(spark, emb):
+    """keep_versions on build_ivfpq_index: a rebuild with
+    keep_versions=2 retains the superseded version (and its META) for
+    in-flight readers; default rebuild prunes to live-only."""
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    d = tempfile.mkdtemp(prefix="qpo_ivfpq_keepv_")
+    S.build_ivfpq_index(emb, d)
+    vdir0 = S._ann_version_dir(d)
+    S.build_ivfpq_index(emb, d, keep_versions=2)
+    vdir1 = S._ann_version_dir(d)
+    assert vdir1 != vdir0
+    assert os.path.exists(os.path.join(vdir0, "META.json"))
+    assert spark.read.parquet(os.path.join(vdir0, "codes")).count() > 0
+    S.build_ivfpq_index(emb, d)  # default: prune to live only
+    versions = [n for n in os.listdir(d) if n.startswith("v_")]
+    assert len(versions) == 1
+
+
+def test_ivfpq_lut_guard_join_path_identical(spark, emb):
+    """Above max_lut_rows the ADC LUT joins instead of broadcasting —
+    results must be identical on both paths, for both the in-memory
+    composition and the persisted index serving path."""
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    sub = emb.filter(F.col("vec_id") % 4 == 0)
+    base = S.ivfpq_topk(sub, num_queries=10)
+    joined = S.ivfpq_topk(sub, num_queries=10, max_lut_rows=0)
+    assert sorted(map(tuple, base.collect())) == \
+        sorted(map(tuple, joined.collect()))
+    d = tempfile.mkdtemp(prefix="qpo_ivfpq_lutguard_")
+    S.build_ivfpq_index(sub, d)
+    qs = sub.filter(F.col("vec_id") < 40)
+    base_i = S.ivfpq_index_topk(spark, qs, d, source=sub)
+    joined_i = S.ivfpq_index_topk(spark, qs, d, source=sub,
+                                  max_lut_rows=0)
+    assert sorted(map(tuple, base_i.collect())) == \
+        sorted(map(tuple, joined_i.collect()))
+
+
+def test_reliable_checkpoint_prunes_superseded_rounds(spark, docs):
+    """A long reliable-checkpoint loop must hold O(1) superseded
+    rounds on disk, not all of them: after the run, only the
+    non-evolving pins plus the last two evolving generations remain."""
+    from query_planner_optimizer_spark.operators.dedup import dedup_clusters
+
+    ckpt = tempfile.mkdtemp(prefix="qpo_cc_prune_")
+    out = dedup_clusters(docs.limit(200), threshold=0.2,
+                         checkpoint_dir=ckpt)
+    n = out.count()
+    assert n > 0
+    pins = [p for p in os.listdir(ckpt) if p.startswith("pin-")]
+    # propagation: 1 pinned edge list + ≤2 retained evolving label gens
+    assert 1 <= len(pins) <= 3, pins
