@@ -23,12 +23,13 @@ def _modules():
         similarity,
         temporal,
         text,
+        textindex,
     )
     from query_planner_optimizer_spark.streaming import stateful, windows
 
     return (
         dedup, similarity, text, relevance, multimodal, windows, stateful,
-        analytics, temporal, docpipe, sampling, incremental,
+        analytics, temporal, docpipe, sampling, incremental, textindex,
     )
 
 

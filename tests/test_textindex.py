@@ -1,0 +1,159 @@
+"""Persisted BM25 serving index (operators/textindex.py).
+
+Load-bearing properties: (1) build+append serves scores IDENTICAL to a
+full rebuild AND to the one-shot relevance.bm25_scores recompute — the
+append path has no staleness by construction; (2) probes prune the
+postings scan to the query terms' buckets (PartitionFilters) with the
+term filter pushed; (3) a torn append heals on next touch and can
+never serve postings whose stats delta didn't land.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_planner_optimizer_spark.operators import textindex as tix
+from query_planner_optimizer_spark.operators.relevance import bm25_scores
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_build_append_equals_rebuild_and_recompute(spark, docs):
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d_inc = tempfile.mkdtemp(prefix="qpo_tix_inc_")
+    tix.build_text_index(corpus, d_inc)
+    tix.append_to_text_index(spark, shard, d_inc)
+    d_full = tempfile.mkdtemp(prefix="qpo_tix_full_")
+    tix.build_text_index(docs, d_full)
+    got_inc = _rows(tix.bm25_index_scores(spark, d_inc))
+    got_full = _rows(tix.bm25_index_scores(spark, d_full))
+    assert got_inc == got_full and len(got_inc) > 0
+    # and both equal the one-shot corpus recompute (identical rounding
+    # contract; avgdl via exact integer sum in the index path)
+    got_live = _rows(bm25_scores(docs))
+    assert got_inc == got_live
+
+
+def test_stats_deltas_are_exact_after_append(spark, docs):
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d = tempfile.mkdtemp(prefix="qpo_tix_stats_")
+    tix.build_text_index(corpus, d)
+    tix.append_to_text_index(spark, shard, d)
+    row = tix.text_index_stats(spark, d).collect()[0]
+    from query_planner_optimizer_spark.functions.textexpr import tokens
+
+    lens = docs.select(F.size(tokens(F.col("text"))).alias("dl"))
+    want_docs = docs.count()
+    want_sum = lens.agg(F.sum("dl")).collect()[0][0]
+    assert row["n_docs"] == want_docs
+    assert row["sum_dl"] == want_sum
+    # two stats delta rows on disk (build + append), summed at probe
+    vdir = tix._ann_version_dir(d)
+    deltas = spark.read.parquet(os.path.join(vdir, "stats"))
+    assert deltas.count() == 2
+
+
+def test_probe_prunes_to_matched_buckets(spark, docs):
+    d = tempfile.mkdtemp(prefix="qpo_tix_prune_")
+    tix.build_text_index(docs, d)
+    scores = tix.bm25_index_scores(spark, d, terms=["spark", "window"])
+    scores.collect()
+    plan = scores._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = [m for m in re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+          if "tbucket" in m]
+    assert pf, plan  # bucket pruning reached the postings scan
+    assert "PushedFilters" in plan and "term" in plan
+    # the pruned bucket set is term-bounded, not layout-sized
+    assert len(tix._term_buckets(spark, ["spark", "window"],
+                                 tix.TEXT_INDEX_BUCKETS)) <= 2
+
+
+def test_torn_append_heals_on_next_touch(spark, docs, monkeypatch):
+    """Crash after the marker write, mid-publish: the next probe must
+    complete the publish idempotently — scores equal the full
+    build+append result, never postings without their stats delta."""
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d = tempfile.mkdtemp(prefix="qpo_tix_torn_")
+    tix.build_text_index(corpus, d)
+    want_before = _rows(tix.bm25_index_scores(spark, d))
+    real_repair = tix.repair_text_index
+    monkeypatch.setattr(tix, "repair_text_index", lambda _d: None)
+    tix.append_to_text_index(spark, shard, d)
+    monkeypatch.undo()
+    vdir = tix._ann_version_dir(d)
+    markers = [f for f in os.listdir(vdir) if f.startswith("_pending_")]
+    assert len(markers) == 1
+    # partially publish one postings file by hand (crash mid-publish)
+    import json as _json
+
+    with open(os.path.join(vdir, markers[0])) as f:
+        plan = _json.load(f)
+    rel = plan["files"]["postings"][0]
+    dst = os.path.join(vdir, "postings", rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.rename(os.path.join(vdir, plan["staging"], "postings", rel), dst)
+    # next probe heals: equals a clean build+append
+    got = _rows(tix.bm25_index_scores(spark, d))
+    assert not [f for f in os.listdir(vdir)
+                if f.startswith(("_pending_", "_staging_"))]
+    d_ref = tempfile.mkdtemp(prefix="qpo_tix_torn_ref_")
+    tix.build_text_index(docs, d_ref)
+    assert got == _rows(tix.bm25_index_scores(spark, d_ref))
+    assert got != want_before  # the shard really landed
+    assert real_repair is tix.repair_text_index
+
+
+def test_staging_gc_respects_grace_period(spark, docs):
+    d = tempfile.mkdtemp(prefix="qpo_tix_grace_")
+    tix.build_text_index(docs, d)
+    vdir = tix._ann_version_dir(d)
+    young = os.path.join(vdir, "_staging_young")
+    os.makedirs(os.path.join(young, "postings"))
+    tix.repair_text_index(d)
+    assert os.path.isdir(young)
+    import time
+
+    past = time.time() - (tix.STAGING_GC_GRACE_SECONDS + 60)
+    os.utime(young, (past, past))
+    tix.repair_text_index(d)
+    assert not os.path.exists(young)
+
+
+def test_rebuild_flips_atomically_and_topk_shape(spark, docs):
+    d = tempfile.mkdtemp(prefix="qpo_tix_flip_")
+    tix.build_text_index(docs, d, n_buckets=4)
+    vdir0 = tix._ann_version_dir(d)
+    assert tix._load_text_meta(d)["n_buckets"] == 4
+    tix.build_text_index(docs, d, n_buckets=8, keep_versions=2)
+    vdir1 = tix._ann_version_dir(d)
+    assert vdir1 != vdir0 and tix._load_text_meta(d)["n_buckets"] == 8
+    assert os.path.exists(vdir0)  # deferred deletion for readers
+    topk = tix.bm25_index_topk(spark, d, k=10)
+    rows = topk.collect()
+    assert len(rows) == 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
