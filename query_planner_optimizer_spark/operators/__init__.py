@@ -18,6 +18,7 @@ def _modules():
         docpipe,
         incremental,
         multimodal,
+        quality,
         relevance,
         sampling,
         similarity,
@@ -30,6 +31,7 @@ def _modules():
     return (
         dedup, similarity, text, relevance, multimodal, windows, stateful,
         analytics, temporal, docpipe, sampling, incremental, textindex,
+        quality,
     )
 
 
