@@ -2710,78 +2710,75 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-14 window (r13 VERDICT #1: front every never-driver-
-    # -- checked entry, then refresh the r9 cohort).
-    # -- Composition: 8 never-checked entries — the 6 r13-late ones the
-    # -- r13 window couldn't reach (dedup_exact_first_clusters,
-    # -- sim_incremental_index, sim_incremental_retrain,
-    # -- text_incremental_oov, stream_incremental_ingest,
-    # -- pipeline_daily_ingest) plus the 4 r14-new entries (the two
-    # -- multiprobe gates, the bucketed non-broadcast probe path, and
-    # -- the reliable-checkpoint CC path) — followed by the FIRST 40
-    # -- of the 46 r9-green entries in registry order (histogram
-    # -- recomputed this round by replaying CORRECTNESS_r01–r13:
-    # -- r9=46, r10=45, r11=50, r12=50, r13=50, never-checked=10
-    # -- incl. the 4 new). 10 + 40 = 50 exactly.
-    # -- Honest arithmetic on the r13 gate ("nothing older than r10
-    # -- after r14"): 10 + 46 = 56 candidates > 50 slots, so the gate
-    # -- is infeasible by 6 this round; the LAST 6 r9 entries in
-    # -- registry order (sample_hash_10pct, sample_k_per_group,
-    # -- sample_mixture_weights, dsl_routed_daily_rollup,
-    # -- dsl_routed_incremental_rollup, dsl_plan_routed_daily_rollup)
-    # -- carry to the r15 window front.
+    # -- round-15 window (r14 VERDICT #1: front the never-driver-
+    # -- checked entries, then the r9 carry-overs, then the oldest
+    # -- r10 cohort).
+    # -- Composition: 8 never-checked — the 4 r14-late IVF-PQ entries
+    # -- (judge strict-checked 4/4 but no driver row yet) plus the 4
+    # -- r15-new entries (persisted BM25 index ×3, trained quality
+    # -- classifier) — then the 6 r9 carry-overs the r14 arithmetic
+    # -- named, then the FIRST 36 of the 45 r10-green entries in
+    # -- registry order. 8 + 6 + 36 = 50 exactly.
+    # -- Histogram after replaying CORRECTNESS_r01–r14: r9=6, r10=45,
+    # -- r11=50, r12=50, r13=50, r14=50, never=8 (4 IVF-PQ + 4 new).
+    # -- Carry to r16: the LAST 9 r10 entries in registry order
+    # -- (dsl_tpch_q8_market_share, dsl_covariance_by_hand,
+    # -- dsl_window_over_aggregate, dsl_setop_derived_from,
+    # -- dsl_having_inline_agg, dsl_tpch_q22_untapped_accounts,
+    # -- dedup_duplicate_spans, dedup_report, dedup_remove_spans).
     # -- never-driver-checked --
-    "dedup_exact_first_clusters",
-    "sim_incremental_index",
-    "sim_incremental_retrain",
-    "text_incremental_oov",
-    "stream_incremental_ingest",
-    "pipeline_daily_ingest",
-    "sim_multiprobe_topk",
-    "sim_multiprobe_recall",
-    "dedup_incremental_bucketed",
-    "dedup_cc_reliable",
-    # -- r9-green (first 40 of the stale cohort, registry order) --
-    "dsl_groupby_sum",
-    "dsl_groupby_avg",
-    "dsl_coarse_rounds",
-    "dsl_groupby_stddev_var",
-    "dsl_ungrouped_agg",
-    "dsl_daily_rollup",
-    "dsl_weekly_rollup",
-    "dsl_minute_rollup",
-    "dsl_window_range_sum_avg",
-    "dsl_median_value",
-    "dsl_tpch_q4_priority_exists",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_bucket_cap",
-    "dedup_minhash_quality",
-    "dedup_connected_components",
-    "dedup_decontaminate",
-    "sim_cosine_topk",
-    "text_quality_score",
-    "text_normalize_nfc",
-    "text_strip_markup",
-    "text_collocations",
-    "multimodal_features",
-    "multimodal_frame_pipeline",
-    "stream_hourly_rollup",
-    "stream_sessionize",
-    "analytics_value_histogram",
-    "analytics_zscore_outliers",
-    "analytics_running_sum",
-    "analytics_lag_delta",
-    "analytics_distinct_users",
-    "analytics_rollup_counts",
-    "analytics_cube_counts",
-    "analytics_pivot_day_by_type",
-    "analytics_salted_agg",
-    "dsl_join_salted",
-    "temporal_asof_join",
-    "pipeline_clean_corpus",
-    "pipeline_top_quality",
-    "pipeline_pack_grouped",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_recall",
+    "sim_ivfpq_index",
+    "sim_ivfpq_residual_topk",
+    "relevance_bm25_index",
+    "relevance_bm25_index_topk",
+    "relevance_text_index_stats",
+    "text_quality_classifier",
+    # -- r9 carry-overs (r14 window overflow, oldest first) --
+    "sample_hash_10pct",
+    "sample_k_per_group",
+    "sample_mixture_weights",
+    "dsl_routed_daily_rollup",
+    "dsl_routed_incremental_rollup",
+    "dsl_plan_routed_daily_rollup",
+    # -- r10-green (first 36 of the stale cohort, registry order) --
+    "dsl_filter_eq",
+    "dsl_filter_gauntlet",
+    "dsl_filter_neq",
+    "dsl_filter_in",
+    "dsl_expr_projection",
+    "dsl_case_projection",
+    "dsl_filter_not_in",
+    "dsl_filter_between",
+    "dsl_filter_range_ops",
+    "dsl_groupby_count_star",
+    "dsl_count_col",
+    "dsl_count_distinct_users",
+    "dsl_intersect_segments",
+    "dsl_except_segments",
+    "dsl_union_segments",
+    "dsl_distinct_pairs",
+    "dsl_groupby_min_max",
+    "dsl_multikey_orderby",
+    "dsl_topk_limit",
+    "dsl_having_group_gate",
+    "dsl_day_in_coercion",
+    "dsl_join_brand_pricing",
+    "dsl_join_tree_having_mix",
+    "dsl_window_frames_ntile",
+    "dsl_scalar_subquery_small_orders",
+    "dsl_tpch_q14_promo_share",
+    "dsl_tpch_q19_disjunctive",
+    "dsl_tpch_q17_small_quantity",
+    "dsl_corr_price_per_line",
+    "dsl_corr_join_subquery",
+    "dsl_corr_above_user_avg",
+    "dsl_tpch_q13_cust_distribution",
+    "dsl_tpch_q18_large_orders",
+    "dsl_eager_agg_rounded",
+    "dsl_tpch_q7_volume_shipping",
+    "dsl_tpch_q9_product_profit",
 ]
 
 

@@ -125,6 +125,15 @@ OPERATOR_HEADLINE = [
     # r13 late: the one-call composite gate (exact + near + new) over
     # the same cached index.
     "pipeline_daily_ingest",
+    # r15: production serving paths get tracked wall-times — the
+    # persisted IVF-PQ index probe (build+append cached per process,
+    # warm measures the codes-scan + ADC + store refine), the
+    # persisted BM25 index probe (same discipline on the lexical
+    # side; contrast relevance_bm25, which recomputes corpus stats
+    # per call), and the broadcast-weights classifier scoring pass.
+    "sim_ivfpq_index",
+    "relevance_bm25_index",
+    "text_quality_classifier",
 ]
 
 
