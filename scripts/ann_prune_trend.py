@@ -167,6 +167,55 @@ def main() -> int:
                   f"| {min(rec):.3f} |", flush=True)
         emb2.unpersist()
 
+    # ---- 1c. persisted IVF-PQ serving index: probe pruning + bytes
+    # (r15: the production serving shape — codes/ partition-pruned to
+    # the batch's probed cells, ADC over packed codes, store refine on
+    # the shortlist only; codes bytes vs the flat index's full-vector
+    # postings on identical data). ------------------------------------
+    emb3 = synth_embeddings(spark, N_VECS).persist()
+    emb3.count()
+    d_pq = tempfile.mkdtemp(prefix="qpo_ivfpq_prune_trend_")
+    t0 = time.perf_counter()
+    S.build_ivfpq_index(emb3, d_pq, nlist=PRUNE_NLIST)
+    pq_build_s = time.perf_counter() - t0
+    vdir = S._ann_version_dir(d_pq)
+    codes_path = os.path.join(vdir, "codes")
+    codes_bytes = dir_bytes(codes_path)
+    print("", flush=True)
+    print(f"IVF-PQ serving index: {N_VECS} x {DIM}d, "
+          f"nlist={PRUNE_NLIST}, m={S.PQ_M}, ks={S.PQ_KS}: build "
+          f"{pq_build_s:.1f}s, codes {codes_bytes / 1e6:.1f} MB "
+          f"(flat postings above: {total_bytes / 1e6:.1f} MB -> "
+          f"codes are {codes_bytes / total_bytes:.2f} of flat)",
+          flush=True)
+    print("| batch | nprobe | probed cells | codes bytes frac "
+          "| probe s (min of 2) | rows |", flush=True)
+    print("|---|---|---|---|---|---|", flush=True)
+    for n_q in BATCHES:
+        queries = emb3.filter(F.col("vec_id") < n_q)
+        for nprobe in (2, 8, PRUNE_NLIST):
+            times, rows = [], None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = S.ivfpq_index_topk(
+                    spark, queries, d_pq, source=emb3,
+                    nprobe=nprobe).count()
+                times.append(time.perf_counter() - t0)
+            cents = S._read_centroids(spark, d_pq)
+            qs = S.with_norm(queries, "embedding").select(
+                F.col("vec_id").alias("id"), "_vec", "_norm")
+            cells = sorted(
+                r["cell"] for r in S._scored_cells(qs, cents)
+                .filter(F.col("crank") <= nprobe)
+                .select("cell").distinct().collect())
+            read_bytes = sum(
+                dir_bytes(os.path.join(codes_path, f"cell={c}"))
+                for c in cells)
+            print(f"| {n_q} | {nprobe} | {len(cells)}/{PRUNE_NLIST} "
+                  f"| {read_bytes / codes_bytes:.2f} "
+                  f"| {min(times):.2f} | {rows} |", flush=True)
+    emb3.unpersist()
+
     # ---- 2. multiprobe LSH recall-vs-cost (real sf0.1 embeddings) ---
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     real = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
