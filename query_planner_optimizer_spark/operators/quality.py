@@ -137,17 +137,45 @@ class QualityModel:
         self.dim = dim
 
 
+#: Loud bound on the labeled-seed collect in
+#: :func:`train_quality_classifier`: curated seeds are small by
+#: definition; a "labeled frame" of corpus size is a usage error, not
+#: a training set — fail instead of silently materializing it.
+MAX_SEED_ROWS = 100_000
+
+
 def train_quality_classifier(
-    labeled: list[tuple[str, int]],
+    labeled: "list[tuple[str, int]] | DataFrame",
     dim: int = QUALITY_DIM,
     iters: int = 300,
     lr: float = 2.0,
     l2: float = 1e-3,
+    text_col: str = "text",
+    label_col: str = "label",
 ) -> QualityModel:
-    """Full-batch logistic regression on the labeled seed
-    ``[(text, label), ...]`` — driver-side by design (a curated seed is
-    small; see module docstring), deterministic (zero init, fixed
-    schedule, no sampling). Returns the 9dp-quantized model."""
+    """Full-batch logistic regression on the labeled seed — either
+    ``[(text, label), ...]`` or a small labeled DataFrame with
+    (``text_col``, ``label_col``) columns (collected driver-side:
+    bounded by :data:`MAX_SEED_ROWS`, raising loudly above it — a
+    curated seed is small by definition; see module docstring).
+    Deterministic (zero init, fixed schedule, no sampling, rows
+    ordered before training when a frame is passed). Returns the
+    9dp-quantized model."""
+    if isinstance(labeled, DataFrame):
+        n = labeled.count()
+        if n > MAX_SEED_ROWS:
+            raise ValueError(
+                f"labeled seed has {n} rows > MAX_SEED_ROWS="
+                f"{MAX_SEED_ROWS}; training is driver-side by design — "
+                f"curate a smaller seed or raise the bound explicitly"
+            )
+        # Bounded collect (≤ MAX_SEED_ROWS curated rows); sort for a
+        # partition-order-independent, reproducible gradient sequence.
+        labeled = [
+            (r[text_col], int(r[label_col]))
+            for r in labeled.select(text_col, label_col)
+            .orderBy(text_col, label_col).collect()
+        ]
     X = np.stack([_feature_vector(t, dim) for t, _ in labeled])
     y = np.array([float(lab) for _, lab in labeled])
     w = np.zeros(dim)

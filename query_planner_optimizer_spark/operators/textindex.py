@@ -343,6 +343,46 @@ def bm25_index_scores(
     )
 
 
+def tfidf_index_scores(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str] | tuple[str, ...] = DEFAULT_QUERY_TERMS,
+) -> DataFrame:
+    """TF-IDF served from the SAME index (tf·ln(N/df)): one postings
+    layout, both lexical scorers — same pruning shape and output
+    contract as :func:`relevance.tfidf_scores`
+    ((doc_id, n_matched_terms, score))."""
+    repair_text_index(index_dir)
+    meta = _load_text_meta(index_dir)
+    vdir = _ann_version_dir(index_dir)
+    terms = list(terms)
+    buckets = _term_buckets(spark, terms, meta["n_buckets"])
+    posts = (
+        spark.read.parquet(os.path.join(vdir, "postings"))
+        .filter(F.col("tbucket").isin(buckets)
+                & F.col("term").isin(terms))
+        .select("term", "doc_id", "tf")
+    )
+    n_docs = spark.read.parquet(os.path.join(vdir, "stats")).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"))
+    dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        .alias("idf"),
+    )
+    return (
+        posts.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.round(F.sum((F.col("tf") * F.col("idf"))
+                          .cast("decimal(38, 12)")), 6)
+            .cast("double").alias("score"),
+        )
+    )
+
+
 def bm25_index_topk(
     spark: SparkSession,
     index_dir: str,
@@ -418,6 +458,10 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_topk(spark, _built_index(spark, sf_dir), k=50)
 
 
+def q_tfidf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_index_scores(spark, _built_index(spark, sf_dir))
+
+
 def q_text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_index_stats(spark, _built_index(spark, sf_dir))
 
@@ -426,6 +470,7 @@ def entry_queries() -> dict[str, Callable]:
     return {
         "relevance_bm25_index": q_bm25_index,
         "relevance_bm25_index_topk": q_bm25_index_topk,
+        "relevance_tfidf_index": q_tfidf_index,
         "relevance_text_index_stats": q_text_index_stats,
     }
 
@@ -470,6 +515,15 @@ def entry_oracles() -> dict[str, str]:
         SELECT * FROM ({scores})
         ORDER BY score DESC, doc_id ASC LIMIT 50
     """
+    tfidf = f"""
+        WITH {base}
+        SELECT tf.doc_id, COUNT(*) AS n_matched_terms,
+               CAST(ROUND(SUM(CAST(
+                   tf.tf * ln(CAST(stats.n_docs AS DOUBLE) / dfreq.df)
+               AS DECIMAL(38, 12))), 6) AS DOUBLE) AS score
+        FROM tf JOIN dfreq USING (term), stats
+        GROUP BY tf.doc_id
+    """
     idx_stats = f"""
         WITH tok AS (
             SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
@@ -490,5 +544,6 @@ def entry_oracles() -> dict[str, str]:
     return {
         "relevance_bm25_index": scores,
         "relevance_bm25_index_topk": topk,
+        "relevance_tfidf_index": tfidf,
         "relevance_text_index_stats": idx_stats,
     }

@@ -97,3 +97,20 @@ def test_model_is_deterministic_and_quantized(spark):
     m2 = Q.default_quality_model()
     assert m1.weights == m2.weights and m1.bias == m2.bias
     assert all(len(w.split(".")[1]) == 9 for w in m1.weights)
+
+
+def test_train_accepts_labeled_dataframe(spark):
+    rows = [(t, 1) for t in Q.SEED_POSITIVE] + [
+        (t, 0) for t in Q.SEED_NEGATIVE]
+    df = spark.createDataFrame(rows, "text string, label int")
+    m_df = Q.train_quality_classifier(df)
+    m_list = Q.default_quality_model()
+    # same seed -> identical quantized model regardless of input shape
+    assert m_df.weights == m_list.weights and m_df.bias == m_list.bias
+    # corpus-sized "seeds" fail loudly instead of collecting
+    import pytest as _pytest
+
+    big = spark.range(Q.MAX_SEED_ROWS + 1).selectExpr(
+        "CAST(id AS STRING) AS text", "CAST(id % 2 AS INT) AS label")
+    with _pytest.raises(ValueError, match="MAX_SEED_ROWS"):
+        Q.train_quality_classifier(big)

@@ -157,3 +157,16 @@ def test_rebuild_flips_atomically_and_topk_shape(spark, docs):
     assert scores == sorted(scores, reverse=True)
     plan = topk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
+
+
+def test_tfidf_served_from_same_index_equals_recompute(spark, docs):
+    from query_planner_optimizer_spark.operators.relevance import tfidf_scores
+
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d = tempfile.mkdtemp(prefix="qpo_tix_tfidf_")
+    tix.build_text_index(corpus, d)
+    tix.append_to_text_index(spark, shard, d)
+    got = _rows(tix.tfidf_index_scores(spark, d))
+    want = _rows(tfidf_scores(docs))
+    assert got == want and len(got) > 0
