@@ -401,6 +401,59 @@ def bm25_index_topk(
     )
 
 
+def streaming_text_index_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous index maintenance: a ``readStream`` over a landing
+    dir of document shards folds each micro-batch into the live index
+    via :func:`append_to_text_index` — the deployment shape of daily/
+    hourly corpus ingest (same ``foreachBatch`` + batch-marker
+    discipline as ``streaming/maintenance.streaming_rollup_
+    maintenance``). The marker records the last folded batch id inside
+    the index dir, so a restart after a crash BETWEEN the fold and the
+    checkpoint commit replays the batch as a no-op instead of
+    double-appending (appends are not idempotent by themselves; the
+    marker makes the fold exactly-once). With
+    ``trigger(availableNow=True)`` the run is finite — callers
+    ``awaitTermination`` on the returned query. Single writer, as per
+    the module contract."""
+    marker = os.path.join(index_dir, "_last_text_batch")
+
+    def _last() -> int:
+        if os.path.exists(marker):
+            txt = open(marker).read().strip()
+            return int(txt) if txt else -1
+        return -1
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_id <= _last():
+            return  # already folded + recorded: restart replay no-op
+        append_to_text_index(spark, batch_df, index_dir,
+                             id_col=id_col, text_col=text_col)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir)
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def text_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """One-row accounting of the persisted index: postings rows,
     distinct terms/docs in the postings, and the summed corpus stats.

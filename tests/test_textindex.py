@@ -170,3 +170,45 @@ def test_tfidf_served_from_same_index_equals_recompute(spark, docs):
     got = _rows(tix.tfidf_index_scores(spark, d))
     want = _rows(tfidf_scores(docs))
     assert got == want and len(got) > 0
+
+
+def test_streaming_maintenance_equals_rebuild(spark, docs, tmp_path):
+    """readStream landing-dir ingest folds shards into the live index;
+    served scores equal a full rebuild over everything ingested, and a
+    restart replays already-folded batches as no-ops (marker
+    discipline) instead of double-appending."""
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    s1 = docs.filter(F.col("doc_id") % 8 == 0)
+    d = str(tmp_path / "tix")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    tix.build_text_index(corpus, d)
+    s1.select("doc_id", "text").coalesce(1).write.mode("append").parquet(
+        landing)
+    schema = "doc_id LONG, text STRING"
+    q = tix.streaming_text_index_maintenance(spark, landing, d, ckpt,
+                                             schema)
+    q.awaitTermination()
+    got = _rows(tix.bm25_index_scores(spark, d))
+    d_full = str(tmp_path / "tix_full")
+    tix.build_text_index(docs, d_full)
+    assert got == _rows(tix.bm25_index_scores(spark, d_full))
+    # restart with no new files: nothing re-appends
+    n_stats = spark.read.parquet(
+        os.path.join(tix._ann_version_dir(d), "stats")).count()
+    q2 = tix.streaming_text_index_maintenance(spark, landing, d, ckpt,
+                                              schema)
+    q2.awaitTermination()
+    assert spark.read.parquet(
+        os.path.join(tix._ann_version_dir(d), "stats")).count() == n_stats
+    assert _rows(tix.bm25_index_scores(spark, d)) == got
+    # crash-window replay: marker says folded, checkpoint does not —
+    # wipe the checkpoint so Spark replays batch 0; the marker must
+    # turn the replay into a no-op instead of a double append
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q3 = tix.streaming_text_index_maintenance(spark, landing, d, ckpt,
+                                              schema)
+    q3.awaitTermination()
+    assert _rows(tix.bm25_index_scores(spark, d)) == got
