@@ -783,6 +783,39 @@ def ann_index_topk(
     )
 
 
+def compact_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    keep_versions: int = 1,
+) -> None:
+    """Parquet maintenance for an append-grown flat index: daily
+    appends land one file set per touched cell partition; compaction
+    rewrites the live version into a FRESH version dir (postings
+    re-clustered one task per cell) and publishes it with the same
+    atomic CURRENT flip as a rebuild — versioning makes it trivially
+    crash-safe (an interrupted compaction leaves an unreferenced
+    ``v_*`` dir; the live version is untouched). Centroids are copied
+    unchanged: compaction is layout-only, never a retrain (that is
+    :func:`retrain_ann_index`'s job). Probe equality before/after is
+    pinned in tests."""
+    import uuid
+
+    cents_path, posts_path = ann_paths(index_dir)
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    vdir = os.path.join(index_dir, version)
+    spark.read.parquet(cents_path).coalesce(1).write.mode(
+        "overwrite").parquet(os.path.join(vdir, "centroids"))
+    (
+        spark.read.parquet(posts_path)
+        .repartition("cell").sortWithinPartitions("id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(os.path.join(vdir, "postings"))
+    )
+    _flip_ann_current(index_dir, version)
+    _drop_stale_ann_versions(index_dir, keep=version,
+                             keep_versions=keep_versions)
+
+
 def retrain_ann_index(
     spark: SparkSession,
     index_dir: str,
@@ -1429,6 +1462,40 @@ def append_to_ivfpq_index(
         .write.mode("append").partitionBy("cell")
         .parquet(os.path.join(vdir, "codes"))
     )
+
+
+def compact_ivfpq_index(
+    spark: SparkSession,
+    index_dir: str,
+    keep_versions: int = 1,
+) -> None:
+    """IVF-PQ twin of :func:`compact_ann_index`: re-cluster the
+    append-grown ``codes/`` one task per cell into a fresh version dir
+    (centroids, codebooks, and META copied unchanged — layout-only,
+    never a re-train) and flip CURRENT atomically. Serving equality
+    before/after pinned in tests."""
+    import uuid
+
+    meta = _load_ivfpq_meta(index_dir)
+    vdir = _ann_version_dir(index_dir)
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    new_vdir = os.path.join(index_dir, version)
+    for small in ("centroids", "books"):
+        spark.read.parquet(os.path.join(vdir, small)).coalesce(1).write \
+            .mode("overwrite").parquet(os.path.join(new_vdir, small))
+    (
+        spark.read.parquet(os.path.join(vdir, "codes"))
+        .repartition("cell").sortWithinPartitions("id")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(os.path.join(new_vdir, "codes"))
+    )
+    tmp = os.path.join(new_vdir, "META.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(new_vdir, "META.json"))
+    _flip_ann_current(index_dir, version)
+    _drop_stale_ann_versions(index_dir, keep=version,
+                             keep_versions=keep_versions)
 
 
 def ivfpq_index_topk(

@@ -401,6 +401,50 @@ def bm25_index_topk(
     )
 
 
+def compact_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    keep_versions: int = 1,
+) -> None:
+    """Parquet-maintenance job for an append-grown index: every append
+    lands one file set per bucket plus one stats-delta row, so a year
+    of daily ingest is ~365 small files per bucket and 365 delta rows.
+    Compaction rewrites the live version into a FRESH version dir —
+    postings re-clustered one-file-per-bucket, the stats deltas summed
+    into a single row — and publishes it with the same atomic CURRENT
+    flip as a rebuild. Versioning makes this trivially crash-safe (no
+    rename dance like incremental.compact_index needs): a crash
+    mid-compaction leaves an unreferenced ``v_*`` dir and the live
+    version untouched; probes never see a half-compacted state.
+    Results are bit-identical before/after (pinned in tests) — the
+    summed stats row equals the delta sum by integer exactness."""
+    repair_text_index(index_dir)
+    meta = _load_text_meta(index_dir)
+    vdir = _ann_version_dir(index_dir)
+    posts = spark.read.parquet(os.path.join(vdir, "postings"))
+    stats = spark.read.parquet(os.path.join(vdir, "stats")).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    new_vdir = os.path.join(index_dir, version)
+    (
+        posts.repartition("tbucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(os.path.join(new_vdir, "postings"))
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(new_vdir, "stats"))
+    tmp = os.path.join(new_vdir, "META.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(new_vdir, "META.json"))
+    _flip_ann_current(index_dir, version)
+    _drop_stale_ann_versions(index_dir, keep=version,
+                             keep_versions=keep_versions)
+
+
 def streaming_text_index_maintenance(
     spark: SparkSession,
     landing_dir: str,

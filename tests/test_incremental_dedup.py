@@ -879,3 +879,39 @@ def test_reliable_checkpoint_prunes_superseded_rounds(spark, docs):
     pins = [p for p in os.listdir(ckpt) if p.startswith("pin-")]
     # propagation: 1 pinned edge list + ≤2 retained evolving label gens
     assert 1 <= len(pins) <= 3, pins
+
+
+def test_compact_ann_and_ivfpq_indexes_preserve_serving(spark, emb):
+    """Version-flip compaction (r15): probe results bit-identical
+    before/after for both the flat and the IVF-PQ serving indexes;
+    compaction is layout-only (centroids/books/META unchanged)."""
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    corpus = emb.filter(F.col("vec_id") % 8 != 0)
+    shard = emb.filter(F.col("vec_id") % 8 == 0)
+    qs = emb.filter(F.col("vec_id") < 20)
+
+    d = tempfile.mkdtemp(prefix="qpo_ann_compact_")
+    S.build_ann_index(corpus, d)
+    S.append_to_ann_index(spark, shard, d)
+    want = sorted(map(tuple, S.ann_index_topk(
+        spark, qs, d, nprobe=S.IVF_NLIST).collect()))
+    S.compact_ann_index(spark, d)
+    got = sorted(map(tuple, S.ann_index_topk(
+        spark, qs, d, nprobe=S.IVF_NLIST).collect()))
+    assert got == want and len(got) > 0
+    assert len([n for n in os.listdir(d) if n.startswith("v_")]) == 1
+
+    d2 = tempfile.mkdtemp(prefix="qpo_ivfpq_compact_")
+    S.build_ivfpq_index(corpus, d2)
+    S.append_to_ivfpq_index(spark, shard, d2)
+    want2 = sorted(map(tuple, S.ivfpq_index_topk(
+        spark, qs, d2, source=emb, nprobe=S.IVF_NLIST,
+        shortlist=1 << 40).collect()))
+    meta_before = S._load_ivfpq_meta(d2)
+    S.compact_ivfpq_index(spark, d2)
+    assert S._load_ivfpq_meta(d2) == meta_before
+    got2 = sorted(map(tuple, S.ivfpq_index_topk(
+        spark, qs, d2, source=emb, nprobe=S.IVF_NLIST,
+        shortlist=1 << 40).collect()))
+    assert got2 == want2 and len(got2) > 0

@@ -212,3 +212,40 @@ def test_streaming_maintenance_equals_rebuild(spark, docs, tmp_path):
                                               schema)
     q3.awaitTermination()
     assert _rows(tix.bm25_index_scores(spark, d)) == got
+
+
+def test_compact_text_index_identical_and_one_file_per_bucket(spark, docs):
+    gen = F.col("doc_id") % 8
+    corpus = docs.filter((gen != 0) & (gen != 4))
+    d = tempfile.mkdtemp(prefix="qpo_tix_compact_")
+    tix.build_text_index(corpus, d, n_buckets=4)
+    # two appends -> several file sets per bucket + 3 stats rows
+    for g in (0, 4):
+        tix.append_to_text_index(
+            spark, docs.filter(gen == g), d)
+    want = _rows(tix.bm25_index_scores(spark, d))
+    want_tfidf = _rows(tix.tfidf_index_scores(spark, d))
+    vdir_old = tix._ann_version_dir(d)
+    tix.compact_text_index(spark, d)
+    vdir_new = tix._ann_version_dir(d)
+    assert vdir_new != vdir_old and not os.path.exists(vdir_old)
+    assert _rows(tix.bm25_index_scores(spark, d)) == want
+    assert _rows(tix.tfidf_index_scores(spark, d)) == want_tfidf
+    # stats deltas summed to ONE row; postings one file per bucket
+    stats = spark.read.parquet(os.path.join(vdir_new, "stats"))
+    assert stats.count() == 1
+    posts_root = os.path.join(vdir_new, "postings")
+    for b in os.listdir(posts_root):
+        if not b.startswith("tbucket="):
+            continue
+        files = [f for f in os.listdir(os.path.join(posts_root, b))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (b, files)
+    # a post-compaction append still works and stays exact
+    extra = docs.filter(F.col("doc_id") % 40 == 1).select(
+        (F.col("doc_id") + 50_000).alias("doc_id"), "text")
+    tix.append_to_text_index(spark, extra, d)
+    d_ref = tempfile.mkdtemp(prefix="qpo_tix_compact_ref_")
+    tix.build_text_index(docs.unionByName(extra), d_ref)
+    assert _rows(tix.bm25_index_scores(spark, d)) == \
+        _rows(tix.bm25_index_scores(spark, d_ref))
