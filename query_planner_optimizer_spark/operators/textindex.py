@@ -93,22 +93,37 @@ def _bucket_col(term_col, n_buckets: int):
 
 
 def _shard_frames(
-    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int,
+    positions: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, stats_delta) for one corpus/shard: postings =
     (tbucket, term, doc_id, tf, dl) with dl piggybacked through the tf
     aggregation (constant per doc ⇒ max() is exact — the
     relevance._term_stats move); stats_delta = one row
-    (n_docs, sum_dl) over EVERY doc including zero-token ones."""
+    (n_docs, sum_dl) over EVERY doc including zero-token ones.
+    ``positions=True`` adds a sorted 0-based token-offset array per
+    (term, doc) — the positional-postings layout phrase matching
+    needs (Lucene's positions trade: storage grows to O(tokens), the
+    same order as the corpus text)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
     ).select("doc_id", F.size("__toks").alias("dl"), "__toks")
-    postings = (
-        toks.select("doc_id", "dl", F.explode("__toks").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .withColumn("tbucket", _bucket_col(F.col("term"), n_buckets))
-    )
+    if positions:
+        postings = (
+            toks.select("doc_id", "dl",
+                        F.posexplode("__toks").alias("p", "term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"),
+                 F.array_sort(F.collect_list("p")).alias("positions"))
+            .withColumn("tbucket", _bucket_col(F.col("term"), n_buckets))
+        )
+    else:
+        postings = (
+            toks.select("doc_id", "dl", F.explode("__toks").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+            .withColumn("tbucket", _bucket_col(F.col("term"), n_buckets))
+        )
     stats_delta = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
@@ -128,12 +143,17 @@ def build_text_index(
     text_col: str = "text",
     n_buckets: int = TEXT_INDEX_BUCKETS,
     keep_versions: int = 1,
+    positions: bool = False,
 ) -> None:
     """One corpus pass → a complete index version (postings + stats
     delta + META), published by the atomic CURRENT flip. The corpus
     text is read and tokenized exactly once, here — never again by any
-    probe or append."""
-    postings, delta = _shard_frames(docs, id_col, text_col, n_buckets)
+    probe or append. ``positions=True`` stores per-(term, doc) token
+    offsets, enabling :func:`phrase_match`; the flag is recorded in
+    META so appends keep the layout and phrase probes can refuse a
+    positions-free index loudly."""
+    postings, delta = _shard_frames(docs, id_col, text_col, n_buckets,
+                                    positions=positions)
     version = f"v_{uuid.uuid4().hex[:12]}"
     vdir = os.path.join(index_dir, version)
     (
@@ -146,7 +166,7 @@ def build_text_index(
         os.path.join(vdir, "stats"))
     tmp = os.path.join(vdir, "META.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"n_buckets": n_buckets}, f)
+        json.dump({"n_buckets": n_buckets, "positions": positions}, f)
     os.replace(tmp, os.path.join(vdir, "META.json"))
     _flip_ann_current(index_dir, version)
     _drop_stale_ann_versions(index_dir, keep=version,
@@ -243,7 +263,8 @@ def append_to_text_index(
     meta = _load_text_meta(index_dir)
     vdir = _ann_version_dir(index_dir)
     postings, delta = _shard_frames(shard, id_col, text_col,
-                                    meta["n_buckets"])
+                                    meta["n_buckets"],
+                                    positions=meta.get("positions", False))
     token = uuid.uuid4().hex[:12]
     stg_name = f"_staging_{token}"
     stg_root = os.path.join(vdir, stg_name)
@@ -401,6 +422,74 @@ def bm25_index_topk(
     )
 
 
+def phrase_match(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: list[str] | tuple[str, ...],
+) -> DataFrame:
+    """Exact-phrase retrieval from a POSITIONAL index (``build_text_
+    index(positions=True)``): (doc_id, n_occurrences) for documents
+    containing the phrase's terms at consecutive token offsets.
+
+    Plan: prune postings to the phrase's terms (bucket PartitionFilters
+    + pushed term filter, like the scorers), one positions-array row
+    per (term, doc); k-way equi-join on doc_id (k = phrase length —
+    each successive join SHRINKS the candidate set, so join order
+    already matches selectivity); count occurrences with ONE
+    higher-order array filter over the first term's positions
+    (codegen-free but interpreted per candidate doc only —
+    candidate-proportional, never corpus-proportional). A unigram
+    phrase degenerates to docs-containing-term with n_occurrences =
+    tf. Raises on an index built without positions."""
+    repair_text_index(index_dir)
+    meta = _load_text_meta(index_dir)
+    if not meta.get("positions"):
+        raise ValueError(
+            f"index at {index_dir} was built without positions; "
+            f"rebuild with build_text_index(positions=True) to serve "
+            f"phrase queries"
+        )
+    phrase = list(phrase)
+    if not phrase:
+        raise ValueError("empty phrase")
+    vdir = _ann_version_dir(index_dir)
+    buckets = _term_buckets(spark, phrase, meta["n_buckets"])
+    posts = (
+        spark.read.parquet(os.path.join(vdir, "postings"))
+        .filter(F.col("tbucket").isin(buckets)
+                & F.col("term").isin(phrase))
+        .select("term", "doc_id", "positions")
+    )
+    joined = None
+    for i, term in enumerate(phrase):
+        side = posts.filter(F.col("term") == term).select(
+            "doc_id", F.col("positions").alias(f"pos{i}"))
+        joined = side if joined is None else joined.join(side, "doc_id")
+    def _adjacent(i: int):
+        def cond(x):
+            return F.array_contains(F.col(f"pos{i}"), x + i)
+        return cond
+
+    def _both(a, b):
+        def cond(x):
+            return a(x) & b(x)
+        return cond
+
+    conds = None
+    for i in range(1, len(phrase)):
+        c = _adjacent(i)
+        conds = c if conds is None else _both(conds, c)
+    occurrences = (
+        F.size(F.filter(F.col("pos0"), conds))
+        if conds is not None else F.size(F.col("pos0"))
+    )
+    return (
+        joined.select(
+            "doc_id", occurrences.cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
 def compact_text_index(
     spark: SparkSession,
     index_dir: str,
@@ -536,7 +625,10 @@ def _built_index(spark: SparkSession, sf_dir: str) -> str:
     if key not in _TEXT_INDEX_CACHE:
         docs = _load_documents(spark, sf_dir)
         d = tempfile.mkdtemp(prefix="qpo_text_index_")
-        build_text_index(docs.filter(F.col("doc_id") % 8 != 0), d)
+        # positions=True: ONE cached index serves the scorers (which
+        # ignore the extra column) AND the phrase entry.
+        build_text_index(docs.filter(F.col("doc_id") % 8 != 0), d,
+                         positions=True)
         append_to_text_index(
             spark, docs.filter(F.col("doc_id") % 8 == 0), d)
         _TEXT_INDEX_CACHE[key] = d
@@ -559,6 +651,16 @@ def q_tfidf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_index_scores(spark, _built_index(spark, sf_dir))
 
 
+#: Driver phrase: a mid-frequency consecutive bigram of the driver
+#: corpus (present at every sf).
+DEFAULT_PHRASE = ("window", "join")
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phrase_match(spark, _built_index(spark, sf_dir),
+                        DEFAULT_PHRASE)
+
+
 def q_text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_index_stats(spark, _built_index(spark, sf_dir))
 
@@ -568,6 +670,7 @@ def entry_queries() -> dict[str, Callable]:
         "relevance_bm25_index": q_bm25_index,
         "relevance_bm25_index_topk": q_bm25_index_topk,
         "relevance_tfidf_index": q_tfidf_index,
+        "relevance_phrase_match": q_phrase_match,
         "relevance_text_index_stats": q_text_index_stats,
     }
 
@@ -621,6 +724,30 @@ def entry_oracles() -> dict[str, str]:
         FROM tf JOIN dfreq USING (term), stats
         GROUP BY tf.doc_id
     """
+    p0, p1 = DEFAULT_PHRASE
+    # generate_subscripts is 1-based vs Spark's 0-based posexplode —
+    # consecutiveness (x+1) is offset-invariant, so counts agree.
+    phrase = f"""
+        WITH base AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS term,
+                   generate_subscripts(toks, 1) AS p
+            FROM base
+        ),
+        t0 AS (SELECT doc_id, list(p ORDER BY p) AS pos FROM tok
+               WHERE term = '{p0}' GROUP BY doc_id),
+        t1 AS (SELECT doc_id, list(p ORDER BY p) AS pos FROM tok
+               WHERE term = '{p1}' GROUP BY doc_id)
+        SELECT t0.doc_id,
+               CAST(len(list_filter(t0.pos,
+                   x -> list_contains(t1.pos, x + 1))) AS BIGINT)
+                   AS n_occurrences
+        FROM t0 JOIN t1 ON t0.doc_id = t1.doc_id
+        WHERE len(list_filter(t0.pos,
+                  x -> list_contains(t1.pos, x + 1))) > 0
+    """
     idx_stats = f"""
         WITH tok AS (
             SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
@@ -642,5 +769,6 @@ def entry_oracles() -> dict[str, str]:
         "relevance_bm25_index": scores,
         "relevance_bm25_index_topk": topk,
         "relevance_tfidf_index": tfidf,
+        "relevance_phrase_match": phrase,
         "relevance_text_index_stats": idx_stats,
     }

@@ -249,3 +249,38 @@ def test_compact_text_index_identical_and_one_file_per_bucket(spark, docs):
     tix.build_text_index(docs.unionByName(extra), d_ref)
     assert _rows(tix.bm25_index_scores(spark, d)) == \
         _rows(tix.bm25_index_scores(spark, d_ref))
+
+
+def test_phrase_match_trigram_and_guards(spark):
+    rows = [
+        (1, "a b c a b c x"),        # "a b c" twice
+        (2, "a b x c a b"),          # "a b" twice, never "a b c"
+        (3, "c b a"),                # reversed - no match
+        (4, "a a b c"),              # once, offset start
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="qpo_tix_phrase_")
+    tix.build_text_index(docs, d, positions=True)
+    got3 = {r["doc_id"]: r["n_occurrences"]
+            for r in tix.phrase_match(spark, d, ["a", "b", "c"]).collect()}
+    assert got3 == {1: 2, 4: 1}
+    got2 = {r["doc_id"]: r["n_occurrences"]
+            for r in tix.phrase_match(spark, d, ["a", "b"]).collect()}
+    assert got2 == {1: 2, 2: 2, 4: 1}
+    # unigram degenerates to tf
+    got1 = {r["doc_id"]: r["n_occurrences"]
+            for r in tix.phrase_match(spark, d, ["a"]).collect()}
+    assert got1 == {1: 2, 2: 2, 3: 1, 4: 2}
+    # positions survive an append (layout comes from META)
+    more = spark.createDataFrame([(10, "z a b c z")],
+                                 "doc_id long, text string")
+    tix.append_to_text_index(spark, more, d)
+    got_after = {r["doc_id"]: r["n_occurrences"]
+                 for r in tix.phrase_match(spark, d, ["a", "b", "c"])
+                 .collect()}
+    assert got_after == {1: 2, 4: 1, 10: 1}
+    # a positions-free index refuses phrase queries loudly
+    d_flat = tempfile.mkdtemp(prefix="qpo_tix_nophrase_")
+    tix.build_text_index(docs, d_flat)
+    with pytest.raises(ValueError, match="without positions"):
+        tix.phrase_match(spark, d_flat, ["a", "b"])
