@@ -181,6 +181,13 @@ def lsh_topk(
     )
 
 
+#: Probe-budget guard for multiprobe LSH: the Hamming-ball fan-out is
+#: 1 + planes + C(planes, 2) at flips=2 — quadratic in planes. The cap
+#: turns an accidental wide-sketch + flips=2 combination into a loud
+#: error instead of a silently exploded probe join.
+MULTIPROBE_MAX_PROBES = 64
+
+
 def lsh_multiprobe_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -191,6 +198,7 @@ def lsh_multiprobe_topk(
     planes: int = LSH_PLANES,
     tables: int = LSH_TABLES,
     flips: int = 1,
+    max_probes: int = MULTIPROBE_MAX_PROBES,
 ) -> DataFrame:
     """Multi-probe hyperplane LSH (Lv et al., VLDB 2007): each query
     probes its OWN bucket plus every bucket at Hamming distance ≤
@@ -199,17 +207,33 @@ def lsh_multiprobe_topk(
     whose dot product with one hyperplane straddles zero lands there).
     Buys recall WITHOUT more tables: the corpus is sketched once
     (identical map-side cost and index size as :func:`lsh_topk`); only
-    the tiny query side fans out ×(1 + planes·flips). Probing is still
-    a pure equi-join on (tbl, bkt) — never a distance scan.
+    the tiny query side fans out. Probing is still a pure equi-join on
+    (tbl, bkt) — never a distance scan.
 
-    ``flips=1`` (default): 1 + planes extra probes per (query, table).
-    Candidates are a strict superset of the single-probe candidates
-    (the 0-flip key is always probed), so recall is monotonically ≥
-    :func:`lsh_topk`'s — asserted, not assumed, by
-    :func:`multiprobe_recall_summary`. Exact rerank, same output shape.
+    ``flips=1`` (default): 1 + planes probes per (query, table);
+    ``flips=2`` adds the planes-choose-2 two-bit flips (the next ring
+    of nearest-miss buckets) — 1 + planes + C(planes, 2) probes. The
+    probe set is the full Hamming ball (no per-probe boundary-distance
+    scoring as in full QD-probing — at sign-sketch sizes the whole
+    ring is affordable), guarded by ``max_probes``: a (planes, flips)
+    combination whose per-(query, table) fan-out exceeds it raises
+    loudly instead of silently exploding the probe join. Candidates at
+    ``flips=2`` are a strict superset of ``flips=1``'s, which are a
+    strict superset of single-probe's (the smaller rings are always
+    probed), so recall is monotone in ``flips`` — asserted, not
+    assumed, by :func:`multiprobe_recall_summary` and the flips=2
+    pytest. Exact rerank, same output shape.
     """
-    if flips != 1:
-        raise ValueError("only flips=1 is implemented (1-bit probes)")
+    if flips not in (1, 2):
+        raise ValueError("flips must be 1 or 2 (Hamming-ball probing)")
+    n_probes = 1 + planes + (planes * (planes - 1) // 2 if flips == 2
+                             else 0)
+    if n_probes > max_probes:
+        raise ValueError(
+            f"probe fan-out {n_probes} per (query, table) exceeds "
+            f"max_probes={max_probes} (planes={planes}, flips={flips}); "
+            f"lower flips/planes or raise max_probes explicitly"
+        )
     hp = _hyperplanes(dim, planes, tables)
     base = with_norm(df, vec_col)
 
@@ -238,10 +262,16 @@ def lsh_multiprobe_topk(
     ).select("id", "_vec", "_norm",
              F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt"))
 
-    # Query-side fan-out: own key + every 1-bit flip of it.
+    # Query-side fan-out: own key + every ≤flips-bit flip of it.
+    flip_masks = [1 << p for p in range(planes)]
+    if flips == 2:
+        flip_masks += [
+            (1 << p) | (1 << q)
+            for p in range(planes) for q in range(p + 1, planes)
+        ]
     probe_keys = F.array(
         F.col("bkt"),
-        *[F.col("bkt").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+        *[F.col("bkt").bitwiseXOR(F.lit(m)) for m in flip_masks],
     )
     qs = (
         sketched.filter(F.col("id") < num_queries)
@@ -1771,6 +1801,13 @@ def q_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiprobe_recall_summary(_emb(spark, sf_dir))
 
 
+def q_multiprobe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # flips=2: the two-bit Hamming ring joins the probe set; the
+    # oracle replays the full two-ring fan-out over the same literal
+    # masks, so the WIDER candidate set is itself hash-checked.
+    return lsh_multiprobe_topk(_emb(spark, sf_dir), flips=2)
+
+
 def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_emb(spark, sf_dir))
 
@@ -2150,6 +2187,7 @@ def entry_queries() -> dict[str, Callable]:
         "sim_incremental_index": q_incremental_ann,  # build+append+probe
         "sim_incremental_retrain": q_incremental_retrain,  # +retrain
         "sim_multiprobe_topk": q_multiprobe_topk,  # 1-bit flips, full oracle
+        "sim_multiprobe2_topk": q_multiprobe2_topk,  # 2-bit ring, full oracle
         "sim_multiprobe_recall": q_multiprobe_recall,  # recall-vs-cost gate
         "sim_ivfpq_topk": q_ivfpq_topk,  # full-probe+shortlist ≡ brute force
         "sim_ivfpq_recall": q_ivfpq_recall,  # pruned-path recall gate
@@ -2233,11 +2271,22 @@ def _multiprobe_topk_oracle(
     num_queries: int = DEFAULT_NUM_QUERIES,
     planes: int = LSH_PLANES,
     tables: int = LSH_TABLES,
+    flips: int = 1,
 ) -> str:
     """DuckDB replay of the multiprobe top-k: the shared bucket CTE,
-    then the query side fans out to its own key plus every 1-bit flip
-    (xor over the same literal keys Spark computes), identical
+    then the query side fans out to its own key plus every ≤flips-bit
+    flip (xor over the same literal masks Spark computes), identical
     candidate union, exact rerank."""
+    two_bit = f"""
+            UNION ALL
+            SELECT s.vec_id, s.tbl,
+                   xor(CAST(s.bkt AS BIGINT),
+                       CAST((1 << f.p) | (1 << g.q) AS BIGINT))
+            FROM sk s
+            CROSS JOIN range({planes}) AS f(p)
+            CROSS JOIN range({planes}) AS g(q)
+            WHERE s.vec_id < {num_queries} AND f.p < g.q
+    """ if flips >= 2 else ""
     return f"""
         WITH {_lsh_bucket_cte(dim, planes, tables)},
         qk AS (
@@ -2248,6 +2297,7 @@ def _multiprobe_topk_oracle(
                    xor(CAST(s.bkt AS BIGINT), CAST(1 << f.p AS BIGINT))
             FROM sk s CROSS JOIN range({planes}) AS f(p)
             WHERE s.vec_id < {num_queries}
+            {two_bit}
         ),
         cand AS (
             SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
@@ -2377,6 +2427,7 @@ def entry_oracles() -> dict[str, str]:
             "sim_ivfpq_residual_topk": cosine,
             "sim_lsh_topk": _lsh_topk_oracle(),
             "sim_multiprobe_topk": _multiprobe_topk_oracle(),
+            "sim_multiprobe2_topk": _multiprobe_topk_oracle(flips=2),
             "sim_multiprobe_recall": multiprobe_recall,
             "dedup_embedding_cosine_lsh": _neardup_lsh_oracle(),
             "dedup_semantic_clusters": _semantic_dedup_oracle(),

@@ -1363,3 +1363,23 @@ def test_ivfpq_residual_full_probe_equals_brute_force(emb):
     want = similarity.cosine_topk(emb)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_multiprobe_flips2_superset_and_cap(emb):
+    """flips=2 candidates ⊇ flips=1 ⊇ single-probe (the smaller rings
+    are always probed), so recall is monotone in flips; an over-budget
+    (planes, flips) combination raises loudly."""
+    exact = {(r.qid, r.nid) for r in similarity.cosine_topk(emb).collect()}
+    got1 = {(r.qid, r.nid)
+            for r in similarity.lsh_multiprobe_topk(emb).collect()}
+    got2 = {(r.qid, r.nid)
+            for r in similarity.lsh_multiprobe_topk(emb, flips=2).collect()}
+
+    def recall(got):
+        return len(got & exact) / len(exact)
+
+    assert recall(got2) >= recall(got1)
+    with pytest.raises(ValueError, match="max_probes"):
+        similarity.lsh_multiprobe_topk(emb, flips=2, max_probes=5)
+    with pytest.raises(ValueError, match="flips"):
+        similarity.lsh_multiprobe_topk(emb, flips=3)
