@@ -134,6 +134,8 @@ OPERATOR_HEADLINE = [
     "sim_ivfpq_index",
     "relevance_bm25_index",
     "text_quality_classifier",
+    # bench-only pruned serving probe (see _bench_only)
+    "sim_ivfpq_index_pruned",
 ]
 
 
@@ -157,6 +159,23 @@ def _bench_only() -> dict:
                           "value", "props"),
             distinct_mode="approx", rsd=0.05)
 
+    def _ivfpq_pruned(spark, sf):
+        # The PRODUCTION serving shape: pruned probe (nprobe ≪ nlist)
+        # against the same cached IVF-PQ index the oracle-checkable
+        # full-probe entry (sim_ivfpq_index) builds — that entry must
+        # probe every cell to stay provably brute-force, so this line
+        # tracks what a deployment actually pays per batch.
+        # Correctness of pruning is gated by sim_ivfpq_recall.
+        from pyspark.sql import functions as F
+
+        from query_planner_optimizer_spark.operators import similarity as S
+
+        d = S._ivfpq_entry_index(spark, sf)
+        emb = S._emb(spark, sf)
+        return S.ivfpq_index_topk(
+            spark, emb.filter(F.col("vec_id") < 50), d, source=emb,
+            nprobe=4)
+
     return {
         # xxhash64 MinHash-LSH (the scale default; portable=False).
         "dedup_minhash_xxh": lambda spark, sf: minhash_lsh_pairs(
@@ -165,6 +184,7 @@ def _bench_only() -> dict:
         # the 100-TB profile default (approx distincts, no Expand) —
         # correctness gated by the analytics_profile_approx entry
         "profile_events_hll": _hll_profile,
+        "sim_ivfpq_index_pruned": _ivfpq_pruned,
     }
 
 

@@ -1932,6 +1932,23 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_INDEX_CACHE: dict[str, str] = {}
 
 
+def _ivfpq_entry_index(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(process, sf_dir) cached build(⅞)+append(⅛) IVF-PQ index —
+    shared by the oracle-checkable full-probe entry and the bench-only
+    pruned serving line (construction is deterministic/idempotent)."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _IVFPQ_INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="qpo_ivfpq_index_")
+        build_ivfpq_index(emb.filter(F.col("vec_id") % 8 != 0), d)
+        append_to_ivfpq_index(
+            spark, emb.filter(F.col("vec_id") % 8 == 0), d)
+        _IVFPQ_INDEX_CACHE[key] = d
+    return _IVFPQ_INDEX_CACHE[key]
+
+
 def q_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF-PQ serving index, driver-checked end-to-end:
     build over the corpus (vec_id % 8 != 0), APPEND the shard
@@ -1943,19 +1960,10 @@ def q_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_incremental_index precedent for the flat index). Cached per
     (process, sf_dir): construction is deterministic and idempotent,
     warm runs measure the probe."""
-    import tempfile
-
     emb = _emb(spark, sf_dir)
-    key = os.path.abspath(sf_dir)
-    if key not in _IVFPQ_INDEX_CACHE:
-        d = tempfile.mkdtemp(prefix="qpo_ivfpq_index_")
-        build_ivfpq_index(emb.filter(F.col("vec_id") % 8 != 0), d)
-        append_to_ivfpq_index(
-            spark, emb.filter(F.col("vec_id") % 8 == 0), d)
-        _IVFPQ_INDEX_CACHE[key] = d
     queries = emb.filter(F.col("vec_id") < DEFAULT_NUM_QUERIES)
     return ivfpq_index_topk(
-        spark, queries, _IVFPQ_INDEX_CACHE[key], source=emb,
+        spark, queries, _ivfpq_entry_index(spark, sf_dir), source=emb,
         nprobe=IVF_NLIST, shortlist=1 << 40)
 
 
