@@ -2713,21 +2713,22 @@ _PANEL = [
     # -- round-15 window (r14 VERDICT #1: front the never-driver-
     # -- checked entries, then the r9 carry-overs, then the oldest
     # -- r10 cohort).
-    # -- Composition: 11 never-checked — the 4 r14-late IVF-PQ entries
-    # -- (judge strict-checked 4/4 but no driver row yet) plus the 7
+    # -- Composition: 12 never-checked — the 4 r14-late IVF-PQ entries
+    # -- (judge strict-checked 4/4 but no driver row yet) plus the 8
     # -- r15-new entries (persisted BM25/TF-IDF/phrase index family ×5,
-    # -- trained quality classifier, 2-bit multiprobe) — then the 6 r9
-    # -- carry-overs the r14 arithmetic named, then the FIRST 33 of
-    # -- the 45 r10-green entries in registry order. 11 + 6 + 33 = 50.
+    # -- trained quality classifier, 2-bit multiprobe, incremental
+    # -- cluster maintenance) — then the 6 r9 carry-overs the r14
+    # -- arithmetic named, then the FIRST 32 of the 45 r10-green
+    # -- entries in registry order. 12 + 6 + 32 = 50 exactly.
     # -- Histogram after replaying CORRECTNESS_r01–r14: r9=6, r10=45,
-    # -- r11=50, r12=50, r13=50, r14=50, never=11 (4 IVF-PQ + 7 new).
-    # -- Carry to r16: the LAST 12 r10 entries in registry order
-    # -- (dsl_eager_agg_rounded, dsl_tpch_q7_volume_shipping,
-    # -- dsl_tpch_q9_product_profit, dsl_tpch_q8_market_share,
-    # -- dsl_covariance_by_hand, dsl_window_over_aggregate,
-    # -- dsl_setop_derived_from, dsl_having_inline_agg,
-    # -- dsl_tpch_q22_untapped_accounts, dedup_duplicate_spans,
-    # -- dedup_report, dedup_remove_spans).
+    # -- r11=50, r12=50, r13=50, r14=50, never=12 (4 IVF-PQ + 8 new).
+    # -- Carry to r16: the LAST 13 r10 entries in registry order
+    # -- (dsl_tpch_q18_large_orders, dsl_eager_agg_rounded,
+    # -- dsl_tpch_q7_volume_shipping, dsl_tpch_q9_product_profit,
+    # -- dsl_tpch_q8_market_share, dsl_covariance_by_hand,
+    # -- dsl_window_over_aggregate, dsl_setop_derived_from,
+    # -- dsl_having_inline_agg, dsl_tpch_q22_untapped_accounts,
+    # -- dedup_duplicate_spans, dedup_report, dedup_remove_spans).
     # -- never-driver-checked --
     "sim_ivfpq_topk",
     "sim_ivfpq_recall",
@@ -2740,6 +2741,7 @@ _PANEL = [
     "relevance_text_index_stats",
     "text_quality_classifier",
     "sim_multiprobe2_topk",
+    "dedup_incremental_clusters",
     # -- r9 carry-overs (r14 window overflow, oldest first) --
     "sample_hash_10pct",
     "sample_k_per_group",
@@ -2780,7 +2782,6 @@ _PANEL = [
     "dsl_corr_join_subquery",
     "dsl_corr_above_user_avg",
     "dsl_tpch_q13_cust_distribution",
-    "dsl_tpch_q18_large_orders",
 ]
 
 

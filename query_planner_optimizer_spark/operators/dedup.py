@@ -1610,6 +1610,52 @@ def _simhash_oracle(
     """
 
 
+def _clusters_oracle() -> str:
+    """Full recursive-CTE replay of near-dup clustering over the
+    documents table (exact Jaccard pairs at 0.2 -> transitive
+    closure -> min label + sizes). Shared by every physical path
+    that must land on identical clusters: propagation / star /
+    reliable-checkpoint CC AND operators/incremental.py's
+    cluster-maintenance entry."""
+    return f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM common
+            JOIN sizes sa ON common.doc_a = sa.doc_id
+            JOIN sizes sb ON common.doc_b = sb.doc_id
+            WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
+        ),
+        und AS (
+            SELECT doc_a AS n, doc_b AS m FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.m, r.label FROM reach r JOIN und e ON r.node = e.n
+        ),
+        lab AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sz AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM lab GROUP BY cluster_id
+        )
+        SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+               lab.doc_id = lab.cluster_id AS is_canonical
+        FROM lab JOIN sz USING (cluster_id)
+    """
+
+
 def entry_oracles() -> dict[str, str]:
     exact = """
         SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
@@ -1696,43 +1742,7 @@ def entry_oracles() -> dict[str, str]:
     # Transitive closure via recursive CTE: labels flow along undirected
     # edges until fixpoint (UNION dedups states, so it terminates); the
     # engine's iterative min-propagation must land on identical clusters.
-    clusters = f"""
-        WITH RECURSIVE sh AS (
-            SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        common AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        pairs AS (
-            SELECT doc_a, doc_b FROM common
-            JOIN sizes sa ON common.doc_a = sa.doc_id
-            JOIN sizes sb ON common.doc_b = sb.doc_id
-            WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
-        ),
-        und AS (
-            SELECT doc_a AS n, doc_b AS m FROM pairs
-            UNION ALL SELECT doc_b, doc_a FROM pairs
-        ),
-        reach(node, label) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT e.m, r.label FROM reach r JOIN und e ON r.node = e.n
-        ),
-        lab AS (
-            SELECT node AS doc_id, MIN(label) AS cluster_id
-            FROM reach GROUP BY node
-        ),
-        sz AS (
-            SELECT cluster_id, COUNT(*) AS cluster_size
-            FROM lab GROUP BY cluster_id
-        )
-        SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
-               lab.doc_id = lab.cluster_id AS is_canonical
-        FROM lab JOIN sz USING (cluster_id)
-    """
+    clusters = _clusters_oracle()
     # Exact-first funnel: survivors (min id per digest, shadows win via
     # the negative offset) feed the SAME transitive-closure shape the
     # plain clusters oracle uses — over docs2, not documents.

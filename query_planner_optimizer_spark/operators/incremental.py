@@ -98,6 +98,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from query_planner_optimizer_spark.operators.dedup import (
+    DEFAULT_JACCARD_THRESHOLD,
     DEFAULT_NGRAM,
     MINHASH_BANDS,
     MINHASH_K,
@@ -106,6 +107,8 @@ from query_planner_optimizer_spark.operators.dedup import (
     _minhash_lsh_oracle,
     _portable_banded_cte,
     banded_signature_frame,
+    connected_components,
+    jaccard_pairs,
     verify_candidate_pairs,
 )
 
@@ -631,6 +634,106 @@ def append_shard_to_index(
     )
 
 
+def incremental_clusters(
+    spark: SparkSession,
+    shard: DataFrame,
+    index_dir: str,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = DEFAULT_JACCARD_THRESHOLD,
+    portable: bool = False,
+    broadcast_shard: bool = True,
+    cc_method: str = "star",
+) -> DataFrame:
+    """Daily CLUSTER maintenance: fold a new shard into an existing
+    near-dup cluster assignment WITHOUT re-pairing the corpus —
+    provably equal to ``dedup_clusters(corpus ∪ shard)`` recomputed
+    from scratch (the driver entry shares the full recursive-CTE
+    oracle with ``dedup_clusters``; a 4th physical path onto it after
+    propagation/star/reliable).
+
+    Why equality holds: a cluster assignment is connectivity-complete
+    for the old corpus (doc—cluster_id star edges span exactly the
+    old components), the shard's CROSS pairs are recomputed exactly
+    from the index's persisted shingles, and the shard's INTERNAL
+    pairs from its own text — so CC over (star edges ∪ cross ∪
+    internal) has the same components as CC over the full pair set,
+    including merges of previously-separate clusters bridged by a new
+    document. Labels agree because both sides take the component min.
+
+    Work shape at 100 TB: the corpus text is never re-read and never
+    re-paired — cross candidates come from exploding the index's
+    shingle arrays (hash longs, map-side) against the BROADCAST
+    shard's shingles; the only corpus-proportional cost is one scan
+    of ``shingles/``. Old clusters enter as star edges (diameter ≤ 2),
+    so CC converges in O(1) extra rounds regardless of corpus size.
+    ``broadcast_shard=False`` degrades the cross join to a shuffled
+    hash join for backfill-sized shards."""
+    repair_index(index_dir)
+    named = shard.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ds_s = _doc_shingle_hashes(named, "doc_id", "text", n,
+                               portable=portable).persist()
+    try:
+        sh_s = ds_s.select(
+            F.col("doc_id").alias("s_doc"), F.explode("hs").alias("h"))
+        sz_s = ds_s.select(
+            F.col("doc_id").alias("s_doc"), F.size("hs").alias("sz_s"))
+        if broadcast_shard:
+            sh_s, sz_s = F.broadcast(sh_s), F.broadcast(sz_s)
+        ds_c = spark.read.parquet(os.path.join(index_dir, "shingles"))
+        sh_c = ds_c.select(
+            F.col("doc_id").alias("c_doc"), F.explode("hs").alias("h"))
+        sz_c = ds_c.select(
+            F.col("doc_id").alias("c_doc"), F.size("hs").alias("sz_c"))
+        common = (
+            sh_c.join(sh_s, "h")
+            .groupBy("c_doc", "s_doc")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        jac = F.col("common").cast("double") / (
+            F.col("sz_c") + F.col("sz_s") - F.col("common")).cast("double")
+        cross = (
+            common.join(sz_c, "c_doc").join(sz_s, "s_doc")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .select(F.col("c_doc").alias("doc_a"),
+                    F.col("s_doc").alias("doc_b"))
+        )
+        internal = jaccard_pairs(named, "doc_id", "text", n,
+                                 threshold).select("doc_a", "doc_b")
+        star = (
+            clusters.select(F.col("cluster_id").alias("doc_a"),
+                            F.col("doc_id").alias("doc_b"))
+            .filter(F.col("doc_a") != F.col("doc_b"))
+        )
+        edges = cross.unionByName(internal).unionByName(star)
+        verts = (
+            clusters.select("doc_id")
+            .unionByName(named.select("doc_id"))
+            .distinct()
+        )
+        comp = connected_components(edges, verts, method=cc_method)
+        sizes = comp.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("cluster_size"))
+        out = (
+            comp.join(sizes, "cluster_id")
+            .select(
+                "doc_id", "cluster_id", "cluster_size",
+                (F.col("doc_id") == F.col("cluster_id"))
+                .alias("is_canonical"),
+            )
+        )
+        # Materialization boundary: CC already collected its
+        # convergence scalars, so the shard shingle cache has served
+        # every consumer by the time this frame is returned.
+        return out
+    finally:
+        ds_s.unpersist(blocking=False)
+
+
 def ingest_gate(
     shard: DataFrame,
     digests: DataFrame,
@@ -983,6 +1086,21 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_gate(shard, digests)
 
 
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster maintenance ≡ full reclustering: old clusters over the
+    corpus (⅞), the shard (⅛) folded in via the persisted index's
+    shingles — hash-checked against the SAME recursive-CTE oracle as
+    dedup_clusters over the whole table (4th physical path onto it)."""
+    from query_planner_optimizer_spark.operators.dedup import dedup_clusters
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = _corpus_index(spark, sf_dir, portable=True)
+    old = dedup_clusters(docs.filter(_corpus_pred()), threshold=0.2)
+    return incremental_clusters(
+        spark, docs.filter(_shard_pred()), idx, old,
+        threshold=0.2, portable=True)
+
+
 def entry_queries() -> dict[str, Callable]:
     return {
         "dedup_incremental_shard": q_incremental_shard,
@@ -990,9 +1108,18 @@ def entry_queries() -> dict[str, Callable]:
         "dedup_incremental_exact": q_incremental_exact,
         "dedup_index_stats": q_index_stats,
         "dedup_incremental_append": q_incremental_append,
+        "dedup_incremental_clusters": q_incremental_clusters,
         "stream_incremental_ingest": q_stream_ingest,
         "pipeline_daily_ingest": q_daily_ingest,
     }
+
+
+def _dedup_clusters_oracle() -> str:
+    from query_planner_optimizer_spark.operators.dedup import (
+        _clusters_oracle,
+    )
+
+    return _clusters_oracle()
 
 
 def entry_oracles() -> dict[str, str]:
@@ -1133,6 +1260,7 @@ def entry_oracles() -> dict[str, str]:
         "dedup_incremental_exact": incr_exact,
         "dedup_index_stats": stats,
         "dedup_incremental_append": incr_append,
+        "dedup_incremental_clusters": _dedup_clusters_oracle(),
         "stream_incremental_ingest": stream_ingest,
         "pipeline_daily_ingest": daily,
     }

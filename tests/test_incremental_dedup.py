@@ -915,3 +915,48 @@ def test_compact_ann_and_ivfpq_indexes_preserve_serving(spark, emb):
         spark, qs, d2, source=emb, nprobe=S.IVF_NLIST,
         shortlist=1 << 40).collect()))
     assert got2 == want2 and len(got2) > 0
+
+
+def test_incremental_clusters_equals_full_recompute(spark, docs):
+    """Cluster maintenance ≡ dedup_clusters(corpus ∪ shard) on the
+    scale-path (xxhash) shingles: old clusters enter as star edges,
+    cross pairs come from the persisted index's shingles, internal
+    pairs from the shard text."""
+    from query_planner_optimizer_spark.operators.dedup import dedup_clusters
+
+    corpus = docs.filter(F.col("doc_id") % 8 != 0)
+    shard = docs.filter(F.col("doc_id") % 8 == 0)
+    d = tempfile.mkdtemp(prefix="qpo_incr_clusters_")
+    inc.build_dedup_index(corpus, d)
+    old = dedup_clusters(corpus, threshold=0.2)
+    got = sorted(map(tuple, inc.incremental_clusters(
+        spark, shard, d, old, threshold=0.2).collect()))
+    want = sorted(map(tuple, dedup_clusters(docs, threshold=0.2).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_incremental_clusters_merges_old_clusters(spark):
+    """A shard document bridging two previously-separate clusters must
+    MERGE them — the case a naive assign-to-nearest-cluster
+    maintenance gets wrong."""
+    from query_planner_optimizer_spark.operators.dedup import dedup_clusters
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    b = "x1 x2 x3 x4 x5 x6 x7 x8"
+    corpus = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string")
+    bridge = spark.createDataFrame(
+        [(3, a + " " + b)], "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="qpo_incr_merge_")
+    inc.build_dedup_index(corpus, d)
+    old = dedup_clusters(corpus, threshold=0.2)
+    # precondition: two singleton clusters before the bridge arrives
+    assert {r["cluster_id"] for r in old.collect()} == {1, 2}
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in inc.incremental_clusters(
+               spark, bridge, d, old, threshold=0.2).collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+    want = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in dedup_clusters(
+                corpus.unionByName(bridge), threshold=0.2).collect()}
+    assert got == want
