@@ -19,9 +19,10 @@ Design:
   so full-batch logistic GD over a dense (n_seed × dim) numpy matrix
   is exact, deterministic (zero init, fixed iters/lr, no shuffling,
   no randomness), and instant; the 100-TB-side work is the SCORING
-  pass, which is tokenize → hash → ONE broadcast join against the
-  ``dim``-row weight table → partial-agg sum → sigmoid — all
-  codegen'd JVM expressions, no Python anywhere in the hot path.
+  pass, which is tokenize → hash → in-row dot product against the
+  ``dim`` LITERAL weights (element_at over the token array) → sigmoid
+  — all codegen'd JVM expressions, no Python anywhere in the hot path
+  and (r15) no join/aggregation/Exchange either.
 - **Determinism discipline** (the DECIMAL-partials contract): trained
   weights are quantized to 9 decimal places and summed as
   DECIMAL(38,12) — the per-document dot product is exact and
@@ -29,10 +30,13 @@ Design:
   (by dl), the double additions, and exp() are replayed verbatim by
   the oracle SQL.
 
-Scale shape: one corpus pass; the exploded (doc_id, fid) stream
-shuffles only for the per-doc partial→final SUM (longs + one decimal);
-the weight table is ``dim`` rows — broadcast by construction. Scoring
-cost is token-proportional, independent of model training.
+Scale shape (r15 optimization round): ONE corpus pass, zero shuffles —
+scoring fuses into the scan as a map-only projection (the pre-r15
+shape exploded one row per token and shuffled them for a per-doc
+partial→final SUM; with the weights as literals the whole dot product
+happens before any exchange, per guide §2.3 "aggregate before you
+shuffle" taken to its limit). Scoring cost is token-proportional,
+independent of model training.
 """
 
 from __future__ import annotations
@@ -40,7 +44,6 @@ from __future__ import annotations
 import hashlib
 import re
 from collections.abc import Callable
-from decimal import Decimal
 from functools import lru_cache
 
 import numpy as np
@@ -210,19 +213,41 @@ def quality_classifier_scores(
     exact DECIMAL(38,12) partial-agg sum → one double division +
     sigmoid. Zero-token documents score sigmoid(bias)."""
     model = model or default_quality_model()
-    spark = docs.sparkSession
-    w_rows = [(fid, Decimal(w)) for fid, w in enumerate(model.weights)]
-    w_df = spark.createDataFrame(w_rows, "fid long, w decimal(20,9)")
+    # MAP-ONLY scoring (optimization r15, guide §2.3/§2.4): the weight
+    # table is ``dim`` KNOWN literals, and the per-doc token array is
+    # already grouped — so the dot product is an in-row array aggregate
+    # over a literal weight array (element_at by fid), not an
+    # explode → broadcast join → groupBy → re-join. That removes every
+    # Exchange from the plan (the former shape shuffled one row per
+    # token for the partial→final SUM and re-joined per doc). The sum
+    # stays exact DECIMAL(38,12): decimal addition is associative and
+    # exact, so the fixed array order equals the old unordered
+    # partial-agg sum bit for bit — the oracle SQL is unchanged.
+    w_arr = F.array(*[
+        F.lit(w).cast("decimal(20,9)") for w in model.weights
+    ])
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__toks"),
     ).select("doc_id", F.size("__toks").alias("n_tokens"), "__toks")
-    occ = (
-        base.select("doc_id", F.explode("__toks").alias("tok"))
-        .withColumn("fid", portable_hash60(F.col("tok")) % F.lit(model.dim))
-        .join(F.broadcast(w_df), "fid")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("w").cast("decimal(38, 12)")).alias("ws"))
+    ws = F.aggregate(
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.element_at(
+                w_arr,
+                (portable_hash60(t) % F.lit(model.dim)).cast("int")
+                + F.lit(1),
+            ),
+        ),
+        F.lit("0").cast("decimal(30,12)"),
+        # Accumulate at (30,12), NOT (38,12): Spark's addition rule
+        # turns (38,12)+(38,12) into (38,11) — a ROUNDING step —
+        # whereas (30,12)+(30,12) = (31,12) is exact, and the cast
+        # back to (30,12) is exact for these magnitudes (|ws| ≪ 10^18).
+        # Every accumulated value therefore equals the old unordered
+        # DECIMAL(38,12) partial-agg sum bit for bit.
+        lambda acc, x: (acc + x.cast("decimal(30,12)"))
+        .cast("decimal(30,12)"),
     )
     bias = float(model.bias)
     z = F.lit(bias) + (
@@ -230,8 +255,7 @@ def quality_classifier_scores(
         / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
     )
     return (
-        base.select("doc_id", "n_tokens")
-        .join(occ, "doc_id", "left")
+        base.withColumn("ws", ws)
         .select(
             "doc_id",
             "n_tokens",

@@ -78,25 +78,37 @@ def _matched_tokens(
     return _PRE_CACHE.put(key, docs, pre)
 
 
-def _term_stats(
-    docs: DataFrame, terms: list[str], id_col: str, text_col: str
-) -> tuple[DataFrame, DataFrame]:
-    """(tf-with-dl, per-term doc freq) shared by both scorers. The term
-    filter applies map-side on the token arrays pre-shuffle (codegen'd
-    array filter over a literal array — same multiset as exploding then
-    filtering), and the document length piggybacks on the tf
-    aggregation (dl is constant per doc, so max() through the same
-    shuffle is exact) — no doc-keyed lengths join exists at all. At
-    100 TB that's one fewer full-corpus pass and one fewer corpus-wide
-    shuffle."""
-    pre = _matched_tokens(docs, terms, id_col, text_col)
-    tf = (
-        pre.select("doc_id", "dl", F.explode("__m").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return tf, dfreq
+def _eq_term(term: str):
+    """Closure factory (never the default-arg idiom — see
+    dedup._minhash_sig's arity note) for the per-term equality lambda."""
+    return lambda t: t == F.lit(term)
+
+
+def _per_term_tf(terms: list[str]) -> list:
+    """In-row per-term term frequencies off the matched-token array:
+    tf_i = |{tokens == terms[i]}| — one codegen'd array filter per
+    term, no explode, no shuffle (r15 optimization: the former shape
+    exploded (doc, term) rows and shuffled them for a partial→final
+    COUNT; the array is already grouped by doc, so the count is a map
+    expression — guide §2.3/§2.4)."""
+    return [
+        F.size(F.filter(F.col("__m"), _eq_term(t))).cast("long")
+        .alias(f"__tf{i}")
+        for i, t in enumerate(terms)
+    ]
+
+
+def _exact_decimal_sum(cols: list) -> "F.Column":
+    """Fixed-order exact decimal sum: each operand is cast to
+    DECIMAL(30,12) — double→decimal rounds at scale 12 exactly like the
+    old per-row cast to (38,12) — and (30,12)+(30,12) = (31,12) is an
+    EXACT addition (unlike (38,12)+(38,12), which Spark widens to
+    (38,11), a rounding step), so chaining equals the former unordered
+    DECIMAL(38,12) partial-agg SUM bit for bit."""
+    acc = cols[0].cast("decimal(30,12)")
+    for c in cols[1:]:
+        acc = (acc + c.cast("decimal(30,12)")).cast("decimal(30,12)")
+    return acc
 
 
 def tfidf_scores(
@@ -106,23 +118,43 @@ def tfidf_scores(
     text_col: str = "text",
 ) -> DataFrame:
     """Classic TF-IDF: score = Σ tf · ln(N / df). Returns
-    (doc_id, n_matched_terms, score) for docs matching ≥1 term."""
-    tf, dfreq = _term_stats(docs, list(terms), id_col, text_col)
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
-        "term",
-        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
-        .alias("idf"),
+    (doc_id, n_matched_terms, score) for docs matching ≥1 term.
+
+    r15 plan shape: per-term tfs are in-row array counts over the
+    one-tokenize matched frame; N and the per-term dfs come from ONE
+    single-row aggregate broadcast back onto the scan; the score is a
+    fixed-order exact decimal sum — the whole scoring pass is a map
+    over the persisted frame, where the former shape shuffled one row
+    per (doc, term) and again per doc (2 corpus-keyed Exchanges
+    removed; the only remaining exchange carries one row)."""
+    terms = list(terms)
+    pre = _matched_tokens(docs, terms, id_col, text_col)
+    tfd = pre.select("doc_id", "dl", *_per_term_tf(terms))
+    stats = pre.select(*_per_term_tf(terms)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+          for i in range(len(terms))],
     )
-    return (
-        tf.join(F.broadcast(idf), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_matched_terms"),
-            F.round(F.sum((F.col("tf") * F.col("idf"))
-                           .cast("decimal(38, 12)")), 6)
-            .cast("double").alias("score"),
-        )
+    scored = tfd.filter(
+        sum(F.col(f"__tf{i}") for i in range(len(terms))) > 0
+    ).crossJoin(F.broadcast(stats))
+    contribs = [
+        (F.col(f"__tf{i}")
+         * F.log(F.col("n_docs").cast("double")
+                 / F.col(f"__df{i}").cast("double")))
+        for i in range(len(terms))
+    ]
+    matched = [
+        F.when(F.col(f"__tf{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(len(terms))
+    ]
+    return scored.select(
+        "doc_id",
+        sum(matched).cast("long").alias("n_matched_terms"),
+        F.round(_exact_decimal_sum(
+            [F.when(F.col(f"__tf{i}") > 0, c).otherwise(F.lit(0.0))
+             for i, c in enumerate(contribs)]), 6)
+        .cast("double").alias("score"),
     )
 
 
@@ -137,47 +169,61 @@ def bm25_scores(
     """Okapi BM25 with the Lucene-style non-negative idf:
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = Σ idf · tf·(k1+1) /
     (tf + k1·(1 - b + b·dl/avgdl)). Returns (doc_id, n_matched_terms,
-    score)."""
-    tf, dfreq = _term_stats(docs, list(terms), id_col, text_col)
-    # Corpus scalars need EVERY document (zero-match docs count toward
-    # N and avgdl) — served from the same one-tokenize frame, reduced
-    # to two longs; partition layout matches the old dedicated pass, so
-    # the double-avg partial order (and thus every bit of avgdl) is
-    # unchanged.
-    stats = _matched_tokens(docs, list(terms), id_col, text_col).agg(
+    score).
+
+    r15 plan shape (see :func:`tfidf_scores`): ONE single-row
+    aggregate over the one-tokenize frame yields N, avgdl AND every
+    per-term df together (zero-match docs count toward N/avgdl — the
+    matched-array filter keeps their rows); scoring is then a map over
+    the same frame with the one-row stats broadcast — the per-(doc,
+    term) and per-doc corpus-keyed Exchanges of the former shape are
+    gone. The avg over doubles runs over the same persisted partitions
+    as before, so every bit of avgdl is unchanged."""
+    terms = list(terms)
+    pre = _matched_tokens(docs, terms, id_col, text_col)
+    tfd = pre.select("doc_id", "dl", *_per_term_tf(terms))
+    stats = pre.select("dl", *_per_term_tf(terms)).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+          for i in range(len(terms))],
     )
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
-        "term",
-        F.log(
+    scored = tfd.filter(
+        sum(F.col(f"__tf{i}") for i in range(len(terms))) > 0
+    ).crossJoin(F.broadcast(stats))
+
+    def _idf(i: int):
+        return F.log(
             F.lit(1.0)
-            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        ).alias("idf"),
-        "avgdl",
-    )
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .select(
-            "doc_id",
-            (
-                F.col("idf")
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
-                    )
-                )
-            ).alias("contrib"),
+            + (F.col("n_docs") - F.col(f"__df{i}") + F.lit(0.5))
+            / (F.col(f"__df{i}") + F.lit(0.5))
         )
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_matched_terms"),
-        F.round(F.sum(F.col("contrib").cast("decimal(38, 12)")), 6)
+
+    contribs = [
+        (
+            _idf(i)
+            * (F.col(f"__tf{i}") * F.lit(k1 + 1.0))
+            / (
+                F.col(f"__tf{i}")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                )
+            )
+        )
+        for i in range(len(terms))
+    ]
+    matched = [
+        F.when(F.col(f"__tf{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(len(terms))
+    ]
+    return scored.select(
+        "doc_id",
+        sum(matched).cast("long").alias("n_matched_terms"),
+        F.round(_exact_decimal_sum(
+            [F.when(F.col(f"__tf{i}") > 0, c).otherwise(F.lit(0.0))
+             for i, c in enumerate(contribs)]), 6)
         .cast("double").alias("score"),
     )
 

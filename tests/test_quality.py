@@ -81,13 +81,62 @@ def test_zero_token_doc_scores_sigmoid_bias(spark):
         assert r["score"] == pytest.approx(want, abs=0)
 
 
-def test_scoring_plan_is_jvm_side_with_broadcast_weights(spark, planted):
+def test_scoring_plan_is_jvm_side_and_map_only(spark, planted):
+    # r15 optimization: the dot product is an in-row array aggregate
+    # over the literal weight array — no join, no aggregation, no
+    # Exchange anywhere in the plan (and still no Python).
     scored = Q.quality_classifier_scores(planted)
     scored.collect()
     plan = scored._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan      # dim-row weight table
+    assert "Exchange" not in plan           # map-only scoring pass
     assert "BatchEvalPython" not in plan    # no row-at-a-time Python
     assert "ArrowEvalPython" not in plan    # no pandas UDF either
+
+
+def test_map_only_scores_equal_explode_join_reference(spark, planted):
+    """The optimized in-row aggregate must reproduce the pre-r15
+    explode → broadcast-join → groupBy formulation bit for bit (both
+    sum exact decimals; order cannot matter)."""
+    from decimal import Decimal
+
+    from query_planner_optimizer_spark.functions.rounding import (
+        round_half_up,
+    )
+    from query_planner_optimizer_spark.functions.textexpr import tokens
+    from query_planner_optimizer_spark.operators.dedup import (
+        portable_hash60,
+    )
+
+    model = Q.default_quality_model()
+    w_rows = [(fid, Decimal(w)) for fid, w in enumerate(model.weights)]
+    w_df = spark.createDataFrame(w_rows, "fid long, w decimal(20,9)")
+    base = planted.select(
+        F.col("doc_id"), tokens(F.col("text")).alias("__toks")
+    ).select("doc_id", F.size("__toks").alias("n_tokens"), "__toks")
+    occ = (
+        base.select("doc_id", F.explode("__toks").alias("tok"))
+        .withColumn("fid", portable_hash60(F.col("tok")) % F.lit(model.dim))
+        .join(F.broadcast(w_df), "fid")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w").cast("decimal(38, 12)")).alias("ws"))
+    )
+    z = F.lit(float(model.bias)) + (
+        F.coalesce(F.col("ws"), F.lit(0)).cast("double")
+        / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    )
+    ref = {
+        r["doc_id"]: (r["n_tokens"], r["score"])
+        for r in base.select("doc_id", "n_tokens")
+        .join(occ, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            round_half_up(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        ).collect()
+    }
+    got = {r["doc_id"]: (r["n_tokens"], r["score"])
+           for r in Q.quality_classifier_scores(planted).collect()}
+    assert got == ref
 
 
 def test_model_is_deterministic_and_quantized(spark):
