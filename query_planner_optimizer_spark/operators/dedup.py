@@ -157,7 +157,13 @@ def _pinner(df_example: DataFrame, checkpoint_dir: str | None):
     rounds instead of all of them. Non-evolving pins (edge lists
     read every round) live for the whole loop."""
     if checkpoint_dir is None:
-        return lambda df, evolving=False: df.localCheckpoint(eager=True)
+        # LAZY localCheckpoint (r15): blocks materialize under the FIRST
+        # action that computes the frame — the CC loop's convergence
+        # aggregate — so each round runs ONE job (materialize + sum)
+        # instead of two (eager count, then sum). Lineage truncation and
+        # partitioning/ordering preservation are identical to the eager
+        # form; only the materializing action changes.
+        return lambda df, evolving=False: df.localCheckpoint(eager=False)
     import shutil
 
     sc = df_example.sparkSession.sparkContext
@@ -236,36 +242,52 @@ def connected_components(
     if method != "propagation":
         raise ValueError(f"unknown method {method!r}")
     pin = _pinner(edges, checkpoint_dir)
+    # r15 loop shape (guide §2.4 "share one exchange"): every frame in
+    # the loop is HASH-PARTITIONED BY ``n`` and pins preserve that
+    # partitioning, so the per-round join of the static edge list with
+    # the evolving labels needs NO exchange on either side; the ONE
+    # corpus-keyed exchange per round is the neighbor-min aggregation
+    # (the actual message passing). The pre-r15 shape
+    # (union + groupBy over both frames) re-shuffled the edge list AND
+    # the labels every round — 3 exchanges per round down to 1.
     und = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
     ).unionByName(
         edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
     )
-    # Materialize the edge list once: it is re-read every round, and the
-    # upstream pair generation is itself a multi-shuffle job (id pairs
-    # only — tiny relative to the corpus, cheap to pin).
-    und = pin(und)
+    # Materialize the edge list once, pre-partitioned on the join key:
+    # it is re-read every round, and the upstream pair generation is
+    # itself a multi-shuffle job (id pairs only — tiny relative to the
+    # corpus, cheap to pin).
+    und = pin(und.repartition("n"))
     labels = vertices.select(
         F.col(vid).alias("n"), F.col(vid).cast("long").alias("label")
     )
-    labels = pin(labels, evolving=True)
+    labels = pin(labels.repartition("n"), evolving=True)
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
+
+    def _next(lbl: DataFrame) -> DataFrame:
+        # min(own ∪ incoming) ≡ least(own, min(incoming)): F.least
+        # skips the NULL an isolated vertex gets from the left join,
+        # so vertices without incoming edges keep their own label —
+        # exactly the old union+groupBy semantics, without re-shuffling
+        # the label frame.
+        nmin = (
+            und.join(lbl, "n")
+            .select(F.col("m").alias("n"), "label")
+            .groupBy("n").agg(F.min("label").alias("__nl"))
+        )
+        return lbl.join(nmin, "n", "left").select(
+            "n", F.least(F.col("label"), F.col("__nl")).alias("label")
+        )
+
     converged = False
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        # neighbor labels flow along every edge; keep own label in the min
-        neighbor = und.join(labels, "n").select(
-            F.col("m").alias("n"), "label"
-        )
-        new_labels = pin(
-            labels.unionByName(neighbor)
-            .groupBy("n")
-            .agg(F.min("label").alias("label")),
-            evolving=True,
-        )
+        new_labels = pin(_next(labels), evolving=True)
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
@@ -280,13 +302,8 @@ def connected_components(
         # correct labels after the loop but hasn't yet proven it. Run
         # one final change-check before declaring failure, so max_iter
         # is a bound on propagation rounds, not diameter+1.
-        neighbor = und.join(labels, "n").select(
-            F.col("m").alias("n"), "label"
-        )
         final_sum = (
-            labels.unionByName(neighbor)
-            .groupBy("n")
-            .agg(F.min("label").alias("label"))
+            _next(labels)
             .agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
             .collect()[0]["s"]
         )
@@ -370,15 +387,19 @@ def _cc_star(
 
     converged = False
     rounds = 0
+    # The count doubles as the lazy pin's materializing action; caching
+    # it across rounds saves re-counting the (already materialized)
+    # previous edge set every round (r15).
+    e_count = e.count()
     for _ in range(max_iter):
         rounds += 1
         new_e = pin(small_star(large_star(e)), evolving=True)
-        same_count = new_e.count() == e.count()
-        if same_count and new_e.exceptAll(e).isEmpty():
+        new_count = new_e.count()
+        if new_count == e_count and new_e.exceptAll(e).isEmpty():
             e = new_e
             converged = True
             break
-        e = new_e
+        e, e_count = new_e, new_count
     if not converged:
         raise RuntimeError(
             f"connected_components(method='star') did not converge in "

@@ -857,13 +857,22 @@ def daily_ingest(
     Composition of the two probes this module already proves
     (digest anti/semi join + band-index probe); one extra
     shard-proportional aggregation picks the best near match.
+
+    r15 plan shape: ONE pass — the shard id list takes two LEFT joins
+    (exact match, best near match) and a single conditional projection
+    assigns the status. The pre-r15 shape unioned three branches whose
+    anti-joins referenced the probe subtrees repeatedly; Catalyst does
+    not de-duplicate common subtrees across a DAG, so the digest join
+    executed 3× and the whole LSH probe 2× per run (visible as both
+    wasted wall time and the entry's huge run-to-run spread). Each
+    probe subtree now appears exactly once in the plan.
     """
     sh_ids = shard.select(F.col(id_col).alias("doc_id"))
     exact = incremental_exact_dups(
         spark, shard, id_col, text_col, index_dir=index_dir
     ).select(
         F.col("shard_id").alias("doc_id"),
-        F.col("corpus_keep_id").alias("match_id"),
+        F.col("corpus_keep_id").alias("__e_mid"),
     )
     pairs = incremental_minhash_pairs(
         spark, shard, index_dir, id_col, text_col,
@@ -879,26 +888,26 @@ def daily_ingest(
         )).alias("b"))
         .select(
             F.col("shard_id").alias("doc_id"),
-            (-F.col("b.nid")).alias("match_id"),
-            F.col("b.jaccard").alias("score"),
+            (-F.col("b.nid")).alias("__n_mid"),
+            F.col("b.jaccard").alias("__n_score"),
         )
     )
-    e = exact.select(
-        "doc_id", F.lit("exact_dup").alias("status"),
-        "match_id", F.lit(1.0).alias("score"),
+    is_exact = F.col("__e_mid").isNotNull()
+    is_near = F.col("__n_mid").isNotNull()
+    return (
+        sh_ids.join(exact, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(is_exact, F.lit("exact_dup"))
+            .when(is_near, F.lit("near_dup"))
+            .otherwise(F.lit("new")).alias("status"),
+            F.when(is_exact, F.col("__e_mid"))
+            .otherwise(F.col("__n_mid")).alias("match_id"),
+            F.when(is_exact, F.lit(1.0))
+            .otherwise(F.col("__n_score")).alias("score"),
+        )
     )
-    n = (
-        best.join(exact.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id", F.lit("near_dup").alias("status"),
-                "match_id", "score")
-    )
-    matched = e.select("doc_id").unionByName(n.select("doc_id"))
-    fresh = sh_ids.join(matched, "doc_id", "left_anti").select(
-        "doc_id", F.lit("new").alias("status"),
-        F.lit(None).cast("long").alias("match_id"),
-        F.lit(None).cast("double").alias("score"),
-    )
-    return e.unionByName(n).unionByName(fresh)
 
 
 def q_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
