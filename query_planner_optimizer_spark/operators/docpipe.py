@@ -47,13 +47,23 @@ def clean_corpus(
         (F.col("quality_score") >= F.lit(quality_min))
         & (F.col("lang_pred").isin(*keep_langs))
     )
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(
-        F.col("doc_id").asc()
-    )
+    # Keep-smallest-doc_id per content hash as a partial-aggregable
+    # min-struct argmin instead of a row_number window (r15, guide
+    # §2.3 "aggregate before you shuffle"): map-side combine collapses
+    # duplicate hashes BEFORE the exchange, so the shuffle carries
+    # ~unique digests instead of every gated row, and the per-partition
+    # sort the window needed disappears. doc_id is unique, so the
+    # struct order picks exactly the row the (doc_id ASC) window kept.
     return (
-        gated.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("doc_id", "lang_pred", "quality_score", "n_tokens")
+        gated.groupBy(F.sha2(F.col("text"), 256).alias("__h"))
+        .agg(F.min(F.struct(
+            "doc_id", "lang_pred", "quality_score", "n_tokens")).alias("b"))
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("b.lang_pred").alias("lang_pred"),
+            F.col("b.quality_score").alias("quality_score"),
+            F.col("b.n_tokens").alias("n_tokens"),
+        )
     )
 
 

@@ -1383,16 +1383,28 @@ def _write_ivfpq_version(
 
     version = f"v_{uuid.uuid4().hex[:12]}"
     vdir = os.path.join(index_dir, version)
-    _centroid_frame(spark, cents).write.mode("overwrite").parquet(
-        os.path.join(vdir, "centroids"))
-    books.write.mode("overwrite").parquet(os.path.join(vdir, "books"))
-    (
-        cells.join(packed, "id")
-        .select("cell", "id", "codes")
-        .repartition("cell").sortWithinPartitions("id")
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(os.path.join(vdir, "codes"))
-    )
+    # The three datasets land in disjoint subdirs — write the two tiny
+    # ones from side threads while the main thread runs the codes job
+    # (guide §2.6; versioning makes partial writes invisible until the
+    # CURRENT flip).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_c = pool.submit(
+            lambda: _centroid_frame(spark, cents).write.mode("overwrite")
+            .parquet(os.path.join(vdir, "centroids")))
+        f_b = pool.submit(
+            lambda: books.write.mode("overwrite")
+            .parquet(os.path.join(vdir, "books")))
+        (
+            cells.join(packed, "id")
+            .select("cell", "id", "codes")
+            .repartition("cell").sortWithinPartitions("id")
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(os.path.join(vdir, "codes"))
+        )
+        f_c.result()
+        f_b.result()
     # META.json lives in the version dir: a rebuild that changes
     # (dim, m, ks, nlist) publishes geometry and codes in the SAME
     # CURRENT flip — no window where new meta decodes old codes.
@@ -1436,11 +1448,25 @@ def build_ivfpq_index(
         "id", F.transform("_vec", lambda x: x / F.col("_norm")).alias("u")
     ).persist()
     try:
-        cents = _train_ivf_centroids(base, dim, nlist, ivf_iters)
-        cells = _assigned_cells(base, cents).select("id", "cell")
+        # r15 (guide §2.6 "overlap independent jobs"): with GLOBAL
+        # codebooks the coarse IVF training (over base) and the PQ
+        # codebook training (over unit) are independent, deterministic
+        # job sequences — run them from two driver threads so each
+        # one's job tail back-fills the other's idle executors. Results
+        # are identical to the sequential order (both trainings only
+        # read their own persisted input and their own driver-side
+        # state).
+        from concurrent.futures import ThreadPoolExecutor
+
         sub = _pq_subvectors(unit, m, d_sub)
-        books, codes = _pq_train_books(spark, unit, sub, m, ks, d_sub,
-                                       pq_iters)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_cents = pool.submit(
+                _train_ivf_centroids, base, dim, nlist, ivf_iters)
+            f_books = pool.submit(
+                _pq_train_books, spark, unit, sub, m, ks, d_sub, pq_iters)
+            cents = f_cents.result()
+            books, codes = f_books.result()
+        cells = _assigned_cells(base, cents).select("id", "cell")
         version = _write_ivfpq_version(
             spark, cents, books, cells, _pack_codes(codes), index_dir,
             meta={"dim": dim, "m": m, "ks": ks, "nlist": nlist})
@@ -1573,10 +1599,23 @@ def ivfpq_index_topk(
     ).collect()[0]
     probed_cells = sorted(stats["cells"])
     lut_est = int(stats["nq"]) * meta["m"] * meta["ks"]
+    # r15 ADC shape: codes stay PACKED (one row per vector) and the
+    # per-query LUT is packed into one m·ks-slot array per query —
+    # adist is then an in-row lookup-sum over the codes array
+    # (element_at by s·ks + code). The pre-r15 shape posexploded every
+    # stored vector into m rows, equi-joined them against the m·ks-row
+    # LUT on (qid, s, code), and shuffled n·|probes| groups for the
+    # partial→final SUM; all of that is now a map over the candidate
+    # join (guide §2.3/§2.4 — the only remaining exchanges are the
+    # shortlist window and the store refine). Summation runs in fixed
+    # subspace order s = 0..m-1; ADC sums only rank the shortlist, and
+    # every oracle-checked entry runs full-probe + unbounded shortlist
+    # where the exact store refine alone decides the output.
+    ks = int(meta["ks"])
     codes = (
         spark.read.parquet(os.path.join(vdir, "codes"))
         .filter(F.col("cell").isin(probed_cells))
-        .select("cell", "id", F.posexplode("codes").alias("s", "code"))
+        .select("cell", "id", "codes")
     )
     q_unit = q_base.select(
         "id", F.transform("_vec", lambda x: x / F.col("_norm")).alias("u"))
@@ -1588,12 +1627,30 @@ def ivfpq_index_topk(
                 (F.col("c_n2")
                  - 2.0 * _dot(F.col("qv"), F.col("c_vec"))).alias("pd"))
     )
+    # (s, code) pairs are unique per qid, so the struct sort is a total
+    # order and slot s·ks + code of the packed array is exactly pd(s,
+    # code).
+    lut_packed = (
+        lut.groupBy("qid")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("s", "code", "pd"))).alias("t"))
+        .select("qid", F.transform("t", lambda x: x["pd"]).alias("__lut"))
+    )
+    adist = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(
+                F.col("__lut"), i * F.lit(ks) + c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     adc = (
         codes.join(F.broadcast(probes), "cell")
         .filter(F.col("qid") != F.col("id"))
-        .join(_bounded_broadcast(lut, lut_est, max_lut_rows),
-              ["qid", "s", "code"])
-        .groupBy("qid", "id").agg(F.sum("pd").alias("adist"))
+        .join(_bounded_broadcast(lut_packed, lut_est, max_lut_rows),
+              "qid")
+        .select("qid", "id", adist.alias("adist"))
     )
     ws = Window.partitionBy("qid").orderBy(
         F.col("adist").asc(), F.col("id").asc())

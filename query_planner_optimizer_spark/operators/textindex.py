@@ -286,15 +286,28 @@ def append_to_text_index(
     repair_text_index(index_dir)
 
 
+#: Memo for :func:`_term_buckets`: xxhash64 of a string literal is a
+#: pure function, so the |terms|-row job runs once per (terms,
+#: n_buckets) per process instead of once per probe call (r15 — it was
+#: a fixed per-probe driver round trip).
+_TERM_BUCKET_MEMO: dict[tuple, list[int]] = {}
+
+
 def _term_buckets(spark: SparkSession, terms: list[str],
                   n_buckets: int) -> list[int]:
     """Bucket ids of the query terms — computed with the SAME engine
     expression that wrote the layout (xxhash64 has no Python twin),
-    one |terms|-row local job."""
+    one |terms|-row local job, memoized per (terms, n_buckets)."""
+    key = (tuple(terms), n_buckets)
+    hit = _TERM_BUCKET_MEMO.get(key)
+    if hit is not None:
+        return list(hit)
     tf = spark.createDataFrame([(t,) for t in terms], "term string")
     rows = tf.select(
         _bucket_col(F.col("term"), n_buckets).alias("b")).distinct().collect()
-    return sorted(r["b"] for r in rows)
+    out = sorted(r["b"] for r in rows)
+    _TERM_BUCKET_MEMO[key] = out
+    return list(out)
 
 
 def bm25_index_scores(
