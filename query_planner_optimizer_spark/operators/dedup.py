@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -131,6 +132,35 @@ def jaccard_pairs(
     )
 
 
+@contextmanager
+def _no_aqe(spark: SparkSession):
+    """Compile the CC loop without AQE (r15). Two reasons, both
+    measured on the round plans:
+
+    - ``localCheckpoint``/``checkpoint`` under AQE record
+      ``UnknownPartitioning`` (AdaptiveSparkPlanExec cannot state its
+      partitioning at checkpoint-creation time), so every round
+      re-shuffled BOTH pinned inputs; compiled statically, the pin
+      records ``hashpartitioning(n)`` + the within-partition sort
+      order, and the per-round join runs with ZERO exchange and ZERO
+      sort on the pinned sides — the only exchange left is the
+      neighbor-min message shuffle (guide §2.4).
+    - The loop's frames are longs-only and explicitly pre-partitioned;
+      AQE's coalescing/skew machinery has nothing to add inside the
+      loop, while costing the partitioning information above.
+
+    The scope covers only the iterative section; callers' plans over
+    the returned labels compile with the session's normal AQE setting
+    (the recorded partitioning on the final pin survives either way).
+    """
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def _pinner(df_example: DataFrame, checkpoint_dir: str | None):
     """Per-round lineage pin for iterative loops. Default:
     ``localCheckpoint`` — blocks live in executor storage, which is
@@ -160,9 +190,14 @@ def _pinner(df_example: DataFrame, checkpoint_dir: str | None):
         # LAZY localCheckpoint (r15): blocks materialize under the FIRST
         # action that computes the frame — the CC loop's convergence
         # aggregate — so each round runs ONE job (materialize + sum)
-        # instead of two (eager count, then sum). Lineage truncation and
-        # partitioning/ordering preservation are identical to the eager
-        # form; only the materializing action changes.
+        # instead of two (eager count, then sum). Lineage truncation is
+        # the point: a persist-only pin was tried and abandoned — the
+        # loop's self-joins double the logical tree every round
+        # (exponential analyzer blowup by round ~8). Partitioning /
+        # ordering preservation across the pin needs the loop to compile
+        # WITHOUT AQE (see :func:`_no_aqe`): an AdaptiveSparkPlanExec
+        # reports UnknownPartitioning at checkpoint time, throwing away
+        # the hash partitioning the loop relies on.
         return lambda df, evolving=False: df.localCheckpoint(eager=False)
     import shutil
 
@@ -243,77 +278,97 @@ def connected_components(
         raise ValueError(f"unknown method {method!r}")
     pin = _pinner(edges, checkpoint_dir)
     # r15 loop shape (guide §2.4 "share one exchange"): every frame in
-    # the loop is HASH-PARTITIONED BY ``n`` and pins preserve that
-    # partitioning, so the per-round join of the static edge list with
-    # the evolving labels needs NO exchange on either side; the ONE
-    # corpus-keyed exchange per round is the neighbor-min aggregation
-    # (the actual message passing). The pre-r15 shape
-    # (union + groupBy over both frames) re-shuffled the edge list AND
-    # the labels every round — 3 exchanges per round down to 1.
-    und = edges.select(
+    # the loop is HASH-PARTITIONED BY ``n`` and SORTED on it within
+    # partitions, the loop compiles without AQE so the pins RECORD that
+    # layout (see _no_aqe), and the per-round join of the static edge
+    # list with the evolving labels therefore needs no exchange and no
+    # sort on either pinned side; the ONE corpus-keyed exchange per
+    # round is the neighbor-min aggregation (the actual message
+    # passing). The pre-r15 shape (union + groupBy over both frames)
+    # re-shuffled the edge list AND the labels every round.
+    und_src = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
     ).unionByName(
         edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
     )
-    # Materialize the edge list once, pre-partitioned on the join key:
-    # it is re-read every round, and the upstream pair generation is
-    # itself a multi-shuffle job (id pairs only — tiny relative to the
-    # corpus, cheap to pin).
-    und = pin(und.repartition("n"))
-    labels = vertices.select(
-        F.col(vid).alias("n"), F.col(vid).cast("long").alias("label")
-    )
-    labels = pin(labels.repartition("n"), evolving=True)
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
-
-    def _next(lbl: DataFrame) -> DataFrame:
-        # min(own ∪ incoming) ≡ least(own, min(incoming)): F.least
-        # skips the NULL an isolated vertex gets from the left join,
-        # so vertices without incoming edges keep their own label —
-        # exactly the old union+groupBy semantics, without re-shuffling
-        # the label frame.
-        nmin = (
-            und.join(lbl, "n")
-            .select(F.col("m").alias("n"), "label")
-            .groupBy("n").agg(F.min("label").alias("__nl"))
-        )
-        return lbl.join(nmin, "n", "left").select(
-            "n", F.least(F.col("label"), F.col("__nl")).alias("label")
-        )
-
-    converged = False
-    rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
-        new_labels = pin(_next(labels), evolving=True)
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        labels = new_labels
-        if new_sum == prev_sum:  # min-propagation fixpoint
-            converged = True
-            break
-        prev_sum = new_sum
-    if not converged:
-        # Fixpoint detection needs one no-change round BEYOND the
-        # diameter: a graph whose diameter exactly equals max_iter has
-        # correct labels after the loop but hasn't yet proven it. Run
-        # one final change-check before declaring failure, so max_iter
-        # is a bound on propagation rounds, not diameter+1.
-        final_sum = (
-            _next(labels)
-            .agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
-            .collect()[0]["s"]
-        )
-        if final_sum != prev_sum:
-            raise RuntimeError(
-                f"connected_components(method='propagation') did not "
-                f"converge in {max_iter} rounds — the graph's diameter "
-                f"exceeds the round budget; use method='star' (O(log n) "
-                f"rounds) or raise max_iter"
+    # The upstream pair generation is a multi-shuffle job that SHOULD
+    # keep AQE (coalescing, skew handling) — cache it outside the
+    # no-AQE scope; the loop's statically-compiled lineage then starts
+    # at the cache scan, and the id pairs (tiny relative to the corpus)
+    # are computed once.
+    und_src = und_src.persist()
+    spark = edges.sparkSession
+    try:
+        with _no_aqe(spark):
+            # Materialize the edge list once, pre-partitioned and
+            # pre-sorted on the join key; re-read every round.
+            und = pin(und_src.repartition("n").sortWithinPartitions("n"))
+            labels = vertices.select(
+                F.col(vid).alias("n"), F.col(vid).cast("long").alias("label")
             )
+            labels = pin(
+                labels.repartition("n").sortWithinPartitions("n"),
+                evolving=True,
+            )
+            prev_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+
+            def _next(lbl: DataFrame) -> DataFrame:
+                # min(own ∪ incoming) ≡ least(own, min(incoming)):
+                # F.least skips the NULL an isolated vertex gets from
+                # the left join, so vertices without incoming edges
+                # keep their own label — exactly the old union+groupBy
+                # semantics, without re-shuffling the label frame.
+                nmin = (
+                    und.join(lbl, "n")
+                    .select(F.col("m").alias("n"), "label")
+                    .groupBy("n").agg(F.min("label").alias("__nl"))
+                )
+                return lbl.join(nmin, "n", "left").select(
+                    "n",
+                    F.least(F.col("label"), F.col("__nl")).alias("label"),
+                )
+
+            converged = False
+            rounds = 0
+            for _ in range(max_iter):
+                rounds += 1
+                new_labels = pin(_next(labels), evolving=True)
+                new_sum = new_labels.agg(
+                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+                ).collect()[0]["s"]
+                labels = new_labels
+                if new_sum == prev_sum:  # min-propagation fixpoint
+                    converged = True
+                    break
+                prev_sum = new_sum
+            if not converged:
+                # Fixpoint detection needs one no-change round BEYOND
+                # the diameter: a graph whose diameter exactly equals
+                # max_iter has correct labels after the loop but hasn't
+                # yet proven it. Run one final change-check before
+                # declaring failure, so max_iter is a bound on
+                # propagation rounds, not diameter+1.
+                final_sum = (
+                    _next(labels)
+                    .agg(F.sum(F.col("label").cast("decimal(38,0)"))
+                         .alias("s"))
+                    .collect()[0]["s"]
+                )
+                if final_sum != prev_sum:
+                    raise RuntimeError(
+                        f"connected_components(method='propagation') did "
+                        f"not converge in {max_iter} rounds — the graph's "
+                        f"diameter exceeds the round budget; use "
+                        f"method='star' (O(log n) rounds) or raise "
+                        f"max_iter"
+                    )
+    finally:
+        # The pinned frames read their own checkpoint blocks; the
+        # pair-generation cache is only needed while pins materialize —
+        # by the time the loop exits, every consumer reads pins.
+        und_src.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select(F.col("n").alias(vid), F.col("label").alias("cluster_id"))
