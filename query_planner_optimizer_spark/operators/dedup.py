@@ -100,33 +100,49 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via inverted-index self-join.
 
-    Plan shape: explode shingles → self equi-join on shingle (shuffle
-    key = shingle, so no cross join) → count common shingles per pair →
-    join per-doc set sizes → Jaccard filter. Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Plan shape: per-doc distinct shingle-hash arrays (one tokenize
+    pass, persisted) → explode (doc_id, sz, h) → self equi-join on the
+    8-byte hash (shuffle key = hash, so no cross join) → ONE pair
+    aggregation producing common count and both set sizes → Jaccard
+    filter. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
     Scale: hot (near-stopword) shingles create join skew; AQE skew-join
     splits them at runtime. For corpus-scale dedup prefer
     :func:`minhash_lsh_pairs` and verify its candidates with this metric.
     """
-    sh = _shingle_rows(df, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # r15 shape (guide §2.3 "shuffle keys and metadata instead of
+    # payloads" + §2.4): the inverted-index self-join shuffles 8-byte
+    # xxhash64 shingle hashes instead of shingle STRINGS (equal up to
+    # hash collisions, ~2^-64 per pair — the same argument the
+    # LSH verify path already rests on), and the per-doc distinct-
+    # shingle count rides ALONG the exploded rows (F.size of the
+    # map-side array) instead of being a separate groupBy that was
+    # computed twice and broadcast twice. The per-doc hash arrays are
+    # persisted eagerly so the join's two branches read one tokenize
+    # pass — the pre-r15 plan evaluated the tokenize+shingle lineage
+    # six times per call (2 sizes aggregations + 2 broadcast builds +
+    # 2 explode sides; 105 s of executor time at sf0.1).
+    ds = _doc_shingle_hashes(df, id_col, text_col, n).persist()
+    ds.count()
+    ex = ds.select(
+        "doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("h")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min(F.col("a.sz")).alias("sz_a"),
+            F.min(F.col("b.sz")).alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("common").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("common")
     ).cast("double")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", round_half_up(F.col("jaccard"), 6).alias("jaccard"))
     )
@@ -648,10 +664,22 @@ def banded_signature_frame(
     shuffle/compare than the concatenated key); portable mode keys on
     md5 of the '|'-joined row hashes (the oracle rebuilds it verbatim).
     """
-    r = k // bands
     sig = ds.select(
         "doc_id", _minhash_sig(F.col("hs"), k, portable=portable).alias("sig")
     )
+    return _banded_from_sig(sig, k, bands, portable=portable)
+
+
+def _banded_from_sig(
+    sig: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    portable: bool = False,
+) -> DataFrame:
+    """Band a (doc_id, sig) frame — the single definition of the band
+    key expressions (every caller routes through here, so the
+    incremental index and the full-corpus path can never drift)."""
+    r = k // bands
     if portable:
         def _bsig(bi: int) -> Column:
             return F.md5(
@@ -743,20 +771,29 @@ def minhash_lsh_pairs(
     degenerate groups are better handled by the exact-dedup pass that
     precedes LSH in any real pipeline. None (default) disables.
     """
-    # The per-doc shingle-hash arrays feed signature computation AND
-    # (when verifying) the intersection counts — persist once instead of
-    # re-tokenizing the corpus. Footprint is (doc_id, array<long>), far
-    # smaller than the corpus text; at extreme scale pass
-    # persist_shingles=False and let lineage recompute.
+    # The per-doc shingle-hash arrays feed the intersection counts and
+    # the k-permutation SIGNATURES feed banding — persist BOTH once
+    # (r15): the banded self-join's two branches and the two
+    # verification joins otherwise each re-derive the tokenize +
+    # k·|shingles| signature lineage (the signature pass alone is k=32
+    # hashes per shingle, and the pre-r15 persist of ``hs`` only still
+    # computed it twice, once per self-join side). Footprint is
+    # (doc_id, array<long>, array<long>), far smaller than the corpus
+    # text; at extreme scale pass persist_shingles=False and let
+    # lineage recompute.
     ds = _doc_shingle_hashes(df, id_col, text_col, n, portable=portable)
-    if persist_shingles and verify:
-        # Materialize eagerly: the banded self-join's two map stages and
-        # the two verification joins all consume ds concurrently — with
-        # a lazy persist they race and can each compute the tokenize+
-        # hash lineage before the cache fills.
-        ds = ds.persist()
-        ds.count()
-    banded = banded_signature_frame(ds, k, bands, portable=portable)
+    sigf = ds.select(
+        "doc_id", "hs",
+        _minhash_sig(F.col("hs"), k, portable=portable).alias("sig"),
+    )
+    if persist_shingles:
+        # Materialize eagerly: lazy persists race under the self-join's
+        # concurrent map stages, each computing the full lineage before
+        # the cache fills.
+        sigf = sigf.persist()
+        sigf.count()
+    banded = _banded_from_sig(
+        sigf.select("doc_id", "sig"), k, bands, portable=portable)
     if max_bucket_size is not None:
         keep = (
             banded.groupBy("band", "bsig")
@@ -785,7 +822,8 @@ def minhash_lsh_pairs(
     # (that's the whole point of LSH). Jaccard over 64-bit shingle
     # hashes equals Jaccard over shingle strings up to hash collisions
     # (~2^-64 per pair).
-    return verify_candidate_pairs(cand, ds, ds, threshold)
+    hsf = sigf.select("doc_id", "hs")
+    return verify_candidate_pairs(cand, hsf, hsf, threshold)
 
 
 def portable_hash60(c: Column) -> Column:

@@ -42,7 +42,7 @@ def clean_corpus(
     content hash. Returns the surviving documents with their metrics:
     (doc_id, lang_pred, quality_score, n_tokens).
     """
-    scored = T.with_lang_id(T.with_quality_score(docs))
+    scored = T.with_quality_and_lang(docs)
     gated = scored.filter(
         (F.col("quality_score") >= F.lit(quality_min))
         & (F.col("lang_pred").isin(*keep_langs))
@@ -471,7 +471,7 @@ def curation_funnel(
     conditional aggregation, so the funnel costs one scan + one
     digest-keyed window + one reduce, not four pipeline reruns.
     """
-    scored = T.with_lang_id(T.with_quality_score(docs))
+    scored = T.with_quality_and_lang(docs)
     q_ok = F.col("quality_score") >= F.lit(quality_min)
     l_ok = q_ok & F.col("lang_pred").isin(*keep_langs)
     h = F.sha2(F.col("text"), 256)
@@ -650,7 +650,7 @@ def corpus_card(docs: DataFrame, group_col: str = "source") -> DataFrame:
     """
     from pyspark.sql import types as PT
 
-    scored = T.with_lang_id(T.with_quality_score(docs))
+    scored = T.with_quality_and_lang(docs)
     dec = F.col("quality_score").cast(
         PT.DecimalType(38, agg_decimal_scale(6)))
     return (

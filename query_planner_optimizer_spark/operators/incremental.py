@@ -256,6 +256,18 @@ def _write_bands_bucketed(bands_df: DataFrame, index_dir: str,
 STAGING_GC_GRACE_SECONDS = 3600.0
 
 
+def _index_parquet(spark: SparkSession, index_dir: str, name: str):
+    """Session-cached reader frame for one index dataset (r15, guide
+    §5 driver work: repeated probes were paying a driver file-listing
+    + schema read per dataset per call). Safe because EVERY mutation
+    path — build overwrite, staged-append publish (repair_index),
+    compaction swap — calls ``invalidate_reader_caches(index_dir)``,
+    which evicts the cached frames under the index root."""
+    from query_planner_optimizer_spark.catalog import cached_parquet
+
+    return cached_parquet(spark, os.path.join(index_dir, name))
+
+
 def repair_index(index_dir: str) -> None:
     """Complete or garbage-collect a torn append (crash mid-publish).
 
@@ -282,6 +294,7 @@ def repair_index(index_dir: str) -> None:
         return
     import time
 
+    changed = False
     for name in sorted(os.listdir(index_dir)):
         if not (name.startswith("_pending_") and name.endswith(".json")):
             continue
@@ -317,6 +330,7 @@ def repair_index(index_dir: str) -> None:
             os.remove(marker)
         except FileNotFoundError:
             pass  # concurrent repairer removed it
+        changed = True
     now = time.time()
     for name in os.listdir(index_dir):
         if name.startswith("_staging_"):
@@ -331,6 +345,14 @@ def repair_index(index_dir: str) -> None:
                 continue
             if age > STAGING_GC_GRACE_SECONDS:
                 shutil.rmtree(path, ignore_errors=True)
+    if changed:
+        # Published files changed the live datasets — evict any cached
+        # reader frames below this index root (see _index_parquet).
+        from query_planner_optimizer_spark.catalog import (
+            invalidate_reader_caches,
+        )
+
+        invalidate_reader_caches(index_dir)
 
 
 def _data_files(path: str) -> list[str]:
@@ -436,6 +458,9 @@ def build_dedup_index(
         json.dump({"n": n, "k": k, "bands": bands, "portable": portable,
                    "write_shingles": write_shingles}, f)
     os.replace(tmp, _indexspec_path(index_dir))
+    from query_planner_optimizer_spark.catalog import invalidate_reader_caches
+
+    invalidate_reader_caches(index_dir)
 
 
 def _staged_append(
@@ -555,7 +580,7 @@ def incremental_minhash_pairs(
     if not broadcast_shard and spec is not None:
         idx = spark.table(_ensure_bands_table(spark, index_dir, spec))
     else:
-        idx = spark.read.parquet(os.path.join(index_dir, "bands"))
+        idx = _index_parquet(spark, index_dir, "bands")
     cand = (
         idx.alias("c")
         .join(
@@ -574,7 +599,7 @@ def incremental_minhash_pairs(
         # indexes built with write_shingles=False; the caller verifies
         # against raw text on this candidate-proportional subset.
         return cand
-    ds_c = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    ds_c = _index_parquet(spark, index_dir, "shingles")
     shard_side = F.broadcast(ds_s) if broadcast_shard else ds_s
     return verify_candidate_pairs(
         cand, ds_c, shard_side, threshold, a_col="corpus_id", b_col="shard_id"
@@ -605,7 +630,7 @@ def incremental_exact_dups(
     )
     if broadcast_shard:
         sh = F.broadcast(sh)
-    idx = spark.read.parquet(os.path.join(index_dir, "digests"))
+    idx = _index_parquet(spark, index_dir, "digests")
     return (
         idx.join(sh, "content_hash")
         .groupBy("shard_id", "content_hash")
@@ -683,7 +708,7 @@ def incremental_clusters(
             F.col("doc_id").alias("s_doc"), F.size("hs").alias("sz_s"))
         if broadcast_shard:
             sh_s, sz_s = F.broadcast(sh_s), F.broadcast(sz_s)
-        ds_c = spark.read.parquet(os.path.join(index_dir, "shingles"))
+        ds_c = _index_parquet(spark, index_dir, "shingles")
         sh_c = ds_c.select(
             F.col("doc_id").alias("c_doc"), F.explode("hs").alias("h"))
         sz_c = ds_c.select(
@@ -834,6 +859,9 @@ def compact_index(spark: SparkSession, index_dir: str,
         os.rename(src, old)
         os.rename(staged, src)
         shutil.rmtree(old)
+    from query_planner_optimizer_spark.catalog import invalidate_reader_caches
+
+    invalidate_reader_caches(index_dir)
 
 
 def daily_ingest(
@@ -933,9 +961,9 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     doubles as an end-to-end check that the index write path loses /
     duplicates nothing."""
     repair_index(index_dir)
-    bands = spark.read.parquet(os.path.join(index_dir, "bands"))
-    shingles = spark.read.parquet(os.path.join(index_dir, "shingles"))
-    digests = spark.read.parquet(os.path.join(index_dir, "digests"))
+    bands = _index_parquet(spark, index_dir, "bands")
+    shingles = _index_parquet(spark, index_dir, "shingles")
+    digests = _index_parquet(spark, index_dir, "digests")
     b = bands.agg(
         F.count(F.lit(1)).alias("band_rows"),
         F.countDistinct("band", "bsig").alias("distinct_buckets"),
@@ -1091,7 +1119,7 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + RECRAWL_SHADOW).alias("doc_id"), "text"
     )
     shard = docs.filter(_shard_pred()).unionByName(recrawl)
-    digests = spark.read.parquet(os.path.join(idx, "digests"))
+    digests = _index_parquet(spark, idx, "digests")
     return ingest_gate(shard, digests)
 
 

@@ -721,11 +721,27 @@ def build_ann_index(
                              keep_versions=keep_versions)
 
 
+#: Per-process memo of collected centroid matrices, keyed on the
+#: VERSION-dir centroids path (r15): centroids are immutable once a
+#: version is published — appends freeze them, rebuilds/retrains write
+#: a fresh ``v_<uuid>`` dir — so the key can never alias two different
+#: matrices, and a CURRENT flip changes the key. This is serving-index
+#: state (what a real ANN server holds resident), not query-result
+#: caching; each entry is nlist×dim doubles (~8 KB at the defaults).
+_CENTROID_CACHE: dict[str, list[list[float]]] = {}
+
+
 def _read_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
     # Bounded collect: nlist rows (same class as the training seeds).
     cents_path, _ = ann_paths(index_dir)
+    key = os.path.abspath(cents_path)
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
     rows = spark.read.parquet(cents_path).orderBy("cell").collect()
-    return [list(r["c_vec"]) for r in rows]
+    cents = [list(r["c_vec"]) for r in rows]
+    _CENTROID_CACHE[key] = cents
+    return cents
 
 
 def append_to_ann_index(
@@ -1478,6 +1494,18 @@ def build_ivfpq_index(
                              keep_versions=keep_versions)
 
 
+def _read_books(spark: SparkSession, vdir: str) -> DataFrame:
+    """PQ codebooks of one index VERSION as a reader frame. Books are
+    immutable once a version is published (appends encode against
+    frozen codebooks; rebuilds write a fresh ``v_<uuid>`` dir), so the
+    session-lifetime ``cached_parquet`` frame cache applies — repeat
+    probes skip the per-call driver file-listing + schema read
+    (r15, guide §5 driver work)."""
+    from query_planner_optimizer_spark.catalog import cached_parquet
+
+    return cached_parquet(spark, os.path.join(vdir, "books"))
+
+
 def _load_ivfpq_meta(index_dir: str) -> dict:
     """Resolve META through the CURRENT version dir (meta commits with
     the codes it describes); falls back to the legacy top-level
@@ -1503,7 +1531,7 @@ def append_to_ivfpq_index(
     meta = _load_ivfpq_meta(index_dir)
     vdir = _ann_version_dir(index_dir)
     cents = _read_centroids(spark, index_dir)
-    books = spark.read.parquet(os.path.join(vdir, "books"))
+    books = _read_books(spark, vdir)
     d_sub = meta["dim"] // meta["m"]
     base = with_norm(shard, vec_col).select(
         F.col(id_col).alias("id"), "_vec", "_norm")
@@ -1580,7 +1608,7 @@ def ivfpq_index_topk(
     meta = _load_ivfpq_meta(index_dir)
     vdir = _ann_version_dir(index_dir)
     cents = _read_centroids(spark, index_dir)
-    books = spark.read.parquet(os.path.join(vdir, "books"))
+    books = _read_books(spark, vdir)
     d_sub = meta["dim"] // meta["m"]
 
     q_base = with_norm(queries, vec_col).select(
@@ -1652,13 +1680,22 @@ def ivfpq_index_topk(
               "qid")
         .select("qid", "id", adist.alias("adist"))
     )
-    ws = Window.partitionBy("qid").orderBy(
-        F.col("adist").asc(), F.col("id").asc())
-    short = (
-        adc.withColumn("srank", F.row_number().over(ws))
-        .filter(F.col("srank") <= shortlist)
-        .select("qid", "id")
-    )
+    if shortlist >= (1 << 31):
+        # Unbounded-shortlist sentinel (the oracle entries pass 1<<40 to
+        # make the store refine provably brute-force): row_number is an
+        # int, so any batch this branch could misfilter would overflow
+        # the window anyway — skip the shortlist exchange+sort entirely
+        # (r15, guide §2.4; the always-true filter kept every row, and
+        # Catalyst then prunes the dead adist aggregate with it).
+        short = adc.select("qid", "id")
+    else:
+        ws = Window.partitionBy("qid").orderBy(
+            F.col("adist").asc(), F.col("id").asc())
+        short = (
+            adc.withColumn("srank", F.row_number().over(ws))
+            .filter(F.col("srank") <= shortlist)
+            .select("qid", "id")
+        )
     # Refine: exact vectors come from the STORE, shortlist ids only.
     store = with_norm(source, vec_col).select(
         F.col(id_col).alias("id"), "_vec", F.col("_norm").alias("n_norm"))

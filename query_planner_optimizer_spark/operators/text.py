@@ -75,15 +75,10 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword-ratio quality heuristic.
-
-    score = 0.4 * min(n_tokens/100, 1)
-          + 0.3 * (1 - punct_ratio)
-          + 0.3 * min(stopword_ratio * 5, 1)
-    """
-    df = df.select("*", _tokens(text_col).alias("__toks"))
-    toks = F.col("__toks")
+def _quality_cols(text_col: str, toks) -> list:
+    """The quality-heuristic output columns over a MATERIALIZED token
+    array — shared by :func:`with_quality_score` and the fused
+    :func:`with_quality_and_lang` so the math exists once."""
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
     punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
@@ -96,20 +91,17 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
     )
-    return (
-        df.withColumn("n_tokens", n_tokens)
-        .withColumn("punct_ratio", round_half_up(punct_ratio, 6))
-        .withColumn("stopword_ratio", round_half_up(stop_ratio, 6))
-        .withColumn("quality_score", round_half_up(score, 6))
-        .drop("__toks")
-    )
+    return [
+        ("n_tokens", n_tokens),
+        ("punct_ratio", round_half_up(punct_ratio, 6)),
+        ("stopword_ratio", round_half_up(stop_ratio, 6)),
+        ("quality_score", round_half_up(score, 6)),
+    ]
 
 
-def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: CJK chars → zh, else argmax stopword hits
-    (ties broken by fixed language order en,fr,de,es)."""
-    df = df.select("*", _tokens(text_col).alias("__toks"))
-    toks = F.col("__toks")
+def _lang_pred_col(text_col: str, toks):
+    """The language-ID output column over a MATERIALIZED token array —
+    shared by :func:`with_lang_id` and :func:`with_quality_and_lang`."""
     cjk = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[一-鿿]"), 0))
     def contains(arr):
         return lambda x: F.array_contains(arr, x)
@@ -124,8 +116,47 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in ("fr", "de", "es"):  # strict > keeps earlier langs on ties
         best = F.when(hits[lang] > best_n, F.lit(lang)).otherwise(best)
         best_n = F.when(hits[lang] > best_n, hits[lang]).otherwise(best_n)
+    return F.when(cjk > 0, F.lit("zh")).otherwise(best)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristic.
+
+    score = 0.4 * min(n_tokens/100, 1)
+          + 0.3 * (1 - punct_ratio)
+          + 0.3 * min(stopword_ratio * 5, 1)
+    """
+    df = df.select("*", _tokens(text_col).alias("__toks"))
+    out = df
+    for name, col in _quality_cols(text_col, F.col("__toks")):
+        out = out.withColumn(name, col)
+    return out.drop("__toks")
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK chars → zh, else argmax stopword hits
+    (ties broken by fixed language order en,fr,de,es)."""
+    df = df.select("*", _tokens(text_col).alias("__toks"))
     return df.withColumn(
-        "lang_pred", F.when(cjk > 0, F.lit("zh")).otherwise(best)
+        "lang_pred", _lang_pred_col(text_col, F.col("__toks"))
+    ).drop("__toks")
+
+
+def with_quality_and_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``with_lang_id(with_quality_score(df))`` fused over ONE
+    materialized token array (r15, guide §1.2 per-task work): the
+    chained form stages two separate ``__toks`` projections —
+    CollapseProject correctly refuses to inline the non-cheap token
+    expression, so the corpus is TOKENIZED TWICE. Column names, values
+    and order are identical to the chained composition (both scorers'
+    expressions come from the same `_quality_cols`/`_lang_pred_col`
+    builders)."""
+    df = df.select("*", _tokens(text_col).alias("__toks"))
+    out = df
+    for name, col in _quality_cols(text_col, F.col("__toks")):
+        out = out.withColumn(name, col)
+    return out.withColumn(
+        "lang_pred", _lang_pred_col(text_col, F.col("__toks"))
     ).drop("__toks")
 
 

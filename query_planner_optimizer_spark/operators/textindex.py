@@ -200,6 +200,7 @@ def repair_text_index(index_dir: str) -> None:
         return  # no CURRENT yet: nothing published, nothing to repair
     import time
 
+    changed = False
     for name in sorted(os.listdir(vdir)):
         if not (name.startswith("_pending_") and name.endswith(".json")):
             continue
@@ -233,6 +234,7 @@ def repair_text_index(index_dir: str) -> None:
             os.remove(marker)
         except FileNotFoundError:
             pass
+        changed = True
     now = time.time()
     for name in os.listdir(vdir):
         if name.startswith("_staging_"):
@@ -243,6 +245,14 @@ def repair_text_index(index_dir: str) -> None:
                 continue
             if age > STAGING_GC_GRACE_SECONDS:
                 shutil.rmtree(path, ignore_errors=True)
+    if changed:
+        # Published files changed the live datasets — evict the cached
+        # reader frames below this version dir (see _index_frame).
+        from query_planner_optimizer_spark.catalog import (
+            invalidate_reader_caches,
+        )
+
+        invalidate_reader_caches(vdir)
 
 
 def append_to_text_index(
@@ -310,6 +320,18 @@ def _term_buckets(spark: SparkSession, terms: list[str],
     return list(out)
 
 
+def _index_frame(spark: SparkSession, vdir: str, name: str):
+    """Session-cached reader frame for one text-index dataset (r15,
+    guide §5: repeat probes paid a driver file-listing + schema read
+    per dataset per call). Safe: appends publish through
+    :func:`repair_text_index`, which invalidates the cache below the
+    version dir whenever it changes files; rebuilds/compactions write
+    a fresh version dir (new cache key)."""
+    from query_planner_optimizer_spark.catalog import cached_parquet
+
+    return cached_parquet(spark, os.path.join(vdir, name))
+
+
 def bm25_index_scores(
     spark: SparkSession,
     index_dir: str,
@@ -330,12 +352,12 @@ def bm25_index_scores(
     terms = list(terms)
     buckets = _term_buckets(spark, terms, meta["n_buckets"])
     posts = (
-        spark.read.parquet(os.path.join(vdir, "postings"))
+        _index_frame(spark, vdir, "postings")
         .filter(F.col("tbucket").isin(buckets)
                 & F.col("term").isin(terms))
         .select("term", "doc_id", "tf", "dl")
     )
-    stats = spark.read.parquet(os.path.join(vdir, "stats")).agg(
+    stats = _index_frame(spark, vdir, "stats").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("sum_dl").cast("long").alias("sum_dl"),
     ).select(
@@ -392,12 +414,12 @@ def tfidf_index_scores(
     terms = list(terms)
     buckets = _term_buckets(spark, terms, meta["n_buckets"])
     posts = (
-        spark.read.parquet(os.path.join(vdir, "postings"))
+        _index_frame(spark, vdir, "postings")
         .filter(F.col("tbucket").isin(buckets)
                 & F.col("term").isin(terms))
         .select("term", "doc_id", "tf")
     )
-    n_docs = spark.read.parquet(os.path.join(vdir, "stats")).agg(
+    n_docs = _index_frame(spark, vdir, "stats").agg(
         F.sum("n_docs").cast("long").alias("n_docs"))
     dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
@@ -468,7 +490,7 @@ def phrase_match(
     vdir = _ann_version_dir(index_dir)
     buckets = _term_buckets(spark, phrase, meta["n_buckets"])
     posts = (
-        spark.read.parquet(os.path.join(vdir, "postings"))
+        _index_frame(spark, vdir, "postings")
         .filter(F.col("tbucket").isin(buckets)
                 & F.col("term").isin(phrase))
         .select("term", "doc_id", "positions")
@@ -523,8 +545,8 @@ def compact_text_index(
     repair_text_index(index_dir)
     meta = _load_text_meta(index_dir)
     vdir = _ann_version_dir(index_dir)
-    posts = spark.read.parquet(os.path.join(vdir, "postings"))
-    stats = spark.read.parquet(os.path.join(vdir, "stats")).agg(
+    posts = _index_frame(spark, vdir, "postings")
+    stats = _index_frame(spark, vdir, "stats").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("sum_dl").cast("long").alias("sum_dl"),
     )
@@ -608,8 +630,8 @@ def text_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     duplicated nothing."""
     repair_text_index(index_dir)
     vdir = _ann_version_dir(index_dir)
-    posts = spark.read.parquet(os.path.join(vdir, "postings"))
-    stats = spark.read.parquet(os.path.join(vdir, "stats"))
+    posts = _index_frame(spark, vdir, "postings")
+    stats = _index_frame(spark, vdir, "stats")
     acc = posts.agg(
         F.count(F.lit(1)).alias("n_postings"),
         F.countDistinct("term").alias("n_terms"),
