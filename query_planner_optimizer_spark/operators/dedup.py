@@ -91,6 +91,27 @@ def exact_dedup(
     )
 
 
+#: One-slot retirement for the per-call eager persists below (r15
+#: hygiene, same contract as incremental._SHARD_CACHE): each call
+#: unpersists the PREVIOUS call's cached frame, bounding cached blocks
+#: at one corpus pass per slot instead of accumulating per invocation.
+#: A caller still holding the previous call's un-materialized result
+#: simply recomputes its (bounded) lineage — driver/bench/pytest all
+#: collect eagerly.
+_JACCARD_PERSIST_SLOT: list = []
+_MINHASH_PERSIST_SLOT: list = []
+
+
+def _retire_previous(slot: list, frame: DataFrame) -> None:
+    while slot:
+        prev = slot.pop()
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — session already gone is fine
+            pass
+    slot.append(frame)
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -123,6 +144,7 @@ def jaccard_pairs(
     # six times per call (2 sizes aggregations + 2 broadcast builds +
     # 2 explode sides; 105 s of executor time at sf0.1).
     ds = _doc_shingle_hashes(df, id_col, text_col, n).persist()
+    _retire_previous(_JACCARD_PERSIST_SLOT, ds)
     ds.count()
     ex = ds.select(
         "doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("h")
@@ -791,6 +813,7 @@ def minhash_lsh_pairs(
         # concurrent map stages, each computing the full lineage before
         # the cache fills.
         sigf = sigf.persist()
+        _retire_previous(_MINHASH_PERSIST_SLOT, sigf)
         sigf.count()
     banded = _banded_from_sig(
         sigf.select("doc_id", "sig"), k, bands, portable=portable)

@@ -960,3 +960,40 @@ def test_incremental_clusters_merges_old_clusters(spark):
             for r in dedup_clusters(
                 corpus.unionByName(bridge), threshold=0.2).collect()}
     assert got == want
+
+
+def test_ivfpq_unbounded_shortlist_sentinel_equals_windowed(spark, emb):
+    """r15: shortlist >= 2^31 (the provably-brute-force sentinel) skips
+    the shortlist window stage outright. Results must be identical to a
+    finite shortlist large enough to keep every candidate, and the
+    sentinel plan must not contain the shortlist rank at all."""
+    from query_planner_optimizer_spark.operators import similarity as S
+
+    d = tempfile.mkdtemp(prefix="qpo_ivfpq_sentinel_")
+    S.build_ivfpq_index(emb, d)
+    qs = emb.filter(F.col("vec_id") < 5)
+    sent = S.ivfpq_index_topk(
+        spark, qs, d, source=emb, nprobe=S.IVF_NLIST, shortlist=1 << 40)
+    fin = S.ivfpq_index_topk(
+        spark, qs, d, source=emb, nprobe=S.IVF_NLIST, shortlist=10**9)
+    got = sorted(map(tuple, sent.collect()))
+    want = sorted(map(tuple, fin.collect()))
+    assert got == want
+    assert "srank" not in sent._jdf.queryExecution().executedPlan().toString()
+    assert "srank" in fin._jdf.queryExecution().executedPlan().toString()
+
+
+def test_jaccard_persist_retires_previous_call(spark, docs):
+    """r15 hygiene: each jaccard_pairs call unpersists the previous
+    call's shingle-hash cache (one cached corpus pass per process, not
+    one per invocation)."""
+    from query_planner_optimizer_spark.operators import dedup as D
+
+    D.jaccard_pairs(docs, threshold=0.2).count()
+    assert len(D._JACCARD_PERSIST_SLOT) == 1
+    first = D._JACCARD_PERSIST_SLOT[0]
+    assert first.storageLevel.useMemory
+    D.jaccard_pairs(docs, threshold=0.2).count()
+    assert len(D._JACCARD_PERSIST_SLOT) == 1
+    assert D._JACCARD_PERSIST_SLOT[0] is not first
+    assert not first.storageLevel.useMemory

@@ -1383,3 +1383,15 @@ def test_multiprobe_flips2_superset_and_cap(emb):
         similarity.lsh_multiprobe_topk(emb, flips=2, max_probes=5)
     with pytest.raises(ValueError, match="flips"):
         similarity.lsh_multiprobe_topk(emb, flips=3)
+
+
+def test_with_quality_and_lang_equals_chained_composition(docs):
+    """r15: the fused single-tokenize scorer must be column-for-column
+    identical (names, order, values) to the chained composition it
+    replaced in clean_corpus / corpus_card / curation_funnel."""
+    fused = text.with_quality_and_lang(docs)
+    chained = text.with_lang_id(text.with_quality_score(docs))
+    assert fused.columns == chained.columns
+    got = sorted(map(tuple, fused.collect()))
+    want = sorted(map(tuple, chained.collect()))
+    assert got == want
