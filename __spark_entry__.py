@@ -2710,78 +2710,74 @@ def _routed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the window in later rounds). COVERAGE.md maps every entry to its
 #: latest green round.
 _PANEL = [
-    # -- round-15 window (r14 VERDICT #1: front the never-driver-
-    # -- checked entries, then the r9 carry-overs, then the oldest
-    # -- r10 cohort).
-    # -- Composition: 12 never-checked — the 4 r14-late IVF-PQ entries
-    # -- (judge strict-checked 4/4 but no driver row yet) plus the 8
-    # -- r15-new entries (persisted BM25/TF-IDF/phrase index family ×5,
-    # -- trained quality classifier, 2-bit multiprobe, incremental
-    # -- cluster maintenance) — then the 6 r9 carry-overs the r14
-    # -- arithmetic named, then the FIRST 32 of the 45 r10-green
-    # -- entries in registry order. 12 + 6 + 32 = 50 exactly.
-    # -- Histogram after replaying CORRECTNESS_r01–r14: r9=6, r10=45,
-    # -- r11=50, r12=50, r13=50, r14=50, never=12 (4 IVF-PQ + 8 new).
-    # -- Carry to r16: the LAST 13 r10 entries in registry order
-    # -- (dsl_tpch_q18_large_orders, dsl_eager_agg_rounded,
-    # -- dsl_tpch_q7_volume_shipping, dsl_tpch_q9_product_profit,
-    # -- dsl_tpch_q8_market_share, dsl_covariance_by_hand,
-    # -- dsl_window_over_aggregate, dsl_setop_derived_from,
-    # -- dsl_having_inline_agg, dsl_tpch_q22_untapped_accounts,
-    # -- dedup_duplicate_spans, dedup_report, dedup_remove_spans).
-    # -- never-driver-checked --
-    "sim_ivfpq_topk",
-    "sim_ivfpq_recall",
-    "sim_ivfpq_index",
-    "sim_ivfpq_residual_topk",
-    "relevance_bm25_index",
-    "relevance_bm25_index_topk",
-    "relevance_tfidf_index",
-    "relevance_phrase_match",
-    "relevance_text_index_stats",
-    "text_quality_classifier",
-    "sim_multiprobe2_topk",
-    "dedup_incremental_clusters",
-    # -- r9 carry-overs (r14 window overflow, oldest first) --
-    "sample_hash_10pct",
-    "sample_k_per_group",
-    "sample_mixture_weights",
-    "dsl_routed_daily_rollup",
-    "dsl_routed_incremental_rollup",
-    "dsl_plan_routed_daily_rollup",
-    # -- r10-green (first 36 of the stale cohort, registry order) --
-    "dsl_filter_eq",
-    "dsl_filter_gauntlet",
-    "dsl_filter_neq",
-    "dsl_filter_in",
-    "dsl_expr_projection",
-    "dsl_case_projection",
-    "dsl_filter_not_in",
-    "dsl_filter_between",
-    "dsl_filter_range_ops",
-    "dsl_groupby_count_star",
-    "dsl_count_col",
-    "dsl_count_distinct_users",
-    "dsl_intersect_segments",
-    "dsl_except_segments",
-    "dsl_union_segments",
-    "dsl_distinct_pairs",
-    "dsl_groupby_min_max",
-    "dsl_multikey_orderby",
-    "dsl_topk_limit",
-    "dsl_having_group_gate",
-    "dsl_day_in_coercion",
-    "dsl_join_brand_pricing",
-    "dsl_join_tree_having_mix",
-    "dsl_window_frames_ntile",
-    "dsl_scalar_subquery_small_orders",
-    "dsl_tpch_q14_promo_share",
-    "dsl_tpch_q19_disjunctive",
-    "dsl_tpch_q17_small_quantity",
-    "dsl_corr_price_per_line",
-    "dsl_corr_join_subquery",
-    "dsl_corr_above_user_avg",
-    "dsl_tpch_q13_cust_distribution",
+    # -- round-16 window (r15 VERDICT #8: front the 13 remaining
+    # -- never-rechecked r10-cohort entries named in the r15 _PANEL
+    # -- comment, then the oldest stale cohort).
+    # -- Histogram after replaying CORRECTNESS_r01–r15 (latest
+    # -- hash-green round per entry): r10=13, r11=50, r12=50, r13=50,
+    # -- r14=50, r15=50 — 263 total, all oracle-covered, none never-
+    # -- checked. Composition: the 13 r10 stragglers + the FIRST 37 of
+    # -- the r11 cohort in its CORRECTNESS_r11 check order.
+    # -- 13 + 37 = 50 exactly.
+    # -- Carry to r17: the LAST 13 r11 entries in that order
+    # -- (relevance_tfidf, relevance_bm25, stream_heavy_hitters,
+    # -- dsl_orderby_nulls_last, dsl_string_functions,
+    # -- dsl_agg_filter_clause, dsl_where_or_not_tree,
+    # -- dsl_join_semi_nonequi, dsl_join_anti_nonequi,
+    # -- dsl_join_range_conjunct, dsl_join_left_customer_orders,
+    # -- dsl_window_distribution, dsl_scalar_select_share).
+    # -- r10 stragglers (stale since round 10) --
+    "dsl_tpch_q18_large_orders",
+    "dsl_eager_agg_rounded",
+    "dsl_tpch_q7_volume_shipping",
+    "dsl_tpch_q9_product_profit",
+    "dsl_tpch_q8_market_share",
+    "dsl_covariance_by_hand",
+    "dsl_window_over_aggregate",
+    "dsl_setop_derived_from",
+    "dsl_having_inline_agg",
+    "dsl_tpch_q22_untapped_accounts",
+    "dedup_duplicate_spans",
+    "dedup_report",
+    "dedup_remove_spans",
+    # -- r11 cohort (first 37, CORRECTNESS_r11 order) --
+    "dsl_tpch_q21_waiting_suppliers",
+    "stream_interval_join_left",
+    "dsl_join_full_outer_days",
+    "dsl_window_over_join",
+    "dsl_setop_grouped_cte",
+    "sim_quantize_int8",
+    "sim_quantized_topk",
+    "text_bigram_lm",
+    "text_readability",
+    "text_vocab_coverage",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
+    "stream_windowed_distinct",
+    "analytics_retention_cohorts",
+    "analytics_new_vs_returning",
+    "analytics_power_user_curve",
+    "analytics_pct_change_daily",
+    "analytics_stickiness_daily",
+    "analytics_centroid_similarity",
+    "analytics_grouping_sets",
+    "temporal_gapfill_hourly",
+    "temporal_scd2_intervals",
+    "temporal_ohlc_hourly",
+    "temporal_linear_attribution",
+    "pipeline_curation_funnel",
+    "pipeline_boilerplate_report",
+    "sample_epoch_shuffle",
+    "sample_temperature_mixture",
+    "stream_rollup_maintenance",
+    "dsl_routed_minmax_rollup",
+    "dedup_semantic_clusters",
+    "dsl_cte_above_avg_days",
+    "dsl_tpch_q15_top_supplier",
+    "dsl_cte_chain_user_type",
+    "dsl_cte_join_semi",
+    "pipeline_token_budget",
+    "pipeline_line_dedup",
 ]
 
 

@@ -60,7 +60,9 @@ DERIVED_TIME_COLUMNS = ("ts_dt", "day", "week", "hour", "minute")
 #: route through here (driver testdata); mutable dirs (rollup folds,
 #: prepare output) keep fresh reads so their swap protocols see new
 #: file listings.
-_PARQUET_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: Values are (frame, fill-time mutation token or None) — see
+#: ``cached_parquet``.
+_PARQUET_CACHE: dict[tuple[int, str], tuple[DataFrame, tuple | None]] = {}
 
 #: spread() memo: keyed by the input frame's identity AND the resolved
 #: partition target (safe — the cached entry holds a strong ref, so the
@@ -145,14 +147,44 @@ class FrameMemo:
         return len(self._d)
 
 
-def cached_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` with a session-lifetime frame cache —
-    for immutable inputs only (see ``_PARQUET_CACHE``)."""
+def dir_mutation_token(path: str) -> tuple:
+    """Cheap cross-process mutation witness for a dataset directory:
+    (mtime_ns, entry-ish size) of the directory inode. Every mutation
+    protocol in this repo lands files in the dataset dir by rename /
+    create / delete — each of which updates the directory's mtime — so
+    a reader that re-checks this token observes writes made by OTHER
+    processes, which in-process ``invalidate_reader_caches`` calls can
+    never cover (r16, ADVICE: the single-writer-per-index contract
+    allows writer and probe readers to be different processes). One
+    ``os.stat`` per probe; a missing path returns a sentinel that still
+    compares unequal to any real stat."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
+
+
+def cached_parquet(
+    spark: SparkSession, path: str, token: tuple | None = None
+) -> DataFrame:
+    """``spark.read.parquet`` with a session-lifetime frame cache.
+
+    Without ``token``: for immutable inputs only (see
+    ``_PARQUET_CACHE``). With ``token`` (normally
+    ``dir_mutation_token(path)``): the cached frame is served only
+    while the token matches the one recorded at fill time, so
+    cross-process mutations of append-able datasets invalidate the
+    entry on the next read — the in-process mutation paths still call
+    ``invalidate_reader_caches`` eagerly as before."""
     key = (id(spark), os.path.abspath(path))
-    df = _PARQUET_CACHE.get(key)
-    if df is None:
-        df = spark.read.parquet(path)
-        _PARQUET_CACHE[key] = df
+    hit = _PARQUET_CACHE.get(key)
+    if hit is not None:
+        df, cached_token = hit
+        if token is None or cached_token == token:
+            return df
+    df = spark.read.parquet(path)
+    _PARQUET_CACHE[key] = (df, token)
     return df
 
 

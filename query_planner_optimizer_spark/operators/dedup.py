@@ -33,6 +33,7 @@ positives after verification, recall measured).
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
 from contextlib import contextmanager
 
@@ -101,15 +102,25 @@ def exact_dedup(
 _JACCARD_PERSIST_SLOT: list = []
 _MINHASH_PERSIST_SLOT: list = []
 
+#: r16 (ADVICE): the pop/unpersist/append sequence below is not atomic;
+#: a multithreaded driver interleaving two calls could unpersist a frame
+#: the other thread just parked (results stay correct — unpersist only
+#: forces recompute — but the cache goes silently useless). One lock
+#: serializes retirement; the single-slot design itself still assumes
+#: the produced frames are consumed before the next call (the
+#: documented driver/bench/pytest contract).
+_PERSIST_SLOT_LOCK = threading.Lock()
+
 
 def _retire_previous(slot: list, frame: DataFrame) -> None:
-    while slot:
-        prev = slot.pop()
-        try:
-            prev.unpersist()
-        except Exception:  # noqa: BLE001 — session already gone is fine
-            pass
-    slot.append(frame)
+    with _PERSIST_SLOT_LOCK:
+        while slot:
+            prev = slot.pop()
+            try:
+                prev.unpersist()
+            except Exception:  # noqa: BLE001 — session already gone is fine
+                pass
+        slot.append(frame)
 
 
 def jaccard_pairs(
@@ -118,6 +129,8 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = DEFAULT_NGRAM,
     threshold: float = DEFAULT_JACCARD_THRESHOLD,
+    persist_shingles: bool = True,
+    drop_singletons: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via inverted-index self-join.
 
@@ -126,6 +139,26 @@ def jaccard_pairs(
     8-byte hash (shuffle key = hash, so no cross join) → ONE pair
     aggregation producing common count and both set sizes → Jaccard
     filter. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``persist_shingles`` (r16, mirroring :func:`minhash_lsh_pairs`):
+    the default eagerly persists the per-doc hash arrays at call time
+    so the join's branches read ONE tokenize pass; False skips the
+    persist AND its eager materialization (a caller that only builds
+    the plan pays nothing), recomputing the bounded lineage per
+    consumer instead.
+
+    ``drop_singletons`` (r16): pre-filter the self-join's input to
+    shingle hashes with document frequency >= 2 (a hash held by one
+    document cannot produce a pair) via one narrow count aggregation +
+    left-semi join. Result-identical — pinned by test + exact pair-set
+    equality at sf0.01/sf0.1 — but MEASURED SLOWER at every available
+    scale on this workload (same-session alternating A/B: pairs
+    2.3 → 3.5 s at sf0.1; 16.6 → 178 s on the 10×-replicated sf1
+    corpus, where every shingle has df >= 10 so the filter drops
+    nothing while its extra pass and semi-join break the self-join's
+    reused-exchange + AQE skew handling). Default OFF: use it only for
+    singleton-dominated corpora where the df pass is cheap relative to
+    the join it shrinks — and measure first (guide §1).
 
     Scale: hot (near-stopword) shingles create join skew; AQE skew-join
     splits them at runtime. For corpus-scale dedup prefer
@@ -143,12 +176,22 @@ def jaccard_pairs(
     # pass — the pre-r15 plan evaluated the tokenize+shingle lineage
     # six times per call (2 sizes aggregations + 2 broadcast builds +
     # 2 explode sides; 105 s of executor time at sf0.1).
-    ds = _doc_shingle_hashes(df, id_col, text_col, n).persist()
-    _retire_previous(_JACCARD_PERSIST_SLOT, ds)
-    ds.count()
+    ds = _doc_shingle_hashes(df, id_col, text_col, n)
+    if persist_shingles:
+        ds = ds.persist()
+        _retire_previous(_JACCARD_PERSIST_SLOT, ds)
+        ds.count()
     ex = ds.select(
         "doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("h")
     )
+    if drop_singletons:
+        eligible = (
+            ex.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") >= 2)
+            .select("h")
+        )
+        ex = ex.join(eligible, "h", "left_semi")
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, (F.col("a.h") == F.col("b.h"))
@@ -168,6 +211,13 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", round_half_up(F.col("jaccard"), 6).alias("jaccard"))
     )
+
+
+def _formatted_plan(df: DataFrame) -> str:
+    """``explain("formatted")`` as a string — the same JVM call
+    ``DataFrame.explain`` prints, minus the print."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
 
 
 @contextmanager
@@ -372,7 +422,19 @@ def connected_components(
             rounds = 0
             for _ in range(max_iter):
                 rounds += 1
-                new_labels = pin(_next(labels), evolving=True)
+                stepped = _next(labels)
+                if stats is not None and rounds == 1:
+                    # Debug/evidence hook (r16): the formatted physical
+                    # plan of one propagation round, exactly as the loop
+                    # compiles it (no-AQE, pinned partitioning). The
+                    # skew-shape test pins that the ONE exchange per
+                    # round carries PARTIAL_MIN rows — i.e. the message
+                    # shuffle is two-level (map-side partial min per
+                    # key, final min after), so a celebrity node
+                    # contributes at most one row per map partition to
+                    # the shuffle.
+                    stats["round_plan"] = _formatted_plan(stepped)
+                new_labels = pin(stepped, evolving=True)
                 new_sum = new_labels.agg(
                     F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
                 ).collect()[0]["s"]

@@ -259,13 +259,22 @@ STAGING_GC_GRACE_SECONDS = 3600.0
 def _index_parquet(spark: SparkSession, index_dir: str, name: str):
     """Session-cached reader frame for one index dataset (r15, guide
     §5 driver work: repeated probes were paying a driver file-listing
-    + schema read per dataset per call). Safe because EVERY mutation
+    + schema read per dataset per call). Every IN-PROCESS mutation
     path — build overwrite, staged-append publish (repair_index),
-    compaction swap — calls ``invalidate_reader_caches(index_dir)``,
-    which evicts the cached frames under the index root."""
-    from query_planner_optimizer_spark.catalog import cached_parquet
+    compaction swap — calls ``invalidate_reader_caches(index_dir)``;
+    the mutation token additionally guards against CROSS-PROCESS
+    writers (r16, ADVICE): the single-writer contract still allows the
+    writer and probe readers to live in different processes, and a
+    foreign publish leaves no pending marker for this process's
+    repair_index to see — so each probe re-checks one dir stat and
+    re-lists only when the dataset dir actually changed."""
+    from query_planner_optimizer_spark.catalog import (
+        cached_parquet,
+        dir_mutation_token,
+    )
 
-    return cached_parquet(spark, os.path.join(index_dir, name))
+    path = os.path.join(index_dir, name)
+    return cached_parquet(spark, path, token=dir_mutation_token(path))
 
 
 def repair_index(index_dir: str) -> None:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import math
 import os
+from collections import OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -462,22 +463,51 @@ IVF_NPROBE = 4
 IVF_ITERS = 2
 
 
+def _centroid_norm(c: list[float]) -> float:
+    """The one definition of a centroid's norm (zero-norm → sentinel
+    1.0), shared by the row-frame and packed-matrix constructors so the
+    two scoring paths divide by identical values."""
+    return math.sqrt(sum(x * x for x in c)) or 1.0
+
+
 def _centroid_frame(spark: SparkSession,
                     cents: list[list[float]]) -> DataFrame:
     rows = []
     for ci, c in enumerate(cents):
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        rows.append((ci, [float(x) for x in c], cn))
+        rows.append((ci, [float(x) for x in c], _centroid_norm(c)))
     return spark.createDataFrame(
         rows, "cell int, c_vec array<double>, c_norm double"
     )
 
 
+def _centroid_matrix_frame(spark: SparkSession,
+                           cents: list[list[float]]) -> DataFrame:
+    """The centroid matrix PACKED into one row (``__cmat`` nlist×dim,
+    ``__cnorms`` nlist) — the broadcast shape the in-row argmax fold
+    indexes with ``element_at`` (r16; same values as
+    :func:`_centroid_frame`, row-per-cell, used by the rank path)."""
+    return spark.createDataFrame(
+        [([[float(x) for x in c] for c in cents],
+          [_centroid_norm(c) for c in cents])],
+        "__cmat array<array<double>>, __cnorms array<double>",
+    )
+
+
+def _csim_guarded(vec: Column, norm: Column, c_vec: Column,
+                  c_norm: Column) -> Column:
+    """The single cosine-to-centroid definition every scoring path
+    uses (see :func:`_cell_scored` for the zero-norm rationale)."""
+    return F.when((norm > 0) & (c_norm > 0),
+                  _dot(vec, c_vec) / (norm * c_norm)).otherwise(F.lit(0.0))
+
+
 def _cell_scored(side: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """side × centroids with the cosine similarity as ``csim`` — the
-    single definition the rank path, the argmax path, the persisted
-    index builder, and the shard append all score with (a formula
-    change applies everywhere identically). The zero-norm guard maps a
+    """side × centroids with the cosine similarity as ``csim``. The
+    similarity formula itself lives in :func:`_csim_guarded` — the
+    single definition this rank path AND the in-row argmax path
+    (:func:`_assigned_cells`, used by the index builder and the shard
+    append) score with, so a formula change applies everywhere
+    identically. The zero-norm guard maps a
     degenerate (all-zero) vector to csim 0.0 instead of NaN (Spark's
     non-ANSI 0.0/0.0): NaN would sort LARGEST under the rank window
     but last under the min-struct argmin, and the two argmax spellings
@@ -487,10 +517,8 @@ def _cell_scored(side: DataFrame, cents: list[list[float]]) -> DataFrame:
     too keeps the no-NaN invariant local to the one expression that
     divides, surviving any future centroid source that skips the
     constructor (e.g. centroids read back from a persisted index)."""
-    sim = F.when((F.col("_norm") > 0) & (F.col("c_norm") > 0),
-                 _dot(F.col("_vec"), F.col("c_vec")) / (
-                     F.col("_norm") * F.col("c_norm"))
-                 ).otherwise(F.lit(0.0))
+    sim = _csim_guarded(F.col("_vec"), F.col("_norm"),
+                        F.col("c_vec"), F.col("c_norm"))
     return (side.join(F.broadcast(_centroid_frame(side.sparkSession,
                                                   cents)))
             .withColumn("csim", sim))
@@ -507,30 +535,44 @@ def _scored_cells(side: DataFrame, cents: list[list[float]]) -> DataFrame:
 
 
 def _assigned_cells(side: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """Per-id BEST cell — the argmax via a partial-aggregable
-    min-struct (r8): map-side combine collapses the nlist-way join
-    fan-out before the shuffle, where the crank==1 window shuffled
-    and sorted all n·nlist joined rows. min(-csim, cell) picks the
-    same (max csim, lowest cell) as the window's (desc, asc) sort —
-    Spark normalizes -0.0 = 0.0 in orderings, so the negation
-    cannot reorder — and carries the vector through untouched.
+    """Per-id BEST cell — the argmax computed IN-ROW (r16): score the
+    row against the packed broadcast centroid matrix with one
+    ``array_min`` over per-cell ``struct(-csim, cell)`` entries and
+    keep the winner's cell. No shuffle at all: assignment is per-row
+    math, and the previous shape (r8: nlist-way broadcast-join fan-out
+    + min-struct partial/final aggregation) still paid one full
+    exchange of ``(id, struct(_vec, …))`` rows per assignment job
+    because the final HashAggregate demanded hashpartitioning(id) —
+    even though every id's fan-out rows already sat in one partition
+    (guide §2.4 "remove shuffles outright"; at corpus scale that
+    exchange carried the vectors themselves). Each Lloyd round and
+    every index build/append encode drops that exchange.
 
-    NaN equivalence note: Spark sorts NaN LARGEST, so the window's
-    csim-desc would rank a NaN csim first while min(-csim) would
-    rank it last. A NaN csim needs a zero-norm vector, which
-    `_cell_scored`'s guarded division already maps to csim 0.0
-    (never NaN), so both argmin spellings pick identical cells on
-    every input — degenerate vectors included."""
-    best = (
-        _cell_scored(side, cents)
-        .groupBy("id")
-        .agg(F.min(F.struct(
-            (-F.col("csim")).alias("ncsim"), F.col("cell"),
-            F.col("_vec"), F.col("_norm"))).alias("b"))
+    Equivalence to the min-struct form: csim per (id, cell) is the
+    SAME expression over the SAME Python-float centroid values
+    (``_csim_guarded`` + ``_centroid_norm`` are shared definitions, and
+    ``_dot``'s left-to-right fold is unchanged), and
+    ``array_min(struct(ncsim, cell))`` uses the identical struct
+    ordering the aggregate used — including the -0.0 = 0.0 and
+    NaN-sorts-largest normalizations (a NaN csim remains impossible:
+    the guarded division maps zero-norm vectors to 0.0). Cells are
+    distinct within a row, so the (ncsim, cell) order is total and the
+    pick is bit-identical."""
+    nlist = len(cents)
+    one = _centroid_matrix_frame(side.sparkSession, cents)
+
+    def entry(i: Column) -> Column:
+        cv = F.element_at(F.col("__cmat"), i + 1)
+        cn = F.element_at(F.col("__cnorms"), i + 1)
+        csim = _csim_guarded(F.col("_vec"), F.col("_norm"), cv, cn)
+        return F.struct((-csim).alias("ncsim"), i.cast("int").alias("cell"))
+
+    best = F.array_min(
+        F.transform(F.sequence(F.lit(0), F.lit(nlist - 1)), entry))
+    return (
+        side.crossJoin(F.broadcast(one))
+        .select("id", "_vec", "_norm", best["cell"].alias("cell"))
     )
-    return best.select(
-        "id", F.col("b._vec").alias("_vec"),
-        F.col("b._norm").alias("_norm"), F.col("b.cell").alias("cell"))
 
 
 def _train_ivf_centroids(base: DataFrame, dim: int, nlist: int,
@@ -728,7 +770,11 @@ def build_ann_index(
 #: matrices, and a CURRENT flip changes the key. This is serving-index
 #: state (what a real ANN server holds resident), not query-result
 #: caching; each entry is nlist×dim doubles (~8 KB at the defaults).
-_CENTROID_CACHE: dict[str, list[list[float]]] = {}
+#: r16 (ADVICE): LRU-bounded — entries for version dirs deleted by
+#: ``_drop_stale_ann_versions`` otherwise linger forever in a
+#: long-lived serving process that cycles retrain/compaction versions.
+_CENTROID_CACHE: "OrderedDict[str, list[list[float]]]" = OrderedDict()
+_CENTROID_CACHE_CAP = 16
 
 
 def _read_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
@@ -737,10 +783,13 @@ def _read_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
     key = os.path.abspath(cents_path)
     hit = _CENTROID_CACHE.get(key)
     if hit is not None:
+        _CENTROID_CACHE.move_to_end(key)
         return hit
     rows = spark.read.parquet(cents_path).orderBy("cell").collect()
     cents = [list(r["c_vec"]) for r in rows]
     _CENTROID_CACHE[key] = cents
+    while len(_CENTROID_CACHE) > _CENTROID_CACHE_CAP:
+        _CENTROID_CACHE.popitem(last=False)
     return cents
 
 
@@ -955,22 +1004,37 @@ def _pq_train_books(
 
     def assign() -> DataFrame:
         # |sub|² is constant per (id, s): rank by |c|² − 2·dot alone.
-        # Argmin via a partial-aggregable min-struct (r8): map-side
-        # combine collapses the ks-way join fan-out BEFORE the shuffle,
-        # where the former row_number window shuffled and sorted all
-        # n·m·ks joined rows. (adist, code) is a total order within
-        # each (id, s) group — codes are distinct, so ties are
-        # impossible and the pick is bit-identical to the sorted form
-        # (tie-break toward the lower code id kept by struct order).
-        ad = F.col("c_n2") - 2.0 * _dot(F.col("sv"), F.col("c_vec"))
-        best = (
-            sub.join(F.broadcast(book_df()), "s")
-            .withColumn("adist", ad)
-            .groupBy("id", "s")
-            .agg(F.min(F.struct("adist", "code", "sv")).alias("b"))
+        # r16: the argmin runs IN-ROW against the packed broadcast
+        # codebook matrix (array_min over per-code struct(adist, code)
+        # entries) — zero shuffle, where the r8 min-struct aggregation
+        # still paid one exchange of (id, s, struct(…, sv)) rows per
+        # round for its final HashAggregate (guide §2.4; see
+        # _assigned_cells for the same argument). adist per code is
+        # the identical ``c_n2 − 2·dot`` expression over the identical
+        # Python floats book_df() serializes, (adist, code) is a total
+        # order (codes distinct, ties impossible), and array_min uses
+        # the same struct ordering the aggregate used — pick
+        # bit-identical to the r8 form and to the original window.
+        one = spark.createDataFrame(
+            [([[float(x) for x in books[(s, j)]]
+               for s in range(m) for j in range(ks)],
+              [float(sum(x * x for x in books[(s, j)]))
+               for s in range(m) for j in range(ks)])],
+            "__bmat array<array<double>>, __bn2 array<double>")
+
+        def entry(j: Column) -> Column:
+            slot = F.col("s") * ks + j + 1
+            ad = (F.element_at(F.col("__bn2"), slot)
+                  - 2.0 * _dot(F.col("sv"),
+                               F.element_at(F.col("__bmat"), slot)))
+            return F.struct(ad.alias("adist"), j.cast("int").alias("code"))
+
+        best = F.array_min(
+            F.transform(F.sequence(F.lit(0), F.lit(ks - 1)), entry))
+        return (
+            sub.crossJoin(F.broadcast(one))
+            .select("id", "s", best["code"].alias("code"), "sv")
         )
-        return best.select("id", "s", F.col("b.code").alias("code"),
-                           F.col("b.sv").alias("sv"))
 
     for _ in range(iters):
         dims = [F.avg(F.element_at(F.col("sv"), i + 1)).alias(f"d{i}")
@@ -1357,16 +1421,37 @@ def ivfpq_recall_summary(
 def _pq_encode(sub: DataFrame, books: DataFrame) -> DataFrame:
     """(id, s, code): nearest-codebook assignment under FROZEN books —
     the append-path twin of the final assignment inside
-    :func:`_pq_train_books` (same min-struct argmin, same tie-break),
-    minus the training loop."""
-    ad = F.col("c_n2") - 2.0 * _dot(F.col("sv"), F.col("c_vec"))
-    best = (
-        sub.join(F.broadcast(books), "s")
-        .withColumn("adist", ad)
-        .groupBy("id", "s")
-        .agg(F.min(F.struct("adist", "code")).alias("b"))
+    :func:`_pq_train_books` (same in-row array_min argmin, same
+    ``c_n2 − 2·dot`` scores, same lowest-code tie-break), minus the
+    training loop. The codebook frame is collected once (bounded:
+    m·ks rows, the same class as ``_read_centroids``) and packed into
+    the broadcast matrix the in-row fold indexes — no join, no
+    exchange (r16, guide §2.4; see _pq_train_books.assign)."""
+    spark = sub.sparkSession
+    rows = books.select("s", "code", "c_vec", "c_n2").collect()
+    by_slot = {(r["s"], r["code"]): r for r in rows}
+    m = 1 + max(r["s"] for r in rows)
+    ks = 1 + max(r["code"] for r in rows)
+    one = spark.createDataFrame(
+        [([[float(x) for x in by_slot[(s, j)]["c_vec"]]
+           for s in range(m) for j in range(ks)],
+          [float(by_slot[(s, j)]["c_n2"])
+           for s in range(m) for j in range(ks)])],
+        "__bmat array<array<double>>, __bn2 array<double>")
+
+    def entry(j: Column) -> Column:
+        slot = F.col("s") * ks + j + 1
+        ad = (F.element_at(F.col("__bn2"), slot)
+              - 2.0 * _dot(F.col("sv"),
+                           F.element_at(F.col("__bmat"), slot)))
+        return F.struct(ad.alias("adist"), j.cast("int").alias("code"))
+
+    best = F.array_min(
+        F.transform(F.sequence(F.lit(0), F.lit(ks - 1)), entry))
+    return (
+        sub.crossJoin(F.broadcast(one))
+        .select("id", "s", best["code"].alias("code"))
     )
-    return best.select("id", "s", F.col("b.code").alias("code"))
 
 
 def _pack_codes(codes: DataFrame) -> DataFrame:

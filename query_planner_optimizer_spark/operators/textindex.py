@@ -323,13 +323,21 @@ def _term_buckets(spark: SparkSession, terms: list[str],
 def _index_frame(spark: SparkSession, vdir: str, name: str):
     """Session-cached reader frame for one text-index dataset (r15,
     guide §5: repeat probes paid a driver file-listing + schema read
-    per dataset per call). Safe: appends publish through
+    per dataset per call). In-process appends publish through
     :func:`repair_text_index`, which invalidates the cache below the
     version dir whenever it changes files; rebuilds/compactions write
-    a fresh version dir (new cache key)."""
-    from query_planner_optimizer_spark.catalog import cached_parquet
+    a fresh version dir (new cache key). The mutation token (r16,
+    ADVICE) additionally catches CROSS-PROCESS appends into the same
+    version dir, whose publish leaves no pending marker behind for
+    this process to repair: one dir stat per probe, re-list only on
+    actual change."""
+    from query_planner_optimizer_spark.catalog import (
+        cached_parquet,
+        dir_mutation_token,
+    )
 
-    return cached_parquet(spark, os.path.join(vdir, name))
+    path = os.path.join(vdir, name)
+    return cached_parquet(spark, path, token=dir_mutation_token(path))
 
 
 def bm25_index_scores(

@@ -231,7 +231,7 @@ def build_rollups(
     prof = PREPARE_PROFILES[profile]
     rollups = rollups or ROLLUPS
     subset = prof.get("rollup_subset")
-    written = []
+    jobs: list[tuple[str, DataFrame, list[str], dict]] = []
     for name, spec in rollups.items():
         if subset is not None and name not in subset:
             continue
@@ -243,12 +243,33 @@ def build_rollups(
         else:
             continue
         keys = [k for k in spec["keys"] if k in src.columns]
+        jobs.append((name, src, keys, spec["aggs"]))
+
+    def _write_one(job: tuple) -> str:
+        name, src, keys, aggs = job
+        # Job descriptions are thread-local — each concurrent rollup
+        # write is labelled correctly in the UI.
+        src.sparkSession.sparkContext.setJobDescription(
+            f"build_rollups: {name}")
         writer = _profile_writer(
-            rollup_frame(src, keys, spec["aggs"]).write.mode("overwrite"),
-            prof,
-        )
+            rollup_frame(src, keys, aggs).write.mode("overwrite"), prof)
         writer.parquet(os.path.join(agg_dir, f"{name}.parquet"))
-        written.append(name)
+        return name
+
+    # The rollup writes are INDEPENDENT jobs over distinct output dirs
+    # (guide §2.6 "overlap independent jobs"): run them from a small
+    # thread pool so one rollup's task tail back-fills the executors
+    # the next one needs, instead of paying each job's straggler tail
+    # serially. 3 in flight is enough to fill the tail without the
+    # jobs starving each other. Results keep spec order (pool.map),
+    # so `written` is deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(jobs) > 1:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            written = list(pool.map(_write_one, jobs))
+    else:
+        written = [_write_one(j) for j in jobs]
     invalidate_reader_caches(agg_dir)
     return written
 

@@ -291,6 +291,52 @@ def test_connected_components_star_method(spark):
     assert len(star) == 512 and set(star.values()) == {0}
 
 
+def test_cc_round_plan_one_exchange_carries_partial_min(spark):
+    """r16 skew guard (VERDICT #3): the one exchange per propagation
+    round must carry PARTIAL-MIN rows — i.e. the neighbor-min message
+    shuffle is a two-level aggregation (map-side partial min per key,
+    final min after the exchange), which bounds what a celebrity node
+    can put through the shuffle to one partially-aggregated row per
+    map partition per round. AQE skew handling never applies to
+    aggregations (guide §2.5), and the CC loop compiles with AQE off
+    anyway — so this plan property IS the skew mitigation; pin it so a
+    refactor cannot silently regress to shuffling raw
+    (neighbor, label) message rows."""
+    import re
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["doc_a", "doc_b"])
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8)], ["doc_id"])
+    stats: dict = {}
+    dedup.connected_components(edges, verts, stats=stats)
+    plan = stats["round_plan"]
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, plan
+    assert "partial_min" in plan, plan
+
+
+def test_jaccard_pairs_persist_flag_and_singleton_drop(docs):
+    """r16: (a) persist_shingles=False (the plan-construction-only /
+    extreme-scale opt-out, ADVICE) produces the identical pair set;
+    (b) drop_singletons=True puts the df>=2 semi-join BELOW the pair
+    self-join in the plan and produces the identical pair set
+    (singleton hashes cannot form pairs) — the knob is default-OFF
+    because it measured slower at every available scale (see
+    OPTIMIZATION_r16.md), but its correctness stays pinned here."""
+    base = sorted(
+        map(tuple, dedup.jaccard_pairs(docs, threshold=0.2).collect()))
+    lazy = dedup.jaccard_pairs(docs, threshold=0.2,
+                               persist_shingles=False)
+    assert "LeftSemi" not in dedup._formatted_plan(lazy)
+    assert sorted(map(tuple, lazy.collect())) == base
+    dropped = dedup.jaccard_pairs(docs, threshold=0.2,
+                                  persist_shingles=False,
+                                  drop_singletons=True)
+    assert "LeftSemi" in dedup._formatted_plan(dropped)
+    assert sorted(map(tuple, dropped.collect())) == base
+
+
 def test_dedup_clusters_matches_recursive_oracle(docs, ddb):
     assert_matches_duckdb(
         dedup.dedup_clusters(docs, threshold=0.2),

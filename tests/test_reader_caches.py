@@ -121,6 +121,36 @@ def test_refresh_rollups_invalidates_agg_dir(spark, tmp_path):
     invalidate_reader_caches(str(tmp_path))
 
 
+def test_mutation_token_observes_cross_process_append(spark, tmp_path):
+    """r16 (ADVICE medium): a cached reader frame over an append-able
+    index dataset must observe files published by a DIFFERENT process
+    — one that cannot call this process's invalidate_reader_caches and
+    leaves no pending marker behind (the writer's own repair already
+    consumed it). The fix is the dir-stat mutation token: simulate the
+    foreign publish by renaming a staged part file straight into the
+    live dataset dir, exactly what repair_index's publish step does."""
+    from query_planner_optimizer_spark.operators.incremental import (
+        _index_parquet,
+    )
+
+    idx = str(tmp_path / "idx")
+    live = os.path.join(idx, "ds")
+    spark.range(5).coalesce(1).write.parquet(live)
+    df1 = _index_parquet(spark, idx, "ds")
+    assert df1.count() == 5
+    # Unchanged dir: the cached frame object itself is served.
+    assert _index_parquet(spark, idx, "ds") is df1
+    # Foreign publish: stage a parquet part elsewhere, rename it in.
+    stage = str(tmp_path / "stage")
+    spark.range(5, 9).coalesce(1).write.parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(stage, part),
+              os.path.join(live, f"part-appended-{part}"))
+    # No invalidate call — the token alone must trigger the re-list.
+    assert _index_parquet(spark, idx, "ds").count() == 9
+    invalidate_reader_caches(idx)
+
+
 def test_frame_memo_anchor_and_cap(spark):
     """FrameMemo contract: anchor identity gates hits; the LRU cap
     evicts (and unpersists) oldest; clear() empties."""

@@ -40,6 +40,29 @@ def test_sessionize_matches_oracle(spark, ddb):
     assert_matches_duckdb(df, ddb, windows.entry_oracles()["stream_sessionize"])
 
 
+def test_fetch_arrow_rows_identical_to_collect(spark):
+    """r16 serving helper: the Arrow-batched fetch returns exactly the
+    rows collect() returns (same values, same columns) — only the
+    transfer encoding differs. Timestamps normalize through epoch
+    seconds: collect() hands back naive local-time datetimes while
+    Arrow hands back tz-aware ones; .timestamp() maps both to the same
+    instant."""
+    import datetime
+
+    def norm(v):
+        if isinstance(v, datetime.datetime):
+            return round(v.timestamp(), 6)
+        return v
+
+    df = windows.q_sessionize(spark, SF_DIR)
+    via_collect = sorted(tuple(norm(v) for v in r) for r in df.collect())
+    via_arrow = sorted(
+        tuple(norm(d[c]) for c in df.columns)
+        for d in windows.fetch_arrow(df).to_pylist()
+    )
+    assert via_arrow == via_collect
+
+
 def test_streaming_rollup_equals_batch(spark, events_stream_dir):
     """Run the SAME rollup through Structured Streaming (availableNow →
     memory sink) and through batch; results must be identical once the
