@@ -15,7 +15,10 @@ from __future__ import annotations
 import json
 import sys
 
-REQUIRED = ("metric", "value", "unit", "queries", "sf")
+#: Required keys by artifact kind: the driver bench contract, and the
+#: r16 core-scaling artifacts (distinguished by their "metric" value).
+REQUIRED_BENCH = ("metric", "value", "unit", "queries", "sf")
+REQUIRED_SCALING = ("metric", "cpus", "entries", "total_warm")
 
 
 def check(path: str) -> list[str]:
@@ -25,14 +28,19 @@ def check(path: str) -> list[str]:
     payload = data.get("parsed", data) if isinstance(data, dict) else None
     if payload is None or not isinstance(payload, dict):
         return [f"{path}: no JSON object payload"]
-    for k in REQUIRED:
+    scaling = payload.get("metric") == "core_scaling_noop"
+    required = REQUIRED_SCALING if scaling else REQUIRED_BENCH
+    for k in required:
         if k not in payload:
             errors.append(f"{path}: missing required key {k!r}")
-    if not errors:
-        if not isinstance(payload["queries"], dict) or not payload["queries"]:
-            errors.append(f"{path}: 'queries' empty or not a dict")
-        if not isinstance(payload["value"], (int, float)):
-            errors.append(f"{path}: 'value' not numeric")
+    if errors:
+        return errors
+    rows = payload["entries"] if scaling else payload["queries"]
+    if not isinstance(rows, dict) or not rows:
+        errors.append(f"{path}: per-entry dict empty or not a dict")
+    total = payload["total_warm"] if scaling else payload["value"]
+    if not isinstance(total, (int, float)):
+        errors.append(f"{path}: total not numeric")
     return errors
 
 
